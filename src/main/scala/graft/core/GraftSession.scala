@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Ports the intent of the reference's session builder
+  * (configs/spark_config.py:27-58) — UTC session timezone, AQE with
+  * partition coalescing and skew-join handling — re-tuned for this
+  * engine: shuffle partitions sized to the local core count instead of
+  * the 200 default (on a real cluster this is set to ~2-3x total cores
+  * via --conf; the builder here only provides local-mode defaults).
+  */
+object GraftSession {
+
+  /** Apply graft's standard confs to any builder (shared by mains and
+    * tests so plans are identical everywhere).
+    */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dims/lookups in this engine are small; raise the auto-broadcast
+      // bound like the reference's fact build (build_fact_flights.py:113)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session: `cores` executor threads in-process. */
+  def local(cores: Int = localCores, appName: String = "graft"): SparkSession = {
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def localCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors().min(32))
+}
