@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.Tpch
+import graft.functions.TextFns
+import Portable._
+
+/** Text-analysis operators for LLM training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars):
+  * token counting, quality scoring, n-gram-marker language ID, and
+  * rolling-hash document fingerprinting.
+  *
+  * All computation is built-in higher-order functions (`transform` /
+  * `aggregate` / `filter`) — narrow per-row expressions that pipeline
+  * inside the parquet scan stage: no shuffle, no UDF, O(chars)/row, so
+  * the plan is a single WholeStageCodegen pass at any scale. Every
+  * query has a bit-identical DuckDB oracle (integer hashes mod 1e9+7,
+  * portable float rounding — see Portable / TextFns).
+  */
+object TextAnalysis {
+  import TextFns._
+
+  // -- T1: token statistics (whitespace tokenizer) ---------------------
+  private val q17 = Q(
+    "q17_token_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      t.documents.select(
+          col("doc_id"),
+          col("lang"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_calc"),
+          pround(
+            aggregate(toks, lit(0L), (a, tk) => a + length(tk)).cast("double")
+              / size(toks), 4).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, lang,
+      len(${tokensSql("text")}) AS n_tokens,
+      len(list_distinct(${tokensSql("text")})) AS n_distinct_tokens,
+      len(text) AS n_chars_calc,
+      ${proundSql(
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(${tokensSql("text")}, tk -> CAST(len(tk) AS BIGINT))),
+           | (a, b) -> a + b) AS DOUBLE)
+           | / len(${tokensSql("text")})""".stripMargin, 4)} AS avg_token_len
+    FROM documents
+    ORDER BY doc_id"""))
+
+  // -- T2: heuristic quality scoring (5-flag score like the reference's
+  //    DATA_QUALITY_SCORE, flight_data_cleaner.py:117-124) -------------
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val q18 = Q(
+    "q18_text_quality",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val stopRatio = markerCount(toks, stopwords).cast("double") / nTok
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+      val punctRatio = punct.cast("double") / length(col("text"))
+      val score = (
+        when(length(col("text")).between(50, 1000), 1).otherwise(0) +
+        when(nTok >= 20, 1).otherwise(0) +
+        when(stopRatio <= 0.4, 1).otherwise(0) +
+        when(distinctRatio >= 0.3, 1).otherwise(0) +
+        when(punctRatio <= 0.05, 1).otherwise(0)).cast("double") / 5.0
+      t.documents.select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          pround(stopRatio, 4).as("stop_ratio"),
+          pround(distinctRatio, 4).as("distinct_ratio"),
+          pround(punctRatio, 4).as("punct_ratio"),
+          score.as("quality_score"),
+          when(score >= 0.8, "high").when(score >= 0.5, "medium")
+            .otherwise("low").as("quality_tier"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val toksSql = tokensSql("text")
+      val nTok = s"len($toksSql)"
+      val stopRatio =
+        s"CAST(${markerCountSql(toksSql, stopwords)} AS DOUBLE) / $nTok"
+      val distinctRatio = s"CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok"
+      val punctRatio =
+        s"CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)"
+      val score = s"""CAST(
+        (CASE WHEN len(text) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END) +
+        (CASE WHEN $nTok >= 20 THEN 1 ELSE 0 END) +
+        (CASE WHEN $stopRatio <= 0.4 THEN 1 ELSE 0 END) +
+        (CASE WHEN $distinctRatio >= 0.3 THEN 1 ELSE 0 END) +
+        (CASE WHEN $punctRatio <= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0"""
+      s"""SELECT doc_id,
+        $nTok AS n_tokens,
+        ${proundSql(stopRatio, 4)} AS stop_ratio,
+        ${proundSql(distinctRatio, 4)} AS distinct_ratio,
+        ${proundSql(punctRatio, 4)} AS punct_ratio,
+        $score AS quality_score,
+        CASE WHEN $score >= 0.8 THEN 'high'
+             WHEN $score >= 0.5 THEN 'medium'
+             ELSE 'low' END AS quality_tier
+      FROM documents
+      ORDER BY doc_id"""
+    })
+
+  // -- T3: marker-token language ID (n-gram heuristic), confusion
+  //    matrix against the labeled lang column ---------------------------
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+  private val q19 = Q(
+    "q19_lang_id",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val scoreCols = markers.map { case (l, ms) =>
+        markerCount(toks, ms).as(s"s_$l")
+      }
+      val scored = t.documents.select(
+        Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      val Seq(en, es, fr, de) =
+        Seq("en", "es", "fr", "de").map(l => col(s"s_$l"))
+      scored
+        .withColumn("pred_lang",
+          when(en > 0 && en >= es && en >= fr && en >= de, "en")
+            .when(es > 0 && es >= fr && es >= de, "es")
+            .when(fr > 0 && fr >= de, "fr")
+            .when(de > 0, "de")
+            .otherwise("unknown"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some {
+      val toksSql = tokensSql("text")
+      val sc = markers.map { case (l, ms) =>
+        s"${markerCountSql(toksSql, ms)} AS s_$l"
+      }.mkString(",\n        ")
+      s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
+        SELECT lang,
+          CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+               WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+               WHEN s_de > 0 THEN 'de'
+               ELSE 'unknown' END AS pred_lang
+        FROM (SELECT lang, $sc FROM documents))
+      GROUP BY lang, pred_lang
+      ORDER BY lang, pred_lang"""
+    })
+
+  // -- T4: document fingerprinting (rolling hash + order-independent
+  //    token-set hash) --------------------------------------------------
+  private val q20 = Q(
+    "q20_fingerprint",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.documents.select(
+          col("doc_id"),
+          rollingHash(col("text")).as("content_hash"),
+          tokenSetHash(col("text")).as("tokenset_hash"),
+          size(array_distinct(shingles(tokens(col("text")), 3)))
+            .as("n_distinct_shingles"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+      ${rollingHashSql("text")} AS content_hash,
+      ${tokenSetHashSql("text")} AS tokenset_hash,
+      len(list_distinct(${shinglesSql(tokensSql("text"), 3)})) AS n_distinct_shingles
+    FROM documents
+    ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20)
+}
