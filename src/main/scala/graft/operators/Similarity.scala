@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators: exact cosine (sequential-fold dot
+  * product — bit-identical to the DuckDB oracle), brute-force top-k,
+  * and random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale design (100 TB): brute-force top-k is the correctness
+  * baseline — a broadcast of the (small) query set against a scan of
+  * the corpus, partial top-k per partition via the window. The LSH
+  * variant buckets both sides by hyperplane sign bits first, so the
+  * candidate set per query is |bucket| not |corpus|; buckets are the
+  * shuffle key. Hyperplane components come from integer arithmetic
+  * (no RNG) so plans, tests, and the SQL oracle agree exactly.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as double, sequential left fold (≡ DuckDB list_reduce). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Σ vᵢ² as double, sequential left fold. */
+  def norm2(v: Column): Column =
+    aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** All vector pairs (id1 < id2) with cosine ≥ tau. O(n²) compare —
+    * the exact baseline; use lshBuckets to prune candidates at scale.
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val withNorm = vecs.select(col(idCol), col(vecCol),
+      sqrt(norm2(col(vecCol))).as("norm"))
+    withNorm.as("a")
+      .join(withNorm.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        (dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / (col("a.norm") * col("b.norm"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): integer-hash → [−0.5, 0.5). Portable to SQL.
+    */
+  def planeComponent(j: Column, i: Column): Column =
+    (((j + lit(1L)) * lit(2654435761L) + i * lit(40503L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0) - lit(0.5)
+
+  /** nBits-bit LSH bucket id: bit j = sign of ⟨v, plane_j⟩. */
+  def lshBucket(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(0L), size(vec).cast("long") - lit(1L)),
+          i => element_at(vec, (i + lit(1L)).cast("int")).cast("double")
+            * planeComponent(lit(j.toLong), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force top-k nearest (cosine) corpus rows per query row.
+    * Queries are broadcast; ranking is a per-query window with id
+    * tie-break for determinism.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      sqrt(norm2(col(vecCol))).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(norm2(col(vecCol))).as("qnorm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.Tpch
+import graft.functions.TextFns
+import graft.functions.TextFns.P
+import graft.operators.Dedup
+import graft.operators.Dedup.MinHashParams
+import Portable._
+
+/** Deduplication query surface: exact keep-latest, n-gram Jaccard
+  * near-dup join, MinHash signatures + LSH pair generation, SimHash
+  * hamming pairs, and embedding-cosine near-dup. Implementations live
+  * in graft.operators.Dedup / Similarity; this file binds them to the
+  * testdata tables and generates the bit-identical DuckDB oracles from
+  * the same parameters.
+  */
+object DedupQueries {
+  import TextFns.{tokensSql, rollingHashSql, shinglesSql}
+
+  private val N = 3          // shingle width
+  private val JTAU = 0.5     // Jaccard output threshold
+  private val LSHTAU = 0.5   // LSH verify threshold
+  private val mh = MinHashParams(k = 16, bands = 4)
+
+  private def shingleSetSql =
+    s"list_distinct(${shinglesSql(tokensSql("text"), N)})"
+  private def hashesSql(setExpr: String) =
+    s"list_distinct(list_transform($setExpr, s2 -> ${rollingHashSql("s2")}))"
+  private def sigSql(hashesExpr: String) =
+    s"""list_transform(generate_series(0, ${mh.k - 1}), j ->
+       | list_aggregate(list_transform($hashesExpr,
+       |   s -> (((j + 1) * ${mh.aGen} % $P) * s + ((j + 1) * ${mh.bGen} % $P)) % $P),
+       |  'min'))""".stripMargin
+  private def foldSql(listExpr: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr),
+       | (h, m) -> (h * 31 + m) % $P)""".stripMargin
+
+  // -- D1: exact dedup — keep latest event per (user_id, event_type) ---
+  private val q21 = Q(
+    "q21_exact_dedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      // ts is epoch-nanos long (nanosAsLong conf — Spark can't read
+      // TIMESTAMP(NANOS) parquet natively); compare as integers.
+      Dedup.keepLatest(t.events, Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").as("ts_ns"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+    WHERE rn = 1
+    ORDER BY user_id, event_type"""))
+
+  // -- D2: n-gram Jaccard near-dup pairs (inverted shingle index) ------
+  private val q22 = Q(
+    "q22_jaccard_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.jaccardPairs(t.documents, "doc_id", "text", N, JTAU)
+        .select(col("d1"), col("d2"), col("n_common"), col("n1"), col("n2"),
+          pround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH sets AS (
+        SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
+      sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sets),
+      inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sets),
+      common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, n_common, sa.n AS n1, sb.n AS n2,
+        ${proundSql("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)", 6)} AS jaccard
+      FROM common
+      JOIN sizes sa ON d1 = sa.doc_id
+      JOIN sizes sb ON d2 = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JTAU
+      ORDER BY d1, d2"""))
+
+  // -- D3: MinHash signatures (flattened: whole-sig fold + band hashes) -
+  private val q23 = Q(
+    "q23_minhash_sig",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val sig = Dedup.minhashSigDF(t.documents, "doc_id", "text", N, mh)
+      val bandCols = (0 until mh.bands).map(i =>
+        Dedup.sigFold(i * mh.rows, mh.rows).as(s"b$i"))
+      sig.select(
+          Seq(col("doc_id"), Dedup.sigFold(0, mh.k).as("sig_hash")) ++ bandCols: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandSelects = (0 until mh.bands).map { i =>
+        s"${foldSql(s"list_slice(sig, ${i * mh.rows + 1}, ${i * mh.rows + mh.rows})")} AS b$i"
+      }.mkString(",\n        ")
+      s"""SELECT doc_id, ${foldSql("sig")} AS sig_hash,
+        $bandSelects
+      FROM (SELECT doc_id, ${sigSql(hashesSql(shingleSetSql))} AS sig FROM documents)
+      ORDER BY doc_id"""
+    })
+
+  // -- D4: MinHash-LSH near-dup pairs (band bucket join + exact verify) -
+  private val q24 = Q(
+    "q24_minhash_lsh_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.minhashNearDups(t.documents, "doc_id", "text", N, LSHTAU, mh)
+        .select(col("d1"), col("d2"), pround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val bandFold = foldSql(s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
+      s"""WITH sets AS (
+        SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
+      sigs AS (
+        SELECT doc_id, ${sigSql(hashesSql("shingle_set"))} AS sig FROM sets),
+      bands AS (
+        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+        FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT d1, d2,
+          len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
+          len(sa.shingle_set) AS n1, len(sb.shingle_set) AS n2
+        FROM cands
+        JOIN sets sa ON d1 = sa.doc_id
+        JOIN sets sb ON d2 = sb.doc_id)
+      SELECT d1, d2,
+        ${proundSql("CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)", 6)} AS jaccard
+      FROM verified
+      WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU
+      ORDER BY d1, d2"""
+    })
+
+  // -- D5: SimHash hamming pairs (banded join, lossless ≤ 7) -----------
+  private val HAM = 7
+  private val q25 = Q(
+    "q25_simhash_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.simhashPairs(t.documents, "doc_id", "text", N, HAM)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val ths = s"list_transform($shingleSetSql, t -> ${rollingHashSql("t")})"
+      val bits = (0 until 32).map { k =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           | list_transform(ths, h -> ((h >> $k) & 1) * 2 - 1)),
+           | (a, b) -> a + b) > 0 THEN ${1L << k} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH th AS (SELECT doc_id, $ths AS ths FROM documents),
+      sh AS (SELECT doc_id, $bits AS simhash FROM th)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAM
+      ORDER BY d1, d2"""
+    })
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25)
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.Tpch
+import graft.operators.Similarity
+import Portable._
+
+/** Similarity-search query surface over the `embeddings` table
+  * (vec_id, embedding: array<float>[64], label): exact cosine pair
+  * scan, brute-force top-k ANN baseline, and the random-hyperplane LSH
+  * bucketing that is the 100 TB path (bucket = shuffle key; candidate
+  * set per query shrinks from |corpus| to |bucket|).
+  *
+  * Float parity: dot products and norms are sequential left-folds of
+  * element-wise double products (`aggregate` ≡ `list_reduce`), so the
+  * doubles are BIT-IDENTICAL to the DuckDB oracle before the final
+  * portable rounding.
+  */
+object SimilarityQueries {
+
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform(list_zip($a, $b),
+       |   pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+       | (x, y) -> x + y)""".stripMargin
+  private def norm2Sql(v: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       | (x, y) -> x + y)""".stripMargin
+
+  // -- V1: exact cosine near-dup pairs ---------------------------------
+  private val CTAU = 0.4
+  private val q26 = Q(
+    "q26_cosine_neardup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Similarity.cosinePairs(t.embeddings, "vec_id", "embedding", CTAU)
+        .select(col("v1"), col("v2"), pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("v1"), col("v2"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+        ${proundSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $CTAU
+      ORDER BY v1, v2"""))
+
+  // -- V2: brute-force cosine top-k (ANN exact baseline) ---------------
+  private val K = 5
+  private val QMOD = 50
+  private val q27 = Q(
+    "q27_ann_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.topK(t.embeddings, queries, "vec_id", "embedding", K)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id)
+      SELECT query_id, rank, corpus_id, ${proundSql("cosine", 6)} AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $K
+      ORDER BY query_id, rank"""))
+
+  // -- V3: random-hyperplane LSH bucket histogram (the scale path) -----
+  private val NBITS = 8
+  private val q28 = Q(
+    "q28_ann_lsh_buckets",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.embeddings
+        .select(col("vec_id"), col("label"),
+          Similarity.lshBucket(col("embedding"), NBITS).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val planeSql = (j: Int) =>
+        s"(CAST((($j + 1) * 2654435761 + i * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+      val bits = (0 until NBITS).map { j =>
+        s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           | list_transform(generate_series(0, CAST(len(embedding) AS BIGINT) - 1),
+           |   i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * ${planeSql(j)})),
+           | (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""SELECT bucket, count(*) AS n_vecs,
+        count(DISTINCT label) AS n_labels,
+        min(vec_id) AS min_vec, max(vec_id) AS max_vec
+      FROM (SELECT vec_id, label, $bits AS bucket FROM embeddings)
+      GROUP BY bucket
+      ORDER BY bucket"""
+    })
+
+  val all: Seq[Q] = Seq(q26, q27, q28)
+}
