@@ -19,6 +19,10 @@ object GraftSession {
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4 defaults to ANSI mode; the reference ran Spark 3.5
+      // non-ANSI, whose ÷0→NULL / failed-cast→NULL semantics are
+      // load-bearing (mart KPIs on all-cancelled groups, SURVEY §7.4).
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

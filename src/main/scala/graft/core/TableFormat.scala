@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table-layer facade: partitioned parquet today, Delta/Iceberg-shaped
+  * so a format with ACID/time-travel can slot in without touching the
+  * pipeline code (the reference writes Delta but exercises nothing
+  * beyond partitioned overwrite — SURVEY.md §1.4).
+  *
+  * Scale notes: Hive-style directory partitioning gives partition
+  * pruning on the read path for free; writers should repartition on
+  * the partition columns first so each task writes few files (the
+  * pipeline stages do this).
+  */
+trait TableFormat {
+  def read(spark: SparkSession, path: String): DataFrame
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit
+}
+
+object ParquetTable extends TableFormat {
+  override def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  override def write(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  override def append(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+}
