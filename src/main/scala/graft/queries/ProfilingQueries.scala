@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables.Tpch
+import Portable._
+
+/** Data-profiling surface (SURVEY.md §2.4 A11/A12): describe()-style
+  * summary statistics and single-pass null/duplicate profiling.
+  *
+  * The reference profiles one column per Spark job (notebook cell 7);
+  * here every statistic for every column rides ONE aggregation pass —
+  * at 100 TB that is one scan instead of one per column.
+  *
+  * Float parity: mean/stddev derive from exact DECIMAL sums (order-
+  * independent), with the variance algebra done in identical double
+  * ops both engines: var = (sumsq − sum²/n)/(n−1).
+  */
+object ProfilingQueries {
+
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def statsFor(c: String): Seq[Column] = Seq(
+    count(col(c)).as(s"${c}_count"),
+    sum(col(c).cast(DecimalType(28, 6))).cast("double").as(s"${c}_sum"),
+    sum((col(c) * col(c)).cast(DecimalType(28, 6))).cast("double").as(s"${c}_sumsq"),
+    round(min(col(c)), 6).as(s"${c}_min"),
+    round(max(col(c)), 6).as(s"${c}_max"))
+
+  private def statsSqlFor(c: String): String = Seq(
+    s"count($c) AS ${c}_count",
+    s"CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE) AS ${c}_sum",
+    s"CAST(sum(CAST($c * $c AS DECIMAL(28,6))) AS DOUBLE) AS ${c}_sumsq",
+    s"round(min($c), 6) AS ${c}_min",
+    s"round(max($c), 6) AS ${c}_max").mkString(", ")
+
+  // -- A11: describe()-equivalent, one row per column ------------------
+  private val q30 = Q(
+    "q30_summary_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val wide = t.lineitem.agg(
+        statsFor(numCols.head).head,
+        (statsFor(numCols.head).tail ++ numCols.tail.flatMap(statsFor)): _*)
+      val perCol = numCols.map { c =>
+        wide.select(
+          lit(c).as("column_name"),
+          col(s"${c}_count").as("n"),
+          pround(col(s"${c}_sum") / col(s"${c}_count"), 6).as("mean"),
+          pround(sqrt(
+            (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum") / col(s"${c}_count"))
+              / (col(s"${c}_count") - 1)), 6).as("stddev"),
+          col(s"${c}_min").as("min_val"),
+          col(s"${c}_max").as("max_val"))
+      }
+      perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+    },
+    Some {
+      val wide = s"SELECT ${numCols.map(statsSqlFor).mkString(", ")} FROM lineitem"
+      val perCol = numCols.map { c =>
+        s"""SELECT '$c' AS column_name, ${c}_count AS n,
+           ${proundSql(s"${c}_sum / ${c}_count", 6)} AS mean,
+           ${proundSql(s"sqrt((${c}_sumsq - ${c}_sum * ${c}_sum / ${c}_count) / (${c}_count - 1))", 6)} AS stddev,
+           ${c}_min AS min_val, ${c}_max AS max_val
+         FROM wide"""
+      }.mkString("\nUNION ALL\n")
+      s"WITH wide AS ($wide)\n$perCol\nORDER BY column_name"
+    })
+
+  // -- A12: single-pass null + duplicate profiling ---------------------
+  private val q31 = Q(
+    "q31_null_dup_profile",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.events.agg(
+        count(lit(1)).as("total_rows"),
+        countDistinct(col("user_id"), col("event_type")).as("distinct_keys"),
+        (count(lit(1)) - countDistinct(col("user_id"), col("event_type")))
+          .as("dup_rows"),
+        sum(col("value").isNull.cast("long")).as("null_value"),
+        sum(col("props").isNull.cast("long")).as("null_props"),
+        sum(col("event_type").isNull.cast("long")).as("null_event_type"))
+    },
+    Some("""SELECT count(*) AS total_rows,
+      count(DISTINCT (user_id, event_type)) AS distinct_keys,
+      count(*) - count(DISTINCT (user_id, event_type)) AS dup_rows,
+      sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+      sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+      sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type
+    FROM events"""))
+
+  // -- JSON extraction over the events props column --------------------
+  private val q32 = Q(
+    "q32_json_extract",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          pround(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, count(*) AS n_events,
+      sum(k) AS sum_k,
+      ${proundSql("CAST(sum(k) AS DOUBLE) / count(k)", 4)} AS avg_k,
+      min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32)
+}
