@@ -38,7 +38,8 @@ object GraftSession {
   /** Local session: `cores` executor threads in-process. */
   def local(cores: Int = localCores, appName: String = "graft"): SparkSession = {
     val spark = tune(
-      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      SparkSession.builder().master(s"local[$cores]").appName(appName)
+        .withExtensions(graft.expressions.GraftExtensions.inject),
       shufflePartitions = cores
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,33 +31,43 @@ object TextFns {
     s"regexp_split_to_array(trim($x), '\\s+')"
 
   /** Polynomial rolling hash over the characters of `s`, mod P.
-    * h := (h*31 + ascii(char)) % P, left fold from 0.
+    * h := (h*31 + codepoint) % P, left fold from 0. Backed by the
+    * native codegen expression graft.expressions.RollingHash
+    * (registered by GraftSession) — the equivalent HOF chain
+    * (aggregate∘transform∘sequence) is interpreted per character and
+    * ~10× slower on document-length strings.
     */
   def rollingHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)),
-        i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (h, c) => (h * lit(31L) + c) % lit(P))
+    call_function("graft_rolling_hash", s)
   def rollingHashSql(x: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        | list_transform(generate_series(1, len($x)),
        |   i -> CAST(ascii(substr($x, i, 1)) AS BIGINT))),
        | (h, c) -> (h * 31 + c) % ${P})""".stripMargin
 
-  /** Order-independent content fingerprint: sum of distinct-token
-    * rolling hashes mod P ((a+b)%P is commutative ⇒ array_distinct
-    * ordering differences between engines don't matter).
+  /** Tokenize+shingle+hash in one compiled pass (native ShingleHashes
+    * expression; n=1 degenerates to per-token hashes). Returns one
+    * hash per shingle position; array_distinct for set semantics.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+  def shingleHashesSql(x: String, n: Int): String =
+    s"""list_transform(${shinglesSql(tokensSql(x), n)},
+       | sh2 -> ${rollingHashSql("sh2")})""".stripMargin
+
+  /** Order-independent content fingerprint: sum of distinct token
+    * hashes mod P ((a+b)%P is commutative ⇒ array_distinct ordering
+    * differences between engines don't matter). Distinct applies to
+    * the HASHES on both sides so values agree even under collision.
     */
   def tokenSetHash(text: Column): Column =
     aggregate(
-      transform(array_distinct(tokens(text)), t => rollingHash(t)),
+      array_distinct(shingleHashes(text, 1)),
       lit(0L),
       (acc, h) => (acc + h) % lit(P))
   def tokenSetHashSql(x: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       | list_transform(list_distinct(${tokensSql(x)}),
-       |   t -> ${rollingHashSql("t")})),
+       | list_distinct(${shingleHashesSql(x, 1)})),
        | (acc, h) -> (acc + h) % ${P})""".stripMargin
 
   /** Count of tokens that appear in a fixed marker set. */

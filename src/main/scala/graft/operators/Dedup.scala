@@ -43,11 +43,14 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct word-n-gram shingle set per document. */
+  /** Distinct word-n-gram shingle HASH set per document (native
+    * tokenize+shingle+hash expression — one compiled pass; all
+    * downstream set algebra runs on longs, not strings).
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol),
-      array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))
+      array_distinct(TextFns.shingleHashes(col(textCol), n))
         .as("shingle_set"))
 
   /** All document pairs with n-gram Jaccard ≥ tau, via the inverted
@@ -97,9 +100,7 @@ object Dedup {
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n)))
-          .as("shingle"))
-      .select(col(idCol), TextFns.rollingHash(col("shingle")).as("s"))
+      explode(array_distinct(TextFns.shingleHashes(col(textCol), n))).as("s"))
 
   /** Per-doc MinHash signature as K columns m0..m_{k-1}: a map-side-
     * combinable min-aggregate per hash function, with the (a_j, b_j)

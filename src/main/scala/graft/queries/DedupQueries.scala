@@ -16,17 +16,19 @@ import Portable._
   * the same parameters.
   */
 object DedupQueries {
-  import TextFns.{tokensSql, rollingHashSql, shinglesSql}
+  import TextFns.shingleHashesSql
 
   private val N = 3          // shingle width
   private val JTAU = 0.5     // Jaccard output threshold
   private val LSHTAU = 0.5   // LSH verify threshold
   private val mh = MinHashParams(k = 16, bands = 4)
 
+  /** Distinct shingle-hash set — mirrors Dedup.shingleSets: set
+    * algebra runs on hashes in BOTH engines, so results agree exactly
+    * even in the (≈0-probability) event of a hash collision.
+    */
   private def shingleSetSql =
-    s"list_distinct(${shinglesSql(tokensSql("text"), N)})"
-  private def hashesSql(setExpr: String) =
-    s"list_distinct(list_transform($setExpr, s2 -> ${rollingHashSql("s2")}))"
+    s"list_distinct(${shingleHashesSql("text", N)})"
   private def sigSql(hashesExpr: String) =
     s"""list_transform(generate_series(0, ${mh.k - 1}), j ->
        | list_aggregate(list_transform($hashesExpr,
@@ -98,7 +100,7 @@ object DedupQueries {
       }.mkString(",\n        ")
       s"""SELECT doc_id, ${foldSql("sig")} AS sig_hash,
         $bandSelects
-      FROM (SELECT doc_id, ${sigSql(hashesSql(shingleSetSql))} AS sig FROM documents)
+      FROM (SELECT doc_id, ${sigSql(shingleSetSql)} AS sig FROM documents)
       ORDER BY doc_id"""
     })
 
@@ -116,7 +118,7 @@ object DedupQueries {
       s"""WITH sets AS (
         SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
       sigs AS (
-        SELECT doc_id, ${sigSql(hashesSql("shingle_set"))} AS sig FROM sets),
+        SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM sets),
       bands AS (
         SELECT doc_id, i AS band_idx, $bandFold AS band_hash
         FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
@@ -149,7 +151,7 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2"))
     },
     Some {
-      val ths = s"list_transform($shingleSetSql, t -> ${rollingHashSql("t")})"
+      val ths = shingleSetSql
       val bits = (0 until 32).map { k =>
         s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
            | list_transform(ths, h -> ((h >> $k) & 1) * 2 - 1)),

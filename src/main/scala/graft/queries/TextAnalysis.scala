@@ -163,14 +163,14 @@ object TextAnalysis {
           col("doc_id"),
           rollingHash(col("text")).as("content_hash"),
           tokenSetHash(col("text")).as("tokenset_hash"),
-          size(array_distinct(shingles(tokens(col("text")), 3)))
+          size(array_distinct(shingleHashes(col("text"), 3)))
             .as("n_distinct_shingles"))
         .orderBy(col("doc_id"))
     },
     Some(s"""SELECT doc_id,
       ${rollingHashSql("text")} AS content_hash,
       ${tokenSetHashSql("text")} AS tokenset_hash,
-      len(list_distinct(${shinglesSql(tokensSql("text"), 3)})) AS n_distinct_shingles
+      len(list_distinct(${shingleHashesSql("text", 3)})) AS n_distinct_shingles
     FROM documents
     ORDER BY doc_id"""))
 
