@@ -67,6 +67,33 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** LSH-bucketed top-k: candidates are corpus rows in the SAME
+    * hyperplane bucket as the query (equi-join on bucket — a hash
+    * join whose shuffle key is the bucket id), then exact cosine
+    * ranking within the bucket. The 100 TB path: per-query work drops
+    * from |corpus| to |bucket| ≈ |corpus| / 2^nBits; recall is
+    * approximate by construction.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String, normAs: String,
+        bucketAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        sqrt(norm2(col(vecCol))).as(normAs),
+        lshBucket(col(vecCol), nBits).as(bucketAs))
+    val c = prep(corpus, "corpus_id", "cvec", "cnorm", "cbucket")
+    val q = prep(queries, "query_id", "qvec", "qnorm", "qbucket")
+    val scored = c.join(broadcast(q),
+        col("qbucket") === col("cbucket") && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("qbucket").as("bucket"), col("corpus_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k nearest (cosine) corpus rows per query row.
     * Queries are broadcast; ranking is a per-query window with id
     * tie-break for determinism.

@@ -76,6 +76,20 @@ object SimilarityQueries {
 
   // -- V3: random-hyperplane LSH bucket histogram (the scale path) -----
   private val NBITS = 8
+
+  /** DuckDB expression for the nBits-bit hyperplane bucket id —
+    * mirrors Similarity.lshBucket bit for bit.
+    */
+  private def bucketSql(vecExpr: String): String =
+    (0 until NBITS).map { j =>
+      val plane =
+        s"(CAST((($j + 1) * 2654435761 + i * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(generate_series(0, CAST(len($vecExpr) AS BIGINT) - 1),
+         |   i -> CAST($vecExpr[CAST(i + 1 AS INT)] AS DOUBLE) * $plane)),
+         | (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
   private val q28 = Q(
     "q28_ann_lsh_buckets",
     (s, dir) => {
@@ -91,21 +105,42 @@ object SimilarityQueries {
         .orderBy(col("bucket"))
     },
     Some {
-      val planeSql = (j: Int) =>
-        s"(CAST((($j + 1) * 2654435761 + i * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
-      val bits = (0 until NBITS).map { j =>
-        s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           | list_transform(generate_series(0, CAST(len(embedding) AS BIGINT) - 1),
-           |   i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * ${planeSql(j)})),
-           | (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
       s"""SELECT bucket, count(*) AS n_vecs,
         count(DISTINCT label) AS n_labels,
         min(vec_id) AS min_vec, max(vec_id) AS max_vec
-      FROM (SELECT vec_id, label, $bits AS bucket FROM embeddings)
+      FROM (SELECT vec_id, label, ${bucketSql("embedding")} AS bucket FROM embeddings)
       GROUP BY bucket
       ORDER BY bucket"""
     })
 
-  val all: Seq[Q] = Seq(q26, q27, q28)
+  // -- V4: LSH-bucketed top-k — candidates restricted to the query's
+  //    bucket (equi hash join on bucket id; the 100 TB ANN path) ------
+  private val q33 = Q(
+    "q33_ann_lsh_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Similarity
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.lshTopK(t.embeddings, queries, "vec_id", "embedding",
+        NBITS, K)
+        .select(col("query_id"), col("bucket"), col("rank"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+          ${bucketSql("embedding")} AS bucket
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+      SELECT query_id, bucket, rank, corpus_id, ${proundSql("cosine", 6)} AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $K
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q33)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Dedup.MinHashParams
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("keepLatest keeps one row per key by order column") {
+    val events = Seq(
+      (1L, "click", 100L, 10.0),
+      (1L, "click", 200L, 20.0),
+      (2L, "view", 150L, 30.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val out = Dedup.keepLatest(events, Seq("user_id", "event_type"), "ts", "value")
+      .orderBy("user_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("ts") === 200L) // latest kept
+  }
+
+  test("jaccardPairs finds near-dups via the inverted shingle index") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy("d1", "d2").collect()
+    val keys = pairs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(keys.contains((1L, 4L))) // exact dup
+    assert(keys.contains((1L, 2L))) // near dup (1 token differs)
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+    val exact = pairs.find(r => r.getAs[Long]("d1") == 1L &&
+      r.getAs[Long]("d2") == 4L).get
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash LSH surfaces exact dups and only above-threshold pairs") {
+    val rows = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3,
+      tau = 0.5, MinHashParams()).collect()
+    val nd = rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    // identical docs share every band — guaranteed candidate + jaccard 1
+    assert(nd.contains((1L, 4L)))
+    // every surfaced pair must clear the verify threshold (LSH candidate
+    // generation is probabilistic; verification is exact)
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+    assert(!nd.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(4L))
+    val hamming12 = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming12 < hamming13)
+  }
+}
