@@ -149,5 +149,12 @@ object GraftExtensions {
         }
         ShingleHashes(children.head, n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes two array arguments")
+        DotProduct(children(0), children(1))
+      }))
   }
 }

@@ -18,15 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double, sequential left fold (≡ DuckDB list_reduce). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as double, sequential left fold (≡ DuckDB list_reduce).
+    * Backed by the native graft_dot expression (registered by
+    * GraftSession) — the equivalent aggregate∘zip_with chain is
+    * interpreted per element and dominates all-pairs scans.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Σ vᵢ² as double, sequential left fold. */
-  def norm2(v: Column): Column =
-    aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def norm2(v: Column): Column = dot(v, v)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
