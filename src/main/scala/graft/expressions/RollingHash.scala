@@ -91,7 +91,15 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
-    val tokens = v.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    // mirror Spark's trim() EXACTLY: it strips ' ' only — Java's
+    // String.trim also strips tabs/control chars and would tokenize
+    // "\tfoo" differently from the HOF formulation
+    val raw = v.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = raw.length
+    while (start < end && raw.charAt(start) == ' ') start += 1
+    while (end > start && raw.charAt(end - 1) == ' ') end -= 1
+    val tokens = raw.substring(start, end).split("\\s+", -1)
     val count = tokens.length - n + 1
     if (count <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])

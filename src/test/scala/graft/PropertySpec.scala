@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFns
+
+/** Property tests for the pure column expressions (SURVEY.md §5): the
+  * native codegen expressions must agree with their higher-order-
+  * function formulations on arbitrary input, and the silver
+  * derivations must respect their invariants.
+  *
+  * Drawn from seeded ScalaCheck generators directly (the
+  * scalatest-scalacheck bridge isn't in the offline cache) —
+  * deterministic across runs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val p = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(p, Seed(42L + i)))
+  }
+
+  private def forAll[T](g: Gen[T], n: Int = 40)(body: T => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t')))
+      .map(_.mkString)
+
+  test("native RollingHash ≡ HOF aggregate/transform formulation") {
+    forAll(Gen.listOfN(20, asciiText)) { (texts: List[String]) =>
+      whenever(texts.nonEmpty) {
+        val df = texts.toDF("t")
+        val hof = aggregate(
+          transform(sequence(lit(1), length(col("t"))),
+            i => ascii(col("t").substr(i, lit(1))).cast("long")),
+          lit(0L), (h, c) => (h * lit(31L) + c) % lit(TextFns.P))
+        val rows = df.select(
+          TextFns.rollingHash(col("t")).as("native"), hof.as("hof")).collect()
+        rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+      }
+    }
+  }
+
+  test("native ShingleHashes ≡ shingle strings hashed individually") {
+    forAll(Gen.zip(Gen.listOfN(10, asciiText), Gen.choose(1, 4))) {
+      case (texts: List[String], n: Int) =>
+      whenever(texts.nonEmpty) {
+        val df = texts.toDF("t")
+        val viaStrings = transform(
+          TextFns.shingles(TextFns.tokens(col("t")), n),
+          sh => TextFns.rollingHash(sh))
+        val rows = df.select(
+          TextFns.shingleHashes(col("t"), n).as("native"),
+          viaStrings.as("strs")).collect()
+        rows.foreach { r =>
+          assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+        }
+      }
+    }
+  }
+
+  test("native graft_dot ≡ HOF zip_with/aggregate fold, bit for bit") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) {
+      (pairs: List[(List[Float], List[Float])]) =>
+      whenever(pairs.nonEmpty) {
+        val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }
+          .toDF("a", "b")
+        val hof = aggregate(
+          zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        df.select(graft.operators.Similarity.dot(col("a"), col("b"))
+            .as("native"), hof.as("hof"))
+          .collect()
+          .foreach { r =>
+            // bit-identical, not approximately equal
+            assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+              java.lang.Double.doubleToLongBits(r.getDouble(1)))
+          }
+      }
+    }
+  }
+
+  test("delay categorization is total and first-match ordered") {
+    import graft.pipeline.Silver
+    forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-2000.0, 5000.0)))) {
+      (delays: List[Option[Double]]) =>
+      whenever(delays.nonEmpty) {
+        val df = delays.toDF("DEP_DELAY_CLEAN")
+          .withColumn("ARR_DELAY_CLEAN", col("DEP_DELAY_CLEAN"))
+        val out = Silver.categorizeDelays(df)
+          .select("DEP_DELAY_CLEAN", "DEP_DELAY_CATEGORY").collect()
+        out.foreach { r =>
+          val cat = r.getString(1)
+          assert(graft.quality.FlightSuites.delayCategories.contains(cat))
+          if (r.isNullAt(0)) assert(cat === "Unknown")
+          else {
+            val d = r.getDouble(0)
+            val expected =
+              if (d < 0) "Early" else if (d == 0) "On time"
+              else if (d <= 15) "Minor" else if (d <= 60) "Moderate"
+              else if (d <= 180) "Significant" else "Severe"
+            assert(cat === expected)
+          }
+        }
+      }
+    }
+  }
+
+  test("quality score stays in [0,1] for arbitrary inputs") {
+    import graft.pipeline.Silver
+    val g = for {
+      cancelled <- Gen.oneOf(0.0, 1.0)
+      airTime <- Gen.option(Gen.chooseNum(-100.0, 2000.0))
+      dist <- Gen.option(Gen.chooseNum(-10.0, 30000.0))
+      dep <- Gen.option(Gen.chooseNum(-500.0, 3000.0))
+    } yield (cancelled, airTime, dist, dep)
+    forAll(Gen.listOfN(30, g)) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("CANCELLED", "AIR_TIME", "DISTANCE", "DEP_DELAY")
+          .withColumn("ARR_DELAY", col("DEP_DELAY"))
+          .withColumn("DEP_TIME", lit("0900"))
+          .withColumn("ARR_TIME", lit("1100"))
+          .withColumn("CRS_DEP_TIME", lit("0855"))
+          .withColumn("CRS_ARR_TIME", lit("1055"))
+          .withColumn("DIVERTED", lit(0.0))
+        val scored = (Silver.handleMissingValues _)
+          .andThen(Silver.standardizeDataTypes)
+          .andThen(Silver.validateBusinessRules)(df)
+        assert(scored.filter(col("DATA_QUALITY_SCORE") < 0 ||
+          col("DATA_QUALITY_SCORE") > 1).count() === 0L)
+      }
+    }
+  }
+}
