@@ -10,17 +10,22 @@ package graft
   */
 object Bench {
   /** Representative subset across operator families: scan-agg, star
-    * joins, dim chains, window top-N, text HOFs, dedup (LSH paths —
-    * the quadratic exact variants q22/q25/q26 are correctness-gated,
-    * not benched), similarity (brute top-k + LSH buckets).
+    * joins, dim chains, window top-N, text analysis (native hash
+    * expressions), the full dedup suite, similarity (exact pairs,
+    * brute + LSH top-k), multimodal and profiling. The only excluded
+    * query shape is nothing — exact quadratic variants (q22/q25/q26)
+    * are included since the native expressions made them cheap at
+    * sf0.1; at real scale their LSH counterparts are the path.
     */
   private val headline = Seq(
     "q01_pricing_summary", "q02_conditional_agg", "q04_star_broadcast",
     "q05_region_year_revenue", "q07_full_outer_coalesce", "q09_top_parts",
     "q10_topn_per_group", "q14_date_funcs", "q17_token_stats",
     "q18_text_quality", "q20_fingerprint", "q21_exact_dedup",
-    "q23_minhash_sig", "q24_minhash_lsh_pairs", "q27_ann_topk",
-    "q28_ann_lsh_buckets")
+    "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
+    "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
+    "q28_ann_lsh_buckets", "q29_binary_features", "q30_summary_stats",
+    "q32_json_extract", "q33_ann_lsh_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,4 +35,12 @@ object ParquetTable extends TableFormat {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  /** S6: single-file CSV export (BI hand-off), reference
+    * export_aggregates.py:66-69. coalesce(1) funnels the final write
+    * through one task — reserve for small mart outputs.
+    */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
 }
