@@ -12,8 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    Relational.all ++ TextAnalysis.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ ProfilingQueries.all
+    Relational.all ++ ExtendedRelational.all ++ TextAnalysis.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      ProfilingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

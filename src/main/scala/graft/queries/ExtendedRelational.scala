@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.Tpch
+import Portable._
+
+/** Engine-completeness relational surface beyond the reference's own
+  * operator set (SURVEY.md notes it uses none of these): multi-level
+  * rollup aggregation, intersect/except, semi/anti joins, pivot, and
+  * exact percentiles. All standard analytics-engine table stakes, each
+  * with a DuckDB oracle.
+  */
+object ExtendedRelational {
+
+  // -- X1: ROLLUP with grouping id (subtotals + grand total) ----------
+  private val q34 = Q(
+    "q34_rollup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_rows"),
+          moneySum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      GROUPING(l_returnflag, l_linestatus) AS gid,
+      count(*) AS n_rows,
+      ${moneySumSql("l_extendedprice")} AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // -- X2: INTERSECT / EXCEPT ------------------------------------------
+  private val q35 = Q(
+    "q35_setops",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val custNations = t.customer.select(col("c_nationkey").as("nationkey"))
+      val suppNations = t.supplier.select(col("s_nationkey").as("nationkey"))
+      val both = custNations.intersect(suppNations)
+        .withColumn("op", lit("intersect"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("op", lit("except"))
+      both.unionByName(custOnly).orderBy(col("op"), col("nationkey"))
+    },
+    Some("""SELECT nationkey, 'intersect' AS op FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT nationkey, 'except' AS op FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT s_nationkey FROM supplier)
+      ORDER BY op, nationkey"""))
+
+  // -- X3: left semi / left anti joins ---------------------------------
+  private val q36 = Q(
+    "q36_semi_anti",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val bigOrders = t.orders.filter(col("o_totalprice") > 300000)
+      val withBig = t.customer
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("status"))
+      val withoutAny = t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withBig.unionByName(withoutAny).orderBy(col("status"), col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, 'has_big_order' AS status FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      UNION ALL
+      SELECT c_custkey, 'no_orders' AS status FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY status, c_custkey"""))
+
+  // -- X4: pivot (wide conditional aggregation) ------------------------
+  private val q37 = Q(
+    "q37_pivot",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(moneySum(col("l_extendedprice")))
+        .orderBy(col("l_linestatus"))
+    },
+    Some(s"""SELECT l_linestatus,
+      ${moneySumSql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice END")} AS A,
+      ${moneySumSql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice END")} AS N,
+      ${moneySumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus"""))
+
+  // -- X5: exact interpolated percentiles ------------------------------
+  private val q38 = Q(
+    "q38_percentiles",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          pround(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          pround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          pround(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+          pround(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag,
+      ${proundSql("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty,
+      ${proundSql("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25_price,
+      ${proundSql("quantile_cont(l_extendedprice, 0.75)", 4)} AS p75_price,
+      ${proundSql("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38)
+}
