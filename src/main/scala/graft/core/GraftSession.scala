@@ -33,6 +33,11 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) which vanilla
       // Spark rejects; read as epoch-nanos long (queries convert).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter pushdown for selective joins
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // managed-table warehouse (bucketed tables) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session: `cores` executor threads in-process. */

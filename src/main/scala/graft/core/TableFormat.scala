@@ -43,4 +43,20 @@ object ParquetTable extends TableFormat {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
+
+  /** Bucketed managed table: pre-hash-partitions (and optionally
+    * pre-sorts) data on the join/agg key at WRITE time, so repeated
+    * joins and aggregations on that key run with ZERO shuffle — at
+    * 100 TB this converts the recurring fact⋈fact / fact-groupBy
+    * shuffle into a one-time write cost. Requires the session catalog
+    * (saveAsTable); bucket counts should match between co-joined
+    * tables.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }
