@@ -183,6 +183,19 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Survivor selection: given near-dup pairs (d1 < d2), drop every
+    * doc that appears as the LATER member of any pair — the standard
+    * keep-earliest policy. One shuffle (the anti join on id).
+    * Note this is pairwise, not transitive-closure clustering: in a
+    * chain a–b–c where (a,c) was never emitted, c is still dropped
+    * via (b,c) only if that pair surfaced.
+    */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val dropped = pairs.select(col("d2").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming, generated by a
     * banded equality join over 8 nibbles. Pigeonhole: lossless for
     * maxHamming ≤ 7 (any such pair shares at least one clean band), so

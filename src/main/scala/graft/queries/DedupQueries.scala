@@ -113,33 +113,39 @@ object DedupQueries {
         .select(col("d1"), col("d2"), pround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     },
-    Some {
-      val bandFold = foldSql(s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
-      s"""WITH sets AS (
-        SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
-      sigs AS (
-        SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM sets),
-      bands AS (
-        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
-        FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
-      cands AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id),
-      verified AS (
-        SELECT d1, d2,
-          len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
-          len(sa.shingle_set) AS n1, len(sb.shingle_set) AS n2
-        FROM cands
-        JOIN sets sa ON d1 = sa.doc_id
-        JOIN sets sb ON d2 = sb.doc_id)
+    Some(s"""$lshPipelineCtes
       SELECT d1, d2,
         ${proundSql("CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)", 6)} AS jaccard
       FROM verified
       WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU
-      ORDER BY d1, d2"""
-    })
+      ORDER BY d1, d2"""))
+
+  /** Shared CTE chain for the full MinHash-LSH pipeline (shingle sets
+    * → signatures → bands → candidates → verified pairs).
+    */
+  private lazy val lshPipelineCtes: String = {
+    val bandFold = foldSql(
+      s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
+    s"""WITH sets AS (
+      SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
+    sigs AS (
+      SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM sets),
+    bands AS (
+      SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+      FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT d1, d2,
+        len(list_intersect(sa.shingle_set, sb.shingle_set)) AS n_common,
+        len(sa.shingle_set) AS n1, len(sb.shingle_set) AS n2
+      FROM cands
+      JOIN sets sa ON d1 = sa.doc_id
+      JOIN sets sb ON d2 = sb.doc_id)"""
+  }
 
   // -- D5: SimHash hamming pairs (banded join, lossless ≤ 7) -----------
   private val HAM = 7
@@ -166,5 +172,29 @@ object DedupQueries {
       ORDER BY d1, d2"""
     })
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25)
+  // -- D6: survivor selection — the corpus actually deduplicated -------
+  private val q39 = Q(
+    "q39_neardup_dedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text", N, LSHTAU, mh)
+      Dedup.nearDupSurvivors(t.documents, pairs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""$lshPipelineCtes,
+      dropped AS (
+        SELECT DISTINCT d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU)
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      WHERE doc_id NOT IN (SELECT d2 FROM dropped)
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39)
 }

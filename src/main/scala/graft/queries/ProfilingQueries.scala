@@ -115,5 +115,19 @@ object ProfilingQueries {
     GROUP BY event_type
     ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32)
+  // -- Approximate sketches (HLL distinct + approx percentiles). No
+  //    DuckDB oracle — sketch internals differ between engines by
+  //    construction; accuracy bounds vs exact answers are asserted in
+  //    SketchesSpec, the driver records a rows-only check here. -------
+  private val q40 = Q(
+    "q40_approx_sketches",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sketches.cardinalityProfile(
+          t.lineitem, "l_returnflag", "l_partkey", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q40)
 }
