@@ -9,13 +9,14 @@ package graft
   * the first query absorbs JVM/classloader startup.
   */
 object Bench {
-  /** Representative subset across operator families: scan-agg, star
-    * joins, dim chains, window top-N, text analysis (native hash
-    * expressions), the full dedup suite, similarity (exact pairs,
-    * brute + LSH top-k), multimodal and profiling. The only excluded
-    * query shape is nothing — exact quadratic variants (q22/q25/q26)
-    * are included since the native expressions made them cheap at
-    * sf0.1; at real scale their LSH counterparts are the path.
+  /** Representative coverage of every operator family: scan-agg, star
+    * joins, dim chains, window top-N, rollup/pivot/percentiles, text
+    * analysis (native hash expressions), the full dedup suite incl.
+    * survivor selection, similarity (exact pairs, brute + LSH top-k),
+    * multimodal, profiling, and sketches. The exact quadratic
+    * variants (q22/q25/q26) are included since the native expressions
+    * made them cheap at sf0.1; at real scale their LSH counterparts
+    * are the path.
     */
   private val headline = Seq(
     "q01_pricing_summary", "q02_conditional_agg", "q04_star_broadcast",
@@ -25,7 +26,9 @@ object Bench {
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q28_ann_lsh_buckets", "q29_binary_features", "q30_summary_stats",
-    "q32_json_extract", "q33_ann_lsh_topk")
+    "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
+    "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
+    "q40_approx_sketches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

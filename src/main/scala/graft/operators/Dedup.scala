@@ -184,11 +184,14 @@ object Dedup {
   }
 
   /** Survivor selection: given near-dup pairs (d1 < d2), drop every
-    * doc that appears as the LATER member of any pair — the standard
-    * keep-earliest policy. One shuffle (the anti join on id).
-    * Note this is pairwise, not transitive-closure clustering: in a
-    * chain a–b–c where (a,c) was never emitted, c is still dropped
-    * via (b,c) only if that pair surfaced.
+    * doc that appears as the LATER member of ANY pair. One shuffle
+    * (the anti join on id). This drop-any-later-member policy is the
+    * usual distributed choice because it is order-free and one-pass;
+    * note it over-deletes relative to GREEDY keep-earliest — in a
+    * chain a–b–c with pairs (a,b),(b,c) but a̸~c, greedy would keep
+    * {a,c} (c's only dup b is itself dropped) while this keeps {a}.
+    * Exact greedy/transitive clustering needs iterative connected
+    * components, which no single equi-join expresses.
     */
   def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
       idCol: String): DataFrame = {

@@ -123,8 +123,13 @@ object ProfilingQueries {
     "q40_approx_sketches",
     (s, dir) => {
       val t = Tpch(s, dir)
+      // HLL merge is order-independent (register max) but the
+      // percentile sketch merge is order-sensitive; round the
+      // percentiles so run-to-run output stays byte-stable.
       graft.operators.Sketches.cardinalityProfile(
           t.lineitem, "l_returnflag", "l_partkey", "l_extendedprice")
+        .withColumn("approx_p50_p95_p99",
+          transform(col("approx_p50_p95_p99"), x => round(x, 1)))
         .orderBy(col("l_returnflag"))
     },
     None)
