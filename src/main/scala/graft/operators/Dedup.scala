@@ -60,20 +60,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select(col(idCol).as("doc"),
-      size(col("shingle_set")).as("n_shingles"))
-    val inv = sets
-      .select(col(idCol).as("doc"), explode(col("shingle_set")).as("shingle"))
-    val common = inv.as("a")
+    // carry each doc's set size ON the inverted rows — per-group
+    // constant recovered with max() after the join. (A separate sizes
+    // table would need either a broadcast that breaks at |docs| rows
+    // or two extra shuffle joins.)
+    val inv = sets.select(col(idCol).as("doc"),
+      size(col("shingle_set")).as("n_shingles"),
+      explode(col("shingle_set")).as("shingle"))
+    inv.as("a")
       .join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes.withColumnRenamed("n_shingles", "n1")),
-        col("d1") === col("doc")).drop("doc")
-      .join(broadcast(sizes.withColumnRenamed("n_shingles", "n2")),
-        col("d2") === col("doc")).drop("doc")
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.n_shingles")).as("n1"),
+        max(col("b.n_shingles")).as("n2"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= tau)

@@ -99,18 +99,24 @@ object ExtendedRelational {
     GROUP BY l_linestatus
     ORDER BY l_linestatus"""))
 
-  // -- X5: exact interpolated percentiles ------------------------------
+  // -- X5: exact interpolated percentiles — sort-based operator (one
+  //    shuffle, O(1)/group memory; Spark's built-in percentile agg
+  //    buffers whole groups — see operators.Percentiles) --------------
   private val q38 = Q(
     "q38_percentiles",
     (s, dir) => {
       val t = Tpch(s, dir)
-      t.lineitem
-        .groupBy(col("l_returnflag"))
-        .agg(
-          pround(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          pround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-          pround(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
-          pround(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      import graft.operators.Percentiles.groupedExact
+      val qty = groupedExact(t.lineitem, "l_returnflag", "l_quantity",
+        Seq(0.5), Seq("mq"))
+      val price = groupedExact(t.lineitem, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.75, 0.99), Seq("p25", "p75", "p99"))
+      qty.join(price, "l_returnflag")
+        .select(col("l_returnflag"),
+          pround(col("mq"), 4).as("median_qty"),
+          pround(col("p25"), 4).as("p25_price"),
+          pround(col("p75"), 4).as("p75_price"),
+          pround(col("p99"), 4).as("p99_price"))
         .orderBy(col("l_returnflag"))
     },
     Some(s"""SELECT l_returnflag,
