@@ -90,11 +90,19 @@ object RunPipeline {
         s"$wh/gold/route_performance", Seq("YEAR", "MONTH"))
     }
 
+    def runExport(): Unit =
+      Seq("daily_airline_performance", "daily_airport_performance",
+        "route_performance").foreach { mart =>
+        ParquetTable.exportCsv(
+          ParquetTable.read(spark, s"$wh/gold/$mart"), s"$wh/export/$mart")
+      }
+
     stage match {
       case "bronze" => runBronze()
       case "silver" => runSilver()
       case "gold"   => runGold()
-      case "all"    => runBronze(); runSilver(); runGold()
+      case "export" => runExport()
+      case "all"    => runBronze(); runSilver(); runGold(); runExport()
       case other =>
         System.err.println(s"unknown stage: $other"); spark.stop(); sys.exit(2)
     }

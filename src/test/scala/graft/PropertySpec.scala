@@ -116,6 +116,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sort-based exact percentiles ≡ Spark's percentile aggregate") {
+    val g = Gen.listOfN(80,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-1000.0, 1000.0)))
+    forAll(g, n = 20) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+        val mine = graft.operators.Percentiles
+          .groupedExact(df, "k", "v", ps, ps.map(p => s"p$p"))
+          .orderBy("k").collect()
+        val spk = df.groupBy("k")
+          .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("arr"))
+          .orderBy("k").collect()
+        mine.zip(spk).foreach { case (m, s) =>
+          val arr = s.getSeq[Double](1)
+          ps.indices.foreach { i =>
+            assert(math.abs(m.getDouble(i + 1) - arr(i)) <=
+              1e-9 * math.max(1.0, math.abs(arr(i))),
+              s"k=${m.getString(0)} p=${ps(i)}")
+          }
+        }
+      }
+    }
+  }
+
   test("quality score stays in [0,1] for arbitrary inputs") {
     import graft.pipeline.Silver
     val g = for {
