@@ -18,6 +18,23 @@ class SilverSpec extends SparkSpec {
     assert(silver.columns.toSeq === FlightSchema.silverColumns)
   }
 
+  test("silver also runs on the inferred-schema bronze path (reference default)") {
+    // inferSchema reads HHMM columns as ints ("0905" → 905); the
+    // cleaner's regexp implicitly casts back to string, so 4-digit
+    // afternoon times gain a colon and morning times pass through
+    // 3-digit — faithful to the reference's inferred pipeline.
+    val inferred = Silver.transform(
+      Bronze.ingest(spark, fixture("flights.csv"), fixture("L_AIRPORT_ID.csv"),
+        fixture("L_UNIQUE_CARRIERS.csv"),
+        clock = lit("2025-02-01 00:00:00").cast("timestamp")))
+    assert(inferred.columns.toSeq === FlightSchema.silverColumns)
+    assert(inferred.count() === 12)
+    val r100 = inferred.filter(col("FLIGHT_NUMBER") === 100)
+      .select("ACTUAL_DEPARTURE_TIME", "PLANNED_ARRIVAL_TIME").head()
+    assert(r100.getString(0) === "905")   // int 905 → "905", no match
+    assert(r100.getString(1) === "12:00") // int 1200 → "12:00"
+  }
+
   test("cancelled flights null out operational fields and set flags") {
     val row = silver.filter(col("FLIGHT_NUMBER") === 200)
       .select("ACTUAL_DEPARTURE_TIME", "DEPARTURE_DELAY", "AIR_TIME_MINUTES",
