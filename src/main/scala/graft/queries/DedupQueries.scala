@@ -44,13 +44,15 @@ object DedupQueries {
     (s, dir) => {
       val t = Tpch(s, dir)
       // ts is epoch-nanos long (nanosAsLong conf — Spark can't read
-      // TIMESTAMP(NANOS) parquet natively); compare as integers.
+      // TIMESTAMP(NANOS) parquet natively). Compare at MICROSECOND
+      // precision: DuckDB truncates the nanos parquet timestamps to µs
+      // on read, so sub-µs digits only exist on the Spark side.
       Dedup.keepLatest(t.events, Seq("user_id", "event_type"), "ts", "event_id")
         .select(col("user_id"), col("event_type"), col("event_id"),
-          col("ts").as("ts_ns"), col("value"))
+          expr("ts div 1000").as("ts_us"), col("value"))
         .orderBy(col("user_id"), col("event_type"))
     },
-    Some("""SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns, value FROM (
+    Some("""SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         ORDER BY ts DESC, event_id DESC) AS rn FROM events)
     WHERE rn = 1

@@ -128,5 +128,33 @@ object ExtendedRelational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38)
+  // -- X6: as-of join — each purchase attributed to the latest
+  //    preceding view of the same user (operators.AsOfJoin; oracle is
+  //    DuckDB's native ASOF LEFT JOIN) --------------------------------
+  private val q41 = Q(
+    "q41_asof_join",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.AsOfJoin
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = t.events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      // gap at µs precision — DuckDB truncates the nanos parquet
+      // timestamps to µs on read (sub-µs digits exist only Spark-side)
+      AsOfJoin.asofJoin(purchases, views, "user_id", "ts",
+          Seq("view_id", "ts"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("view_id"),
+          (expr("ts div 1000") - expr("asof_ts div 1000")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT a.event_id, a.user_id, b.event_id AS view_id,
+        epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+      ORDER BY a.event_id"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41)
 }
