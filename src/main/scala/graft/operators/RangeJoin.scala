@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) self/two-sided joins — "rows within Δ of each
+  * other" — without the nested-loop trap: a naive |a.ts − b.ts| ≤ Δ
+  * predicate gives Catalyst nothing to hash on, so it plans a
+  * broadcast-nested-loop scan (O(n·m)).
+  *
+  * The scalable pattern: band time into buckets of width Δ, emit each
+  * left row into its bucket and each right row into its bucket AND the
+  * previous one, equi-join on (key, bucket) — every qualifying pair
+  * shares a bucket (|dt| ≤ Δ ⇒ the later row's bucket is the earlier
+  * row's bucket or the one after), then verify the exact predicate.
+  * Shuffle key = (key, bucket); candidate count is bounded by bucket
+  * occupancy, not |left|·|right|.
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) with the same `keyCol`, a.id < b.id, and
+    * |a.ts − b.ts| ≤ delta (ts numeric, same unit as delta). Output:
+    * key, id1, id2, dt (b.ts − a.ts signed, |dt| ≤ delta).
+    */
+  def withinDeltaPairs(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, delta: Long): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+      col(tsCol).cast("long").as("t"))
+    val bucketed = base.withColumn("bucket", floor(col("t") / delta))
+    // right side also lands in the previous bucket so cross-boundary
+    // pairs still collide
+    val rightSide = bucketed.select(col("k"), col("id"), col("t"),
+        explode(array(col("bucket"), col("bucket") - 1)).as("bucket"))
+    bucketed.as("a")
+      .join(rightSide.as("b"),
+        col("a.k") === col("b.k") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .filter(abs(col("b.t") - col("a.t")) <= delta)
+      .select(col("a.k").as(keyCol), col("a.id").as("id1"),
+        col("b.id").as("id2"), (col("b.t") - col("a.t")).as("dt"))
+      .distinct() // a pair can collide in two buckets
+  }
+}

@@ -156,5 +156,28 @@ object ExtendedRelational {
         ON a.user_id = b.user_id AND a.ts >= b.ts
       ORDER BY a.event_id"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41)
+  // -- X7: interval self-join — same-user event pairs within one hour
+  //    (bucketed equi-join, not nested-loop; operators.RangeJoin) -----
+  private val HOUR_US = 3600L * 1000 * 1000
+  private val q42 = Q(
+    "q42_interval_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.RangeJoin
+      // µs BEFORE the join so the boundary predicate sees the same
+      // values as DuckDB (which truncates nanos parquet ts to µs;
+      // floor-of-difference ≠ difference-of-floors at the boundary)
+      val ev = t.events.withColumn("ts_us", expr("ts div 1000"))
+      RangeJoin.withinDeltaPairs(ev, "user_id", "event_id", "ts_us", HOUR_US)
+        .select(col("user_id"), col("id1"), col("id2"), col("dt").as("dt_us"))
+        .orderBy(col("user_id"), col("id1"), col("id2"))
+    },
+    Some(s"""SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= $HOUR_US
+      ORDER BY a.user_id, id1, id2"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42)
 }
