@@ -199,6 +199,46 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup clusters: connected components over the pair
+    * graph via iterative min-label propagation — the fix for the
+    * pairwise survivor caveat (a–b–c chains collapse into ONE cluster
+    * regardless of which pairs surfaced). Output: (node, component)
+    * with component = smallest reachable node id.
+    *
+    * Each iteration is one distributed join+agg; the driver loop only
+    * checks a converged count. Iterations needed = graph diameter
+    * (near-dup clusters are shallow; maxIter bounds pathological
+    * chains). At extreme scale swap in large-star/small-star — the
+    * per-iteration dataflow shape is the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a").as("node")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming, generated by a
     * banded equality join over 8 nibbles. Pigeonhole: lossless for
     * maxHamming ≤ 7 (any such pair shares at least one clean band), so

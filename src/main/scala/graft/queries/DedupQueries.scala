@@ -198,5 +198,35 @@ object DedupQueries {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39)
+  // -- D7: transitive near-dup clusters (connected components over the
+  //    LSH pair graph; oracle = DuckDB recursive CTE) ------------------
+  private val q43 = Q(
+    "q43_dedup_clusters",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text", N, LSHTAU, mh)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("node")).as("min_doc"), max(col("node")).as("max_doc"))
+        .orderBy(col("component"))
+    },
+    Some(s"""${lshPipelineCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      pairs AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      undirected(a, b) AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT component, count(*) AS n_docs,
+        min(node) AS min_doc, max(node) AS max_doc
+      FROM labels
+      GROUP BY component
+      ORDER BY component"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43)
 }

@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
     assert(!nd.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connectedComponents collapses chains into one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L) // chain a-b-c
+    assert(cc(7L) === 7L && cc(9L) === 7L)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
