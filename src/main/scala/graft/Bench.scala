@@ -28,7 +28,8 @@ object Bench {
     "q28_ann_lsh_buckets", "q29_binary_features", "q30_summary_stats",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
     "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
-    "q40_approx_sketches")
+    "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
+    "q43_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

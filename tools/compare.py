@@ -29,6 +29,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+STRICT = False
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -59,16 +62,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(
-                g, w, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            if STRICT:
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=True)
+            else:
+                pd.testing.assert_frame_equal(
+                    g, w, check_dtype=False, check_exact=False,
+                    rtol=1e-9, atol=1e-9)
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:800]}")
             n_fail += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_fail} failed"
+          + (" [strict bit-exact mode]" if STRICT else ""))
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # --strict: bit-exact compare (no float tolerance) — use to prove
+    # the oracles hold under an exact hash-based driver compare
+    STRICT = "--strict" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sys.exit(main(args[0], args[1]))
