@@ -217,6 +217,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
+      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -231,6 +232,7 @@ object Dedup {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.component") =!= col("o.component")).count()
+      labels.unpersist() // next is materialized by the count above
       labels = next
       converged = changed == 0
       iter += 1
