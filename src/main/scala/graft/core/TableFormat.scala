@@ -44,6 +44,48 @@ object ParquetTable extends TableFormat {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
+  /** Small-file compaction (the OPTIMIZE half of lakehouse table
+    * maintenance; the reference's docs recommend it but never run it —
+    * SURVEY.md §1.4). Rewrites the table so each output file is
+    * ~`targetBytes`: ingest jobs (especially streaming appends, S8)
+    * leave one file per micro-batch-task, and at 100 TB a scan over
+    * millions of KB-sized files is bottlenecked on file-open overhead
+    * and scheduler pressure, not IO.
+    *
+    * The rewrite is a normal distributed job: read → repartition to
+    * ceil(bytes/targetBytes) → write alongside → atomic directory
+    * swap. Uses on-disk size as the sizing proxy (same heuristic as
+    * file-format OPTIMIZE implementations).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val compacted =
+      if (partitionBy.nonEmpty)
+        // cluster by partition cols so each task writes into few dirs
+        df.repartition(nFiles, partitionBy.map(df(_)): _*)
+      else df.repartition(nFiles)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    fs.delete(tmp, true)
+    val w = compacted.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(bak, true)
+    if (!fs.rename(hPath, bak))
+      sys.error(s"compact: could not stage $path aside")
+    if (!fs.rename(tmp, hPath)) { // restore on failure
+      fs.rename(bak, hPath)
+      sys.error(s"compact: could not swap in compacted $path")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Bucketed managed table: pre-hash-partitions (and optionally
     * pre-sorts) data on the join/agg key at WRITE time, so repeated
     * joins and aggregations on that key run with ZERO shuffle — at

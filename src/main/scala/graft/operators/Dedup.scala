@@ -67,9 +67,15 @@ object Dedup {
     val inv = sets.select(col(idCol).as("doc"),
       size(col("shingle_set")).as("n_shingles"),
       explode(col("shingle_set")).as("shingle"))
+    // length-ratio prefilter: J(s1,s2) ≤ min(n1,n2)/max(n1,n2), so
+    // J ≥ tau requires tau·n2 ≤ n1 and tau·n1 ≤ n2 — a necessary
+    // condition evaluated per candidate row BEFORE the pair-count
+    // shuffle. Semantics-preserving; prunes most cross-size pairs.
     inv.as("a")
       .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+        col("a.n_shingles") * tau <= col("b.n_shingles") &&
+        col("b.n_shingles") * tau <= col("a.n_shingles"))
       .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .agg(count(lit(1)).as("n_common"),
         max(col("a.n_shingles")).as("n1"),

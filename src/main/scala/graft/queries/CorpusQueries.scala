@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables.Tpch
+import graft.functions.TextFns
+import Portable._
+
+/** Corpus-statistics operators for training-data pipelines over the
+  * `documents` and `embeddings` tables: vocabulary building, TF-IDF
+  * term relevance, per-label embedding centroids, value histograms,
+  * edit-distance string similarity, and positional n-gram extraction.
+  *
+  * Scale notes (100 TB): vocab/TF-IDF are explode → hash-agg pipelines
+  * whose shuffle key is the token — high cardinality, even spread,
+  * map-side combine takes the explosion factor back out; centroids
+  * shuffle (label, dim) pairs — cardinality |labels|×dims, tiny; the
+  * edit-distance pair scan is quadratic in DISTINCT values (150 part
+  * types), not rows, and broadcast-joins below threshold.
+  */
+object CorpusQueries {
+
+  // -- C1: corpus vocabulary with document frequency, top-50 -----------
+  private val q47 = Q(
+    "q47_vocab_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.documents
+        .select(col("doc_id"),
+          explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .filter(length(col("token")) >= 3)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(50)
+    },
+    Some(s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(${TextFns.tokensSql("lower(text)")}) AS token
+          FROM documents)
+    WHERE len(token) >= 3
+    GROUP BY token
+    ORDER BY tf DESC, token ASC
+    LIMIT 50"""))
+
+  // -- C2: per-document top-3 terms by TF-IDF-style relevance.
+  //    Rational idf variant ((N+1)/(df+1), no log) so every arithmetic
+  //    op is a single IEEE multiply/divide — bit-identical to the
+  //    oracle, where ln() could differ in the last ulp between libm
+  //    implementations. Monotone in the same direction as log-idf. ----
+  private val q48 = Q(
+    "q48_tfidf_topterms",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val terms = t.documents
+        .select(col("doc_id"),
+          explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .filter(length(col("token")) >= 3)
+      val perDoc = terms.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val docLen = terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("doc_len"))
+      val docFreq = perDoc.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val nDocs = t.documents.select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = perDoc
+        .join(docLen, "doc_id")
+        .join(docFreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("cnt").cast("double") / col("doc_len").cast("double")) *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      scored
+        .filter(col("doc_id") % 100 === 0)
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 3)
+        .select(col("doc_id"), col("term_rank"), col("token"),
+          col("cnt"), col("df"), pround(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    },
+    Some(s"""WITH terms AS (
+        SELECT doc_id, unnest(${TextFns.tokensSql("lower(text)")}) AS token
+        FROM documents),
+      filtered AS (SELECT * FROM terms WHERE len(token) >= 3),
+      per_doc AS (
+        SELECT doc_id, token, count(*) AS cnt FROM filtered GROUP BY 1, 2),
+      doc_len AS (SELECT doc_id, count(*) AS doc_len FROM filtered GROUP BY 1),
+      doc_freq AS (SELECT token, count(*) AS df FROM per_doc GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT p.doc_id, p.token, p.cnt, f.df,
+          (CAST(p.cnt AS DOUBLE) / CAST(l.doc_len AS DOUBLE)) *
+          ((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 1.0)) AS score
+        FROM per_doc p
+        JOIN doc_len l ON p.doc_id = l.doc_id
+        JOIN doc_freq f ON p.token = f.token
+        CROSS JOIN n)
+      SELECT doc_id, term_rank, token, cnt, df,
+        ${proundSql("score", 6)} AS score
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token ASC) AS term_rank
+            FROM scored WHERE doc_id % 100 = 0)
+      WHERE term_rank <= 3
+      ORDER BY doc_id, term_rank"""))
+
+  // -- C3: per-label embedding centroids (element-wise mean over an
+  //    array column) — exact DECIMAL sums so the mean is independent of
+  //    partitioning/summation order. First 8 dims keep output bounded. -
+  private val DIMS = 8
+  private val q49 = Q(
+    "q49_label_centroids",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < DIMS)
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+            .cast("double") / count(lit(1)), 6).as("mean_v"))
+        .orderBy(col("label"), col("pos"))
+    },
+    Some(s"""SELECT label, pos, count(*) AS n_vecs,
+      ${proundSql(
+        "CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / count(*)",
+        6)} AS mean_v
+    FROM (
+      SELECT label, pos, embedding[CAST(pos + 1 AS INT)] AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, ${DIMS - 1})) AS pos))
+    GROUP BY label, pos
+    ORDER BY label, pos"""))
+
+  // -- C4: value histogram (fixed-width bucketing) ----------------------
+  private val BUCKET_W = 60000.0
+  private val q51 = Q(
+    "q51_histogram",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.orders
+        .select(floor(col("o_totalprice") / BUCKET_W).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""SELECT CAST(floor(o_totalprice / $BUCKET_W) AS BIGINT) AS bucket,
+      count(*) AS n_orders
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket"""))
+
+  // -- C5: edit-distance string similarity over distinct values (the
+  //    pair scan is quadratic in DISTINCT strings, not rows) -----------
+  private val MAXDIST = 4
+  private val q50 = Q(
+    "q50_edit_distance_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val types = t.part.select(col("p_type")).distinct()
+      types.as("a")
+        .join(broadcast(types.as("b")), col("a.p_type") < col("b.p_type"))
+        .select(col("a.p_type").as("t1"), col("b.p_type").as("t2"),
+          levenshtein(col("a.p_type"), col("b.p_type")).as("dist"))
+        .filter(col("dist") <= MAXDIST)
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some(s"""SELECT a.p_type AS t1, b.p_type AS t2,
+      levenshtein(a.p_type, b.p_type) AS dist
+    FROM (SELECT DISTINCT p_type FROM part) a
+    JOIN (SELECT DISTINCT p_type FROM part) b ON a.p_type < b.p_type
+    WHERE levenshtein(a.p_type, b.p_type) <= $MAXDIST
+    ORDER BY t1, t2"""))
+
+  // -- C6: positional n-gram extraction (posexplode / lateral view) ----
+  private val q52 = Q(
+    "q52_ngram_positions",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val grams = TextFns.shingles(TextFns.tokens(col("text")), 2)
+      t.documents
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(grams).as(Seq("pos", "bigram")))
+        .filter(col("pos") < 5)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""SELECT doc_id, pos, grams[CAST(pos + 1 AS INT)] AS bigram
+    FROM (SELECT doc_id,
+            ${TextFns.shinglesSql(TextFns.tokensSql("text"), 2)} AS grams
+          FROM documents WHERE doc_id % 50 = 0)
+    CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS pos)
+    WHERE pos < len(grams)
+    ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52)
+}

@@ -191,7 +191,7 @@ object DedupQueries {
       dropped AS (
         SELECT DISTINCT d2 FROM verified
         WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU)
-      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents
       WHERE doc_id NOT IN (SELECT d2 FROM dropped)

@@ -82,12 +82,14 @@ object ProfilingQueries {
         sum(col("props").isNull.cast("long")).as("null_props"),
         sum(col("event_type").isNull.cast("long")).as("null_event_type"))
     },
+    // integer sum() → HUGEINT → float64 in pandas; CAST keeps int64 so
+    // the driver's hash matches Spark's long counters
     Some("""SELECT count(*) AS total_rows,
       count(DISTINCT (user_id, event_type)) AS distinct_keys,
       count(*) - count(DISTINCT (user_id, event_type)) AS dup_rows,
-      sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-      sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-      sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type
+      CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+      CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
     FROM events"""))
 
   // -- JSON extraction over the events props column --------------------
@@ -106,7 +108,7 @@ object ProfilingQueries {
         .orderBy(col("event_type"))
     },
     Some(s"""SELECT event_type, count(*) AS n_events,
-      sum(k) AS sum_k,
+      CAST(sum(k) AS BIGINT) AS sum_k,
       ${proundSql("CAST(sum(k) AS DOUBLE) / count(k)", 4)} AS avg_k,
       min(k) AS min_k, max(k) AS max_k
     FROM (SELECT event_type,
@@ -125,11 +127,15 @@ object ProfilingQueries {
       val t = Tpch(s, dir)
       // HLL merge is order-independent (register max) but the
       // percentile sketch merge is order-sensitive; round the
-      // percentiles so run-to-run output stays byte-stable.
+      // percentiles so run-to-run output stays byte-stable. Output
+      // scalar columns only — the driver's row-sort can't order an
+      // array column (r1: "unhashable type: numpy.ndarray").
       graft.operators.Sketches.cardinalityProfile(
           t.lineitem, "l_returnflag", "l_partkey", "l_extendedprice")
-        .withColumn("approx_p50_p95_p99",
-          transform(col("approx_p50_p95_p99"), x => round(x, 1)))
+        .select(col("l_returnflag"), col("n_rows"), col("approx_distinct"),
+          round(col("approx_p50_p95_p99")(0), 1).as("approx_p50"),
+          round(col("approx_p50_p95_p99")(1), 1).as("approx_p95"),
+          round(col("approx_p50_p95_p99")(2), 1).as("approx_p99"))
         .orderBy(col("l_returnflag"))
     },
     None)

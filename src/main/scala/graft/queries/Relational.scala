@@ -76,10 +76,12 @@ object Relational {
           round(min(col("l_extendedprice")), 2).as("min_price"))
         .orderBy(col("l_returnflag"))
     },
+    // DuckDB integer sum() yields HUGEINT → float64 in pandas → the
+    // driver hashes "450.0" vs Spark's "450"; CAST AS BIGINT keeps int64.
     Some(s"""SELECT l_returnflag,
       count(*) AS total_rows,
-      sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_qty_cnt,
-      sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS no_disc_cnt,
+      CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt,
+      CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS no_disc_cnt,
       ${proundSql(s"${dsumSql("CASE WHEN l_discount > 0 THEN l_extendedprice END")}" +
         " / sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END)", 2)} AS avg_price_discounted,
       round(max(l_tax), 2) AS max_tax,
@@ -115,8 +117,8 @@ object Relational {
     FROM (
       SELECT o_orderpriority,
         count(*) AS total_orders,
-        sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
-        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt
       FROM orders GROUP BY o_orderpriority)
     ORDER BY o_orderpriority"""))
 
@@ -185,8 +187,8 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     },
     Some("""SELECT o_orderpriority, count(*) AS n_orders,
-      sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
-      sum(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      CAST(sum(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
     FROM orders
     LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
       ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
@@ -385,7 +387,7 @@ object Relational {
     Some("""SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
       month(o_orderdate) AS m,
       count(*) AS n_orders,
-      sum(CASE WHEN (dayofweek(o_orderdate) + 1) IN (1, 7) THEN 1 ELSE 0 END) AS n_weekend,
+      CAST(sum(CASE WHEN (dayofweek(o_orderdate) + 1) IN (1, 7) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
       min(CAST(strftime(o_orderdate, '%Y%m%d') AS INT)) AS min_date_key,
       count(DISTINCT weekofyear(o_orderdate)) AS n_weeks
     FROM orders

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables.Tpch
+import Portable._
+
+/** Window-function surface (SURVEY.md §2.5 notes the reference answers
+  * ranking questions with global sorts; a real engine needs the full
+  * window algebra): lag/lead, running and sliding frames, rank/ntile,
+  * and gap-based sessionization (the batch twin of streaming/Sessionize).
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (customer / user), so the single shuffle distributes evenly and no
+  * group outgrows one task. Running sums accumulate DECIMAL(18,4) —
+  * order-exact, so results are reproducible under any partitioning.
+  */
+object WindowQueries {
+
+  // -- W1: lag/lead/rank/ntile + running & sliding frames ---------------
+  private val q44 = Q(
+    "q44_window_suite",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val sub = t.orders.filter(col("o_custkey") % 100 === 0)
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = byCust.rowsBetween(-2, 0)
+      val prioRank = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val decPrice = col("o_totalprice").cast(DecimalType(18, 4))
+      sub.select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(byCust).as("rn"),
+          lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byCust).as("next_price"),
+          round(sum(decPrice).over(running), 2).cast("double").as("running_total"),
+          pround(sum(decPrice).over(last3).cast("double")
+            / count(lit(1)).over(last3), 4).as("mov_avg3"),
+          rank().over(prioRank).as("prio_rank"),
+          ntile(4).over(byCust).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""SELECT o_custkey, o_orderkey, o_orderdate,
+      row_number() OVER w AS rn,
+      lag(o_totalprice, 1) OVER w AS prev_price,
+      lead(o_totalprice, 1) OVER w AS next_price,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        AS running_total,
+      ${proundSql(
+        """CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""", 4)} AS mov_avg3,
+      rank() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS prio_rank,
+      ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  // -- W2: CUBE with grouping id (all 2^k grouping sets; q34 covers
+  //    ROLLUP — CUBE adds the (status-only) set) -----------------------
+  private val q45 = Q(
+    "q45_cube",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_rows"),
+          moneySum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      GROUPING(l_returnflag, l_linestatus) AS gid,
+      count(*) AS n_rows,
+      ${moneySumSql("l_extendedprice")} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // -- W3: gap-based sessionization in batch (30-min inactivity closes
+  //    a session) — lag → new-session flag → running count → agg. The
+  //    streaming twin with open-ended state is streaming/Sessionize. --
+  private val GAP_US = 30L * 60 * 1000 * 1000
+  private val q46 = Q(
+    "q46_sessions",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      // µs precision: DuckDB truncates the nanos parquet ts on read
+      val ev = t.events.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val flagged = ev
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > GAP_US, 1L).otherwise(0L))
+      flagged
+        .withColumn("session_idx", sum(col("is_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some(s"""SELECT user_id, session_idx, count(*) AS n_events,
+      min(ts_us) AS session_start_us,
+      max(ts_us) - min(ts_us) AS duration_us
+    FROM (
+      SELECT user_id, ts_us,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts), 1) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > $GAP_US
+               THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46)
+}

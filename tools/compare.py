@@ -57,6 +57,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
+        # the driver hashes stringified values, so int64 vs float64 for
+        # the same column is a mismatch ("450" vs "450.0") — e.g. DuckDB
+        # integer sum() returns HUGEINT which pandas lowers to float64
+        kind_mismatch = [
+            c for c in g.columns
+            if g[c].dtype.kind in "if" and w[c].dtype.kind in "if"
+            and (g[c].dtype.kind == "f") != (w[c].dtype.kind == "f")]
+        if kind_mismatch:
+            print(f"FAIL {name}: int/float dtype mismatch on {kind_mismatch} "
+                  f"(spark {[str(g[c].dtype) for c in kind_mismatch]} vs "
+                  f"oracle {[str(w[c].dtype) for c in kind_mismatch]})")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
