@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Whole-stage codegen emits one or more JIT-compiled classes per
+  // query stage; a long session (40+ bench queries) fills the default
+  // 240 MB code cache, HotSpot silently stops JIT-compiling, and the
+  // next wide aggregation runs interpreted (~20x slower, measured).
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -38,18 +38,45 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val spark = graft.core.GraftSession.local(appName = "graft-bench")
     val queries = SparkEntry.queries
 
+    // Debug accounting: executor task time vs wall time per query, to
+    // localize stalls (driver planning vs task execution).
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (debug) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null) {
+            taskNanos.addAndGet((te.taskInfo.finishTime - te.taskInfo.launchTime) * 1000000L)
+            taskCount.incrementAndGet()
+          }
+        }
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+
     def run(name: String): Double = {
       val t0 = System.nanoTime()
+      val (tn0, tc0, jc0) = (taskNanos.get, taskCount.get, jobCount.get)
       try queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (debug) {
+        // settle async task-end events before reading counters
+        Thread.sleep(200)
+        System.err.println(f"[bench-debug] $name wall=$sec%.2fs " +
+          f"taskTime=${(taskNanos.get - tn0) / 1e9}%.2fs " +
+          s"tasks=${taskCount.get - tc0} jobs=${jobCount.get - jc0}")
+      }
+      sec
     }
 
     run(names.head) // warm-up, untimed
