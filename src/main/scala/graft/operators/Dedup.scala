@@ -224,22 +224,25 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .cache()
+    var cached = labels // the DF whose blocks are actually cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // Carry the previous component through the join so convergence
+      // is a filter-count on `next` itself — no second join per
+      // iteration against the old labels.
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a").as("node")).agg(min(col("component")).as("nbr_min"))
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels.unpersist() // next is materialized by the count above
-      labels = next
+      val changed = next.filter(col("component") < col("prev")).count()
+      cached.unpersist() // next is materialized by the count above
+      cached = next
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
