@@ -94,6 +94,106 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic IVF seed centroids: corpus rows whose id ≡ 0 mod
+    * seedMod become the cells (cell id = member id). No RNG, so the
+    * index, the specs, and the SQL oracle agree exactly.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      seedMod: Int): DataFrame =
+    corpus.filter(col(idCol) % seedMod === 0)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cvec"),
+        sqrt(norm2(col(vecCol))).as("cnorm"))
+
+  /** Assign every vector to its nearest centroid (max cosine, lowest
+    * cell id on ties). Output: (idCol, vecCol, vnorm, cell).
+    *
+    * Scale shape: the centroid set (nlist ≈ √n ≪ corpus) broadcasts;
+    * scoring happens inside the corpus scan, and the arg-max is a
+    * partial aggregate (max_by) that collapses each vector's nlist
+    * candidate rows map-side — the shuffle carries one row per
+    * vector, not nlist rows per vector (a window over (id) would
+    * shuffle all n·nlist scored rows).
+    */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    vecs.select(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("vnorm"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol), col("vnorm"), col("cell"),
+        (dot(col(vecCol), col("cvec")) / (col("vnorm") * col("cnorm")))
+          .as("cell_cos"))
+      .groupBy(col(idCol))
+      .agg(
+        any_value(col(vecCol)).as(vecCol), // constant within the group
+        any_value(col("vnorm")).as("vnorm"),
+        max_by(col("cell"), struct(col("cell_cos"), -col("cell"))).as("cell"))
+
+  /** Lloyd refinement of IVF centroids: assign, then recompute each
+    * cell's centroid as the element-wise mean of its members. Means
+    * accumulate as exact decimals so the refined index is independent
+    * of partitioning/summation order (like q49's centroids); the
+    * result is spec-verified rather than SQL-oracle-verified (the
+    * oracle uses the 0-iteration seed index).
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var c = centroids
+    for (_ <- 0 until iters) {
+      c = ivfAssign(corpus, idCol, vecCol, c)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(28, 8)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("cvec"))
+        .withColumn("cnorm", sqrt(norm2(col("cvec"))))
+    }
+    c
+  }
+
+  /** IVF top-k ANN: rank the centroids per query, probe the nprobe
+    * nearest cells' inverted lists, exact-rank within the candidates.
+    *
+    * The 100 TB path alongside lshTopK: per-query candidate work is
+    * |corpus|·nprobe/nlist. The probe table (queries × nprobe, small)
+    * broadcasts into the candidate join, so the corpus-side inverted
+    * lists are scanned in place — no corpus shuffle at all.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, k: Int,
+      refineIters: Int = 0): DataFrame = {
+    val seeds0 = seedCentroids(corpus, idCol, vecCol, seedMod)
+    val seeds =
+      if (refineIters > 0) refineCentroids(corpus, idCol, vecCol, seeds0, refineIters)
+      else seeds0
+    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec2"),
+        col("vnorm"), col("cell"))
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cell"),
+        (dot(col("qvec"), col("cvec2")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k nearest (cosine) corpus rows per query row.
     * Queries are broadcast; ranking is a per-query window with id
     * tie-break for determinism.

@@ -142,5 +142,56 @@ object SimilarityQueries {
       WHERE rank <= $K
       ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q33)
+  // -- V5: IVF top-k — deterministic seed centroids (cell = member id
+  //    for id % SEEDMOD = 0), nearest-cell assignment via map-side
+  //    max_by, top-NPROBE cells probed per query. The second 100 TB
+  //    ANN path next to LSH: candidates/query = |corpus|·nprobe/nlist.
+  private val SEEDMOD = 25
+  private val NPROBE = 2
+  private val q53 = Q(
+    "q53_ann_ivf_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.ivfTopK(t.embeddings, queries, "vec_id", "embedding",
+        SEEDMOD, NPROBE, K)
+        .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= $NPROBE),
+      scored AS (
+        SELECT p.query_id, p.cell, a.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM probe p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id)
+      SELECT query_id, cell, rank, corpus_id, ${proundSql("cosine", 6)} AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $K
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53)
 }

@@ -37,6 +37,44 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("ivfAssign sends every vector to its max-cosine centroid") {
+    val seeds = Similarity.seedCentroids(vecs, "vec_id", "embedding", 1)
+      .filter(col("cell").isin(1L, 3L)) // centroids: x-axis and y-axis
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", seeds)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(assigned(1L) === 1L && assigned(2L) === 1L) // colinear with cell 1
+    assert(assigned(3L) === 3L)
+    assert(assigned(4L) === 1L) // equidistant: lowest cell id wins
+    assert(assigned.size === vecs.count())
+  }
+
+  test("refineCentroids converges to member means") {
+    val seeds = Similarity.seedCentroids(vecs, "vec_id", "embedding", 1)
+      .filter(col("cell").isin(1L, 3L))
+    val refined = Similarity.refineCentroids(vecs, "vec_id", "embedding",
+        seeds, iters = 1)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        r.getAs[scala.collection.Seq[Float]]("cvec")).toMap
+    // cell 1 members: vecs 1,2,4 -> mean ((1+2+1)/3, (0+0+1)/3, 0)
+    assert(math.abs(refined(1L)(0) - 4.0f / 3) < 1e-6f)
+    assert(math.abs(refined(1L)(1) - 1.0f / 3) < 1e-6f)
+    // cell 3 members: vec 3 alone -> unchanged
+    assert(refined(3L).toSeq === Seq(0.0f, 1.0f, 0.0f))
+  }
+
+  test("ivfTopK with every vector a centroid equals brute-force topK") {
+    val queries = vecs.filter(col("vec_id") === 1L)
+    // seedMod=1 => nlist = n, nprobe = n: candidate set is the corpus
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        seedMod = 1, nprobe = 4, k = 3)
+      .select("query_id", "rank", "corpus_id").orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val brute = Similarity.topK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "corpus_id").orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ivf === brute)
+  }
+
   test("lshTopK restricts candidates to the query's bucket") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", nBits = 8, k = 3).collect()
