@@ -197,5 +197,64 @@ object CorpusQueries {
     WHERE pos < len(grams)
     ORDER BY doc_id, pos"""))
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52)
+  // -- C7: bigram-LM quality scoring. "Train" add-one-smoothed bigram
+  //    statistics on the corpus itself, then score every document by
+  //    its mean inverse bigram probability (c(w1)+V)/(c(w1,w2)+1) — a
+  //    log-free monotone surrogate for perplexity (ln differs in the
+  //    last ulp across libm implementations; plain divides don't).
+  //    High score = improbable token sequences = gibberish candidate.
+  //    Per-term doubles cast to DECIMAL before summing so the doc
+  //    mean is independent of partitioning/summation order.
+  //    Scale: two explode→hash-agg passes (shuffle key = token/bigram,
+  //    high cardinality, map-side combine) + one broadcast scalar.
+  private val q54 = Q(
+    "q54_bigram_surprise",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val bi = t.documents
+        .select(col("doc_id"),
+          explode(TextFns.shingles(TextFns.tokens(lower(col("text"))), 2))
+            .as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val voc = t.documents
+        .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vsize"))
+      bi.join(cb, "bigram").join(c1, "w1").crossJoin(broadcast(voc))
+        .withColumn("term",
+          ((col("c1") + col("vsize")).cast("double") /
+            (col("cb") + lit(1)).cast("double")).cast(DecimalType(28, 8)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          pround(sum(col("term")).cast("double") / count(lit(1)), 4)
+            .as("surprise"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, ${TextFns.tokensSql("lower(text)")} AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, unnest(${TextFns.shinglesSql("tk", 2)}) AS bigram
+        FROM toks),
+      bi2 AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bi),
+      cb AS (SELECT bigram, count(*) AS cb FROM bi2 GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY 1),
+      voc AS (SELECT count(DISTINCT tok) AS vsize
+        FROM (SELECT unnest(tk) AS tok FROM toks)),
+      terms AS (
+        SELECT b.doc_id,
+          CAST(CAST(c1.c1 + voc.vsize AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE)
+            AS DECIMAL(28,8)) AS term
+        FROM bi2 b
+        JOIN cb ON b.bigram = cb.bigram
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN voc)
+      SELECT doc_id, count(*) AS n_bigrams,
+        ${proundSql("CAST(sum(term) AS DOUBLE) / count(*)", 4)} AS surprise
+      FROM terms
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54)
 }

@@ -179,5 +179,39 @@ object ExtendedRelational {
        AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= $HOUR_US
       ORDER BY a.user_id, id1, id2"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42)
+  // -- X8: deterministic stratified sampling — membership is a pure
+  //    integer hash of the key (graft.operators.Sampling), so the
+  //    sample is reproducible across engines/partitionings; rates vary
+  //    per stratum (urgent orders over-sampled). Scan-time filter,
+  //    zero shuffle before the final small agg.
+  private val SAMPLE_RATES = Map("1-URGENT" -> 200, "2-HIGH" -> 150)
+  private val SAMPLE_DEFAULT = 100
+  private val SAMPLE_DEN = 1000
+  private val q55 = Q(
+    "q55_stratified_sample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.stratifiedHashSample(
+          t.orders, "o_orderkey", "o_orderpriority",
+          SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_DEN)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled"),
+          moneySum(col("o_totalprice")).as("sampled_revenue"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_sampled,
+      ${moneySumSql("o_totalprice")} AS sampled_revenue,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    WHERE ${graft.operators.Sampling.slotSql("o_orderkey", SAMPLE_DEN)} <
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN ${SAMPLE_RATES("1-URGENT")}
+        WHEN '2-HIGH' THEN ${SAMPLE_RATES("2-HIGH")}
+        ELSE $SAMPLE_DEFAULT END
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(n: Int) = (1L to n).map(k => (k, if (k % 2 == 0) "a" else "b"))
+    .toDF("k", "stratum")
+
+  test("hashSample is deterministic and partition-invariant") {
+    val df = keys(5000)
+    val once = Sampling.hashSample(df, "k", 100, 1000)
+      .select("k").as[Long].collect().sorted.toSeq
+    val again = Sampling.hashSample(df.repartition(17), "k", 100, 1000)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(once === again)
+    // ~10% +- sampling noise
+    assert(once.size > 5000 * 0.06 && once.size < 5000 * 0.14)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val df = keys(20000)
+    val sampled = Sampling.stratifiedHashSample(
+      df, "k", "stratum", Map("a" -> 300), defaultNum = 50, den = 1000)
+    val byStratum = sampled.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stratum a at 30%, stratum b at default 5% (10000 keys each)
+    assert(byStratum("a") > 10000 * 0.25 && byStratum("a") < 10000 * 0.35)
+    assert(byStratum("b") > 10000 * 0.02 && byStratum("b") < 10000 * 0.08)
+  }
+
+  test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
+    val df = keys(3000)
+    val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
+    assert(split.count() === 3000)
+    val evalKeys = split.filter(col("split") === "eval")
+      .select("k").as[Long].collect().toSet
+    val trainKeys = split.filter(col("split") === "train")
+      .select("k").as[Long].collect().toSet
+    assert(evalKeys.intersect(trainKeys).isEmpty)
+    assert(evalKeys.size + trainKeys.size === 3000)
+    // same keys land on the same side when derived from another table
+    val other = keys(3000).withColumn("payload", col("k") * 2)
+    val evalKeys2 = Sampling.trainEvalSplit(other, "k", 200)
+      .filter(col("split") === "eval").select("k").as[Long].collect().toSet
+    assert(evalKeys2 === evalKeys)
+  }
+}
