@@ -38,4 +38,26 @@ object StreamAggregates {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Watermarked stream-stream interval join (the attribution shape:
+    * impressions ⋈ clicks). A right row matches a left row with the
+    * same key when it arrives within [leftTs, leftTs + maxDelay].
+    * The event-time bound on BOTH the join condition and the
+    * watermarks is what lets Spark evict join state — without it the
+    * buffered sides grow forever.
+    *
+    * Output columns are the left columns then the right columns
+    * (callers pick distinct names per side).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftTsCol: String, rightTsCol: String,
+      leftKeyCol: String, rightKeyCol: String,
+      maxDelay: String, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$leftKeyCol") === col(s"r.$rightKeyCol") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
+        col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $maxDelay"))
+  }
 }

@@ -47,6 +47,34 @@ class StreamAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val joined = StreamAggregates.intervalJoin(
+      imps.toDF().toDF("imp_ts", "ad_id"),
+      clicks.toDF().toDF("click_ts", "click_ad_id"),
+      "imp_ts", "click_ts", "ad_id", "click_ad_id",
+      maxDelay = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData(
+        (ts("2025-01-01 10:00:00"), 1L),
+        (ts("2025-01-01 10:00:00"), 2L))
+      clicks.addData(
+        (ts("2025-01-01 10:04:00"), 1L),  // within 10 min -> joins
+        (ts("2025-01-01 10:30:00"), 2L),  // 30 min later -> outside window
+        (ts("2025-01-01 09:59:00"), 1L))  // before impression -> no join
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("ad_id") === 1L)
+      assert(out.head.getAs[Timestamp]("click_ts") === ts("2025-01-01 10:04:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
