@@ -32,7 +32,8 @@ object Bench {
     "q43_dedup_clusters", "q44_window_suite", "q45_cube",
     "q46_sessions", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
-    "q52_ngram_positions")
+    "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
+    "q55_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,15 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // Every SQLExecution start (and every AQE re-plan) eagerly
+      // stringifies the physical plan for the listener bus. For the
+      // wide-expression queries here (minhash/LSH trees) the default
+      // "formatted" mode burns seconds of driver CPU per job in
+      // TreeNode.nodeName regexes (measured via jstack mid-stall —
+      // main thread RUNNABLE in String.replaceAll, executors idle).
+      // "simple" mode + a bounded plan string make it O(small).
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
 
   /** Local session: `cores` executor threads in-process. */
   def local(cores: Int = localCores, appName: String = "graft"): SparkSession = {
