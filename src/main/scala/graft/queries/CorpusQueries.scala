@@ -211,44 +211,70 @@ object CorpusQueries {
     "q54_bigram_surprise",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val bi = t.documents
-        .select(col("doc_id"),
-          explode(TextFns.shingles(TextFns.tokens(lower(col("text"))), 2))
-            .as("bigram"))
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      val cb = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val voc = t.documents
-        .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
-        .agg(countDistinct(col("tok")).as("vsize"))
-      bi.join(cb, "bigram").join(c1, "w1").crossJoin(broadcast(voc))
-        .withColumn("term",
-          ((col("c1") + col("vsize")).cast("double") /
-            (col("cb") + lit(1)).cast("double")).cast(DecimalType(28, 8)))
+      // Hash-bucketed bigram LM: every count is keyed by the NATIVE
+      // codegen shingle hash (graft_shingle_hashes, same integer
+      // arithmetic as the oracle's list_transform chain), never by
+      // the bigram string — no interpreted HOF string building, and
+      // shuffles carry longs instead of strings. Hash collisions
+      // merge buckets identically in both engines, so parity holds
+      // (a hash-bucketed n-gram model, the standard scale variant).
+      // Instance i of the bigram list pairs with unigram hash i =
+      // its first token's hash.
+      val h = t.documents.select(col("doc_id"),
+        TextFns.shingleHashes(lower(col("text")), 2).as("bh"),
+        TextFns.shingleHashes(lower(col("text")), 1).as("uh"))
+      val bi = h
+        .select(col("doc_id"), col("uh"),
+          posexplode(col("bh")).as(Seq("pos", "bh2")))
+        .select(col("doc_id"), col("bh2"),
+          element_at(col("uh"), col("pos") + 1).as("w1h"))
+      val perDoc = bi.groupBy(col("doc_id"), col("bh2"), col("w1h"))
+        .agg(count(lit(1)).as("cnt"))
+      val cb = perDoc.groupBy(col("bh2")).agg(sum(col("cnt")).as("cb"))
+      val c1 = perDoc.groupBy(col("w1h")).agg(sum(col("cnt")).as("c1"))
+      val voc = h.select(explode(col("uh")).as("u"))
+        .agg(countDistinct(col("u")).as("vsize"))
+      // Bigram vocabulary grows sublinearly in corpus size (Heaps'
+      // law), so the model table broadcasts and the per-doc frame
+      // never reshuffles on the bigram key. (Past the broadcast
+      // bound this degrades gracefully to a shuffle join.)
+      perDoc
+        .join(broadcast(cb), "bh2")
+        .join(broadcast(c1), "w1h")
+        .crossJoin(broadcast(voc))
+        .withColumn("wterm",
+          // cnt as DECIMAL(7,0): 7+28+1 = 36 <= 38 keeps the product
+          // at scale 8 exactly (long x DECIMAL(28,8) would overflow
+          // precision and silently shrink the scale)
+          col("cnt").cast(DecimalType(7, 0)) *
+            ((col("c1") + col("vsize")).cast("double") /
+              (col("cb") + lit(1)).cast("double")).cast(DecimalType(28, 8)))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          pround(sum(col("term")).cast("double") / count(lit(1)), 4)
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          pround(sum(col("wterm")).cast("double") / sum(col("cnt")), 4)
             .as("surprise"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH toks AS (
-        SELECT doc_id, ${TextFns.tokensSql("lower(text)")} AS tk FROM documents),
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          ${TextFns.shingleHashesSql("lower(text)", 2)} AS bh,
+          ${TextFns.shingleHashesSql("lower(text)", 1)} AS uh
+        FROM documents),
       bi AS (
-        SELECT doc_id, unnest(${TextFns.shinglesSql("tk", 2)}) AS bigram
-        FROM toks),
-      bi2 AS (
-        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bi),
-      cb AS (SELECT bigram, count(*) AS cb FROM bi2 GROUP BY 1),
-      c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY 1),
-      voc AS (SELECT count(DISTINCT tok) AS vsize
-        FROM (SELECT unnest(tk) AS tok FROM toks)),
+        SELECT doc_id, unnest(bh) AS bh2,
+          unnest(list_slice(uh, 1, len(bh))) AS w1h
+        FROM h),
+      cb AS (SELECT bh2, count(*) AS cb FROM bi GROUP BY 1),
+      c1 AS (SELECT w1h, count(*) AS c1 FROM bi GROUP BY 1),
+      voc AS (SELECT count(DISTINCT u) AS vsize
+        FROM (SELECT unnest(uh) AS u FROM h)),
       terms AS (
         SELECT b.doc_id,
           CAST(CAST(c1.c1 + voc.vsize AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE)
             AS DECIMAL(28,8)) AS term
-        FROM bi2 b
-        JOIN cb ON b.bigram = cb.bigram
-        JOIN c1 ON b.w1 = c1.w1
+        FROM bi b
+        JOIN cb ON b.bh2 = cb.bh2
+        JOIN c1 ON b.w1h = c1.w1h
         CROSS JOIN voc)
       SELECT doc_id, count(*) AS n_bigrams,
         ${proundSql("CAST(sum(term) AS DOUBLE) / count(*)", 4)} AS surprise
