@@ -221,10 +221,20 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct().cache()
+    // localCheckpoint (not cache) on every iteration state: it both
+    // materializes the blocks AND truncates lineage to a leaf RDD.
+    // With cache() the *data* was reused but the analyzed plan still
+    // doubled per iteration (labels appears twice in `next`), so at
+    // real diameter the driver — not the executors — was the
+    // bottleneck (measured 81 KB → 3.3 MB plan string in 5 iters).
+    // Superseded checkpoint blocks are released by the ContextCleaner
+    // once the superseded Dataset is unreachable; unlike cache() there
+    // is no CacheManager entry pinning them for the session lifetime.
+    // On a multi-executor cluster prefer reliable checkpoint() (same
+    // call shape) if executor loss during the loop must be survivable.
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .cache()
-    var cached = labels // the DF whose blocks are actually cached
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -238,10 +248,8 @@ object Dedup {
         .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint(true) // eager: materializes + truncates lineage
       val changed = next.filter(col("component") < col("prev")).count()
-      cached.unpersist() // next is materialized by the count above
-      cached = next
       labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1

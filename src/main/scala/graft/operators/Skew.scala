@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: hash of EVERY column of the row, mod
+    * `salts`. Determinism is load-bearing, not cosmetic: a salt built
+    * on `monotonically_increasing_id` (or rand) changes value when a
+    * task is retried or a stage re-runs under AQE, so the same row can
+    * land in two different shuffle buckets across attempts — exactly
+    * the nondeterministic-shuffle-key shape behind SPARK-23207-class
+    * double-count/loss bugs. Hashing the full row is stable across
+    * retries and repartitioning. Caveat (documented, accepted):
+    * byte-identical duplicate rows share a salt, so a hot key made of
+    * *identical* rows will not spread — dedup upstream or add a stable
+    * discriminator column before salting in that case.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(salts))
+
   /** Equi-join `big ⋈ small` on `key`, with the big side salted into
     * `salts` buckets and the small side replicated once per salt.
     * Result equals the unsalted join; the shuffle key becomes
@@ -23,8 +38,7 @@ object Skew {
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       "salted join supports inner/left only")
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall,
@@ -43,8 +57,7 @@ object Skew {
     */
   def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
       partials: Map[String, (Column, Column => Column)]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     val phase1 = salted.groupBy(col(key), col("__salt"))
       .agg(partials.head._2._1.as(s"__p_${partials.head._1}"),
         partials.tail.map { case (n, (p, _)) => p.as(s"__p_$n") }.toSeq: _*)

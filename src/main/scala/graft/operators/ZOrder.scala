@@ -32,17 +32,25 @@ object ZOrder {
     terms.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bucket a numeric column into [0, 2^bits) by its approximate
-    * quantiles, as a literal comparison chain (codegen-friendly; the
-    * boundary array is tiny and rides the plan, not a join).
+  /** Bucket each numeric column into [0, 2^bits) by its approximate
+    * quantiles, as literal comparison chains (codegen-friendly; the
+    * boundary arrays are tiny and ride the plan, not a join). ONE
+    * multi-column approxQuantile pass computes every column's
+    * boundaries — one stats scan total, not one per clustered column.
     */
-  def quantileRank(df: DataFrame, colName: String, bits: Int): Column = {
+  def quantileRanks(df: DataFrame, cols: Seq[String], bits: Int): Seq[Column] = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
-    val bounds = df.stat.approxQuantile(colName, probs, 0.001).distinct
-    bounds.map(b => when(col(colName) > b, 1L).otherwise(0L))
-      .reduceOption(_ + _).getOrElse(lit(0L))
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    cols.zip(bounds).map { case (c, bs) =>
+      bs.distinct.toSeq.map(b => when(col(c) > b, 1L).otherwise(0L))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+    }
   }
+
+  /** Single-column convenience over [[quantileRanks]]. */
+  def quantileRank(df: DataFrame, colName: String, bits: Int): Column =
+    quantileRanks(df, Seq(colName), bits).head
 
   /** Cluster `df` along `cols` into `numPartitions` z-ordered ranges.
     * Written out 1 file per partition, each file's min/max envelope in
@@ -51,8 +59,7 @@ object ZOrder {
     */
   def cluster(df: DataFrame, cols: Seq[String], bitsPerCol: Int,
       numPartitions: Int): DataFrame = {
-    val z = interleave(cols.map(c => quantileRank(df, c, bitsPerCol)),
-      bitsPerCol)
+    val z = interleave(quantileRanks(df, cols, bitsPerCol), bitsPerCol)
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))

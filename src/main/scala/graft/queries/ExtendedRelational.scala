@@ -106,12 +106,12 @@ object ExtendedRelational {
     "q38_percentiles",
     (s, dir) => {
       val t = Tpch(s, dir)
-      import graft.operators.Percentiles.groupedExact
-      val qty = groupedExact(t.lineitem, "l_returnflag", "l_quantity",
-        Seq(0.5), Seq("mq"))
-      val price = groupedExact(t.lineitem, "l_returnflag", "l_extendedprice",
-        Seq(0.25, 0.75, 0.99), Seq("p25", "p75", "p99"))
-      qty.join(price, "l_returnflag")
+      import graft.operators.Percentiles.groupedExactMulti
+      // both value columns ride ONE stacked sort/window pass — one
+      // shuffle total instead of two passes + a join
+      groupedExactMulti(t.lineitem, "l_returnflag", Seq(
+          ("l_quantity", Seq(0.5), Seq("mq")),
+          ("l_extendedprice", Seq(0.25, 0.75, 0.99), Seq("p25", "p75", "p99"))))
         .select(col("l_returnflag"),
           pround(col("mq"), 4).as("median_qty"),
           pround(col("p25"), 4).as("p25_price"),

@@ -58,6 +58,22 @@ class DedupSpec extends SparkSpec {
     assert(cc(7L) === 7L && cc(9L) === 7L)
   }
 
+  test("connectedComponents lineage stays flat over many iterations") {
+    // 13-node chain: min-label propagation moves the label one hop per
+    // iteration, so this needs 12 iterations + 1 to detect convergence.
+    // Before the localCheckpoint fix the analyzed plan doubled per
+    // iteration (~MBs by iteration 12); checkpointing truncates each
+    // iteration to a leaf, so the returned plan must stay tiny.
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val result = Dedup.connectedComponents(chain, maxIter = 20)
+    val cc = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 13)
+    assert(cc.values.forall(_ === 0L), "whole chain collapses to min label 0")
+    val planChars = result.queryExecution.analyzed.toString.length
+    assert(planChars < 10000,
+      s"analyzed plan is $planChars chars — lineage is growing again")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -22,6 +22,23 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salt is deterministic: identical results under repartition") {
+    // the salt must be a pure function of row content — a retry-
+    // or-layout-dependent salt (e.g. monotonically_increasing_id)
+    // changes shuffle buckets between attempts
+    val shuffled = big.repartition(7)
+    val a = Skew.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "name").orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val b = Skew.saltedJoin(shuffled, small, "k", salts = 8)
+      .select("k", "v", "name").orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val c1 = Skew.countByKey(big, "k", salts = 8).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    val c2 = Skew.countByKey(shuffled, "k", salts = 8).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(c1 === c2)
+  }
+
   test("two-phase salted aggregation equals direct groupBy") {
     val direct = big.groupBy("k")
       .agg(count(lit(1)).as("cnt"), sum("v").as("total"))

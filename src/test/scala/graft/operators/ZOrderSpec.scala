@@ -43,6 +43,41 @@ class ZOrderSpec extends SparkSpec {
     assert(zHitX <= nFiles / 2)
   }
 
+  test("cluster stats cost does not scale with the clustered column count") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // count the jobs of the (eager) stats pass alone — no action is
+    // run on the clustered result. AQE runs >1 job per action, so the
+    // invariant asserted is per-ACTION: N clustered columns must cost
+    // the same number of jobs as 1 (one multi-column approxQuantile),
+    // not N× it.
+    def jobsFor(cols: Seq[String]): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        ZOrder.cluster(grid, cols, bitsPerCol = 3, numPartitions = 4)
+        // listener delivery is async: poll until the count is stable
+        var prev = -1
+        var stableFor = 0
+        var waited = 0
+        while (stableFor < 3 && waited < 50) {
+          Thread.sleep(100); waited += 1
+          val cur = jobs.get()
+          if (cur == prev) stableFor += 1 else { stableFor = 0; prev = cur }
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val oneCol = jobsFor(Seq("x"))
+    val twoCol = jobsFor(Seq("x", "y"))
+    assert(twoCol === oneCol,
+      s"stats jobs grew with column count: 1 col = $oneCol, 2 cols = $twoCol")
+  }
+
   test("quantileRank buckets skewed data evenly") {
     val skewed = spark.range(0, 4096)
       .select((col("id") * col("id")).as("v")) // quadratic skew
