@@ -117,28 +117,58 @@ object ProfilingQueries {
     GROUP BY event_type
     ORDER BY event_type"""))
 
-  // -- Approximate sketches (HLL distinct + approx percentiles). No
-  //    DuckDB oracle — sketch internals differ between engines by
-  //    construction; accuracy bounds vs exact answers are asserted in
-  //    SketchesSpec, the driver records a rows-only check here. -------
+  // -- Approximate sketches (HLL distinct + approx percentiles).
+  //    Sketch VALUES differ between engines by construction (HLL
+  //    register layout, t-digest vs KLL), so the oracle checks the
+  //    sketch CONTRACT instead: each engine computes its own sketch
+  //    AND the exact answer, and emits the exact values plus boolean
+  //    within-bounds flags. Both sides agree bit-exactly on those —
+  //    an out-of-bounds sketch on either engine flips a flag and
+  //    fails the hash compare. Tolerances are generous multiples of
+  //    the advertised error (3x rsd for HLL; 5% relative for the
+  //    percentile sketches at accuracy 10k) so the flags are stable,
+  //    while the tight bounds stay asserted in SketchesSpec. --------
   private val q40 = Q(
     "q40_approx_sketches",
     (s, dir) => {
       val t = Tpch(s, dir)
-      // HLL merge is order-independent (register max) but the
-      // percentile sketch merge is order-sensitive; round the
-      // percentiles so run-to-run output stays byte-stable. Output
-      // scalar columns only — the driver's row-sort can't order an
-      // array column (r1: "unhashable type: numpy.ndarray").
-      graft.operators.Sketches.cardinalityProfile(
-          t.lineitem, "l_returnflag", "l_partkey", "l_extendedprice")
-        .select(col("l_returnflag"), col("n_rows"), col("approx_distinct"),
-          round(col("approx_p50_p95_p99")(0), 1).as("approx_p50"),
-          round(col("approx_p50_p95_p99")(1), 1).as("approx_p95"),
-          round(col("approx_p50_p95_p99")(2), 1).as("approx_p99"))
+      val exactPs = expr(
+        "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+      val wide = t.lineitem.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        graft.operators.Sketches.approxDistinct(col("l_partkey"), 0.05)
+          .as("__ad"),
+        graft.operators.Sketches.approxPercentiles(col("l_extendedprice"),
+          Seq(0.5, 0.95, 0.99)).as("__ap"),
+        exactPs.as("__ep"))
+      def pOk(i: Int) =
+        (abs(col("__ap")(i) - col("__ep")(i)) / col("__ep")(i) <= lit(0.05))
+      wide.select(col("l_returnflag"), col("n_rows"), col("exact_distinct"),
+          (abs(col("__ad") - col("exact_distinct"))
+            / col("exact_distinct").cast("double") <= lit(0.15))
+            .as("distinct_ok"),
+          pround(col("__ep")(0), 4).as("exact_p50"), pOk(0).as("p50_ok"),
+          pround(col("__ep")(1), 4).as("exact_p95"), pOk(1).as("p95_ok"),
+          pround(col("__ep")(2), 4).as("exact_p99"), pOk(2).as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some(s"""SELECT l_returnflag, count(*) AS n_rows,
+      count(DISTINCT l_partkey) AS exact_distinct,
+      abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        / CAST(count(DISTINCT l_partkey) AS DOUBLE) <= 0.15 AS distinct_ok,
+      ${proundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS exact_p50,
+      abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        / quantile_cont(l_extendedprice, 0.5) <= 0.05 AS p50_ok,
+      ${proundSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS exact_p95,
+      abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+        / quantile_cont(l_extendedprice, 0.95) <= 0.05 AS p95_ok,
+      ${proundSql("quantile_cont(l_extendedprice, 0.99)", 4)} AS exact_p99,
+      abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
+        / quantile_cont(l_extendedprice, 0.99) <= 0.05 AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(q30, q31, q32, q40)
 }
