@@ -43,5 +43,74 @@ object MultimodalQueries {
     FROM documents
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q29)
+  // -- q56: REAL container-header decode, oracle-gated ----------------
+  // Each doc synthesizes a spec-conformant PNG / BMP / WAV header blob
+  // (format by doc_id % 3) whose dimensions are doc_id-derived, via
+  // hex-string assembly + unhex. Multimodal.decodeFeatures must then
+  // recover width/height/channels from the BYTES — big-endian IHDR
+  // reads, little-endian BITMAPINFOHEADER/fmt-chunk reads — while the
+  // oracle recomputes them from the doc_id formulas. A decoder that
+  // misreads any offset or endianness diverges from the oracle.
+  import org.apache.spark.sql.Column
+  private def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
+  private def le32hex(c: Column): Column = {
+    val h = be32hex(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le16hex(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  private val q56 = Q(
+    "q56_media_decode",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val d = t.documents.select(
+        col("doc_id"),
+        (col("doc_id") % 3).as("fmt"),
+        (lit(1) + col("doc_id") % 512).as("w"),
+        (lit(1) + (col("doc_id") * 7) % 512).as("h"),
+        (lit(8000) + (col("doc_id") % 8) * 1000).as("rate"),
+        (lit(1) + col("doc_id") % 2).as("wch"))
+      // PNG: sig + IHDR(len=13, type, w BE, h BE, depth 8, color 2
+      // (truecolor -> 3 ch), compression/filter/interlace 0) + CRC
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be32hex(col("w")), be32hex(col("h")), lit("0802000000" + "00000000"))
+      // BMP: BITMAPFILEHEADER (54-byte offset) + BITMAPINFOHEADER
+      // (size 40, w/h LE, 1 plane, 24 bpp -> 3 ch) zero-padded
+      val bmpHex = concat(
+        lit("424D" + "36000000" + "00000000" + "36000000" + "28000000"),
+        le32hex(col("w")), le32hex(col("h")),
+        lit("0100" + "1800" + "00" * 24))
+      // WAV: canonical RIFF/WAVE fmt chunk (PCM, doc-derived channels
+      // + sample rate, 16-bit) + empty data chunk
+      val wavHex = concat(
+        lit("52494646" + "24000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+        le16hex(col("wch")), le32hex(col("rate")),
+        le32hex(col("rate") * col("wch") * 2), le16hex(col("wch") * 2),
+        lit("1000" + "64617461" + "00000000"))
+      val media = d.select(
+        col("doc_id").as("media_id"),
+        unhex(when(col("fmt") === 0, pngHex)
+          .when(col("fmt") === 1, bmpHex).otherwise(wavHex)).as("content"),
+        when(col("fmt") === 0, lit("image/png"))
+          .when(col("fmt") === 1, lit("image/bmp"))
+          .otherwise(lit("audio/wav")).as("mime"))
+      Multimodal.decodeFeatures(media).orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+        ELSE 'audio/wav' END AS mime,
+      CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END AS byte_len,
+      CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+        ELSE 1 + doc_id % 512 END AS width,
+      CASE doc_id % 3 WHEN 2 THEN 16 ELSE 1 + (doc_id * 7) % 512 END AS height,
+      CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 3 END AS channels
+    FROM documents
+    ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(q29, q56)
 }

@@ -13,17 +13,42 @@ class MultimodalSpec extends SparkSpec {
   ).toDF("media_id", "text", "mime")
     .select(col("media_id"), encode(col("text"), "UTF-8").as("content"), col("mime"))
 
-  test("decodeFeatures: per-partition stub decode with stable schema") {
+  test("decodeFeatures: unknown payloads zero out, schema stable") {
     val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
     assert(out.length === 3)
     assert(out(0).getInt(out(0).fieldIndex("byte_len")) === 37)
-    val (w, h, c) = (out(0).getInt(3), out(0).getInt(4), out(0).getInt(5))
-    assert(w >= 64 && w < 64 + 1024 && h >= 64 && h < 64 + 1024 && c === 3)
-    // determinism: same bytes → same fake dims
-    val again = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
-    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // text bytes are no known container — all dims zero
+    assert((3 to 5).forall(i => out(0).getInt(i) === 0))
     // null payload → zeroed features
     assert(out(2).getInt(out(2).fieldIndex("byte_len")) === 0)
+  }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("decodeHeader parses PNG / BMP / WAV headers from real bytes") {
+    // PNG 640x480 RGBA (color type 6 -> 4 channels), big-endian dims
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "0806000000" + "00000000")
+    assert(Multimodal.decodeHeader(png) === ((640, 480, 4)))
+    // BMP 800x600 24bpp, little-endian dims; negative height = top-down
+    val bmp = hexBytes("424D" + "36000000" + "00000000" + "36000000" +
+      "28000000" + "20030000" + "58020000" + "0100" + "1800" + "00" * 24)
+    assert(Multimodal.decodeHeader(bmp) === ((800, 600, 3)))
+    val bmpTopDown = bmp.clone()
+    // height -600 LE at offset 22
+    val neg = Array(0xA8, 0xFD, 0xFF, 0xFF).map(_.toByte)
+    System.arraycopy(neg, 0, bmpTopDown, 22, 4)
+    assert(Multimodal.decodeHeader(bmpTopDown) === ((800, 600, 3)))
+    // WAV stereo 44100 Hz 16-bit: (rate, bits, channels)
+    val wav = hexBytes("52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" + "0400" +
+      "1000" + "64617461" + "00000000")
+    assert(Multimodal.decodeHeader(wav) === ((44100, 16, 2)))
+    // truncated / garbage / null
+    assert(Multimodal.decodeHeader(png.take(10)) === ((0, 0, 0)))
+    assert(Multimodal.decodeHeader("not media".getBytes) === ((0, 0, 0)))
+    assert(Multimodal.decodeHeader(null) === ((0, 0, 0)))
   }
 
   test("frameSample slices fixed-stride binary frames") {
