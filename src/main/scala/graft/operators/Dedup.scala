@@ -142,13 +142,53 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** Hot-bucket guard for banded pair generation: drop every band
+    * bucket whose occupancy exceeds `maxBucket` BEFORE the self-join.
+    * A template-heavy corpus (boilerplate pages, near-empty docs) can
+    * put thousands of documents into one (band, hash) bucket; the
+    * self-join then makes that bucket a single O(b²) task no amount of
+    * executors can split — the same hot-key failure `Skew.saltedJoin`
+    * guards joins against. Capping bounds every task at
+    * maxBucket·(maxBucket−1)/2 candidate pairs.
+    *
+    * Recall effect (documented, bounded): a pair loses only the
+    * candidates it would have gotten FROM THE DROPPED BUCKET — it
+    * still surfaces via any other band the two docs share. Over-cap
+    * buckets are enumerable via [[hotBuckets]] for monitoring, and at
+    * the cap's intended magnitude (10⁴+) a dropped bucket means docs
+    * so boilerplate-similar that routing them to a dedicated exact
+    * pass (or dropping them outright) is the usual pipeline policy.
+    * The aggregation shuffles on the same key as the self-join, so
+    * with exchange reuse the guard costs one cheap map-side-combined
+    * count, not an extra scan.
+    */
+  private def capBuckets(bands: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val small = bands.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+    bands.join(small, bucketCols, "left_semi")
+  }
+
+  /** Band buckets over `maxBucket` occupancy — the mass [[capBuckets]]
+    * would drop. Columns: the bucket key + `n_docs`.
+    */
+  def hotBuckets(bands: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    bands.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
   /** MinHash-LSH near-dup pairs: bucket-join candidates, then exact
     * Jaccard verify (array_intersect on the candidate pairs only).
-    * Output: d1, d2, jaccard (≥ tau, unrounded).
+    * Output: d1, d2, jaccard (≥ tau, unrounded). `maxBucket` caps
+    * band-bucket occupancy (see [[capBuckets]]).
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, p: MinHashParams): DataFrame = {
-    val bands = minhashBands(docs, idCol, textCol, n, p)
+      n: Int, tau: Double, p: MinHashParams,
+      maxBucket: Int = 10000): DataFrame = {
+    val bands = capBuckets(minhashBands(docs, idCol, textCol, n, p),
+      Seq("band_idx", "band_hash"), maxBucket)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -262,17 +302,22 @@ object Dedup {
     * banded equality join over 8 nibbles. Pigeonhole: lossless for
     * maxHamming ≤ 7 (any such pair shares at least one clean band), so
     * this equals the naive all-pairs answer at a fraction of the cost.
+    * `maxBucket` caps band-bucket occupancy (see [[capBuckets]]);
+    * NOTE a dropped bucket narrows the pigeonhole guarantee to pairs
+    * sharing a clean band that stayed under the cap.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxHamming: Int): DataFrame = {
+      n: Int, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 7, "8 bands of 4 bits are lossless only for hamming <= 7")
     val sh = simhashDF(docs, idCol, textCol, n)
     val bandCols = (0 until 8).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_val")))
-    val bands = sh.select(col(idCol), col("simhash"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val bands = capBuckets(
+      sh.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("band"))
+        .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_val")),
+      Seq("band_idx", "band_val"), maxBucket)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

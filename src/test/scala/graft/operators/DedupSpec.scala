@@ -50,6 +50,48 @@ class DedupSpec extends SparkSpec {
     assert(!nd.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hot-bucket guard bounds degenerate LSH buckets") {
+    // adversarial template corpus: 40 byte-identical docs — every band
+    // of every doc lands in ONE bucket, the O(b²) task the cap exists
+    // to bound
+    val template = (1L to 40L)
+      .map(i => (i, "identical boilerplate text repeated across the corpus today"))
+      .toDF("doc_id", "text")
+    // uncapped (default 10000): the full quadratic pair set surfaces
+    val full = Dedup.minhashNearDups(template, "doc_id", "text", n = 3,
+      tau = 0.5, MinHashParams()).count()
+    assert(full === 40L * 39 / 2)
+    // cap 8 < bucket size 40: the hot bucket is dropped, zero
+    // candidates instead of a quadratic task
+    val capped = Dedup.minhashNearDups(template, "doc_id", "text", n = 3,
+      tau = 0.5, MinHashParams(), maxBucket = 8).count()
+    assert(capped === 0)
+    // the dropped mass is observable for monitoring
+    val hot = Dedup.hotBuckets(
+      Dedup.minhashBands(template, "doc_id", "text", 3, MinHashParams()),
+      Seq("band_idx", "band_hash"), maxBucket = 8).collect()
+    assert(hot.length === MinHashParams().bands)
+    assert(hot.forall(_.getAs[Long]("n_docs") === 40L))
+    // mixed corpus: docs in healthy buckets still pair under the cap
+    // (ids shifted to 101-104 so they don't collide with the template)
+    val shifted = docs.select((col("doc_id") + 100).as("doc_id"), col("text"))
+    val cappedShifted = Dedup.minhashNearDups(template.unionByName(shifted),
+        "doc_id", "text", n = 3, tau = 0.5, MinHashParams(), maxBucket = 8)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(cappedShifted.contains((101L, 104L)), "healthy-bucket pair survives")
+    assert(!cappedShifted.exists { case (a, b) => b <= 40 })
+  }
+
+  test("simhash hot-bucket cap completes degenerate corpora with bounded work") {
+    val template = (1L to 40L)
+      .map(i => (i, "identical boilerplate text repeated across the corpus today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(template, "doc_id", "text", n = 3,
+      maxHamming = 3).count() === 40L * 39 / 2)
+    assert(Dedup.simhashPairs(template, "doc_id", "text", n = 3,
+      maxHamming = 3, maxBucket = 8).count() === 0)
+  }
+
   test("connectedComponents collapses chains into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("d1", "d2")
     val cc = Dedup.connectedComponents(pairs).collect()
