@@ -1,0 +1,71 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.core.{GraftSession, ParquetTable}
+import graft.quality.{Expectations, FlightSuites}
+import graft.quality.Expectations.ValidationReport
+
+/** One-shot validation sweep over every warehouse layer — the
+  * engine's equivalent of the reference's
+  * expectations/run_all_expectations.py:29-147 (which loops suites,
+  * prints a per-suite pass/fail summary, and exits nonzero on any
+  * failure; GE then renders the same results as data docs).
+  *
+  *   spark-submit --class graft.cli.RunValidations <jar> <warehouseDir>
+  *
+  * Each suite is ONE aggregation pass over its table (see
+  * quality.Expectations), so the whole sweep costs one scan per layer.
+  * A missing table is reported and counts as a failure — a monthly
+  * operator should notice a half-built warehouse, not validate around
+  * it.
+  */
+object RunValidations {
+
+  /** (table, Some(report)) per layer, None when the table is missing/
+    * unreadable. Separated from main for spec coverage.
+    */
+  def validateAll(spark: SparkSession, wh: String)
+      : Seq[(String, Option[ValidationReport])] = {
+    val suites = Seq(
+      "bronze/flights" -> FlightSuites.bronze,
+      "silver/flights" -> FlightSuites.silver,
+      "gold/dim_date" -> FlightSuites.dimDate,
+      "gold/dim_time" -> FlightSuites.dimTime,
+      "gold/dim_airline" -> FlightSuites.dimAirline,
+      "gold/dim_airport" -> FlightSuites.dimAirport,
+      "gold/dim_route" -> FlightSuites.dimRoute,
+      "gold/fact_flights" -> FlightSuites.factFlights)
+    suites.map { case (table, suite) =>
+      val report =
+        try Some(Expectations.validate(
+          ParquetTable.read(spark, s"$wh/$table"), suite))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      table -> report
+    }
+  }
+
+  /** True iff every layer exists and every check passed. */
+  def allPassed(results: Seq[(String, Option[ValidationReport])]): Boolean =
+    results.forall(_._2.exists(_.success))
+
+  def main(args: Array[String]): Unit = {
+    if (args.length != 1) {
+      System.err.println("usage: RunValidations <warehouseDir>")
+      sys.exit(2)
+    }
+    val wh = args(0)
+    val spark = GraftSession.local(appName = "graft-validate")
+    val results = validateAll(spark, wh)
+    results.foreach {
+      case (table, Some(r)) =>
+        println(s"[${if (r.success) "PASS" else "FAIL"}] $table: ${r.summary}")
+      case (table, None) =>
+        println(s"[FAIL] $table: table missing or unreadable")
+    }
+    val ok = allPassed(results)
+    val (p, t) = (results.count(_._2.exists(_.success)), results.size)
+    println(s"[quality] $p/$t suites passed")
+    spark.stop()
+    sys.exit(if (ok) 0 else 1)
+  }
+}

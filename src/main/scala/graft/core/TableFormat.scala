@@ -36,6 +36,21 @@ object ParquetTable extends TableFormat {
       .parquet(path)
   }
 
+  /** Dynamic partition overwrite: replaces ONLY the partitions whose
+    * values appear in `df`, leaving every other partition untouched —
+    * the upsert primitive incremental pipelines need (re-running a
+    * month replaces that month, history stays). Plain Overwrite mode
+    * would truncate the whole table first.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** S6: single-file CSV export (BI hand-off), reference
     * export_aggregates.py:66-69. coalesce(1) funnels the final write
     * through one task — reserve for small mart outputs.
