@@ -25,7 +25,8 @@ object Bench {
     "q18_text_quality", "q20_fingerprint", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
-    "q28_ann_lsh_buckets", "q29_binary_features", "q30_summary_stats",
+    "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
+    "q30_summary_stats",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
     "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
@@ -43,49 +44,78 @@ object Bench {
     val spark = graft.core.GraftSession.local(appName = "graft-bench")
     val queries = SparkEntry.queries
 
-    // Debug accounting: executor task time vs wall time per query, to
-    // localize stalls (driver planning vs task execution).
+    // Task-time accounting is ALWAYS on: a query whose wall time far
+    // exceeds its executor task time is stalled on something other
+    // than the engine (machine contention, driver pauses) — r3
+    // recorded a 183 s bench whose uncontended truth was 53 s. The
+    // JSON carries per-query task seconds plus a contention flag so a
+    // recorded bench self-reports whether it is trustworthy.
     val taskNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val taskCount = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobCount = new java.util.concurrent.atomic.AtomicLong(0L)
-    if (debug) spark.sparkContext.addSparkListener(
+    spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           if (te.taskInfo != null) {
             taskNanos.addAndGet((te.taskInfo.finishTime - te.taskInfo.launchTime) * 1000000L)
             taskCount.incrementAndGet()
           }
+          // cpu time vs task time separates "executors busy" from
+          // "executors descheduled" — on a shared VM, stolen cycles
+          // inflate wall AND task time together, which the wall>>task
+          // test alone cannot see
+          if (te.taskMetrics != null)
+            cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
         }
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCount.incrementAndGet()
       })
 
-    def run(name: String): Double = {
+    final case class Timing(wall: Double, task: Double, cpu: Double)
+
+    def run(name: String): Timing = {
       val t0 = System.nanoTime()
-      val (tn0, tc0, jc0) = (taskNanos.get, taskCount.get, jobCount.get)
+      val (tn0, cn0, tc0, jc0) =
+        (taskNanos.get, cpuNanos.get, taskCount.get, jobCount.get)
       try queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return Timing(-1.0, 0.0, 0.0)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (debug) {
-        // settle async task-end events before reading counters
-        Thread.sleep(200)
+      // settle async task-end events before reading counters
+      Thread.sleep(100)
+      val task = (taskNanos.get - tn0) / 1e9
+      val cpu = (cpuNanos.get - cn0) / 1e9
+      if (debug)
         System.err.println(f"[bench-debug] $name wall=$sec%.2fs " +
-          f"taskTime=${(taskNanos.get - tn0) / 1e9}%.2fs " +
+          f"taskTime=$task%.2fs cpuTime=$cpu%.2fs " +
           s"tasks=${taskCount.get - tc0} jobs=${jobCount.get - jc0}")
-      }
-      sec
+      Timing(sec, task, cpu)
     }
 
     run(names.head) // warm-up, untimed
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // contended = materially slow AND wall >> TOTAL executor task
+    // time, i.e. the clock ran while executors sat idle (machine
+    // contention or a driver stall). Healthy parallel queries have
+    // task >= wall; healthy serial ones have task ≈ wall.
+    val contended = results.collect {
+      case (n, t) if t.wall > 1.0 && t.wall > 3.0 * t.task => n
+    }
+    contended.foreach(n => System.err.println(
+      s"[bench] WARNING $n wall >> taskTime — rerun on an idle machine"))
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + t.wall }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ts = results.map { case (k, t) => "\"" + k + "\":" + t.task }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val totalTask = results.map(_._2.task).sum
+    val totalCpu = results.map(_._2.cpu).sum
+    val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
