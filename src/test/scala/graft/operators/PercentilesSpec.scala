@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Plan-shape and semantics coverage for the sort-based percentile
+  * operator (the value-equivalence property vs Spark's builtin lives
+  * in PropertySpec).
+  */
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 30.0), ("a", 4.0, 40.0),
+    ("b", 5.0, 50.0), ("b", 7.0, 70.0),
+    ("c", 9.0, Double.NaN)
+  ).toDF("g", "x", "y")
+    .withColumn("y", when(col("g") === "c", lit(null)).otherwise(col("y")))
+
+  test("groupedExactMulti: N value columns, ONE sort in the plan") {
+    val out = Percentiles.groupedExactMulti(df, "g", Seq(
+      ("x", Seq(0.5), Seq("x_med")),
+      ("y", Seq(0.5, 1.0), Seq("y_med", "y_max"))))
+    // AQE wraps the plan, so count Sort nodes in the printed tree
+    // (same technique as BucketingSpec's no-Exchange assertion)
+    val plan = out.queryExecution.executedPlan.toString()
+    val sorts = "(?m)\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts === 1,
+      s"expected one window sort for all value columns, got $sorts in:\n$plan")
+
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows("a")._1 === 2.5) // interpolated median of 1..4
+    assert(rows("a")._2 === Some(25.0))
+    assert(rows("a")._3 === Some(40.0))
+    assert(rows("b")._1 === 6.0)
+    // group c has only nulls in y -> null percentile, x still computed
+    assert(rows("c")._1 === 9.0)
+    assert(rows("c")._2 === None && rows("c")._3 === None)
+  }
+
+  test("single-column groupedExact delegates to the fused pass") {
+    val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
+      Seq("lo", "hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("a") === ((1.0, 4.0)))
+    assert(out("b") === ((5.0, 7.0)))
+  }
+}
