@@ -30,7 +30,8 @@ object Bench {
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
     "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
-    "q43_dedup_clusters", "q44_window_suite", "q45_cube",
+    "q43_dedup_clusters", "q57_dedup_clusters_star", "q44_window_suite",
+    "q45_cube",
     "q46_sessions", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",

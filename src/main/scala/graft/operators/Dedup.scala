@@ -298,6 +298,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star —
+    * the published two-phase MapReduce CC algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * converges in O(log n) ROUNDS regardless of graph diameter, vs.
+    * diameter-many rounds for [[connectedComponents]]' min-label
+    * propagation. Same output contract: (node, component) with
+    * component = smallest node of the component; isolated nodes (no
+    * pair) don't appear, as with the propagation variant.
+    *
+    * Each round is two join+agg passes over the edge list:
+    *  - large-star(u): m = min(N(u) ∪ u); every neighbor v > u
+    *    re-points to m — long tails collapse toward minima in parallel;
+    *  - small-star(u): m = min(N(u)); every smaller neighbor and u
+    *    itself re-point to m — local stars flatten.
+    * Edges keep the (larger, smaller) orientation invariant, so both
+    * passes are plain groupBy-min + equi-join dataflows; every round
+    * localCheckpoints (lineage stays O(1), same driver discipline as
+    * the propagation loop). Convergence = edge set unchanged.
+    *
+    * Use this over [[connectedComponents]] when cluster chains can be
+    * deep (transitive near-dup chains over boilerplate corpora);
+    * propagation wins slightly on shallow graphs (one pass/round
+    * instead of two).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    def dedupe(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v")).distinct()
+    var edges = dedupe(
+      pairs.select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v")))
+      .localCheckpoint(true)
+
+    // large-star over the SYMMETRIC adjacency; emitted (v, m) keeps
+    // v > u >= m, preserving the orientation invariant
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("__nm"))
+        .select(col("u"), least(col("u"), col("__nm")).as("m"))
+      dedupe(adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star over the directed (larger -> smaller) edges: all
+    // neighbors here are < u, so m = min(N(u)); u and every non-min
+    // neighbor re-point to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val viaNeighbors = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      dedupe(viaNeighbors.unionByName(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).head(1).isEmpty
+      edges = next
+      round += 1
+    }
+    // at the fixpoint every component is a star rooted at its minimum
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(edges.select(col("v"), col("v")).distinct()
+        .toDF("node", "component"))
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming, generated by a
     * banded equality join over 8 nibbles. Pigeonhole: lossless for
     * maxHamming ≤ 7 (any such pair shares at least one clean band), so

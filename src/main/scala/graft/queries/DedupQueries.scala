@@ -228,5 +228,22 @@ object DedupQueries {
       GROUP BY component
       ORDER BY component"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43)
+  // -- q57: same cluster semantics as q43, computed by the two-phase
+  //    large-star/small-star algorithm (O(log n) rounds vs diameter) —
+  //    shares q43's recursive-CTE oracle, so BOTH distributed CC
+  //    formulations are hash-verified against the same ground truth --
+  private val q57 = Q(
+    "q57_dedup_clusters_star",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text", N, LSHTAU, mh)
+      Dedup.connectedComponentsStar(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("node")).as("min_doc"), max(col("node")).as("max_doc"))
+        .orderBy(col("component"))
+    },
+    q43.oracle)
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43, q57)
 }

@@ -116,6 +116,34 @@ class DedupSpec extends SparkSpec {
       s"analyzed plan is $planChars chars — lineage is growing again")
   }
 
+  test("star CC ≡ label propagation on chains, random graphs, and forests") {
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // deep chain — the case the O(log n) algorithm exists for
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val chainStar = asMap(Dedup.connectedComponentsStar(chain))
+    assert(chainStar.size === 41 && chainStar.values.forall(_ === 0L))
+
+    // seeded random graph: both algorithms must agree exactly
+    val rnd = new scala.util.Random(42)
+    val randomPairs = Seq.fill(80)(
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("d1", "d2")
+    assert(asMap(Dedup.connectedComponentsStar(randomPairs)) ===
+      asMap(Dedup.connectedComponents(randomPairs)))
+
+    // forest of disjoint components
+    val forest = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L)).toDF("d1", "d2")
+    assert(asMap(Dedup.connectedComponentsStar(forest)) ===
+      asMap(Dedup.connectedComponents(forest)))
+
+    // lineage discipline holds here too
+    val plan = Dedup.connectedComponentsStar(chain)
+      .queryExecution.analyzed.toString.length
+    assert(plan < 10000, s"star CC plan is $plan chars")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
