@@ -1,0 +1,136 @@
+package graft.cli
+
+/** Dependency-aware task runner — the engine's equivalent of the
+  * reference's Airflow DAG (airflow/dags/lakehouse_etl_pipeline.py:
+  * 19-67: bronze >> silver >> gold >> [export, validate] with
+  * retries=2 and a retry delay on a monthly schedule).
+  *
+  * Scope, honestly drawn: this provides the DAG SEMANTICS — validated
+  * dependency graph, topological execution, per-task retries with
+  * delay, downstream skip on upstream failure, machine-readable run
+  * report. WHEN to fire (the monthly cron) stays with the operator's
+  * scheduler (cron/systemd timer/Airflow calling this main), exactly
+  * as the reference's DAG body is separable from its `schedule`
+  * field. No new daemon, no external dependency.
+  *
+  * Tasks run sequentially in dependency order: pipeline stages already
+  * saturate the cluster internally (every stage is a distributed job),
+  * so intra-DAG task parallelism would only contend for executors —
+  * same reasoning as the reference's linear Airflow chain.
+  */
+object Orchestrator {
+
+  final case class TaskDef(name: String, dependsOn: Seq[String],
+      run: () => Unit, retries: Int = 2, retryDelayMs: Long = 0L)
+
+  sealed trait Status
+  case object Succeeded extends Status
+  case object Failed extends Status
+  case object UpstreamFailed extends Status
+
+  final case class TaskRun(name: String, status: Status, attempts: Int,
+      error: Option[String])
+
+  /** Validate the graph (unknown/duplicate names, cycles) and return
+    * a topological order — deterministic: among ready tasks, the one
+    * declared first runs first.
+    */
+  def topoOrder(tasks: Seq[TaskDef]): Seq[TaskDef] = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size, "duplicate task names")
+    for (t <- tasks; d <- t.dependsOn)
+      require(byName.contains(d), s"task ${t.name} depends on unknown task $d")
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    var remaining = tasks
+    while (remaining.nonEmpty) {
+      val (ready, blocked) =
+        remaining.partition(_.dependsOn.forall(done.contains))
+      require(ready.nonEmpty,
+        s"dependency cycle among: ${blocked.map(_.name).mkString(", ")}")
+      done += ready.head.name
+      remaining = ready.tail ++ blocked
+    }
+    done.toSeq.map(byName)
+  }
+
+  /** Execute the DAG. A task failing after its retries marks every
+    * transitive downstream task UpstreamFailed (never run) — the rest
+    * of the DAG still executes, like Airflow's default trigger rule.
+    */
+  def runDag(tasks: Seq[TaskDef],
+      sleep: Long => Unit = Thread.sleep): Seq[TaskRun] = {
+    val failed = scala.collection.mutable.Set.empty[String]
+    topoOrder(tasks).map { t =>
+      if (t.dependsOn.exists(failed.contains)) {
+        failed += t.name
+        TaskRun(t.name, UpstreamFailed, 0, None)
+      } else {
+        var attempts = 0
+        var lastError: Option[String] = None
+        var ok = false
+        while (!ok && attempts <= t.retries) {
+          if (attempts > 0 && t.retryDelayMs > 0) sleep(t.retryDelayMs)
+          attempts += 1
+          try { t.run(); ok = true; lastError = None }
+          catch { case e: Throwable =>
+            lastError = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+        if (!ok) failed += t.name
+        TaskRun(t.name, if (ok) Succeeded else Failed, attempts, lastError)
+      }
+    }
+  }
+
+  /** The reference DAG, one month per invocation:
+    * bronze → silver → gold → {export, validate}.
+    */
+  def monthlyDag(spark: org.apache.spark.sql.SparkSession,
+      flightsCsv: String, airportsCsv: String, carriersCsv: String,
+      wh: String, incremental: Boolean): Seq[TaskDef] = {
+    val ingest =
+      if (incremental)
+        TaskDef("incremental", Nil, () => {
+          graft.pipeline.Incremental.run(
+            spark, wh, flightsCsv, airportsCsv, carriersCsv)
+          ()
+        })
+      else TaskDef("gold", Seq("silver"),
+        () => RunPipeline.runGold(spark, wh))
+    if (incremental)
+      Seq(ingest,
+        TaskDef("export", Seq("incremental"), () => RunPipeline.runExport(spark, wh)),
+        TaskDef("validate", Seq("incremental"), () =>
+          require(RunValidations.allPassed(RunValidations.validateAll(spark, wh)),
+            "validation failed")))
+    else
+      Seq(
+        TaskDef("bronze", Nil,
+          () => RunPipeline.runBronze(spark, flightsCsv, airportsCsv, carriersCsv, wh)),
+        TaskDef("silver", Seq("bronze"), () => RunPipeline.runSilver(spark, wh)),
+        ingest,
+        TaskDef("export", Seq("gold"), () => RunPipeline.runExport(spark, wh)),
+        TaskDef("validate", Seq("gold"), () =>
+          require(RunValidations.allPassed(RunValidations.validateAll(spark, wh)),
+            "validation failed")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: Orchestrator <flightsCsv> <airportsCsv> <carriersCsv> " +
+          "<warehouseDir> [--incremental]")
+      sys.exit(2)
+    }
+    val Array(flightsCsv, airportsCsv, carriersCsv, wh) = args.take(4)
+    val incremental = args.contains("--incremental")
+    val spark = graft.core.GraftSession.local(appName = "graft-orchestrator")
+    val runs = runDag(
+      monthlyDag(spark, flightsCsv, airportsCsv, carriersCsv, wh, incremental))
+    runs.foreach(r => println(
+      s"[dag] ${r.name}: ${r.status} after ${r.attempts} attempt(s)" +
+        r.error.map(e => s" — $e").getOrElse("")))
+    spark.stop()
+    sys.exit(if (runs.forall(_.status == Succeeded)) 0 else 1)
+  }
+}
