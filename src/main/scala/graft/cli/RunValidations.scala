@@ -48,6 +48,44 @@ object RunValidations {
   def allPassed(results: Seq[(String, Option[ValidationReport])]): Boolean =
     results.forall(_._2.exists(_.success))
 
+  /** Markdown data-docs — the engine's stand-in for GE's rendered
+    * report: one table per layer with every check's name, outcome, and
+    * observed value, plus a summary header. Returns the document.
+    */
+  def renderReport(results: Seq[(String, Option[ValidationReport])],
+      wh: String): String = {
+    val (p, t) = (results.count(_._2.exists(_.success)), results.size)
+    val header =
+      s"""# Data quality report
+         |
+         |Warehouse: `$wh`  —  **$p/$t suites passed**
+         |""".stripMargin
+    val sections = results.map {
+      case (table, None) =>
+        s"\n## $table\n\nMISSING — table unreadable or not built.\n"
+      case (table, Some(r)) =>
+        val rows = r.results.map(x =>
+          s"| ${if (x.success) "PASS" else "**FAIL**"} | ${x.name} | ${x.observed} |")
+        s"""
+           |## $table — ${r.summary.linesIterator.next()}
+           |
+           || outcome | check | observed |
+           ||---|---|---|
+           |${rows.mkString("\n")}
+           |""".stripMargin
+    }
+    header + sections.mkString
+  }
+
+  /** Write the report under the warehouse and return its path. */
+  def writeReport(results: Seq[(String, Option[ValidationReport])],
+      wh: String): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(wh, "_validation")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(
+      dir.resolve("report.md"), renderReport(results, wh))
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length != 1) {
       System.err.println("usage: RunValidations <warehouseDir>")
@@ -64,7 +102,7 @@ object RunValidations {
     }
     val ok = allPassed(results)
     val (p, t) = (results.count(_._2.exists(_.success)), results.size)
-    println(s"[quality] $p/$t suites passed")
+    println(s"[quality] $p/$t suites passed; report: ${writeReport(results, wh)}")
     spark.stop()
     sys.exit(if (ok) 0 else 1)
   }

@@ -106,5 +106,12 @@ class IncrementalPipelineSpec extends SparkSpec {
     val empty = RunValidations.validateAll(spark, tmp.resolve("nope").toString)
     assert(empty.forall(_._2.isEmpty))
     assert(!RunValidations.allPassed(empty))
+    // data-docs artifact: per-suite tables with the failing checks named
+    val report = RunValidations.renderReport(results, wh)
+    assert(report.contains("7/8 suites passed"))
+    assert(report.contains("## gold/fact_flights"))
+    assert(report.contains("**FAIL** | between(SPEED_KM_H"))
+    val written = RunValidations.writeReport(results, wh)
+    assert(java.nio.file.Files.readString(written) === report)
   }
 }
