@@ -29,6 +29,7 @@ object Bench {
     "q30_summary_stats",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
     "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
+    "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
     "q43_dedup_clusters", "q57_dedup_clusters_star", "q44_window_suite",
     "q45_cube",

@@ -213,5 +213,65 @@ object ExtendedRelational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55)
+  // -- X8: skew-mitigation operators, oracle-gated — the salted join
+  //    and two-phase salted aggregation must be INVISIBLE in results:
+  //    the oracle is the plain join+groupBy. A hot l_partkey at 100 TB
+  //    rides (key, salt) shuffle buckets; here the equivalence is
+  //    hash-proven, not just spec-asserted -------------------------------
+  private val q58 = Q(
+    "q58_salted_join_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val big = t.lineitem.select(col("l_partkey").as("k"),
+        col("l_extendedprice"))
+      val small = t.part.select(col("p_partkey").as("k"), col("p_brand"))
+      val joined = graft.operators.Skew.saltedJoin(big, small, "k", salts = 8)
+      graft.operators.Skew.twoPhaseAgg(joined, "p_brand", salts = 8, Map(
+          "n_rows" -> ((count(lit(1)), (c: Column) => sum(c))),
+          "total_price" -> ((
+            sum(col("l_extendedprice").cast(DecimalType(18, 4))),
+            (c: Column) => sum(c)))))
+        .select(col("p_brand"), col("n_rows"),
+          round(col("total_price"), 2).cast("double").as("total_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""SELECT p_brand, count(*) AS n_rows,
+      ${moneySumSql("l_extendedprice")} AS total_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand"""))
+
+  // -- X9: incremental aggregate maintenance, oracle-gated — a mart
+  //    built on pre-1997 orders and refreshed with the 1997+ delta
+  //    must hash-match DuckDB's single full aggregate. Value columns
+  //    ride DECIMAL(18,4) so the two-batch sum is exact and order-
+  //    independent (the reason marts store sums, not averages) --------
+  private val q59 = Q(
+    "q59_incremental_refresh",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val o = t.orders.select(col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("price"),
+        col("o_orderdate"))
+      val split = lit("1997-01-01").cast("timestamp")
+      val base = o.filter(col("o_orderdate") < split)
+      val delta = o.filter(col("o_orderdate").isNull || col("o_orderdate") >= split)
+      val mart = graft.operators.IncrementalAgg.aggregate(
+        base, Seq("o_orderpriority"), Seq("price"))
+      graft.operators.IncrementalAgg.refresh(
+          mart, delta, Seq("o_orderpriority"), Seq("price"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          round(col("sum_price"), 2).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_rows,
+      ${moneySumSql("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59)
 }
