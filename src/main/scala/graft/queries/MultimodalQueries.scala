@@ -112,5 +112,52 @@ object MultimodalQueries {
     FROM documents
     ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(q29, q56)
+  // -- q60: REAL distributed image resize, oracle-gated ----------------
+  // Each doc synthesizes an 8x8 uncompressed 24bpp BMP whose pixel
+  // channels are doc_id-derived formulas (r=(d+7x+13y)%256 etc.,
+  // top-left origin), assembled byte-for-byte (bottom-up BGR rows).
+  // Spark resizes to 4x4 nearest-neighbor per partition, re-decodes
+  // the EMITTED bmp, and reports corner pixels + Σ(r+g+b); the oracle
+  // recomputes those from the formulas at the sampled source coords
+  // (out (x,y) -> src (2x,2y)). Wrong padding, row order, channel
+  // order, or sampling arithmetic all diverge.
+  private val q60 = Q(
+    "q60_media_resize",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val d = col("doc_id")
+      def ch(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      // stored bottom-up: row j carries image y = 7 - j; BGR order
+      val pixelHex = for {
+        j <- 0 until 8
+        x <- 0 until 8
+      } yield {
+        val y = 7 - j
+        concat(
+          ch(d + lit(x * y)),          // b = (d + x*y) % 256
+          ch(d * 3 + lit(5 * x + y)),  // g = (3d + 5x + y) % 256
+          ch(d + lit(7 * x + 13 * y))) // r = (d + 7x + 13y) % 256
+      }
+      val header = lit("424D" + "F6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00" * 24)
+      val media = t.documents.select(d.as("media_id"),
+        unhex(concat(header +: pixelHex: _*)).as("content"))
+      Multimodal.resizeFeatures(media, 4, 4).orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+      CAST(doc_id % 256 AS INT) AS p_first_r,
+      CAST((3 * doc_id) % 256 AS INT) AS p_first_g,
+      CAST(doc_id % 256 AS INT) AS p_first_b,
+      CAST((doc_id + 120) % 256 AS INT) AS p_last_r,
+      CAST((3 * doc_id + 36) % 256 AS INT) AS p_last_g,
+      CAST((doc_id + 36) % 256 AS INT) AS p_last_b,
+      (SELECT CAST(SUM((doc_id + 14 * x + 26 * y) % 256
+                     + (3 * doc_id + 10 * x + 2 * y) % 256
+                     + (doc_id + 4 * x * y) % 256) AS BIGINT)
+       FROM range(0, 4) tx(x), range(0, 4) ty(y)) AS pix_sum
+    FROM documents
+    ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(q29, q56, q60)
 }

@@ -51,6 +51,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(null) === ((0, 0, 0)))
   }
 
+  test("resizeBmp24: nearest-neighbor with odd-width row padding") {
+    // 4x2 gradient BMP, rows padded 12 -> 12 (no pad); pixel r = 10x+y
+    def px(x: Int, y: Int) = (10 * x + y, 100 + x, 200 + y)
+    val w = 4; val h = 2
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val src = new Array[Byte](54 + rowSize * h)
+    src(0) = 'B'; src(1) = 'M'
+    def putLe32(o: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      src(o + i) = (v >> (8 * i)).toByte)
+    putLe32(2, src.length); putLe32(10, 54); putLe32(14, 40)
+    putLe32(18, w); putLe32(22, h); src(26) = 1; src(28) = 24
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 54 + (h - 1 - y) * rowSize + x * 3
+      val (r, g, b) = px(x, y)
+      src(p) = b.toByte; src(p + 1) = g.toByte; src(p + 2) = r.toByte
+    }
+    // identity resize round-trips every pixel
+    val same = Multimodal.resizeBmp24(src, w, h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(Multimodal.bmpPixel(same, x, y) === px(x, y))
+    // odd output width (3): rows pad 9 -> 12; src x = x*4/3 = 0,1,2
+    val odd = Multimodal.resizeBmp24(src, 3, 1)
+    assert(Multimodal.decodeHeader(odd) === ((3, 1, 3)))
+    for (x <- 0 until 3)
+      assert(Multimodal.bmpPixel(odd, x, 0) === px(x * 4 / 3, 0))
+    // upscale 8x4 repeats source pixels
+    val up = Multimodal.resizeBmp24(src, 8, 4)
+    assert(Multimodal.bmpPixel(up, 7, 3) === px(3, 1))
+    assert(Multimodal.bmpPixel(up, 1, 1) === px(0, 0))
+  }
+
   test("frameSample slices fixed-stride binary frames") {
     val frames = media.filter(col("media_id") === 1L)
       .select(Multimodal.frameSample(col("content"), frameSize = 10,
