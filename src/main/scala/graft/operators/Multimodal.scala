@@ -155,6 +155,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** 16-bit PCM samples of a canonical-layout mono WAV (fmt chunk at
+    * 12, data chunk at 36, samples from 44) — little-endian signed
+    * shorts. Returns empty for anything else.
+    */
+  def wavSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.length < 44 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE" ||
+        new String(bytes, 36, 4, "US-ASCII") != "data" ||
+        le16(bytes, 34) != 16) return Array.empty
+    val n = math.min(le32(bytes, 40), bytes.length - 44) / 2
+    Array.tabulate(n)(i => le16(bytes, 44 + 2 * i).toShort.toInt)
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("peak", IntegerType),
+    StructField("sum_abs", LongType),
+    StructField("energy", LongType)))
+
+  /** Distributed audio feature extraction: per-partition PCM decode of
+    * each WAV payload into amplitude statistics — sample count, peak
+    * |amplitude|, Σ|s| and the energy Σs² (all integer-exact, so an
+    * oracle can recompute them bit-for-bit from synthesized samples).
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = wavSamples(r.getAs[Array[Byte]](1))
+          var peak = 0
+          var sumAbs = 0L
+          var energy = 0L
+          var i = 0
+          while (i < s.length) {
+            val a = math.abs(s(i))
+            if (a > peak) peak = a
+            sumAbs += a
+            energy += s(i).toLong * s(i)
+            i += 1
+          }
+          Row(r.getLong(0), s.length, peak, sumAbs, energy)
+        }
+      }(enc)
+  }
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("out_w", IntegerType),

@@ -159,5 +159,39 @@ object MultimodalQueries {
     FROM documents
     ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(q29, q56, q60)
+  // -- q61: REAL PCM audio feature extraction, oracle-gated ------------
+  // Each doc synthesizes a canonical mono 16-bit WAV whose 64 samples
+  // follow s(i) = (d*31 + 17i) % 2003 - 1001 (two's-complement LE
+  // encoded). Spark decodes the BYTES back into samples per partition
+  // and reports integer-exact amplitude stats (peak, Σ|s|, energy Σs²);
+  // the oracle recomputes them from the formula. Sign handling and
+  // little-endian decode are load-bearing.
+  private val q61 = Q(
+    "q61_audio_features",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val d = col("doc_id")
+      val sampleHex = (0 until 64).map { i =>
+        val sample = pmod(d * 31 + lit(17 * i), lit(2003)) - lit(1001)
+        le16hex(pmod(sample, lit(65536))) // two's complement 16-bit
+      }
+      val header = lit("52494646" + "A4000000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+        "1000" + "64617461" + "80000000")
+      val media = t.documents.select(d.as("media_id"),
+        unhex(concat(header +: sampleHex: _*)).as("content"))
+      Multimodal.audioFeatures(media).orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, CAST(64 AS INT) AS n_samples,
+      (SELECT CAST(MAX(ABS((doc_id * 31 + 17 * i) % 2003 - 1001)) AS INT)
+       FROM range(0, 64) t(i)) AS peak,
+      (SELECT CAST(SUM(ABS((doc_id * 31 + 17 * i) % 2003 - 1001)) AS BIGINT)
+       FROM range(0, 64) t(i)) AS sum_abs,
+      (SELECT CAST(SUM(((doc_id * 31 + 17 * i) % 2003 - 1001)
+                     * ((doc_id * 31 + 17 * i) % 2003 - 1001)) AS BIGINT)
+       FROM range(0, 64) t(i)) AS energy
+    FROM documents
+    ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61)
 }

@@ -82,6 +82,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpPixel(up, 1, 1) === px(0, 0))
   }
 
+  test("wavSamples decodes signed 16-bit PCM; rejects non-canonical input") {
+    // mono 16-bit wav with samples [1, -1, 300, -32768]
+    val wav = hexBytes("52494646" + "2C000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+      "1000" + "64617461" + "08000000" +
+      "0100" + "FFFF" + "2C01" + "0080")
+    assert(Multimodal.wavSamples(wav).toSeq === Seq(1, -1, 300, -32768))
+    assert(Multimodal.wavSamples(null).isEmpty)
+    assert(Multimodal.wavSamples("RIFFjunk".getBytes).isEmpty)
+  }
+
   test("frameSample slices fixed-stride binary frames") {
     val frames = media.filter(col("media_id") === 1L)
       .select(Multimodal.frameSample(col("content"), frameSize = 10,
