@@ -36,7 +36,8 @@ object Bench {
     "q46_sessions", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
-    "q55_stratified_sample")
+    "q55_stratified_sample", "q62_decontamination", "q63_repetition_stats",
+    "q64_pack_offsets", "q65_quantize_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

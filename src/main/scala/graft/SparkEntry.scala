@@ -14,7 +14,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     Relational.all ++ ExtendedRelational.all ++ TextAnalysis.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      ProfilingQueries.all ++ WindowQueries.all ++ CorpusQueries.all
+      ProfilingQueries.all ++ WindowQueries.all ++ CorpusQueries.all ++
+      TrainingPrepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

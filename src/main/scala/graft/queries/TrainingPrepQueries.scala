@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables.Tpch
+import graft.functions.TextFns
+import graft.operators.TrainingPrep
+import Portable._
+
+/** Training-data-preparation query surface: eval-set decontamination,
+  * Gopher-style repetition statistics, concat-and-chunk sequence
+  * packing, and int8 embedding quantization. Implementations live in
+  * graft.operators.TrainingPrep; this file binds them to the testdata
+  * tables and generates bit-identical DuckDB oracles from the same
+  * parameters.
+  *
+  * The eval split for decontamination is synthetic but deterministic:
+  * every 10th document plays the held-out benchmark. Both engines
+  * derive it from `doc_id % 10`, so the oracle exercises the full
+  * shingle-index + probe-join dataflow, not a canned answer.
+  */
+object TrainingPrepQueries {
+  import TextFns.{shingleHashesSql, tokensSql}
+
+  private val N = 3         // decontamination shingle width
+  private val SEQ_LEN = 512 // packing sequence length (tokens)
+  private val BUCKET = 64L  // packing bucket width (parallelism knob)
+
+  // -- T1: eval-set n-gram decontamination report ----------------------
+  private val q62 = Q(
+    "q62_decontamination",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.contaminationReport(
+          t.documents, "doc_id", "text", N, col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_overlap"), pround(col("contamination_ratio"), 6)
+            .as("contamination_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+          list_distinct(${shingleHashesSql("text", N)}) AS shingle_set
+        FROM documents),
+      eval_idx AS (
+        SELECT DISTINCT unnest(shingle_set) AS shingle FROM sh WHERE is_eval),
+      train AS (
+        SELECT doc_id, CAST(len(shingle_set) AS BIGINT) AS n_shingles,
+          unnest(shingle_set) AS shingle
+        FROM sh WHERE NOT is_eval)
+      SELECT t.doc_id, n_shingles, count(*) AS n_overlap,
+        ${proundSql("CAST(count(*) AS DOUBLE) / n_shingles", 6)}
+          AS contamination_ratio
+      FROM train t JOIN eval_idx e ON t.shingle = e.shingle
+      GROUP BY t.doc_id, n_shingles
+      ORDER BY t.doc_id"""))
+
+  // -- T2: Gopher-style repetition statistics --------------------------
+  private val q63 = Q(
+    "q63_repetition_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.repetitionStats(t.documents, "doc_id", "text", Seq(2, 3))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          pround(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+          pround(col("dup_3gram_frac"), 6).as("dup_3gram_frac"),
+          col("top_2gram_count"),
+          pround(col("top_2gram_frac"), 6).as("top_2gram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def dupSql(g: String) =
+        s"""CASE WHEN len($g) > 0 THEN
+           | CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / len($g)
+           | ELSE 0.0 END""".stripMargin
+      s"""WITH base AS (
+        SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+          ${shingleHashesSql("text", 2)} AS g2,
+          ${shingleHashesSql("text", 3)} AS g3
+        FROM documents),
+      row_stats AS (
+        SELECT doc_id, n_tokens,
+          ${dupSql("g2")} AS dup2, ${dupSql("g3")} AS dup3
+        FROM base),
+      grams AS (SELECT doc_id, unnest(g2) AS g FROM base),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, max(c) AS top_2gram_count, sum(c) AS n_2grams
+        FROM gc GROUP BY doc_id)
+      SELECT r.doc_id, r.n_tokens,
+        ${proundSql("dup2", 6)} AS dup_2gram_frac,
+        ${proundSql("dup3", 6)} AS dup_3gram_frac,
+        CAST(coalesce(top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+        ${proundSql(
+          "CASE WHEN coalesce(n_2grams, 0) > 0 THEN CAST(top_2gram_count AS DOUBLE) / n_2grams ELSE 0.0 END",
+          6)} AS top_2gram_frac
+      FROM row_stats r LEFT JOIN top USING (doc_id)
+      ORDER BY r.doc_id"""
+    })
+
+  // -- T3: concat-and-chunk sequence packing (global prefix sum) -------
+  private val q64 = Q(
+    "q64_pack_offsets",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      TrainingPrep.packOffsets(toks, "doc_id", "n_tokens",
+          seqLen = SEQ_LEN, bucketWidth = BUCKET)
+        .select(col("doc_id"), col("n_tokens"), col("offset"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      offs AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS doc_offset
+        FROM toks)
+      SELECT doc_id, n_tokens, doc_offset AS "offset",
+        CAST(floor(doc_offset / ${SEQ_LEN}.0) AS BIGINT) AS first_seq,
+        CAST(floor((doc_offset + greatest(n_tokens, 1) - 1) / ${SEQ_LEN}.0)
+          AS BIGINT) AS last_seq,
+        CAST(floor((doc_offset + greatest(n_tokens, 1) - 1) / ${SEQ_LEN}.0)
+          - floor(doc_offset / ${SEQ_LEN}.0) + 1 AS BIGINT) AS n_seqs
+      FROM offs
+      ORDER BY doc_id"""))
+
+  // -- T4: symmetric int8 embedding quantization stats -----------------
+  private val q65 = Q(
+    "q65_quantize_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.quantizeStats(t.embeddings, "embedding")
+        .select(col("vec_id"), col("label"),
+          pround(col("scale"), 9).as("scale"),
+          col("q_min"), col("q_max"), col("q_sum"),
+          pround(col("mse"), 12).as("mse"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH xs AS (
+        SELECT vec_id, label,
+          list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+          len(embedding) AS dim
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, label, v, dim,
+          list_reduce(
+            list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+            (a, x) -> greatest(a, x)) / 127.0 AS scale
+        FROM xs),
+      q AS (
+        SELECT vec_id, label, v, dim, scale,
+          list_transform(v, x ->
+            CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale + 0.5) END) AS qs
+        FROM sc)
+      SELECT vec_id, label, ${proundSql("scale", 9)} AS scale,
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(list_aggregate(qs, 'min') AS BIGINT) END AS q_min,
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(list_aggregate(qs, 'max') AS BIGINT) END AS q_max,
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(list_aggregate(qs, 'sum') AS BIGINT) END AS q_sum,
+        CASE WHEN scale = 0 THEN 0.0 ELSE
+          ${proundSql(
+            """list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+              | (a, x) -> a + (x - floor(x / scale + 0.5) * scale)
+              |              * (x - floor(x / scale + 0.5) * scale)) / dim""".stripMargin,
+            12)} END AS mse
+      FROM q
+      ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(q62, q63, q64, q65)
+}

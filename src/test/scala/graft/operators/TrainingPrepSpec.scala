@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // contaminationReport
+  // ------------------------------------------------------------------
+
+  private lazy val contamDocs = Seq(
+    (1L, "the quick brown fox jumps", false),
+    (2L, "lazy dogs sleep all day", false),
+    (3L, "the quick brown fox naps", true) // eval doc
+  ).toDF("doc_id", "text", "is_eval")
+
+  test("contaminationReport counts eval shingle overlap per train doc") {
+    val rep = TrainingPrep.contaminationReport(
+        contamDocs, "doc_id", "text", n = 3, isEval = col("is_eval"))
+      .orderBy("doc_id").collect()
+    // doc1 shares 2 of its 3 trigrams with the eval doc; doc2 shares
+    // none and must be OMITTED (caller anti-joins on the report)
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Int]("n_shingles") === 3)
+    assert(r.getAs[Long]("n_overlap") === 2L)
+    assert(math.abs(r.getAs[Double]("contamination_ratio") - 2.0 / 3) < 1e-12)
+  }
+
+  test("contaminationReport counts distinct shingles once") {
+    // train doc repeats the contaminated trigram; distinct semantics
+    // must count it once in both n_shingles and n_overlap
+    val docs = Seq(
+      (1L, "a b c a b c", false), // trigrams: abc bca cab abc -> 3 distinct
+      (2L, "a b c", true)
+    ).toDF("doc_id", "text", "is_eval")
+    val r = TrainingPrep.contaminationReport(
+      docs, "doc_id", "text", n = 3, isEval = col("is_eval")).collect().head
+    assert(r.getAs[Int]("n_shingles") === 3)
+    assert(r.getAs[Long]("n_overlap") === 1L)
+  }
+
+  // ------------------------------------------------------------------
+  // repetitionStats
+  // ------------------------------------------------------------------
+
+  test("repetitionStats computes dup fractions and top-2gram occupancy") {
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val st = TrainingPrep.repetitionStats(docs, "doc_id", "text", Seq(2, 3))
+      .orderBy("doc_id").collect()
+
+    val d1 = st(0)
+    assert(d1.getAs[Int]("n_tokens") === 4)
+    // 2-grams: "a a","a a","a b" -> 1 duplicate occurrence of 3
+    assert(math.abs(d1.getAs[Double]("dup_2gram_frac") - 1.0 / 3) < 1e-12)
+    // 3-grams: "a a a","a a b" -> all distinct
+    assert(d1.getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(d1.getAs[Long]("top_2gram_count") === 2L)
+    assert(math.abs(d1.getAs[Double]("top_2gram_frac") - 2.0 / 3) < 1e-12)
+
+    // single-token doc: no 2-grams at all -> zeros, not nulls/NaN
+    val d2 = st(1)
+    assert(d2.getAs[Int]("n_tokens") === 1)
+    assert(d2.getAs[Double]("dup_2gram_frac") === 0.0)
+    assert(d2.getAs[Long]("top_2gram_count") === 0L)
+    assert(d2.getAs[Double]("top_2gram_frac") === 0.0)
+  }
+
+  // ------------------------------------------------------------------
+  // packOffsets
+  // ------------------------------------------------------------------
+
+  private lazy val packDocs =
+    Seq((1L, 4L), (2L, 8L), (3L, 3L), (4L, 10L), (5L, 0L))
+      .toDF("doc_id", "n_tokens")
+
+  test("packOffsets: exclusive prefix sums and sequence spans") {
+    val got = TrainingPrep.packOffsets(packDocs, "doc_id", "n_tokens",
+        seqLen = 10, bucketWidth = 2)
+      .select("doc_id", "offset", "first_seq", "last_seq", "n_seqs")
+      .orderBy("doc_id").collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+    val want = Seq(
+      Seq(1L, 0L, 0L, 0L, 1L),   // tokens 0..3   -> seq 0
+      Seq(2L, 4L, 0L, 1L, 2L),   // tokens 4..11  -> spans seqs 0-1
+      Seq(3L, 12L, 1L, 1L, 1L),  // tokens 12..14 -> seq 1
+      Seq(4L, 15L, 1L, 2L, 2L),  // tokens 15..24 -> spans seqs 1-2
+      Seq(5L, 25L, 2L, 2L, 1L))  // empty doc: lands at its offset's seq
+    assert(got.toSeq === want)
+  }
+
+  test("packOffsets is independent of bucketWidth (parallelism knob only)") {
+    def offsets(w: Long) =
+      TrainingPrep.packOffsets(packDocs, "doc_id", "n_tokens",
+          seqLen = 10, bucketWidth = w)
+        .select("doc_id", "offset", "first_seq", "last_seq", "n_seqs")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = offsets(1L << 20) // single bucket: plain window semantics
+    assert(offsets(1L) === base)
+    assert(offsets(3L) === base)
+  }
+
+  // ------------------------------------------------------------------
+  // quantizeStats
+  // ------------------------------------------------------------------
+
+  test("quantizeStats: symmetric int8 with exact integer checks") {
+    val vec = Seq(1.27f, -2.54f, 0.0f)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    val r = TrainingPrep.quantizeStats(df, "embedding").collect().head
+
+    // recompute with the operator's exact double arithmetic
+    val xs = vec.map(_.toDouble)
+    val scale = xs.map(math.abs).max / 127.0
+    val qs = xs.map(x => math.floor(x / scale + 0.5))
+    val mse = xs.map(x => math.pow(x - qs(xs.indexOf(x)) * scale, 2)).sum / xs.size
+
+    assert(r.getAs[Double]("scale") === scale)
+    assert(r.getAs[Long]("q_min") === qs.min.toLong)
+    assert(r.getAs[Long]("q_max") === qs.max.toLong)
+    assert(r.getAs[Long]("q_sum") === qs.sum.toLong)
+    assert(math.abs(r.getAs[Double]("mse") - mse) < 1e-15)
+    // symmetric int8 range is respected
+    assert(qs.min >= -127 && qs.max <= 127)
+  }
+
+  test("quantizeStats: zero vector quantizes to all-zero with scale 0") {
+    val df = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = TrainingPrep.quantizeStats(df, "embedding").collect().head
+    assert(r.getAs[Double]("scale") === 0.0)
+    assert(r.getAs[Long]("q_min") === 0L)
+    assert(r.getAs[Long]("q_max") === 0L)
+    assert(r.getAs[Long]("q_sum") === 0L)
+    assert(r.getAs[Double]("mse") === 0.0)
+  }
+}
