@@ -69,4 +69,42 @@ object Percentiles {
     }
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact percentiles of ONE value column plus arbitrary extra
+    * aggregates in the SAME pass: one scan, one sort shuffle, and a
+    * final hash aggregation that reuses the window's hash partitioning
+    * on `groupCol` (no second exchange for the non-distinct
+    * aggregates). The input's other columns flow through the ranked
+    * rows, so `extra` may aggregate any of them — this is how
+    * profiling queries fuse sketches with exact percentiles instead of
+    * scanning the table twice and joining.
+    *
+    * Null `valCol` rows still reach `extra` (so count(*)/countDistinct
+    * see every row) but are excluded from ranking: they sort last, the
+    * boundary ranks only cover the non-null prefix, and a group with
+    * no non-null values yields null percentiles (the quantile-of-empty
+    * answer), exactly like [[groupedExactMulti]].
+    */
+  def groupedExactWithAggs(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double], outNames: Seq[String],
+      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(ps.nonEmpty && ps.size == outNames.size)
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__v", col(valCol).cast("double"))
+      .withColumn("__rn",
+        row_number().over(byGroup.orderBy(col("__v").asc_nulls_last)))
+      .withColumn("__n", count(col("__v")).over(byGroup))
+    val pAggs = ps.zip(outNames).map { case (p, name) =>
+      val pos = lit(1.0) + lit(p) * (col("__n") - lit(1)).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val frac = pos - lo
+      val vLo = sum(when(col("__rn") === lo, col("__v")).otherwise(lit(0.0)))
+      val vHi = sum(when(col("__rn") === hi, col("__v")).otherwise(lit(0.0)))
+      (vLo + max(when(col("__v").isNotNull, frac)) * (vHi - vLo)).as(name)
+    }
+    val aggs = pAggs ++ extra
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

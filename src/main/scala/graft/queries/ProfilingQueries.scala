@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables.Tpch
@@ -132,28 +133,48 @@ object ProfilingQueries {
     "q40_approx_sketches",
     (s, dir) => {
       val t = Tpch(s, dir)
-      // sketches + exact distinct in one scan; exact percentiles via
-      // the engine's SORT-based operator (one window shuffle, O(1)
-      // memory/group) rather than Spark's builtin `percentile`, whose
-      // per-group value buffering cost ~25x the task time of this
-      // whole query at sf0.1. The join is 6 rows — broadcast.
-      val sketch = t.lineitem.groupBy(col("l_returnflag")).agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_partkey")).as("exact_distinct"),
-        graft.operators.Sketches.approxDistinct(col("l_partkey"), 0.05)
-          .as("__ad"),
-        // accuracy 2000: rank error n/2000 = 0.05% of the group, far
-        // inside the 5% value tolerance, at ~1/5 the update cost of
-        // the 10000 default
-        graft.operators.Sketches.approxPercentiles(col("l_extendedprice"),
-          Seq(0.5, 0.95, 0.99), accuracy = 2000).as("__ap"))
-      val exact = graft.operators.Percentiles.groupedExactMulti(
-        t.lineitem, "l_returnflag",
-        Seq(("l_extendedprice", Seq(0.5, 0.95, 0.99),
-          Seq("__ep50", "__ep95", "__ep99"))))
+      // ONE lineitem scan, ONE exchange: the sort-based exact-
+      // percentile dataflow (window rank keyed by l_returnflag, O(1)
+      // memory/group — not Spark's builtin `percentile`, whose
+      // per-group value buffering cost ~25x this whole query's task
+      // time at sf0.1) carries l_partkey through the ranked rows, so
+      // every other aggregate rides the same pass and the final hash
+      // aggregation reuses the window's partitioning. r4 re-read
+      // lineitem for the sketch side and joined — two scans.
+      //
+      // exact_distinct deliberately avoids countDistinct: mixing a
+      // distinct with non-distinct aggregates makes Spark Expand the
+      // rows and build the HLL/percentile_approx sketch partials per
+      // (group, partkey) — ~20k sketch buffers at sf0.1, the dominant
+      // cost of both r4's version (17.9 task-sec) and a naive fusion
+      // (21.5). Instead a lag window over partkey (same partitioning,
+      // one extra in-partition sort, no exchange) marks each first
+      // occurrence and exact_distinct is a plain sum — every aggregate
+      // stays non-distinct, no Expand, sketch buffers per GROUP only.
+      val pkRuns = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_partkey"))
+      val prevPk = lag(col("l_partkey"), 1).over(pkRuns)
+      val marked = t.lineitem
+        .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+        .withColumn("__new_pk",
+          (col("l_partkey").isNotNull &&
+            (prevPk.isNull || prevPk =!= col("l_partkey"))).cast("long"))
+      val fused = graft.operators.Percentiles.groupedExactWithAggs(
+        marked, "l_returnflag", "l_extendedprice",
+        Seq(0.5, 0.95, 0.99), Seq("__ep50", "__ep95", "__ep99"),
+        Seq(
+          count(lit(1)).as("n_rows"),
+          sum(col("__new_pk")).as("exact_distinct"),
+          graft.operators.Sketches.approxDistinct(col("l_partkey"), 0.05)
+            .as("__ad"),
+          // accuracy 2000: rank error n/2000 = 0.05% of the group, far
+          // inside the 5% value tolerance, at ~1/5 the update cost of
+          // the 10000 default
+          graft.operators.Sketches.approxPercentiles(col("l_extendedprice"),
+            Seq(0.5, 0.95, 0.99), accuracy = 2000).as("__ap")))
       def pOk(i: Int, ep: String) =
         (abs(col("__ap")(i) - col(ep)) / col(ep) <= lit(0.05))
-      sketch.join(broadcast(exact), "l_returnflag")
+      fused
         .select(col("l_returnflag"), col("n_rows"), col("exact_distinct"),
           (abs(col("__ad") - col("exact_distinct"))
             / col("exact_distinct").cast("double") <= lit(0.15))

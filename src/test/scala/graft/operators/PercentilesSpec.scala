@@ -39,6 +39,27 @@ class PercentilesSpec extends SparkSpec {
     assert(rows("c")._2 === None && rows("c")._3 === None)
   }
 
+  test("groupedExactWithAggs: sketches ride the percentile pass, no join") {
+    val out = Percentiles.groupedExactWithAggs(df, "g", "y",
+      Seq(0.5), Seq("y_med"),
+      Seq(count(lit(1)).as("n"), countDistinct(col("x")).as("nd"),
+        max(col("x")).as("x_max")))
+    // the whole computation is one dataflow: no join, exactly one scan
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"fused pass must not join:\n$plan")
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 1 ||
+      !plan.contains("BroadcastExchange"))
+
+    val rows = out.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows("a")._1 === Some(25.0))
+    assert(rows("a")._2 === 4L && rows("a")._3 === 4L && rows("a")._4 === 4.0)
+    assert(rows("b")._1 === Some(60.0))
+    // all-null value group: null percentile, but extras see every row
+    assert(rows("c")._1 === None)
+    assert(rows("c")._2 === 1L && rows("c")._4 === 9.0)
+  }
+
   test("single-column groupedExact delegates to the fused pass") {
     val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
       Seq("lo", "hi")).collect()
