@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ ExtendedRelational.all ++ TextAnalysis.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       ProfilingQueries.all ++ WindowQueries.all ++ CorpusQueries.all ++
-      TrainingPrepQueries.all
+      TrainingPrepQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
