@@ -33,12 +33,34 @@ import graft.core.ParquetTable
   * tiers are frequency-over-history — a delta-only rebuild would
   * misclassify. One cheap scan, map-side-combined.
   *
-  * NOT idempotent at the silver layer: the delta is APPENDED to
-  * silver, so re-running the same delta duplicates silver rows (facts
-  * and marts stay correct only at day grain). Exactly-once re-delivery
-  * needs the `core.VersionedTable` MERGE path.
+  * IDEMPOTENT at every layer since round 5. Silver re-delivery is an
+  * insert-if-absent MERGE on the natural flight key: the delta is
+  * anti-joined against the existing silver keys before the append, so
+  * the same batch applied twice appends nothing the second time. This
+  * is deliberately NOT the copy-on-write upsert
+  * (`core.VersionedTable.merge`, which rewrites the whole snapshot):
+  * at 100 TB a re-delivered month must cost O(delta) — one broadcast-
+  * able key anti-join and an append — not a history rewrite. True
+  * row UPDATES (changed values for an existing key) are out of the
+  * re-delivery contract and remain VersionedTable.merge territory.
+  *
+  * Fact consistency: the touched DATE_KEY partitions are rebuilt from
+  * the MERGED silver (not from the raw delta), so a day delivered
+  * across several deltas converges to silver's union for that day —
+  * previously delta-only day overwrite could diverge from silver.
+  * Silver is partitioned by AIRLINE_CODE, but its partitions are
+  * sorted within by FLIGHT_DATE, so the touched-date filter prunes at
+  * parquet row-group grain rather than rescanning history.
   */
 object Incremental {
+
+  /** Natural identity of one scheduled flight leg — the merge key for
+    * re-delivered batches (same grain the reference's data implies:
+    * one row per airline/number/origin/scheduled-departure per day).
+    */
+  val silverNaturalKey: Seq[String] = Seq(
+    "FLIGHT_DATE", "AIRLINE_CODE", "FLIGHT_NUMBER",
+    "ORIGIN_AIRPORT_CODE", "PLANNED_DEPARTURE_TIME")
 
   /** Ingest a delta CSV through bronze → silver → fact and refresh the
     * affected mart partitions. Returns the touched yyyyMM months.
@@ -47,13 +69,28 @@ object Incremental {
       airportsCsv: String, carriersCsv: String): Seq[Int] = {
     val bronzeDelta = Bronze.ingest(spark, deltaFlightsCsv, airportsCsv, carriersCsv)
     val silverDelta = Silver.transform(bronzeDelta)
+    val silverPath = s"$wh/silver/flights"
+
+    // insert-if-absent merge: only rows whose natural key is new reach
+    // the append. The existing-key side is key-columns-only (column-
+    // pruned scan); the join is delta ⋈ keys, never history × history.
+    val fresh = {
+      val fs = new org.apache.hadoop.fs.Path(silverPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(silverPath))) silverDelta
+      else {
+        val existingKeys = ParquetTable.read(spark, silverPath)
+          .select(silverNaturalKey.map(col): _*)
+        silverDelta.join(existingKeys, silverNaturalKey, "left_anti")
+      }
+    }
     ParquetTable.append(
-      silverDelta.repartition(silverDelta("AIRLINE_CODE"))
+      fresh.repartition(fresh("AIRLINE_CODE"))
         .sortWithinPartitions("FLIGHT_DATE"),
-      s"$wh/silver/flights", Seq("AIRLINE_CODE"))
+      silverPath, Seq("AIRLINE_CODE"))
 
     // dims: tiny outputs, rebuilt from full silver (see object doc)
-    val silver = ParquetTable.read(spark, s"$wh/silver/flights")
+    val silver = ParquetTable.read(spark, silverPath)
     val dimDate = GoldDims.dimDate(spark)
     val dimTime = GoldDims.dimTime(spark)
     val dimAirline = GoldDims.dimAirline(silver)
@@ -65,13 +102,20 @@ object Incremental {
       ParquetTable.write(d, s"$wh/gold/$n")
     }
 
-    val factDelta =
-      FactFlights.build(silverDelta, dimDate, dimAirport, dimAirline, dimRoute)
+    // fact rebuild for the touched days FROM MERGED SILVER (see object
+    // doc). The date list is a bounded partition enumeration (≤ the
+    // delta's distinct days), same discipline as the month collect in
+    // refreshMarts.
+    val touchedDates = silverDelta.select(col("FLIGHT_DATE"))
+      .distinct().collect().map(_.getDate(0)).toSeq
+    val factUpdate = FactFlights.build(
+      silver.filter(col("FLIGHT_DATE").isin(touchedDates: _*)),
+      dimDate, dimAirport, dimAirline, dimRoute)
     ParquetTable.overwritePartitions(
-      factDelta.repartition(factDelta("DATE_KEY")),
+      factUpdate.repartition(factUpdate("DATE_KEY")),
       s"$wh/gold/fact_flights", Seq("DATE_KEY"))
 
-    refreshMarts(spark, wh, factDelta, dimDate, dimAirline, dimAirport, dimRoute)
+    refreshMarts(spark, wh, factUpdate, dimDate, dimAirline, dimAirport, dimRoute)
   }
 
   /** Recompute and swap in the mart partitions for every month the

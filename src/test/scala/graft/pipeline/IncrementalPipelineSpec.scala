@@ -85,6 +85,61 @@ class IncrementalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("re-delivering the same delta twice equals delivering it once") {
+    val whTwice = tmp.resolve("wh_twice").toString
+    RunPipeline.runBronze(spark, jan, airports, carriers, whTwice)
+    RunPipeline.runSilver(spark, whTwice)
+    RunPipeline.runGold(spark, whTwice)
+    assert(Incremental.run(spark, whTwice, feb, airports, carriers)
+      === Seq(202502))
+    val silverOnce = canon(ParquetTable.read(spark, s"$whTwice/silver/flights"))
+
+    // second delivery of the SAME batch: the natural-key anti-join
+    // must make the silver append a no-op, and every downstream table
+    // must come out identical to the warehouse that saw the batch once
+    assert(Incremental.run(spark, whTwice, feb, airports, carriers)
+      === Seq(202502))
+    assert(canon(ParquetTable.read(spark, s"$whTwice/silver/flights"))
+      === silverOnce, "silver grew on re-delivery")
+    for (t <- Seq("silver/flights", "gold/dim_airline", "gold/dim_airport",
+        "gold/dim_route", "gold/fact_flights", "gold/daily_airline_performance",
+        "gold/daily_airport_performance", "gold/route_performance")) {
+      val once = ParquetTable.read(spark, s"${tmp.resolve("wh_incr")}/$t")
+      val twice = ParquetTable.read(spark, s"$whTwice/$t")
+      assert(canon(twice) === canon(once), s"$t diverged after re-delivery")
+    }
+  }
+
+  test("a day arriving across two deltas converges fact to silver's union") {
+    // same February dates, disjoint flight numbers: the second delta
+    // must not wipe the first delta's rows from the shared day
+    // partitions (fact is rebuilt from MERGED silver, not delta-only)
+    val whSplit = tmp.resolve("wh_split").toString
+    RunPipeline.runBronze(spark, jan, airports, carriers, whSplit)
+    RunPipeline.runSilver(spark, whSplit)
+    RunPipeline.runGold(spark, whSplit)
+    val febAlt: String = {
+      val lines = Files.readAllLines(Paths.get(feb)).asScala.toSeq
+      val shifted = lines.head +: lines.tail.map { l =>
+        val parts = l.split(",", -1)
+        parts(2) = (parts(2).toInt + 1000).toString // OP_CARRIER_FL_NUM
+        parts.mkString(",")
+      }
+      val p = tmp.resolve("feb_alt.csv")
+      Files.write(p, shifted.asJava)
+      p.toString
+    }
+    Incremental.run(spark, whSplit, feb, airports, carriers)
+    Incremental.run(spark, whSplit, febAlt, airports, carriers)
+    val febSilver = ParquetTable.read(spark, s"$whSplit/silver/flights")
+      .filter(col("FLIGHT_DATE") >= "2025-02-01")
+    val febFact = ParquetTable.read(spark, s"$whSplit/gold/fact_flights")
+      .filter(col("DATE_KEY").between(20250201, 20250231))
+    assert(febSilver.count() === 24, "both deltas' rows merged into silver")
+    assert(febFact.count() === febSilver.count(),
+      "fact day partitions must hold the union of both deltas")
+  }
+
   test("run-all-layers validation sweep: per-suite reports + overall gate") {
     val wh = tmp.resolve("wh_full").toString // built by the test above
     val results = RunValidations.validateAll(spark, wh)
