@@ -39,10 +39,27 @@ object Bench {
     "q55_stratified_sample", "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats")
 
+  /** Exact quadratic baselines: correct, oracle-gated, and the right
+    * thing to measure at sf≤0.1, but NOT the scale path — above that
+    * the bench measures their LSH/banded counterparts (q24/q25/q28/
+    * q33/q53) instead, so a future sf1+ run times the plans that
+    * would actually ship at 100 TB.
+    */
+  private val quadraticExact = Set("q22_jaccard_pairs", "q26_cosine_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+    val requested = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+    val names =
+      if (sf.exists(_ > 0.1) && sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty) {
+        val dropped = requested.filter(quadraticExact)
+        if (dropped.nonEmpty) System.err.println(
+          s"[bench] sf=${sf.get} > 0.1: skipping exact quadratic baselines " +
+            s"${dropped.mkString(", ")} (LSH counterparts stay in the headline)")
+        requested.filterNot(quadraticExact)
+      } else requested
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val spark = graft.core.GraftSession.local(appName = "graft-bench")
     val queries = SparkEntry.queries
@@ -118,7 +135,18 @@ object Bench {
     val totalTask = results.map(_._2.task).sum
     val totalCpu = results.map(_._2.cpu).sum
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"sf":"$sfDir"}"""
+    // the driver tail-captures stdout and has truncated the (long)
+    // JSON line before (BENCH_r04 lost q01-q39): persist the full line
+    // to a file AND print it, so the recorded bench is recoverable
+    try {
+      val out = java.nio.file.Paths.get("target/bench_self.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write target/bench_self.json: $e")
+    }
+    println(json)
     spark.stop()
   }
 }
