@@ -45,9 +45,12 @@ object GraftSession {
       // "formatted" mode burns seconds of driver CPU per job in
       // TreeNode.nodeName regexes (measured via jstack mid-stall —
       // main thread RUNNABLE in String.replaceAll, executors idle).
-      // "simple" mode + a bounded plan string make it O(small).
+      // "simple" mode + a bounded plan string make it O(small). 256 KB
+      // fits the widest legitimate plans (the minhash/LSH signature
+      // trees stringify at ~150 KB) with zero truncation warnings
+      // while still capping a pathological plan's stringify cost.
       .config("spark.sql.ui.explainMode", "simple")
-      .config("spark.sql.maxPlanStringLength", (64 * 1024).toString)
+      .config("spark.sql.maxPlanStringLength", (256 * 1024).toString)
 
   /** Local session: `cores` executor threads in-process. */
   def local(cores: Int = localCores, appName: String = "graft"): SparkSession = {

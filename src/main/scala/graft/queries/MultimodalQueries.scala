@@ -127,21 +127,24 @@ object MultimodalQueries {
       val t = Tpch(s, dir)
       val d = col("doc_id")
       def ch(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
-      // stored bottom-up: row j carries image y = 7 - j; BGR order
-      val pixelHex = for {
-        j <- 0 until 8
-        x <- 0 until 8
-      } yield {
-        val y = 7 - j
-        concat(
-          ch(d + lit(x * y)),          // b = (d + x*y) % 256
-          ch(d * 3 + lit(5 * x + y)),  // g = (3d + 5x + y) % 256
-          ch(d + lit(7 * x + 13 * y))) // r = (d + 7x + 13y) % 256
-      }
+      // stored bottom-up: row j carries image y = 7 - j; BGR order.
+      // One transform lambda over pixel index i = j*8 + x, not 192
+      // unrolled concat terms — the unrolled version stringified to a
+      // ~150 KB plan and tripped maxPlanStringLength on every job.
+      val pixelHex = array_join(
+        transform(sequence(lit(0), lit(63)), i => {
+          val j = floor(i / lit(8)).cast("int")
+          val x = pmod(i, lit(8))
+          val y = lit(7) - j
+          concat(
+            ch(d + x * y),               // b = (d + x*y) % 256
+            ch(d * 3 + x * 5 + y),       // g = (3d + 5x + y) % 256
+            ch(d + x * 7 + y * 13))      // r = (d + 7x + 13y) % 256
+        }), "")
       val header = lit("424D" + "F6000000" + "00000000" + "36000000" +
         "28000000" + "08000000" + "08000000" + "0100" + "1800" + "00" * 24)
       val media = t.documents.select(d.as("media_id"),
-        unhex(concat(header +: pixelHex: _*)).as("content"))
+        unhex(concat(header, pixelHex)).as("content"))
       Multimodal.resizeFeatures(media, 4, 4).orderBy(col("media_id"))
     },
     Some("""SELECT doc_id AS media_id,
