@@ -162,7 +162,7 @@ object Dedup {
     * with exchange reuse the guard costs one cheap map-side-combined
     * count, not an extra scan.
     */
-  private def capBuckets(bands: DataFrame, bucketCols: Seq[String],
+  private[operators] def capBuckets(bands: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val small = bands.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bn"))

@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpec {
     assert(!cappedShifted.exists { case (a, b) => b <= 40 })
   }
 
+  test("bucket cap: exact dropped-mass accounting and recall via other bands") {
+    // adversarial-at-scale shape: 35 near-identical docs (common 20-token
+    // body + unique suffix). Their minhash sigs mostly agree, so each
+    // band concentrates them into one big bucket — but NOT the same
+    // split per band: for these 35 docs the buckets are 33/28/24/25
+    // docs across bands 0..3. That asymmetry is what the cap exploits:
+    // dropping one band's hot bucket does not lose the pair, because a
+    // different band still holds it in an under-cap bucket.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val near = (1 to 35).map(i => (i.toLong, s"$base unique$i"))
+      .toDF("doc_id", "text")
+    val p = MinHashParams()
+    val bands = Dedup.minhashBands(near, "doc_id", "text", 3, p)
+    val key = Seq("band_idx", "band_hash")
+
+    // cap 10, hot bucket 33 docs = 3.3x the cap: every multi-doc bucket
+    // is hot -> conservation must hold EXACTLY (kept + dropped = all)
+    val hot10 = Dedup.hotBuckets(bands, key, maxBucket = 10)
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    val kept10 = Dedup.capBuckets(bands, key, maxBucket = 10).count()
+    assert(kept10 + hot10 === bands.count(), "dropped mass must be exact")
+
+    // per-task candidate bound: after capping, NO surviving bucket
+    // exceeds the cap, so a bucket's candidate-pair fan-out is at most
+    // C(cap,2) regardless of input skew
+    val cap = 30
+    val survivors = Dedup.capBuckets(bands, key, cap)
+      .groupBy(key.map(col): _*).agg(count(lit(1)).as("n"))
+    assert(survivors.agg(max(col("n"))).collect().head.getLong(0) <= cap)
+
+    // cap 30 drops exactly band 0's 33-doc bucket; the docs it held
+    // still pair through bands 1-3 (28/24/25-doc buckets, under cap)
+    val hot30 = Dedup.hotBuckets(bands, key, cap).collect()
+    assert(hot30.map(r => (r.getAs[Int]("band_idx"), r.getAs[Long]("n_docs")))
+      .toSeq === Seq((0, 33L)))
+    val pairs30 = Dedup.minhashNearDups(near, "doc_id", "text", n = 3,
+      tau = 0.5, p, maxBucket = cap)
+    assert(pairs30.count() >= 28L * 27 / 2,
+      "pairs must still surface via the other bands' under-cap buckets")
+  }
+
   test("simhash hot-bucket cap completes degenerate corpora with bounded work") {
     val template = (1L to 40L)
       .map(i => (i, "identical boilerplate text repeated across the corpus today"))
