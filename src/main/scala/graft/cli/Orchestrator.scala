@@ -115,18 +115,45 @@ object Orchestrator {
             "validation failed")))
   }
 
+  /** Streaming handoff DAG: the checkpointed file-stream ingest lands
+    * raw rows exactly-once in the stream-bronze audit table, then the
+    * SAME new files fold through the idempotent incremental pipeline
+    * (pipeline.Incremental.foldNewFiles — marker-log file tracking, so
+    * a re-run with no new files is a no-op), then validation sweeps
+    * the warehouse. This is the continuous-ingest counterpart of
+    * monthlyDag's batch chain.
+    */
+  def streamingDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, airportsCsv: String, carriersCsv: String,
+      wh: String): Seq[TaskDef] = Seq(
+    TaskDef("stream_ingest", Nil, () =>
+      graft.streaming.StreamIngest.ingestOnce(spark, watchDir,
+        graft.pipeline.FlightSchema.flightData,
+        s"$wh/bronze/stream_flights", s"$wh/_checkpoints/stream_flights")),
+    TaskDef("incremental_fold", Seq("stream_ingest"), () => {
+      graft.pipeline.Incremental.foldNewFiles(
+        spark, wh, watchDir, airportsCsv, carriersCsv)
+      ()
+    }),
+    TaskDef("validate", Seq("incremental_fold"), () =>
+      require(RunValidations.allPassed(RunValidations.validateAll(spark, wh)),
+        "validation failed")))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(
-        "usage: Orchestrator <flightsCsv> <airportsCsv> <carriersCsv> " +
-          "<warehouseDir> [--incremental]")
+        "usage: Orchestrator <flightsCsvOrWatchDir> <airportsCsv> " +
+          "<carriersCsv> <warehouseDir> [--incremental | --stream]")
       sys.exit(2)
     }
     val Array(flightsCsv, airportsCsv, carriersCsv, wh) = args.take(4)
     val incremental = args.contains("--incremental")
+    val streaming = args.contains("--stream")
     val spark = graft.core.GraftSession.local(appName = "graft-orchestrator")
     val runs = runDag(
-      monthlyDag(spark, flightsCsv, airportsCsv, carriersCsv, wh, incremental))
+      if (streaming)
+        streamingDag(spark, flightsCsv, airportsCsv, carriersCsv, wh)
+      else monthlyDag(spark, flightsCsv, airportsCsv, carriersCsv, wh, incremental))
     runs.foreach(r => println(
       s"[dag] ${r.name}: ${r.status} after ${r.attempts} attempt(s)" +
         r.error.map(e => s" — $e").getOrElse("")))

@@ -118,6 +118,42 @@ object Incremental {
     refreshMarts(spark, wh, factUpdate, dimDate, dimAirline, dimAirport, dimRoute)
   }
 
+  /** Stream-ingest → incremental handoff: fold every CSV in `watchDir`
+    * that has not been folded yet through [[run]], then record it in a
+    * marker-file log (`bronze/_folded_files/<name>`, zero-byte files
+    * created atomically — the same create-if-absent protocol as
+    * `core.VersionedTable`'s commit markers). Returns (file, touched
+    * months) per newly folded file.
+    *
+    * This is the batch half of the streaming story: the checkpointed
+    * `streaming.StreamIngest` run lands raw rows exactly-once in the
+    * stream-bronze audit table, and this fold advances the warehouse
+    * for the same files. A crash between run() and the marker create
+    * re-folds that file on the next invocation — harmless, because
+    * re-delivery is a natural-key-merge no-op (see object doc), so the
+    * end result is exactly-once without coordination.
+    *
+    * Scale: the new-file decision is a FILESYSTEM LISTING diffed
+    * against the marker log — no data scan; compute is O(new files),
+    * the same discipline as the file-source checkpoint itself.
+    */
+  def foldNewFiles(spark: SparkSession, wh: String, watchDir: String,
+      airportsCsv: String, carriersCsv: String): Seq[(String, Seq[Int])] = {
+    val logDir = new org.apache.hadoop.fs.Path(s"$wh/bronze/_folded_files")
+    val watch = new org.apache.hadoop.fs.Path(watchDir)
+    val fs = watch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val csvs = fs.listStatus(watch).toSeq.map(_.getPath)
+      .filter(_.getName.toLowerCase.endsWith(".csv"))
+      .sortBy(_.getName)
+    csvs.filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(logDir, p.getName)))
+      .map { p =>
+        val months = run(spark, wh, p.toString, airportsCsv, carriersCsv)
+        fs.create(new org.apache.hadoop.fs.Path(logDir, p.getName), false).close()
+        p.toString -> months
+      }
+  }
+
   /** Recompute and swap in the mart partitions for every month the
     * delta touches. `deltaFacts` only determines WHICH months; the
     * recompute reads those months from the fact table (so previously

@@ -1,7 +1,9 @@
 package graft.cli
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
+import graft.core.ParquetTable
 import Orchestrator._
 
 class OrchestratorSpec extends SparkSpec {
@@ -70,5 +72,54 @@ class OrchestratorSpec extends SparkSpec {
     // fails — and ONLY it; the build+export chain must succeed
     assert(byName === Map("bronze" -> Succeeded, "silver" -> Succeeded,
       "gold" -> Succeeded, "export" -> Succeeded, "validate" -> Failed))
+  }
+
+  test("streaming DAG: stream ingest -> incremental fold -> validate") {
+    val tmp = Files.createTempDirectory("graft-stream-dag")
+    val wh = tmp.resolve("wh").toString
+    val airports = fixture("L_AIRPORT_ID.csv")
+    val carriers = fixture("L_UNIQUE_CARRIERS.csv")
+
+    // seed the warehouse with January via the batch pipeline
+    RunPipeline.runBronze(spark, fixture("flights.csv"), airports, carriers, wh)
+    RunPipeline.runSilver(spark, wh)
+    RunPipeline.runGold(spark, wh)
+    val janRows = ParquetTable.read(spark, s"$wh/silver/flights").count()
+
+    // a February batch lands in the watch directory
+    val watch = Files.createDirectories(tmp.resolve("landing"))
+    val jan = Files.readAllLines(Paths.get(fixture("flights.csv"))).asScala.toSeq
+    Files.write(watch.resolve("feb.csv"),
+      (jan.head +: jan.tail.map(_.replaceFirst("^1/", "2/"))).asJava)
+
+    def statuses() = runDag(streamingDag(
+      spark, watch.toString, airports, carriers, wh))
+      .map(r => r.name -> r.status).toMap
+
+    // validate fails on the fixture's known `mostly` threshold trips
+    // (same as the monthly DAG above) — the ingest+fold chain succeeds
+    assert(statuses() === Map("stream_ingest" -> Succeeded,
+      "incremental_fold" -> Succeeded, "validate" -> Failed))
+    // the checkpointed stream landed the raw rows exactly once...
+    assert(ParquetTable.read(spark, s"$wh/bronze/stream_flights").count() === 12)
+    // ...and the fold advanced silver by the same batch
+    val afterFold = ParquetTable.read(spark, s"$wh/silver/flights").count()
+    assert(afterFold === janRows + 12)
+
+    // re-running the whole DAG with no new files is a no-op end to end:
+    // the stream checkpoint skips seen files, the marker log skips the
+    // fold, and nothing grows
+    assert(statuses() === Map("stream_ingest" -> Succeeded,
+      "incremental_fold" -> Succeeded, "validate" -> Failed))
+    assert(ParquetTable.read(spark, s"$wh/bronze/stream_flights").count() === 12)
+    assert(ParquetTable.read(spark, s"$wh/silver/flights").count() === afterFold)
+
+    // a late third batch is picked up by the same standing DAG
+    Files.write(watch.resolve("mar.csv"),
+      (jan.head +: jan.tail.map(_.replaceFirst("^1/", "3/"))).asJava)
+    assert(statuses()("incremental_fold") === Succeeded)
+    assert(ParquetTable.read(spark, s"$wh/bronze/stream_flights").count() === 24)
+    assert(ParquetTable.read(spark, s"$wh/silver/flights").count()
+      === afterFold + 12)
   }
 }
