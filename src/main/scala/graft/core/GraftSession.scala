@@ -30,6 +30,10 @@ object GraftSession {
       // bound like the reference's fact build (build_fact_flights.py:113)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // DataFrame shuffles are Tungsten-encoded regardless; this only
+      // touches the few RDD-layer operators (rank-selection
+      // percentiles) and broadcasts, where Kryo is ~2x JavaSerializer
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // testdata events.parquet carries TIMESTAMP(NANOS) which vanilla
       // Spark rejects; read as epoch-nanos long (queries convert).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

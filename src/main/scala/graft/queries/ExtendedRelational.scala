@@ -108,7 +108,11 @@ object ExtendedRelational {
       val t = Tpch(s, dir)
       import graft.operators.Percentiles.groupedExactMulti
       // both value columns ride ONE stacked sort/window pass — one
-      // shuffle total instead of two passes + a join
+      // shuffle total instead of two passes + a join. NOTE the window
+      // sort's parallelism equals the group cardinality (3 here) — the
+      // efficient shape at bench scale; q67 runs the SAME query through
+      // the rank-selection operator whose parallelism is P-independent,
+      // the shape that still works at 100 TB.
       groupedExactMulti(t.lineitem, "l_returnflag", Seq(
           ("l_quantity", Seq(0.5), Seq("mq")),
           ("l_extendedprice", Seq(0.25, 0.75, 0.99), Seq("p25", "p75", "p99"))))
@@ -127,6 +131,29 @@ object ExtendedRelational {
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
+
+  // -- X5b: q38's percentiles computed by DISTRIBUTED RANK SELECTION
+  //    (Percentiles.groupedExactRankSelect): range-shuffle sorted by
+  //    VALUE, parallelism independent of the 3-value group key that
+  //    caps q38's window sort. Shares q38's oracle, so both exact-
+  //    percentile formulations are hash-verified against the same
+  //    ground truth — the q43/q57 pattern applied to percentiles. ----
+  private val q67 = Q(
+    "q67_percentiles_rankselect",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Percentiles.groupedExactRankSelect
+      groupedExactRankSelect(t.lineitem, "l_returnflag", Seq(
+          ("l_quantity", Seq(0.5), Seq("mq")),
+          ("l_extendedprice", Seq(0.25, 0.75, 0.99), Seq("p25", "p75", "p99"))))
+        .select(col("l_returnflag"),
+          pround(col("mq"), 4).as("median_qty"),
+          pround(col("p25"), 4).as("p25_price"),
+          pround(col("p75"), 4).as("p75_price"),
+          pround(col("p99"), 4).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    q38.oracle)
 
   // -- X6: as-of join — each purchase attributed to the latest
   //    preceding view of the same user (operators.AsOfJoin; oracle is
@@ -273,5 +300,5 @@ object ExtendedRelational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59)
+  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67)
 }

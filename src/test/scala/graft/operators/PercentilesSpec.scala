@@ -60,6 +60,32 @@ class PercentilesSpec extends SparkSpec {
     assert(rows("c")._2 === 1L && rows("c")._4 === 9.0)
   }
 
+  test("groupedExactRankSelect ≡ groupedExactMulti, independent of P") {
+    val specs = Seq(
+      ("x", Seq(0.0, 0.5, 0.9, 1.0), Seq("x0", "x50", "x90", "x100")),
+      ("y", Seq(0.5), Seq("y50")))
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (1 until r.length).map(i => Option(r.get(i)))).toMap
+    val viaWindow = canon(Percentiles.groupedExactMulti(df, "g", specs))
+
+    // larger deterministic corpus so ranks cross partition boundaries
+    val big = spark.range(0, 997).selectExpr(
+      "concat('g', id % 5) AS g",
+      "CAST((id * 37) % 991 AS DOUBLE) AS x",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST((id * 13) % 83 AS DOUBLE) END AS y")
+    val bigWindow = canon(Percentiles.groupedExactMulti(big, "g", specs))
+
+    for (p <- Seq(1, 3, 17)) {
+      assert(canon(Percentiles.groupedExactRankSelect(df, "g", specs, p))
+        === viaWindow, s"small corpus, P=$p")
+      assert(canon(Percentiles.groupedExactRankSelect(big, "g", specs, p))
+        === bigWindow, s"big corpus, P=$p")
+    }
+    // the whole point: group cardinality (5) no longer caps parallelism
+    // — any P gives identical results, so P can track the cluster
+  }
+
   test("single-column groupedExact delegates to the fused pass") {
     val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
       Seq("lo", "hi")).collect()
