@@ -37,7 +37,7 @@ object Bench {
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q55_stratified_sample", "q62_decontamination", "q63_repetition_stats",
-    "q64_pack_offsets", "q65_quantize_stats", "q66_pipeline_mart",
+    "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments", "q66_pipeline_mart",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

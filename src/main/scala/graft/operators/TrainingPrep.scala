@@ -184,6 +184,38 @@ object TrainingPrep {
       .drop("bucket", "local_prefix", "bucket_base")
   }
 
+  /** Expand [[packOffsets]] into the physical document → training-
+    * sequence segment map: one row per (document, sequence) pair the
+    * document overlaps, with the token range it contributes
+    * (`seg_start` within the document, `seg_len` tokens). This is the
+    * shard writer's work order — group by `seq_id` and every training
+    * sequence knows exactly which token slices compose it.
+    *
+    * Invariants (spec-asserted): per document, Σ seg_len = token
+    * count; per sequence, Σ seg_len = seqLen for every sequence
+    * except the final partial one. Zero-token documents emit one
+    * empty segment at their offset's sequence (position preserved,
+    * nothing contributed).
+    *
+    * Scale: inherits packOffsets' two-phase prefix sum; the expansion
+    * itself is a narrow explode over ≤ ⌈tokens/seqLen⌉+1 sequence ids
+    * per document — no additional shuffle.
+    */
+  def packSegments(
+      df: DataFrame,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Int,
+      bucketWidth: Long = 1 << 20): DataFrame =
+    packOffsets(df, orderCol, tokenCol, seqLen, bucketWidth)
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("seg_start",
+        greatest(col("seq_id") * seqLen - col("offset"), lit(0L)))
+      .withColumn("seg_len",
+        least((col("seq_id") + 1) * seqLen - col("offset"),
+          col(tokenCol).cast("long")) - col("seg_start"))
+      .drop("first_seq", "last_seq", "n_seqs")
+
   // ------------------------------------------------------------------
   // Embedding quantization (symmetric int8)
   // ------------------------------------------------------------------

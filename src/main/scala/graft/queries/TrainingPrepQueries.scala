@@ -128,6 +128,44 @@ object TrainingPrepQueries {
       FROM offs
       ORDER BY doc_id"""))
 
+  // -- T3b: the doc -> training-sequence segment map (shard work order)
+  private val q68 = Q(
+    "q68_pack_segments",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      TrainingPrep.packSegments(toks, "doc_id", "n_tokens",
+          seqLen = SEQ_LEN, bucketWidth = BUCKET)
+        .select(col("doc_id"), col("seq_id"), col("seg_start"), col("seg_len"))
+        .orderBy(col("doc_id"), col("seq_id"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      offs AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS doc_offset
+        FROM toks),
+      spans AS (
+        SELECT doc_id, n_tokens, doc_offset,
+          CAST(floor(doc_offset / ${SEQ_LEN}.0) AS BIGINT) AS first_seq,
+          CAST(floor((doc_offset + greatest(n_tokens, 1) - 1) / ${SEQ_LEN}.0)
+            AS BIGINT) AS last_seq
+        FROM offs),
+      segs AS (
+        SELECT doc_id, n_tokens, doc_offset,
+          unnest(generate_series(first_seq, last_seq)) AS seq_id
+        FROM spans)
+      SELECT doc_id, seq_id,
+        greatest(seq_id * ${SEQ_LEN} - doc_offset, 0) AS seg_start,
+        least((seq_id + 1) * ${SEQ_LEN} - doc_offset, n_tokens)
+          - greatest(seq_id * ${SEQ_LEN} - doc_offset, 0) AS seg_len
+      FROM segs
+      ORDER BY doc_id, seq_id"""))
+
   // -- T4: symmetric int8 embedding quantization stats -----------------
   private val q65 = Q(
     "q65_quantize_stats",
@@ -172,5 +210,5 @@ object TrainingPrepQueries {
       FROM q
       ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(q62, q63, q64, q65)
+  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68)
 }

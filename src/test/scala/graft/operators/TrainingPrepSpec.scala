@@ -102,6 +102,33 @@ class TrainingPrepSpec extends SparkSpec {
     assert(offsets(3L) === base)
   }
 
+  test("packSegments: doc token conservation and full sequences") {
+    val segs = TrainingPrep.packSegments(packDocs, "doc_id", "n_tokens",
+        seqLen = 10, bucketWidth = 2)
+      .select("doc_id", "seq_id", "seg_start", "seg_len")
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // exact segment map for offsets 0,4,12,15,25 at seqLen 10
+    val want = Seq(
+      (1L, 0L, 0L, 4L),            // doc1 tokens 0..3   -> seq 0
+      (2L, 0L, 0L, 6L),            // doc2 first 6 tokens fill seq 0
+      (2L, 1L, 6L, 2L),            // ...last 2 spill into seq 1
+      (3L, 1L, 0L, 3L),            // doc3 inside seq 1
+      (4L, 1L, 0L, 5L),            // doc4 fills the rest of seq 1
+      (4L, 2L, 5L, 5L),            // ...and half of seq 2
+      (5L, 2L, 0L, 0L))            // empty doc: position, no tokens
+    assert(segs.toSeq === want)
+
+    // invariants: per-doc conservation; every non-final seq holds
+    // exactly seqLen tokens
+    val byDoc = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDoc === Map(1L -> 4L, 2L -> 8L, 3L -> 3L, 4L -> 10L, 5L -> 0L))
+    val bySeq = segs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq(0L) === 10L && bySeq(1L) === 10L)
+    assert(bySeq(2L) === 5L) // final partial sequence
+  }
+
   // ------------------------------------------------------------------
   // quantizeStats
   // ------------------------------------------------------------------
