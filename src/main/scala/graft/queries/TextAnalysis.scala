@@ -174,5 +174,54 @@ object TextAnalysis {
     FROM documents
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20)
+  // -- T5: PII redaction scrub report (emails / phones / IPv4). The
+  //    corpus has no PII by construction, so each doc gets a synthetic
+  //    doc_id-derived contact block appended (the q60 pattern: both
+  //    engines build the same bytes, then must scrub them the same
+  //    way). Counts are pre-redaction; the redacted text itself is
+  //    hash-compared, so replacement order and boundaries must agree
+  //    exactly. -----------------------------------------------------
+  private val q69 = Q(
+    "q69_pii_redaction",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.functions.Redaction
+      val d = col("doc_id")
+      def part(mul: Int, mod: Int, w: Int) =
+        lpad(pmod(d * mul, lit(mod)).cast("string"), w, "0")
+      val noisy = concat(col("text"),
+        lit(" contact user"), d, lit("@corp.example.com or call "),
+        part(7, 1000, 3), lit("-"), part(13, 1000, 3), lit("-"),
+        part(17, 10000, 4),
+        lit(" from 10."), pmod(d, lit(256)), lit("."),
+        pmod(d * 3, lit(256)), lit("."), pmod(d * 5, lit(256)))
+      val counts = Redaction.patterns.map { case (name, p, _) =>
+        Redaction.matchCount(noisy, p).as(s"n_$name")
+      }
+      t.documents
+        .select((Seq(d, Redaction.redact(noisy).as("redacted")) ++ counts): _*)
+        .orderBy(d)
+    },
+    Some {
+      import graft.functions.Redaction
+      val noisySql =
+        """text || ' contact user' || CAST(doc_id AS VARCHAR)
+          | || '@corp.example.com or call '
+          | || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+          | || lpad(CAST(doc_id * 13 % 1000 AS VARCHAR), 3, '0') || '-'
+          | || lpad(CAST(doc_id * 17 % 10000 AS VARCHAR), 4, '0')
+          | || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          | || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+          | || '.' || CAST(doc_id * 5 % 256 AS VARCHAR)""".stripMargin
+      val countCols = Redaction.patterns.map { case (name, p, _) =>
+        s"${Redaction.matchCountSql("t", p)} AS n_$name"
+      }.mkString(",\n        ")
+      s"""WITH noisy AS (SELECT doc_id, $noisySql AS t FROM documents)
+      SELECT doc_id, ${Redaction.redactSql("t")} AS redacted,
+        $countCols
+      FROM noisy
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69)
 }
