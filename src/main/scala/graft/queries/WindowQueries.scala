@@ -135,5 +135,65 @@ object WindowQueries {
     GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46)
+  // -- W4: date-spine gap fill with last-observation-carried-forward —
+  //    the time-series resample primitive (downstream of G1's spine
+  //    generator): daily order totals per priority, missing days
+  //    filled by LOCF over an IGNORE-NULLS last() window. Leading gaps
+  //    (before a group's first observation) stay NULL in both engines.
+  //    Scale: the spine×priority grid is generated (no scan), the join
+  //    is grid ⋈ aggregated-days on (priority, day), and the LOCF
+  //    window partitions by priority — same low-cardinality caveat as
+  //    q38 vs q67; the fill itself is one running window pass. -------
+  private val q70 = Q(
+    "q70_gap_fill_locf",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val daily = t.orders.groupBy(
+          col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("day_total"))
+      val spine = t.orders
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val prios = t.orders
+        .select(col("o_orderpriority").as("priority")).distinct()
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      spine.crossJoin(broadcast(prios))
+        .join(daily, Seq("priority", "day"), "left")
+        .select(col("priority"), col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          last(col("day_total"), ignoreNulls = true).over(w)
+            .as("filled_total"),
+          col("day_total").isNull.as("is_gap"))
+        .orderBy(col("priority"), col("day"))
+    },
+    Some(s"""WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+          count(*) AS n_orders,
+          ${moneySumSql("o_totalprice")} AS day_total
+        FROM orders GROUP BY 1, 2),
+      bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+          CAST(max(o_orderdate) AS DATE) AS d1
+        FROM orders),
+      spine AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+          AS day
+        FROM bounds),
+      grid AS (
+        SELECT p.priority, s.day
+        FROM spine s CROSS JOIN
+          (SELECT DISTINCT o_orderpriority AS priority FROM orders) p)
+      SELECT g.priority, g.day,
+        CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+        last_value(d.day_total IGNORE NULLS)
+          OVER (PARTITION BY g.priority ORDER BY g.day) AS filled_total,
+        d.day_total IS NULL AS is_gap
+      FROM grid g
+      LEFT JOIN daily d ON g.priority = d.priority AND g.day = d.day
+      ORDER BY g.priority, g.day"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70)
 }
