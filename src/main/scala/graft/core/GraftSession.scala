@@ -55,6 +55,10 @@ object GraftSession {
       // while still capping a pathological plan's stringify cost.
       .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.maxPlanStringLength", (256 * 1024).toString)
+      // the schema-listing sibling of maxPlanStringLength: wide
+      // projections (34-col silver, stacked percentile structs) exceed
+      // the 25-field default and warn once per job otherwise
+      .config("spark.sql.debug.maxToStringFields", "200")
 
   /** Local session: `cores` executor threads in-process. */
   def local(cores: Int = localCores, appName: String = "graft"): SparkSession = {
