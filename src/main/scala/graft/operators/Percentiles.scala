@@ -145,10 +145,13 @@ object Percentiles {
     * plan); everything stays a single sorted shuffle that Catalyst
     * could not express without a per-group window.
     *
-    * Measured price of P-independence at sf0.1 (q67 vs q38): ~2.4x
-    * the window variant's task-seconds — the sampling pass plus the
-    * second read of the sorted shuffle. Worth paying exactly when
-    * groups ≪ cores; below that threshold use the window variants.
+    * Measured at sf0.1 (q67 vs q38, warmed): task-second PARITY with
+    * the window variant (~3 s both) at lower wall time (1.5 s vs
+    * 2.0 s — 32 tasks share the sort the window shape serializes onto
+    * 3). The Tungsten exchange is what makes it free: an earlier cut
+    * that shuffled boxed Kryo tuples via rdd.sortByKey cost ~5x.
+    * Prefer this shape whenever groups ≪ cores; the window variants
+    * win when the group count alone saturates the cluster.
     */
   def groupedExactRankSelect(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[Double], Seq[String])],
@@ -180,25 +183,29 @@ object Percentiles {
     val K = groups.length * C
 
     // stack + encode inside codegen (explode over a struct array, key
-    // from a G-deep null-safe when-chain), then hand (v, k) pairs to
-    // the RDD layer through the TUPLE ENCODER — no generic Row boxing
-    // on the 2·|rows| hot path (df.rdd's InternalRow→Row conversion
-    // was the dominant cost of the first cut)
+    // from a G-deep null-safe when-chain), range-shuffle + sort in
+    // TUNGSTEN (compressed UnsafeRow exchange, radix sort), and only
+    // then cross into the RDD layer through the tuple encoder. Both
+    // streamed passes below run jobs on this one RDD, so the shuffle
+    // map output is computed once and reused — same files, no
+    // re-sort. (A plain rdd.sortByKey shuffled boxed Kryo tuples and
+    // cost ~2x this shape; df.rdd's generic Row boxing cost ~6x.)
     val gKey: org.apache.spark.sql.Column =
       groups.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
         case ((g, i), e) => when(col(groupCol) <=> lit(g), lit(i)).otherwise(e)
       }
-    val stacked = df
+    val sorted = df
       .select(explode(array(valCols.zipWithIndex.map { case (c, i) =>
         struct(col(c).cast("double").as("v"), (gKey * C + i).as("k"))
       }: _*)).as("s"))
       .filter(col("s.v").isNotNull)
-      .select(col("s.v"), col("s.k"))
+      .select(col("s.v").as("v"), col("s.k").as("k"))
+      .repartitionByRange(P, col("v"))
+      .sortWithinPartitions(col("v"))
       .as[(Double, Int)](org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble,
         org.apache.spark.sql.Encoders.scalaInt))
       .rdd
-    val sorted = stacked.sortByKey(ascending = true, numPartitions = P)
 
     // pass 1: per-partition occupancy per encoded key
     val byPidAsc: Array[(Int, Array[Long])] =
