@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** EXACT frequent-items ("heavy hitters") without a full-cardinality
+  * shuffle — the operator that finds the frequent tokens/n-grams of a
+  * 100 TB corpus where a plain `groupBy(token).count` must shuffle
+  * every distinct token (billions of keys) just to discard almost all
+  * of them.
+  *
+  * Two passes, both bounded:
+  *   1. per-partition MISRA-GRIES summaries of capacity k (classic
+  *      decrement-on-overflow; O(k) memory per task). The merged
+  *      candidate union has the MG guarantee: any item with global
+  *      count > n/(k+1) survives in at least one partition summary —
+  *      so with k ≥ margin/minFreq (margin ≥ 1), every item at or
+  *      above the minFreq·n support threshold is a candidate. The
+  *      collected candidate set is ≤ P·k rows (KBs), NOT the vocab.
+  *   2. exact recount of ONLY the candidates (broadcast semi join on
+  *      the token scan) and threshold filter — so the output is
+  *      EXACT, not approximate: the sketch only prunes the shuffle
+  *      key space, never the answer.
+  *
+  * The support threshold is a FRACTION (minFreq) rather than an
+  * absolute count so the guarantee `n/(k+1) < minFreq·n` is
+  * scale-free: the same parameters hold at sf0.01 and at 100 TB.
+  */
+object HeavyHitters {
+
+  /** Tokens occurring in ≥ ceil(minFreq·n) of the n total token
+    * occurrences of `textCol`, with exact counts.
+    * Output: token, cnt — ordered by token.
+    */
+  def frequentTokens(docs: DataFrame, textCol: String, minFreq: Double,
+      margin: Double = 2.0): DataFrame = {
+    require(minFreq > 0 && minFreq < 1, "minFreq must be in (0,1)")
+    require(margin >= 1.0, "margin must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = math.ceil(margin / minFreq).toInt
+
+    val toks = docs
+      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
+
+    // pass 1: per-partition Misra-Gries; emits (candidate, 0) rows and
+    // one (null, partitionTokenCount) marker per partition
+    val summaries: Array[(String, Long)] = toks.as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.Map.empty[String, Long]
+        var np = 0L
+        it.foreach { t =>
+          np += 1L
+          counters.get(t) match {
+            case Some(c) => counters.update(t, c + 1L)
+            case None if counters.size < k => counters.update(t, 1L)
+            case None =>
+              // decrement-all; drop zeros (the O(k) amortized step).
+              // Iterate a key snapshot — mutating values mid-foreach
+              // on a mutable.Map is undefined.
+              counters.keys.toArray.foreach { key =>
+                val c = counters(key)
+                if (c == 1L) counters.remove(key)
+                else counters.update(key, c - 1L)
+              }
+          }
+        }
+        counters.keysIterator.map(c => (c, 0L)) ++ Iterator.single((null: String, np))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+
+    val n = summaries.collect { case (null, np) => np }.sum
+    val threshold = math.ceil(minFreq * n).toLong
+    // the scale-free guarantee that makes the exact claim valid
+    require(n == 0 || n.toDouble / (k + 1) < threshold,
+      s"capacity k=$k too small for minFreq=$minFreq at n=$n")
+    val candidates = summaries.collect { case (c, _) if c != null => c }
+      .distinct.toSeq.toDF("token")
+
+    // pass 2: exact recount of the candidate set only
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("token"))
+  }
+}

@@ -223,5 +223,27 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69)
+  // -- T6: EXACT heavy hitters via per-partition Misra-Gries candidate
+  //    pruning + exact recount (operators.HeavyHitters). The oracle is
+  //    a plain GROUP BY ... HAVING over every token — the operator
+  //    must match it exactly, proving the sketch only prunes the
+  //    shuffle key space and never the answer. ----------------------
+  private val MIN_FREQ = 0.001
+  private val q71 = Q(
+    "q71_heavy_hitters",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.HeavyHitters
+        .frequentTokens(t.documents, "text", MIN_FREQ)
+    },
+    Some(s"""WITH toks AS (
+        SELECT unnest(${TextFns.tokensSql("text")}) AS token FROM documents),
+      tot AS (SELECT count(*) AS n FROM toks)
+      SELECT token, count(*) AS cnt
+      FROM toks, tot
+      GROUP BY token, n
+      HAVING count(*) >= CAST(ceil($MIN_FREQ * n) AS BIGINT)
+      ORDER BY token"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71)
 }
