@@ -22,7 +22,7 @@ object Bench {
     "q01_pricing_summary", "q02_conditional_agg", "q04_star_broadcast",
     "q05_region_year_revenue", "q07_full_outer_coalesce", "q09_top_parts",
     "q10_topn_per_group", "q14_date_funcs", "q17_token_stats",
-    "q18_text_quality", "q20_fingerprint", "q69_pii_redaction", "q71_heavy_hitters", "q21_exact_dedup",
+    "q18_text_quality", "q20_fingerprint", "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",

@@ -34,18 +34,48 @@ object HeavyHitters {
     */
   def frequentTokens(docs: DataFrame, textCol: String, minFreq: Double,
       margin: Double = 2.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    frequentItems(docs
+      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("i"))
+      .as[String], minFreq, margin)
+      .select(col("item").as("token"), col("cnt"))
+  }
+
+  /** Word n-gram shingles above the support threshold — the
+    * boilerplate / stop-shingle detector: SCALE.md's Jaccard scale
+    * note names "stop-shingle capping" as the knob when a shingle's
+    * document frequency explodes, and this is the operator that finds
+    * those shingles without shuffling the full shingle vocabulary.
+    * Output: shingle, cnt — ordered by shingle.
+    */
+  def frequentShingles(docs: DataFrame, textCol: String, n: Int,
+      minFreq: Double, margin: Double = 2.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    frequentItems(docs
+      .select(explode(graft.functions.TextFns.shingles(
+        graft.functions.TextFns.tokens(col(textCol)), n)).as("i"))
+      .as[String], minFreq, margin)
+      .select(col("item").as("shingle"), col("cnt"))
+  }
+
+  /** Core: items occurring in ≥ ceil(minFreq·n) of the n item
+    * occurrences, with exact counts. Output: item, cnt.
+    */
+  def frequentItems(items: Dataset[String], minFreq: Double,
+      margin: Double = 2.0): DataFrame = {
     require(minFreq > 0 && minFreq < 1, "minFreq must be in (0,1)")
     require(margin >= 1.0, "margin must be >= 1")
-    val spark = docs.sparkSession
+    val spark = items.sparkSession
     import spark.implicits._
     val k = math.ceil(margin / minFreq).toInt
 
-    val toks = docs
-      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("token"))
+    val toks = items.toDF("item")
 
     // pass 1: per-partition Misra-Gries; emits (candidate, 0) rows and
-    // one (null, partitionTokenCount) marker per partition
-    val summaries: Array[(String, Long)] = toks.as[String]
+    // one (null, partitionItemCount) marker per partition
+    val summaries: Array[(String, Long)] = items
       .mapPartitions { it =>
         val counters = scala.collection.mutable.Map.empty[String, Long]
         var np = 0L
@@ -76,12 +106,12 @@ object HeavyHitters {
     require(n == 0 || n.toDouble / (k + 1) < threshold,
       s"capacity k=$k too small for minFreq=$minFreq at n=$n")
     val candidates = summaries.collect { case (c, _) if c != null => c }
-      .distinct.toSeq.toDF("token")
+      .distinct.toSeq.toDF("item")
 
     // pass 2: exact recount of the candidate set only
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
-      .orderBy(col("token"))
+      .orderBy(col("item"))
   }
 }

@@ -245,5 +245,33 @@ object TextAnalysis {
       HAVING count(*) >= CAST(ceil($MIN_FREQ * n) AS BIGINT)
       ORDER BY token"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71)
+  // -- T7: stop-shingle detection — frequent 3-gram shingles via the
+  //    same Misra-Gries candidate pruning. These are the boilerplate
+  //    shingles whose document frequency blows up the Jaccard inverted
+  //    index (SCALE.md); at 100 TB this list feeds the stop-shingle
+  //    cap without ever shuffling the full shingle vocabulary. ------
+  private val N_SH = 3
+  // 1.8e-4 of the ~26k sf0.01 shingle occurrences = support 5: catches
+  // the near-dup clusters' shared shingles (154 rows) without pulling
+  // in the singleton tail
+  private val MIN_FREQ_SH = 1.8e-4
+  private val q72 = Q(
+    "q72_stop_shingles",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.HeavyHitters
+        .frequentShingles(t.documents, "text", N_SH, MIN_FREQ_SH)
+    },
+    Some(s"""WITH sh AS (
+        SELECT unnest(${TextFns.shinglesSql(TextFns.tokensSql("text"), N_SH)})
+          AS shingle
+        FROM documents),
+      tot AS (SELECT count(*) AS n FROM sh)
+      SELECT shingle, count(*) AS cnt
+      FROM sh, tot
+      GROUP BY shingle, n
+      HAVING count(*) >= CAST(ceil($MIN_FREQ_SH * n) AS BIGINT)
+      ORDER BY shingle"""))
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72)
 }

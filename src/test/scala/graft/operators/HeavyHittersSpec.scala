@@ -34,6 +34,19 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("frequentShingles matches the naive shingle groupBy") {
+    val got = HeavyHitters.frequentShingles(docs, "text", 2, 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sh = docs.select(explode(graft.functions.TextFns.shingles(
+      graft.functions.TextFns.tokens(col("text")), 2)).as("shingle"))
+    val n = sh.count()
+    val want = sh.groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(0.01 * n).toLong)
+      .orderBy("shingle")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("candidate capacity is bounded and the guarantee is enforced") {
     // margin 1.0 at minFreq 0.5 -> k=2 counters per partition, yet the
     // dominant token must still surface with its exact count
