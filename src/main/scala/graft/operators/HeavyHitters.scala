@@ -33,14 +33,9 @@ object HeavyHitters {
     * Output: token, cnt — ordered by token.
     */
   def frequentTokens(docs: DataFrame, textCol: String, minFreq: Double,
-      margin: Double = 2.0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    frequentItems(docs
-      .select(explode(graft.functions.TextFns.tokens(col(textCol))).as("i"))
-      .as[String], minFreq, margin)
+      margin: Double = 2.0): DataFrame =
+    frequentText(docs, textCol, 1, minFreq, margin)
       .select(col("item").as("token"), col("cnt"))
-  }
 
   /** Word n-gram shingles above the support threshold — the
     * boilerplate / stop-shingle detector: SCALE.md's Jaccard scale
@@ -50,14 +45,65 @@ object HeavyHitters {
     * Output: shingle, cnt — ordered by shingle.
     */
   def frequentShingles(docs: DataFrame, textCol: String, n: Int,
+      minFreq: Double, margin: Double = 2.0): DataFrame =
+    frequentText(docs, textCol, n, minFreq, margin)
+      .select(col("item").as("shingle"), col("cnt"))
+
+  /** Text fast path: the Misra-Gries candidate pass runs over the
+    * NATIVE codegen shingle-hash arrays (no string materialization,
+    * LongMap counters); only the recount pass materializes shingle
+    * strings, and it joins them to the candidate hashes via the same
+    * rolling hash. A hash collision can only ADD a false candidate —
+    * the exact string-level recount still decides — so exactness is
+    * unaffected. Halves the operator's cost (strings built once).
+    */
+  private def frequentText(docs: DataFrame, textCol: String, n: Int,
       minFreq: Double, margin: Double = 2.0): DataFrame = {
+    require(minFreq > 0 && minFreq < 1, "minFreq must be in (0,1)")
+    require(margin >= 1.0, "margin must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    frequentItems(docs
-      .select(explode(graft.functions.TextFns.shingles(
-        graft.functions.TextFns.tokens(col(textCol)), n)).as("i"))
-      .as[String], minFreq, margin)
-      .select(col("item").as("shingle"), col("cnt"))
+    val k = math.ceil(margin / minFreq).toInt
+
+    // pass 1 over hashes: (0, candidateHash) rows + one (1, np) marker
+    val summaries: Array[(Long, Long)] = docs
+      .select(explode(graft.functions.TextFns
+        .shingleHashes(col(textCol), n)).as("h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.LongMap.empty[Long]
+        var np = 0L
+        it.foreach { h =>
+          np += 1L
+          if (counters.contains(h)) counters(h) += 1L
+          else if (counters.size < k) counters(h) = 1L
+          else counters.keys.toArray.foreach { key =>
+            if (counters(key) == 1L) counters.remove(key)
+            else counters(key) -= 1L
+          }
+        }
+        counters.keysIterator.map(c => (0L, c)) ++ Iterator.single((1L, np))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+
+    val n0 = summaries.collect { case (1L, np) => np }.sum
+    val threshold = math.ceil(minFreq * n0).toLong
+    require(n0 == 0 || n0.toDouble / (k + 1) < threshold,
+      s"capacity k=$k too small for minFreq=$minFreq at n=$n0")
+    val candidates = summaries.collect { case (0L, c) => c }
+      .distinct.toSeq.toDF("h")
+
+    // pass 2: strings materialized ONCE, semi-joined on their hash
+    docs.select(explode(graft.functions.TextFns.shingles(
+        graft.functions.TextFns.tokens(col(textCol)), n)).as("item"))
+      .join(broadcast(candidates),
+        graft.functions.TextFns.rollingHash(col("item")) === col("h"),
+        "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy(col("item"))
   }
 
   /** Core: items occurring in ≥ ceil(minFreq·n) of the n item
