@@ -34,18 +34,26 @@ object PipelineQueries {
 
   private val FIX = "/root/repo/src/test/resources/fixtures"
 
+  /** The real production lineage over the fixture CSVs, shared by the
+    * mart oracles below.
+    */
+  private def buildWarehouse(s: org.apache.spark.sql.SparkSession) = {
+    val bronze = Bronze.ingest(s,
+      s"$FIX/flights.csv", s"$FIX/L_AIRPORT_ID.csv",
+      s"$FIX/L_UNIQUE_CARRIERS.csv", inferSchema = false)
+    val silver = Silver.transform(bronze)
+    val dimDate = GoldDims.dimDate(s)
+    val dimAirline = GoldDims.dimAirline(silver)
+    val dimAirport = GoldDims.dimAirport(silver)
+    val dimRoute = GoldDims.dimRoute(silver)
+    val fact = FactFlights.build(silver, dimDate, dimAirport, dimAirline, dimRoute)
+    (fact, dimDate, dimAirline, dimAirport)
+  }
+
   private val q66 = Q(
     "q66_pipeline_mart",
     (s, dir) => {
-      val bronze = Bronze.ingest(s,
-        s"$FIX/flights.csv", s"$FIX/L_AIRPORT_ID.csv",
-        s"$FIX/L_UNIQUE_CARRIERS.csv", inferSchema = false)
-      val silver = Silver.transform(bronze)
-      val dimDate = GoldDims.dimDate(s)
-      val dimAirline = GoldDims.dimAirline(silver)
-      val dimAirport = GoldDims.dimAirport(silver)
-      val dimRoute = GoldDims.dimRoute(silver)
-      val fact = FactFlights.build(silver, dimDate, dimAirport, dimAirline, dimRoute)
+      val (fact, dimDate, dimAirline, _) = buildWarehouse(s)
       Marts.dailyAirlinePerformance(fact, dimDate, dimAirline)
         .select(
           col("FLIGHT_DATE"), col("YEAR"), col("MONTH"),
@@ -164,5 +172,84 @@ object PipelineQueries {
       FROM mart
       ORDER BY FLIGHT_DATE, AIRLINE_CODE"""))
 
-  val all: Seq[Q] = Seq(q66)
+  // -- q73: the airport mart end-to-end — the FULL OUTER dep ⟗ arr
+  //    join with when/otherwise key coalescing (J12), the trickiest
+  //    mart shape. The fixture's XXX airport departs once but never
+  //    receives, so the outer join's one-sided branch (null arrival
+  //    columns, name resolved from the dep side) is exercised and
+  //    hash-compared. ------------------------------------------------
+  private val q73 = Q(
+    "q73_pipeline_airport_mart",
+    (s, dir) => {
+      val (fact, dimDate, _, dimAirport) = buildWarehouse(s)
+      Marts.dailyAirportPerformance(fact, dimDate, dimAirport)
+        .select(col("FLIGHT_DATE"), col("AIRPORT_CODE"), col("AIRPORT_NAME"),
+          col("TOTAL_DEPARTURES"), col("CANCELLED_DEPARTURES"),
+          pround(col("AVG_DEPARTURE_DELAY"), 6).as("AVG_DEPARTURE_DELAY"),
+          col("DELAYED_DEPARTURES"),
+          col("TOTAL_ARRIVALS"), col("DIVERTED_ARRIVALS"),
+          pround(col("AVG_ARRIVAL_DELAY"), 6).as("AVG_ARRIVAL_DELAY"),
+          col("DELAYED_ARRIVALS"))
+        .orderBy(col("FLIGHT_DATE"), col("AIRPORT_CODE"))
+    },
+    Some(s"""WITH raw AS (
+        SELECT * FROM read_csv('$FIX/flights.csv', header=true,
+          columns={'FL_DATE':'VARCHAR','OP_UNIQUE_CARRIER':'VARCHAR',
+            'OP_CARRIER_FL_NUM':'INTEGER','ORIGIN_AIRPORT_ID':'INTEGER',
+            'ORIGIN':'VARCHAR','DEST_AIRPORT_ID':'INTEGER','DEST':'VARCHAR',
+            'CRS_DEP_TIME':'VARCHAR','DEP_TIME':'VARCHAR','DEP_DELAY':'DOUBLE',
+            'DEP_DELAY_NEW':'DOUBLE','CRS_ARR_TIME':'VARCHAR','ARR_TIME':'VARCHAR',
+            'ARR_DELAY':'DOUBLE','ARR_DELAY_NEW':'DOUBLE','CANCELLED':'DOUBLE',
+            'DIVERTED':'DOUBLE','AIR_TIME':'DOUBLE','DISTANCE':'DOUBLE'})),
+      airports AS (
+        SELECT trim(Code) AS Code, trim(Description) AS Description
+        FROM read_csv('$FIX/L_AIRPORT_ID.csv', header=true,
+          columns={'Code':'VARCHAR','Description':'VARCHAR'})),
+      silver AS (
+        SELECT
+          CAST(strptime(FL_DATE, '%m/%d/%Y %I:%M:%S %p') AS DATE) AS FLIGHT_DATE,
+          upper(trim(ORIGIN)) AS O_CODE, upper(trim(DEST)) AS D_CODE,
+          trim(oa.Description) AS O_NAME, trim(da.Description) AS D_NAME,
+          CANCELLED = 1.0 AS IS_CANCELLED,
+          DIVERTED = 1.0 AS IS_DIVERTED,
+          CASE WHEN CANCELLED = 1.0 THEN NULL ELSE DEP_DELAY END AS DEPARTURE_DELAY,
+          CASE WHEN CANCELLED = 1.0 THEN NULL ELSE ARR_DELAY END AS ARRIVAL_DELAY
+        FROM raw r
+        LEFT JOIN airports oa ON CAST(r.ORIGIN_AIRPORT_ID AS VARCHAR) = oa.Code
+        LEFT JOIN airports da ON CAST(r.DEST_AIRPORT_ID AS VARCHAR) = da.Code),
+      dep AS (
+        SELECT FLIGHT_DATE, O_CODE AS code, O_NAME AS name,
+          count(*) AS TOTAL_DEPARTURES,
+          CAST(sum(CASE WHEN IS_CANCELLED THEN 1 ELSE 0 END) AS BIGINT)
+            AS CANCELLED_DEPARTURES,
+          ${proundSql("avg(CASE WHEN NOT IS_CANCELLED THEN DEPARTURE_DELAY END)", 6)}
+            AS AVG_DEPARTURE_DELAY,
+          CAST(sum(CASE WHEN DEPARTURE_DELAY > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DELAYED_DEPARTURES
+        FROM silver GROUP BY 1, 2, 3),
+      arr AS (
+        SELECT FLIGHT_DATE, D_CODE AS code, D_NAME AS name,
+          count(*) AS TOTAL_ARRIVALS,
+          CAST(sum(CASE WHEN IS_DIVERTED THEN 1 ELSE 0 END) AS BIGINT)
+            AS DIVERTED_ARRIVALS,
+          ${proundSql("avg(CASE WHEN NOT IS_CANCELLED THEN ARRIVAL_DELAY END)", 6)}
+            AS AVG_ARRIVAL_DELAY,
+          CAST(sum(CASE WHEN ARRIVAL_DELAY > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DELAYED_ARRIVALS
+        FROM silver GROUP BY 1, 2, 3)
+      SELECT
+        CASE WHEN d.FLIGHT_DATE IS NOT NULL THEN d.FLIGHT_DATE
+          ELSE a.FLIGHT_DATE END AS FLIGHT_DATE,
+        CASE WHEN d.code IS NOT NULL THEN d.code ELSE a.code END AS AIRPORT_CODE,
+        CASE WHEN d.name IS NOT NULL THEN d.name ELSE a.name END AS AIRPORT_NAME,
+        d.TOTAL_DEPARTURES, d.CANCELLED_DEPARTURES,
+        d.AVG_DEPARTURE_DELAY, d.DELAYED_DEPARTURES,
+        a.TOTAL_ARRIVALS, a.DIVERTED_ARRIVALS,
+        a.AVG_ARRIVAL_DELAY, a.DELAYED_ARRIVALS
+      FROM dep d
+      FULL OUTER JOIN arr a
+        ON d.FLIGHT_DATE = a.FLIGHT_DATE AND d.code = a.code
+      ORDER BY FLIGHT_DATE, AIRPORT_CODE"""))
+
+  val all: Seq[Q] = Seq(q66, q73)
 }
