@@ -38,7 +38,8 @@ object Bench {
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q55_stratified_sample", "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments", "q66_pipeline_mart",
-    "q73_pipeline_airport_mart", "q67_percentiles_rankselect")
+    "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
+    "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
     * thing to measure at sf≤0.1, but NOT the scale path — above that

@@ -47,13 +47,13 @@ object PipelineQueries {
     val dimAirport = GoldDims.dimAirport(silver)
     val dimRoute = GoldDims.dimRoute(silver)
     val fact = FactFlights.build(silver, dimDate, dimAirport, dimAirline, dimRoute)
-    (fact, dimDate, dimAirline, dimAirport)
+    (fact, dimDate, dimAirline, dimAirport, dimRoute)
   }
 
   private val q66 = Q(
     "q66_pipeline_mart",
     (s, dir) => {
-      val (fact, dimDate, dimAirline, _) = buildWarehouse(s)
+      val (fact, dimDate, dimAirline, _, _) = buildWarehouse(s)
       Marts.dailyAirlinePerformance(fact, dimDate, dimAirline)
         .select(
           col("FLIGHT_DATE"), col("YEAR"), col("MONTH"),
@@ -181,7 +181,7 @@ object PipelineQueries {
   private val q73 = Q(
     "q73_pipeline_airport_mart",
     (s, dir) => {
-      val (fact, dimDate, _, dimAirport) = buildWarehouse(s)
+      val (fact, dimDate, _, dimAirport, _) = buildWarehouse(s)
       Marts.dailyAirportPerformance(fact, dimDate, dimAirport)
         .select(col("FLIGHT_DATE"), col("AIRPORT_CODE"), col("AIRPORT_NAME"),
           col("TOTAL_DEPARTURES"), col("CANCELLED_DEPARTURES"),
@@ -251,5 +251,86 @@ object PipelineQueries {
         ON d.FLIGHT_DATE = a.FLIGHT_DATE AND d.code = a.code
       ORDER BY FLIGHT_DATE, AIRPORT_CODE"""))
 
-  val all: Seq[Q] = Seq(q66, q73)
+  // -- q74: the route mart end-to-end — monthly (route × airline)
+  //    rollup through the dim_route chain (A7 + J13). Covers the
+  //    null-propagating ROUTE_NAME ("from <null> to ..." for the
+  //    unnamed XXX airport stays NULL — DuckDB's || operator, not its
+  //    null-skipping concat()), and the ÷0→NULL on-time ratio for the
+  //    all-cancelled route. -------------------------------------------
+  private val q74 = Q(
+    "q74_pipeline_route_mart",
+    (s, dir) => {
+      val (fact, dimDate, dimAirline, _, dimRoute) = buildWarehouse(s)
+      Marts.routePerformance(fact, dimDate, dimRoute, dimAirline)
+        .select(col("YEAR"), col("MONTH"), col("ROUTE_CODE"), col("ROUTE_NAME"),
+          col("ORIGIN_AIRPORT_CODE"), col("DEST_AIRPORT_CODE"),
+          col("AIRLINE_CODE"), col("AIRLINE_NAME"),
+          col("FLIGHT_FREQUENCY"),
+          pround(col("AVG_DEPARTURE_DELAY"), 6).as("AVG_DEPARTURE_DELAY"),
+          pround(col("AVG_ARRIVAL_DELAY"), 6).as("AVG_ARRIVAL_DELAY"),
+          pround(col("AVG_AIR_TIME"), 6).as("AVG_AIR_TIME"),
+          col("CANCELLATIONS"), col("ONTIME_FLIGHTS"),
+          col("ONTIME_PERFORMANCE_PCT"))
+        .orderBy(col("ROUTE_CODE"), col("AIRLINE_CODE"), col("MONTH"))
+    },
+    Some(s"""WITH raw AS (
+        SELECT * FROM read_csv('$FIX/flights.csv', header=true,
+          columns={'FL_DATE':'VARCHAR','OP_UNIQUE_CARRIER':'VARCHAR',
+            'OP_CARRIER_FL_NUM':'INTEGER','ORIGIN_AIRPORT_ID':'INTEGER',
+            'ORIGIN':'VARCHAR','DEST_AIRPORT_ID':'INTEGER','DEST':'VARCHAR',
+            'CRS_DEP_TIME':'VARCHAR','DEP_TIME':'VARCHAR','DEP_DELAY':'DOUBLE',
+            'DEP_DELAY_NEW':'DOUBLE','CRS_ARR_TIME':'VARCHAR','ARR_TIME':'VARCHAR',
+            'ARR_DELAY':'DOUBLE','ARR_DELAY_NEW':'DOUBLE','CANCELLED':'DOUBLE',
+            'DIVERTED':'DOUBLE','AIR_TIME':'DOUBLE','DISTANCE':'DOUBLE'})),
+      airports AS (
+        SELECT trim(Code) AS Code, trim(Description) AS Description
+        FROM read_csv('$FIX/L_AIRPORT_ID.csv', header=true,
+          columns={'Code':'VARCHAR','Description':'VARCHAR'})),
+      carriers AS (
+        SELECT trim(Code) AS Code, trim(Description) AS Description
+        FROM read_csv('$FIX/L_UNIQUE_CARRIERS.csv', header=true,
+          columns={'Code':'VARCHAR','Description':'VARCHAR'})),
+      silver AS (
+        SELECT
+          CAST(strptime(FL_DATE, '%m/%d/%Y %I:%M:%S %p') AS DATE) AS FLIGHT_DATE,
+          upper(trim(OP_UNIQUE_CARRIER)) AS AIRLINE_CODE,
+          trim(c.Description) AS AIRLINE_NAME,
+          upper(trim(ORIGIN)) AS O_CODE, upper(trim(DEST)) AS D_CODE,
+          upper(trim(ORIGIN)) || '-' || upper(trim(DEST)) AS ROUTE_CODE,
+          'from ' || trim(oa.Description) || ' to ' || trim(da.Description)
+            AS ROUTE_NAME,
+          CANCELLED = 1.0 AS IS_CANCELLED,
+          CASE WHEN CANCELLED = 1.0 THEN NULL ELSE DEP_DELAY END AS DEPARTURE_DELAY,
+          CASE WHEN CANCELLED = 1.0 THEN NULL ELSE ARR_DELAY END AS ARRIVAL_DELAY,
+          CASE WHEN CANCELLED = 1.0 THEN NULL ELSE AIR_TIME END AS AIR_TIME_MINUTES,
+          CASE WHEN CANCELLED = 1.0 THEN NULL
+            WHEN DEP_DELAY IS NULL OR ARR_DELAY IS NULL THEN NULL
+            WHEN DEP_DELAY <= 0 AND ARR_DELAY <= 0 THEN true
+            ELSE false END AS IS_ONTIME
+        FROM raw r
+        LEFT JOIN airports oa ON CAST(r.ORIGIN_AIRPORT_ID AS VARCHAR) = oa.Code
+        LEFT JOIN airports da ON CAST(r.DEST_AIRPORT_ID AS VARCHAR) = da.Code
+        LEFT JOIN carriers c ON trim(r.OP_UNIQUE_CARRIER) = c.Code),
+      mart AS (
+        SELECT year(FLIGHT_DATE) AS YEAR, month(FLIGHT_DATE) AS MONTH,
+          ROUTE_CODE, ROUTE_NAME, O_CODE AS ORIGIN_AIRPORT_CODE,
+          D_CODE AS DEST_AIRPORT_CODE, AIRLINE_CODE, AIRLINE_NAME,
+          count(*) AS FLIGHT_FREQUENCY,
+          ${proundSql("avg(DEPARTURE_DELAY)", 6)} AS AVG_DEPARTURE_DELAY,
+          ${proundSql("avg(ARRIVAL_DELAY)", 6)} AS AVG_ARRIVAL_DELAY,
+          ${proundSql("avg(AIR_TIME_MINUTES)", 6)} AS AVG_AIR_TIME,
+          CAST(sum(CASE WHEN IS_CANCELLED THEN 1 ELSE 0 END) AS BIGINT)
+            AS CANCELLATIONS,
+          CAST(sum(CASE WHEN IS_ONTIME THEN 1 ELSE 0 END) AS BIGINT)
+            AS ONTIME_FLIGHTS
+        FROM silver
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
+      SELECT *,
+        round(CAST(ONTIME_FLIGHTS AS DOUBLE)
+          / nullif(FLIGHT_FREQUENCY - CANCELLATIONS, 0) * 100, 2)
+          AS ONTIME_PERFORMANCE_PCT
+      FROM mart
+      ORDER BY ROUTE_CODE, AIRLINE_CODE, MONTH"""))
+
+  val all: Seq[Q] = Seq(q66, q73, q74)
 }
