@@ -141,6 +141,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rank-select percentiles ≡ Spark's percentile aggregate") {
+    // duplicates on purpose (small integer grid) — boundary ranks must
+    // pick consistent values under ties; parallelism swept separately
+    val g = Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(-20, 20)))
+    forAll(g, n = 10) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "i").withColumn("v", col("i").cast("double"))
+        val ps = Seq(0.0, 0.1, 0.5, 0.77, 1.0)
+        val mine = graft.operators.Percentiles
+          .groupedExactRankSelect(df, "k",
+            Seq(("v", ps, ps.map(p => s"p$p"))), numPartitions = 7)
+          .orderBy("k").collect()
+        val spk = df.groupBy("k")
+          .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("arr"))
+          .orderBy("k").collect()
+        assert(mine.map(_.getString(0)).toSeq === spk.map(_.getString(0)).toSeq)
+        mine.zip(spk).foreach { case (m, s) =>
+          val arr = s.getSeq[Double](1)
+          ps.indices.foreach { i =>
+            assert(math.abs(m.getDouble(i + 1) - arr(i)) <=
+              1e-9 * math.max(1.0, math.abs(arr(i))),
+              s"k=${m.getString(0)} p=${ps(i)}")
+          }
+        }
+      }
+    }
+  }
+
+  test("packing invariants hold for arbitrary corpora and bucket widths") {
+    import graft.operators.TrainingPrep
+    val g = Gen.zip(
+      Gen.listOfN(60, Gen.chooseNum(0L, 40L)), // token counts, zeros incl.
+      Gen.choose(1, 30))                       // seqLen
+    forAll(g, n = 10) { case (toks, seqLen) =>
+      whenever(toks.nonEmpty) {
+        val df = toks.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("id", "n_tokens")
+        val expectedOffsets = toks.scanLeft(0L)(_ + _).init
+        for (w <- Seq(1L, 7L, 1L << 20)) {
+          val offs = TrainingPrep.packOffsets(df, "id", "n_tokens", seqLen, w)
+            .orderBy("id").collect()
+          // offsets are the exclusive prefix sum, independent of w
+          assert(offs.map(_.getAs[Long]("offset")).toSeq === expectedOffsets,
+            s"w=$w seqLen=$seqLen")
+          offs.foreach { r =>
+            assert(r.getAs[Long]("n_seqs") ===
+              r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1)
+          }
+          val segs = TrainingPrep.packSegments(df, "id", "n_tokens", seqLen, w)
+            .collect()
+          // conservation: every token lands in exactly one segment
+          val byDoc = segs.groupBy(_.getAs[Long]("id"))
+            .view.mapValues(_.map(_.getAs[Long]("seg_len")).sum).toMap
+          toks.zipWithIndex.foreach { case (t, i) =>
+            assert(byDoc.getOrElse(i.toLong, 0L) === t, s"doc $i w=$w")
+          }
+          // every non-final sequence is exactly full
+          val bySeq = segs.groupBy(_.getAs[Long]("seq_id"))
+            .view.mapValues(_.map(_.getAs[Long]("seg_len")).sum).toMap
+          if (bySeq.nonEmpty) {
+            val lastSeq = bySeq.keys.max
+            bySeq.foreach { case (sid, tot) =>
+              if (sid != lastSeq) assert(tot === seqLen.toLong,
+                s"seq $sid not full (w=$w)")
+              else assert(tot <= seqLen.toLong)
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("quality score stays in [0,1] for arbitrary inputs") {
     import graft.pipeline.Silver
     val g = for {
