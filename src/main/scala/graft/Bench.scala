@@ -53,7 +53,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val requested = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble)
     val names =
       if (sf.exists(_ > 0.1) && sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty) {
         val dropped = requested.filter(quadraticExact)

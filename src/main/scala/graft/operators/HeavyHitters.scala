@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** EXACT frequent-items ("heavy hitters") without a full-cardinality
@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *   2. exact recount of ONLY the candidates (broadcast semi join on
   *      the token scan) and threshold filter — so the output is
   *      EXACT, not approximate: the sketch only prunes the shuffle
-  *      key space, never the answer.
+  *      key space, never the answer. (The candidate pass runs over
+  *      native shingle HASHES — see frequentText.)
   *
   * The support threshold is a FRACTION (minFreq) rather than an
   * absolute count so the guarantee `n/(k+1) < minFreq·n` is
@@ -106,58 +107,4 @@ object HeavyHitters {
       .orderBy(col("item"))
   }
 
-  /** Core: items occurring in ≥ ceil(minFreq·n) of the n item
-    * occurrences, with exact counts. Output: item, cnt.
-    */
-  def frequentItems(items: Dataset[String], minFreq: Double,
-      margin: Double = 2.0): DataFrame = {
-    require(minFreq > 0 && minFreq < 1, "minFreq must be in (0,1)")
-    require(margin >= 1.0, "margin must be >= 1")
-    val spark = items.sparkSession
-    import spark.implicits._
-    val k = math.ceil(margin / minFreq).toInt
-
-    val toks = items.toDF("item")
-
-    // pass 1: per-partition Misra-Gries; emits (candidate, 0) rows and
-    // one (null, partitionItemCount) marker per partition
-    val summaries: Array[(String, Long)] = items
-      .mapPartitions { it =>
-        val counters = scala.collection.mutable.Map.empty[String, Long]
-        var np = 0L
-        it.foreach { t =>
-          np += 1L
-          counters.get(t) match {
-            case Some(c) => counters.update(t, c + 1L)
-            case None if counters.size < k => counters.update(t, 1L)
-            case None =>
-              // decrement-all; drop zeros (the O(k) amortized step).
-              // Iterate a key snapshot — mutating values mid-foreach
-              // on a mutable.Map is undefined.
-              counters.keys.toArray.foreach { key =>
-                val c = counters(key)
-                if (c == 1L) counters.remove(key)
-                else counters.update(key, c - 1L)
-              }
-          }
-        }
-        counters.keysIterator.map(c => (c, 0L)) ++ Iterator.single((null: String, np))
-      }(org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
-      .collect()
-
-    val n = summaries.collect { case (null, np) => np }.sum
-    val threshold = math.ceil(minFreq * n).toLong
-    // the scale-free guarantee that makes the exact claim valid
-    require(n == 0 || n.toDouble / (k + 1) < threshold,
-      s"capacity k=$k too small for minFreq=$minFreq at n=$n")
-    val candidates = summaries.collect { case (c, _) if c != null => c }
-      .distinct.toSeq.toDF("item")
-
-    // pass 2: exact recount of the candidate set only
-    toks.join(broadcast(candidates), Seq("item"), "left_semi")
-      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
-      .orderBy(col("item"))
-  }
 }

@@ -68,7 +68,11 @@ object Incremental {
   def run(spark: SparkSession, wh: String, deltaFlightsCsv: String,
       airportsCsv: String, carriersCsv: String): Seq[Int] = {
     val bronzeDelta = Bronze.ingest(spark, deltaFlightsCsv, airportsCsv, carriersCsv)
+    // delta-sized and used by two actions (the merge-append and the
+    // touched-date enumeration) — persist so the bronze CSV scan and
+    // silver transform run once, not per action
     val silverDelta = Silver.transform(bronzeDelta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val silverPath = s"$wh/silver/flights"
 
     // insert-if-absent merge: only rows whose natural key is new reach
@@ -80,8 +84,16 @@ object Incremental {
       if (!fs.exists(new org.apache.hadoop.fs.Path(silverPath))) silverDelta
       else {
         val existingKeys = ParquetTable.read(spark, silverPath)
-          .select(silverNaturalKey.map(col): _*)
-        silverDelta.join(existingKeys, silverNaturalKey, "left_anti")
+          .select(silverNaturalKey.map(c => col(c).as(s"__ek_$c")): _*)
+        // NULL-SAFE key equality: the pipeline produces NULL key
+        // columns by design (unparseable FL_DATE, missing scheduled
+        // times), and a plain equi anti-join would re-append those
+        // rows on every re-delivery — exactly the idempotency hole
+        // this merge exists to close
+        silverDelta.join(existingKeys,
+          silverNaturalKey.map(c => silverDelta(c) <=> col(s"__ek_$c"))
+            .reduce(_ && _),
+          "left_anti")
       }
     }
     ParquetTable.append(
@@ -104,10 +116,12 @@ object Incremental {
 
     // fact rebuild for the touched days FROM MERGED SILVER (see object
     // doc). The date list is a bounded partition enumeration (≤ the
-    // delta's distinct days), same discipline as the month collect in
-    // refreshMarts.
+    // delta's distinct days); the touched months derive from the SAME
+    // driver-side list, so the fact-build lineage is never re-executed
+    // just to enumerate months.
     val touchedDates = silverDelta.select(col("FLIGHT_DATE"))
       .distinct().collect().map(_.getDate(0)).toSeq
+    silverDelta.unpersist(blocking = false)
     val factUpdate = FactFlights.build(
       silver.filter(col("FLIGHT_DATE").isin(touchedDates: _*)),
       dimDate, dimAirport, dimAirline, dimRoute)
@@ -115,7 +129,11 @@ object Incremental {
       factUpdate.repartition(factUpdate("DATE_KEY")),
       s"$wh/gold/fact_flights", Seq("DATE_KEY"))
 
-    refreshMarts(spark, wh, factUpdate, dimDate, dimAirline, dimAirport, dimRoute)
+    val months = touchedDates.filter(_ != null).map { d =>
+      val ld = d.toLocalDate
+      ld.getYear * 100 + ld.getMonthValue
+    }.distinct.sorted
+    refreshMarts(spark, wh, months, dimDate, dimAirline, dimAirport, dimRoute)
   }
 
   /** Stream-ingest → incremental handoff: fold every CSV in `watchDir`
@@ -154,20 +172,16 @@ object Incremental {
       }
   }
 
-  /** Recompute and swap in the mart partitions for every month the
-    * delta touches. `deltaFacts` only determines WHICH months; the
-    * recompute reads those months from the fact table (so previously
-    * loaded days of a touched month are included).
+  /** Recompute and swap in the mart partitions for the given yyyyMM
+    * months (already enumerated on the driver — a DataFrame-derived
+    * month list here would re-execute the caller's whole fact-build
+    * lineage just to collect a handful of ints). The recompute reads
+    * those months from the fact table, so previously loaded days of a
+    * touched month are included.
     */
-  def refreshMarts(spark: SparkSession, wh: String, deltaFacts: DataFrame,
+  def refreshMarts(spark: SparkSession, wh: String, months: Seq[Int],
       dimDate: DataFrame, dimAirline: DataFrame, dimAirport: DataFrame,
       dimRoute: DataFrame): Seq[Int] = {
-    // DATE_KEY = yyyyMMdd int; touched months = distinct yyyyMM (a
-    // handful of values — driver-side by design, like any partition
-    // enumeration)
-    val months = deltaFacts
-      .select((col("DATE_KEY").cast("long") / 100L).cast("int").as("ym"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
     if (months.isEmpty) return months
 
     // month ranges as a partition-prunable predicate on DATE_KEY

@@ -271,7 +271,7 @@ object PipelineQueries {
           pround(col("AVG_AIR_TIME"), 6).as("AVG_AIR_TIME"),
           col("CANCELLATIONS"), col("ONTIME_FLIGHTS"),
           col("ONTIME_PERFORMANCE_PCT"))
-        .orderBy(col("ROUTE_CODE"), col("AIRLINE_CODE"), col("MONTH"))
+        .orderBy(col("ROUTE_CODE"), col("AIRLINE_CODE"), col("YEAR"), col("MONTH"))
     },
     Some(s"""WITH raw AS (
         SELECT * FROM read_csv('$FIX/flights.csv', header=true,
@@ -330,7 +330,7 @@ object PipelineQueries {
           / nullif(FLIGHT_FREQUENCY - CANCELLATIONS, 0) * 100, 2)
           AS ONTIME_PERFORMANCE_PCT
       FROM mart
-      ORDER BY ROUTE_CODE, AIRLINE_CODE, MONTH"""))
+      ORDER BY ROUTE_CODE, AIRLINE_CODE, YEAR, MONTH"""))
 
   val all: Seq[Q] = Seq(q66, q73, q74)
 }

@@ -110,6 +110,29 @@ class IncrementalPipelineSpec extends SparkSpec {
     }
   }
 
+  test("re-delivery stays idempotent when natural-key columns are NULL") {
+    // an empty CRS_DEP_TIME yields a NULL PLANNED_DEPARTURE_TIME key
+    // column; a plain equi anti-join would re-append such rows forever
+    // (NULL != NULL) — the merge must use null-safe key equality
+    val whN = tmp.resolve("wh_nullkey").toString
+    RunPipeline.runBronze(spark, jan, airports, carriers, whN)
+    RunPipeline.runSilver(spark, whN)
+    RunPipeline.runGold(spark, whN)
+    val lines = Files.readAllLines(Paths.get(jan)).asScala.toSeq
+    val row = lines(1).split(",", -1)
+    row(0) = "3/15/2025 12:00:00 AM" // new month
+    row(7) = ""                      // CRS_DEP_TIME -> NULL key column
+    val nullKey = tmp.resolve("nullkey.csv")
+    Files.write(nullKey, Seq(lines.head, row.mkString(",")).asJava)
+
+    assert(Incremental.run(spark, whN, nullKey.toString, airports, carriers)
+      === Seq(202503))
+    val once = ParquetTable.read(spark, s"$whN/silver/flights").count()
+    Incremental.run(spark, whN, nullKey.toString, airports, carriers)
+    assert(ParquetTable.read(spark, s"$whN/silver/flights").count() === once,
+      "NULL-key row duplicated on re-delivery")
+  }
+
   test("a day arriving across two deltas converges fact to silver's union") {
     // same February dates, disjoint flight numbers: the second delta
     // must not wipe the first delta's rows from the shared day
