@@ -36,7 +36,9 @@ object Bench {
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
-    "q55_stratified_sample", "q62_decontamination", "q63_repetition_stats",
+    "q55_stratified_sample", "q75_semantic_dedup", "q76_mixture_sample",
+    "q77_winsorized_stats", "q78_scd2_history",
+    "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments", "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")

@@ -110,6 +110,48 @@ object Percentiles {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row winsorization: clamp `valCol` into its group's
+    * [pLo, pHi] EXACT interpolated percentile bounds — the outlier
+    * treatment a feature pipeline applies before normalization. The
+    * bounds are computed in the same window pass that would rank the
+    * rows anyway (row_number + whole-partition boundary sums), so the
+    * whole operator is ONE sort shuffle and O(1) memory per group —
+    * no separate percentile job and no join back.
+    *
+    * Null values stay null (and are excluded from ranking, like the
+    * other operators here). Output = input columns + `outCol` (the
+    * clamped double).
+    */
+  def winsorized(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double, outCol: String): DataFrame = {
+    require(pLo <= pHi)
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__v", col(valCol).cast("double"))
+      .withColumn("__rn",
+        row_number().over(byGroup.orderBy(col("__v").asc_nulls_last)))
+      .withColumn("__n", count(col("__v")).over(byGroup))
+    // pos = 1 + p·(n−1); the boundary sums touch one row each, the
+    // rest contribute exact 0.0 — identical arithmetic to the DuckDB
+    // oracle formulation, so clip decisions are bit-reproducible.
+    def bound(p: Double) = {
+      val pos = lit(1.0) + lit(p) * (col("__n") - lit(1)).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val frac = pos - lo
+      val vLo = sum(when(col("__rn") === lo, col("__v")).otherwise(lit(0.0)))
+        .over(byGroup)
+      val vHi = sum(when(col("__rn") === hi, col("__v")).otherwise(lit(0.0)))
+        .over(byGroup)
+      vLo + frac * (vHi - vLo)
+    }
+    ranked
+      .withColumn(outCol,
+        when(col("__v").isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col("__v"), bound(pLo)), bound(pHi))))
+      .drop("__v", "__rn", "__n")
+  }
+
   /** Exact percentiles by DISTRIBUTED RANK SELECTION — same results as
     * [[groupedExactMulti]], but with parallelism INDEPENDENT of group
     * cardinality. The window formulations hash-partition by the group

@@ -31,6 +31,45 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame =
     df.filter(slot(col(keyCol), den) < num)
 
+  /** [[slot]] with a per-row (data-dependent) denominator column. */
+  def slotBy(key: Column, den: Column): Column =
+    (((key.cast("long") + lit(1L)) * lit(2654435761L)) % lit(1000003L)) % den
+  def slotBySql(x: String, den: String): String =
+    s"(((CAST($x AS BIGINT) + 1) * 2654435761) % 1000003) % ($den)"
+
+  /** Mixture sampling: resample strata toward TARGET PROPORTIONS — the
+    * training-data mixing primitive ("webtext 30%, code 20%, …" over a
+    * corpus whose natural proportions are different). Each stratum s
+    * gets an integer row budget targetTotal·w(s)‰ (computed on the
+    * driver — weights are config); membership within the stratum is
+    * the key hash against the stratum's OWN cardinality, so exactly
+    * the rows with the lowest hash slots survive. A stratum whose
+    * budget exceeds its population keeps everything (capped by
+    * `least` — upsampling/replication is a different operator).
+    *
+    * Scale: one count-aggregate over the strata (tiny result,
+    * broadcast back), then a scan-time filter — no data shuffle at
+    * all. Deterministic: same key ⇒ same verdict on any engine or
+    * partitioning.
+    *
+    * Output keeps the input columns plus `stratum_n` (population) and
+    * `target_n` (the effective budget).
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+      targetTotal: Int, weightsPerMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    def budget(perMille: Int): Long = targetTotal.toLong * perMille / 1000
+    val target = weightsPerMille.foldLeft(lit(budget(defaultPerMille)): Column) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(budget(w))).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("stratum_n"))
+    df.join(broadcast(counts), Seq(strataCol))
+      .withColumn("target_n", least(target, col("stratum_n")))
+      .filter(slotBy(col(keyCol), col("stratum_n")) < col("target_n"))
+  }
+
   /** Per-stratum sampling rates (num out of den), with a default rate
     * for strata not listed. One CASE chain — still a scan-time filter.
     */

@@ -194,6 +194,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, applied
+    * Spark-first): partition the corpus into IVF cells by nearest
+    * seeded centroid, then drop every vector that is within `tau`
+    * cosine of a LOWER-id vector in the SAME cell. Survivors keep
+    * their cell id so downstream mixing can stay cluster-aware.
+    *
+    * Scale shape (100 TB): the centroid set broadcasts and assignment
+    * is map-side (ivfAssign — one row per vector reaches the shuffle);
+    * the pairwise compare is confined WITHIN cells, so the join's
+    * shuffle key is the cell id and per-task work is O(max cell²), not
+    * O(corpus²) — nlist grows with the corpus (√n rule) to bound cell
+    * sizes, the same dial as the LSH bucket caps. Cross-cell near-dups
+    * are deliberately out of scope (that recall trade IS the
+    * algorithm; near-identical vectors land in the same cell for any
+    * sane centroid set).
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      seedMod: Int, tau: Double): DataFrame = {
+    val seeds = seedCentroids(vecs, idCol, vecCol, seedMod)
+    val assigned = ivfAssign(vecs, idCol, vecCol, seeds)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("vnorm").as("norm_a"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("vnorm").as("norm_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("vec_a"), col("vec_b"))
+        / (col("norm_a") * col("norm_b")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force top-k nearest (cosine) corpus rows per query row.
     * Queries are broadcast; ranking is a per-query window with id
     * tie-break for determinism.

@@ -240,6 +240,120 @@ object ExtendedRelational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
+  // -- X8b: mixture sampling — resample the document corpus toward
+  //    TARGET source proportions (the training-data mixing primitive).
+  //    Per-source integer budgets from config weights; membership is
+  //    the key hash against the source's own cardinality, so the
+  //    sample is reproducible on any engine/partitioning. src0/src1
+  //    are over-weighted past their population to exercise the
+  //    capped-at-available branch. One tiny count-agg broadcast back,
+  //    then a scan-time filter — no data shuffle. ---------------------
+  private val MIX_TOTAL = 200
+  private val MIX_WEIGHTS = Map("src0" -> 300, "src1" -> 100, "src2" -> 50)
+  private val MIX_DEFAULT = 25
+  private val q76 = Q(
+    "q76_mixture_sample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.mixtureSample(
+          t.documents, "doc_id", "source",
+          MIX_TOTAL, MIX_WEIGHTS, MIX_DEFAULT)
+        .groupBy(col("source"))
+        .agg(
+          any_value(col("stratum_n")).as("n_source"),
+          any_value(col("target_n")).as("target_n"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some {
+      def budget(w: Int): Long = MIX_TOTAL.toLong * w / 1000
+      val targetCase = s"""CASE source
+        ${MIX_WEIGHTS.map { case (k, w) => s"WHEN '$k' THEN ${budget(w)}" }.mkString("\n        ")}
+        ELSE ${budget(MIX_DEFAULT)} END"""
+      s"""WITH counts AS (
+        SELECT source, count(*) AS stratum_n FROM documents GROUP BY source),
+      kept AS (
+        SELECT d.*, c.stratum_n,
+          LEAST($targetCase, c.stratum_n) AS target_n
+        FROM documents d JOIN counts c USING (source)
+        WHERE ${graft.operators.Sampling.slotBySql("d.doc_id", "c.stratum_n")}
+          < LEAST($targetCase, c.stratum_n))
+      SELECT source, min(stratum_n) AS n_source, min(target_n) AS target_n,
+        count(*) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM kept
+      GROUP BY source
+      ORDER BY source"""
+    })
+
+  // -- X8c: winsorized feature stats — per-group clamp into the
+  //    [p05, p95] EXACT percentile bounds, computed in the SAME window
+  //    pass as the ranking (operators.Percentiles.winsorized: one sort
+  //    shuffle, O(1)/group memory, no join-back). The oracle recomputes
+  //    the bound with the identical pos/frac arithmetic, so every clip
+  //    decision — not just the rounded output — is bit-reproducible. --
+  private val q77 = Q(
+    "q77_winsorized_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Percentiles.winsorized
+      winsorized(t.lineitem, "l_returnflag", "l_extendedprice",
+          0.05, 0.95, "wprice")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(col("wprice")).as("n_vals"),
+          sum(when(col("wprice") > col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("wprice") < col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_clip_hi"),
+          moneySum(pround(col("wprice"), 4)).as("wsum"),
+          pround(min(col("wprice")), 4).as("wmin"),
+          pround(max(col("wprice")), 4).as("wmax"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH ranked AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice) AS rn,
+          count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      b AS (
+        SELECT l_returnflag,
+          sum(CASE WHEN rn = CAST(floor(1.0 + 0.05 * (n - 1)) AS BIGINT)
+            THEN v ELSE 0.0 END)
+          + max(1.0 + 0.05 * (n - 1) - floor(1.0 + 0.05 * (n - 1)))
+          * (sum(CASE WHEN rn = CAST(ceil(1.0 + 0.05 * (n - 1)) AS BIGINT)
+              THEN v ELSE 0.0 END)
+             - sum(CASE WHEN rn = CAST(floor(1.0 + 0.05 * (n - 1)) AS BIGINT)
+                THEN v ELSE 0.0 END)) AS blo,
+          sum(CASE WHEN rn = CAST(floor(1.0 + 0.95 * (n - 1)) AS BIGINT)
+            THEN v ELSE 0.0 END)
+          + max(1.0 + 0.95 * (n - 1) - floor(1.0 + 0.95 * (n - 1)))
+          * (sum(CASE WHEN rn = CAST(ceil(1.0 + 0.95 * (n - 1)) AS BIGINT)
+              THEN v ELSE 0.0 END)
+             - sum(CASE WHEN rn = CAST(floor(1.0 + 0.95 * (n - 1)) AS BIGINT)
+                THEN v ELSE 0.0 END)) AS bhi
+        FROM ranked GROUP BY l_returnflag),
+      w AS (
+        SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS v,
+          LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE), b.blo), b.bhi) AS wv
+        FROM lineitem l JOIN b USING (l_returnflag)
+        WHERE l.l_extendedprice IS NOT NULL)
+      SELECT l_returnflag, count(wv) AS n_vals,
+        CAST(sum(CASE WHEN wv > v THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        CAST(sum(CASE WHEN wv < v THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        ${moneySumSql(proundSql("wv", 4))} AS wsum,
+        ${proundSql("min(wv)", 4)} AS wmin,
+        ${proundSql("max(wv)", 4)} AS wmax
+      FROM w
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   // -- X8: skew-mitigation operators, oracle-gated — the salted join
   //    and two-phase salted aggregation must be INVISIBLE in results:
   //    the oracle is the plain join+groupBy. A hot l_partkey at 100 TB
@@ -300,5 +414,6 @@ object ExtendedRelational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67)
+  val all: Seq[Q] =
+    Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77)
 }

@@ -193,5 +193,44 @@ object SimilarityQueries {
       WHERE rank <= $K
       ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53)
+  // -- V6: semantic dedup (SemDeDup) — IVF-cell partition, then drop
+  //    any vector within SDTAU cosine of a lower-id vector in the SAME
+  //    cell. Pairwise work is confined to cells (shuffle key = cell id,
+  //    per-task cost O(max cell²) — the 100 TB dedup shape next to
+  //    MinHash-LSH for text). Survivors keep their cell id. ------------
+  private val SDTAU = 0.4
+  private val q75 = Q(
+    "q75_semantic_dedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
+          SEEDMOD, SDTAU)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.cell, v.embedding, v.nrm
+        FROM assign a JOIN v USING (vec_id)),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SDTAU)
+      SELECT m.vec_id, m.cell FROM m
+      LEFT JOIN dropped d ON m.vec_id = d.vec_id
+      WHERE d.vec_id IS NULL
+      ORDER BY m.vec_id"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75)
 }

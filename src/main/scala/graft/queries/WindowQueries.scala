@@ -195,5 +195,58 @@ object WindowQueries {
       LEFT JOIN daily d ON g.priority = d.priority AND g.day = d.day
       ORDER BY g.priority, g.day"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q70)
+  // -- W5: SCD2 history compression (gaps-and-islands) — each user's
+  //    daily last-observed event_type snapshot stream compressed into
+  //    effective [from, to] day ranges (operators.Scd2.compressHistory;
+  //    the write-side CDC fold is Scd2.applyBatch, spec-verified with
+  //    VersionedTable). Day index and ordering are pure integer µs
+  //    arithmetic for engine parity (DuckDB truncates the ns parquet
+  //    timestamps). One window shuffle on user_id. --------------------
+  private val US_PER_DAY = 86400000000L
+  private val q78 = Q(
+    "q78_scd2_history",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Scd2
+      val ev = t.events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"),
+        expr("(ts div 1000) div 86400000000").as("day_idx"))
+      val lastOfDay = Window.partitionBy(col("user_id"), col("day_idx"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val snap = ev.withColumn("rn", row_number().over(lastOfDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day_idx"), col("event_type"))
+      Scd2.compressHistory(snap, "user_id", "day_idx", Seq("event_type"))
+        .orderBy(col("user_id"), col("effective_from"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          epoch_us(ts) // $US_PER_DAY AS day_idx
+        FROM events),
+      snap AS (
+        SELECT user_id, day_idx, event_type FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, day_idx
+            ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM ev) WHERE rn = 1),
+      flagged AS (
+        SELECT user_id, day_idx, event_type,
+          CASE WHEN lag(day_idx) OVER w IS NULL
+                 OR event_type IS DISTINCT FROM lag(event_type) OVER w
+               THEN 1 ELSE 0 END AS is_new
+        FROM snap
+        WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)),
+      runs AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+          ORDER BY day_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS run_id
+        FROM flagged)
+      SELECT user_id, run_id,
+        min(day_idx) AS effective_from, max(day_idx) AS effective_to,
+        min(event_type) AS event_type, count(*) AS n_snapshots
+      FROM runs
+      GROUP BY user_id, run_id
+      ORDER BY user_id, effective_from"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78)
 }

@@ -86,6 +86,46 @@ class PercentilesSpec extends SparkSpec {
     // — any P gives identical results, so P can track the cluster
   }
 
+  test("winsorized clamps into exact percentile bounds; nulls stay null") {
+    val d = (Seq.tabulate(100)(i => ("a", (i + 1).toDouble)) ++
+      Seq(("b", 10.0), ("b", 30.0), ("b", Double.NaN)))
+      .toDF("g", "v")
+      .withColumn("v", when(isnan(col("v")), lit(null)).otherwise(col("v")))
+    val out = Percentiles.winsorized(d, "g", "v", 0.05, 0.95, "w")
+    val a = out.filter(col("g") === "a").select("w").as[Double].collect()
+    // bounds for 1..100: pos_lo = 1+0.05·99 = 5.95 → 5.95; pos_hi = 95.05
+    assert(a.min === 5.95 && a.max === 95.05)
+    assert(a.count(_ == 5.95) === 5) // values 1..5 clipped up
+    assert(a.count(_ == 95.05) === 5) // values 96..100 clipped down
+    val b = out.filter(col("g") === "b")
+      .select("v", "w").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // b bounds: lo = 10+0.05·20 = 11.0, hi = 10+0.95·20 = 29.0
+    assert(b === Set(
+      (Some(10.0), Some(11.0)), (Some(30.0), Some(29.0)), (None, None)))
+  }
+
+  test("winsorized ≡ groupedExactMulti bounds + manual clamp") {
+    val d = (1 to 500).map(i =>
+      (s"g${i % 3}", ((i * 2654435761L) % 1000003L).toDouble))
+      .toDF("g", "v")
+    // per-row compare: the bound arithmetic is the same expression in
+    // both paths, so every clamped double must match bit-for-bit
+    // (sums would differ in the last ulp from summation order)
+    val got = Percentiles.winsorized(d, "g", "v", 0.1, 0.9, "w")
+      .select("g", "v", "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val bounds = Percentiles.groupedExactMulti(d, "g",
+        Seq(("v", Seq(0.1, 0.9), Seq("lo", "hi"))))
+    val want = d.join(bounds, "g")
+      .select(col("g"), col("v"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("w"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === want)
+  }
+
   test("single-column groupedExact delegates to the fused pass") {
     val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
       Seq("lo", "hi")).collect()

@@ -31,6 +31,31 @@ class SamplingSpec extends SparkSpec {
     assert(byStratum("b") > 10000 * 0.02 && byStratum("b") < 10000 * 0.08)
   }
 
+  test("mixtureSample hits per-stratum budgets, capped at population") {
+    val df = keys(10000) // 5000 per stratum
+    // budgets: a = 6000·500‰ = 3000 of 5000; b = 6000·1200‰ = 7200 > 5000
+    val out = Sampling.mixtureSample(df, "k", "stratum",
+      targetTotal = 6000, weightsPerMille = Map("a" -> 500, "b" -> 1200),
+      defaultPerMille = 0)
+    val byStratum = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // subsampled stratum lands near its budget (hash-slot noise only)
+    assert(byStratum("a") > 3000 * 0.9 && byStratum("a") < 3000 * 1.1)
+    // over-weighted stratum is capped: keeps every row
+    assert(byStratum("b") === 5000L)
+    val tn = out.select("stratum", "target_n").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tn === Map("a" -> 3000L, "b" -> 5000L))
+  }
+
+  test("mixtureSample is deterministic under repartitioning") {
+    val df = keys(4000)
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureSample(d, "k", "stratum", 1000,
+        Map("a" -> 600), 400).select("k").as[Long].collect().toSet
+    assert(kept(df) === kept(df.repartition(11)))
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)

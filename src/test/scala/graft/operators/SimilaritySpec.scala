@@ -75,6 +75,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("semanticDedup drops within-cell near-dups of lower-id vectors") {
+    // seedMod=5 ⇒ centroids are ids 0 and 5 (x-axis, y-axis)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid A — survives
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // cell 0, cos=1 with 0 — dropped
+      (2L, Array(1.0f, 0.05f, 0.0f)),  // cell 0, cos≈0.999 with 0 — dropped
+      (5L, Array(0.0f, 1.0f, 0.0f)),   // centroid B — survives
+      (6L, Array(0.0f, 1.0f, 0.2f)),   // cell 5, cos≈0.98 with 5 — dropped
+      (7L, Array(0.0f, -1.0f, 0.5f))   // lands in cell 0, orthogonal — survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        seedMod = 5, tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell"))
+      .toMap
+    assert(out.keySet === Set(0L, 5L, 7L))
+    assert(out(0L) === 0L && out(5L) === 5L && out(7L) === 0L)
+  }
+
+  test("semanticDedup is deterministic under repartitioning") {
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f))
+    }.toDF("vec_id", "embedding")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(df, "vec_id", "embedding", 20, 0.995)
+        .select("vec_id").as[Long].collect().toSet
+    val a = survivors(corpus)
+    val b = survivors(corpus.repartition(13))
+    assert(a === b)
+    assert(a.nonEmpty && a.size < 200) // non-trivial: some drops happened
+  }
+
   test("lshTopK restricts candidates to the query's bucket") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", nBits = 8, k = 3).collect()
