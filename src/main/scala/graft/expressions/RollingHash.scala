@@ -125,6 +125,71 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Tokenize-and-shingle in ONE compiled pass, emitting the shingle
+  * STRINGS: graft_shingles(text, n) ≡
+  *   shingles(split(trim(text),'\s+'), n)   (TextFns.shingles)
+  * Exists for the recount passes that must materialize the winning
+  * strings (heavy hitters): the HOF formulation binds an interpreted
+  * lambda per position (slice + concat_ws per shingle), which under
+  * 32-way parallel allocation pressure dominated the operator's CPU.
+  * Tokenization mirrors ShingleHashes / Spark's trim+split exactly,
+  * so rollingHash(graft_shingles(...)[i]) == graft_shingle_hashes(...)[i]
+  * (property-tested).
+  */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    // same ' '-only trim as ShingleHashes (mirrors Spark's trim())
+    val raw = v.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = raw.length
+    while (start < end && raw.charAt(start) == ' ') start += 1
+    while (end > start && raw.charAt(end - 1) == ' ') end -= 1
+    val tokens = raw.substring(start, end).split("\\s+", -1)
+    val count = tokens.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) =
+        if (n == 1) UTF8String.fromString(tokens(i))
+        else {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tokens(i + j))
+            j += 1
+          }
+          UTF8String.fromString(sb.toString)
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
 /** Session extension registering graft's native functions — apply via
   * `builder.withExtensions(GraftExtensions.inject)` (GraftSession does)
   * or `--conf spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -156,6 +221,18 @@ object GraftExtensions {
             "shingle width must be a literal")
         }
         ShingleHashes(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles takes (text, n literal)")
+        val n = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "shingle width must be a literal")
+        }
+        ShingleStrings(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

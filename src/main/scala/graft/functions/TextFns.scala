@@ -78,6 +78,15 @@ object TextFns {
     s"len(list_filter($toksSql, t -> t IN ($inList)))"
   }
 
+  /** Tokenize-and-shingle in one compiled pass, emitting shingle
+    * STRINGS (native ShingleStrings expression) — ≡
+    * `shingles(tokens(text), n)` value for value, without the
+    * interpreted per-position lambda. Use on recount paths that must
+    * materialize strings from raw text.
+    */
+  def shinglesNative(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
   /** Word n-gram shingles: positions 1..len-n+1, space-joined.
     * Guarded: Spark's sequence(1, 0) yields a DESCENDING [1,0] (not
     * empty like DuckDB's generate_series), so short docs take the

@@ -65,9 +65,14 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = math.ceil(margin / minFreq).toInt
+    // the operator's whole shape is per-PARTITION summaries — restore
+    // scan splits when the source is a single local file (no-op on a
+    // real multi-file dataset)
+    val d = graft.core.Scan.fanOut(docs)
 
-    // pass 1 over hashes: (0, candidateHash) rows + one (1, np) marker
-    val summaries: Array[(Long, Long)] = docs
+    // pass 1 over hashes: (0, candidateHash, mgCount) rows + one
+    // (1, 0, np) occurrence-count marker per partition
+    val summaries: Array[(Long, Long, Long)] = d
       .select(explode(graft.functions.TextFns
         .shingleHashes(col(textCol), n)).as("h"))
       .as[Long]
@@ -83,22 +88,42 @@ object HeavyHitters {
             else counters(key) -= 1L
           }
         }
-        counters.keysIterator.map(c => (0L, c)) ++ Iterator.single((1L, np))
+        counters.iterator.map { case (h, c) => (0L, h, c) } ++
+          Iterator.single((1L, 0L, np))
       }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong))
       .collect()
 
-    val n0 = summaries.collect { case (1L, np) => np }.sum
+    val n0 = summaries.collect { case (1L, _, np) => np }.sum
     val threshold = math.ceil(minFreq * n0).toLong
     require(n0 == 0 || n0.toDouble / (k + 1) < threshold,
       s"capacity k=$k too small for minFreq=$minFreq at n=$n0")
-    val candidates = summaries.collect { case (0L, c) => c }
-      .distinct.toSeq.toDF("h")
+    // MERGE the per-partition summaries into one capacity-k summary
+    // (Agarwal et al., Mergeable Summaries: sum counts per key, then
+    // subtract the (k+1)-th largest and keep the positive remainder).
+    // The merged summary keeps the MG error bound n/(k+1), so every
+    // true heavy hitter survives — and pass 2's candidate set stays
+    // ≤ k rows no matter how many partitions pass 1 ran on (P·k
+    // candidates would multiply the recount's join work for nothing).
+    val merged = scala.collection.mutable.LongMap.empty[Long]
+    summaries.foreach { case (tag, h, c) =>
+      if (tag == 0L) merged(h) = merged.getOrElse(h, 0L) + c
+    }
+    val capped =
+      if (merged.size <= k) merged.keys.toSeq
+      else {
+        val kth = merged.values.toArray.sorted(Ordering[Long].reverse)(k)
+        merged.iterator.collect { case (h, c) if c > kth => h }.toSeq
+      }
+    val candidates = capped.toDF("h")
 
-    // pass 2: strings materialized ONCE, semi-joined on their hash
-    docs.select(explode(graft.functions.TextFns.shingles(
-        graft.functions.TextFns.tokens(col(textCol)), n)).as("item"))
+    // pass 2: strings materialized ONCE (native one-pass shingler —
+    // the HOF chain bound an interpreted lambda per position and
+    // dominated CPU under parallel scan splits), semi-joined on hash
+    d.select(explode(graft.functions.TextFns
+        .shinglesNative(col(textCol), n)).as("item"))
       .join(broadcast(candidates),
         graft.functions.TextFns.rollingHash(col("item")) === col("h"),
         "left_semi")

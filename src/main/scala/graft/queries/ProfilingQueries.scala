@@ -98,7 +98,8 @@ object ProfilingQueries {
     "q32_json_extract",
     (s, dir) => {
       val t = Tpch(s, dir)
-      t.events
+      // per-row JSON parse is the cost — restore scan splits locally
+      graft.core.Scan.fanOut(t.events)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(

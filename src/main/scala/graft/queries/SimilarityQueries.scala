@@ -34,7 +34,10 @@ object SimilarityQueries {
     "q26_cosine_neardup",
     (s, dir) => {
       val t = Tpch(s, dir)
-      Similarity.cosinePairs(t.embeddings, "vec_id", "embedding", CTAU)
+      // O(n²) dot products — restore scan splits so the pair compare
+      // uses the cores (the exact baseline is bench-gated to sf≤0.1)
+      Similarity.cosinePairs(graft.core.Scan.fanOut(t.embeddings),
+          "vec_id", "embedding", CTAU)
         .select(col("v1"), col("v2"), pround(col("cosine"), 6).as("cosine"))
         .orderBy(col("v1"), col("v2"))
     },

@@ -67,6 +67,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_shingles ≡ HOF shingles∘tokens formulation") {
+    val gText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("  ")))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(gText, Gen.chooseNum(1, 4)), n = 60) { case (text, w) =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val native = df.select(TextFns.shinglesNative(col("t"), w))
+        .collect()(0).getSeq[String](0)
+      val hof = df.select(TextFns.shingles(TextFns.tokens(col("t")), w))
+        .collect()(0).getSeq[String](0)
+      assert(native === hof, s"text=${text.take(40)} n=$w")
+    }
+  }
+
   test("native graft_dot ≡ HOF zip_with/aggregate fold, bit for bit") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
     forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) {
@@ -208,6 +222,102 @@ class PropertySpec extends SparkSpec {
                 s"seq $sid not full (w=$w)")
               else assert(tot <= seqLen.toLong)
             }
+          }
+        }
+      }
+    }
+  }
+
+  test("winsorized output is bounded, order-preserving, and count-stable") {
+    val g = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-500.0, 500.0)))
+    forAll(g, n = 15) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val out = graft.operators.Percentiles
+          .winsorized(df, "k", "v", 0.1, 0.9, "w")
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        assert(out.length === rows.length)
+        // clamp bounds are real data quantiles ⇒ within each group the
+        // output range is inside the input range, and clamping is
+        // monotone (order of values never inverts)
+        out.groupBy(_._1).foreach { case (_, grp) =>
+          val vs = grp.map(_._2)
+          val ws = grp.map(_._3)
+          assert(ws.min >= vs.min && ws.max <= vs.max)
+          grp.sortBy(_._2).map(_._3).sliding(2).foreach {
+            case Array(w1, w2) => assert(w1 <= w2)
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
+  test("mixtureSample: kept ⊆ input, budget respected, population cap") {
+    val g = Gen.zip(
+      Gen.chooseNum(50, 400), // targetTotal
+      Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 5000L), Gen.oneOf("x", "y", "z"))))
+    forAll(g, n = 15) { case (total, rows) =>
+      val df = rows.distinct.toDF("k", "s")
+      val out = graft.operators.Sampling.mixtureSample(
+        df, "k", "s", total, Map("x" -> 700, "y" -> 100), 50)
+      val kept = out.select("k", "s").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept.subsetOf(rows.distinct.toSet))
+      val pops = rows.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+      val budgets = Map(
+        "x" -> total.toLong * 700 / 1000, "y" -> total.toLong * 100 / 1000,
+        "z" -> total.toLong * 50 / 1000)
+      // a stratum whose budget covers its population keeps EVERY row
+      // (slot < n is a tautology); target_n reports min(budget, pop).
+      // Subsampled strata land NEAR the budget (hash slots collide, so
+      // the exact count wobbles) — the distributional check lives in
+      // SamplingSpec; here we pin the hard guarantees only.
+      val keptBy = kept.groupBy(_._2).view.mapValues(_.size).toMap
+      pops.foreach { case (s, pop) =>
+        if (budgets(s) >= pop) assert(keptBy.getOrElse(s, 0) === pop)
+      }
+      val targetN = out.select("s", "target_n").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      targetN.foreach { case (s, t) =>
+        assert(t === math.min(budgets(s), pops(s).toLong))
+      }
+    }
+  }
+
+  test("scd2 compressHistory round-trips: runs expand back to snapshots") {
+    val g = Gen.listOfN(50, Gen.zip(
+      Gen.oneOf(1L, 2L, 3L), Gen.chooseNum(0L, 25L), Gen.oneOf("A", "B", "C")))
+    forAll(g, n = 15) { raw =>
+      // one snapshot per (key, day): keep the max value for determinism
+      val rows = raw.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.map(_._3).max).toSeq
+        .map { case ((k, d), v) => (k, d, v) }
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("k", "d", "v")
+        val runs = graft.operators.Scd2
+          .compressHistory(df, "k", "d", Seq("v"))
+          .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("run_id"),
+            r.getAs[Long]("effective_from"), r.getAs[Long]("effective_to"),
+            r.getAs[String]("v"), r.getAs[Long]("n_snapshots")))
+        // expand each run back over the key's observed days — must
+        // reproduce the snapshot stream exactly
+        val byKeyDays = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).sorted).toMap
+        val expanded = runs.flatMap { case (k, _, from, to, v, n) =>
+          val days = byKeyDays(k).filter(d => d >= from && d <= to)
+          assert(days.size.toLong === n)
+          days.map(d => (k, d, v))
+        }.toSet
+        assert(expanded === rows.toSet)
+        // runs per key are non-overlapping and ordered
+        runs.groupBy(_._1).foreach { case (_, rs) =>
+          rs.sortBy(_._3).sliding(2).foreach {
+            case Array(r1, r2) =>
+              assert(r1._4 < r2._3) // prev effective_to < next effective_from
+              assert(r1._5 !== r2._5) // adjacent runs differ in value
+            case _ =>
           }
         }
       }
