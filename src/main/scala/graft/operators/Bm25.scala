@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Log-free BM25 full-text ranking — the classic lexical retrieval
+  * scorer (Robertson & Zaragoza 2009) re-expressed Spark-first, the
+  * lexical sibling of the ANN operators for hybrid retrieval.
+  *
+  * Scoring: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * with the RATIONAL idf surrogate (N − df + ½)/(df + ½) instead of
+  * its logarithm — same stance as the TF-IDF operator: ln() differs
+  * in the last ulp across libm implementations and would break the
+  * bit-exact oracle, and the surrogate is a monotone map of the true
+  * idf so ranking is preserved. Pass k1/b as exactly-representable
+  * doubles (1.25, 0.75) so both engines compute identical floats.
+  *
+  * Scale shape (100 TB): the query-term filter lands INSIDE the token
+  * explode scan, so the tf shuffle carries only occurrences of the
+  * query's terms (the inverted-index trick — corpus tokens never
+  * shuffle); document frequencies are a tiny per-term aggregate
+  * (broadcast); corpus stats are one scalar row (broadcast); the
+  * per-document score folds ≤ |terms| contributions in a FIXED
+  * written order (conditional aggregates, not sum()) so results are
+  * bit-reproducible under any partitioning.
+  */
+object Bm25 {
+
+  /** Top-k documents for a bag-of-words query. Output: idCol, dl
+    * (token count), n_terms (query terms matched), score, rank.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    // (id, dl, term) rows — native one-pass tokenizer, query filter
+    // inside the scan
+    val toks = docs.select(col(idCol),
+        TextFns.shinglesNative(col(textCol), 1).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+    val qtoks = toks.filter(col("term").isin(queryTerms.map(lit): _*))
+    // corpus stats: integer-valued doubles sum exactly in any order
+    val stats = docs
+      .select(size(TextFns.shingleHashes(col(textCol), 1))
+        .cast("double").as("dl0"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl0")).as("avgdl"))
+    val tf = qtoks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl")) // constant per document
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order fold over the literal term list — sum() would add
+    // in partial-aggregation order and wobble the last ulp
+    val termCols: Seq[Column] = queryTerms.map(t =>
+      coalesce(max(when(col("term") === t, col("contrib"))), lit(0.0)))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(first(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        termCols.reduce(_ + _).as("score"))
+    // rank over the k survivors only (constant partition key keeps
+    // the single-partition window intentional, not a planner warning)
+    scored
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .orderBy(col("rank"))
+  }
+}

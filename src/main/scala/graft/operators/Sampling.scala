@@ -82,6 +82,25 @@ object Sampling {
     df.filter(slot(col(keyCol), den) < rate)
   }
 
+  /** EXACTLY k rows per stratum (when the stratum has that many),
+    * deterministically: rank the stratum's rows by (key hash, key) —
+    * a reproducible pseudo-random order — and keep the first k. The
+    * fixed-count complement of [[mixtureSample]]'s rate-based budgets
+    * (hash-threshold membership only approximates the count; ranking
+    * pins it). One window shuffle on the stratum; Spark's
+    * WindowGroupLimit prunes each map partition to its local top-k
+    * before the exchange, so the shuffle carries O(P·k) rows per
+    * stratum, not the corpus.
+    */
+  def exactPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("sample_rank",
+        row_number().over(Window.partitionBy(col(strataCol))
+          .orderBy(slot(col(keyCol), 1000003), col(keyCol))))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Disjoint deterministic split: rows with slot < evalPerMille are
     * "eval", the rest "train". The same key always lands on the same
     * side, on any engine, at any partitioning.

@@ -290,6 +290,32 @@ object ExtendedRelational {
       ORDER BY source"""
     })
 
+  // -- X8d: exact per-stratum sampling — EXACTLY k docs per source,
+  //    ranked by a reproducible key-hash order (Sampling.exactPerStratum;
+  //    the fixed-count complement of q76's rate budgets). The plan
+  //    prunes to k per map partition before the shuffle
+  //    (WindowGroupLimit), so the exchange carries O(P·k), not the
+  //    corpus. ---------------------------------------------------------
+  private val EXACT_K = 3
+  private val q80 = Q(
+    "q80_exact_stratum_sample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.exactPerStratum(
+          t.documents, "doc_id", "source", EXACT_K)
+        .select(col("source"), col("sample_rank"), col("doc_id"),
+          col("n_chars"))
+        .orderBy(col("source"), col("sample_rank"))
+    },
+    Some(s"""SELECT source, sample_rank, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY ${graft.operators.Sampling.slotSql("doc_id", 1000003)},
+              doc_id) AS INT) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= $EXACT_K
+      ORDER BY source, sample_rank"""))
+
   // -- X8c: winsorized feature stats — per-group clamp into the
   //    [p05, p95] EXACT percentile bounds, computed in the SAME window
   //    pass as the ranking (operators.Percentiles.winsorized: one sort
@@ -415,5 +441,5 @@ object ExtendedRelational {
     ORDER BY o_orderpriority"""))
 
   val all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77)
+    Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77, q80)
 }

@@ -273,5 +273,65 @@ object TextAnalysis {
       HAVING count(*) >= CAST(ceil($MIN_FREQ_SH * n) AS BIGINT)
       ORDER BY shingle"""))
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72)
+  // -- T8: BM25 full-text top-k (operators.Bm25) — the lexical
+  //    retrieval scorer next to the ANN operators for hybrid search.
+  //    Rational idf surrogate (no ln — libm ulp differences), exact
+  //    k1/b doubles, fixed-order per-term score fold: every float is
+  //    bit-identical to the oracle. Query-term filter sits inside the
+  //    token scan, so only query-term occurrences ever shuffle. ------
+  private val BM25_TERMS = Seq("hash", "join", "vector")
+  private val BM25_K1 = 1.25 // exactly representable: k1+1 = 2.25
+  private val BM25_B = 0.75
+  private val BM25_K = 25
+  private val q79 = Q(
+    "q79_bm25_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Bm25.topK(t.documents, "doc_id", "text",
+          BM25_TERMS, BM25_K1, BM25_B, BM25_K)
+        .select(col("rank"), col("doc_id"), col("dl").cast("long").as("dl"),
+          col("n_terms"), pround(col("score"), 6).as("score"))
+    },
+    Some {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      val contribCases = BM25_TERMS.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN contrib END), 0.0)")
+        .mkString("\n          + ")
+      s"""WITH toksrc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      toks AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+        FROM toksrc),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+          avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+        FROM toksrc),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM toks WHERE term IN ($termList)
+        GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term),
+      contribs AS (
+        SELECT tf.doc_id, tf.term, tf.dl,
+          ((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+            * tf.tf * ${BM25_K1 + 1}
+            / (tf.tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * tf.dl / s.avgdl))
+            AS contrib
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s),
+      scored AS (
+        SELECT doc_id, min(dl) AS dl, count(*) AS n_terms,
+          $contribCases AS score
+        FROM contribs GROUP BY doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+          AS rank,
+        doc_id, CAST(dl AS BIGINT) AS dl, n_terms,
+        ${proundSql("score", 6)} AS score
+      FROM scored
+      ORDER BY score DESC, doc_id ASC
+      LIMIT $BM25_K"""
+    })
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72, q79)
 }

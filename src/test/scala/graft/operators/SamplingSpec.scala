@@ -56,6 +56,19 @@ class SamplingSpec extends SparkSpec {
     assert(kept(df) === kept(df.repartition(11)))
   }
 
+  test("exactPerStratum yields exactly k per stratum, stable under repartition") {
+    val df = keys(2000)
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.exactPerStratum(d, "k", "stratum", 7)
+        .select("k").as[Long].collect().toSet
+    val got = sample(df)
+    assert(got.size === 14) // 7 from each of the two strata
+    assert(sample(df.repartition(9)) === got)
+    // a stratum smaller than k yields its whole population
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "stratum")
+    assert(Sampling.exactPerStratum(tiny, "k", "stratum", 7).count() === 3)
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
