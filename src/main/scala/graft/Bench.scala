@@ -40,7 +40,8 @@ object Bench {
     "q77_winsorized_stats", "q78_scd2_history", "q79_bm25_topk",
     "q80_exact_stratum_sample",
     "q62_decontamination", "q63_repetition_stats",
-    "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments", "q66_pipeline_mart",
+    "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
+    "q81_chunk_spans", "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")
 

@@ -258,4 +258,50 @@ object TrainingPrep {
             (a, x) => a + (x - qOf(x) * col("scale")) * (x - qOf(x) * col("scale")))
             / size(col(vecCol))))
   }
+
+  // ------------------------------------------------------------------
+  // Sliding-window chunking (RAG / context-window segmentation)
+  // ------------------------------------------------------------------
+
+  /** Cut each document's token stream into fixed-size chunks with a
+    * fixed token overlap — the retrieval/RAG segmentation primitive
+    * (packOffsets concatenates ACROSS documents for training shards;
+    * this windows WITHIN a document and never crosses boundaries).
+    *
+    * Chunk i covers tokens [i·(chunk−overlap)+1, min(i·(chunk−overlap)
+    * +chunk, n)]; the last chunk is the first one whose window reaches
+    * the end (so a short tail merges into the final full window
+    * instead of emitting a sliver that is pure overlap). Token counts
+    * come from the native one-pass tokenizer; the chunk rows are a
+    * generated sequence — per-row narrow work, zero shuffle, and all
+    * integer arithmetic is identical in any engine.
+    *
+    * Output: input columns + n_tokens, chunk_idx (0-based), chunk_start
+    * / chunk_end (1-based token positions, inclusive), chunk_len.
+    * Null texts yield no chunks. (The engine's tokenizer maps "" to
+    * one empty token — same as the split semantics in both engines —
+    * so any non-null text has n ≥ 1 and at least one chunk.)
+    */
+  def chunkSpans(df: DataFrame, textCol: String, chunk: Int,
+      overlap: Int): DataFrame = {
+    require(chunk > 0 && overlap >= 0 && overlap < chunk,
+      "need chunk > overlap >= 0")
+    val stride = chunk - overlap
+    val n = col("n_tokens")
+    // n ≤ chunk → 1 chunk; else 1 + ceil((n − chunk) / stride); the
+    // division is exact integer-valued double arithmetic (< 2^53)
+    val nChunks = when(n === 0, lit(0L)).otherwise(
+      when(n <= chunk, lit(1L)).otherwise(
+        lit(1L) + floor((n - lit(chunk) + lit(stride - 1))
+          .cast("double") / lit(stride.toDouble)).cast("long")))
+    df.withColumn("n_tokens",
+        size(TextFns.shingleHashes(col(textCol), 1)).cast("long"))
+      .withColumn("chunk_idx",
+        explode(when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(array().cast("array<long>"))))
+      .withColumn("chunk_start",
+        least(col("chunk_idx") * stride + 1, greatest(n - chunk + 1, lit(1L))))
+      .withColumn("chunk_end", least(col("chunk_start") + (chunk - 1), n))
+      .withColumn("chunk_len", col("chunk_end") - col("chunk_start") + 1)
+  }
 }

@@ -210,5 +210,52 @@ object TrainingPrepQueries {
       FROM q
       ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68)
+  // -- T6: sliding-window chunking — fixed 64-token chunks with a
+  //    16-token overlap per document (TrainingPrep.chunkSpans; the
+  //    within-document RAG segmentation next to q64/q68's cross-
+  //    document packing). Pure generated-sequence arithmetic, no
+  //    shuffle; the oracle mirrors the ceil-division bit for bit. ----
+  private val CHUNK = 64
+  private val OVERLAP = 16
+  private val q81 = Q(
+    "q81_chunk_spans",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.chunkSpans(t.documents, "text", CHUNK, OVERLAP)
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+          col("chunk_start"), col("chunk_end"), col("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some {
+      val stride = CHUNK - OVERLAP
+      s"""WITH d AS (
+        SELECT doc_id,
+          CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      counted AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens = 0 THEN 0
+               WHEN n_tokens <= $CHUNK THEN 1
+               ELSE 1 + CAST(floor(CAST(n_tokens - $CHUNK + ${stride - 1}
+                 AS DOUBLE) / $stride.0) AS BIGINT) END AS n_chunks
+        FROM d),
+      chunks AS (
+        SELECT doc_id, n_tokens,
+          unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM counted WHERE n_chunks > 0)
+      SELECT doc_id, n_tokens, chunk_idx,
+        LEAST(chunk_idx * $stride + 1,
+          GREATEST(n_tokens - $CHUNK + 1, 1)) AS chunk_start,
+        LEAST(LEAST(chunk_idx * $stride + 1,
+          GREATEST(n_tokens - $CHUNK + 1, 1)) + ${CHUNK - 1}, n_tokens)
+          AS chunk_end,
+        LEAST(LEAST(chunk_idx * $stride + 1,
+          GREATEST(n_tokens - $CHUNK + 1, 1)) + ${CHUNK - 1}, n_tokens)
+          - LEAST(chunk_idx * $stride + 1,
+            GREATEST(n_tokens - $CHUNK + 1, 1)) + 1 AS chunk_len
+      FROM chunks
+      ORDER BY doc_id, chunk_idx"""
+    })
+
+  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81)
 }

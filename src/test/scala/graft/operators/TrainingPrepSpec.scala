@@ -133,6 +133,42 @@ class TrainingPrepSpec extends SparkSpec {
   // quantizeStats
   // ------------------------------------------------------------------
 
+  test("chunkSpans: coverage, overlap, and tail-merge invariants") {
+    // docs of 1, 5 (=chunk), 6, 13, 14 tokens; chunk=5, overlap=2
+    val docs = Seq(1, 5, 6, 13, 14).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TrainingPrep.chunkSpans(docs, "text", chunk = 5, overlap = 2)
+      .select("doc_id", "n_tokens", "chunk_idx", "chunk_start", "chunk_end",
+        "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    out.foreach { case (_, chunks) =>
+      val n = chunks.head._2
+      // first chunk starts at 1; last chunk ends exactly at n
+      assert(chunks.head._4 === 1L)
+      assert(chunks.last._5 === n)
+      // every token position is covered by some chunk
+      val covered = chunks.flatMap(c => c._4 to c._5).toSet
+      assert(covered === (1L to n).toSet)
+      // consecutive chunks overlap by >= the configured overlap, and
+      // full-length docs get full-width windows (no pure-overlap tail)
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 - b._4 + 1 >= 2, s"overlap too small: $a -> $b")
+          assert(b._4 > a._4) // strictly advancing
+        case _ =>
+      }
+      if (n >= 5) assert(chunks.forall(_._6 === 5L)) // all full-width
+    }
+    // 13 tokens, stride 3: chunks at 1..5, 4..8, 7..11, 9..13 (clamped)
+    assert(out(3L).map(c => (c._4, c._5)) ===
+      Seq((1L, 5L), (4L, 8L), (7L, 11L), (9L, 13L)))
+    // 1-token doc: a single [1,1] chunk
+    assert(out(0L).map(c => (c._4, c._5)) === Seq((1L, 1L)))
+  }
+
   test("quantizeStats: symmetric int8 with exact integer checks") {
     val vec = Seq(1.27f, -2.54f, 0.0f)
     val df = Seq((1L, vec)).toDF("vec_id", "embedding")
