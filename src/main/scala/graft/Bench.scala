@@ -37,8 +37,8 @@ object Bench {
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q55_stratified_sample", "q75_semantic_dedup", "q76_mixture_sample",
-    "q77_winsorized_stats", "q78_scd2_history", "q79_bm25_topk",
-    "q80_exact_stratum_sample",
+    "q77_winsorized_stats", "q82_winsorized_rankselect",
+    "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q66_pipeline_mart",

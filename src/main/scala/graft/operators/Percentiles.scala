@@ -152,6 +152,30 @@ object Percentiles {
       .drop("__v", "__rn", "__n")
   }
 
+  /** [[winsorized]] with the bounds computed by DISTRIBUTED RANK
+    * SELECTION instead of a per-group window — the low-group-
+    * cardinality escape hatch, same duality as groupedExactMulti vs
+    * groupedExactRankSelect (measured at 10×: the window shape scales
+    * with per-group size, this shape with the cluster). Two passes
+    * over the input (bounds, then clamp via a broadcast join of the
+    * tiny per-group bounds table) instead of one sorted pass, but
+    * every pass is fully parallel. Bit-identical clamp decisions: the
+    * rank-select interpolation performs the same double arithmetic as
+    * the window formulation (asserted in PercentilesSpec).
+    */
+  def winsorizedRankSelect(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double, outCol: String): DataFrame = {
+    require(pLo <= pHi)
+    val bounds = groupedExactRankSelect(df, groupCol,
+      Seq((valCol, Seq(pLo, pHi), Seq("__blo", "__bhi"))))
+    val v = col(valCol).cast("double")
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(outCol,
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__blo")), col("__bhi"))))
+      .drop("__blo", "__bhi")
+  }
+
   /** Exact percentiles by DISTRIBUTED RANK SELECTION — same results as
     * [[groupedExactMulti]], but with parallelism INDEPENDENT of group
     * cardinality. The window formulations hash-partition by the group

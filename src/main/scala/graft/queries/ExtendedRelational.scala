@@ -380,6 +380,32 @@ object ExtendedRelational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // -- X8e: q77's winsorization through the RANK-SELECT shape — same
+  //    semantics, parallelism independent of the 3-value group key
+  //    (the q38/q67 duality applied to clipping; 10× measurements in
+  //    SCALE.md show why both shapes ship). Shares q77's oracle, so
+  //    both formulations are hash-verified against one ground truth. -
+  private val q82 = Q(
+    "q82_winsorized_rankselect",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Percentiles.winsorizedRankSelect
+      winsorizedRankSelect(t.lineitem, "l_returnflag", "l_extendedprice",
+          0.05, 0.95, "wprice")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(col("wprice")).as("n_vals"),
+          sum(when(col("wprice") > col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("wprice") < col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_clip_hi"),
+          moneySum(pround(col("wprice"), 4)).as("wsum"),
+          pround(min(col("wprice")), 4).as("wmin"),
+          pround(max(col("wprice")), 4).as("wmax"))
+        .orderBy(col("l_returnflag"))
+    },
+    q77.oracle) // one ground truth for both winsorization shapes
+
   // -- X8: skew-mitigation operators, oracle-gated — the salted join
   //    and two-phase salted aggregation must be INVISIBLE in results:
   //    the oracle is the plain join+groupBy. A hot l_partkey at 100 TB
@@ -441,5 +467,6 @@ object ExtendedRelational {
     ORDER BY o_orderpriority"""))
 
   val all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77, q80)
+    Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
+      q80, q82)
 }

@@ -126,6 +126,21 @@ class PercentilesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("winsorizedRankSelect ≡ winsorized, bit for bit") {
+    val d = ((1 to 400).map(i =>
+      (s"g${i % 3}", Option(((i * 40503L) % 1000003L).toDouble))) :+
+      ("g0", None: Option[Double]))
+      .toDF("g", "v")
+    def rows(df2: org.apache.spark.sql.DataFrame) =
+      df2.select("g", "v", "w")
+        .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .sortBy(t => (t._1, t._2.map(_.toString).getOrElse("")))
+        .toSeq
+    val a = rows(Percentiles.winsorized(d, "g", "v", 0.05, 0.95, "w"))
+    val b = rows(Percentiles.winsorizedRankSelect(d, "g", "v", 0.05, 0.95, "w"))
+    assert(a === b)
+  }
+
   test("single-column groupedExact delegates to the fused pass") {
     val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
       Seq("lo", "hi")).collect()
