@@ -19,6 +19,13 @@ object Scan {
     * unchanged. When it does fire it costs one round-robin shuffle of
     * the raw rows — only worth paying ahead of genuinely expensive
     * per-row pipelines, never ahead of a plain aggregate scan.
+    *
+    * The guard fires only below HALF the core count (2× hysteresis,
+    * deliberate): at ≥ cores/2 splits the scan already keeps most of
+    * the machine busy, while an explicit repartition would pin the
+    * partition count and disable AQE's downstream coalescing — the
+    * measured regression case (q25/q45, round 5) that motivated the
+    * margin.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism

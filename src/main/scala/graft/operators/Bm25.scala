@@ -33,14 +33,23 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
+    // a duplicated term would add its contribution once per LIST entry
+    // in the fixed-order fold below — dedupe, preserving first-seen
+    // order (classic BM25 treats the query as a term set)
+    val terms = queryTerms.distinct
     // (id, dl, term) rows — native one-pass tokenizer, query filter
     // inside the scan
     val toks = docs.select(col(idCol),
         TextFns.shinglesNative(col(textCol), 1).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
         explode(col("__toks")).as("term"))
-    val qtoks = toks.filter(col("term").isin(queryTerms.map(lit): _*))
-    // corpus stats: integer-valued doubles sum exactly in any order
+    val qtoks = toks.filter(col("term").isin(terms.map(lit): _*))
+    // corpus stats: integer-valued doubles sum exactly in any order.
+    // NOTE this is a second tokenizing scan of the corpus (stats need
+    // UNFILTERED token counts; the tf branch filters inside its scan
+    // and the two aggregations can't share one pass without caching)
+    // — at deployment, persist the tokenized projection or store dl
+    // as a table column to make this a cheap column scan.
     val stats = docs
       .select(size(TextFns.shingleHashes(col(textCol), 1))
         .cast("double").as("dl0"))
@@ -62,7 +71,7 @@ object Bm25 {
             + lit(b) * col("dl") / col("avgdl"))))
     // fixed-order fold over the literal term list — sum() would add
     // in partial-aggregation order and wobble the last ulp
-    val termCols: Seq[Column] = queryTerms.map(t =>
+    val termCols: Seq[Column] = terms.map(t =>
       coalesce(max(when(col("term") === t, col("contrib"))), lit(0.0)))
     val scored = contrib.groupBy(col(idCol))
       .agg(first(col("dl")).as("dl"),

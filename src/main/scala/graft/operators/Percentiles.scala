@@ -168,12 +168,19 @@ object Percentiles {
     require(pLo <= pHi)
     val bounds = groupedExactRankSelect(df, groupCol,
       Seq((valCol, Seq(pLo, pHi), Seq("__blo", "__bhi"))))
+      .withColumnRenamed(groupCol, "__g")
     val v = col(valCol).cast("double")
-    df.join(broadcast(bounds), Seq(groupCol))
+    // LEFT + null-safe: groups with only null values get no bounds
+    // row, and a NULL group key must still find its bounds — an inner
+    // EqualTo join would DROP those input rows, while the window shape
+    // keeps them (outCol null). Unmatched rows can only carry null
+    // values, so the clamp below never sees a non-null v without
+    // bounds.
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"), "left")
       .withColumn(outCol,
         when(v.isNull, lit(null).cast("double"))
           .otherwise(least(greatest(v, col("__blo")), col("__bhi"))))
-      .drop("__blo", "__bhi")
+      .drop("__g", "__blo", "__bhi")
   }
 
   /** Exact percentiles by DISTRIBUTED RANK SELECTION — same results as

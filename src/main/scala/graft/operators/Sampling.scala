@@ -17,25 +17,50 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Congruential slot in [0, den): ((key+1)·A mod P) mod den with the
-    * engine's standard portable constants (A = 2654435761 Knuth
-    * multiplier, P = 1000003 prime). Integer-only, expressible in any
-    * SQL dialect.
+  /** Congruential slot in [0, den): two independent congruential
+    * hashes combined into a ~10^12-range value H, then H mod den.
+    * Integer-only and expressible in any SQL dialect, with two
+    * scale-safety properties the naive ((key+1)·A mod P) mod den
+    * formulation lacks:
+    *  - NO OVERFLOW for any BIGINT key: the key is reduced mod a
+    *    2^31-scale prime BEFORE the multiply, so every intermediate
+    *    stays < 2^63 (the naive form wraps negative — or errors in
+    *    engines with checked arithmetic — from key ≈ 3.5e9);
+    *  - the slot range covers den up to ~10^12, so per-stratum
+    *    denominators the size of a real corpus still map uniformly
+    *    (the naive form silently capped slots at 1000003, turning
+    *    any larger stratum's budget filter into a tautology).
     */
-  def slot(key: Column, den: Int): Column =
-    (((key.cast("long") + lit(1L)) * lit(2654435761L)) % lit(1000003L)) % lit(den)
-  def slotSql(x: String, den: Int): String =
-    s"(((CAST($x AS BIGINT) + 1) * 2654435761) % 1000003) % $den"
+  private val M1 = 2147483647L // 2^31 − 1, prime (key reducer 1)
+  private val M2 = 2147483629L // prime (key reducer 2)
+  private val A1 = 2654435761L // Knuth multiplier
+  private val A2 = 2246822519L // xxhash prime
+  private val P1 = 1000003L
+  private val P2 = 999983L
+
+  def slotWide(key: Column): Column = {
+    val k = key.cast("long")
+    val h1 = (((k % M1 + M1) % M1 + lit(1L)) * lit(A1)) % lit(P1)
+    val h2 = (((k % M2 + M2) % M2 + lit(1L)) * lit(A2)) % lit(P2)
+    h1 * lit(P2) + h2
+  }
+  def slotWideSql(x: String): String = {
+    val k = s"CAST($x AS BIGINT)"
+    s"""((($k % $M1 + $M1) % $M1 + 1) * $A1 % $P1) * $P2
+       | + (($k % $M2 + $M2) % $M2 + 1) * $A2 % $P2""".stripMargin
+  }
+
+  def slot(key: Column, den: Int): Column = slotWide(key) % lit(den.toLong)
+  def slotSql(x: String, den: Int): String = s"(${slotWideSql(x)}) % $den"
 
   /** Keep ~num/den of rows, decided by the key hash. */
   def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame =
     df.filter(slot(col(keyCol), den) < num)
 
   /** [[slot]] with a per-row (data-dependent) denominator column. */
-  def slotBy(key: Column, den: Column): Column =
-    (((key.cast("long") + lit(1L)) * lit(2654435761L)) % lit(1000003L)) % den
+  def slotBy(key: Column, den: Column): Column = slotWide(key) % den
   def slotBySql(x: String, den: String): String =
-    s"(((CAST($x AS BIGINT) + 1) * 2654435761) % 1000003) % ($den)"
+    s"(${slotWideSql(x)}) % ($den)"
 
   /** Mixture sampling: resample strata toward TARGET PROPORTIONS — the
     * training-data mixing primitive ("webtext 30%, code 20%, …" over a
@@ -97,7 +122,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("sample_rank",
         row_number().over(Window.partitionBy(col(strataCol))
-          .orderBy(slot(col(keyCol), 1000003), col(keyCol))))
+          .orderBy(slotWide(col(keyCol)), col(keyCol))))
       .filter(col("sample_rank") <= k)
   }
 

@@ -75,6 +75,16 @@ object Scd2 {
     val hist = dim.filter(!col("is_current"))
     val cur = dim.filter(col("is_current"))
     val u = updates.select((keys ++ attrs).map(col): _*)
+    // enforce the one-row-per-key contract EAGERLY: a double-keyed
+    // batch would open two is_current rows and the corruption
+    // compounds silently across every later fold. The check is one
+    // small job over the batch (the small side by CDC construction).
+    val Array(nRows, nKeys) = u
+      .agg(count(lit(1)), count_distinct(struct(keys.map(col): _*)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"scd2 applyBatch: updates carry $nRows rows for $nKeys distinct keys " +
+        "— dedupe the CDC batch to one row per key first")
 
     val attrsDiffer = attrs
       .map(a => !(col(s"c.$a") <=> col(s"u.$a")))

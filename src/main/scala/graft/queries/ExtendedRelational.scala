@@ -310,7 +310,7 @@ object ExtendedRelational {
     Some(s"""SELECT source, sample_rank, doc_id, n_chars FROM (
         SELECT source, doc_id, n_chars,
           CAST(row_number() OVER (PARTITION BY source
-            ORDER BY ${graft.operators.Sampling.slotSql("doc_id", 1000003)},
+            ORDER BY ${graft.operators.Sampling.slotWideSql("doc_id")},
               doc_id) AS INT) AS sample_rank
         FROM documents)
       WHERE sample_rank <= $EXACT_K

@@ -127,18 +127,26 @@ class PercentilesSpec extends SparkSpec {
   }
 
   test("winsorizedRankSelect ≡ winsorized, bit for bit") {
+    // includes: a null value inside a populated group, a group whose
+    // values are ALL null (gets no bounds row), and a NULL group key —
+    // the window shape keeps all of them, so rank-select must too
     val d = ((1 to 400).map(i =>
-      (s"g${i % 3}", Option(((i * 40503L) % 1000003L).toDouble))) :+
-      ("g0", None: Option[Double]))
+      (s"g${i % 3}", Option(((i * 40503L) % 1000003L).toDouble))) ++
+      Seq(("g0", None: Option[Double]),
+        ("gnullonly", None: Option[Double]),
+        (null.asInstanceOf[String], Option(7.0)),
+        (null.asInstanceOf[String], Option(9.0))))
       .toDF("g", "v")
     def rows(df2: org.apache.spark.sql.DataFrame) =
       df2.select("g", "v", "w")
-        .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
-        .sortBy(t => (t._1, t._2.map(_.toString).getOrElse("")))
+        .collect().map(r => (Option(r.getString(0)), Option(r.get(1)),
+          Option(r.get(2))))
+        .sortBy(t => (t._1.getOrElse(""), t._2.map(_.toString).getOrElse("")))
         .toSeq
     val a = rows(Percentiles.winsorized(d, "g", "v", 0.05, 0.95, "w"))
     val b = rows(Percentiles.winsorizedRankSelect(d, "g", "v", 0.05, 0.95, "w"))
     assert(a === b)
+    assert(a.size === d.count()) // neither shape drops rows
   }
 
   test("single-column groupedExact delegates to the fused pass") {

@@ -69,6 +69,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.exactPerStratum(tiny, "k", "stratum", 7).count() === 3)
   }
 
+  test("slot hash survives huge keys and strata beyond the hash primes") {
+    // keys at replicated-dataset scale (~9e9): the naive (key+1)*A
+    // formulation wrapped negative here; and a stratum LARGER than the
+    // 1e6-scale hash primes: the naive slot range capped at 1000003,
+    // turning any larger stratum's budget filter into a tautology
+    val big = spark.range(0, 2000000)
+      .select((col("id") + 9000000000L).as("k"), lit("s").as("stratum"))
+    val slots = big.select(Sampling.slotWide(col("k")).as("s"))
+      .agg(min("s").as("mn"), max("s").as("mx")).collect()(0)
+    assert(slots.getLong(0) >= 0L) // no negative overflow wrap
+    assert(slots.getLong(1) > 1000003L) // range not capped at P1
+    // budget 500k of a 2M stratum: kept must track the budget, not
+    // collapse to all-rows (the old tautology) — hash-slot noise only
+    val kept = Sampling.mixtureSample(big, "k", "stratum",
+      targetTotal = 500000, weightsPerMille = Map("s" -> 1000),
+      defaultPerMille = 0).count()
+    assert(kept > 400000L && kept < 600000L, s"kept=$kept of 2M, budget 500k")
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
