@@ -28,7 +28,7 @@ object Bench {
     "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q30_summary_stats",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
-    "q36_semi_anti", "q38_percentiles", "q39_neardup_dedup",
+    "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
     "q43_dedup_clusters", "q57_dedup_clusters_star", "q44_window_suite",

@@ -99,6 +99,41 @@ object ExtendedRelational {
     GROUP BY l_linestatus
     ORDER BY l_linestatus"""))
 
+  // -- X4b: unpivot/melt — the inverse of q37's pivot: wide measure
+  //    columns stacked into (measure, value) rows (Spark's native
+  //    unpivot ≡ DuckDB UNPIVOT). Narrow per-row expansion after a
+  //    tiny aggregate; measure names sort deterministically. ----------
+  private val q83 = Q(
+    "q83_unpivot",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem
+        .groupBy(col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          moneySum(col("l_discount")).as("sum_disc"),
+          moneySum(col("l_tax")).as("sum_tax"))
+        .unpivot(
+          ids = Array(col("l_linestatus")),
+          values = Array(col("sum_qty"), col("sum_price"),
+            col("sum_disc"), col("sum_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .orderBy(col("l_linestatus"), col("measure"))
+    },
+    Some(s"""WITH wide AS (
+        SELECT l_linestatus,
+          ${moneySumSql("l_quantity")} AS sum_qty,
+          ${moneySumSql("l_extendedprice")} AS sum_price,
+          ${moneySumSql("l_discount")} AS sum_disc,
+          ${moneySumSql("l_tax")} AS sum_tax
+        FROM lineitem GROUP BY l_linestatus)
+      SELECT l_linestatus, measure, value
+      FROM wide
+      UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc, sum_tax))
+      ORDER BY l_linestatus, measure"""))
+
   // -- X5: exact interpolated percentiles — sort-based operator (one
   //    shuffle, O(1)/group memory; Spark's built-in percentile agg
   //    buffers whole groups — see operators.Percentiles) --------------
@@ -468,5 +503,5 @@ object ExtendedRelational {
 
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82)
+      q80, q82, q83)
 }
