@@ -68,6 +68,17 @@ object GraftSession {
       shufflePartitions = cores
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window in this engine is a DELIBERATE
+    // single-partition pass over a bounded-tiny intermediate (the
+    // packing operator's per-bucket totals — one row per bucket; the
+    // BM25 rank over its k survivors). WindowExec warns on each, which
+    // at bench cadence is pure noise drowning real warnings — the
+    // genuinely dangerous global-window-over-data shape is designed
+    // out (see SCALE.md) and would show up as a wall-time cliff, not
+    // a log line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

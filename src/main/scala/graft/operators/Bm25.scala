@@ -77,14 +77,14 @@ object Bm25 {
       .agg(first(col("dl")).as("dl"),
         count(lit(1)).as("n_terms"),
         termCols.reduce(_ + _).as("score"))
-    // rank over the k survivors only (constant partition key keeps
-    // the single-partition window intentional, not a planner warning)
+    // rank over the k survivors only — a deliberate single-partition
+    // window over ≤ k rows (GraftSession documents why WindowExec's
+    // blanket warning is silenced for this class of plan)
     scored
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))
           .orderBy(col("score").desc, col(idCol).asc)))
       .orderBy(col("rank"))
   }
