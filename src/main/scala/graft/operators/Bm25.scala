@@ -88,4 +88,66 @@ object Bm25 {
           .orderBy(col("score").desc, col(idCol).asc)))
       .orderBy(col("rank"))
   }
+
+  /** BATCH retrieval: top-k docs for EVERY query in a (queryIdCol,
+    * termCol) table — the realistic search workload ([[topK]] is the
+    * single-query oracle baseline). Same scoring; differences forced
+    * by dynamic queries:
+    *  - the term filter becomes a broadcast semi-ish join against the
+    *    distinct query-term set (still inside the token scan — only
+    *    matching occurrences shuffle);
+    *  - per-(query, doc) scores fold contributions in SORTED TERM
+    *    ORDER via sort_array∘collect_list (a dynamic term set has no
+    *    written order to fix; the sorted fold is partition-independent
+    *    and equals [[topK]] exactly when its literal list is sorted —
+    *    spec-asserted);
+    *  - ranking is a per-query window (query id is the partition key,
+    *    so parallelism grows with the query batch).
+    * Document frequencies stay per-term (query-independent), so the
+    * inverted stats build is shared across the whole batch.
+    */
+  def topKPerQuery(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k1: Double, b: Double, k: Int): DataFrame = {
+    require(k > 0)
+    val q = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val qTerms = q.select(col("term")).distinct()
+    val toks = docs.select(col(idCol),
+        TextFns.shinglesNative(col(textCol), 1).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+    val qtoks = toks.join(broadcast(qTerms), Seq("term"))
+    val stats = docs
+      .select(size(TextFns.shingleHashes(col(textCol), 1))
+        .cast("double").as("dl0"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl0")).as("avgdl"))
+    val tf = qtoks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(first(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -94,6 +94,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** seedMod yielding nlist ≈ √n for a corpus of n vectors — the
+    * right IVF sizing rule: assignment costs O(n·nlist) and probing
+    * O(n·nprobe/nlist), so nlist = √n balances them. Measured at 10×
+    * scale (SCALE.md): nlist fixed ∝ n made assignment quadratic
+    * (9.9× wall on 10× data); √n sizing restored the U-curve minimum.
+    */
+  def sqrtSeedMod(corpusSize: Long): Int =
+    math.max(1, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+
   /** Deterministic IVF seed centroids: corpus rows whose id ≡ 0 mod
     * seedMod become the cells (cell id = member id). No RNG, so the
     * index, the specs, and the SQL oracle agree exactly.

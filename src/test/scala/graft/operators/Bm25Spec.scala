@@ -46,6 +46,29 @@ class Bm25Spec extends SparkSpec {
     assert(out(2L) === 1)
   }
 
+  test("topKPerQuery ≡ per-query topK runs (sorted term lists)") {
+    val corpus = Seq(
+      (1L, "a a b c"), (2L, "a c c"), (3L, "b b d"), (4L, "c d d a")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "a"), (10L, "b"),          // sorted lists so the fixed
+      (20L, "c"), (20L, "d")           // written fold == sorted fold
+    ).toDF("query_id", "term")
+    val batch = Bm25.topKPerQuery(corpus, "doc_id", "text",
+        queries, "query_id", "term", 1.25, 0.75, k = 3)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val single = Seq(10L -> Seq("a", "b"), 20L -> Seq("c", "d")).flatMap {
+      case (qid, terms) =>
+        Bm25.topK(corpus, "doc_id", "text", terms, 1.25, 0.75, k = 3)
+          .select("rank", "doc_id", "score")
+          .collect().map(r => (qid, r.getInt(0), r.getLong(1),
+            r.getDouble(2)))
+    }.toSet
+    assert(batch === single) // bit-exact, including the doubles
+  }
+
   test("top-k truncates deterministically with id tie-break") {
     val corpus = (1L to 20L).map(i => (i, "t")).toDF("doc_id", "text")
     val out = Bm25.topK(corpus, "doc_id", "text", Seq("t"), 1.25, 0.75, 5)
