@@ -34,9 +34,24 @@ STRICT = False
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # spark writes directory-shaped parquet (e.g. the scaled sets)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        if t == "events":
+            # the driver's events.ts is TIMESTAMP(NANOS); a Spark
+            # round-trip (ScaleUp) stores the same nanos as BIGINT.
+            # Normalize to TIMESTAMP so epoch_us(ts) binds either way
+            # (Spark reads both as nanos longs — values identical).
+            (ts_type,) = [r[1] for r in
+                          con.execute(f"DESCRIBE {t}").fetchall()
+                          if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
