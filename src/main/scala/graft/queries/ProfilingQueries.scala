@@ -44,18 +44,25 @@ object ProfilingQueries {
       val wide = t.lineitem.agg(
         statsFor(numCols.head).head,
         (statsFor(numCols.head).tail ++ numCols.tail.flatMap(statsFor)): _*)
-      val perCol = numCols.map { c =>
-        wide.select(
-          lit(c).as("column_name"),
-          col(s"${c}_count").as("n"),
-          pround(col(s"${c}_sum") / col(s"${c}_count"), 6).as("mean"),
-          pround(sqrt(
-            (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum") / col(s"${c}_count"))
-              / (col(s"${c}_count") - 1)), 6).as("stddev"),
-          col(s"${c}_min").as("min_val"),
-          col(s"${c}_max").as("max_val"))
-      }
-      perCol.reduce(_ unionByName _).orderBy(col("column_name"))
+      // one row per column via explode over the single wide row — a
+      // union of per-column selects would embed the whole aggregate
+      // subtree once PER BRANCH and Catalyst does not CSE across
+      // union arms: measured 4 full lineitem scans (90 task-sec at
+      // 10×) for what is one aggregation pass
+      wide.select(explode(array(numCols.map { c =>
+          struct(
+            lit(c).as("column_name"),
+            col(s"${c}_count").as("n"),
+            pround(col(s"${c}_sum") / col(s"${c}_count"), 6).as("mean"),
+            pround(sqrt(
+              (col(s"${c}_sumsq") - col(s"${c}_sum") * col(s"${c}_sum")
+                / col(s"${c}_count"))
+                / (col(s"${c}_count") - 1)), 6).as("stddev"),
+            col(s"${c}_min").as("min_val"),
+            col(s"${c}_max").as("max_val"))
+        }: _*)).as("s"))
+        .select(col("s.*"))
+        .orderBy(col("column_name"))
     },
     Some {
       val wide = s"SELECT ${numCols.map(statsSqlFor).mkString(", ")} FROM lineitem"

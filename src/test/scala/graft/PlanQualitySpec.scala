@@ -40,6 +40,13 @@ class PlanQualitySpec extends SparkSpec {
       "q40 must not mix distinct + sketch aggregates (Expand)")
   }
 
+  test("q30 summary stats is ONE aggregation pass, not one per column") {
+    val p = planOf("q30_summary_stats")
+    assert(count(p, "Scan parquet") === 1,
+      "q30 must read lineitem exactly once (union-per-column embeds " +
+        "the aggregate subtree once per branch)")
+  }
+
   test("pair generation joins on inverted-index keys — never all-pairs") {
     for (q <- Seq("q22_jaccard_pairs", "q24_minhash_lsh_pairs")) {
       val p = planOf(q)
