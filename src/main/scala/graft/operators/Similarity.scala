@@ -222,7 +222,14 @@ object Similarity {
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       seedMod: Int, tau: Double): DataFrame = {
     val seeds = seedCentroids(vecs, idCol, vecCol, seedMod)
+    // materialize the assignment ONCE: it feeds three join branches
+    // (pair sides a/b + the survivor base) and Catalyst does not CSE
+    // across branches — without this the broadcast-assign pass (the
+    // operator's dominant cost) ran three times. Same localCheckpoint
+    // discipline as the CC loop; swap for reliable checkpoint() on a
+    // cluster that must survive executor loss.
     val assigned = ivfAssign(vecs, idCol, vecCol, seeds)
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("vnorm").as("norm_a"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),
