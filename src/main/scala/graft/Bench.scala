@@ -27,6 +27,7 @@ object Bench {
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q30_summary_stats",
+    "q84_correlation_matrix", "q85_chi2_association",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",

@@ -126,6 +126,143 @@ object ProfilingQueries {
     GROUP BY event_type
     ORDER BY event_type"""))
 
+  // -- A13 (engine addition): pairwise Pearson correlation matrix from
+  //    EXACT decimal sums — the feature-analysis profiling step. One
+  //    aggregation pass produces n, Σx, Σx², Σxy for every pair; the
+  //    correlation algebra then runs in identical double ops on both
+  //    engines (a built-in corr() aggregate accumulates doubles in
+  //    partition order and can NOT hash-match across engines). Pair
+  //    rows come from the q30 explode-over-struct shape: ONE scan. ---
+  private val corrPairs =
+    for (i <- numCols.indices; j <- i + 1 until numCols.size)
+      yield (numCols(i), numCols(j))
+  private def sxyName(a: String, b: String) = s"${a}__${b}_sumxy"
+  private val q84 = Q(
+    "q84_correlation_matrix",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val aggs =
+        Seq(count(lit(1)).as("n")) ++
+          numCols.flatMap(c => Seq(
+            sum(col(c).cast(DecimalType(38, 6))).cast("double").as(s"${c}_sum"),
+            sum((col(c) * col(c)).cast(DecimalType(38, 6))).cast("double")
+              .as(s"${c}_sumsq"))) ++
+          corrPairs.map { case (a, b) =>
+            sum((col(a) * col(b)).cast(DecimalType(38, 6))).cast("double")
+              .as(sxyName(a, b))
+          }
+      val wide = t.lineitem.agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast("double")
+      wide.select(explode(array(corrPairs.map { case (a, b) =>
+          val num = nD * col(sxyName(a, b)) - col(s"${a}_sum") * col(s"${b}_sum")
+          val denA = sqrt(nD * col(s"${a}_sumsq")
+            - col(s"${a}_sum") * col(s"${a}_sum"))
+          val denB = sqrt(nD * col(s"${b}_sumsq")
+            - col(s"${b}_sum") * col(s"${b}_sum"))
+          struct(lit(a).as("col_x"), lit(b).as("col_y"),
+            pround(num / (denA * denB), 6).as("pearson_r"))
+        }: _*)).as("s"))
+        .select(col("s.*"))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+    Some {
+      val stats = numCols.map(c =>
+        s"""CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_sum,
+           CAST(sum(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_sumsq""")
+      val xys = corrPairs.map { case (a, b) =>
+        s"CAST(sum(CAST($a * $b AS DECIMAL(38,6))) AS DOUBLE) AS ${sxyName(a, b)}"
+      }
+      val pairRows = corrPairs.map { case (a, b) =>
+        val num = s"(CAST(n AS DOUBLE) * ${sxyName(a, b)} - ${a}_sum * ${b}_sum)"
+        val denA = s"sqrt(CAST(n AS DOUBLE) * ${a}_sumsq - ${a}_sum * ${a}_sum)"
+        val denB = s"sqrt(CAST(n AS DOUBLE) * ${b}_sumsq - ${b}_sum * ${b}_sum)"
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           ${proundSql(s"$num / ($denA * $denB)", 6)} AS pearson_r FROM wide"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wide AS (
+        SELECT count(*) AS n, ${(stats ++ xys).mkString(",\n          ")}
+        FROM lineitem)
+      $pairRows
+      ORDER BY col_x, col_y"""
+    })
+
+  // -- A14 (engine addition): chi-square association between two
+  //    categorical columns + Cramér's V — log-free feature-selection
+  //    statistics (entropy/MI need ln(), which differs in the last
+  //    ulp across libm implementations; chi² is rational + one sqrt).
+  //    The cell fold runs in SORTED cell order on both engines
+  //    (aggregate∘sort_array ≡ list_reduce∘list_sort), so the double
+  //    sum is partition- and engine-independent. Contingency table =
+  //    one hash agg; everything after is broadcast-scale. ------------
+  private val q85 = Q(
+    "q85_chi2_association",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cells = t.lineitem
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val rowTot = cells.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
+      val colTot = cells.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
+      val grand = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("rf")).as("r"), countDistinct(col("ls")).as("c"))
+      val term = {
+        val e = col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")
+        val d = col("o").cast("double") - e
+        d * d / e
+      }
+      cells
+        .join(broadcast(rowTot), "rf")
+        .join(broadcast(colTot), "ls")
+        .crossJoin(broadcast(grand))
+        .select(col("rf"), col("ls"), term.as("term"),
+          col("n"), col("r"), col("c"))
+        .agg(
+          aggregate(sort_array(collect_list(struct(col("rf"), col("ls"),
+              col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"),
+          first(col("n")).as("n_rows"),
+          first(col("r")).as("n_rf"), first(col("c")).as("n_ls"))
+        .select(
+          pround(col("chi2"), 6).as("chi2"),
+          pround(sqrt(col("chi2")
+            / (col("n_rows").cast("double")
+              * least(col("n_rf") - 1, col("n_ls") - 1).cast("double"))), 6)
+            .as("cramers_v"),
+          col("n_rows"), col("n_rf"), col("n_ls"))
+    },
+    Some(s"""WITH cells AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+        FROM lineitem GROUP BY 1, 2),
+      rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY rf),
+      ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY ls),
+      g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+          count(DISTINCT rf) AS r, count(DISTINCT ls) AS c FROM cells),
+      terms AS (
+        SELECT cells.rf, cells.ls,
+          (CAST(o AS DOUBLE)
+            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE)
+            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+            AS term,
+          n, r, c
+        FROM cells JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN g),
+      folded AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(
+              list_sort(list(struct_pack(rf := rf, ls := ls, term := term))),
+              x -> x.term)),
+            (a, b) -> a + b) AS chi2,
+          min(n) AS n_rows, min(r) AS n_rf, min(c) AS n_ls
+        FROM terms)
+      SELECT ${proundSql("chi2", 6)} AS chi2,
+        ${proundSql(
+          "sqrt(chi2 / (CAST(n_rows AS DOUBLE) * CAST(LEAST(n_rf - 1, n_ls - 1) AS DOUBLE)))",
+          6)} AS cramers_v,
+        n_rows, n_rf, n_ls
+      FROM folded"""))
+
   // -- Approximate sketches (HLL distinct + approx percentiles).
   //    Sketch VALUES differ between engines by construction (HLL
   //    register layout, t-digest vs KLL), so the oracle checks the
@@ -209,5 +346,5 @@ object ProfilingQueries {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q40)
+  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85)
 }
