@@ -107,6 +107,24 @@ object Sampling {
     df.filter(slot(col(keyCol), den) < rate)
   }
 
+  /** Slot range of [[slotWide]]: [0, P1·P2). */
+  val slotRange: Long = P1 * P2
+
+  /** Per-row PROBABILITY-weighted sampling: keep each row with
+    * probability `probCol` (clamped to [0,1]), decided by the key
+    * hash — the quality-weighted subsample ("prefer high-quality
+    * documents") a training pipeline draws. Deterministic like every
+    * operator here: same key + same probability ⇒ same verdict on any
+    * engine or partitioning; still a pure scan-time filter.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String,
+      probCol: Column): DataFrame =
+    df.filter(slotWide(col(keyCol)).cast("double") <
+      least(lit(1.0), greatest(lit(0.0), probCol)) * lit(slotRange.toDouble))
+  def weightedHashSampleSql(x: String, probSql: String): String =
+    s"""CAST(${slotWideSql(x)} AS DOUBLE) <
+       | LEAST(1.0, GREATEST(0.0, $probSql)) * ${slotRange.toDouble}""".stripMargin
+
   /** EXACTLY k rows per stratum (when the stratum has that many),
     * deterministically: rank the stratum's rows by (key hash, key) —
     * a reproducible pseudo-random order — and keep the first k. The

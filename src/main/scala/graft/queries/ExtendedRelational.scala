@@ -351,6 +351,33 @@ object ExtendedRelational {
       WHERE sample_rank <= $EXACT_K
       ORDER BY source, sample_rank"""))
 
+  // -- X8f: probability-weighted sampling — keep each document with
+  //    probability proportional to a quality proxy (length, capped at
+  //    1) decided by the key hash (Sampling.weightedHashSample): the
+  //    "prefer high-quality docs" subsample, reproducible across
+  //    engines/partitionings, scan-time filter. -----------------------
+  private val q86 = Q(
+    "q86_weighted_sample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.weightedHashSample(
+          t.documents, "doc_id", col("n_chars").cast("double") / lit(3000.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_kept,
+        CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      WHERE ${graft.operators.Sampling.weightedHashSampleSql(
+        "doc_id", "CAST(n_chars AS DOUBLE) / 3000.0")}
+      GROUP BY source
+      ORDER BY source"""))
+
   // -- X8c: winsorized feature stats — per-group clamp into the
   //    [p05, p95] EXACT percentile bounds, computed in the SAME window
   //    pass as the ranking (operators.Percentiles.winsorized: one sort
@@ -503,5 +530,5 @@ object ExtendedRelational {
 
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83)
+      q80, q82, q83, q86)
 }

@@ -88,6 +88,25 @@ class SamplingSpec extends SparkSpec {
     assert(kept > 400000L && kept < 600000L, s"kept=$kept of 2M, budget 500k")
   }
 
+  test("weightedHashSample keeps rows proportionally to their probability") {
+    val df = (1L to 20000L).map(k => (k, if (k % 2 == 0) 0.8 else 0.2))
+      .toDF("k", "p")
+    val kept = Sampling.weightedHashSample(df, "k", col("p"))
+      .groupBy("p").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(kept(0.8) > 10000 * 0.72 && kept(0.8) < 10000 * 0.88)
+    assert(kept(0.2) > 10000 * 0.14 && kept(0.2) < 10000 * 0.26)
+    // p clamps: 0 keeps nothing, >=1 keeps everything
+    assert(Sampling.weightedHashSample(df, "k", lit(0.0)).count() === 0)
+    assert(Sampling.weightedHashSample(df, "k", lit(1.5)).count() === 20000)
+    // deterministic under repartitioning
+    val a = Sampling.weightedHashSample(df, "k", col("p"))
+      .select("k").as[Long].collect().toSet
+    val b = Sampling.weightedHashSample(df.repartition(7), "k", col("p"))
+      .select("k").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
