@@ -248,5 +248,59 @@ object WindowQueries {
       GROUP BY user_id, run_id
       ORDER BY user_id, effective_from"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78)
+  // -- W6: explicit GROUPING SETS — arbitrary grouping combinations
+  //    beyond q34's ROLLUP / q45's CUBE lattice: here (flag, status),
+  //    (flag), (status) but NOT the grand total (the set CUBE would
+  //    add). SQL-expressed on both engines; Expand feeds one hash agg.
+  private val q87 = Q(
+    "q87_grouping_sets",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.lineitem.createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+          GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+          count(*) AS n_rows,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS total_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), (l_linestatus))
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+        GROUPING(l_returnflag, l_linestatus) AS gid,
+        count(*) AS n_rows,
+        ${moneySumSql("l_extendedprice")} AS total_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // -- W7: percent_rank / cume_dist — the remaining relative-rank
+  //    window functions (q44 covers rank/ntile/lag/lead/frames). Both
+  //    are rational arithmetic over ranks — (rank−1)/(n−1), rank'/n —
+  //    identical doubles in either engine.
+  private val q88 = Q(
+    "q88_relative_rank",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val sub = t.orders.filter(col("o_custkey") % 200 === 0)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      sub.select(
+          col("o_orderpriority"), col("o_orderkey"),
+          pround(percent_rank().over(w), 6).as("pct_rank"),
+          pround(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderpriority, o_orderkey,
+        ${proundSql("percent_rank() OVER w", 6)} AS pct_rank,
+        ${proundSql("cume_dist() OVER w", 6)} AS cume
+      FROM orders
+      WHERE o_custkey % 200 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderpriority, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88)
 }
