@@ -102,7 +102,13 @@ object ExtendedRelational {
   // -- X4b: unpivot/melt — the inverse of q37's pivot: wide measure
   //    columns stacked into (measure, value) rows (Spark's native
   //    unpivot ≡ DuckDB UNPIVOT). Narrow per-row expansion after a
-  //    tiny aggregate; measure names sort deterministically. ----------
+  //    tiny aggregate; measure names sort deterministically.
+  //    NULL caveat when reusing this pattern: Spark's unpivot EMITS a
+  //    row for a NULL measure value while DuckDB's UNPIVOT EXCLUDES
+  //    it by default — on nullable measures add INCLUDE NULLS to the
+  //    DuckDB side (or filter the Spark side). Here every measure is
+  //    a decimal sum over non-null money columns, so the domains
+  //    cannot produce NULL values.  -----------------------------------
   private val q83 = Q(
     "q83_unpivot",
     (s, dir) => {

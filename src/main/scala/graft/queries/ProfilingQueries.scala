@@ -198,9 +198,15 @@ object ProfilingQueries {
     "q85_chi2_association",
     (s, dir) => {
       val t = Tpch(s, dir)
+      // materialize the (tiny) contingency table once: it feeds FOUR
+      // branches (row totals, col totals, grand, the term join) and
+      // Catalyst does not CSE across branches — without this the
+      // lineitem scan+agg ran four times (the q30/semanticDedup
+      // lesson applied)
       val cells = t.lineitem
         .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
         .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
       val rowTot = cells.groupBy(col("rf")).agg(sum(col("o")).as("rt"))
       val colTot = cells.groupBy(col("ls")).agg(sum(col("o")).as("ct"))
       val grand = cells.agg(sum(col("o")).as("n"),

@@ -93,6 +93,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) === 0L && out(5L) === 5L && out(7L) === 0L)
   }
 
+  test("sqrtSeedMod sizes nlist ≈ √n and drives a working IVF index") {
+    assert(Similarity.sqrtSeedMod(0L) === 1)
+    assert(Similarity.sqrtSeedMod(100L) === 10)
+    assert(Similarity.sqrtSeedMod(20000L) === 141)
+    // used as the sizing rule: ivfTopK with √n seeding still returns
+    // k well-formed neighbors per query on a real corpus
+    val corpus = (0L until 144L).map { i =>
+      (i, Array.tabulate(4)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat))
+    }.toDF("vec_id", "embedding")
+    val seedMod = Similarity.sqrtSeedMod(144L) // 12 → nlist = 12 = √144
+    val out = Similarity.ivfTopK(corpus,
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        seedMod, nprobe = 3, k = 4)
+      .collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("corpus_id")).distinct.length === 4)
+  }
+
   test("semanticDedup is deterministic under repartitioning") {
     val corpus = (0L until 200L).map { i =>
       (i, Array.tabulate(8)(d =>

@@ -37,8 +37,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        # spark writes directory-shaped parquet (e.g. the scaled sets)
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        # spark writes directory-shaped parquet (e.g. the scaled sets);
+        # ** covers hive-partitioned subdirectories too
+        src = f"{p}/**/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         if t == "events":
             # the driver's events.ts is TIMESTAMP(NANOS); a Spark
