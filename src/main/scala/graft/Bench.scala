@@ -9,26 +9,32 @@ package graft
   * the first query absorbs JVM/classloader startup.
   */
 object Bench {
-  /** Representative coverage of every operator family: scan-agg, star
-    * joins, dim chains, window top-N, rollup/pivot/percentiles, text
-    * analysis (native hash expressions), the full dedup suite incl.
-    * survivor selection, similarity (exact pairs, brute + LSH top-k),
-    * multimodal, profiling, and sketches. The exact quadratic
-    * variants (q22/q25/q26) are included since the native expressions
-    * made them cheap at sf0.1; at real scale their LSH counterparts
-    * are the path.
+  /** The headline is EVERY oracle query except the sf-gated exact
+    * quadratic pair (see quadraticExact below): scan-agg, star joins,
+    * dim chains, window top-N, rollup/pivot/percentiles, text analysis
+    * (native hash expressions), the full dedup suite incl. survivor
+    * selection, similarity (brute + LSH + IVF top-k), multimodal,
+    * profiling, sketches, sampling, training-prep, and the three
+    * end-to-end pipeline marts — so a regression in ANY operator
+    * family shows up in BENCH, not just in CORRECTNESS.
     */
   private val headline = Seq(
-    "q01_pricing_summary", "q02_conditional_agg", "q04_star_broadcast",
-    "q05_region_year_revenue", "q07_full_outer_coalesce", "q09_top_parts",
-    "q10_topn_per_group", "q14_date_funcs", "q17_token_stats",
-    "q18_text_quality", "q20_fingerprint", "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
+    "q01_pricing_summary", "q02_conditional_agg", "q03_kpi_ratios",
+    "q04_star_broadcast",
+    "q05_region_year_revenue", "q06_left_join_cast_key",
+    "q07_full_outer_coalesce", "q08_union_distinct", "q09_top_parts",
+    "q10_topn_per_group", "q11_filter_complex", "q12_case_chain_categories",
+    "q13_string_funcs", "q14_date_funcs", "q15_date_spine", "q16_time_spine",
+    "q17_token_stats",
+    "q18_text_quality", "q19_lang_id", "q20_fingerprint",
+    "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q30_summary_stats",
-    "q84_correlation_matrix", "q85_chi2_association",
-    "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup",
+    "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
+    "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
+    "q37_pivot",
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
@@ -126,7 +132,29 @@ object Bench {
     }
 
     run(names.head) // warm-up, untimed
-    val results = names.map(n => n -> run(n))
+    // MIN OF N FULL PASSES (default 2). The per-query wall>>task check
+    // below catches a stalled driver/executor, but UNIFORM machine
+    // contention inflates wall, task, AND cpu together and is invisible
+    // to any single-run ratio — r3 and r5 both recorded ~2x-inflated
+    // benches that way. Per-query min across independent passes is
+    // robust to that failure mode: a contended moment hits one pass,
+    // not the same query in every pass. The passes also give a
+    // whole-run drift signal: if pass bests disagree wildly the box was
+    // noisy, and the JSON says so via "pass_drift".
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val allPasses: Seq[Seq[(String, Timing)]] =
+      (1 to passes).map(_ => names.map(n => n -> run(n)))
+    val results: Seq[(String, Timing)] = names.zipWithIndex.map { case (n, i) =>
+      val ts = allPasses.map(_(i)._2).filter(_.wall >= 0)
+      if (ts.isEmpty) n -> Timing(-1.0, 0.0, 0.0)
+      else n -> ts.minBy(_.wall)
+    }
+    // drift = ratio of slowest pass total to fastest pass total; > 1.5
+    // means the recorded mins may still be contaminated — rerun idle
+    val passTotals = allPasses.map(_.map(_._2.wall).filter(_ >= 0).sum)
+    val passDrift =
+      if (passTotals.size < 2 || passTotals.min <= 0) 1.0
+      else passTotals.max / passTotals.min
     // contended = materially slow AND wall >> TOTAL executor task
     // time, i.e. the clock ran while executors sat idle (machine
     // contention or a driver stall). Healthy parallel queries have
@@ -136,6 +164,8 @@ object Bench {
     }
     contended.foreach(n => System.err.println(
       s"[bench] WARNING $n wall >> taskTime — rerun on an idle machine"))
+    if (passDrift > 1.5) System.err.println(
+      f"[bench] WARNING pass totals drift ${passDrift}%.2fx — noisy box, rerun idle")
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t.wall }
       .mkString("{", ",", "}")
     val ts = results.map { case (k, t) => "\"" + k + "\":" + t.task }
@@ -144,12 +174,14 @@ object Bench {
     val totalTask = results.map(_._2.task).sum
     val totalCpu = results.map(_._2.cpu).sum
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"sf":"$sfDir"}"""
+    val untrusted = contended.nonEmpty || passDrift > 1.5
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"passes":$passes,"pass_drift":${f"$passDrift%.3f"},"untrusted":$untrusted,"sf":"$sfDir"}"""
     // the driver tail-captures stdout and has truncated the (long)
     // JSON line before (BENCH_r04 lost q01-q39): persist the full line
     // to a file AND print it, so the recorded bench is recoverable
     try {
-      val out = java.nio.file.Paths.get("target/bench_self.json")
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_self.json"))
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
     } catch { case e: Exception =>

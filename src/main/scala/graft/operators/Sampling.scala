@@ -90,7 +90,13 @@ object Sampling {
     }
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("stratum_n"))
-    df.join(broadcast(counts), Seq(strataCol))
+      .withColumnRenamed(strataCol, "__stratum")
+    // null-safe join: a NULL stratum is still a stratum — it gets the
+    // default rate and its own population count. A plain EqualTo join
+    // would silently DROP every null-stratum row (same reasoning as
+    // winsorizedRankSelect's <=> bounds join).
+    df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
+      .drop("__stratum")
       .withColumn("target_n", least(target, col("stratum_n")))
       .filter(slotBy(col(keyCol), col("stratum_n")) < col("target_n"))
   }
@@ -134,6 +140,14 @@ object Sampling {
     * WindowGroupLimit prunes each map partition to its local top-k
     * before the exchange, so the shuffle carries O(P·k) rows per
     * stratum, not the corpus.
+    *
+    * Determinism contract requires `keyCol` values to be UNIQUE within
+    * each stratum: the order is (hash(key), key), so duplicate keys tie
+    * completely and WHICH physical row survives the tie is partition-
+    * order-dependent. With a non-unique key, pass a surrogate (e.g.
+    * monotonically-increasing file/row position materialized at ingest)
+    * or accept row-identity nondeterminism (the KEPT key multiset is
+    * still deterministic).
     */
   def exactPerStratum(df: DataFrame, keyCol: String, strataCol: String,
       k: Int): DataFrame = {

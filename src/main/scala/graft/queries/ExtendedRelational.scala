@@ -315,11 +315,12 @@ object ExtendedRelational {
         ${MIX_WEIGHTS.map { case (k, w) => s"WHEN '$k' THEN ${budget(w)}" }.mkString("\n        ")}
         ELSE ${budget(MIX_DEFAULT)} END"""
       s"""WITH counts AS (
-        SELECT source, count(*) AS stratum_n FROM documents GROUP BY source),
+        SELECT source AS src_key, count(*) AS stratum_n
+        FROM documents GROUP BY source),
       kept AS (
         SELECT d.*, c.stratum_n,
           LEAST($targetCase, c.stratum_n) AS target_n
-        FROM documents d JOIN counts c USING (source)
+        FROM documents d JOIN counts c ON d.source IS NOT DISTINCT FROM c.src_key
         WHERE ${graft.operators.Sampling.slotBySql("d.doc_id", "c.stratum_n")}
           < LEAST($targetCase, c.stratum_n))
       SELECT source, min(stratum_n) AS n_source, min(target_n) AS target_n,

@@ -141,6 +141,18 @@ object ProfilingQueries {
     "q84_correlation_matrix",
     (s, dir) => {
       val t = Tpch(s, dir)
+      // PRECONDITION: the profiled columns must be non-null — one global
+      // count(*) serves as n for every pair (lineitem numerics are
+      // NOT NULL by construction). On nullable columns this shape would
+      // skew r silently (sums skip nulls, n doesn't): switch to
+      // per-pair count(a)&count(b)… sums before reusing it there.
+      //
+      // 28 exact-decimal products per row is the compute-heavy-narrow
+      // shape fanOut exists for: restore scan splits so the single-
+      // row-group local file doesn't serialize the whole aggregation
+      // onto one task (q32's lesson; no-op on multi-split data).
+      val src = graft.core.Scan.fanOut(t.lineitem
+        .select(numCols.map(col): _*))
       val aggs =
         Seq(count(lit(1)).as("n")) ++
           numCols.flatMap(c => Seq(
@@ -151,7 +163,7 @@ object ProfilingQueries {
             sum((col(a) * col(b)).cast(DecimalType(38, 6))).cast("double")
               .as(sxyName(a, b))
           }
-      val wide = t.lineitem.agg(aggs.head, aggs.tail: _*)
+      val wide = src.agg(aggs.head, aggs.tail: _*)
       val nD = col("n").cast("double")
       wide.select(explode(array(corrPairs.map { case (a, b) =>
           val num = nD * col(sxyName(a, b)) - col(s"${a}_sum") * col(s"${b}_sum")

@@ -66,4 +66,62 @@ class PlanQualitySpec extends SparkSpec {
     assert(count(p, "WindowGroupLimit") >= 1,
       "q10 lost the partial top-k before the window shuffle")
   }
+
+  test("fanOut fires only below cores/2 splits — cluster plans unchanged") {
+    import org.apache.spark.sql.functions.col
+    // well-split input: fanOut must return the SAME DataFrame object —
+    // no new plan node at all (this no-op guard is what makes it safe
+    // to leave in cluster code paths)
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000).toDF("id").repartition(cores)
+    assert(graft.core.Scan.fanOut(wide) eq wide,
+      "fanOut must be an object-identity no-op at >= cores/2 splits")
+    // boundary: exactly cores/2 partitions is still a no-op (hysteresis)
+    if (cores >= 2) {
+      val half = spark.range(0, 1000).toDF("id").repartition(cores / 2)
+      assert(graft.core.Scan.fanOut(half) eq half,
+        "fanOut must not fire at exactly cores/2 splits")
+    }
+    // collapsed input: exactly one round-robin exchange appears and the
+    // partition count is restored to defaultParallelism
+    val one = spark.range(0, 1000).toDF("id").coalesce(1)
+    val fanned = graft.core.Scan.fanOut(one)
+    assert(!(fanned eq one))
+    assert(fanned.rdd.getNumPartitions === cores)
+    val p = fanned.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(count(p, "Exchange RoundRobinPartitioning") === 1,
+      s"fanOut must add exactly one round-robin exchange, plan:\n$p")
+    // values pass through unchanged
+    assert(fanned.select(col("id")).collect().map(_.getLong(0)).sorted
+      === (0L until 1000L).toArray)
+  }
+
+  /** Unpartitioned windows sort the WORLD on one task unless the input
+    * is provably bounded. GraftSession mutes WindowExec's per-query
+    * warning (bench-noise reasons, GraftSession.scala) — this sweep is
+    * the compensating control: every oracle query's PRE-AQE physical
+    * plan is scanned for empty-partitionSpec window nodes, and each hit
+    * must be on the documented bounded-intermediate allowlist.
+    */
+  test("no undocumented unpartitioned Window in any oracle query plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // every entry here is a window over a bounded-tiny intermediate:
+    //   q64/q68/q81: prefix-sum over per-BUCKET totals (rows = bucket
+    //     count, input already aggregated);
+    //   q79: final rank over the per-query top-k survivors (≤ q·k rows)
+    val allowed = Set("q64_pack_offsets", "q68_pack_segments",
+      "q81_chunk_spans", "q79_bm25_topk")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+        if !allowed.contains(name)) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val hits = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (hits.nonEmpty) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over non-allowlisted input in: $offenders")
+  }
 }

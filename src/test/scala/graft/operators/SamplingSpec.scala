@@ -48,6 +48,29 @@ class SamplingSpec extends SparkSpec {
     assert(tn === Map("a" -> 3000L, "b" -> 5000L))
   }
 
+  test("mixtureSample samples NULL strata at the default rate (null-safe join)") {
+    // half the rows carry a NULL stratum: they form their own stratum
+    // and get the default budget — an EqualTo join would silently drop
+    // every one of them (the round-5 advisor finding)
+    val df = (1L to 4000L)
+      .map(k => (k, if (k % 2 == 0) "a" else null))
+      .toDF("k", "stratum")
+    val out = Sampling.mixtureSample(df, "k", "stratum",
+      targetTotal = 2000, weightsPerMille = Map("a" -> 500),
+      defaultPerMille = 500)
+    val byStratum = out.groupBy("stratum").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // both strata have 2000 rows and a 1000-row budget
+    assert(byStratum.contains(None), "NULL-stratum rows were dropped")
+    assert(byStratum(None) > 900L && byStratum(None) < 1100L)
+    assert(byStratum(Some("a")) > 900L && byStratum(Some("a")) < 1100L)
+    // population/budget columns populated for the null stratum too
+    val tn = out.filter(col("stratum").isNull)
+      .select("stratum_n", "target_n").distinct().collect()
+    assert(tn.length === 1 && tn(0).getLong(0) === 2000L &&
+      tn(0).getLong(1) === 1000L)
+  }
+
   test("mixtureSample is deterministic under repartitioning") {
     val df = keys(4000)
     def kept(d: org.apache.spark.sql.DataFrame) =
