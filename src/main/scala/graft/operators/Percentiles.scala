@@ -28,6 +28,57 @@ object Percentiles {
       ps: Seq[Double], outNames: Seq[String]): DataFrame =
     groupedExactMulti(df, groupCol, Seq((valCol, ps, outNames)))
 
+  /** Shape dispatcher: the window formulations ([[groupedExactMulti]],
+    * [[winsorized]]) parallelize by GROUP COUNT — G groups means G
+    * tasks sort everything, catastrophic when G ≪ cluster; the
+    * rank-select formulations ([[groupedExactRankSelect]],
+    * [[winsorizedRankSelect]]) range-partition by VALUE, so any task
+    * count shares the sort, but their per-partition counting table and
+    * driver interpolation scale with G — the window shape wins once the
+    * group count alone saturates the cluster (measured crossover at
+    * 10×, SCALE.md: 3 groups → rank-select 1.9× vs window 3.1-6.3×).
+    *
+    * Rank-select is chosen when the (approximate or hinted) group count
+    * is at most a quarter of the shuffle partition count — below that
+    * the window shape provably idles ≥ 3/4 of the cluster on its
+    * biggest stage, above it group-hash parallelism is adequate and the
+    * one-pass window shape is cheaper. The probe is one
+    * approx_count_distinct aggregate over the group column only
+    * (column-pruned scan); pass `groupCountHint` to skip it when the
+    * caller already knows the cardinality (a catalog stat, a config).
+    */
+  private[operators] def chooseRankSelect(df: DataFrame, groupCol: String,
+      groupCountHint: Long): Boolean = {
+    val g = if (groupCountHint >= 0) groupCountHint
+      else df.select(col(groupCol))
+        .agg(approx_count_distinct(col(groupCol))).head().getLong(0)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    g * 4 <= p
+  }
+
+  /** [[groupedExactMulti]] / [[groupedExactRankSelect]] behind the
+    * measured dispatch rule (see [[chooseRankSelect]]): bit-identical
+    * results either way (asserted in PercentilesSpec), shape chosen by
+    * group cardinality vs shuffle partitions.
+    */
+  def groupedExactAuto(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[Double], Seq[String])],
+      groupCountHint: Long = -1L): DataFrame =
+    if (chooseRankSelect(df, groupCol, groupCountHint))
+      groupedExactRankSelect(df, groupCol, specs)
+    else groupedExactMulti(df, groupCol, specs)
+
+  /** [[winsorized]] / [[winsorizedRankSelect]] behind the same
+    * dispatch rule — the two shapes produce bit-identical clamp
+    * decisions (PercentilesSpec), so only the plan changes.
+    */
+  def winsorizedAuto(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double, pHi: Double, outCol: String,
+      groupCountHint: Long = -1L): DataFrame =
+    if (chooseRankSelect(df, groupCol, groupCountHint))
+      winsorizedRankSelect(df, groupCol, valCol, pLo, pHi, outCol)
+    else winsorized(df, groupCol, valCol, pLo, pHi, outCol)
+
   /** Exact percentiles of SEVERAL value columns in ONE sort pass.
     * `specs` = (valueCol, percentiles, outputNames) per column. The
     * value columns are stacked into (column-tag, value) rows, ranked

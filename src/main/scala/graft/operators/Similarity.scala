@@ -103,6 +103,15 @@ object Similarity {
   def sqrtSeedMod(corpusSize: Long): Int =
     math.max(1, math.round(math.sqrt(corpusSize.toDouble)).toInt)
 
+  /** seedMod > 0 → as given (oracle-pinned call sites); seedMod ≤ 0 →
+    * the measured √n default, sized from one count() job over the
+    * corpus. Operators take this default so a caller who doesn't know
+    * the corpus size cannot accidentally ship the quadratic-assignment
+    * regime the 10× sweep caught (SCALE.md).
+    */
+  private def resolveSeedMod(corpus: DataFrame, seedMod: Int): Int =
+    if (seedMod > 0) seedMod else sqrtSeedMod(corpus.count())
+
   /** Deterministic IVF seed centroids: corpus rows whose id ≡ 0 mod
     * seedMod become the cells (cell id = member id). No RNG, so the
     * index, the specs, and the SQL oracle agree exactly.
@@ -173,7 +182,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, seedMod: Int, nprobe: Int, k: Int,
       refineIters: Int = 0): DataFrame = {
-    val seeds0 = seedCentroids(corpus, idCol, vecCol, seedMod)
+    val m = resolveSeedMod(corpus, seedMod)
+    val seeds0 = seedCentroids(corpus, idCol, vecCol, m)
     val seeds =
       if (refineIters > 0) refineCentroids(corpus, idCol, vecCol, seeds0, refineIters)
       else seeds0
@@ -217,11 +227,23 @@ object Similarity {
     * sizes, the same dial as the LSH bucket caps. Cross-cell near-dups
     * are deliberately out of scope (that recall trade IS the
     * algorithm; near-identical vectors land in the same cell for any
-    * sane centroid set).
+    * sane centroid set — and `nprobe` buys the boundary cases back).
+    *
+    * `nprobe` is the recall knob for exactly those boundary pairs: for
+    * nprobe > 1 the PAIR-GENERATION side assigns each vector to its
+    * top-nprobe cells (same probe shape as [[ivfTopK]]: row_number
+    * window pruned map-side by WindowGroupLimit, so the shuffle carries
+    * nprobe rows per vector instead of one), and a pair is compared if
+    * the two vectors share ANY probed cell. Survivors still carry their
+    * single top-1 cell id (the output contract is unchanged), and
+    * nprobe=1 reduces to the exact original dataflow. Measured recall
+    * vs the exact pair set in SimilaritySpec.
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
-      seedMod: Int, tau: Double): DataFrame = {
-    val seeds = seedCentroids(vecs, idCol, vecCol, seedMod)
+      seedMod: Int, tau: Double, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val m = resolveSeedMod(vecs, seedMod)
+    val seeds = seedCentroids(vecs, idCol, vecCol, m)
     // materialize the assignment ONCE: it feeds three join branches
     // (pair sides a/b + the survivor base) and Catalyst does not CSE
     // across branches — without this the broadcast-assign pass (the
@@ -230,14 +252,31 @@ object Similarity {
     // cluster that must survive executor loss.
     val assigned = ivfAssign(vecs, idCol, vecCol, seeds)
       .localCheckpoint(true)
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+    val pairSource =
+      if (nprobe <= 1) assigned
+      else {
+        val scored = vecs
+          .select(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("vnorm"))
+          .crossJoin(broadcast(seeds))
+          .select(col(idCol), col(vecCol), col("vnorm"), col("cell"),
+            (dot(col(vecCol), col("cvec")) / (col("vnorm") * col("cnorm")))
+              .as("cell_cos"))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("cell_cos").desc, col("cell").asc)
+        scored.withColumn("__cr", row_number().over(w))
+          .filter(col("__cr") <= nprobe)
+          .select(col(idCol), col(vecCol), col("vnorm"), col("cell"))
+      }
+    val a = pairSource.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("vnorm").as("norm_a"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+    val b = pairSource.select(col("cell"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("vnorm").as("norm_b"))
     val dropped = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("vec_a"), col("vec_b"))
         / (col("norm_a") * col("norm_b")) >= tau)
+      // a pair sharing several probed cells is compared once per shared
+      // cell; distinct collapses the duplicate drop verdicts
       .select(col("id_b").as(idCol)).distinct()
     assigned.select(col(idCol), col("cell"))
       .join(dropped, Seq(idCol), "left_anti")

@@ -235,5 +235,51 @@ object SimilarityQueries {
       WHERE d.vec_id IS NULL
       ORDER BY m.vec_id"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75)
+  // -- V7: semantic dedup with the production defaults — √n-sized cell
+  //    count (seedMod = 0 → nlist ≈ √n, the measured sizing rule that
+  //    keeps assignment and probe work balanced at ANY corpus size) and
+  //    nprobe = 2 (each vector's top-2 cells feed pair generation, so
+  //    near-dups straddling one cell boundary are compared; survivors
+  //    keep their top-1 cell). The oracle recomputes √n as a scalar
+  //    subquery, so this row stays oracle-gated at every SF the sweep
+  //    runs — proof the auto default and the recall knob agree with the
+  //    pinned-seed q75 dataflow, not just with themselves. -------------
+  private val q90 = Q(
+    "q90_semantic_dedup_auto",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Similarity.semanticDedup(t.embeddings, "vec_id", "embedding",
+          seedMod = 0, SDTAU, nprobe = 2)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      mcte AS (
+        SELECT GREATEST(CAST(round(sqrt(count(*))) AS BIGINT), 1) AS m
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v, mcte WHERE vec_id % mcte.m = 0),
+      ranked AS (
+        SELECT v.vec_id, s.cell,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+              s.cell ASC) AS rn
+        FROM v CROSS JOIN seeds s),
+      assign1 AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+      probed AS (
+        SELECT r.vec_id, r.cell, v.embedding, v.nrm
+        FROM (SELECT vec_id, cell FROM ranked WHERE rn <= 2) r
+        JOIN v USING (vec_id)),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM probed a JOIN probed b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SDTAU)
+      SELECT a1.vec_id, a1.cell FROM assign1 a1
+      LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+      WHERE d.vec_id IS NULL
+      ORDER BY a1.vec_id"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75, q90)
 }

@@ -149,6 +149,52 @@ class PercentilesSpec extends SparkSpec {
     assert(a.size === d.count()) // neither shape drops rows
   }
 
+  test("auto dispatch picks each shape in its regime, results identical") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def usesWindow(out: org.apache.spark.sql.DataFrame): Boolean =
+      out.queryExecution.sparkPlan.collect { case w: WindowExec => w }.nonEmpty
+    val d = (1 to 400).map(i =>
+      (s"g${i % 3}", ((i * 40503L) % 1000003L).toDouble)).toDF("g", "v")
+    val specs = Seq(("v", Seq(0.1, 0.5, 0.9), Seq("p10", "p50", "p90")))
+    val P = spark.sessionState.conf.numShufflePartitions
+
+    // the unhinted probe (one approx_count_distinct job) must agree
+    // with the rule evaluated on the true cardinality (3 groups)
+    assert(Percentiles.chooseRankSelect(d, "g", groupCountHint = -1)
+      === (3 * 4 <= P))
+
+    // hinted low cardinality → rank-select regime (no Window node: the
+    // result is a driver-interpolated local relation)
+    assert(Percentiles.chooseRankSelect(d, "g", groupCountHint = 1L))
+    val auto = Percentiles.groupedExactAuto(d, "g", specs,
+      groupCountHint = 1L)
+    assert(!usesWindow(auto), "low-cardinality dispatch must pick rank-select")
+
+    // hinted high cardinality → window regime (Window node present)
+    assert(!Percentiles.chooseRankSelect(d, "g", groupCountHint = P.toLong))
+    val autoWin = Percentiles.groupedExactAuto(d, "g", specs,
+      groupCountHint = P.toLong)
+    assert(usesWindow(autoWin), "high-cardinality dispatch must pick window")
+
+    // both shapes, bit-identical values (interpolation arithmetic shared)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (1 until r.length).map(i => Option(r.get(i)))).toMap
+    assert(canon(auto) === canon(autoWin))
+
+    // winsorizedAuto dispatches the same rule, same per-row results
+    val wRank = Percentiles.winsorizedAuto(d, "g", "v", 0.05, 0.95, "w",
+      groupCountHint = 1L)
+    val wWin = Percentiles.winsorizedAuto(d, "g", "v", 0.05, 0.95, "w",
+      groupCountHint = P.toLong)
+    assert(!usesWindow(wRank) && usesWindow(wWin))
+    def rows(df2: org.apache.spark.sql.DataFrame) =
+      df2.select("g", "v", "w").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(wRank) === rows(wWin))
+  }
+
   test("single-column groupedExact delegates to the fused pass") {
     val out = Percentiles.groupedExact(df, "g", "x", Seq(0.0, 1.0),
       Seq("lo", "hi")).collect()

@@ -112,6 +112,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("corpus_id")).distinct.length === 4)
   }
 
+  test("semanticDedup nprobe: recall vs exact pairs is measured and monotone") {
+    // the real test corpus: recall = fraction of EXACT near-dup pairs
+    // (cosinePairs, the q26 ground truth) whose higher id gets dropped.
+    // nprobe=1 misses pairs straddling a cell boundary; nprobe=2 probes
+    // each vector's top-2 cells for pair generation and must recover a
+    // superset of the nprobe=1 drops.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.4
+    val exactPairs = Similarity.cosinePairs(emb, "vec_id", "embedding", tau)
+      .select(col("v1").cast("long"), col("v2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "test corpus must contain near-dup pairs")
+    val allIds = emb.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    def recall(nprobe: Int): (Double, Set[Long]) = {
+      val survivors = Similarity.semanticDedup(
+          emb, "vec_id", "embedding", seedMod = 0, tau, nprobe)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+      val dropped = allIds -- survivors
+      val covered = exactPairs.count { case (_, hi) => dropped(hi) }
+      (covered.toDouble / exactPairs.size, dropped)
+    }
+    val (r1, dropped1) = recall(1)
+    val (r2, dropped2) = recall(2)
+    info(f"semanticDedup recall vs ${exactPairs.size} exact pairs: " +
+      f"nprobe=1 → $r1%.3f, nprobe=2 → $r2%.3f")
+    assert(dropped1.subsetOf(dropped2),
+      "nprobe=2 must drop a superset of nprobe=1's drops")
+    assert(r2 >= r1, "multi-probe recall must be monotone")
+    assert(r1 > 0.0, "nprobe=1 must already catch same-cell pairs")
+  }
+
   test("semanticDedup is deterministic under repartitioning") {
     val corpus = (0L until 200L).map { i =>
       (i, Array.tabulate(8)(d =>
