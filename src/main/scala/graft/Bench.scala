@@ -31,7 +31,8 @@ object Bench {
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
-    "q60_media_resize", "q61_audio_features", "q30_summary_stats",
+    "q60_media_resize", "q61_audio_features", "q89_png_pixels",
+    "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",

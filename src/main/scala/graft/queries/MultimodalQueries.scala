@@ -196,5 +196,71 @@ object MultimodalQueries {
     FROM documents
     ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61)
+  // -- q89: REAL compressed-PNG pixel decode, oracle-gated -------------
+  // Each doc synthesizes an 8x6 8-bit PNG (RGB for even doc_id, RGBA
+  // for odd) whose channel values are doc_id-derived formulas, with a
+  // DIFFERENT scanline filter per row (type = (doc_id + y) % 5 — all
+  // five RFC 2083 filters incl. Paeth exercised on every doc), zlib-
+  // compressed via one per-partition Deflater. Multimodal.pngFeatures
+  // must then chunk-parse (CRC-verified), Inflater-decompress, and
+  // unfilter the BYTES back to pixels; the oracle recomputes the
+  // dimensions, corner pixels and whole-image channel sum from the
+  // formulas. A wrong filter inverse, Paeth tie-break, row offset, or
+  // alpha handling diverges.
+  private val PW = 8
+  private val PH = 6
+  private val q89 = Q(
+    "q89_png_pixels",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      // per-row deflate is the compute; restore scan splits locally
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater()
+          rows.map { r =>
+            val d = r.getLong(0)
+            val c = if (d % 2 == 0) 3 else 4
+            val px = new Array[Byte](PW * PH * c)
+            var y = 0
+            while (y < PH) {
+              var x = 0
+              while (x < PW) {
+                val i = (y * PW + x) * c
+                px(i) = ((d + 7 * x + 13 * y) % 256).toByte
+                px(i + 1) = ((3 * d + 5 * x + y) % 256).toByte
+                px(i + 2) = ((d + x * y) % 256).toByte
+                if (c == 4) px(i + 3) = ((d + x + y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val bytes = Multimodal.pngEncode(
+              Multimodal.PngImage(PW, PH, c, px),
+              yy => ((d + yy) % 5).toInt, deflater)
+            Row(d, bytes, "image/png")
+          }
+        }(mediaEnc)
+      Multimodal.pngFeatures(media).orderBy(col("media_id"))
+    },
+    Some(s"""SELECT doc_id AS media_id,
+      CAST($PW AS INT) AS width, CAST($PH AS INT) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS channels,
+      CAST(doc_id % 256 AS INT) AS p_first_r,
+      CAST((3 * doc_id) % 256 AS INT) AS p_first_g,
+      CAST(doc_id % 256 AS INT) AS p_first_b,
+      CAST((doc_id + ${7 * (PW - 1) + 13 * (PH - 1)}) % 256 AS INT) AS p_last_r,
+      CAST((3 * doc_id + ${5 * (PW - 1) + (PH - 1)}) % 256 AS INT) AS p_last_g,
+      CAST((doc_id + ${(PW - 1) * (PH - 1)}) % 256 AS INT) AS p_last_b,
+      (SELECT CAST(SUM((doc_id + 7 * x + 13 * y) % 256
+                     + (3 * doc_id + 5 * x + y) % 256
+                     + (doc_id + x * y) % 256
+                     + CASE WHEN doc_id % 2 = 1
+                         THEN (doc_id + x + y) % 256 ELSE 0 END) AS BIGINT)
+       FROM range(0, $PW) tx(x), range(0, $PH) ty(y)) AS pix_sum
+    FROM documents
+    ORDER BY media_id"""))
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89)
 }

