@@ -67,6 +67,68 @@ object TrainingPrep {
         col("n_overlap").cast("double") / col("n_shingles"))
   }
 
+  /** Bloom-filter variant of [[contaminationReport]] — the shape for
+    * when the eval shingle index outgrows comfortable broadcast range
+    * (a full eval-suite union at web scale is billions of distinct
+    * shingles; as raw longs that is tens of GB, while a 1%-fpp Bloom
+    * filter of the same set is ~1.2 bytes/item). Returns ONE ROW PER
+    * TRAIN DOCUMENT: `(idCol, n_shingles, n_bloom, n_exact)` — the
+    * bloom-probed overlap count next to the exact one, so callers can
+    * gate on either and specs can assert the sketch contract
+    * (no false negatives: n_bloom ≥ n_exact always; false positives
+    * bounded by fpp per distinct shingle).
+    *
+    * Scale (100 TB corpus): the filter is built by Spark's
+    * treeAggregate — constant-size sketch per executor, merged on the
+    * driver — then broadcast; probing is a per-partition loop over
+    * the native shingle-hash arrays (one sketch reference per
+    * partition, the same bounded-JVM-closure discipline as the
+    * multimodal decoders). The train side never shuffles for the
+    * probe; the exact side here exists for verification and reuses
+    * the broadcast-index join of [[contaminationReport]] (drop it in
+    * production and the operator is shuffle-free).
+    */
+  def bloomContamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      isEval: Column,
+      fpp: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val sh = docs.select(
+      col(idCol),
+      isEval.as("is_eval"),
+      array_distinct(TextFns.shingleHashes(col(textCol), n)).as("sh"))
+    val evalIndex = sh.filter(col("is_eval"))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val nEval = evalIndex.count()
+    val bloom = evalIndex.stat.bloomFilter("shingle", math.max(nEval, 1L), fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val train = sh.filter(!col("is_eval")).select(col(idCol), col("sh"))
+    val probedSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("n_shingles", LongType),
+      StructField("n_bloom", LongType)))
+    val probed = train.mapPartitions { rows =>
+      val b = bc.value // one sketch reference per partition
+      rows.map { r =>
+        val shs = r.getSeq[Long](1)
+        var hits = 0L
+        shs.foreach(h => if (b.mightContainLong(h)) hits += 1L)
+        Row(r.getLong(0), shs.size.toLong, hits)
+      }
+    }(Encoders.row(probedSchema))
+      .withColumnRenamed("__id", idCol)
+    val exact = train
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalIndex), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_exact"))
+    probed.join(exact, Seq(idCol), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+  }
+
   // ------------------------------------------------------------------
   // Repetition statistics (Gopher quality rules)
   // ------------------------------------------------------------------

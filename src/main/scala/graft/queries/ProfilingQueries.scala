@@ -364,5 +364,62 @@ object ProfilingQueries {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85)
+  // -- A15 (engine addition): robust location/scale profiling — exact
+  //    per-group median and MAD (median absolute deviation) plus the
+  //    |dev| > 3·1.4826·MAD outlier count, the robust-z-score outlier
+  //    rule a feature pipeline applies where mean/stddev would be
+  //    dragged by the outliers themselves. Three passes by necessity
+  //    (median → deviations → MAD → count), each fully parallel: the
+  //    percentile passes ride the auto-dispatched rank-select shape
+  //    (3 groups ≪ P — the window shape would serialize onto 3 tasks)
+  //    and the tiny bounds tables broadcast back. Bit-exact vs DuckDB:
+  //    the rank-select interpolation performs quantile_cont's exact
+  //    double arithmetic (the q67 parity), so every outlier comparison
+  //    agrees.
+  private val q92 = Q(
+    "q92_robust_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val P = graft.operators.Percentiles
+      val src = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      val med = P.groupedExactAuto(src, "l_returnflag",
+        Seq(("l_extendedprice", Seq(0.5), Seq("med"))), groupCountHint = 3L)
+      val dev = src.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("absdev"))
+      val mad = P.groupedExactAuto(dev, "l_returnflag",
+        Seq(("absdev", Seq(0.5), Seq("mad"))), groupCountHint = 3L)
+      val bounds = med.join(mad, Seq("l_returnflag"))
+      src.join(broadcast(bounds), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          pround(any_value(col("med")), 4).as("median"),
+          pround(any_value(col("mad")), 4).as("mad"),
+          sum((abs(col("l_extendedprice") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad")).cast("long")).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag),
+      mad AS (
+        SELECT l.l_returnflag,
+          quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+        FROM lineitem l JOIN med m USING (l_returnflag)
+        GROUP BY l.l_returnflag),
+      b AS (
+        SELECT med.l_returnflag, med.med, mad.mad
+        FROM med JOIN mad USING (l_returnflag))
+      SELECT l.l_returnflag, count(*) AS n_rows,
+        ${proundSql("min(b.med)", 4)} AS median,
+        ${proundSql("min(b.mad)", 4)} AS mad,
+        CAST(sum(CASE WHEN abs(l.l_extendedprice - b.med)
+            > 3.0 * 1.4826 * b.mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM lineitem l JOIN b USING (l_returnflag)
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag"""))
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92)
 }

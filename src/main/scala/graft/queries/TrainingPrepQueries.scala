@@ -257,5 +257,62 @@ object TrainingPrepQueries {
       ORDER BY doc_id, chunk_idx"""
     })
 
-  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81)
+  // -- T7: Bloom-filter decontamination — the eval-index shape for when
+  //    the exact shingle set outgrows broadcast range (a Bloom filter
+  //    of the same set is ~1.2 bytes/item at 1% fpp). Spark builds the
+  //    sketch via treeAggregate, broadcasts it, and probes each train
+  //    doc's native shingle hashes per partition; the exact overlap is
+  //    computed alongside. The oracle recomputes the EXACT side in SQL
+  //    and pins the sketch CONTRACT as boolean columns (q40's sketch-
+  //    gating pattern): no false negatives ever, and per-doc false-
+  //    positive excess within a generous multiple of fpp — a broken
+  //    hash or serialization flips a flag and fails the hash compare.
+  private val BLOOM_FPP = 0.001
+  private val q91 = Q(
+    "q91_bloom_decontamination",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val perDoc = TrainingPrep.bloomContamination(
+        t.documents, "doc_id", "text", N, col("doc_id") % 10 === 0, BLOOM_FPP)
+      perDoc
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          sum((col("n_exact") > 0).cast("long")).as("n_contaminated"),
+          sum(col("n_exact")).as("total_exact_overlap"),
+          bool_and(col("n_bloom") >= col("n_exact")).as("no_false_negatives"),
+          bool_and(col("n_bloom") - col("n_exact") <=
+            greatest(lit(3L), (col("n_shingles").cast("double") * 0.05)
+              .cast("long"))).as("fp_within_bound"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id, source, doc_id % 10 = 0 AS is_eval,
+          list_distinct(${shingleHashesSql("text", N)}) AS shingle_set
+        FROM documents),
+      eval_idx AS (
+        SELECT DISTINCT unnest(shingle_set) AS shingle FROM sh WHERE is_eval),
+      train AS (
+        SELECT doc_id, source, unnest(shingle_set) AS shingle
+        FROM sh WHERE NOT is_eval),
+      overlap AS (
+        SELECT t.doc_id, count(*) AS n_exact
+        FROM train t JOIN eval_idx e ON t.shingle = e.shingle
+        GROUP BY t.doc_id),
+      per_doc AS (
+        SELECT s.doc_id, s.source, coalesce(o.n_exact, 0) AS n_exact
+        FROM sh s LEFT JOIN overlap o ON s.doc_id = o.doc_id
+        WHERE NOT s.is_eval)
+      SELECT source, count(*) AS n_train_docs,
+        CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_contaminated,
+        CAST(sum(n_exact) AS BIGINT) AS total_exact_overlap,
+        TRUE AS no_false_negatives,
+        TRUE AS fp_within_bound
+      FROM per_doc
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81, q91)
 }

@@ -47,6 +47,46 @@ class TrainingPrepSpec extends SparkSpec {
   // repetitionStats
   // ------------------------------------------------------------------
 
+  test("bloomContamination: every train doc reported, no false negatives") {
+    val out = TrainingPrep.bloomContamination(
+        contamDocs, "doc_id", "text", n = 3, isEval = col("is_eval"),
+        fpp = 0.001)
+      .orderBy("doc_id").collect()
+    // unlike contaminationReport, CLEAN docs appear too (n_exact = 0)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_bloom"),
+        r.getAs[Long]("n_exact"))).toMap
+    assert(byId(1L)._3 === 2L) // same exact overlap as contaminationReport
+    assert(byId(2L)._3 === 0L)
+    // the sketch contract on a larger corpus: bloom hits ⊇ exact hits
+    // per doc, and false-positive excess stays near fpp per shingle
+    val big = (0L until 400L).map { i =>
+      val words =
+        if (i % 10 == 0) (0 until 20).map(j => s"eval${i}w$j") // eval
+        else if (i % 10 == 1) (0 until 20).map(j => s"eval${i - 1}w$j") // copy of prior eval
+        else (0 until 20).map(j => s"doc${i}w$j") // disjoint vocab
+      (i, words.mkString(" "), i % 10 == 0)
+    }.toDF("doc_id", "text", "is_eval")
+    val rep = TrainingPrep.bloomContamination(
+        big, "doc_id", "text", n = 3, isEval = col("is_eval"), fpp = 0.001)
+      .collect()
+    assert(rep.length === 360) // every non-eval doc
+    rep.foreach { r =>
+      val (ns, nb, ne) = (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_bloom"), r.getAs[Long]("n_exact"))
+      assert(nb >= ne, s"false negative on doc ${r.getLong(0)}")
+      assert(nb - ne <= math.max(3L, ns / 20),
+        s"fp excess ${nb - ne} of $ns shingles on doc ${r.getLong(0)}")
+    }
+    // the copies of eval docs are fully contaminated; disjoint docs are
+    // exactly clean
+    val byMod = rep.groupBy(_.getAs[Long]("doc_id") % 10 == 1)
+    assert(byMod(true).forall(r =>
+      r.getAs[Long]("n_exact") === r.getAs[Long]("n_shingles")))
+    assert(byMod(false).forall(_.getAs[Long]("n_exact") === 0L))
+  }
+
   test("repetitionStats computes dup fractions and top-2gram occupancy") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val st = TrainingPrep.repetitionStats(docs, "doc_id", "text", Seq(2, 3))
