@@ -51,7 +51,8 @@ object Bench {
     "q91_bloom_decontamination", "q92_robust_stats",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
-    "q81_chunk_spans", "q66_pipeline_mart",
+    "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
+    "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")
 

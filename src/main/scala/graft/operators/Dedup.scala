@@ -207,26 +207,38 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** Per-doc 32-bit set-based SimHash over distinct n-gram-shingle
-    * rolling hashes: bit k is set iff Σ_shingles (((h>>k)&1)·2−1) > 0.
+  /** Per-doc 64-bit set-based SimHash over distinct n-gram-shingle
+    * rolling hashes (the web-scale fingerprint width of Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07). Bit k is
+    * set iff Σ_shingles sign_k(h) > 0, where sign_k derives from an
+    * independent per-bit rehash g_k(h) = ((h+1)·(2654435761 + 40503·k))
+    * mod P — the base rolling hash only carries ~30 entropy bits
+    * (mod P = 1e9+7), so bits CANNOT come from h's own bit pattern
+    * (round-6 lesson: the old 32-bit variant's top bits were
+    * degenerate, and its 4-bit bands exhausted their 16-value space —
+    * bucket sizes grew linearly with the corpus and candidate pairs
+    * quadratically; measured 24× wall at 10× data). All intermediates
+    * stay < 2^63: h < P ≈ 2^30, multiplier < 2.66e9.
+    *
     * Shingles (not unigrams) keep the fingerprint discriminative on
     * corpora with a shared vocabulary — token SETS converge across
-    * documents long before shingle sets do. Computed as 32 plain
+    * documents long before shingle sets do. Computed as 64 plain
     * sum-aggregates over the exploded shingle-hash rows (codegen,
-    * map-side combine).
+    * map-side combine); bit assembly ORs disjoint powers (1L<<63 is
+    * the sign bit — arithmetic + would overflow).
     */
   def simhashDF(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val rows = shingleHashRows(docs, idCol, textCol, n)
-    val bitSums = (0 until 32).map { k =>
-      sum(shiftright(col("s"), k).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-        .as(s"bs$k")
+    val bitSums = (0 until 64).map { k =>
+      val g = (col("s") + lit(1L)) * lit(2654435761L + 40503L * k) % lit(graft.functions.TextFns.P)
+      sum(g.bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"bs$k")
     }
     rows.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 32).map(k =>
+        (0 until 64).map(k =>
           when(col(s"bs$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** Survivor selection: given near-dup pairs (d1 < d2), drop every
@@ -368,20 +380,35 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, generated by a
-    * banded equality join over 8 nibbles. Pigeonhole: lossless for
-    * maxHamming ≤ 7 (any such pair shares at least one clean band), so
-    * this equals the naive all-pairs answer at a fraction of the cost.
-    * `maxBucket` caps band-bucket occupancy (see [[capBuckets]]);
-    * NOTE a dropped bucket narrows the pigeonhole guarantee to pairs
-    * sharing a clean band that stayed under the cap.
+    * banded equality join over `64/bandBits` bands of `bandBits` bits.
+    * Pigeonhole: lossless for maxHamming ≤ nBands − 1 (any such pair
+    * shares at least one clean band), so this equals the naive
+    * all-pairs answer at a fraction of the cost.
+    *
+    * `bandBits` is the SCALE DIAL: expected bucket occupancy is
+    * n_docs / 2^bandBits per band, and candidate work is
+    * Σ_buckets |bucket|² — the 16-bit default keeps buckets O(1) up to
+    * ~10⁷ docs (the old 4-bit nibbles capped out at 16 values and went
+    * quadratic at 10× — measured, see simhashDF). Wider bands trade
+    * recall headroom (fewer bands → lower lossless hamming bound) for
+    * bucket sparsity, exactly the Manku et al. table design.
+    * `maxBucket` still caps adversarial band-bucket occupancy (see
+    * [[capBuckets]]); NOTE a dropped bucket narrows the pigeonhole
+    * guarantee to pairs sharing a clean band that stayed under the cap.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming <= 7, "8 bands of 4 bits are lossless only for hamming <= 7")
+      n: Int, maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): DataFrame = {
+    require(bandBits > 0 && 64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxHamming <= nBands - 1,
+      s"$nBands bands of $bandBits bits are lossless only for hamming <= ${nBands - 1}")
     val sh = simhashDF(docs, idCol, textCol, n)
-    val bandCols = (0 until 8).map(b =>
+    val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1L)
+    val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
-        shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_val")))
+        shiftrightunsigned(col("simhash"), bandBits * b).bitwiseAND(mask)
+          .as("band_val")))
     val bands = capBuckets(
       sh.select(col(idCol), col("simhash"),
         explode(array(bandCols: _*)).as("band"))

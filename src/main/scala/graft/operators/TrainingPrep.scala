@@ -130,6 +130,65 @@ object TrainingPrep {
   }
 
   // ------------------------------------------------------------------
+  // Content-defined chunking (rolling-hash boundaries)
+  // ------------------------------------------------------------------
+
+  /** Content-defined chunking: split each document at token positions
+    * where the rolling hash of the trailing `w`-token window is ≡ 0
+    * mod `divisor` (the Rabin-style CDC boundary rule; expected chunk
+    * length ≈ divisor tokens + w). Unlike fixed-stride [[chunkSpans]],
+    * boundaries depend only on LOCAL content, so an edit perturbs at
+    * most the chunk it lands in — identical passages in different
+    * documents produce identical chunks, which is what makes
+    * CHUNK-level exact dedup work across near-duplicate docs
+    * (spec-proven: a shared prefix yields identical chunk hashes).
+    *
+    * Output: one row per chunk — `idCol, n_tokens, chunk_idx
+    * (1-based), chunk_start, chunk_end (1-based inclusive token
+    * positions), chunk_len, chunk_hash` (md5 of the space-joined
+    * token span — the dedup key).
+    *
+    * Scale: pure per-row HOF arithmetic over the native shingle-hash
+    * array + one generator explode — pipelines inside the scan, zero
+    * shuffle; the downstream chunk dedup is a hash-groupBy on
+    * chunk_hash exactly like exact doc dedup.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, divisor: Int): DataFrame = {
+    require(w >= 1 && divisor >= 1)
+    val toks = TextFns.tokens(col(textCol))
+    val hs = TextFns.shingleHashes(col(textCol), w)
+    // window i (1-based) covers tokens i..i+w-1; a zero-residue hash
+    // closes a chunk at token i+w-1. The final token always closes the
+    // last chunk (array_distinct absorbs a coinciding hash boundary).
+    val ends0 = when(size(hs) > 0,
+      filter(transform(sequence(lit(1), size(hs)),
+        i => when(element_at(hs, i) % lit(divisor.toLong) === 0,
+          i + lit(w - 1))),
+        x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val ends = array_sort(array_distinct(concat(ends0, array(size(toks)))))
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("n_tokens"),
+        ends.as("__ends"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("__toks"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("__k", "chunk_end")))
+      .withColumn("chunk_start",
+        when(col("__k") === 0, lit(1))
+          .otherwise(element_at(col("__ends"), col("__k")) + 1))
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("__k") + 1).as("chunk_idx"),
+        col("chunk_start"), col("chunk_end"),
+        (col("chunk_end") - col("chunk_start") + 1).as("chunk_len"),
+        md5(array_join(
+          slice(col("__toks"), col("chunk_start"),
+            col("chunk_end") - col("chunk_start") + 1), " "))
+          .as("chunk_hash"))
+  }
+
+  // ------------------------------------------------------------------
   // Repetition statistics (Gopher quality rules)
   // ------------------------------------------------------------------
 

@@ -149,8 +149,11 @@ object DedupQueries {
       JOIN sets sb ON d2 = sb.doc_id)"""
   }
 
-  // -- D5: SimHash hamming pairs (banded join, lossless ≤ 7) -----------
-  private val HAM = 7
+  // -- D5: SimHash hamming pairs (64-bit fingerprint, 4×16-bit banded
+  //    join, lossless ≤ 3). The oracle is the NAIVE all-pairs answer
+  //    over the same per-bit-rehash fingerprint — the banded join must
+  //    reproduce it exactly (pigeonhole), at inverted-index cost. ----
+  private val HAM = 3
   private val q25 = Q(
     "q25_simhash_pairs",
     (s, dir) => {
@@ -160,11 +163,16 @@ object DedupQueries {
     },
     Some {
       val ths = shingleSetSql
-      val bits = (0 until 32).map { k =>
+      // bit k from an independent rehash of each shingle hash —
+      // mirrors Dedup.simhashDF: g_k = ((h+1)·(2654435761+40503k)) % P;
+      // disjoint powers assembled with | (bit 63 is the sign bit)
+      val bits = (0 until 64).map { k =>
+        val mult = 2654435761L + 40503L * k
         s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-           | list_transform(ths, h -> ((h >> $k) & 1) * 2 - 1)),
-           | (a, b) -> a + b) > 0 THEN ${1L << k} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
+           | list_transform(ths,
+           |   h -> (((h + 1) * $mult) % ${graft.functions.TextFns.P} & 1) * 2 - 1)),
+           | (a, b) -> a + b) > 0 THEN ${1L << k} ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      }.mkString(" | ")
       s"""WITH th AS (SELECT doc_id, $ths AS ths FROM documents),
       sh AS (SELECT doc_id, $bits AS simhash FROM th)
       SELECT a.doc_id AS d1, b.doc_id AS d2,

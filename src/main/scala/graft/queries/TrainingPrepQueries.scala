@@ -314,5 +314,110 @@ object TrainingPrepQueries {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81, q91)
+  // -- T8: content-defined chunking — rolling-hash boundaries (Rabin-
+  //    style CDC over token windows: close a chunk where the w-gram
+  //    hash ≡ 0 mod divisor). The content-locality property (an edit
+  //    perturbs only its own chunk; shared passages chunk identically
+  //    across documents) is what makes chunk-level dedup compose with
+  //    doc-level near-dup — spec-proven in TrainingPrepSpec; here the
+  //    full span+hash table is oracle-checked bit-exactly.
+  private val CDC_W = 8
+  private val CDC_DIV = 32
+  private def cdcEndsSql = {
+    // mirrors TrainingPrep.cdcChunks: window i closes a chunk at token
+    // i + w - 1 when its hash ≡ 0 mod divisor; last token always closes
+    s"""list_sort(list_distinct(list_append(
+       | CASE WHEN len(hs) > 0 THEN
+       |   list_filter(list_transform(generate_series(1, len(hs)),
+       |     i -> CASE WHEN hs[CAST(i AS INT)] % $CDC_DIV = 0
+       |            THEN i + ${CDC_W - 1} ELSE NULL END),
+       |     x -> x IS NOT NULL)
+       | ELSE CAST([] AS BIGINT[]) END, len(toks))))""".stripMargin
+  }
+  private val cdcStartSql =
+    "CASE WHEN k = 1 THEN 1 ELSE ends[CAST(k - 1 AS INT)] + 1 END"
+  private val q93 = Q(
+    "q93_cdc_chunks",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.cdcChunks(t.documents, "doc_id", "text", CDC_W, CDC_DIV)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, ${tokensSql("text")} AS toks,
+          ${shingleHashesSql("text", CDC_W)} AS hs
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens,
+          $cdcEndsSql AS ends
+        FROM d),
+      c AS (
+        SELECT doc_id, n_tokens, toks, ends,
+          unnest(generate_series(1, len(ends))) AS k
+        FROM b WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens,
+        CAST(k AS INT) AS chunk_idx,
+        CAST($cdcStartSql AS INT) AS chunk_start,
+        CAST(ends[CAST(k AS INT)] AS INT) AS chunk_end,
+        CAST(ends[CAST(k AS INT)] - ($cdcStartSql) + 1 AS INT) AS chunk_len,
+        md5(array_to_string(
+          toks[CAST($cdcStartSql AS INT):CAST(ends[CAST(k AS INT)] AS INT)],
+          ' ')) AS chunk_hash
+      FROM c
+      ORDER BY doc_id, chunk_idx"""))
+
+  // -- T9: chunk-level dedup stats over the CDC chunks — the statistic
+  //    CDC exists to improve: identical passages across documents
+  //    collapse onto one chunk_hash, so dup_chunk_frac exposes sub-
+  //    document duplication that doc-level exact dedup cannot see.
+  //    One hash-groupBy on (source, chunk_hash) semantics via
+  //    count(DISTINCT) — at 100 TB this is the same shuffle shape as
+  //    exact dedup (key = chunk hash), nothing quadratic. ------------
+  private val q94 = Q(
+    "q94_cdc_dedup_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.cdcChunks(t.documents, "doc_id", "text", CDC_W, CDC_DIV)
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          pround((count(lit(1)) - countDistinct(col("chunk_hash")))
+            .cast("double") / count(lit(1)), 6).as("dup_chunk_frac"),
+          sum(col("chunk_len")).cast("long").as("total_tokens"),
+          max(col("chunk_len")).as("max_chunk_len"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, ${tokensSql("text")} AS toks,
+          ${shingleHashesSql("text", CDC_W)} AS hs
+        FROM documents),
+      b AS (
+        SELECT doc_id, source, toks, CAST(len(toks) AS INT) AS n_tokens,
+          $cdcEndsSql AS ends
+        FROM d),
+      c AS (
+        SELECT doc_id, source, n_tokens, toks, ends,
+          unnest(generate_series(1, len(ends))) AS k
+        FROM b WHERE n_tokens > 0),
+      chunks AS (
+        SELECT doc_id, source,
+          CAST(ends[CAST(k AS INT)] - ($cdcStartSql) + 1 AS INT) AS chunk_len,
+          md5(array_to_string(
+            toks[CAST($cdcStartSql AS INT):CAST(ends[CAST(k AS INT)] AS INT)],
+            ' ')) AS chunk_hash
+        FROM c)
+      SELECT source, count(*) AS n_chunks,
+        count(DISTINCT chunk_hash) AS n_distinct_chunks,
+        ${proundSql(
+          "CAST(count(*) - count(DISTINCT chunk_hash) AS DOUBLE) / count(*)",
+          6)} AS dup_chunk_frac,
+        CAST(sum(chunk_len) AS BIGINT) AS total_tokens,
+        max(chunk_len) AS max_chunk_len
+      FROM chunks
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94)
 }

@@ -87,6 +87,57 @@ class TrainingPrepSpec extends SparkSpec {
     assert(byMod(false).forall(_.getAs[Long]("n_exact") === 0L))
   }
 
+  test("cdcChunks: exact cover + content-defined boundary stability") {
+    // deterministic pseudo-random token streams; doc 2 = doc 1 plus an
+    // appended suffix, doc 3 = same suffix after a DIFFERENT prefix
+    val baseToks = (1 to 300).map(i => s"t${(i * 7919) % 997}")
+    val suffix = (1 to 120).map(i => s"s${(i * 104729) % 1009}")
+    val docs = Seq(
+      (1L, baseToks.mkString(" ")),
+      (2L, (baseToks ++ suffix).mkString(" ")),
+      (3L, ((1 to 250).map(i => s"u${(i * 31) % 983}") ++ suffix)
+        .mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.cdcChunks(docs, "doc_id", "text", w = 4,
+      divisor = 16)
+    val chunks = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_start"), r.getAs[Int]("chunk_end"),
+        r.getAs[Int]("chunk_len"), r.getAs[String]("chunk_hash")))
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2).toSeq }
+
+    // exact cover: chunks tile 1..n_tokens with no gaps or overlaps
+    for ((id, cs) <- chunks) {
+      assert(cs.head._3 === 1, s"doc $id first chunk must start at 1")
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 === a._4 + 1, s"doc $id gap at $b")
+        case _ =>
+      }
+      assert(cs.forall(c => c._5 === c._4 - c._3 + 1))
+    }
+    assert(chunks(1L).last._4 === 300)
+    assert(chunks(2L).last._4 === 420)
+
+    // content locality 1: every chunk of doc 1 except its FINAL
+    // (end-of-doc-forced) one appears in doc 2 with identical span+hash
+    val d2 = chunks(2L).map(c => (c._3, c._4, c._6)).toSet
+    chunks(1L).init.foreach { c =>
+      assert(d2.contains((c._3, c._4, c._6)),
+        s"prefix chunk $c not preserved after append")
+    }
+    // content locality 2: the shared SUFFIX yields identical chunk
+    // hashes in docs 2 and 3 despite different prefixes (positions
+    // shift; hashes — the dedup key — agree). Skip each doc's first
+    // suffix chunk (straddles the splice) and last (end-forced).
+    def suffixHashes(id: Long, prefixLen: Int) =
+      chunks(id).filter(_._3 > prefixLen + 4).init.map(_._6)
+    val s2 = suffixHashes(2L, 300)
+    val s3 = suffixHashes(3L, 250)
+    assert(s2.nonEmpty, "suffix must produce interior chunks")
+    assert(s2.toSet.subsetOf(s3.toSet) || s3.toSet.subsetOf(s2.toSet),
+      s"shared suffix chunks diverged: $s2 vs $s3")
+  }
+
   test("repetitionStats computes dup fractions and top-2gram occupancy") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val st = TrainingPrep.repetitionStats(docs, "doc_id", "text", Seq(2, 3))
