@@ -333,5 +333,50 @@ object TextAnalysis {
       LIMIT $BM25_K"""
     })
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72, q79)
+  // -- T9: BPE-style pre-tokenization counting — the GPT-2-family
+  //    pre-tokenizer regex (contraction suffixes | space?-letters |
+  //    space?-digits | space?-punctuation-run | whitespace-run) as a
+  //    scan-time regexp_extract_all. n_pretokens is the standard
+  //    sequence-length estimate a packing/budgeting pipeline needs
+  //    BEFORE running a real BPE merge (fertility = pretokens per
+  //    whitespace word). The matches PARTITION the text exactly, and
+  //    the oracle pins that property: both engines sum their own
+  //    matches' lengths and must equal n_chars — a regex-dialect
+  //    divergence (Java vs RE2) breaks the hash, not just the count.
+  private val BPE_PAT =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  private val q95 = Q(
+    "q95_bpe_pretokens",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pts = regexp_extract_all(col("text"), lit(BPE_PAT), lit(0))
+      val toks = tokens(col("text"))
+      t.documents.select(
+          col("doc_id"),
+          size(pts).as("n_pretokens"),
+          size(toks).as("n_ws_tokens"),
+          aggregate(pts, lit(0L), (a, p) => a + length(p))
+            .as("sum_pretoken_chars"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          pround(size(pts).cast("double") / size(toks), 4).as("fertility"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val pat = BPE_PAT.replace("'", "''")
+      s"""SELECT doc_id,
+        len(regexp_extract_all(text, '$pat')) AS n_pretokens,
+        len(${tokensSql("text")}) AS n_ws_tokens,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(text, '$pat'),
+            p -> CAST(len(p) AS BIGINT))),
+          (a, b) -> a + b) AS BIGINT) AS sum_pretoken_chars,
+        CAST(len(text) AS BIGINT) AS n_chars_calc,
+        ${proundSql(
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE) / len(${tokensSql("text")})",
+          4)} AS fertility
+      FROM documents
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95)
 }

@@ -340,7 +340,10 @@ object TrainingPrepQueries {
     "q93_cdc_chunks",
     (s, dir) => {
       val t = Tpch(s, dir)
-      TrainingPrep.cdcChunks(t.documents, "doc_id", "text", CDC_W, CDC_DIV)
+      // per-row shingle hashing + per-chunk md5 is compute-heavy narrow
+      // work: restore scan splits locally (no-op on multi-file data)
+      TrainingPrep.cdcChunks(graft.core.Scan.fanOut(t.documents),
+          "doc_id", "text", CDC_W, CDC_DIV)
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
     Some(s"""WITH d AS (
@@ -377,7 +380,8 @@ object TrainingPrepQueries {
     "q94_cdc_dedup_stats",
     (s, dir) => {
       val t = Tpch(s, dir)
-      TrainingPrep.cdcChunks(t.documents, "doc_id", "text", CDC_W, CDC_DIV)
+      TrainingPrep.cdcChunks(graft.core.Scan.fanOut(t.documents),
+          "doc_id", "text", CDC_W, CDC_DIV)
         .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy(col("source"))
         .agg(
