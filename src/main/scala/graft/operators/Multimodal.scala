@@ -338,7 +338,10 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return null // truncated
+        // truncated stream or preset-dictionary request (never valid in
+        // PNG): bail rather than spin
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return null
         got += n
       }
       if (got != raw.length) return null

@@ -101,8 +101,13 @@ object TrainingPrep {
       col(idCol),
       isEval.as("is_eval"),
       array_distinct(TextFns.shingleHashes(col(textCol), n)).as("sh"))
+    // materialized once: the index feeds THREE actions (count, the
+    // bloomFilter treeAggregate, the exact-side broadcast join) and
+    // Catalyst does not CSE across them — without this the eval-doc
+    // shingling ran three times (the q30/semanticDedup lesson)
     val evalIndex = sh.filter(col("is_eval"))
       .select(explode(col("sh")).as("shingle")).distinct()
+      .localCheckpoint(true)
     val nEval = evalIndex.count()
     val bloom = evalIndex.stat.bloomFilter("shingle", math.max(nEval, 1L), fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
