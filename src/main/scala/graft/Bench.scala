@@ -145,7 +145,11 @@ object Bench {
     // not the same query in every pass. The passes also give a
     // whole-run drift signal: if pass bests disagree wildly the box was
     // noisy, and the JSON says so via "pass_drift".
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    // tolerate garbage env (non-numeric → default; < 1 → 1) — a zero
+    // would record an all-failed bench labeled trusted
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(2)
     val allPasses: Seq[Seq[(String, Timing)]] =
       (1 to passes).map(_ => names.map(n => n -> run(n)))
     val results: Seq[(String, Timing)] = names.zipWithIndex.map { case (n, i) =>
@@ -179,7 +183,10 @@ object Bench {
     val totalCpu = results.map(_._2.cpu).sum
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val untrusted = contended.nonEmpty || passDrift > 1.5
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"passes":$passes,"pass_drift":${f"$passDrift%.3f"},"untrusted":$untrusted,"sf":"$sfDir"}"""
+    // locale-independent formatting: the f interpolator would emit a
+    // decimal COMMA under e.g. de_DE and corrupt the JSON line
+    val driftStr = (math.round(passDrift * 1000) / 1000.0).toString
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"passes":$passes,"pass_drift":$driftStr,"untrusted":$untrusted,"sf":"$sfDir"}"""
     // the driver tail-captures stdout and has truncated the (long)
     // JSON line before (BENCH_r04 lost q01-q39): persist the full line
     // to a file AND print it, so the recorded bench is recoverable

@@ -307,7 +307,9 @@ object Multimodal {
       while (!sawEnd && off + 8 <= bytes.length) {
         val len = be32(bytes, off)
         val ctype = new String(bytes, off + 4, 4, "US-ASCII")
-        if (len < 0 || off + 12 + len > bytes.length) return null
+        // Long arithmetic: a corrupt length near 2^31 would wrap the
+        // Int sum positive-to-negative and sneak past this bound
+        if (len < 0 || off.toLong + 12L + len > bytes.length) return null
         // CRC covers type + data (RFC 2083 §3.4)
         if (crc32(java.util.Arrays.copyOfRange(bytes, off + 4, off + 8 + len))
             != be32(bytes, off + 8 + len)) return null
@@ -330,9 +332,14 @@ object Multimodal {
         off += 12 + len
       }
       if (!sawEnd || w <= 0 || h <= 0 || channels == 0) return null
+      // allocation sanity: a CRC-valid header can still declare
+      // dimensions whose byte counts overflow Int (NegativeArraySize
+      // crash) or dwarf any real payload — bound as Long first
+      val rawLen = h.toLong * (1L + w.toLong * channels)
+      if (rawLen > 512L * 1024 * 1024) return null
       // filtered stream: each row = 1 filter-type byte + w·channels
       val rowBytes = w * channels
-      val raw = new Array[Byte](h * (1 + rowBytes))
+      val raw = new Array[Byte](rawLen.toInt)
       inflater.reset()
       inflater.setInput(idat.toByteArray)
       var got = 0
@@ -345,6 +352,11 @@ object Multimodal {
         got += n
       }
       if (got != raw.length) return null
+      // the stream must END here too: an IDAT that inflates to MORE
+      // than h·(1+rowBytes) means IHDR and pixel data disagree —
+      // probe one extra byte rather than silently truncating
+      if (!inflater.finished() &&
+        inflater.inflate(new Array[Byte](1), 0, 1) > 0) return null
       // unfilter in place into the output array (RFC 2083 §6)
       val out = new Array[Byte](h * rowBytes)
       val bpp = channels

@@ -244,28 +244,40 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be >= 1")
     val m = resolveSeedMod(vecs, seedMod)
     val seeds = seedCentroids(vecs, idCol, vecCol, m)
-    // materialize the assignment ONCE: it feeds three join branches
-    // (pair sides a/b + the survivor base) and Catalyst does not CSE
-    // across branches — without this the broadcast-assign pass (the
-    // operator's dominant cost) ran three times. Same localCheckpoint
-    // discipline as the CC loop; swap for reliable checkpoint() on a
-    // cluster that must survive executor loss.
-    val assigned = ivfAssign(vecs, idCol, vecCol, seeds)
-      .localCheckpoint(true)
-    val pairSource =
-      if (nprobe <= 1) assigned
-      else {
+    // materialize the centroid-scoring pass ONCE: it feeds three join
+    // branches (pair sides a/b + the survivor base) and Catalyst does
+    // not CSE across branches — without this the broadcast-assign pass
+    // (the operator's dominant cost) ran three times. Same
+    // localCheckpoint discipline as the CC loop; swap for reliable
+    // checkpoint() on a cluster that must survive executor loss.
+    //
+    // For nprobe > 1 BOTH the top-1 assignment and the top-p pair
+    // source come from the SAME ranked window (checkpointed once) —
+    // an earlier cut ran ivfAssign's cross join AND a second scoring
+    // cross join for the probes, doubling the dominant stage.
+    val (assigned, pairSource) =
+      if (nprobe <= 1) {
+        val a = ivfAssign(vecs, idCol, vecCol, seeds).localCheckpoint(true)
+        (a, a)
+      } else {
         val scored = vecs
           .select(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("vnorm"))
           .crossJoin(broadcast(seeds))
           .select(col(idCol), col(vecCol), col("vnorm"), col("cell"),
             (dot(col(vecCol), col("cvec")) / (col("vnorm") * col("cnorm")))
               .as("cell_cos"))
+        // same tie-break as ivfAssign's max_by(struct(cos, -cell)):
+        // highest cosine, lowest cell — rank 1 IS the assignment
         val w = Window.partitionBy(col(idCol))
           .orderBy(col("cell_cos").desc, col("cell").asc)
-        scored.withColumn("__cr", row_number().over(w))
+        val ranked = scored.withColumn("__cr", row_number().over(w))
           .filter(col("__cr") <= nprobe)
-          .select(col(idCol), col(vecCol), col("vnorm"), col("cell"))
+          .select(col(idCol), col(vecCol), col("vnorm"), col("cell"),
+            col("__cr"))
+          .localCheckpoint(true)
+        (ranked.filter(col("__cr") === 1)
+          .select(col(idCol), col(vecCol), col("vnorm"), col("cell")),
+          ranked.select(col(idCol), col(vecCol), col("vnorm"), col("cell")))
       }
     val a = pairSource.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("vnorm").as("norm_a"))

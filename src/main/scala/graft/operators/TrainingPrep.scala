@@ -112,17 +112,24 @@ object TrainingPrep {
     val bloom = evalIndex.stat.bloomFilter("shingle", math.max(nEval, 1L), fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val train = sh.filter(!col("is_eval")).select(col(idCol), col("sh"))
+    // id passes through with ITS OWN type (same generic-id contract as
+    // contaminationReport — no silent long-only narrowing)
     val probedSchema = StructType(Seq(
-      StructField("__id", LongType),
+      StructField("__id", train.schema(idCol).dataType),
       StructField("n_shingles", LongType),
       StructField("n_bloom", LongType)))
     val probed = train.mapPartitions { rows =>
       val b = bc.value // one sketch reference per partition
       rows.map { r =>
         val shs = r.getSeq[Long](1)
-        var hits = 0L
-        shs.foreach(h => if (b.mightContainLong(h)) hits += 1L)
-        Row(r.getLong(0), shs.size.toLong, hits)
+        // null text → null shingle array: report an empty doc rather
+        // than NPE (explode would have silently skipped it)
+        if (shs == null) Row(r.get(0), 0L, 0L)
+        else {
+          var hits = 0L
+          shs.foreach(h => if (b.mightContainLong(h)) hits += 1L)
+          Row(r.get(0), shs.size.toLong, hits)
+        }
       }
     }(Encoders.row(probedSchema))
       .withColumnRenamed("__id", idCol)

@@ -358,7 +358,12 @@ object TextAnalysis {
           aggregate(pts, lit(0L), (a, p) => a + length(p))
             .as("sum_pretoken_chars"),
           length(col("text")).cast("long").as("n_chars_calc"),
-          pround(size(pts).cast("double") / size(toks), 4).as("fertility"))
+          // guard the zero-token edge identically to DuckDB's ÷0→NULL
+          // (Spark would yield NaN and break hash parity); unreachable
+          // with the whitespace tokenizer (split of "" is [""]) but the
+          // oracle contract should not depend on that quirk
+          pround(when(size(toks) > 0,
+            size(pts).cast("double") / size(toks)), 4).as("fertility"))
         .orderBy(col("doc_id"))
     },
     Some {

@@ -76,11 +76,13 @@ class PlanQualitySpec extends SparkSpec {
     val wide = spark.range(0, 1000).toDF("id").repartition(cores)
     assert(graft.core.Scan.fanOut(wide) eq wide,
       "fanOut must be an object-identity no-op at >= cores/2 splits")
-    // boundary: exactly cores/2 partitions is still a no-op (hysteresis)
+    // boundary: the smallest split count satisfying splits*2 >= cores
+    // is still a no-op (hysteresis); ceil handles odd core counts
     if (cores >= 2) {
-      val half = spark.range(0, 1000).toDF("id").repartition(cores / 2)
+      val half = spark.range(0, 1000).toDF("id")
+        .repartition((cores + 1) / 2)
       assert(graft.core.Scan.fanOut(half) eq half,
-        "fanOut must not fire at exactly cores/2 splits")
+        "fanOut must not fire at exactly ceil(cores/2) splits")
     }
     // collapsed input: exactly one round-robin exchange appears and the
     // partition count is restored to defaultParallelism

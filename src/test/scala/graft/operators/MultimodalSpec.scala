@@ -139,6 +139,36 @@ class MultimodalSpec extends SparkSpec {
       "00000280000001E00806000000" + "00000000")
     assert(Multimodal.pngDecode(headerOnly, inflater) == null)
     assert(Multimodal.decodeHeader(headerOnly) === ((640, 480, 4)))
+
+    // IHDR rewritten to claim FEWER pixels than IDAT holds (CRC fixed
+    // up): must reject the inconsistency, not silently truncate
+    def patchIhdrDims(png: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = png.clone()
+      def putBe(o: Int, v: Int): Unit = {
+        out(o) = (v >>> 24).toByte; out(o + 1) = (v >>> 16).toByte
+        out(o + 2) = (v >>> 8).toByte; out(o + 3) = v.toByte
+      }
+      putBe(16, w); putBe(20, h)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 12, 17) // chunk type + 13-byte IHDR data
+      putBe(29, crc.getValue.toInt)
+      out
+    }
+    val shrunk = patchIhdrDims(
+      Multimodal.pngEncode(testImage(6, 6, 3), _ => 0, deflater), 6, 4)
+    assert(Multimodal.pngDecode(shrunk, inflater) == null,
+      "IDAT longer than IHDR implies must be rejected")
+
+    // IHDR claiming absurd dimensions (allocation bomb / Int overflow):
+    // rejected before any allocation
+    val bomb = patchIhdrDims(
+      Multimodal.pngEncode(testImage(6, 6, 3), _ => 0, deflater),
+      1 << 30, 1 << 30)
+    assert(Multimodal.pngDecode(bomb, inflater) == null)
+    // corrupt 4-byte chunk length near 2^31 (Int-overflow bounds case)
+    val badLen = ok.clone()
+    badLen(8) = 0x7f.toByte // IHDR length 0x7F00000D
+    assert(Multimodal.pngDecode(badLen, inflater) == null)
   }
 
   test("pngDecode → resizePixels → pngEncode round-trip (resize re-decoded)") {
