@@ -75,7 +75,10 @@ object GraftSession {
     // at bench cadence is pure noise drowning real warnings — the
     // genuinely dangerous global-window-over-data shape is designed
     // out (see SCALE.md) and would show up as a wall-time cliff, not
-    // a log line.
+    // a log line. This muting is process-global, so the lost early
+    // signal is replaced by a COMPILED control: PlanQualitySpec sweeps
+    // every oracle query's physical plan for empty-partitionSpec
+    // Window nodes against an explicit bounded-intermediate allowlist.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
