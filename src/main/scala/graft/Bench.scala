@@ -53,6 +53,7 @@ object Bench {
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
+    "q96_duplicated_spans", "q97_dup_span_stats",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")

@@ -241,6 +241,61 @@ object Dedup {
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Duplicated-span detection — exact SUBSTRING-level dedup (the
+    * operator behind Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): find every maximal token span
+    * covered by w-token windows whose rolling hash occurs ≥ 2 times
+    * CORPUS-WIDE. Self-repeats inside one document count — in-doc
+    * boilerplate is duplication too. Overlapping/adjacent duplicated
+    * windows (next start ≤ prev start + w) merge into maximal spans.
+    *
+    * This sees what document-level near-dup cannot: a paragraph
+    * pasted into a thousand otherwise-distinct pages. The CDC
+    * chunker ([[TrainingPrep.cdcChunks]]) finds REUSED CHUNKS between
+    * boundaries; this finds ARBITRARY repeated substrings at window
+    * granularity.
+    *
+    * Output: one row per span — `idCol, span_idx` (1-based in start
+    * order), `span_start, span_end` (1-based inclusive token
+    * positions), `span_len, n_windows`.
+    *
+    * Scale: the frequency pass and the probe are ONE inverted-index
+    * shuffle keyed by the w-gram hash (the jaccardPairs shape —
+    * co-occurring windows collide on the hash, all-pairs never
+    * materializes; map-side combine collapses the count pass); span
+    * merging is gaps-and-islands over (doc, pos) — one window
+    * shuffle keyed by doc id. Nothing is quadratic: output size is
+    * bounded by the input window count.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1)
+    val grams = docs.select(col(idCol),
+      posexplode(graft.functions.TextFns.shingleHashes(col(textCol), w))
+        .as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val marked = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // window at pos covers tokens pos+1 .. pos+w (posexplode 0-based);
+    // regions stay contiguous while each start is ≤ previous start + w
+    val spans = marked
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__new",
+        (col("__prev").isNull || col("pos") > col("__prev") + w).cast("int"))
+      .withColumn("__span", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).as("__mn"), max(col("pos")).as("__mx"),
+        count(lit(1)).as("n_windows"))
+    spans.select(col(idCol),
+      row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__mn"))).as("span_idx"),
+      (col("__mn") + 1).as("span_start"),
+      (col("__mx") + lit(w)).as("span_end"),
+      (col("__mx") + lit(w) - col("__mn")).as("span_len"),
+      col("n_windows"))
+  }
+
   /** Survivor selection: given near-dup pairs (d1 < d2), drop every
     * doc that appears as the LATER member of ANY pair. One shuffle
     * (the anti join on id). This drop-any-later-member policy is the

@@ -253,5 +253,109 @@ object DedupQueries {
     },
     q43.oracle)
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43, q57)
+  // -- D9: duplicated-span detection — exact substring-level dedup
+  //    (Lee et al. 2021): maximal token spans covered by w-gram
+  //    windows occurring ≥ 2 times corpus-wide. Shared CTE chain for
+  //    q96 (full span table) and q97 (per-source duplication budget).
+  private val SPAN_W = 8
+  private def spanCtes(withSource: Boolean) = {
+    val srcCol = if (withSource) ", source" else ""
+    s"""WITH d AS (
+      SELECT doc_id$srcCol, ${shingleHashesSql("text", SPAN_W)} AS hs
+      FROM documents),
+    g AS (
+      SELECT doc_id$srcCol, unnest(hs) AS h,
+        generate_subscripts(hs, 1) - 1 AS pos
+      FROM d),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT g.doc_id$srcCol, g.pos FROM g JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id$srcCol, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos > lag(pos) OVER w + $SPAN_W THEN 1 ELSE 0 END AS ns
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (
+      SELECT doc_id$srcCol, pos,
+        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl),
+    spans AS (
+      SELECT doc_id$srcCol, span_id, min(pos) AS mn, max(pos) AS mx,
+        CAST(count(*) AS BIGINT) AS n_windows
+      FROM sp GROUP BY ALL)"""
+  }
+  private val q96 = Q(
+    "q96_duplicated_spans",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.duplicatedSpans(graft.core.Scan.fanOut(t.documents),
+          "doc_id", "text", SPAN_W)
+        .orderBy(col("doc_id"), col("span_idx"))
+    },
+    Some(s"""${spanCtes(withSource = false)}
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY mn) AS INT)
+          AS span_idx,
+        CAST(mn + 1 AS INT) AS span_start,
+        CAST(mx + $SPAN_W AS INT) AS span_end,
+        CAST(mx + $SPAN_W - mn AS INT) AS span_len,
+        n_windows
+      FROM spans
+      ORDER BY doc_id, span_idx"""))
+
+  // -- D10: the duplication budget those spans imply, per source —
+  //    the fraction of corpus tokens sitting inside a repeated
+  //    substring (what substring dedup would remove/downweight).
+  private val q97 = Q(
+    "q97_dup_span_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val spans = Dedup.duplicatedSpans(graft.core.Scan.fanOut(t.documents),
+          "doc_id", "text", SPAN_W)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).cast("long").as("dup_tokens"),
+          max(col("span_len")).as("max_span_len"))
+      t.documents
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce((col("n_spans") > 0).cast("long"), lit(0L)))
+            .as("n_docs_with_dups"),
+          sum(coalesce(col("n_spans"), lit(0L))).cast("long").as("n_spans"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).cast("long")
+            .as("dup_tokens"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          pround(sum(coalesce(col("dup_tokens"), lit(0L))).cast("double")
+            / sum(col("n_tokens")), 6).as("dup_token_frac"),
+          max(coalesce(col("max_span_len"), lit(0))).as("max_span_len"))
+        .orderBy(col("source"))
+    },
+    Some(s"""${spanCtes(withSource = true)},
+      per_doc AS (
+        SELECT doc_id, source, count(*) AS n_spans,
+          CAST(sum(mx + $SPAN_W - mn) AS BIGINT) AS dup_tokens,
+          CAST(max(mx + $SPAN_W - mn) AS INT) AS max_span_len
+        FROM spans GROUP BY doc_id, source),
+      toks AS (
+        SELECT doc_id, source,
+          CAST(len(${TextFns.tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT t.source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN p.n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_with_dups,
+        CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+        CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+        CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+        ${proundSql(
+          "CAST(sum(coalesce(p.dup_tokens, 0)) AS DOUBLE) / sum(t.n_tokens)",
+          6)} AS dup_token_frac,
+        CAST(max(coalesce(p.max_span_len, 0)) AS INT) AS max_span_len
+      FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+      GROUP BY t.source
+      ORDER BY t.source"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97)
 }

@@ -186,6 +186,36 @@ class DedupSpec extends SparkSpec {
     assert(plan < 10000, s"star CC plan is $plan chars")
   }
 
+  test("duplicatedSpans finds maximal repeated substrings, cross- and in-doc") {
+    // doc 1 and doc 2 share an 12-token passage embedded in otherwise
+    // unique text; doc 3 repeats its own 10-token refrain twice; doc 4
+    // is entirely unique
+    val passage = (1 to 12).map(i => s"shared$i")
+    val refrain = (1 to 10).map(i => s"ref$i")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docs = Seq(
+      (1L, (uniq("a", 20) ++ passage ++ uniq("b", 15)).mkString(" ")),
+      (2L, (uniq("c", 9) ++ passage ++ uniq("d", 22)).mkString(" ")),
+      (3L, (refrain ++ uniq("e", 14) ++ refrain ++ uniq("f", 6)).mkString(" ")),
+      (4L, uniq("g", 40).mkString(" "))
+    ).toDF("doc_id", "text")
+    val w = 4
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", w)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+          r.getAs[Int]("span_len"), r.getAs[Long]("n_windows")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // doc 1: passage occupies tokens 21..32 — exactly one span
+    assert(spans(1L) === Seq((21, 32, 12, 9L)))
+    // doc 2: same passage at tokens 10..21
+    assert(spans(2L) === Seq((10, 21, 12, 9L)))
+    // doc 3: the refrain at 1..10 and again at 25..34, two spans
+    assert(spans(3L) === Seq((1, 10, 10, 7L), (25, 34, 10, 7L)))
+    // doc 4: no duplicated window anywhere
+    assert(!spans.contains(4L))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
