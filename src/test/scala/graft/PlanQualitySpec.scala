@@ -48,11 +48,19 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("pair generation joins on inverted-index keys — never all-pairs") {
-    for (q <- Seq("q22_jaccard_pairs", "q24_minhash_lsh_pairs")) {
+    for (q <- Seq("q22_jaccard_pairs", "q24_minhash_lsh_pairs",
+        "q25_simhash_pairs", "q96_duplicated_spans")) {
       val p = planOf(q)
       assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")
     }
+  }
+
+  test("CDC chunking is one scan — pure in-scan arithmetic, no join") {
+    val p = planOf("q93_cdc_chunks")
+    assert(count(p, "Scan parquet") === 1,
+      "q93 must read documents exactly once")
+    assert(!p.contains("Join"), s"q93 must not join:\n$p")
   }
 
   test("scan-side pushdown reaches the parquet reader") {
