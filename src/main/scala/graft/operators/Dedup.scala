@@ -259,9 +259,18 @@ object Dedup {
     * order), `span_start, span_end` (1-based inclusive token
     * positions), `span_len, n_windows`.
     *
+    * Windows are keyed by the md5 of the window STRING (native
+    * codegen'd shingle materialization + md5), not the ~30-bit
+    * rolling hash: at the corpus sizes this targets (10¹²⁺ windows)
+    * a 10⁹-value hash has every residue occupied and would flag ALL
+    * text as duplicated; 128 bits keeps expected collisions ≪ 1 at
+    * any real scale, preserving the "exact" claim without a verify
+    * join (the other pair-gen paths verify because their hashes are
+    * deliberately lossy; here the key IS content-identity).
+    *
     * Scale: the frequency pass and the probe are ONE inverted-index
-    * shuffle keyed by the w-gram hash (the jaccardPairs shape —
-    * co-occurring windows collide on the hash, all-pairs never
+    * shuffle keyed by the window digest (the jaccardPairs shape —
+    * co-occurring windows collide on the digest, all-pairs never
     * materializes; map-side combine collapses the count pass); span
     * merging is gaps-and-islands over (doc, pos) — one window
     * shuffle keyed by doc id. Nothing is quadratic: output size is
@@ -269,17 +278,33 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    val spans = duplicatedSpansRaw(docs, idCol, textCol, w)
+    spans.select(col(idCol),
+      row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("span_start")))
+        .as("span_idx"),
+      col("span_start"), col("span_end"), col("span_len"), col("n_windows"))
+  }
+
+  /** [[duplicatedSpans]] without the per-doc `span_idx` ranking —
+    * callers that immediately re-aggregate per doc (duplication-budget
+    * stats) skip the extra doc-keyed exchange + sort the row_number
+    * window would force.
+    */
+  def duplicatedSpansRaw(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
     require(w >= 1)
     val grams = docs.select(col(idCol),
-      posexplode(graft.functions.TextFns.shingleHashes(col(textCol), w))
-        .as(Seq("pos", "h")))
+      posexplode(graft.functions.TextFns.shinglesNative(col(textCol), w))
+        .as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("h"))
     val marked = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // window at pos covers tokens pos+1 .. pos+w (posexplode 0-based);
     // regions stay contiguous while each start is ≤ previous start + w
-    val spans = marked
+    marked
       .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
       .withColumn("__new",
         (col("__prev").isNull || col("pos") > col("__prev") + w).cast("int"))
@@ -287,13 +312,11 @@ object Dedup {
       .groupBy(col(idCol), col("__span"))
       .agg(min(col("pos")).as("__mn"), max(col("pos")).as("__mx"),
         count(lit(1)).as("n_windows"))
-    spans.select(col(idCol),
-      row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__mn"))).as("span_idx"),
-      (col("__mn") + 1).as("span_start"),
-      (col("__mx") + lit(w)).as("span_end"),
-      (col("__mx") + lit(w) - col("__mn")).as("span_len"),
-      col("n_windows"))
+      .select(col(idCol),
+        (col("__mn") + 1).as("span_start"),
+        (col("__mx") + lit(w)).as("span_end"),
+        (col("__mx") + lit(w) - col("__mn")).as("span_len"),
+        col("n_windows"))
   }
 
   /** Survivor selection: given near-dup pairs (d1 < d2), drop every

@@ -333,8 +333,10 @@ object Multimodal {
       }
       if (!sawEnd || w <= 0 || h <= 0 || channels == 0) return null
       // allocation sanity: a CRC-valid header can still declare
-      // dimensions whose byte counts overflow Int (NegativeArraySize
-      // crash) or dwarf any real payload — bound as Long first
+      // dimensions whose byte counts overflow — cap each dimension
+      // BEFORE multiplying (w=h=2^31−1 would overflow even the Long
+      // product), then bound the exact Long byte count
+      if (w > (1 << 24) || h > (1 << 24)) return null
       val rawLen = h.toLong * (1L + w.toLong * channels)
       if (rawLen > 512L * 1024 * 1024) return null
       // filtered stream: each row = 1 filter-type byte + w·channels
@@ -352,11 +354,16 @@ object Multimodal {
         got += n
       }
       if (got != raw.length) return null
-      // the stream must END here too: an IDAT that inflates to MORE
-      // than h·(1+rowBytes) means IHDR and pixel data disagree —
-      // probe one extra byte rather than silently truncating
-      if (!inflater.finished() &&
-        inflater.inflate(new Array[Byte](1), 0, 1) > 0) return null
+      // the stream must END here too. Two failure modes the fill loop
+      // can't see: an IDAT inflating to MORE than h·(1+rowBytes)
+      // (IHDR and pixel data disagree — the probe yields a byte), and
+      // a trailer cut off before the adler32 (the probe consumes a
+      // present trailer, setting finished; a missing or wrong one
+      // leaves it unset / throws "incorrect data check")
+      if (!inflater.finished()) {
+        if (inflater.inflate(new Array[Byte](1), 0, 1) > 0) return null
+        if (!inflater.finished()) return null
+      }
       // unfilter in place into the output array (RFC 2083 §6)
       val out = new Array[Byte](h * rowBytes)
       val bpp = channels

@@ -260,13 +260,18 @@ object DedupQueries {
   private val SPAN_W = 8
   private def spanCtes(withSource: Boolean) = {
     val srcCol = if (withSource) ", source" else ""
+    // windows keyed by md5 of the window STRING — mirrors
+    // Dedup.duplicatedSpansRaw (content-identity, not the lossy
+    // 30-bit rolling hash)
     s"""WITH d AS (
-      SELECT doc_id$srcCol, ${shingleHashesSql("text", SPAN_W)} AS hs
+      SELECT doc_id$srcCol,
+        ${TextFns.shinglesSql(TextFns.tokensSql("text"), SPAN_W)} AS shs
       FROM documents),
-    g AS (
-      SELECT doc_id$srcCol, unnest(hs) AS h,
-        generate_subscripts(hs, 1) - 1 AS pos
+    g0 AS (
+      SELECT doc_id$srcCol, unnest(shs) AS sh,
+        generate_subscripts(shs, 1) - 1 AS pos
       FROM d),
+    g AS (SELECT doc_id$srcCol, md5(sh) AS h, pos FROM g0),
     dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
     m AS (SELECT g.doc_id$srcCol, g.pos FROM g JOIN dup USING (h)),
     isl AS (
@@ -309,7 +314,7 @@ object DedupQueries {
     "q97_dup_span_stats",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val spans = Dedup.duplicatedSpans(graft.core.Scan.fanOut(t.documents),
+      val spans = Dedup.duplicatedSpansRaw(graft.core.Scan.fanOut(t.documents),
           "doc_id", "text", SPAN_W)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),

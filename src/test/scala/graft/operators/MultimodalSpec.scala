@@ -169,6 +169,32 @@ class MultimodalSpec extends SparkSpec {
     val badLen = ok.clone()
     badLen(8) = 0x7f.toByte // IHDR length 0x7F00000D
     assert(Multimodal.pngDecode(badLen, inflater) == null)
+
+    // zlib stream with the adler32 trailer cut off: pixel bytes all
+    // present, so only the end-of-stream check can catch it
+    def stripIdatTail(png: Array[Byte], nBytes: Int): Array[Byte] = {
+      val idatOff = 33 // sig(8) + IHDR chunk(25)
+      val idatLen = ((png(idatOff) & 0xff) << 24) |
+        ((png(idatOff + 1) & 0xff) << 16) |
+        ((png(idatOff + 2) & 0xff) << 8) | (png(idatOff + 3) & 0xff)
+      val newLen = idatLen - nBytes
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(png, 0, idatOff)
+      def be(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be(newLen))
+      out.write(png, idatOff + 4, 4) // "IDAT"
+      out.write(png, idatOff + 8, newLen)
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, idatOff + 4, 4)
+      crc.update(png, idatOff + 8, newLen)
+      out.write(be(crc.getValue.toInt))
+      // IEND chunk follows the original IDAT
+      out.write(png, idatOff + 12 + idatLen, 12)
+      out.toByteArray
+    }
+    assert(Multimodal.pngDecode(stripIdatTail(ok, 4), inflater) == null,
+      "missing adler32 trailer must be rejected")
   }
 
   test("pngDecode → resizePixels → pngEncode round-trip (resize re-decoded)") {
