@@ -27,10 +27,17 @@ object RangeJoin {
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
       col(tsCol).cast("long").as("t"))
     val bucketed = base.withColumn("bucket", floor(col("t") / delta))
-    // right side also lands in the previous bucket so cross-boundary
-    // pairs still collide
+    // the b side lands in its own bucket AND both neighbors: pairing
+    // is by id order (a.id < b.id), which says NOTHING about time
+    // order, so the higher-id row's bucket may be either the same,
+    // the next, or the PREVIOUS one. The original previous-only
+    // replication silently dropped higher-id-but-earlier-time pairs —
+    // invisible on data where ids correlate with time, caught by the
+    // round-6 10× sweep (replica ids jump by 10⁹ while timestamps
+    // repeat: 4% of pairs vanished).
     val rightSide = bucketed.select(col("k"), col("id"), col("t"),
-        explode(array(col("bucket"), col("bucket") - 1)).as("bucket"))
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+          .as("bucket"))
     bucketed.as("a")
       .join(rightSide.as("b"),
         col("a.k") === col("b.k") &&
