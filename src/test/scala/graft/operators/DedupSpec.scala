@@ -216,6 +216,51 @@ class DedupSpec extends SparkSpec {
     assert(!spans.contains(4L))
   }
 
+  test("duplicatedSpans ≡ naive reference on seeded random corpora") {
+    // reference implementation: count every w-window string corpus-wide,
+    // mark positions whose window repeats, merge by the ≤ w gap rule
+    def naiveSpans(docs: Seq[(Long, String)], w: Int)
+        : Map[Long, Seq[(Int, Int)]] = {
+      val windows = docs.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+", -1).toSeq
+        (0 to toks.length - w).map(p => (id, p, toks.slice(p, p + w).mkString(" ")))
+      }
+      val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+      windows.filter(x => counts(x._3) >= 2)
+        .groupBy(_._1).view.mapValues { xs =>
+          val ps = xs.map(_._2).sorted
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          for (p <- ps) {
+            if (spans.nonEmpty && p <= spans.last._2 + w)
+              spans(spans.size - 1) = (spans.last._1, p)
+            else spans += ((p, p))
+          }
+          spans.map { case (mn, mx) => (mn + 1, mx + w) }.toSeq
+        }.toMap
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = (1 to 30).map(i => s"v$i")
+    val motif = (1 to 9).map(i => s"m$i")
+    val corpus = (1L to 25L).map { id =>
+      val toks = (1 to 30 + rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      // plant the shared motif into some docs at a random position
+      val withMotif = if (id % 3 == 0) {
+        val at = rnd.nextInt(toks.size)
+        toks.take(at) ++ motif ++ toks.drop(at)
+      } else toks
+      (id, withMotif.mkString(" "))
+    }
+    val want = naiveSpans(corpus, 4)
+    val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must contain duplicated spans")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

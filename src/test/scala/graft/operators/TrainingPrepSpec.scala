@@ -138,6 +138,25 @@ class TrainingPrepSpec extends SparkSpec {
       s"shared suffix chunks diverged: $s2 vs $s3")
   }
 
+  test("bloomContamination tolerates null text and non-long id types") {
+    val docs = Seq(
+      ("a", Option("the quick brown fox jumps")),
+      ("b", None: Option[String]), // null text: report (0, 0), not NPE
+      ("e", Option("the quick brown fox naps"))
+    ).toDF("doc_id", "text").withColumn("is_eval", col("doc_id") === "e")
+    val out = TrainingPrep.bloomContamination(
+        docs, "doc_id", "text", n = 3, isEval = col("is_eval"), fpp = 0.01)
+      .orderBy("doc_id").collect()
+    // string ids pass through with their own type
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val b = out.find(_.getString(0) == "b").get
+    assert(b.getAs[Long]("n_shingles") === 0L)
+    assert(b.getAs[Long]("n_bloom") === 0L)
+    assert(b.getAs[Long]("n_exact") === 0L)
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("n_exact") === 2L) // same overlap as contamDocs
+  }
+
   test("repetitionStats computes dup fractions and top-2gram occupancy") {
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
     val st = TrainingPrep.repetitionStats(docs, "doc_id", "text", Seq(2, 3))
