@@ -5,16 +5,24 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [subset]\n" +
+          "  subset: comma-separated names, or @sweep10x (the canonical\n" +
+          "  scaled-oracle set, dev.SweepSets); default = all queries\n" +
+          "  (SPARK_GRAFT_VERIFY_QUERIES env also accepted)")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
     val spark = graft.core.GraftSession.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // optional dev-loop subset (comma-separated names); driver runs all
-    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+    // optional dev-loop subset (arg 3 or env); driver runs all
+    val subset = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_VERIFY_QUERIES"))
+      .map {
+        case "@sweep10x" => graft.dev.SweepSets.sweep10x.toSet
+        case s => s.split(",").map(_.trim).toSet
+      }
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

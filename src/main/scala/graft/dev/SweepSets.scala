@@ -1,0 +1,42 @@
+package graft.dev
+
+/** Canonical query subsets for the scaled-SF correctness sweep, so the
+  * "re-verify everything at 10×" discipline is one command
+  * (`graft.Verify <scaledDir> <out> @sweep10x` + compare.py) instead
+  * of a hand-maintained env list. bench/SWEEP_10X_r06.md records the
+  * round-6 run of exactly this set (80/80 strict bit-exact).
+  */
+object SweepSets {
+
+  /** Queries whose DuckDB oracle is NOT run at scaled SFs, with why.
+    * The ENGINE runs them all fine at scale (see bench_scaled) — these
+    * are oracle-side or construction constraints.
+    */
+  val scaledExclusions: Map[String, String] = Map(
+    "q22_jaccard_pairs" -> "intentionally quadratic exact baseline (bench-gated above sf0.1)",
+    "q26_cosine_neardup" -> "intentionally quadratic exact baseline (bench-gated above sf0.1)",
+    "q25_simhash_pairs" -> "oracle is naive all-pairs — quadratic in DuckDB; banded Spark plan parity pinned at sf0.01",
+    "q41_asof_join" -> "replica set violates the unique-(key,ts) precondition: as-of ties among identical-timestamp twins are arbitrary in any engine",
+    "q24_minhash_lsh_pairs" -> "LSH oracle CTEs re-derive candidates with interpreted list lambdas — minutes-to-hours single-node at 10x",
+    "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
+    "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",
+    "q33_ann_lsh_topk" -> "LSH oracle crossjoin too slow in DuckDB at 10x",
+    "q39_neardup_dedup" -> "shares the LSH oracle CTEs",
+    "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",
+    "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
+    "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",
+    "q75_semantic_dedup" -> "same IVF assign oracle shape (q90 covers the auto path)",
+    "q90_semantic_dedup_auto" -> "IN the sweep, but run separately: its sqrt-n oracle crossjoin is the slowest passing entry — budget it on its own",
+    "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
+    "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
+    "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")
+
+  /** The scaled oracle sweep: every registered query minus the
+    * documented exclusions. Computed from the live registry so a new
+    * query is swept by default — forgetting to list it is impossible;
+    * excluding it requires writing a reason above.
+    */
+  def sweep10x: Seq[String] =
+    graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(scaledExclusions.contains)
+}
