@@ -54,6 +54,7 @@ object Bench {
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
     "q96_duplicated_spans", "q97_dup_span_stats",
+    "q98_corpus_shuffle", "q99_epoch_allocation",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")
@@ -136,7 +137,33 @@ object Bench {
       Timing(sec, task, cpu)
     }
 
+    // External-CPU sampler: uniform machine contention inflates wall,
+    // task, AND cpu together, so neither the per-query wall>>task check
+    // nor min-of-passes drift can see it (r5 and r6 both recorded
+    // ~2-3x-inflated benches with drift < 1.2). Measure it directly:
+    // sample whole-box CPU load minus this JVM's share while the timed
+    // passes run. A sustained nonzero gap means other processes were
+    // eating the box, and the recorded walls are not idle-box truth.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val extMicros = new java.util.concurrent.atomic.AtomicLong(0L) // Σ(ext frac)·1e6
+    val extCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val sysLoad = osBean.getCpuLoad
+        val procLoad = osBean.getProcessCpuLoad
+        if (!sysLoad.isNaN && !procLoad.isNaN && sysLoad >= 0 && procLoad >= 0) {
+          extMicros.addAndGet(math.round(math.max(0.0, sysLoad - procLoad) * 1e6))
+          extCount.incrementAndGet()
+        }
+        Thread.sleep(250)
+      }
+    }, "bench-ext-cpu-sampler")
+    sampler.setDaemon(true)
+
     run(names.head) // warm-up, untimed
+    sampler.start()
     // MIN OF N FULL PASSES (default 2). The per-query wall>>task check
     // below catches a stalled driver/executor, but UNIFORM machine
     // contention inflates wall, task, AND cpu together and is invisible
@@ -153,6 +180,12 @@ object Bench {
       .map(math.max(1, _)).getOrElse(2)
     val allPasses: Seq[Seq[(String, Timing)]] =
       (1 to passes).map(_ => names.map(n => n -> run(n)))
+    sampling = false
+    // mean external-CPU fraction over the timed passes; > 0.15 of a
+    // 32-core box is a whole OTHER workload running alongside the bench
+    val extCpu =
+      if (extCount.get == 0L) 0.0
+      else extMicros.get / 1e6 / extCount.get
     val results: Seq[(String, Timing)] = names.zipWithIndex.map { case (n, i) =>
       val ts = allPasses.map(_(i)._2).filter(_.wall >= 0)
       if (ts.isEmpty) n -> Timing(-1.0, 0.0, 0.0)
@@ -175,22 +208,25 @@ object Bench {
       s"[bench] WARNING $n wall >> taskTime — rerun on an idle machine"))
     if (passDrift > 1.5) System.err.println(
       f"[bench] WARNING pass totals drift ${passDrift}%.2fx — noisy box, rerun idle")
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + t.wall }
+    if (extCpu > 0.15) System.err.println(
+      f"[bench] WARNING external CPU load ${extCpu}%.2f during timed passes — " +
+        "another workload shared the box; walls are inflated, rerun idle")
+    // locale-independent formatting throughout: the f interpolator
+    // would emit a decimal COMMA under e.g. de_DE and corrupt the JSON
+    def r3(x: Double): String = (math.round(x * 1000) / 1000.0).toString
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + r3(t.wall) }
       .mkString("{", ",", "}")
-    val ts = results.map { case (k, t) => "\"" + k + "\":" + t.task }
+    val ts = results.map { case (k, t) => "\"" + k + "\":" + r3(t.task) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     val totalTask = results.map(_._2.task).sum
     val totalCpu = results.map(_._2.cpu).sum
     val contJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val untrusted = contended.nonEmpty || passDrift > 1.5
-    // locale-independent formatting: the f interpolator would emit a
-    // decimal COMMA under e.g. de_DE and corrupt the JSON line
-    val driftStr = (math.round(passDrift * 1000) / 1000.0).toString
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$ts,"cpu_sec":$totalCpu,"task_total_sec":$totalTask,"contended":$contJson,"passes":$passes,"pass_drift":$driftStr,"untrusted":$untrusted,"sf":"$sfDir"}"""
-    // the driver tail-captures stdout and has truncated the (long)
-    // JSON line before (BENCH_r04 lost q01-q39): persist the full line
-    // to a file AND print it, so the recorded bench is recoverable
+    val untrusted = contended.nonEmpty || passDrift > 1.5 || extCpu > 0.15
+    val meta = s""""cpu_sec":${r3(totalCpu)},"task_total_sec":${r3(totalTask)},"contended":$contJson,"passes":$passes,"pass_drift":${r3(passDrift)},"ext_cpu":${r3(extCpu)},"untrusted":$untrusted,"sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"task_sec":$ts,$meta}"""
+    // Persist the full line (all query names, wall + task maps) to a
+    // file for the round artifacts...
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_self.json"))
@@ -199,7 +235,19 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write target/bench_self.json: $e")
     }
-    println(json)
+    // ...but print a COMPACT line to stdout: the driver tail-captures
+    // only the last ~2000 chars of sbt output, and the full 97-query
+    // line is ~6 KB — BENCH_r04/r05/r06 all recorded a truncated,
+    // unparseable line that way. Short qNN keys (the contract's own
+    // example uses "q1") + 3-decimal walls + no task map ≈ 1.3 KB,
+    // which fits the tail window with room for sbt's epilogue.
+    val shortQs = results.map { case (k, t) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(t.wall)
+    }.mkString("{", ",", "}")
+    val shortCont = contended.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val shortMeta = meta.replace(s""""contended":$contJson""", s""""contended":$shortCont""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,$shortMeta}""")
     spark.stop()
   }
 }
