@@ -26,15 +26,23 @@ object SweepSets {
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",
     "q75_semantic_dedup" -> "same IVF assign oracle shape (q90 covers the auto path)",
-    "q90_semantic_dedup_auto" -> "IN the sweep, but run separately: its sqrt-n oracle crossjoin is the slowest passing entry — budget it on its own",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")
 
+  /** Queries that ARE in the sweep but whose oracle is expensive
+    * enough at 10x to deserve its own time budget — `@sweep10x`
+    * includes them (they must stay verified at scale); this set only
+    * documents where the sweep's DuckDB minutes go.
+    */
+  val slowOracles: Map[String, String] = Map(
+    "q90_semantic_dedup_auto" -> "sqrt-n IVF assign oracle crossjoin — the slowest passing sweep entry")
+
   /** The scaled oracle sweep: every registered query minus the
     * documented exclusions. Computed from the live registry so a new
     * query is swept by default — forgetting to list it is impossible;
-    * excluding it requires writing a reason above.
+    * excluding it requires writing a reason above. Slow-but-passing
+    * oracles (slowOracles) are NOT excluded.
     */
   def sweep10x: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted

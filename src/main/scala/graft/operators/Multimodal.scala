@@ -318,8 +318,13 @@ object Multimodal {
             if (len != 13) return null
             w = be32(bytes, off + 8); h = be32(bytes, off + 12)
             val depth = bytes(off + 16); val color = bytes(off + 17)
+            val compression = bytes(off + 18); val filterMethod = bytes(off + 19)
             val interlace = bytes(off + 20)
-            if (depth != 8 || interlace != 0) return null
+            // PNG defines exactly one compression method (0 = deflate)
+            // and one filter method (0 = adaptive 5-type); any other
+            // value means the stream below would be misinterpreted
+            if (depth != 8 || compression != 0 || filterMethod != 0 ||
+              interlace != 0) return null
             channels = color match {
               case 2 => 3
               case 6 => 4

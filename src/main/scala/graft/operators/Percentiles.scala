@@ -60,6 +60,14 @@ object Percentiles {
     * measured dispatch rule (see [[chooseRankSelect]]): bit-identical
     * results either way (asserted in PercentilesSpec), shape chosen by
     * group cardinality vs shuffle partitions.
+    *
+    * NOTE: when `groupCountHint` is not supplied, dispatch runs an
+    * EAGER approx_count_distinct Spark job at DataFrame-construction
+    * time (not at action time), and near the g·4 = partitions
+    * threshold the approximate count can flip the chosen PLAN between
+    * runs (results stay bit-identical — only the shape changes).
+    * Callers that know the cardinality, or that need a stable plan,
+    * should pass `groupCountHint`.
     */
   def groupedExactAuto(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[Double], Seq[String])],
@@ -70,7 +78,9 @@ object Percentiles {
 
   /** [[winsorized]] / [[winsorizedRankSelect]] behind the same
     * dispatch rule — the two shapes produce bit-identical clamp
-    * decisions (PercentilesSpec), so only the plan changes.
+    * decisions (PercentilesSpec), so only the plan changes. Same
+    * eager-probe caveat as [[groupedExactAuto]]: omit
+    * `groupCountHint` and construction runs one Spark job.
     */
   def winsorizedAuto(df: DataFrame, groupCol: String, valCol: String,
       pLo: Double, pHi: Double, outCol: String,

@@ -46,6 +46,11 @@ object RangeJoin {
       .filter(abs(col("b.t") - col("a.t")) <= delta)
       .select(col("a.k").as(keyCol), col("a.id").as("id1"),
         col("b.id").as("id2"), (col("b.t") - col("a.t")).as("dt"))
-      .distinct() // a pair can collide in two buckets
+    // No dedup needed: the a side is NOT replicated, so a.bucket is a
+    // single value, and b's three replica buckets are distinct — each
+    // qualifying pair matches exactly one replica. (A .distinct() here
+    // previously forced a full extra shuffle of the pair set for
+    // nothing. Input rows are assumed unique per (key, id); duplicate
+    // ids would also break the a.id < b.id pairing contract itself.)
   }
 }

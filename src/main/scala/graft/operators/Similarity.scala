@@ -108,6 +108,11 @@ object Similarity {
     * corpus. Operators take this default so a caller who doesn't know
     * the corpus size cannot accidentally ship the quadratic-assignment
     * regime the 10× sweep caught (SCALE.md).
+    *
+    * NOTE: the unhinted path runs that count() EAGERLY at
+    * DataFrame-construction time; pass an explicit seedMod at call
+    * sites that already know n (oracles pin it for exactly this
+    * reason) or that cannot tolerate a job before the action.
     */
   private def resolveSeedMod(corpus: DataFrame, seedMod: Int): Int =
     if (seedMod > 0) seedMod else sqrtSeedMod(corpus.count())
