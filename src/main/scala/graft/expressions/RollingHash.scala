@@ -235,6 +235,19 @@ object GraftExtensions {
         ShingleStrings(children.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_cdc_chunks takes (text, w literal, divisor literal)")
+        def lit(e: Expression, what: String): Int = e match {
+          case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(s"$what must be a literal")
+        }
+        CdcChunksExpr(children.head,
+          lit(children(1), "window width"), lit(children(2), "divisor"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {

@@ -111,7 +111,11 @@ object TrainingPrep {
     val nEval = evalIndex.count()
     val bloom = evalIndex.stat.bloomFilter("shingle", math.max(nEval, 1L), fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    // same no-CSE discipline as evalIndex: train feeds BOTH the bloom
+    // probe and the exact-side join below, and without materialization
+    // the train-doc shingling would run twice
     val train = sh.filter(!col("is_eval")).select(col(idCol), col("sh"))
+      .localCheckpoint(true)
     // id passes through with ITS OWN type (same generic-id contract as
     // contaminationReport — no silent long-only narrowing)
     val probedSchema = StructType(Seq(
@@ -155,49 +159,38 @@ object TrainingPrep {
     * CHUNK-level exact dedup work across near-duplicate docs
     * (spec-proven: a shared prefix yields identical chunk hashes).
     *
-    * Output: one row per chunk — `idCol, n_tokens, chunk_idx
+    * Output: one row per chunk — `idCol, carry..., n_tokens, chunk_idx
     * (1-based), chunk_start, chunk_end (1-based inclusive token
     * positions), chunk_len, chunk_hash` (md5 of the space-joined
-    * token span — the dedup key).
+    * token span — the dedup key). `carry` names extra per-doc columns
+    * to pass through (e.g. a source/domain label), which saves the
+    * caller a join back against the doc table.
     *
-    * Scale: pure per-row HOF arithmetic over the native shingle-hash
-    * array + one generator explode — pipelines inside the scan, zero
-    * shuffle; the downstream chunk dedup is a hash-groupBy on
-    * chunk_hash exactly like exact doc dedup.
+    * Scale: ONE native expression eval per document (tokenize, roll
+    * the w-gram hash, cut, md5 each span — graft_cdc_chunks), then an
+    * explode of the precomputed struct array. Pipelines inside the
+    * scan, zero shuffle; the downstream chunk dedup is a hash-groupBy
+    * on chunk_hash exactly like exact doc dedup. The earlier
+    * declarative formulation (HOF boundary arithmetic + posexplode
+    * carrying the token array) re-evaluated the per-doc expressions
+    * once per CHUNK row after CollapseProject pushed them through the
+    * Generate — ~10× slower, see CdcChunksExpr's scaladoc.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, divisor: Int): DataFrame = {
+      w: Int, divisor: Int, carry: Seq[String] = Nil): DataFrame = {
     require(w >= 1 && divisor >= 1)
-    val toks = TextFns.tokens(col(textCol))
-    val hs = TextFns.shingleHashes(col(textCol), w)
-    // window i (1-based) covers tokens i..i+w-1; a zero-residue hash
-    // closes a chunk at token i+w-1. The final token always closes the
-    // last chunk (array_distinct absorbs a coinciding hash boundary).
-    val ends0 = when(size(hs) > 0,
-      filter(transform(sequence(lit(1), size(hs)),
-        i => when(element_at(hs, i) % lit(divisor.toLong) === 0,
-          i + lit(w - 1))),
-        x => x.isNotNull))
-      .otherwise(array().cast("array<int>"))
-    val ends = array_sort(array_distinct(concat(ends0, array(size(toks)))))
     docs
-      .select(col(idCol), toks.as("__toks"), size(toks).as("n_tokens"),
-        ends.as("__ends"))
-      .filter(col("n_tokens") > 0)
-      .select(col(idCol), col("n_tokens"), col("__toks"), col("__ends"),
-        posexplode(col("__ends")).as(Seq("__k", "chunk_end")))
-      .withColumn("chunk_start",
-        when(col("__k") === 0, lit(1))
-          .otherwise(element_at(col("__ends"), col("__k")) + 1))
+      .select(col(idCol) +: carry.map(col) :+
+        explode(call_function("graft_cdc_chunks",
+          col(textCol), lit(w), lit(divisor))).as("__c"): _*)
       .select(
-        col(idCol), col("n_tokens"),
-        (col("__k") + 1).as("chunk_idx"),
-        col("chunk_start"), col("chunk_end"),
-        (col("chunk_end") - col("chunk_start") + 1).as("chunk_len"),
-        md5(array_join(
-          slice(col("__toks"), col("chunk_start"),
-            col("chunk_end") - col("chunk_start") + 1), " "))
-          .as("chunk_hash"))
+        (col(idCol) +: carry.map(col)) ++ Seq(
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk_start").as("chunk_start"),
+        col("__c.chunk_end").as("chunk_end"),
+        col("__c.chunk_len").as("chunk_len"),
+        col("__c.chunk_hash").as("chunk_hash")): _*)
   }
 
   // ------------------------------------------------------------------
@@ -436,5 +429,127 @@ object TrainingPrep {
         least(col("chunk_idx") * stride + 1, greatest(n - chunk + 1, lit(1L))))
       .withColumn("chunk_end", least(col("chunk_start") + (chunk - 1), n))
       .withColumn("chunk_len", col("chunk_end") - col("chunk_start") + 1)
+  }
+
+  // ------------------------------------------------------------------
+  // Training order: deterministic seeded shuffle
+  // ------------------------------------------------------------------
+
+  /** Portable seeded mixing key in [0, P): (a·(id mod P) + b) mod P
+    * with a, b derived from `seed`. Pure BIGINT arithmetic — a, id%P
+    * < P = 1e9+7, so a·(id%P) < ~1e18 stays inside signed 64-bit in
+    * both engines; the SQL twin below is character-for-character the
+    * same formula, so shuffle order and sampling decisions agree
+    * bit-exactly with the DuckDB oracle.
+    */
+  private def mixKey(id: Column, seed: Long): Column = {
+    val (a, b) = mixConsts(seed)
+    (lit(a) * (id % TextFns.P) + lit(b)) % TextFns.P
+  }
+  def mixKeySql(id: String, seed: Long): String = {
+    val (a, b) = mixConsts(seed)
+    s"($a * ($id % ${TextFns.P}) + $b) % ${TextFns.P}"
+  }
+  /** a must be LARGE as well as nonzero: a small multiplier (e.g. a
+    * naive a = seed+1) maps consecutive ids to consecutive small keys,
+    * which breaks both shard balance and the remainder-threshold
+    * sampling (every small-id doc would sit below the cutoff — caught
+    * by TrainingPrepSpec's budget-mass assertion). Knuth's golden
+    * multiplier spreads any seed across [1, P-1]; all intermediates
+    * stay under ~2.7e18 < 2^63, so DuckDB's checked BIGINT arithmetic
+    * never overflows either.
+    */
+  private def mixConsts(seed: Long): (Long, Long) = {
+    // negative seeds would flip the sign of % in BOTH engines (same
+    // truncated-modulo answer, but keys/shards would go negative)
+    require(seed >= 0, "mix seed must be non-negative")
+    val P = TextFns.P
+    val a = ((seed % (P - 1)) * 2654435761L) % (P - 1) + 1 // [1, P-1]
+    val b = ((seed % P) * 40503L + 17L) % P
+    (a, b)
+  }
+
+  /** Deterministic seeded global shuffle for training order: every row
+    * gets a shard and a position within that shard, both functions of
+    * (`idCol`, `seed`) only — re-running with the same seed reproduces
+    * the exact epoch order on any cluster size, and changing the seed
+    * reshuffles. Output: input columns + `shuffle_key`, `shard`
+    * (int, in [0, numShards)), `pos` (long, 1-based within shard).
+    * Epoch order = (shard asc, pos asc).
+    *
+    * Scale (100 TB): this is the canonical "global sort without a
+    * global sort" — rows shuffle ONCE on their shard id (uniform by
+    * construction: the mix key is an affine permutation of id mod P),
+    * then each shard sorts its own slice independently (row_number
+    * window per shard, no cross-shard coordination). Pick numShards ≈
+    * a small multiple of cluster parallelism: each task sorts
+    * corpus/numShards rows. Ties on the mix key break by id, so the
+    * order is total and engine-independent.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    docs
+      .withColumn("shuffle_key", mixKey(col(idCol), seed))
+      .withColumn("shard", (col("shuffle_key") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  // ------------------------------------------------------------------
+  // Epoch allocation: token-budget mixture up/down-sampling
+  // ------------------------------------------------------------------
+
+  /** Per-document repeat factors that hit a per-source token budget:
+    * the "mixture weights → how many times does each document appear
+    * in an epoch" step of training-data assembly (down-sample
+    * over-represented sources, up-sample scarce ones). `budgets` is a
+    * small table `(srcCol, token_budget)` — budgets are TOKENS, kept
+    * integral so the arithmetic is exact in both engines.
+    *
+    * Every document of a source repeats floor(budget/corpus_tokens)
+    * times, plus one extra repeat for a deterministic hash-selected
+    * subset whose expected token mass is the remainder —
+    * `key·corpus_tokens < rem·P` picks each doc with probability
+    * rem/corpus_tokens using cross-multiplied BIGINT comparison (no
+    * division, no doubles; key < P and both products < ~1e18 for
+    * corpora up to ~1e9 tokens per source — beyond that, budget in
+    * KILOtokens and the bound still holds). A source with no budget
+    * row gets n_repeats = 0, i.e. it is dropped from the epoch.
+    *
+    * Output: input columns + `n_tokens` (from `nTokensCol`),
+    * `repeat_floor`, `extra` (0/1), `n_repeats`.
+    *
+    * Scale (100 TB): per-source corpus totals are ONE hash aggregate
+    * (a handful of rows), broadcast-joined back; the repeat decision
+    * is then scan-time row-local arithmetic — no shuffle of the
+    * corpus itself. Materializing the repeats (sequence+explode by
+    * n_repeats) is the caller's next step and is linear in the OUTPUT
+    * token count, which the budget itself bounds.
+    */
+  def epochAllocation(docs: DataFrame, idCol: String, srcCol: String,
+      nTokensCol: String, budgets: DataFrame, seed: Long): DataFrame = {
+    val P = TextFns.P
+    val totals = docs.groupBy(col(srcCol))
+      .agg(sum(col(nTokensCol)).as("__corpus_tokens"))
+      .join(budgets, Seq(srcCol), "left")
+      .withColumn("__budget", coalesce(col("token_budget"), lit(0L)))
+      .select(col(srcCol), col("__corpus_tokens"),
+        // SQL `div` is integer division — `/` would detour through
+        // doubles and lose exactness near 2^53
+        when(col("__corpus_tokens") > 0,
+          expr("__budget div __corpus_tokens"))
+          .otherwise(lit(0L)).as("repeat_floor"),
+        when(col("__corpus_tokens") > 0,
+          col("__budget") % col("__corpus_tokens"))
+          .otherwise(lit(0L)).as("__rem"))
+    docs
+      .join(broadcast(totals), Seq(srcCol))
+      .withColumn("extra",
+        (mixKey(col(idCol), seed) * col("__corpus_tokens") <
+          col("__rem") * lit(P)).cast("int"))
+      .withColumn("n_repeats", col("repeat_floor") + col("extra"))
+      .drop("__corpus_tokens", "__rem", "token_budget")
   }
 }

@@ -381,8 +381,7 @@ object TrainingPrepQueries {
     (s, dir) => {
       val t = Tpch(s, dir)
       TrainingPrep.cdcChunks(graft.core.Scan.fanOut(t.documents),
-          "doc_id", "text", CDC_W, CDC_DIV)
-        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+          "doc_id", "text", CDC_W, CDC_DIV, carry = Seq("source"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_chunks"),
@@ -423,5 +422,88 @@ object TrainingPrepQueries {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94)
+  // -- T10: deterministic seeded corpus shuffle (training order).
+  //    Every doc gets (shard, pos) from an affine mix of its id mod P:
+  //    same seed → same epoch order on any cluster; shuffle ONCE on
+  //    shard, sort each shard independently — the canonical global
+  //    training-order assignment without a global sort. --------------
+  private val SHUF_SEED = 42L
+  private val SHUF_SHARDS = 8
+  private val q98 = Q(
+    "q98_corpus_shuffle",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.shuffleOrder(
+          t.documents.select(col("doc_id")), "doc_id", SHUF_SEED, SHUF_SHARDS)
+        .select(col("doc_id"), col("shuffle_key"),
+          col("shard").cast("long").as("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some(s"""WITH keyed AS (
+        SELECT doc_id,
+          ${TrainingPrep.mixKeySql("doc_id", SHUF_SEED)} AS shuffle_key
+        FROM documents),
+      sharded AS (
+        SELECT doc_id, shuffle_key, shuffle_key % $SHUF_SHARDS AS shard
+        FROM keyed)
+      SELECT doc_id, shuffle_key, shard,
+        CAST(row_number() OVER (PARTITION BY shard
+          ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+      FROM sharded
+      ORDER BY shard, pos"""))
+
+  // -- T11: token-budget epoch allocation — per-source repeat factors
+  //    (floor + deterministic hash-remainder upsampling) that hit a
+  //    target token mixture. Budget here: every source gets an equal
+  //    1/4 share of the total corpus token count, so over-represented
+  //    sources down-sample to 0-1 repeats and scarce ones up-sample —
+  //    both regimes exercised. Integer arithmetic only (BIGINT div /
+  //    mod / cross-multiplied threshold), so bit-exact across engines.
+  private val EPOCH_SEED = 7L
+  private val q99 = Q(
+    "q99_epoch_allocation",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      val budgets = docs.groupBy(lit(1)).agg(sum(col("n_tokens")).as("tot"))
+        .crossJoin(docs.select(col("source")).distinct())
+        .select(col("source"), expr("tot div 4").as("token_budget"))
+      TrainingPrep.epochAllocation(
+          docs, "doc_id", "source", "n_tokens", budgets, EPOCH_SEED)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("repeat_floor"), col("extra").cast("long").as("extra"),
+          col("n_repeats"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, source,
+          CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      budgets AS (
+        SELECT source,
+          CAST((SELECT sum(n_tokens) FROM docs) AS BIGINT) // 4
+            AS token_budget
+        FROM (SELECT DISTINCT source FROM docs)),
+      totals AS (
+        SELECT d.source, CAST(sum(d.n_tokens) AS BIGINT) AS corpus_tokens,
+          any_value(b.token_budget) AS budget
+        FROM docs d JOIN budgets b ON d.source = b.source
+        GROUP BY d.source)
+      SELECT d.doc_id, d.source, d.n_tokens,
+        CAST(t.budget // t.corpus_tokens AS BIGINT) AS repeat_floor,
+        CAST(CASE WHEN (${TrainingPrep.mixKeySql("d.doc_id", EPOCH_SEED)})
+              * t.corpus_tokens
+            < (t.budget % t.corpus_tokens) * ${TextFns.P}
+          THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        CAST(t.budget // t.corpus_tokens
+          + CASE WHEN (${TrainingPrep.mixKeySql("d.doc_id", EPOCH_SEED)})
+                * t.corpus_tokens
+              < (t.budget % t.corpus_tokens) * ${TextFns.P}
+            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      FROM docs d JOIN totals t ON d.source = t.source
+      ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99)
 }

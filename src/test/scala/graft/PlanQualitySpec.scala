@@ -57,10 +57,38 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("CDC chunking is one scan — pure in-scan arithmetic, no join") {
-    val p = planOf("q93_cdc_chunks")
-    assert(count(p, "Scan parquet") === 1,
-      "q93 must read documents exactly once")
-    assert(!p.contains("Join"), s"q93 must not join:\n$p")
+    for (q <- Seq("q93_cdc_chunks", "q94_cdc_dedup_stats")) {
+      val p = planOf(q)
+      assert(count(p, "Scan parquet") === 1,
+        s"$q must read documents exactly once")
+      assert(!p.contains("Join"),
+        s"$q must not join (q94 carries `source` through the chunker):\n$p")
+    }
+  }
+
+  test("corpus shuffle: ONE shard exchange, per-shard sort only") {
+    // shuffleOrder's contract: rows move once (hash on shard), each
+    // shard sorts independently — no global range sort of the corpus
+    val df = graft.operators.TrainingPrep.shuffleOrder(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+      "doc_id", seed = 42L, numShards = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"shuffleOrder must shuffle exactly once, on shard:\n$p")
+    assert(count(p, "Exchange rangepartitioning") === 0,
+      s"shuffleOrder must not global-sort:\n$p")
+  }
+
+  test("epoch allocation: corpus never shuffles — broadcast totals only") {
+    val p = planOf("q99_epoch_allocation")
+    // the docs side is read for totals (tiny agg) and for the decision
+    // scan; the decision join must be broadcast, not a corpus shuffle
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"q99 lost its broadcast totals join:\n$p")
+    assert(count(p, "SortMergeJoin") === 0,
+      s"q99 must never sort-merge the corpus:\n$p")
   }
 
   test("scan-side pushdown reaches the parquet reader") {

@@ -138,6 +138,30 @@ class TrainingPrepSpec extends SparkSpec {
       s"shared suffix chunks diverged: $s2 vs $s3")
   }
 
+  test("cdcChunks edge cases: null / empty / all-space / shorter-than-w text") {
+    val docs = Seq(
+      (1L, Option("alpha beta")), // n_tokens=2 < w: one end-forced chunk
+      (2L, None: Option[String]), // null text: no rows (explode skips null)
+      (3L, Option("")), // Spark split("") = [""]: one empty-token chunk
+      (4L, Option("   ")) // trim → "": same single-empty-token shape
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.cdcChunks(docs, "doc_id", "text", w = 4, divisor = 8)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(!out.contains(2L), "null text must produce no chunk rows")
+    val d1 = out(1L)
+    assert(d1.length === 1 && d1.head.getAs[Int]("chunk_start") === 1 &&
+      d1.head.getAs[Int]("chunk_end") === 2 &&
+      d1.head.getAs[Int]("n_tokens") === 2)
+    // docs 3 and 4 both tokenize to [""]: identical single chunks whose
+    // hash is md5("") — pins the trim/split parity with the oracle
+    for (id <- Seq(3L, 4L)) {
+      val d = out(id)
+      assert(d.length === 1 && d.head.getAs[Int]("chunk_len") === 1)
+      assert(d.head.getAs[String]("chunk_hash") ===
+        "d41d8cd98f00b204e9800998ecf8427e")
+    }
+  }
+
   test("bloomContamination tolerates null text and non-long id types") {
     val docs = Seq(
       ("a", Option("the quick brown fox jumps")),
@@ -307,5 +331,78 @@ class TrainingPrepSpec extends SparkSpec {
     assert(r.getAs[Long]("q_max") === 0L)
     assert(r.getAs[Long]("q_sum") === 0L)
     assert(r.getAs[Double]("mse") === 0.0)
+  }
+
+  // ------------------------------------------------------------------
+  // shuffleOrder / epochAllocation
+  // ------------------------------------------------------------------
+
+  test("shuffleOrder: deterministic total permutation, seed-sensitive") {
+    val docs = (1L to 500L).toDF("doc_id")
+    def order(seed: Long) =
+      TrainingPrep.shuffleOrder(docs, "doc_id", seed, numShards = 4)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+
+    val a = order(42L)
+    // every doc appears exactly once; within each shard positions are
+    // exactly 1..count (a proper permutation, no gaps or ties)
+    assert(a.map(_._1).toSet.size === 500)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // re-running with the same seed reproduces the epoch order exactly
+    assert(order(42L).sortBy(_._1).toSeq === a.sortBy(_._1).toSeq)
+    // a different seed is a different permutation (the affine mix is a
+    // bijection, so ANY difference implies many)
+    val b = order(43L)
+    assert(a.sortBy(_._1).toSeq !== b.sortBy(_._1).toSeq)
+    // shards are roughly balanced: affine-permuted keys spread evenly
+    val sizes = a.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 500 / 4 / 2, s"shard sizes $sizes badly skewed")
+  }
+
+  test("epochAllocation: floor+remainder repeats hit the token budget") {
+    val docs = (1L to 300L).map { i =>
+      val src = if (i <= 200) "web" else "books"
+      (i, src, 10L + i % 7) // varying doc lengths
+    }.toDF("doc_id", "source", "n_tokens")
+    val tokens = docs.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books up-samples ~3x, web down-samples to floor 0 + remainder
+    val budgets = Seq(
+      ("books", tokens("books") * 3 + 37L),
+      ("web", tokens("web") / 2)
+    ).toDF("source", "token_budget")
+    val out = TrainingPrep.epochAllocation(
+        docs, "doc_id", "source", "n_tokens", budgets, seed = 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("repeat_floor"),
+        r.getAs[Int]("extra"), r.getAs[Long]("n_repeats")))
+
+    assert(out.length === 300) // every doc gets a decision
+    out.foreach { case (_, src, _, rf, ex, nr) =>
+      assert(ex === 0 || ex === 1)
+      assert(nr === rf + ex)
+      assert(rf === (if (src == "books") 3L else 0L))
+    }
+    // allocated token mass lands near the budget for BOTH regimes: the
+    // floor part is exact, the hash-selected remainder is a Bernoulli
+    // sum with mean rem — allow 4 sigma (p(1-p) ≤ 1/4 per token unit)
+    for ((src, budget) <- Seq(
+        ("books", tokens("books") * 3 + 37L), ("web", tokens("web") / 2))) {
+      val alloc = out.filter(_._2 == src).map(x => x._3 * x._6).sum
+      val srcDocs = out.count(_._2 == src)
+      val maxDoc = out.filter(_._2 == src).map(_._3).max
+      val sigma = maxDoc * math.sqrt(srcDocs.toDouble) / 2
+      assert(math.abs(alloc - budget) <= 4 * sigma,
+        s"$src allocated $alloc vs budget $budget (4sigma=${4 * sigma})")
+    }
+    // a source with no budget row is dropped from the epoch entirely
+    val noBudget = TrainingPrep.epochAllocation(
+        docs, "doc_id", "source", "n_tokens",
+        Seq(("books", 100L)).toDF("source", "token_budget"), seed = 7L)
+      .filter(col("source") === "web").collect()
+    assert(noBudget.forall(_.getAs[Long]("n_repeats") === 0L))
   }
 }
