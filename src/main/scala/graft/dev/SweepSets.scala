@@ -36,7 +36,9 @@ object SweepSets {
     * documents where the sweep's DuckDB minutes go.
     */
   val slowOracles: Map[String, String] = Map(
-    "q90_semantic_dedup_auto" -> "sqrt-n IVF assign oracle crossjoin — the slowest passing sweep entry")
+    "q90_semantic_dedup_auto" -> "sqrt-n IVF assign oracle crossjoin — among the slowest passing sweep entries",
+    "q100_pq_encode" -> "per-subspace codeword crossjoin oracle (n*m*sqrt(n) list folds in DuckDB) — minutes at 10x, passes",
+    "q101_pq_adc_topk" -> "shares q100's encode CTE — same budget note")
 
   /** The scaled oracle sweep: every registered query minus the
     * documented exclusions. Computed from the live registry so a new

@@ -318,4 +318,120 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): compressed-corpus ANN
+  // ------------------------------------------------------------------
+
+  /** Deterministic PQ codebooks: the vector is split into `m` equal
+    * subspaces (dim must be divisible by m), and — like
+    * [[seedCentroids]] — corpus rows with id ≡ 0 mod seedMod donate
+    * their subvectors as codewords (codeword id = donor vector id),
+    * so the codebook, the specs, and the SQL oracle agree exactly
+    * with no RNG. Output: `(sub, cw, cvec, cc)` with cc = ⟨cvec,cvec⟩
+    * precomputed for the distance identity below.
+    *
+    * Scale: the codebook is m·(n/seedMod) rows of (dim/m)-float
+    * vectors — for √n sizing that is ~KBs-to-MBs and ALWAYS
+    * broadcast; it is the PQ analogue of the IVF centroid table.
+    * seedMod ≤ 0 → the measured √n default (same rule, same eager
+    * count() caveat, as [[resolveSeedMod]]): a fixed mod would grow
+    * the codebook — and the encode cost n·m·k — linearly with n.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, seedMod: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val sm = resolveSeedMod(corpus, seedMod)
+    val subLen = (size(col("__v")) / m).cast("int")
+    corpus.filter(col(idCol) % sm === 0)
+      .select(col(idCol).cast("long").as("cw"), col(vecCol).as("__v"))
+      .select(col("cw"), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col("cw"),
+        slice(col("__v"), col("sub") * subLen + 1, subLen).as("cvec"))
+      .select(col("sub"), col("cw"), col("cvec"),
+        dot(col("cvec"), col("cvec")).as("cc"))
+  }
+
+  /** PQ-encode the corpus: per (vector, subspace), the codeword whose
+    * subvector is L2-nearest (squared distance via the fold-exact
+    * identity ‖s−c‖² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩; ties break to the
+    * lowest codeword id). Output: `(idCol, sub, cw, sdist)` — the
+    * "long form" of the m-byte-per-vector code, with the per-subspace
+    * quantization error alongside (Σ sdist over sub = the vector's
+    * reconstruction error).
+    *
+    * Scale: codebook broadcasts; scoring is scan-local; the arg-min
+    * is a map-side-combined max_by per (vector, subspace) — the
+    * shuffle carries m rows per vector, never m·k candidate rows
+    * (same discipline as [[ivfAssign]]).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebooks: DataFrame): DataFrame = {
+    val subLen = (size(col("__v")) / m).cast("int")
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col(idCol), col("sub"),
+        slice(col("__v"), col("sub") * subLen + 1, subLen).as("svec"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol), col("sub"), col("cw"),
+        (dot(col("svec"), col("svec")) - lit(2.0) * dot(col("svec"), col("cvec"))
+          + col("cc")).as("sdist"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(struct(col("cw"), col("sdist")),
+        struct(-col("sdist"), -col("cw"))).as("__best"))
+      .select(col(idCol), col("sub"),
+        col("__best.cw").as("cw"), col("__best.sdist").as("sdist"))
+  }
+
+  /** Order-pinned sum of per-subspace doubles: collect (sub, x),
+    * sort by sub, left-fold — the summation order is then identical
+    * in both engines (a bare SUM() of doubles is
+    * accumulation-order-dependent and NOT reproducible).
+    */
+  def foldBySub(x: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(col("sub"), x.as("__x")))),
+        s => s.getField("__x")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
+    * queries keep full precision, the corpus is represented ONLY by
+    * its codes. Per query, the distance to every codeword of every
+    * subspace is tabulated once (the classic nq·m·k ADC lookup
+    * table, tiny, broadcast); a corpus vector's distance is then the
+    * order-pinned sum of m table lookups — compute per corpus row
+    * drops from O(dim) float math to O(m) adds, and the corpus
+    * pipeline touches codes only (m small ints per vector ≈ 32×
+    * memory compression at dim=64/m=8 int8-able codes).
+    *
+    * Self-matches (query id = corpus id) are excluded, ranking ties
+    * break by corpus id. Output: (query_id, rank, corpus_id, adist).
+    */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, codebooks: DataFrame, k: Int): DataFrame = {
+    val subLen = (size(col("__v")) / m).cast("int")
+    val adc = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .select(col("query_id"), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("sub"),
+        slice(col("__v"), col("sub") * subLen + 1, subLen).as("qvec"))
+      .join(codebooks, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cw"),
+        (dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec"))
+          + col("cc")).as("qd"))
+    val scored = codes.select(col(idCol).as("corpus_id"), col("sub"), col("cw"))
+      .join(broadcast(adc), Seq("sub", "cw"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(foldBySub(col("qd")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
+  }
 }

@@ -281,5 +281,103 @@ object SimilarityQueries {
       WHERE d.vec_id IS NULL
       ORDER BY a1.vec_id"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75, q90)
+  // -- V8/V9: product quantization — compressed-corpus ANN -------------
+  //    Codebooks are deterministic (subvectors of every seedMod-th
+  //    vector, like the IVF seed centroids); encode = per-subspace
+  //    L2 arg-min via the fold-exact identity ‖s−c‖² = ss − 2sc + cc;
+  //    ADC top-k scores the corpus from its CODES only. Per-vector
+  //    sums are order-pinned folds over sub (bare SUM of doubles is
+  //    accumulation-order-dependent), so everything is bit-exact.
+  private val PQ_M = 8
+  private val PQ_K = 5
+  private val PQ_QMOD = 50
+
+  /** Shared oracle CTEs: subspace split, √n codebook (same scalar-
+    * subquery sizing as q90's auto-IVF oracle), encoded corpus. */
+  private def pqBaseSql = s"""
+      subs AS (
+        SELECT vec_id, sub,
+          embedding[(sub * sl + 1):(sub * sl + sl)] AS svec
+        FROM (SELECT vec_id, embedding,
+                CAST(len(embedding) // $PQ_M AS INT) AS sl,
+                unnest(generate_series(0, ${PQ_M - 1})) AS sub
+              FROM embeddings)),
+      smcte AS (
+        SELECT GREATEST(CAST(round(sqrt(count(*))) AS BIGINT), 1) AS sm
+        FROM embeddings),
+      codebook AS (
+        SELECT sub, CAST(vec_id AS BIGINT) AS cw, svec AS cvec,
+          ${norm2Sql("svec")} AS cc
+        FROM subs, smcte WHERE vec_id % smcte.sm = 0),
+      scored_cw AS (
+        SELECT s.vec_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS sdist
+        FROM subs s JOIN codebook c USING (sub)),
+      enc AS (
+        SELECT vec_id, sub, cw, sdist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY sdist ASC, cw ASC) AS rn
+          FROM scored_cw)
+        WHERE rn = 1)"""
+
+  private val q100 = Q(
+    "q100_pq_encode",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cb = Similarity.pqCodebooks(
+        t.embeddings, "vec_id", "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding", PQ_M, cb)
+      val codeCols = (0 until PQ_M).map(i =>
+        max(when(col("sub") === i, col("cw"))).as(s"c$i"))
+      enc.groupBy(col("vec_id"))
+        .agg(codeCols.head, codeCols.tail :+
+          pround(Similarity.foldBySub(col("sdist")), 6).as("recon_err"): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH ${pqBaseSql}
+      SELECT vec_id,
+        ${(0 until PQ_M).map(i =>
+          s"max(CASE WHEN sub = $i THEN cw END) AS c$i").mkString(", ")},
+        ${proundSql(
+          """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(sdist ORDER BY sub)), (x, y) -> x + y)""", 6)} AS recon_err
+      FROM enc
+      GROUP BY vec_id
+      ORDER BY vec_id"""))
+
+  private val q101 = Q(
+    "q101_pq_adc_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cb = Similarity.pqCodebooks(
+        t.embeddings, "vec_id", "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding", PQ_M, cb)
+      val queries = t.embeddings.filter(col("vec_id") % PQ_QMOD === 0)
+      Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding", PQ_M, cb, PQ_K)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          pround(col("adist"), 6).as("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH ${pqBaseSql},
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $PQ_QMOD = 0),
+      dists AS (
+        SELECT a.query_id, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e JOIN adc a ON e.sub = a.sub AND e.cw = a.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, e.vec_id)
+      SELECT query_id, rank, corpus_id, ${proundSql("adist", 6)} AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+      WHERE rank <= $PQ_K
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101)
 }

@@ -81,6 +81,18 @@ class PlanQualitySpec extends SparkSpec {
       s"shuffleOrder must not global-sort:\n$p")
   }
 
+  test("PQ encode/ADC: codebook always broadcasts, never cartesian") {
+    for (q <- Seq("q100_pq_encode", "q101_pq_adc_topk")) {
+      val p = planOf(q)
+      assert(count(p, "BroadcastHashJoin") >= 1,
+        s"$q must broadcast the codebook:\n$p")
+      assert(count(p, "SortMergeJoin") === 0 &&
+        count(p, "CartesianProduct") === 0 &&
+        count(p, "BroadcastNestedLoopJoin") === 0,
+        s"$q corpus side must stay scan-local:\n$p")
+    }
+  }
+
   test("epoch allocation: corpus never shuffles — broadcast totals only") {
     val p = planOf("q99_epoch_allocation")
     // the docs side is read for totals (tiny agg) and for the decision

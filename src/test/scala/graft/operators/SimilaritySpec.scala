@@ -157,6 +157,60 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a.size < 200) // non-trivial: some drops happened
   }
 
+  test("PQ: exact-cover codes, zero self-error for codewords, ADC recall") {
+    val dim = 16; val m = 4
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m, seedMod = 20)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", m, cb)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Long]("cw"), r.getAs[Double]("sdist")))
+
+    // every vector gets exactly one codeword per subspace
+    assert(enc.length === 200 * m)
+    enc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0 until m))
+    }
+    // a codebook donor quantizes to ITSELF with zero error in every
+    // subspace (its own subvector is at distance 0; ties break low-id
+    // but distance 0 beats everything)
+    enc.filter(_._1 % 20 == 0).foreach { case (id, _, cw, sdist) =>
+      assert(cw === id, s"donor $id must pick its own codeword")
+      assert(math.abs(sdist) < 1e-12)
+    }
+    // quantization error is nonnegative everywhere
+    assert(enc.forall(_._4 >= -1e-12))
+
+    // ADC top-k over codes approximates exact top-k: for each query,
+    // the true nearest-by-cosine ids and the PQ ids overlap (recall
+    // measured, not assumed; the quantizer has √200 ≈ 10 codewords
+    // per subspace so this is a coarse code)
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val pq = Similarity.pqAdcTopK(
+        Similarity.pqEncode(corpus, "vec_id", "embedding", m, cb),
+        queries, "vec_id", "embedding", m, cb, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.topK(corpus, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      (pq.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size }
+    info(f"PQ ADC top-10 recall vs exact: mean ${recalls.sum / recalls.size}%.2f")
+    assert(recalls.sum / recalls.size > 0.2,
+      s"ADC recall collapsed: $recalls")
+
+    // determinism under repartitioning (same codes, same errors)
+    val enc2 = Similarity.pqEncode(corpus.repartition(7), "vec_id",
+        "embedding", m, cb)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Long]("cw"), r.getAs[Double]("sdist")))
+    assert(enc2.sortBy(x => (x._1, x._2)).toSeq ===
+      enc.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("lshTopK restricts candidates to the query's bucket") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", nBits = 8, k = 3).collect()
