@@ -56,6 +56,7 @@ object Bench {
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
     "q96_duplicated_spans", "q97_dup_span_stats",
     "q98_corpus_shuffle", "q99_epoch_allocation",
+    "q102_kmeans_fit", "q103_ngram_novelty", "q104_quality_logit",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q67_percentiles_rankselect")

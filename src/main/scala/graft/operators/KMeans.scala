@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic distributed Lloyd k-means over an embedding column —
+  * the clustering primitive the similarity stack was missing: IVF
+  * (Similarity.ivfTopK) and SemDeDup consume centroids; this operator
+  * TRAINS them as a first-class, oracle-verifiable step instead of the
+  * one-shot seeded pick those operators use internally.
+  *
+  * Determinism (the property that makes a DuckDB oracle possible for
+  * an iterative algorithm):
+  *   - init: the k vectors whose ids order first by the integer hash
+  *     (id·2654435761) mod 1e9+7 (ties by id) are the seed centroids,
+  *     cluster index = position in that order. No RNG.
+  *   - assignment: squared L2 distance is accumulated in EXACT
+  *     DECIMAL(38,8) — each per-dim (a−b)² double is cast to
+  *     DECIMAL(28,8) and decimal-summed, so the fold order can never
+  *     change the value and the argmin (ties → lowest cluster id) is
+  *     identical on any engine / any partitioning.
+  *   - update: per-dim means from exact decimal sums (the q49 shape),
+  *     rounded to 6 decimals (pround) before they feed the next
+  *     assignment, so the centroid state is a portable decimal value,
+  *     not an accumulation-order-dependent double.
+  *   - empty clusters keep their previous centroid (driver-side
+  *     carry), so k never silently shrinks mid-run.
+  *
+  * Scale (100 TB): per iteration, assignment is a NARROW map over the
+  * corpus against k·d broadcast centroid literals (k·d doubles — KBs
+  * even at k=4096, d=1024); the update is one posexplode →
+  * groupBy(cluster, pos) hash aggregation whose shuffle carries only
+  * k·d partially-combined rows per task (map-side combine collapses
+  * the n·d explosion). Driver state is k·d doubles per iteration —
+  * the same broadcast-centroids discipline as IVF. Nothing is
+  * quadratic; iterations are a fixed driver loop.
+  *
+  * Reference scope: the reference has no ML operators — this is an
+  * engine addition from the training-pipeline mandate (centroid
+  * training for IVF ANN / SemDeDup / data-mixture clustering).
+  */
+object KMeans {
+
+  /** Multiplier for the deterministic id-hash seed order (Knuth's
+    * 2654435761, the same constant the LSH planes use).
+    */
+  private val SeedMul = 2654435761L
+  private val SeedMod = 1000000007L
+
+  /** Exact decimal squared-L2 between a vector column and a constant
+    * centroid: Σ DECIMAL(28,8)((aᵢ−cᵢ)²), decimal-summed (order-free).
+    */
+  private def dist2(vec: Column, centroid: Array[Double]): Column = {
+    val carr = array(centroid.map(lit(_)): _*)
+    aggregate(
+      zip_with(vec, carr, (a, b) => {
+        val d = a.cast("double") - b
+        (d * d).cast(DecimalType(28, 8))
+      }),
+      lit(0L).cast(DecimalType(38, 8)),
+      (acc, x) => (acc + x).cast(DecimalType(38, 8)))
+  }
+
+  /** All k exact-decimal distances for a row's vector, as one array
+    * column; the argmin is array_position(d, array_min(d)) − 1 —
+    * decimal equality is exact, and first-position tie-break = lowest
+    * cluster id.
+    */
+  private def distArray(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(c => dist2(vec, c)): _*)
+
+  /** Run `iters` Lloyd iterations; returns the per-cluster per-dim
+    * stats of the FINAL assignment: (cluster, pos, n_vecs, mean_v)
+    * for pos < outDims, ordered — n_vecs is the cluster size, mean_v
+    * the 6-decimal-rounded exact-decimal mean. Rows with a null
+    * vector are excluded up front (they could never be assigned).
+    */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, outDims: Int = 8): DataFrame = {
+    require(k >= 1 && iters >= 1 && outDims >= 1)
+    import graft.queries.Portable.pround
+    val src = vecs.filter(col(vecCol).isNotNull)
+
+    // seed: k vectors, hash-of-id order; cluster index = seed rank
+    var cents: Array[Array[Double]] = src
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", (col("__id") * lit(SeedMul)) % lit(SeedMod))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .select(col("__v").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.length == k,
+      s"need at least k=$k non-null vectors, found ${cents.length}")
+
+    var it = 1
+    var out: DataFrame = null
+    while (it <= iters) {
+      val stats = src
+        .select(col(vecCol), distArray(col(vecCol), cents).as("__d"))
+        .select(
+          (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
+            .cast("int").as("cluster"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"),
+          pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+            .cast("double") / count(lit(1)), 6).as("mean_v"))
+      if (it < iters) {
+        // collect k·d rounded means; empty clusters carry forward
+        val next = Array.tabulate(k)(j => cents(j).clone())
+        stats.select(col("cluster"), col("pos"), col("mean_v")).collect()
+          .foreach { r =>
+            next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+          }
+        cents = next
+      } else {
+        out = stats.filter(col("pos") < outDims)
+          .orderBy(col("cluster"), col("pos"))
+      }
+      it += 1
+    }
+    out
+  }
+}

@@ -552,4 +552,42 @@ object TrainingPrep {
       .withColumn("n_repeats", col("repeat_floor") + col("extra"))
       .drop("__corpus_tokens", "__rem", "token_budget")
   }
+
+  /** Per-document n-gram NOVELTY under corpus order: the fraction of a
+    * doc's distinct n-gram shingles whose first corpus occurrence
+    * (min doc id over the whole corpus) is an EARLIER doc. The
+    * seen-before ratio is the doc-granular dedup signal between exact
+    * dedup (whole-doc) and duplicatedSpans (substring): a doc that is
+    * 95% previously-seen shingles is boilerplate even if no single
+    * span or minhash pair flags it, and novelty-ordered curricula
+    * consume exactly this column.
+    *
+    * Output: (id, n_grams, n_seen, novelty) per doc with ≥1 shingle,
+    * ordered by id. novelty = (n_grams − n_seen) / n_grams, rounded.
+    *
+    * Scale (100 TB): one shuffle keyed by the shingle hash computes
+    * min-doc-per-shingle as a WINDOW over the exploded distinct
+    * shingles (not a groupBy + self-join — that shape shuffles the
+    * same rows twice), then one doc-keyed aggregation. Shingle-hash
+    * cardinality is high and evenly spread; both exchanges are the
+    * inverted-index shape every dedup operator here already pays.
+    * Nothing driver-side, nothing quadratic.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.Portable.pround
+    val grams = docs.select(col(idCol), explode(array_distinct(
+      graft.functions.TextFns.shingleHashes(col(textCol), n))).as("__h"))
+    grams
+      .withColumn("__first",
+        min(col(idCol)).over(Window.partitionBy(col("__h"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__first") < col(idCol)).cast("long")).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        pround((col("n_grams") - col("n_seen")).cast("double")
+          / col("n_grams"), 6).as("novelty"))
+      .orderBy(col(idCol))
+  }
 }

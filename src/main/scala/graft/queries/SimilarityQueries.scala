@@ -379,5 +379,68 @@ object SimilarityQueries {
       WHERE rank <= $PQ_K
       ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101)
+  // -- V10: deterministic Lloyd k-means (operators.KMeans) — the
+  //    centroid TRAINER next to the centroid CONSUMERS (IVF, SemDeDup,
+  //    PQ). Iterative, yet oracle-verifiable: seeded hash init, exact
+  //    decimal distance sums (fold-order-free argmin), 6-decimal
+  //    centroid state between iterations. The oracle unrolls the same
+  //    three iterations as CTE stages. ------------------------------
+  private val KM_K = 8
+  private val KM_ITERS = 3
+  private val KM_DIMS = 64
+  private val KM_OUT = 8
+  private val q102 = Q(
+    "q102_kmeans_fit",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.KMeans.fit(
+        t.embeddings, "vec_id", "embedding", KM_K, KM_ITERS, KM_OUT)
+    },
+    Some {
+      val iterCtes = (1 to KM_ITERS).map { i =>
+        s"""dist$i AS (
+          SELECT e.vec_id, c.cluster,
+            sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+          FROM ev e JOIN cent${i - 1} c USING (pos)
+          GROUP BY e.vec_id, c.cluster),
+        asg$i AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cluster) AS rk
+            FROM dist$i) WHERE rk = 1),
+        mean$i AS (
+          SELECT a.cluster, e.pos, count(*) AS n_vecs,
+            ${proundSql(
+              "CAST(sum(CAST(e.v AS DECIMAL(28,8))) AS DOUBLE) / count(*)",
+              6)} AS mean_v
+          FROM asg$i a JOIN ev e USING (vec_id)
+          GROUP BY a.cluster, e.pos),
+        cent$i AS (
+          SELECT cluster, pos, mean_v AS c FROM mean$i
+          UNION ALL
+          SELECT p.cluster, p.pos, p.c FROM cent${i - 1} p
+          WHERE p.cluster NOT IN (SELECT cluster FROM mean$i))"""
+      }.mkString(",\n        ")
+      s"""WITH ev AS (
+        SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${KM_DIMS - 1})) AS pos)),
+      seed AS (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS cluster
+        FROM embeddings),
+      cent0 AS (
+        SELECT s.cluster, e.pos, e.v AS c
+        FROM seed s JOIN ev e USING (vec_id)
+        WHERE s.cluster < $KM_K),
+      $iterCtes
+      SELECT cluster, pos, n_vecs, mean_v
+      FROM mean$KM_ITERS
+      WHERE pos < $KM_OUT
+      ORDER BY cluster, pos"""
+    })
+
+  val all: Seq[Q] =
+    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102)
 }

@@ -383,5 +383,33 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95)
+  // -- T9: model-based quality scoring (operators.QualityModel) — the
+  //    fasttext-shaped hashed linear classifier: token → weight bucket
+  //    via the rolling hash, doc score = mean bucket milli-weight in
+  //    exact long arithmetic. One narrow scan, zero shuffles. --------
+  private val q104 = Q(
+    "q104_quality_logit",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.QualityModel.score(t.documents, "doc_id", "text")
+    },
+    Some {
+      val hsSql = shingleHashesSql("text", 1)
+      s"""SELECT doc_id, n_tokens, sum_milli,
+        CASE WHEN n_tokens > 0
+          THEN ${proundSql("CAST(sum_milli AS DOUBLE) / (n_tokens * 1000)", 6)}
+        END AS logit,
+        CASE WHEN (CASE WHEN n_tokens > 0
+            THEN ${proundSql(
+              "CAST(sum_milli AS DOUBLE) / (n_tokens * 1000)", 6)}
+          END) > 0.0 THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tokens,
+          ${graft.operators.QualityModel.sumMilliSql("hs")} AS sum_milli
+        FROM (SELECT doc_id, $hsSql AS hs FROM documents))
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[Q] =
+    Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104)
 }

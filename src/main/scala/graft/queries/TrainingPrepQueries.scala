@@ -504,6 +504,33 @@ object TrainingPrepQueries {
       FROM docs d JOIN totals t ON d.source = t.source
       ORDER BY d.doc_id"""))
 
+  // -- T13: n-gram novelty under corpus order — the seen-before ratio
+  //    per doc (TrainingPrep.ngramNovelty). The oracle re-derives the
+  //    same distinct-shingle index with a window min, so the full
+  //    inverted-index dataflow is verified, not a canned answer. -----
+  private val q103 = Q(
+    "q103_ngram_novelty",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.ngramNovelty(t.documents, "doc_id", "text", N)
+    },
+    Some(s"""WITH g AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT doc_id, unnest(${shingleHashesSql("text", N)}) AS h
+          FROM documents)),
+      f AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_id
+        FROM g)
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_seen,
+        ${proundSql(
+          """(count(*) - sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE)""", 6)} AS novelty
+      FROM f
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99)
+    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103)
 }

@@ -405,4 +405,41 @@ class TrainingPrepSpec extends SparkSpec {
       .filter(col("source") === "web").collect()
     assert(noBudget.forall(_.getAs[Long]("n_repeats") === 0L))
   }
+
+  // ------------------------------------------------------------------
+  // ngramNovelty
+  // ------------------------------------------------------------------
+
+  test("ngramNovelty: seen-before fractions under corpus order") {
+    val docs = Seq(
+      (1L, "a b c d"),        // bigrams ab bc cd — all first
+      (2L, "a b c d"),        // exact dup of 1 — novelty 0
+      (3L, "c d e f"),        // cd seen (doc1), de ef new — 2/3 novel
+      (4L, "x y")             // xy new — fully novel
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) === ((3L, 0L, 1.0)))
+    assert(out(2L) === ((3L, 3L, 0.0)))
+    assert(out(3L)._1 === 3L)
+    assert(out(3L)._2 === 1L)
+    assert(math.abs(out(3L)._3 - 2.0 / 3) < 1e-6)
+    assert(out(4L) === ((1L, 0L, 1.0)))
+  }
+
+  test("ngramNovelty: repeated shingles within one doc count once") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams ab ba ab ba ab -> distinct {ab, ba}
+      (2L, "a b")          // ab seen in doc1
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"))).toMap
+    assert(out(1L) === ((2L, 0L)))
+    assert(out(2L) === ((1L, 1L)))
+  }
 }
