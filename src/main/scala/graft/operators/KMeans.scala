@@ -82,10 +82,14 @@ object KMeans {
     import graft.queries.Portable.pround
     val src = vecs.filter(col(vecCol).isNotNull)
 
-    // seed: k vectors, hash-of-id order; cluster index = seed rank
+    // seed: k vectors, hash-of-id order; cluster index = seed rank.
+    // The id is reduced mod P BEFORE the multiply: (P-1)·SeedMul fits
+    // int64, a raw id·SeedMul does not once ids pass ~3.4e9 — Spark
+    // would wrap silently where DuckDB (and common sense) overflow.
     var cents: Array[Array[Double]] = src
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-      .withColumn("__h", (col("__id") * lit(SeedMul)) % lit(SeedMod))
+      .withColumn("__h",
+        ((col("__id") % lit(SeedMod)) * lit(SeedMul)) % lit(SeedMod))
       .orderBy(col("__h"), col("__id"))
       .limit(k)
       .select(col("__v").cast("array<double>"))

@@ -428,7 +428,8 @@ object SimilarityQueries {
         CROSS JOIN (SELECT unnest(generate_series(0, ${KM_DIMS - 1})) AS pos)),
       seed AS (
         SELECT vec_id, row_number() OVER (
-            ORDER BY (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS cluster
+            ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+              vec_id) - 1 AS cluster
         FROM embeddings),
       cent0 AS (
         SELECT s.cluster, e.pos, e.v AS c

@@ -154,6 +154,32 @@ class PlanQualitySpec extends SparkSpec {
     * plan is scanned for empty-partitionSpec window nodes, and each hit
     * must be on the documented bounded-intermediate allowlist.
     */
+  test("quality scoring is a pure narrow map — zero data shuffles") {
+    val p = planOf("q104_quality_logit")
+    // the only Exchange allowed is the final ORDER BY's range partition
+    assert(count(p, "Exchange hashpartitioning") === 0,
+      "q104 scoring must not shuffle — hashing-trick scoring is row-local")
+    assert(count(p, "Generate") === 0 && count(p, "Join") === 0,
+      "q104 must score from the token-hash array without explode or join")
+  }
+
+  test("novelty builds its shingle index with a window min, not a self-join") {
+    val p = planOf("q103_ngram_novelty")
+    assert(count(p, "Join") === 0,
+      "q103 min-doc-per-shingle must be a window over ONE exchange, " +
+        "not a groupBy + self-join (that shape shuffles the grams twice)")
+    assert(count(p, "Exchange hashpartitioning") === 2,
+      "q103 is exactly two keyed exchanges: shingle hash, then doc id")
+  }
+
+  test("k-means assignment is narrow — broadcast centroids, no join") {
+    val p = planOf("q102_kmeans_fit")
+    assert(count(p, "Join") === 0,
+      "q102 must assign against centroid literals, never a centroid join")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      "q102's only keyed exchange is the (cluster, pos) update aggregation")
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:
