@@ -190,6 +190,94 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Tokenize, hash, and candidate-filter in ONE compiled pass: emits
+  * only the shingle STRINGS whose rolling hash is in a (small,
+  * driver-known) candidate set. This is HeavyHitters' recount shape —
+  * after the Misra-Gries pass the driver holds ≤ k candidate hashes,
+  * and the exact recount only ever needs the strings of matching
+  * windows (a few percent of positions). The previous shape
+  * (materialize EVERY shingle string, re-hash it, broadcast-semi-join)
+  * paid string allocation + a second hash for the ~95% of windows the
+  * join then threw away. A hash collision can only ADD a false
+  * survivor, whose exact string count the threshold filter still
+  * judges — exactness is unaffected (same argument as the join).
+  *
+  * The candidate array rides the plan as a literal (k ≤ margin/minFreq
+  * entries — KBs); the lookup set is built once per task, lazily.
+  */
+case class ShingleHashFilter(child: Expression, n: Int,
+    candidates: Array[Long]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_filter expects STRING, got ${child.dataType.simpleString}")
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val candSet: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](candidates.length * 2)
+    candidates.foreach(s.add(_))
+    s
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    // same ' '-only trim as ShingleHashes (mirrors Spark's trim())
+    val raw = v.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = raw.length
+    while (start < end && raw.charAt(start) == ' ') start += 1
+    while (end > start && raw.charAt(end - 1) == ' ') end -= 1
+    val tokens = raw.substring(start, end).split("\\s+", -1)
+    val count = tokens.length - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) h = (h * 31L + ' ') % RollingHash.P
+        val t = tokens(i + j)
+        var k = 0
+        while (k < t.length) { h = (h * 31L + t.charAt(k)) % RollingHash.P; k += 1 }
+        j += 1
+      }
+      if (candSet.contains(h)) {
+        // string built ONLY for survivors
+        if (n == 1) out += UTF8String.fromString(tokens(i))
+        else {
+          val sb = new java.lang.StringBuilder
+          var j2 = 0
+          while (j2 < n) {
+            if (j2 > 0) sb.append(' ')
+            sb.append(tokens(i + j2))
+            j2 += 1
+          }
+          out += UTF8String.fromString(sb.toString)
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashFilter =
+    copy(child = newChild)
+}
+
 /** Session extension registering graft's native functions — apply via
   * `builder.withExtensions(GraftExtensions.inject)` (GraftSession does)
   * or `--conf spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -233,6 +321,27 @@ object GraftExtensions {
             "shingle width must be a literal")
         }
         ShingleStrings(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_filter"),
+      new ExpressionInfo(classOf[ShingleHashFilter].getName,
+        "graft_shingle_filter"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_shingle_filter takes (text, n literal, hash array literal)")
+        val n = children(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "shingle width must be a literal")
+        }
+        val cands = children(2) match {
+          case e if e.foldable =>
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toLongArray()
+          case _ => throw new IllegalArgumentException(
+            "candidate hashes must be a literal array")
+        }
+        ShingleHashFilter(children.head, n, cands)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cdc_chunks"),

@@ -45,6 +45,14 @@ object TextFns {
        |   i -> CAST(ascii(substr($x, i, 1)) AS BIGINT))),
        | (h, c) -> (h * 31 + c) % ${P})""".stripMargin
 
+  /** Tokenize + hash + candidate-filter in one compiled pass: the
+    * shingle STRINGS whose rolling hash is in `cands` (native
+    * ShingleHashFilter — strings built only for survivors). The
+    * HeavyHitters recount shape.
+    */
+  def shingleFilter(text: Column, n: Int, cands: Array[Long]): Column =
+    call_function("graft_shingle_filter", text, lit(n), lit(cands))
+
   /** Tokenize+shingle+hash in one compiled pass (native ShingleHashes
     * expression; n=1 degenerates to per-token hashes). Returns one
     * hash per shingle position; array_distinct for set semantics.

@@ -259,22 +259,24 @@ object Dedup {
     * order), `span_start, span_end` (1-based inclusive token
     * positions), `span_len, n_windows`.
     *
-    * Windows are keyed by the md5 of the window STRING (native
-    * codegen'd shingle materialization + md5), not the ~30-bit
-    * rolling hash: at the corpus sizes this targets (10¹²⁺ windows)
-    * a 10⁹-value hash has every residue occupied and would flag ALL
-    * text as duplicated; 128 bits keeps expected collisions ≪ 1 at
-    * any real scale, preserving the "exact" claim without a verify
-    * join (the other pair-gen paths verify because their hashes are
-    * deliberately lossy; here the key IS content-identity).
+    * Windows are keyed by a 128-bit content key (two
+    * independently-seeded xxhash64 values over the window string),
+    * not the ~30-bit rolling hash: at the corpus sizes this targets
+    * (10¹²⁺ windows) a 10⁹-value hash has every residue occupied and
+    * would flag ALL text as duplicated; 128 bits keeps expected
+    * collisions ≪ 1 at any real scale, preserving the "exact" claim
+    * without a verify join (the other pair-gen paths verify because
+    * their hashes are deliberately lossy; here the key IS
+    * content-identity). xxhash64×2 replaced the earlier md5 key:
+    * same width, a fraction of the hash CPU, and a 16-byte long-pair
+    * shuffle key instead of a 32-char digest string.
     *
     * Scale: the frequency pass and the probe are ONE inverted-index
-    * shuffle keyed by the window digest (the jaccardPairs shape —
-    * co-occurring windows collide on the digest, all-pairs never
-    * materializes; map-side combine collapses the count pass); span
-    * merging is gaps-and-islands over (doc, pos) — one window
-    * shuffle keyed by doc id. Nothing is quadratic: output size is
-    * bounded by the input window count.
+    * exchange keyed by the window key — a count window over the key
+    * partition (a groupBy + probe self-join would shuffle the gram
+    * set twice); span merging is gaps-and-islands over (doc, pos) —
+    * one window shuffle keyed by doc id. Nothing is quadratic: output
+    * size is bounded by the input window count.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
@@ -294,13 +296,27 @@ object Dedup {
   def duplicatedSpansRaw(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 1)
+    // 128-bit window key = two independently-seeded xxhash64 values:
+    // same collision bound as the previous md5 key (expected
+    // collisions ≪ 1 at 10¹²⁺ windows) at a fraction of the hash CPU,
+    // and the shuffle key is 16 bytes of longs instead of a 32-char
+    // digest string. The hash never reaches the output (spans are
+    // positions), so the oracle's md5 keying agrees exactly whenever
+    // both keys are collision-free — which is the regime both choose
+    // their width for.
     val grams = docs.select(col(idCol),
       posexplode(graft.functions.TextFns.shinglesNative(col(textCol), w))
         .as(Seq("pos", "sh")))
-      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
-    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("h"))
-    val marked = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
+    // frequency + probe in ONE exchange: a count window over the
+    // window-key partition replaces the old groupBy + self-join, which
+    // shuffled the gram set twice (the q103 window-min lesson).
+    val marked = grams
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
+      .filter(col("__df") >= 2)
+      .select(col(idCol), col("pos"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // window at pos covers tokens pos+1 .. pos+w (posexplode 0-based);
     // regions stay contiguous while each start is ≤ previous start + w

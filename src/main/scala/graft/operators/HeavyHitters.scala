@@ -117,16 +117,15 @@ object HeavyHitters {
         val kth = merged.values.toArray.sorted(Ordering[Long].reverse)(k)
         merged.iterator.collect { case (h, c) if c > kth => h }.toSeq
       }
-    val candidates = capped.toDF("h")
-
-    // pass 2: strings materialized ONCE (native one-pass shingler —
-    // the HOF chain bound an interpreted lambda per position and
-    // dominated CPU under parallel scan splits), semi-joined on hash
+    // pass 2: the native filter expression re-hashes each window and
+    // materializes the string ONLY when its hash is a candidate — no
+    // broadcast join, no strings for the ~95%+ of windows that can't
+    // win. (The earlier semi-join shape built every shingle string and
+    // hashed it a second time just to discard it.) Collisions only ADD
+    // false survivors, whose exact string counts the threshold filter
+    // still judges.
     d.select(explode(graft.functions.TextFns
-        .shinglesNative(col(textCol), n)).as("item"))
-      .join(broadcast(candidates),
-        graft.functions.TextFns.rollingHash(col("item")) === col("h"),
-        "left_semi")
+        .shingleFilter(col(textCol), n, capped.toArray)).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
       .orderBy(col("item"))

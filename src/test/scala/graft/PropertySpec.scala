@@ -81,6 +81,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_shingle_filter ≡ shingles filtered by hash membership") {
+    val gText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("  ")))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(gText, Gen.chooseNum(1, 3)), n = 40) { case (text, w) =>
+      val df = Seq(Tuple1(text)).toDF("t")
+      val all = df.select(TextFns.shinglesNative(col("t"), w))
+        .collect()(0).getSeq[String](0)
+      // candidate set = hashes of every other shingle (+ one absent)
+      val cands = all.zipWithIndex.collect { case (s, i) if i % 2 == 0 =>
+        graft.expressions.RollingHash.hash(s)
+      }.toArray :+ -1L
+      val expected = all.filter(s =>
+        cands.contains(graft.expressions.RollingHash.hash(s)))
+      val got = df.select(TextFns.shingleFilter(col("t"), w, cands))
+        .collect()(0).getSeq[String](0)
+      assert(got === expected, s"text=${text.take(40)} n=$w")
+    }
+  }
+
   test("native graft_dot ≡ HOF zip_with/aggregate fold, bit for bit") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
     forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) {
