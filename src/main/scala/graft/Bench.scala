@@ -35,6 +35,7 @@ object Bench {
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
+    "q105_source_divergence", "q106_moments",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",

@@ -282,5 +282,35 @@ object CorpusQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54)
+  // -- C8: pairwise source distribution drift (operators.Divergence) —
+  //    total variation over token distributions via the min-overlap
+  //    identity: shared-vocab join only, exact decimal mass sums, one
+  //    float division at the end. No log ⇒ no libm ulp risk. ---------
+  private val q105 = Q(
+    "q105_source_divergence",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Divergence.tokenTV(t.documents, "source", "text")
+    },
+    Some(s"""WITH tc AS (
+        SELECT source AS src, token, count(*) AS c
+        FROM (SELECT source, unnest(${TextFns.tokensSql("text")}) AS token
+              FROM documents)
+        GROUP BY src, token),
+      tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY src)
+      SELECT a.src AS src1, b.src AS src2, t1.n AS n1, t2.n AS n2,
+        count(*) AS n_common,
+        ${proundSql(
+          """1.0 - CAST(sum(least(CAST(a.c AS DECIMAL(38,0)) * t2.n,
+                                  CAST(b.c AS DECIMAL(38,0)) * t1.n))
+                   AS DOUBLE)
+             / (CAST(t1.n AS DOUBLE) * CAST(t2.n AS DOUBLE))""", 6)} AS tv
+      FROM tc a
+      JOIN tc b ON a.token = b.token AND a.src < b.src
+      JOIN tot t1 ON t1.src = a.src
+      JOIN tot t2 ON t2.src = b.src
+      GROUP BY src1, src2, n1, n2
+      ORDER BY src1, src2"""))
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54, q105)
 }

@@ -198,6 +198,84 @@ object ProfilingQueries {
       ORDER BY col_x, col_y"""
     })
 
+  // -- A15 (engine addition): 3rd/4th standardized moments per numeric
+  //    column from EXACT decimal power sums — ONE scan, one wide agg
+  //    (the q84 shape). Powers multiply as doubles in a pinned
+  //    left-assoc chain, each product cast to DECIMAL(38,6) before the
+  //    (order-free) decimal sum; the moment algebra then runs in
+  //    textually identical double ops on both engines. skew/kurtosis
+  //    flag heavy-tailed value columns (prices, delays, token counts)
+  //    that mean/std profiling (q30) cannot distinguish. -------------
+  private val q106 = Q(
+    "q106_moments",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val src = graft.core.Scan.fanOut(t.lineitem
+        .select(numCols.map(col): _*))
+      val aggs = Seq(count(lit(1)).as("n")) ++ numCols.flatMap { c =>
+        val x = col(c).cast("double")
+        val x2 = x * x
+        val x3 = x2 * x
+        val x4 = x3 * x
+        Seq(
+          sum(x.cast(DecimalType(38, 8))).cast("double").as(s"${c}_s1"),
+          sum(x2.cast(DecimalType(38, 8))).cast("double").as(s"${c}_s2"),
+          sum(x3.cast(DecimalType(38, 8))).cast("double").as(s"${c}_s3"),
+          sum(x4.cast(DecimalType(38, 8))).cast("double").as(s"${c}_s4"))
+      }
+      val wide = src.agg(aggs.head, aggs.tail: _*)
+      val nD = col("n").cast("double")
+      wide.select(explode(array(numCols.map { c =>
+          val m1 = col(s"${c}_s1") / nD
+          val m2 = col(s"${c}_s2") / nD
+          val m3 = col(s"${c}_s3") / nD
+          val m4 = col(s"${c}_s4") / nD
+          val va = m2 - m1 * m1
+          val sk = (m3 - lit(3.0) * m1 * m2 + lit(2.0) * m1 * m1 * m1) /
+            (va * sqrt(va))
+          val ku = (m4 - lit(4.0) * m1 * m3 + lit(6.0) * m1 * m1 * m2
+            - lit(3.0) * m1 * m1 * m1 * m1) / (va * va) - lit(3.0)
+          struct(lit(c).as("col_name"), col("n").as("n"),
+            pround(m1, 6).as("mean"), pround(sqrt(va), 6).as("stddev_pop"),
+            pround(sk, 6).as("skewness"), pround(ku, 6).as("kurtosis_excess"))
+        }: _*)).as("s"))
+        .select(col("s.*"))
+        .orderBy(col("col_name"))
+    },
+    Some {
+      val sums = numCols.flatMap { c =>
+        val x = s"CAST($c AS DOUBLE)"
+        Seq(
+          s"CAST(sum(CAST($x AS DECIMAL(38,8))) AS DOUBLE) AS ${c}_s1",
+          s"CAST(sum(CAST($x * $x AS DECIMAL(38,8))) AS DOUBLE) AS ${c}_s2",
+          s"CAST(sum(CAST($x * $x * $x AS DECIMAL(38,8))) AS DOUBLE) AS ${c}_s3",
+          s"CAST(sum(CAST($x * $x * $x * $x AS DECIMAL(38,8))) AS DOUBLE) AS ${c}_s4")
+      }.mkString(",\n          ")
+      val rows = numCols.map { c =>
+        val n = "CAST(n AS DOUBLE)"
+        val m1 = s"(${c}_s1 / $n)"
+        val m2 = s"(${c}_s2 / $n)"
+        val m3 = s"(${c}_s3 / $n)"
+        val m4 = s"(${c}_s4 / $n)"
+        val va = s"($m2 - $m1 * $m1)"
+        val sk = s"($m3 - 3.0 * $m1 * $m2 + 2.0 * $m1 * $m1 * $m1) " +
+          s"/ ($va * sqrt($va))"
+        val ku = s"($m4 - 4.0 * $m1 * $m3 + 6.0 * $m1 * $m1 * $m2" +
+          s" - 3.0 * $m1 * $m1 * $m1 * $m1) / ($va * $va) - 3.0"
+        s"""SELECT '$c' AS col_name, n,
+           ${proundSql(m1, 6)} AS mean,
+           ${proundSql(s"sqrt($va)", 6)} AS stddev_pop,
+           ${proundSql(sk, 6)} AS skewness,
+           ${proundSql(ku, 6)} AS kurtosis_excess FROM wide"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wide AS (
+        SELECT count(*) AS n,
+          $sums
+        FROM lineitem)
+      $rows
+      ORDER BY col_name"""
+    })
+
   // -- A14 (engine addition): chi-square association between two
   //    categorical columns + Cramér's V — log-free feature-selection
   //    statistics (entropy/MI need ln(), which differs in the last
@@ -421,5 +499,5 @@ object ProfilingQueries {
       GROUP BY l.l_returnflag
       ORDER BY l.l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92)
+  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106)
 }

@@ -101,6 +101,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact-decimal moments agree with Spark's built-in skew/kurtosis") {
+    val df = graft.SparkEntry.queries("q106_moments")(
+      spark, "/root/testdata/sf0.001")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for (r <- df.collect()) {
+      val c = r.getAs[String]("col_name")
+      val ref = li.select(
+        skewness(col(c).cast("double")), kurtosis(col(c).cast("double")))
+        .collect()(0)
+      // built-ins accumulate running doubles (order-dependent) — agree
+      // to 1e-4 relative, not bit-exact; the decimal pipeline is the
+      // one that hash-matches DuckDB
+      assert(math.abs(r.getAs[Double]("skewness") - ref.getDouble(0))
+        <= 1e-4 * (1 + math.abs(ref.getDouble(0))), s"skew($c)")
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") - ref.getDouble(1))
+        <= 1e-4 * (1 + math.abs(ref.getDouble(1))), s"kurt($c)")
+    }
+  }
+
   test("native graft_dot ≡ HOF zip_with/aggregate fold, bit for bit") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
     forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) {
