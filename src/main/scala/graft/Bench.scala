@@ -27,7 +27,7 @@ object Bench {
     "q13_string_funcs", "q14_date_funcs", "q15_date_spine", "q16_time_spine",
     "q17_token_stats",
     "q18_text_quality", "q19_lang_id", "q20_fingerprint",
-    "q95_bpe_pretokens",
+    "q95_bpe_pretokens", "q107_bpe_merges",
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",

@@ -410,6 +410,20 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  // -- T10: distributed BPE vocabulary induction (operators.BpeTrainer)
+  //    — tokenizer TRAINING next to tokenizer APPLICATION (q95). The
+  //    iterative merge-table rebuild is not ANSI-SQL-expressible, so
+  //    this is the surface's one deliberately oracle-less query (the
+  //    driver records the rows-only check); BpeTrainerSpec pins it
+  //    merge-for-merge against a naive single-node reference BPE. ----
+  private val q107 = Q(
+    "q107_bpe_merges",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.BpeTrainer.train(t.documents, "text", nMerges = 25)
+    },
+    None)
+
   val all: Seq[Q] =
-    Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104)
+    Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107)
 }
