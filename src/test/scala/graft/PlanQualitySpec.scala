@@ -180,6 +180,21 @@ class PlanQualitySpec extends SparkSpec {
       "q102's only keyed exchange is the (cluster, pos) update aggregation")
   }
 
+  test("TV divergence joins shared vocab only — totals broadcast") {
+    val p = planOf("q105_source_divergence")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "BroadcastNestedLoopJoin") === 0,
+      "q105 must never go all-pairs")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "q105's per-source totals must broadcast onto the vocab join")
+  }
+
+  test("q106 moments is ONE aggregation pass like q30/q84") {
+    val p = planOf("q106_moments")
+    assert(count(p, "Scan parquet") === 1,
+      "q106 must read lineitem exactly once")
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:
