@@ -31,7 +31,8 @@ object Bench {
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
-    "q28_ann_lsh_buckets", "q29_binary_features", "q56_media_decode",
+    "q28_ann_lsh_buckets", "q108_random_projection",
+    "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",

@@ -20,6 +20,7 @@ object SweepSets {
     "q24_minhash_lsh_pairs" -> "LSH oracle CTEs re-derive candidates with interpreted list lambdas — minutes-to-hours single-node at 10x",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
     "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",
+    "q108_random_projection" -> "per-vector 16-plane fold oracle — twice q28's per-row cost, same 10x infeasibility",
     "q33_ann_lsh_topk" -> "LSH oracle crossjoin too slow in DuckDB at 10x",
     "q39_neardup_dedup" -> "shares the LSH oracle CTEs",
     "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",

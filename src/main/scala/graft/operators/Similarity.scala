@@ -434,4 +434,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
   }
+
+  /** Scala twin of [[planeComponent]] — identical integer arithmetic
+    * and the identical single division, so a plane value computed on
+    * the driver (to embed as a literal) is the same double the Column
+    * formula and the SQL oracle produce.
+    */
+  def planeComponentValue(j: Int, i: Int): Double =
+    (((j + 1).toLong * 2654435761L + i.toLong * 40503L) % 1000003L)
+      .toDouble / 1000003.0 - 0.5
+
+  /** Johnson-Lindenstrauss random projection: dimensionality reduction
+    * to `outDims` via the same deterministic integer-hash hyperplanes
+    * as the LSH family (no RNG — plans, tests, and the SQL oracle
+    * agree exactly). Each output dim is a native sequential-fold dot
+    * product (graft_dot) against a driver-built literal plane array —
+    * a pure NARROW map: one scan, zero shuffles, `outDims·inDims`
+    * multiply-adds per row. This is the ANN preprocessing step: at
+    * 100 TB project once (64→16 halves every downstream distance
+    * computation 4×), then run IVF/LSH/PQ in the reduced space.
+    * Output: (id, p0..p{outDims-1}) — raw doubles, caller rounds.
+    */
+  def randomProjection(vecs: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int): DataFrame = {
+    require(inDims >= 1 && outDims >= 1)
+    val cols = (0 until outDims).map { j =>
+      val plane = array((0 until inDims).map(i =>
+        lit(planeComponentValue(j, i))): _*)
+      dot(col(vecCol), plane).as(s"p$j")
+    }
+    vecs.select(col(idCol) +: cols: _*)
+  }
 }

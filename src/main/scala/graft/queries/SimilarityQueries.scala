@@ -442,6 +442,40 @@ object SimilarityQueries {
       ORDER BY cluster, pos"""
     })
 
+  // -- V11: JL random projection (Similarity.randomProjection) — the
+  //    ANN preprocessing step: 64→16 dims via the deterministic LSH
+  //    hyperplanes, each output dim a native sequential-fold dot
+  //    against a literal plane. Pure narrow map, zero shuffles. ------
+  private val RP_OUT = 16
+  private val RP_IN = 64
+  private val q108 = Q(
+    "q108_random_projection",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val proj = Similarity.randomProjection(
+        t.embeddings, "vec_id", "embedding", RP_IN, RP_OUT)
+      proj.select(col("vec_id") +: (0 until RP_OUT).map(j =>
+        pround(col(s"p$j"), 6).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val projCols = (0 until RP_OUT).map { j =>
+        val plane =
+          s"(CAST((($j + 1) * 2654435761 + i * 40503) % 1000003 AS DOUBLE)" +
+            s" / 1000003.0 - 0.5)"
+        val fold =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             | list_transform(generate_series(0, ${RP_IN - 1}),
+             |   i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * $plane)),
+             | (x, y) -> x + y)""".stripMargin
+        s"${proundSql(fold, 6)} AS p$j"
+      }.mkString(",\n        ")
+      s"""SELECT vec_id,
+        $projCols
+      FROM embeddings
+      ORDER BY vec_id"""
+    })
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102)
+    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108)
 }

@@ -222,4 +222,40 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") <= 1.0 + 1e-9)
     }
   }
+
+  test("randomProjection: basis vectors read off the plane components") {
+    import spark.implicits._
+    // e_i projects to exactly (plane_0(i), ..., plane_k(i))
+    val dims = 8
+    val basis = (0 until dims).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => if (d == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(basis, "vec_id", "embedding",
+      dims, 4).orderBy("vec_id").collect()
+    for (r <- out; j <- 0 until 4) {
+      val i = r.getAs[Long]("vec_id").toInt
+      assert(r.getAs[Double](s"p$j") === Similarity.planeComponentValue(j, i),
+        s"e_$i plane $j")
+    }
+  }
+
+  test("randomProjection preserves blob separation and is deterministic") {
+    import spark.implicits._
+    val vecs = (1 to 40).map { i =>
+      val base = if (i % 2 == 0) 5.0f else -5.0f
+      (i.toLong, Array.tabulate(16)(d => base + (i % 3) * 0.1f + d * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.randomProjection(vecs, "vec_id", "embedding", 16, 4)
+      .orderBy("vec_id").collect()
+    val b = Similarity.randomProjection(vecs.repartition(7), "vec_id",
+      "embedding", 16, 4).orderBy("vec_id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // the two blobs stay linearly separated in at least one output dim
+    val even = a.filter(_.getAs[Long]("vec_id") % 2 == 0)
+      .map(_.getAs[Double]("p0"))
+    val odd = a.filter(_.getAs[Long]("vec_id") % 2 == 1)
+      .map(_.getAs[Double]("p0"))
+    assert(even.min > odd.max || odd.min > even.max,
+      "projection collapsed the well-separated blobs")
+  }
 }
