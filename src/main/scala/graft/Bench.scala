@@ -31,6 +31,7 @@ object Bench {
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
+    "q109_hard_negatives",
     "q28_ann_lsh_buckets", "q108_random_projection",
     "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",

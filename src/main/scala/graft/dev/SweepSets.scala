@@ -19,6 +19,7 @@ object SweepSets {
     "q41_asof_join" -> "replica set violates the unique-(key,ts) precondition: as-of ties among identical-timestamp twins are arbitrary in any engine",
     "q24_minhash_lsh_pairs" -> "LSH oracle CTEs re-derive candidates with interpreted list lambdas — minutes-to-hours single-node at 10x",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
+    "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
     "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",
     "q108_random_projection" -> "per-vector 16-plane fold oracle — twice q28's per-row cost, same 10x infeasibility",
     "q33_ann_lsh_topk" -> "LSH oracle crossjoin too slow in DuckDB at 10x",

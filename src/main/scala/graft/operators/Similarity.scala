@@ -435,6 +435,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most-similar corpus vectors whose LABEL differs —
+    * the near-boundary negatives that make a contrastive batch
+    * informative (a random negative is usually trivially far). Same
+    * broadcast-queries scan shape as [[topK]] with the label
+    * inequality folded into the join predicate, so excluded positives
+    * never leave the scan. Output adds the negative's label.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("neg_label"), col(vecCol).as("cvec"),
+      sqrt(norm2(col(vecCol))).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("qvec"),
+      sqrt(norm2(col(vecCol))).as("qnorm"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") &&
+          col("q_label") =!= col("neg_label"))
+      .select(col("query_id"), col("corpus_id"), col("neg_label"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Scala twin of [[planeComponent]] — identical integer arithmetic
     * and the identical single division, so a plane value computed on
     * the driver (to embed as a literal) is the same double the Column

@@ -476,6 +476,38 @@ object SimilarityQueries {
       ORDER BY vec_id"""
     })
 
+  // -- V12: hard-negative mining (Similarity.hardNegatives) — top-k
+  //    most-similar OTHER-label vectors per query, the contrastive-
+  //    batch construction step. q27's scan shape with the label
+  //    exclusion inside the join predicate. -------------------------
+  private val HN_K = 5
+  private val q109 = Q(
+    "q109_hard_negatives",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.hardNegatives(t.embeddings, queries, "vec_id",
+          "embedding", "label", HN_K)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("neg_label"), pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          c.label AS neg_label,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id AND q.label != c.label)
+      SELECT query_id, rank, corpus_id, neg_label,
+        ${proundSql("cosine", 6)} AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $HN_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108)
+    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109)
 }

@@ -223,6 +223,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: only other-label vectors, ranked like topK filtered") {
+    import spark.implicits._
+    val vecs = (1 to 30).map { i =>
+      (i.toLong, i % 3, Array.tabulate(8)(d => (i * 7 % 13 + d).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val queries = vecs.filter(col("vec_id") <= 3)
+    val hn = Similarity.hardNegatives(vecs, queries, "vec_id", "embedding",
+      "label", k = 4).collect()
+    val labels = (1 to 30).map(i => i.toLong -> i % 3).toMap
+    hn.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) !=
+        r.getAs[Int]("neg_label"), "positive leaked into negatives")
+    }
+    // equivalent to brute topK post-filtered on label (k large enough)
+    val tk = Similarity.topK(vecs, queries, "vec_id", "embedding", k = 30)
+      .collect()
+      .filter(r => labels(r.getAs[Long]("query_id")) !=
+        labels(r.getAs[Long]("corpus_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+      .flatMap { case (_, rs) =>
+        rs.sortBy(_.getAs[Int]("rank")).take(4).toSeq }
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .toSet
+    val got = hn.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(got === tk)
+  }
+
   test("randomProjection: basis vectors read off the plane components") {
     import spark.implicits._
     // e_i projects to exactly (plane_0(i), ..., plane_k(i))
