@@ -34,8 +34,11 @@ object GraftSession {
       // touches the few RDD-layer operators (rank-selection
       // percentiles) and broadcasts, where Kryo is ~2x JavaSerializer
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // testdata events.parquet carries TIMESTAMP(NANOS) which vanilla
-      // Spark rejects; read as epoch-nanos long (queries convert).
+      // testdata events.parquet has shipped ts as TIMESTAMP(NANOS)
+      // (which vanilla Spark rejects — this conf reads it as an
+      // epoch-nanos long) and as TIMESTAMP(MICROS); Tables.microsCol
+      // normalizes either layout to epoch-µs. Keep the conf: it is a
+      // no-op for µs data and keeps nanos files readable.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // runtime bloom-filter pushdown for selective joins
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

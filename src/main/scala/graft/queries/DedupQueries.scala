@@ -43,13 +43,12 @@ object DedupQueries {
     "q21_exact_dedup",
     (s, dir) => {
       val t = Tpch(s, dir)
-      // ts is epoch-nanos long (nanosAsLong conf — Spark can't read
-      // TIMESTAMP(NANOS) parquet natively). Compare at MICROSECOND
-      // precision: DuckDB truncates the nanos parquet timestamps to µs
-      // on read, so sub-µs digits only exist on the Spark side.
-      Dedup.keepLatest(t.events, Seq("user_id", "event_type"), "ts", "event_id")
+      // eventsUs canonicalizes ts to epoch-µs BIGINT whatever the
+      // parquet physical type (Tables.microsCol); ordering on ts_us
+      // matches DuckDB's ORDER BY ts at µs precision exactly.
+      Dedup.keepLatest(t.eventsUs, Seq("user_id", "event_type"), "ts_us", "event_id")
         .select(col("user_id"), col("event_type"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("value"))
+          col("ts_us"), col("value"))
         .orderBy(col("user_id"), col("event_type"))
     },
     Some("""SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (

@@ -204,17 +204,17 @@ object ExtendedRelational {
     (s, dir) => {
       val t = Tpch(s, dir)
       import graft.operators.AsOfJoin
-      val purchases = t.events.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = t.events.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
-      // gap at µs precision — DuckDB truncates the nanos parquet
-      // timestamps to µs on read (sub-µs digits exist only Spark-side)
-      AsOfJoin.asofJoin(purchases, views, "user_id", "ts",
-          Seq("view_id", "ts"))
+      // canonical epoch-µs ts (Tables.microsCol handles either layout)
+      val ev = t.eventsUs
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+      AsOfJoin.asofJoin(purchases, views, "user_id", "ts_us",
+          Seq("view_id", "ts_us"))
         .select(col("event_id"), col("user_id"),
           col("asof_view_id").as("view_id"),
-          (expr("ts div 1000") - expr("asof_ts div 1000")).as("gap_us"))
+          (col("ts_us") - col("asof_ts_us")).as("gap_us"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT a.event_id, a.user_id, b.event_id AS view_id,
@@ -233,9 +233,9 @@ object ExtendedRelational {
       val t = Tpch(s, dir)
       import graft.operators.RangeJoin
       // µs BEFORE the join so the boundary predicate sees the same
-      // values as DuckDB (which truncates nanos parquet ts to µs;
-      // floor-of-difference ≠ difference-of-floors at the boundary)
-      val ev = t.events.withColumn("ts_us", expr("ts div 1000"))
+      // values as DuckDB (floor-of-difference ≠ difference-of-floors
+      // at the boundary); Tables.microsCol handles either ts layout
+      val ev = t.eventsUs
       RangeJoin.withinDeltaPairs(ev, "user_id", "event_id", "ts_us", HOUR_US)
         .select(col("user_id"), col("id1"), col("id2"), col("dt").as("dt_us"))
         .orderBy(col("user_id"), col("id1"), col("id2"))

@@ -96,9 +96,9 @@ object WindowQueries {
     "q46_sessions",
     (s, dir) => {
       val t = Tpch(s, dir)
-      // µs precision: DuckDB truncates the nanos parquet ts on read
-      val ev = t.events.select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+      // canonical epoch-µs ts (Tables.microsCol handles either layout)
+      val ev = t.eventsUs.select(col("user_id"), col("event_id"),
+        col("ts_us"))
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us").asc, col("event_id").asc)
       val flagged = ev
@@ -208,9 +208,9 @@ object WindowQueries {
     (s, dir) => {
       val t = Tpch(s, dir)
       import graft.operators.Scd2
-      val ev = t.events.select(col("user_id"), col("event_id"),
-        col("event_type"), expr("ts div 1000").as("ts_us"),
-        expr("(ts div 1000) div 86400000000").as("day_idx"))
+      val ev = t.eventsUs.select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts_us"),
+        expr(s"ts_us div $US_PER_DAY").as("day_idx"))
       val lastOfDay = Window.partitionBy(col("user_id"), col("day_idx"))
         .orderBy(col("ts_us").desc, col("event_id").desc)
       val snap = ev.withColumn("rn", row_number().over(lastOfDay))
