@@ -424,6 +424,125 @@ object TextAnalysis {
     },
     None)
 
+  // -- T11: Gopher-style document quality rules (Rae et al. 2021,
+  //    "Scaling Language Models", §A.1.1 adapted to this corpus) —
+  //    the rule-based pre-filter every LLM data pipeline runs BEFORE
+  //    the model-based scorer (q104) and dedup. Four rules, each a
+  //    narrow per-row expression (no shuffle, rides the scan):
+  //      1. word count within [20, 1000]
+  //      2. mean word length within [3, 10]
+  //      3. >= 2 distinct stopwords present (Gopher's "stop word"
+  //         requirement — screens word-salad/navigation pages)
+  //      4. duplicate-token fraction <= 0.55 (repetition screen; the
+  //         span-level sibling is q96/q97)
+  //    Flags are computed from RAW values; displayed ratios are
+  //    pround'd separately so rounding never flips a flag. ----------
+  private val GOPHER_MIN_WORDS = 20
+  private val GOPHER_MAX_WORDS = 1000
+  private val GOPHER_MIN_WLEN = 3.0
+  private val GOPHER_MAX_WLEN = 10.0
+  private val GOPHER_MIN_STOP = 2
+  private val GOPHER_MAX_DUPFRAC = 0.55
+
+  /** Per-doc raw metrics + rule flags (shared by q110/q111). */
+  private def gopherFlags(t: Tpch) = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, tk) => a + length(tk))
+      .cast("double") / nTok
+    val dupFrac = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / nTok
+    val nStop = size(filter(array_distinct(toks),
+      tk => tk.isin(stopwords.map(lit): _*)))
+    t.documents.select(
+      col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_wlen"),
+      dupFrac.as("dup_frac"), nStop.as("n_stop"),
+      when(nTok.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS), 1)
+        .otherwise(0).as("r_nwords"),
+      when(meanLen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN), 1)
+        .otherwise(0).as("r_meanlen"),
+      when(nStop >= GOPHER_MIN_STOP, 1).otherwise(0).as("r_stop"),
+      when(dupFrac <= GOPHER_MAX_DUPFRAC, 1).otherwise(0).as("r_dupfrac"))
+  }
+
+  /** DuckDB mirror of [[gopherFlags]] as a CTE body over `documents`. */
+  private lazy val gopherFlagsSql: String = {
+    val toksSql2 = tokensSql("text")
+    val nTok = s"len($toksSql2)"
+    val meanLen = s"""(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      | list_transform($toksSql2, tk -> CAST(len(tk) AS BIGINT))),
+      | (a, b) -> a + b) AS DOUBLE) / $nTok)""".stripMargin
+    val dupFrac =
+      s"(1.0 - CAST(len(list_distinct($toksSql2)) AS DOUBLE) / $nTok)"
+    val nStop = markerCountSql(s"list_distinct($toksSql2)", stopwords)
+    s"""SELECT doc_id, $nTok AS n_tokens, $meanLen AS mean_wlen,
+      $dupFrac AS dup_frac, $nStop AS n_stop,
+      CASE WHEN $nTok BETWEEN $GOPHER_MIN_WORDS AND $GOPHER_MAX_WORDS
+        THEN 1 ELSE 0 END AS r_nwords,
+      CASE WHEN $meanLen BETWEEN $GOPHER_MIN_WLEN AND $GOPHER_MAX_WLEN
+        THEN 1 ELSE 0 END AS r_meanlen,
+      CASE WHEN $nStop >= $GOPHER_MIN_STOP THEN 1 ELSE 0 END AS r_stop,
+      CASE WHEN $dupFrac <= $GOPHER_MAX_DUPFRAC THEN 1 ELSE 0 END
+        AS r_dupfrac
+    FROM documents"""
+  }
+
+  private val q110 = Q(
+    "q110_gopher_rules",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      gopherFlags(t).select(
+          col("doc_id"), col("n_tokens"),
+          pround(col("mean_wlen"), 4).as("mean_wlen"),
+          pround(col("dup_frac"), 4).as("dup_frac"),
+          col("n_stop"), col("r_nwords"), col("r_meanlen"),
+          col("r_stop"), col("r_dupfrac"),
+          (col("r_nwords") * col("r_meanlen") * col("r_stop") *
+            col("r_dupfrac")).as("pass"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, n_tokens,
+      ${proundSql("mean_wlen", 4)} AS mean_wlen,
+      ${proundSql("dup_frac", 4)} AS dup_frac,
+      n_stop, r_nwords, r_meanlen, r_stop, r_dupfrac,
+      r_nwords * r_meanlen * r_stop * r_dupfrac AS pass
+    FROM ($gopherFlagsSql)
+    ORDER BY doc_id"""))
+
+  // -- T12: filter funnel — survivor counts after each successive
+  //    Gopher rule (the pipeline-observability mart every filtering
+  //    run reports). One map-side-combined agg pass over the same
+  //    scan-stage flags; no per-rule re-scan. -----------------------
+  private val q111 = Q(
+    "q111_filter_funnel",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val f = gopherFlags(t)
+      val after1 = col("r_nwords")
+      val after2 = after1 * col("r_meanlen")
+      val after3 = after2 * col("r_stop")
+      val after4 = after3 * col("r_dupfrac")
+      f.agg(
+        count(lit(1)).as("n_docs"),
+        sum(after1.cast("long")).as("after_nwords"),
+        sum(after2.cast("long")).as("after_meanlen"),
+        sum(after3.cast("long")).as("after_stop"),
+        sum(after4.cast("long")).as("after_dupfrac"),
+        pround(sum(after4.cast("long")).cast("double") / count(lit(1)), 4)
+          .as("retention"))
+    },
+    Some(s"""SELECT count(*) AS n_docs,
+      CAST(sum(r_nwords) AS BIGINT) AS after_nwords,
+      CAST(sum(r_nwords * r_meanlen) AS BIGINT) AS after_meanlen,
+      CAST(sum(r_nwords * r_meanlen * r_stop) AS BIGINT) AS after_stop,
+      CAST(sum(r_nwords * r_meanlen * r_stop * r_dupfrac) AS BIGINT)
+        AS after_dupfrac,
+      ${proundSql(
+        "CAST(sum(r_nwords * r_meanlen * r_stop * r_dupfrac) AS DOUBLE) / count(*)",
+        4)} AS retention
+    FROM ($gopherFlagsSql)"""))
+
   val all: Seq[Q] =
-    Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107)
+    Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
+      q110, q111)
 }
