@@ -207,6 +207,45 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Incremental (cross-corpus) near-dedup: MinHash-LSH matches of a
+    * NEW BATCH of documents against an EXISTING corpus — the shape
+    * every continuously-crawled training set runs (dedup the delta
+    * against everything already kept, never corpus×corpus again).
+    * Output: (bid, cid, jaccard) for every batch/corpus pair sharing
+    * a band bucket with exact shingle Jaccard ≥ tau.
+    *
+    * Scale: the corpus side's signatures/bands are a pure function of
+    * its text, so in a real pipeline they are computed once and stored
+    * with the corpus (here recomputed — same plan shape); per delta
+    * the work is O(batch) signature computation plus one equi-join
+    * shuffled on (band_idx, band_hash). The corpus side is
+    * bucket-capped ([[capBuckets]]) so one boilerplate bucket can
+    * never make a task quadratic in the corpus.
+    */
+  def crossNearDups(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double, p: MinHashParams,
+      maxBucket: Int = 10000): DataFrame = {
+    val cBands = capBuckets(minhashBands(corpus, idCol, textCol, n, p),
+      Seq("band_idx", "band_hash"), maxBucket)
+    val bBands = minhashBands(batch, idCol, textCol, n, p)
+    val cands = bBands.as("b")
+      .join(cBands.as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+        col("b.band_hash") === col("c.band_hash"))
+      .select(col(s"b.$idCol").as("bid"), col(s"c.$idCol").as("cid"))
+      .distinct()
+    val bSets = shingleSets(batch, idCol, textCol, n)
+      .select(col(idCol).as("bid"), col("shingle_set").as("bset"))
+    val cSets = shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol).as("cid"), col("shingle_set").as("cset"))
+    cands.join(bSets, "bid").join(cSets, "cid")
+      .withColumn("n_common", size(array_intersect(col("bset"), col("cset"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("bset")) + size(col("cset")) - col("n_common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("bid"), col("cid"), col("jaccard"))
+  }
+
   /** Per-doc 64-bit set-based SimHash over distinct n-gram-shingle
     * rolling hashes (the web-scale fingerprint width of Manku et al.,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07). Bit k is

@@ -361,5 +361,90 @@ object DedupQueries {
       GROUP BY t.source
       ORDER BY t.source"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97)
+  // -- D10: incremental cross-corpus dedup — a NEW BATCH of documents
+  //    (here doc_id % 5 = 0, a data-relative slice that scales with
+  //    the corpus) deduplicated against the EXISTING corpus (the
+  //    rest) via MinHash-LSH + exact Jaccard verify
+  //    (Dedup.crossNearDups). Per batch doc: how many near-dups it
+  //    has in the corpus, its best match (max Jaccard, ties to the
+  //    lowest corpus id), and the keep/drop verdict. This is the
+  //    steady-state shape of a continuously-crawled training set:
+  //    O(delta) new-signature work + one band-bucket equi-join, never
+  //    corpus x corpus. --------------------------------------------
+  private val q112 = Q(
+    "q112_cross_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      val corpus = t.documents.filter(col("doc_id") % 5 =!= 0)
+      val matches = Dedup.crossNearDups(
+        corpus, batch, "doc_id", "text", N, LSHTAU, mh)
+      val perBatch = Window.partitionBy(col("bid"))
+      val best = matches
+        .withColumn("rn", row_number().over(
+          perBatch.orderBy(col("jaccard").desc, col("cid").asc)))
+        .withColumn("n_dups", count(lit(1)).over(perBatch))
+        .filter(col("rn") === 1)
+        .select(col("bid").as("doc_id"), col("n_dups"),
+          col("cid").as("dup_id"),
+          pround(col("jaccard"), 6).as("dup_jaccard"))
+      batch.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("dup_id"), col("dup_jaccard"),
+          when(col("dup_id").isNull, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bandFold = foldSql(
+        s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
+      val jac = "CAST(n_common AS DOUBLE) / (n1 + n2 - n_common)"
+      s"""WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      bsets AS (SELECT doc_id, $shingleSetSql AS shingle_set FROM batch),
+      csets AS (SELECT doc_id, $shingleSetSql AS shingle_set FROM corpus),
+      bsigs AS (SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM bsets),
+      csigs AS (SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM csets),
+      bbands AS (
+        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+        FROM bsigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+      cbands AS (
+        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+        FROM csigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+      cands AS (
+        SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+        FROM bbands b JOIN cbands c
+          ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash),
+      verified AS (
+        SELECT bid, cid,
+          len(list_intersect(sb.shingle_set, sc.shingle_set)) AS n_common,
+          len(sb.shingle_set) AS n1, len(sc.shingle_set) AS n2
+        FROM cands
+        JOIN bsets sb ON bid = sb.doc_id
+        JOIN csets sc ON cid = sc.doc_id),
+      matches AS (
+        SELECT bid, cid, $jac AS jaccard FROM verified
+        WHERE $jac >= $LSHTAU),
+      best AS (
+        SELECT bid, cid, jaccard,
+          row_number() OVER (PARTITION BY bid
+            ORDER BY jaccard DESC, cid) AS rn,
+          count(*) OVER (PARTITION BY bid) AS n_dups
+        FROM matches)
+      SELECT b.doc_id,
+        CAST(COALESCE(w.n_dups, 0) AS BIGINT) AS n_dups,
+        w.cid AS dup_id,
+        ${proundSql("w.jaccard", 6)} AS dup_jaccard,
+        CASE WHEN w.cid IS NULL THEN 1 ELSE 0 END AS keep
+      FROM batch b
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON b.doc_id = w.bid
+      ORDER BY b.doc_id"""
+    })
+
+  val all: Seq[Q] =
+    Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112)
 }
