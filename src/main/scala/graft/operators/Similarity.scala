@@ -319,6 +319,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Metadata-filtered top-k (the vector-DB "filtered search" shape):
+    * candidates are restricted to corpus rows whose `filterCol` equals
+    * the query's own value — e.g. same-language nearest neighbours, or
+    * tenant-scoped retrieval. The predicate lives IN the join
+    * condition, so non-matching corpus rows are discarded at the
+    * broadcast-probe, never scored; the corpus is still never
+    * shuffled (queries broadcast, one narrow scan + per-query top-k
+    * window over ≤ |matching slice| rows).
+    */
+  def topKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(filterCol).as("cf"), col(vecCol).as("cvec"),
+      sqrt(norm2(col(vecCol))).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(filterCol).as("qf"), col(vecCol).as("qvec"),
+      sqrt(norm2(col(vecCol))).as("qnorm"))
+    val scored = c.join(broadcast(q),
+        col("qf") === col("cf") && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): compressed-corpus ANN
   // ------------------------------------------------------------------

@@ -535,7 +535,66 @@ object ExtendedRelational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
+  // -- X8e: temperature-tempered source sampling — the multilingual /
+  //    multi-source mixing primitive (XLM-R-style p^α re-weighting at
+  //    α = 1/2): rare sources are kept at a HIGHER rate ∝ 1/√n_source
+  //    so the sample flattens the source distribution toward uniform.
+  //    Membership is exact INTEGER arithmetic — keep iff
+  //    slot(doc_id)² · n_source < K² ⟺ slot < K/√n_source — so the
+  //    irrational √ never touches a row decision (no pow/sqrt libm
+  //    parity risk; Math.pow is not correctly rounded, sqrt-free
+  //    integer compare is). Overflow-safe: slot < 10³, slot² · n <
+  //    10⁶·n — BIGINT holds to n ≈ 9·10¹². Two passes over documents
+  //    (count pass + broadcast-join filter pass), both scan-time
+  //    narrow; at scale the counts come from table stats anyway. ----
+  private val TEMP_DEN = 1000
+  private val TEMP_K = 2500L
+  private val q113 = Q(
+    "q113_tempered_sample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.Sampling
+      val counts = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val slot = Sampling.slot(col("doc_id"), TEMP_DEN)
+      val sampled = t.documents.join(broadcast(counts), "source")
+        .filter(slot * slot * col("n_docs") < lit(TEMP_K * TEMP_K))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      val per = counts.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      val tot = per.agg(sum(col("n_sampled")).as("total_sampled"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_sampled"),
+          pround(col("n_sampled").cast("double") / col("n_docs"), 6)
+            .as("achieved_rate"),
+          pround(col("n_sampled").cast("double") / col("total_sampled"), 6)
+            .as("sample_share"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val slotSql = graft.operators.Sampling.slotSql("doc_id", TEMP_DEN)
+      s"""WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      sampled AS (
+        SELECT d.source, count(*) AS n_sampled
+        FROM documents d JOIN counts c ON d.source = c.source
+        WHERE ($slotSql) * ($slotSql) * c.n_docs < ${TEMP_K * TEMP_K}
+        GROUP BY d.source),
+      per AS (
+        SELECT c.source, c.n_docs,
+          CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM counts c LEFT JOIN sampled s ON c.source = s.source),
+      tot AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS total_sampled FROM per)
+      SELECT source, n_docs, n_sampled,
+        ${proundSql("CAST(n_sampled AS DOUBLE) / n_docs", 6)} AS achieved_rate,
+        ${proundSql("CAST(n_sampled AS DOUBLE) / total_sampled", 6)}
+          AS sample_share
+      FROM per, tot
+      ORDER BY source"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86)
+      q80, q82, q83, q86, q113)
 }

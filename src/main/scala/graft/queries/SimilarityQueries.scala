@@ -508,6 +508,38 @@ object SimilarityQueries {
       WHERE rank <= $HN_K
       ORDER BY query_id, rank"""))
 
+  // -- V13: metadata-filtered exact top-k (vector-DB "filtered
+  //    search"): neighbours restricted to corpus vectors sharing the
+  //    query's label (Similarity.topKFiltered — predicate inside the
+  //    broadcast-join condition, corpus never shuffled). -------------
+  private val FK = 5
+  private val FQMOD = 50
+  private val q114 = Q(
+    "q114_filtered_ann",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % FQMOD === 0)
+      Similarity.topKFiltered(t.embeddings, queries, "vec_id",
+          "embedding", "label", FK)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $FQMOD = 0) q
+        JOIN v c ON q.label = c.label AND q.vec_id != c.vec_id)
+      SELECT query_id, rank, corpus_id, ${proundSql("cosine", 6)} AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $FK
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
-    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109)
+    Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
+      q114)
 }

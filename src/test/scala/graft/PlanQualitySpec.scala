@@ -49,7 +49,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("pair generation joins on inverted-index keys — never all-pairs") {
     for (q <- Seq("q22_jaccard_pairs", "q24_minhash_lsh_pairs",
-        "q25_simhash_pairs", "q96_duplicated_spans")) {
+        "q25_simhash_pairs", "q96_duplicated_spans", "q112_cross_dedup")) {
       val p = planOf(q)
       assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")
@@ -193,6 +193,25 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("q106_moments")
     assert(count(p, "Scan parquet") === 1,
       "q106 must read lineitem exactly once")
+  }
+
+  test("gopher rules ride the scan — no shuffle before the funnel agg") {
+    val p110 = planOf("q110_gopher_rules")
+    assert(count(p110, "Exchange hashpartitioning") === 0 &&
+      count(p110, "Join") === 0,
+      "q110 rule flags must be row-local scan-stage expressions")
+    val p111 = planOf("q111_filter_funnel")
+    assert(count(p111, "Scan parquet") === 1 && count(p111, "Join") === 0,
+      "q111 funnel is one map-side-combined agg over one scan")
+  }
+
+  test("filtered ANN broadcasts queries — corpus never shuffles") {
+    val p = planOf("q114_filtered_ann")
+    assert(count(p, "BroadcastHashJoin") === 1,
+      "q114's label-filtered probe must be one broadcast hash join")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "BroadcastNestedLoopJoin") === 0,
+      "q114 must keep the filter in the join condition, not go all-pairs")
   }
 
   test("no undocumented unpartitioned Window in any oracle query plan") {

@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("crossNearDups matches the batch only against the corpus") {
+    val corpus = docs.filter(col("doc_id") =!= 4L) // 1, 2, 3
+    val batch = docs.filter(col("doc_id") === 4L)  // exact dup of 1
+    val m = Dedup.crossNearDups(corpus, batch, "doc_id", "text",
+      n = 3, tau = 0.5, MinHashParams()).collect()
+    // identical text → identical signature → every band collides; the
+    // (4,2) near-dup pair sits at jaccard ≈ 0.45 < tau and must be
+    // verified away even if a band surfaces it
+    assert(m.map(r => (r.getAs[Long]("bid"), r.getAs[Long]("cid"))).toSet
+      === Set((4L, 1L)))
+    assert(m.head.getAs[Double]("jaccard") === 1.0)
+    // never batch×batch, never corpus×corpus
+    assert(m.forall(_.getAs[Long]("bid") === 4L))
+  }
+
   test("minhash LSH surfaces exact dups and only above-threshold pairs") {
     val rows = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3,
       tau = 0.5, MinHashParams()).collect()

@@ -267,6 +267,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKFiltered restricts neighbours to the query's label slice") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(1.0f, 0.0f), "b"), // identical direction, wrong label
+      (4L, Array(0.0f, 1.0f), "a")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.topKFiltered(vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("corpus_id")).toSeq === Seq(2L, 4L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+  }
+
   test("randomProjection preserves blob separation and is deterministic") {
     import spark.implicits._
     val vecs = (1 to 40).map { i =>
