@@ -27,10 +27,13 @@ object Bench {
     "q13_string_funcs", "q14_date_funcs", "q15_date_spine", "q16_time_spine",
     "q17_token_stats",
     "q18_text_quality", "q19_lang_id", "q20_fingerprint",
+    "q110_gopher_rules", "q111_filter_funnel",
     "q95_bpe_pretokens", "q107_bpe_merges",
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
+    "q112_cross_dedup", "q115_lsh_recall",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
+    "q114_filtered_ann",
     "q109_hard_negatives",
     "q28_ann_lsh_buckets", "q108_random_projection",
     "q29_binary_features", "q56_media_decode",
@@ -48,7 +51,7 @@ object Bench {
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
-    "q55_stratified_sample", "q86_weighted_sample",
+    "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q76_mixture_sample",
     "q77_winsorized_stats", "q82_winsorized_rankselect",
@@ -70,7 +73,8 @@ object Bench {
     * q33/q53) instead, so a future sf1+ run times the plans that
     * would actually ship at 100 TB.
     */
-  private val quadraticExact = Set("q22_jaccard_pairs", "q26_cosine_neardup")
+  private val quadraticExact =
+    Set("q22_jaccard_pairs", "q26_cosine_neardup", "q115_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

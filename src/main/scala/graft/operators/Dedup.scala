@@ -184,18 +184,27 @@ object Dedup {
     * Output: d1, d2, jaccard (≥ tau, unrounded). `maxBucket` caps
     * band-bucket occupancy (see [[capBuckets]]).
     */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, p: MinHashParams,
-      maxBucket: Int = 10000): DataFrame = {
+  /** Distinct (d1, d2) pairs sharing at least one LSH band bucket —
+    * the raw candidate set BEFORE Jaccard verification (exposed for
+    * recall measurement, q115). Bucket-capped like the verify path.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, p: MinHashParams, maxBucket: Int = 10000): DataFrame = {
     val bands = capBuckets(minhashBands(docs, idCol, textCol, n, p),
       Seq("band_idx", "band_hash"), maxBucket)
-    val cands = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
+  }
+
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, p: MinHashParams,
+      maxBucket: Int = 10000): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, n, p, maxBucket)
     val sets = shingleSets(docs, idCol, textCol, n)
     cands
       .join(sets.select(col(idCol).as("d1"), col("shingle_set").as("set1")), "d1")

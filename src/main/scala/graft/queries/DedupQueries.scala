@@ -445,6 +445,71 @@ object DedupQueries {
       ORDER BY b.doc_id"""
     })
 
+  // -- D11: LSH recall audit — measured recall of the banded candidate
+  //    generator against the EXACT Jaccard pairs, per similarity
+  //    bucket (the observability query every LSH deployment needs:
+  //    "what fraction of true 0.5-0.6 near-dups do my bands even
+  //    see?"). Exact side = q22's inverted-index join (quadratic in
+  //    output pairs — bench-gated with q22 above sf0.1; the AUDIT runs
+  //    on samples at scale, the production path stays q24). ---------
+  private val q115 = Q(
+    "q115_lsh_recall",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val exact = Dedup.jaccardPairs(t.documents, "doc_id", "text", N, JTAU)
+        .select(col("d1"), col("d2"), col("jaccard"))
+      val cands = Dedup.lshCandidatePairs(t.documents, "doc_id", "text", N, mh)
+        .withColumn("found", lit(1L))
+      val nFound = sum(coalesce(col("found"), lit(0L)))
+      exact.join(cands, Seq("d1", "d2"), "left")
+        .withColumn("bucket",
+          least(floor(col("jaccard") * 10), lit(9L)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_exact"), nFound.as("n_found"),
+          pround(nFound.cast("double") / count(lit(1)), 4).as("recall"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val bandFold = foldSql(
+        s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
+      s"""WITH sets AS (
+        SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
+      sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sets),
+      inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sets),
+      common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT d1, d2,
+          CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON d1 = sa.doc_id
+        JOIN sizes sb ON d2 = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JTAU),
+      sigs AS (
+        SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM sets),
+      bands AS (
+        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+        FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+      SELECT CAST(least(floor(e.jaccard * 10), 9) AS BIGINT) AS bucket,
+        count(*) AS n_exact,
+        CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_found,
+        ${proundSql(
+          "CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+          4)} AS recall
+      FROM exact e
+      LEFT JOIN cands c ON e.d1 = c.d1 AND e.d2 = c.d2
+      GROUP BY 1
+      ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112)
+    Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115)
 }
