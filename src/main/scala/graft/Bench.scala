@@ -61,7 +61,7 @@ object Bench {
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
     "q96_duplicated_spans", "q97_dup_span_stats",
-    "q98_corpus_shuffle", "q99_epoch_allocation",
+    "q98_corpus_shuffle", "q99_epoch_allocation", "q116_token_budget",
     "q102_kmeans_fit", "q103_ngram_novelty", "q104_quality_logit",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",

@@ -531,6 +531,60 @@ object TrainingPrepQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  // -- TP13: quality-ranked token-budget selection — fill each
+  //    source's token budget with its best documents (the data-
+  //    selection step between filtering and mixing: "keep the top
+  //    docs per source until N tokens"). Rank = distinct-token ratio
+  //    (a deterministic quality signal; ties to doc_id), keep while
+  //    the INCLUSIVE running token sum fits the budget. The prefix
+  //    sum is one window per source — same low-cardinality caveat as
+  //    q38's window percentiles (sources ≪ partitions; the
+  //    group-scalable sibling shape is the q64 two-phase bucketed
+  //    prefix sum). Integer cumsum ⇒ no float boundary risk. -------
+  private val TOKEN_BUDGET = 800L
+  private val q116 = Q(
+    "q116_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val toks = TextFns.tokens(col("text"))
+      val scored = t.documents.select(
+        col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("distinct_ratio"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("distinct_ratio").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"),
+          pround(col("distinct_ratio"), 4).as("distinct_ratio"),
+          when(col("cum_tokens") <= TOKEN_BUDGET, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val toksSql2 = tokensSql("text")
+      s"""WITH scored AS (
+        SELECT doc_id, source,
+          CAST(len($toksSql2) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($toksSql2)) AS DOUBLE) / len($toksSql2)
+            AS distinct_ratio
+        FROM documents),
+      ranked AS (
+        SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY distinct_ratio DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+        FROM scored)
+      SELECT doc_id, source, n_tokens, cum_tokens,
+        ${proundSql("distinct_ratio", 4)} AS distinct_ratio,
+        CASE WHEN cum_tokens <= $TOKEN_BUDGET THEN 1 ELSE 0 END AS keep
+      FROM ranked
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] =
-    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103)
+    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116)
 }
