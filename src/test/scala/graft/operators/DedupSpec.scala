@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(m.forall(_.getAs[Long]("bid") === 4L))
   }
 
+  test("crossNearDups: a batch doc below the shingle width has no matches") {
+    val corpus = docs
+    val tiny = Seq((9L, "two words")).toDF("doc_id", "text") // < n tokens
+    val m = Dedup.crossNearDups(corpus, tiny, "doc_id", "text",
+      n = 3, tau = 0.5, MinHashParams()).count()
+    // empty shingle set → no signature row → no bands → keep verdict
+    // downstream (mirrors the oracle, where NULL band hashes never join)
+    assert(m === 0L)
+  }
+
   test("minhash LSH surfaces exact dups and only above-threshold pairs") {
     val rows = Dedup.minhashNearDups(docs, "doc_id", "text", n = 3,
       tau = 0.5, MinHashParams()).collect()

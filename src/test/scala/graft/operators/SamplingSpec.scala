@@ -146,4 +146,31 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") === "eval").select("k").as[Long].collect().toSet
     assert(evalKeys2 === evalKeys)
   }
+
+  test("tempered membership keeps rare strata at ~1/sqrt(n) higher rates") {
+    // q113's integer predicate slot(id)^2 * n_stratum < K^2 on a
+    // SKEWED source distribution — the testdata sources are uniform,
+    // so the inverse-sqrt character is pinned here: a stratum with 16x
+    // the rows must sample at ~1/4 the rate (keeping its absolute
+    // sample count ~4x, i.e. flattened toward uniform, never equal).
+    val den = 1000
+    val k2 = 2500L * 2500L
+    val rows = ((1L to 16000L).map(i => (i, "big")) ++
+      (100001L to 101000L).map(i => (i, "rare"))).toDF("id", "src")
+    val counts = rows.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val slot = Sampling.slot(col("id"), den)
+    val kept = rows.join(broadcast(counts), "src")
+      .filter(slot * slot * col("n") < lit(k2))
+      .groupBy(col("src")).agg(count(lit(1)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = kept("big").toDouble / 16000
+    val rateRare = kept("rare").toDouble / 1000
+    // theory: rate = K/(den*sqrt(n)) -> big 2500/(1000*126.5) ~ 0.0198,
+    // rare 2500/(1000*31.6) ~ 0.0791; ratio exactly sqrt(16) = 4
+    assert(math.abs(rateBig - 0.0198) < 0.005, s"big rate $rateBig")
+    assert(math.abs(rateRare - 0.0791) < 0.02, s"rare rate $rateRare")
+    val ratio = rateRare / rateBig
+    assert(ratio > 3.0 && ratio < 5.0,
+      s"rare/big rate ratio $ratio should be ~sqrt(16)=4")
+  }
 }
