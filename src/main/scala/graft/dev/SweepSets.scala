@@ -18,9 +18,7 @@ object SweepSets {
     "q25_simhash_pairs" -> "oracle is naive all-pairs — quadratic in DuckDB; banded Spark plan parity pinned at sf0.01",
     "q41_asof_join" -> "replica set violates the unique-(key,ts) precondition: as-of ties among identical-timestamp twins are arbitrary in any engine",
     "q24_minhash_lsh_pairs" -> "LSH oracle CTEs re-derive candidates with interpreted list lambdas — minutes-to-hours single-node at 10x",
-    "q112_cross_dedup" -> "shares q24's LSH oracle CTEs (signatures via interpreted list lambdas) — same 10x infeasibility; engine path is in bench_scaled",
     "q115_lsh_recall" -> "exact side is q22's quadratic inverted-index oracle AND the LSH CTEs — doubly 10x-infeasible in DuckDB; the audit runs on samples at scale by design",
-    "q114_filtered_ann" -> "brute-force oracle crossjoin too slow in DuckDB at 10x (q27's shape, label-sliced)",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
     "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
     "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",
@@ -41,6 +39,8 @@ object SweepSets {
     * documents where the sweep's DuckDB minutes go.
     */
   val slowOracles: Map[String, String] = Map(
+    "q112_cross_dedup" -> "batch-side LSH CTEs (1/5 of the corpus) keep the signature lambdas 10x-feasible — minutes, passes (unlike q24's full-corpus chain)",
+    "q114_filtered_ann" -> "label slice cuts q27's crossjoin to ~1/8 — passes at 10x where the unfiltered brute oracle cannot",
     "q90_semantic_dedup_auto" -> "sqrt-n IVF assign oracle crossjoin — among the slowest passing sweep entries",
     "q100_pq_encode" -> "per-subspace codeword crossjoin oracle (n*m*sqrt(n) list folds in DuckDB) — minutes at 10x, passes",
     "q101_pq_adc_topk" -> "shares q100's encode CTE — same budget note")
