@@ -53,6 +53,29 @@ class DedupSpec extends SparkSpec {
     assert(m.forall(_.getAs[Long]("bid") === 4L))
   }
 
+  test("crossNearDups ≡ full-corpus LSH pairs restricted to batch×corpus") {
+    // Splitting a corpus must not change which cross-side pairs the
+    // banded path surfaces: crossNearDups(corpus, batch) equals
+    // minhashNearDups(corpus ∪ batch) filtered to pairs with exactly
+    // one side in the batch (uncapped buckets, so the only difference
+    // is the join orientation). tau low enough to admit the 0.45
+    // near-dup pairs IF their bands collide — both paths share the
+    // band family, so they agree either way.
+    val batchIds = Set(2L)
+    val corpus = docs.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val batch = docs.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val cross = Dedup.crossNearDups(corpus, batch, "doc_id", "text",
+        n = 3, tau = 0.4, MinHashParams()).collect()
+      .map(r => (r.getAs[Long]("bid"), r.getAs[Long]("cid"))).toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, tau = 0.4, MinHashParams()).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .filter { case (a, b) => batchIds.contains(a) ^ batchIds.contains(b) }
+      .map { case (a, b) => if (batchIds.contains(a)) (a, b) else (b, a) }
+      .toSet
+    assert(cross === full)
+  }
+
   test("crossNearDups: a batch doc below the shingle width has no matches") {
     val corpus = docs
     val tiny = Seq((9L, "two words")).toDF("doc_id", "text") // < n tokens
