@@ -76,6 +76,39 @@ class DedupSpec extends SparkSpec {
     assert(cross === full)
   }
 
+  test("crossNearDups from a parquet-persisted index ≡ recomputed; appendable") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    val corpus = docs.filter(col("doc_id") =!= 4L) // 1, 2, 3
+    val batch = docs.filter(col("doc_id") === 4L)  // exact dup of 1
+    val params = MinHashParams()
+    // materialize the corpus index once (the per-corpus-version write)
+    Dedup.minhashBands(corpus, "doc_id", "text", 3, params)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    Dedup.shingleSets(corpus, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    def fromIndex() = Dedup.crossNearDupsFromIndex(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+        batch, "doc_id", "text", 3, params, tau = 0.5).collect()
+      .map(r => (r.getAs[Long]("bid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("jaccard"))).toSet
+    val direct = Dedup.crossNearDups(corpus, batch, "doc_id", "text",
+        3, 0.5, params).collect()
+      .map(r => (r.getAs[Long]("bid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(fromIndex() === direct)
+    // append a new corpus doc (another exact dup of 1) to the stored
+    // index — the delta write, no corpus recompute — and the batch doc
+    // must now ALSO match it
+    val delta = Seq((7L, docs.filter(col("doc_id") === 1L)
+      .select("text").head().getString(0))).toDF("doc_id", "text")
+    Dedup.minhashBands(delta, "doc_id", "text", 3, params)
+      .write.mode("append").parquet(s"$dir/bands")
+    Dedup.shingleSets(delta, "doc_id", "text", 3)
+      .write.mode("append").parquet(s"$dir/sets")
+    assert(fromIndex().map(t => (t._1, t._2))
+      === direct.map(t => (t._1, t._2)) + ((4L, 7L)))
+  }
+
   test("crossNearDups: a batch doc below the shingle width has no matches") {
     val corpus = docs
     val tiny = Seq((9L, "two words")).toDF("doc_id", "text") // < n tokens
