@@ -22,9 +22,12 @@ import graft.functions.TextFns.P
   *  - MinHash/LSH reduces candidate generation to equality joins on
   *    (band_idx, band_hash) — each band bucket is a tiny group, and the
   *    expensive exact-Jaccard verify runs only on candidates;
-  *  - SimHash pair-gen joins on 4-bit band values (8 bands over 32
-  *    bits) — by pigeonhole this is LOSSLESS for hamming ≤ 7, so the
-  *    banded plan returns exactly the naive-cross-join answer.
+  *  - SimHash pair-gen joins on 16-bit band values (4 bands over a
+  *    64-bit fingerprint) — by pigeonhole this is LOSSLESS for
+  *    hamming ≤ 3, so the banded plan returns exactly the
+  *    naive-cross-join answer at that radius. (The pre-round-6 32-bit
+  *    / 4-bit-band variant exhausted its 16-value band space and went
+  *    quadratic at scale; see the simhash64 scaladoc below.)
   *
   * All hashing is TextFns' portable rolling hash mod P=1e9+7 so every
   * operator has a bit-identical DuckDB oracle.
@@ -237,7 +240,7 @@ object Dedup {
     crossNearDupsFromIndex(
       minhashBands(corpus, idCol, textCol, n, p),
       shingleSets(corpus, idCol, textCol, n),
-      batch, idCol, textCol, n, p, tau, maxBucket)
+      batch, idCol, textCol, n, tau, p, maxBucket)
 
   /** The stored-index variant of [[crossNearDups]]: the corpus side is
     * read from MATERIALIZED band / shingle-set tables instead of
@@ -251,7 +254,7 @@ object Dedup {
     */
   def crossNearDupsFromIndex(corpusBands: DataFrame, corpusSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, n: Int,
-      p: MinHashParams, tau: Double, maxBucket: Int = 10000): DataFrame = {
+      tau: Double, p: MinHashParams, maxBucket: Int = 10000): DataFrame = {
     val cBands = capBuckets(corpusBands,
       Seq("band_idx", "band_hash"), maxBucket)
     val bBands = minhashBands(batch, idCol, textCol, n, p)

@@ -449,8 +449,20 @@ object Similarity {
         .orderBy(col("cw"))) - 1).as("cwi"))
     // Codewords per sub — a count over the same broadcast-sized model
     // table (bounded driver read, like the rank-select dictionaries).
-    val ncw = cbIdx.groupBy(col("sub")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0).toInt
+    // The flattened LUT addresses position sub*ncw + cwi, which is only
+    // valid when EVERY subspace has exactly ncw codewords — so a
+    // malformed codebook (missing subs, ragged counts, or empty) must
+    // fail loudly here rather than silently misalign every lookup past
+    // the first gap.
+    val cbStats = cbIdx.groupBy(col("sub")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("nsubs")).head()
+    require(cbStats.getLong(2) == m.toLong,
+      s"codebook has ${cbStats.getLong(2)} subspaces, expected $m")
+    require(cbStats.getLong(0) == cbStats.getLong(1),
+      s"ragged codebook: per-sub codeword counts range " +
+        s"${cbStats.getLong(0)}..${cbStats.getLong(1)}")
+    val ncw = cbStats.getLong(1).toInt
     // Per-query ADC lookup table, flattened to ONE array ordered
     // (sub, cwi): lut[sub*ncw + cwi] = ||q_sub||² − 2⟨q_sub, cw⟩ + ||cw||².
     val adc = queries
@@ -494,8 +506,12 @@ object Similarity {
         (0 until m).map(i =>
           element_at(col("lut"), col(s"c$i") + lit(i * ncw + 1)))
           .reduceLeft(_ + _).as("adist"))
+    // asc_nulls_last: a corpus row missing a code for any sub scores a
+    // NULL adist; Spark's default asc puts NULLS FIRST, which would let
+    // malformed/partial code rows claim ranks 1..k. Last keeps them out
+    // of any top-k smaller than the corpus.
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("corpus_id").asc)
+      .orderBy(col("adist").asc_nulls_last, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))

@@ -370,7 +370,13 @@ object DedupQueries {
   //    lowest corpus id), and the keep/drop verdict. This is the
   //    steady-state shape of a continuously-crawled training set:
   //    O(delta) new-signature work + one band-bucket equi-join, never
-  //    corpus x corpus. --------------------------------------------
+  //    corpus x corpus.
+  //    NOTE: the Spark plan applies crossNearDups' default
+  //    maxBucket=10000 band-bucket cap; the DuckDB oracle is UNCAPPED
+  //    (same convention as q24). Bit-exact parity therefore depends on
+  //    no band bucket exceeding 10k docs at sweep scale — if a future
+  //    data distribution grows a hot bucket past the cap, the resulting
+  //    mismatch is this documented divergence, not an engine bug. -----
   private val q112 = Q(
     "q112_cross_dedup",
     (s, dir) => {
@@ -451,7 +457,12 @@ object DedupQueries {
   //    "what fraction of true 0.5-0.6 near-dups do my bands even
   //    see?"). Exact side = q22's inverted-index join (quadratic in
   //    output pairs — bench-gated with q22 above sf0.1; the AUDIT runs
-  //    on samples at scale, the production path stays q24). ---------
+  //    on samples at scale, the production path stays q24).
+  //    NOTE: the candidate side applies the default maxBucket=10000
+  //    cap while the DuckDB oracle's band join is uncapped (q24's
+  //    convention) — parity holds only while no band bucket exceeds
+  //    the cap; a hot-bucket mismatch here is the documented cap
+  //    divergence, not an engine bug. ------------------------------
   private val q115 = Q(
     "q115_lsh_recall",
     (s, dir) => {

@@ -466,7 +466,8 @@ object TrainingPrepQueries {
       val t = Tpch(s, dir)
       val docs = t.documents.select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      val budgets = docs.groupBy(lit(1)).agg(sum(col("n_tokens")).as("tot"))
+      val budgets = broadcast(
+          docs.groupBy(lit(1)).agg(sum(col("n_tokens")).as("tot")))
         .crossJoin(docs.select(col("source")).distinct())
         .select(col("source"), expr("tot div 4").as("token_budget"))
       TrainingPrep.epochAllocation(

@@ -88,7 +88,7 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/sets")
     def fromIndex() = Dedup.crossNearDupsFromIndex(
         spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
-        batch, "doc_id", "text", 3, params, tau = 0.5).collect()
+        batch, "doc_id", "text", 3, tau = 0.5, params).collect()
       .map(r => (r.getAs[Long]("bid"), r.getAs[Long]("cid"),
         r.getAs[Double]("jaccard"))).toSet
     val direct = Dedup.crossNearDups(corpus, batch, "doc_id", "text",
