@@ -440,58 +440,9 @@ object Similarity {
     */
   def pqAdcTopK(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, m: Int, codebooks: DataFrame, k: Int): DataFrame = {
-    val subLen = (size(col("__v")) / m).cast("int")
-    // Dense per-sub codeword index 0..ncw-1 (cw ids are sparse donor
-    // ids) — a window over the codebook TABLE, which is broadcast-
-    // sized by contract.
-    val cbIdx = codebooks.select(col("sub"), col("cw"), col("cvec"), col("cc"),
-      (row_number().over(Window.partitionBy(col("sub"))
-        .orderBy(col("cw"))) - 1).as("cwi"))
-    // Codewords per sub — a count over the same broadcast-sized model
-    // table (bounded driver read, like the rank-select dictionaries).
-    // The flattened LUT addresses position sub*ncw + cwi, which is only
-    // valid when EVERY subspace has exactly ncw codewords — so a
-    // malformed codebook (missing subs, ragged counts, or empty) must
-    // fail loudly here rather than silently misalign every lookup past
-    // the first gap.
-    val cbStats = cbIdx.groupBy(col("sub")).agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
-        count(lit(1)).as("nsubs")).head()
-    require(cbStats.getLong(2) == m.toLong,
-      s"codebook has ${cbStats.getLong(2)} subspaces, expected $m")
-    require(cbStats.getLong(0) == cbStats.getLong(1),
-      s"ragged codebook: per-sub codeword counts range " +
-        s"${cbStats.getLong(0)}..${cbStats.getLong(1)}")
-    val ncw = cbStats.getLong(1).toInt
-    // Per-query ADC lookup table, flattened to ONE array ordered
-    // (sub, cwi): lut[sub*ncw + cwi] = ||q_sub||² − 2⟨q_sub, cw⟩ + ||cw||².
-    val adc = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__v"))
-      .select(col("query_id"), col("__v"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("query_id"), col("sub"),
-        slice(col("__v"), col("sub") * subLen + 1, subLen).as("qvec"))
-      .join(cbIdx, Seq("sub"))
-      .select(col("query_id"), (col("sub") * ncw + col("cwi")).as("pos"),
-        (dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec"))
-          + col("cc")).as("qd"))
-    val luts = adc.groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("qd")))),
-        s => s.getField("qd")).as("lut"))
-    // Corpus codes pivoted to m dense-index COLUMNS (one narrow
-    // n·m → n aggregation), so scoring needs no per-pair row
-    // explosion at all.
-    val pivoted = codes
-      .join(broadcast(cbIdx.select(col("sub"), col("cw"), col("cwi"))),
-        Seq("sub", "cw"))
-      .groupBy(col(idCol))
-      .agg(
-        max(when(col("sub") === 0, col("cwi"))).as("c0"),
-        (1 until m).map(i =>
-          max(when(col("sub") === i, col("cwi"))).as(s"c$i")): _*)
-      .select(Seq(col(idCol).as("corpus_id")) ++
-        (0 until m).map(i => col(s"c$i")): _*)
+    val (cbIdx, ncw) = denseCodebook(codebooks, m)
+    val luts = adcLuts(queries, idCol, vecCol, m, cbIdx, ncw)
+    val pivoted = pivotCodes(codes, idCol, m, cbIdx)
     // The scoring pass is q27's brute-scan shape — ONE deliberate
     // broadcast nested-loop probe of nq tiny LUTs per corpus row —
     // but each pair costs m array lookups instead of a dim-wide dot.
@@ -499,13 +450,12 @@ object Similarity {
     // sorted fold. (The old relational shape — explode codes to n·m
     // rows, equi-join the LUT rows, re-aggregate nq·n groups — cost
     // 344 task-sec at 10×, 8× more than full-precision q27; this one
-    // scores the same pairs in ~1/20th of that.)
+    // scores the same pairs in ~1/20th of that. [[ivfPqTopK]] is the
+    // composition that replaces even this probe with a cell equi-join.)
     val scored = pivoted.join(broadcast(luts),
         col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        (0 until m).map(i =>
-          element_at(col("lut"), col(s"c$i") + lit(i * ncw + 1)))
-          .reduceLeft(_ + _).as("adist"))
+        adcDistExpr(m, ncw).as("adist"))
     // asc_nulls_last: a corpus row missing a code for any sub scores a
     // NULL adist; Spark's default asc puts NULLS FIRST, which would let
     // malformed/partial code rows claim ranks 1..k. Last keeps them out
@@ -515,6 +465,148 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
+  }
+
+  /** Dense per-sub codeword index 0..ncw-1 (cw ids are sparse donor
+    * ids) — a window over the codebook TABLE, which is broadcast-sized
+    * by contract — plus the validated per-sub codeword count.
+    *
+    * The flattened ADC LUT addresses position sub*ncw + cwi, which is
+    * only valid when EVERY subspace has exactly ncw codewords — so a
+    * malformed codebook (missing subs, ragged counts, or empty) must
+    * fail loudly here rather than silently misalign every lookup past
+    * the first gap. The count is a bounded driver read over the model
+    * table, like the rank-select dictionaries.
+    */
+  private def denseCodebook(codebooks: DataFrame, m: Int): (DataFrame, Int) = {
+    val cbIdx = codebooks.select(col("sub"), col("cw"), col("cvec"), col("cc"),
+      (row_number().over(Window.partitionBy(col("sub"))
+        .orderBy(col("cw"))) - 1).as("cwi"))
+    val cbStats = cbIdx.groupBy(col("sub")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("nsubs")).head()
+    require(cbStats.getLong(2) == m.toLong,
+      s"codebook has ${cbStats.getLong(2)} subspaces, expected $m")
+    require(cbStats.getLong(0) == cbStats.getLong(1),
+      s"ragged codebook: per-sub codeword counts range " +
+        s"${cbStats.getLong(0)}..${cbStats.getLong(1)}")
+    (cbIdx, cbStats.getLong(1).toInt)
+  }
+
+  /** Per-query ADC lookup table, flattened to ONE array ordered
+    * (sub, cwi): lut[sub*ncw + cwi] = ||q_sub||² − 2⟨q_sub, cw⟩ + ||cw||².
+    * Output: (query_id, lut) — nq rows of m·ncw doubles, broadcast-sized.
+    */
+  private def adcLuts(queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, cbIdx: DataFrame, ncw: Int): DataFrame = {
+    val subLen = (size(col("__v")) / m).cast("int")
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .select(col("query_id"), col("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("sub"),
+        slice(col("__v"), col("sub") * subLen + 1, subLen).as("qvec"))
+      .join(cbIdx, Seq("sub"))
+      .select(col("query_id"), (col("sub") * ncw + col("cwi")).as("pos"),
+        (dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("cvec"))
+          + col("cc")).as("qd"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("qd")))),
+        s => s.getField("qd")).as("lut"))
+  }
+
+  /** Corpus codes pivoted to m dense-index COLUMNS (one narrow
+    * n·m → n aggregation), so ADC scoring needs no per-pair row
+    * explosion at all. Output: (corpus_id, c0..c{m-1}).
+    */
+  private def pivotCodes(codes: DataFrame, idCol: String, m: Int,
+      cbIdx: DataFrame): DataFrame =
+    codes
+      .join(broadcast(cbIdx.select(col("sub"), col("cw"), col("cwi"))),
+        Seq("sub", "cw"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("sub") === 0, col("cwi"))).as("c0"),
+        (1 until m).map(i =>
+          max(when(col("sub") === i, col("cwi"))).as(s"c$i")): _*)
+      .select(Seq(col(idCol).as("corpus_id")) ++
+        (0 until m).map(i => col(s"c$i")): _*)
+
+  /** Sub-ascending add chain of m LUT lookups — the fixed evaluation
+    * order makes the double sum bit-identical to the oracle's
+    * `list_reduce(list(qd ORDER BY sub))` fold.
+    */
+  private def adcDistExpr(m: Int, ncw: Int): Column =
+    (0 until m).map(i =>
+      element_at(col("lut"), col(s"c$i") + lit(i * ncw + 1)))
+      .reduceLeft(_ + _)
+
+  /** IVF-PQ top-k — the production 100 TB vector-search composition:
+    * IVF cell pruning picks each query's top-`nprobe` cells, and ADC
+    * scores ONLY the codes assigned to those cells. Compared to
+    * [[pqAdcTopK]] (which probes every corpus code per query), the
+    * deliberate broadcast nested-loop probe disappears entirely: the
+    * scoring join is a broadcast HASH join on cell id, so per-query
+    * candidate work drops from |corpus| to |corpus|·nprobe/nlist —
+    * and each candidate still costs m array lookups, not a dim-wide
+    * dot product. Recall loss vs pqAdcTopK is the IVF pruning loss
+    * alone (measured in SimilaritySpec); nprobe ≥ nlist recovers
+    * pqAdcTopK's answer exactly.
+    *
+    * Inputs are the stored-model shapes (all pure functions of the
+    * corpus — see q112's stored dedup index for the persistence
+    * pattern): `codes` = [[pqEncode]] output, `cellAssignments` =
+    * (idCol, cell) from [[ivfAssign]], `centroids` =
+    * [[seedCentroids]]/[[refineCentroids]] output, `codebooks` =
+    * [[pqCodebooks]] output. Self-matches excluded; ties break by
+    * corpus id; rows with missing codes rank last (asc_nulls_last).
+    * Output: (query_id, cell, rank, corpus_id, adist).
+    */
+  def ivfPqTopK(codes: DataFrame, cellAssignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, codebooks: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val (cbIdx, ncw) = denseCodebook(codebooks, m)
+    // Per-query probe set: rank the (broadcast) centroid table by
+    // cosine, keep the top-nprobe cells — identical probe shape (and
+    // tie-break) to ivfTopK, pruned map-side by WindowGroupLimit.
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // Fuse each query's flattened LUT onto its nprobe probe rows —
+    // (nq·nprobe) rows of m·ncw doubles, still broadcast-sized (the
+    // LUT table is the same size class as the centroid table).
+    val probeLuts = probes.join(
+      adcLuts(queries, idCol, vecCol, m, cbIdx, ncw), Seq("query_id"))
+    // Candidate generation + scoring in ONE broadcast hash join: the
+    // corpus-side pivoted codes carry their cell id, and only rows in
+    // a probed cell are scored. The corpus never shuffles (codes
+    // pivot is a keyed agg; the cell column rides along from the
+    // assignment join).
+    val pivoted = pivotCodes(codes, idCol, m, cbIdx)
+      .join(cellAssignments.select(col(idCol).as("corpus_id"), col("cell")),
+        Seq("corpus_id"))
+    val scored = pivoted.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        adcDistExpr(m, ncw).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+        col("adist"))
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each

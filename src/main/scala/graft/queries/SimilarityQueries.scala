@@ -539,7 +539,78 @@ object SimilarityQueries {
       WHERE rank <= $FK
       ORDER BY query_id, rank"""))
 
+  // -- V14: IVF-PQ top-k (Similarity.ivfPqTopK) — the production
+  //    100 TB vector-search composition: IVF cell pruning (pinned
+  //    SEEDMOD seeds, top-NPROBE cells per query, as q53) feeding ADC
+  //    scoring over the PQ codes (√n codebook, as q101). The q101
+  //    broadcast nested-loop probe is replaced by a broadcast HASH
+  //    join on cell id, so per-query candidate work is
+  //    |corpus|·nprobe/nlist and each candidate costs m array
+  //    lookups. Order-pinned folds keep every double bit-exact. -----
+  private val q117 = Q(
+    "q117_ivf_pq_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cb = Similarity.pqCodebooks(
+        t.embeddings, "vec_id", "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding", PQ_M, cb)
+      val seeds = Similarity.seedCentroids(
+        t.embeddings, "vec_id", "embedding", SEEDMOD)
+      val cells = Similarity.ivfAssign(t.embeddings, "vec_id", "embedding", seeds)
+        .select(col("vec_id"), col("cell"))
+      val queries = t.embeddings.filter(col("vec_id") % PQ_QMOD === 0)
+      Similarity.ivfPqTopK(enc, cells, seeds, queries, "vec_id", "embedding",
+          PQ_M, cb, NPROBE, PQ_K)
+        .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+          pround(col("adist"), 6).as("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH ${pqBaseSql},
+      v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $PQ_QMOD = 0)
+        WHERE rn <= $NPROBE),
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $PQ_QMOD = 0),
+      dists AS (
+        SELECT a.query_id, g.cell, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e
+        JOIN assign g ON g.vec_id = e.vec_id
+        JOIN probe p ON p.cell = g.cell
+        JOIN adc a ON a.query_id = p.query_id AND a.sub = e.sub
+          AND a.cw = e.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, g.cell, e.vec_id)
+      SELECT query_id, cell, rank, corpus_id, ${proundSql("adist", 6)} AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+      WHERE rank <= $PQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114)
+      q114, q117)
 }

@@ -219,6 +219,22 @@ class PlanQualitySpec extends SparkSpec {
       "q114 must keep the filter in the join condition, not go all-pairs")
   }
 
+  test("IVF-PQ scores via a cell hash join — the brute LUT probe is gone") {
+    val p = planOf("q117_ivf_pq_topk")
+    // the ONLY nested-loop joins allowed are the two centroid-fanout
+    // ranking passes (queries × nlist seeds, corpus × nlist seeds in
+    // ivfAssign) — per-row work bounded by nlist ≈ √n, never |corpus|.
+    // The SCORING join (codes × probe LUTs) must be a broadcast HASH
+    // join on cell id: that is the whole point of the composition.
+    assert(count(p, "BroadcastNestedLoopJoin") === 2,
+      s"q117 must keep only the two bounded centroid fanouts:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"q117 must hash-join codes to probe LUTs on cell:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0,
+      s"q117 degraded a join:\n$p")
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:

@@ -211,6 +211,63 @@ class SimilaritySpec extends SparkSpec {
       enc.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("ivfPqTopK: nprobe = nlist equals pqAdcTopK; pruning recall measured") {
+    val dim = 16; val m = 4
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m, seedMod = 20)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", m, cb)
+    val seeds = Similarity.seedCentroids(corpus, "vec_id", "embedding", 20)
+    val cells = Similarity.ivfAssign(corpus, "vec_id", "embedding", seeds)
+      .select(col("vec_id"), col("cell"))
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id", "adist").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("corpus_id"), r.getAs[Double]("adist")))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+    // nlist = 10 seeds; probing all 10 cells makes every corpus row a
+    // candidate, so the composition must reproduce full ADC bit-exactly
+    // (same fold order, same tie-breaks) — the pruning is the ONLY
+    // approximation ivfPqTopK adds on top of pqAdcTopK.
+    val full = rows(Similarity.ivfPqTopK(enc, cells, seeds, queries,
+      "vec_id", "embedding", m, cb, nprobe = 10, k = 10))
+    val adc = rows(Similarity.pqAdcTopK(enc, queries,
+      "vec_id", "embedding", m, cb, k = 10))
+    assert(full === adc)
+
+    // nprobe = 2: candidates shrink to the probed cells; recall vs full
+    // ADC is measured, not assumed
+    val pruned = Similarity.ivfPqTopK(enc, cells, seeds, queries,
+        "vec_id", "embedding", m, cb, nprobe = 2, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("cell")))
+    // every scored candidate sits in a cell the query probed
+    val probedCells = pruned.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(probedCells.forall(_._2.size <= 2),
+      "nprobe=2 must confine candidates to at most 2 cells per query")
+    val prunedSets = pruned.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val adcSets = adc.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = adcSets.map { case (q, ids) =>
+      (prunedSets.getOrElse(q, Set.empty[Long]) & ids).size.toDouble / ids.size }
+    info(f"IVF-PQ nprobe=2 top-10 recall vs full ADC: mean ${recalls.sum / recalls.size}%.2f")
+    assert(recalls.sum / recalls.size > 0.2, s"IVF pruning recall collapsed: $recalls")
+
+    // a ragged codebook (one codeword removed from one subspace) must
+    // fail loudly, not misalign the flattened LUT
+    val ragged = cb.filter(!(col("sub") === 0 && col("cw") === 0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(enc, cells, seeds, queries,
+        "vec_id", "embedding", m, ragged, nprobe = 2, k = 10)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("lshTopK restricts candidates to the query's bucket") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", nBits = 8, k = 3).collect()
