@@ -1,0 +1,547 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Baseline JFIF (JPEG) codec — the remaining real-corpus media
+  * format next to Multimodal's PNG/BMP/WAV (SCALE.md documented the
+  * gap). Pure JVM, no codec libraries: marker parse → canonical
+  * huffman decode (with 0xFF00 byte-stuffing and RSTn restarts) →
+  * dequantization → separable double-precision IDCT → level shift →
+  * chroma upsampling (pixel replication, the baseline rule for
+  * h/v factors 1 and 2) → JFIF YCbCr→RGB.
+  *
+  * Supported: SOF0 baseline sequential DCT, 8-bit precision, 1 or 3
+  * components, sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), DRI/RSTn.
+  * Rejected with a null decode (the [[Multimodal.pngDecode]]
+  * convention — corrupted payloads yield a null-stats row, never
+  * garbage pixels): progressive/extended SOFs, 12-bit, arithmetic
+  * coding, truncated streams, huffman overruns, bad marker structure.
+  *
+  * Cross-engine exactness: every arithmetic step after the IDCT is
+  * integer or literal-double IEEE ops (multiply/add/floor — no libm),
+  * so an oracle can reproduce decoded pixels closed-form when the
+  * DCT itself is exact. q118 synthesizes DC-only blocks under a flat
+  * quant table (Q=8), where IDCT(dc·8)/8 = dc to 1 ulp and the
+  * half-up rounding absorbs it: pixel = 128 + dc exactly, and the
+  * YCbCr→RGB doubles match DuckDB literal-for-literal. JpegSpec
+  * exercises the general paths (AC coefficients, 4:2:0, restarts)
+  * in-JVM against a naive direct-IDCT reference.
+  *
+  * Scale shape: decode is embarrassingly row-parallel; the encoder/
+  * decoder pair is instantiated per PARTITION (zero shared state —
+  * the codec objects are just tables), the same codec-init
+  * discipline as the PNG Inflater/Deflater reuse.
+  */
+object Jpeg {
+
+  final case class JpegImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** Zigzag index → natural (row-major) index, generated from the
+    * diagonal-walk rule (even diagonals run bottom-left→top-right).
+    */
+  val ZIGZAG: Array[Int] = {
+    val out = new Array[Int](64)
+    var i = 0
+    for (s <- 0 until 15) {
+      val diag = (0 to s).flatMap { a =>
+        val (row, col) = (a, s - a)
+        if (row < 8 && col < 8) Some((row, col)) else None
+      }
+      val walk = if (s % 2 == 0) diag.reverse else diag
+      for ((row, col) <- walk) { out(i) = row * 8 + col; i += 1 }
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Canonical huffman tables
+  // ------------------------------------------------------------------
+
+  /** Canonical huffman table: JPEG DHT layout (count of codes per
+    * length 1..16 + symbol values in code order) with the derived
+    * per-length first-code/first-index arrays for O(1)-per-length
+    * decoding and a symbol→(code,len) map for encoding.
+    */
+  final class HuffTable(val bits: Array[Int], val vals: Array[Int]) {
+    require(bits.length == 16 && bits.sum == vals.length)
+    // canonical assignment: ascending length, then DHT value order
+    val (minCode, maxCode, valPtr) = {
+      val mn = new Array[Int](17); val mx = new Array[Int](17)
+      val vp = new Array[Int](17)
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        mn(l) = code; vp(l) = k
+        code += bits(l - 1); k += bits(l - 1)
+        mx(l) = code - 1 // -1 when no codes at this length
+        code <<= 1
+      }
+      (mn, mx, vp)
+    }
+    val encodeMap: Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l - 1)) { m += vals(k) -> (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.result()
+    }
+  }
+
+  /** The codec's own tables (emitted in DHT, so any conformant
+    * decoder reads them): 12 DC categories at 5 bits, the full
+    * baseline AC alphabet (EOB, ZRL, 16 runs × 10 sizes = 162
+    * symbols) at 9 bits — canonical, prefix-free, max-length
+    * all-ones code unused.
+    */
+  val DC_TABLE: HuffTable = {
+    val bits = new Array[Int](16); bits(4) = 12
+    new HuffTable(bits, (0 until 12).toArray)
+  }
+  val AC_TABLE: HuffTable = {
+    val bits = new Array[Int](16); bits(8) = 162
+    val syms = (0x00 +: 0xF0 +: (for {
+      r <- 0 until 16; sz <- 1 to 10
+    } yield (r << 4) | sz)).toArray.sorted
+    new HuffTable(bits, syms)
+  }
+
+  // ------------------------------------------------------------------
+  // IDCT (separable, double)
+  // ------------------------------------------------------------------
+
+  private val COS = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val ALPHA = Array.tabulate(8)(u =>
+    if (u == 0) math.sqrt(0.125) else 0.5)
+
+  /** coef: 64 DEQUANTIZED values in natural order (row = vertical
+    * frequency). Output: 64 clamped 0..255 samples after +128 level
+    * shift, half-up rounded (floor(x+0.5) — the same rounding the
+    * oracles use everywhere).
+    */
+  def idctBlock(coef: Array[Double]): Array[Int] = {
+    val tmp = new Array[Double](64) // t(v, x) = Σ_u α(u) F(v,u) cos_x(u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += ALPHA(u) * coef(v * 8 + u) * COS(x)(u); u += 1 }
+        tmp(v * 8 + x) = s; x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += ALPHA(vv) * tmp(vv * 8 + x) * COS(y)(vv); vv += 1 }
+        val p = math.floor(s + 128.0 + 0.5).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Encoder
+  // ------------------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s per spec
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private def bitLength(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+
+  /** Encode a baseline JFIF stream from QUANTIZED coefficients.
+    *
+    * @param sampling per-component (h, v) factors (1 or 3 entries)
+    * @param quant    per-component quant table, 64 NATURAL-order values
+    *                 (emitted as DQT table id = component index)
+    * @param coeffs   (compIdx, blockY, blockX) → 64 NATURAL-order
+    *                 quantized coefficients; block coords run over the
+    *                 component's padded block grid (mcusY·v × mcusX·h)
+    */
+  def jpegEncode(width: Int, height: Int, sampling: Seq[(Int, Int)],
+      quant: Seq[Array[Int]],
+      coeffs: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    val ncomp = sampling.size
+    require(ncomp == 1 || ncomp == 3, "1 or 3 components")
+    require(quant.size == ncomp)
+    val maxH = sampling.map(_._1).max; val maxV = sampling.map(_._2).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xD8) // SOI
+    marker(0xE0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    for (c <- 0 until ncomp) { // DQT, one table per component
+      marker(0xDB); be16(2 + 1 + 64)
+      out.write(c) // pq=0 (8-bit), tq=c
+      for (z <- 0 until 64) out.write(quant(c)(ZIGZAG(z)))
+    }
+    marker(0xC0); be16(8 + 3 * ncomp) // SOF0
+    out.write(8); be16(height); be16(width); out.write(ncomp)
+    for (c <- 0 until ncomp) {
+      out.write(c + 1) // component id
+      out.write((sampling(c)._1 << 4) | sampling(c)._2)
+      out.write(c)
+    }
+    def dht(cls: Int, id: Int, t: HuffTable): Unit = {
+      marker(0xC4); be16(2 + 1 + 16 + t.vals.length)
+      out.write((cls << 4) | id)
+      t.bits.foreach(out.write)
+      t.vals.foreach(out.write)
+    }
+    dht(0, 0, DC_TABLE); dht(1, 0, AC_TABLE)
+    if (ncomp == 3) { dht(0, 1, DC_TABLE); dht(1, 1, AC_TABLE) }
+    marker(0xDA); be16(6 + 2 * ncomp) // SOS
+    out.write(ncomp)
+    for (c <- 0 until ncomp) {
+      out.write(c + 1)
+      val t = if (c == 0) 0 else 1
+      out.write((t << 4) | t)
+    }
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = new BitWriter(out)
+    def putSym(t: HuffTable, sym: Int): Unit = {
+      val (code, len) = t.encodeMap(sym); bw.put(code, len)
+    }
+    def putExtend(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+    val pred = new Array[Int](ncomp)
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until ncomp) {
+      val (h, v) = sampling(c)
+      val (dcT, acT) = (DC_TABLE, AC_TABLE)
+      for (by <- 0 until v; bx <- 0 until h) {
+        val blk = coeffs(c, my * v + by, mx * h + bx)
+        require(blk.length == 64)
+        val diff = blk(0) - pred(c); pred(c) = blk(0)
+        val s = if (diff == 0) 0 else bitLength(math.abs(diff))
+        putSym(dcT, s); putExtend(diff, s)
+        // AC run-length over zigzag order
+        var k = 1; var run = 0
+        while (k < 64) {
+          val v0 = blk(ZIGZAG(k))
+          if (v0 == 0) run += 1
+          else {
+            while (run > 15) { putSym(acT, 0xF0); run -= 16 }
+            val sz = bitLength(math.abs(v0))
+            putSym(acT, (run << 4) | sz); putExtend(v0, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putSym(acT, 0x00) // EOB
+      }
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Decoder
+  // ------------------------------------------------------------------
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0; private var nbits = 0
+    var hitMarker = false
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= data.length) { hitMarker = true; return 0 }
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xFF) {
+          val next = if (pos < data.length) data(pos) & 0xff else -1
+          if (next == 0x00) pos += 1 // stuffed
+          else { hitMarker = true; pos -= 1; return 0 }
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Align to the next RSTn marker and consume it; resets state. */
+    def restart(): Boolean = {
+      nbits = 0
+      while (pos + 1 < data.length &&
+        !((data(pos) & 0xff) == 0xFF && (data(pos + 1) & 0xff) >= 0xD0 &&
+          (data(pos + 1) & 0xff) <= 0xD7)) pos += 1
+      if (pos + 1 >= data.length) false
+      else { pos += 2; hitMarker = false; true }
+    }
+  }
+
+  private def decodeHuff(br: BitReader, t: HuffTable): Int = {
+    var code = 0; var l = 0
+    while (l < 16) {
+      code = (code << 1) | br.bit(); l += 1
+      if (br.hitMarker) return -1
+      if (t.bits(l - 1) > 0 && code <= t.maxCode(l))
+        return t.vals(t.valPtr(l) + (code - t.minCode(l)))
+    }
+    -1
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Full baseline decode; null on any unsupported or corrupt input
+    * (the pngDecode contract). Output pixels: interleaved RGB for 3
+    * components, single-channel for grayscale.
+    */
+  def jpegDecode(bytes: Array[Byte]): JpegImage = {
+    try decodeOrThrow(bytes)
+    catch { case _: Exception => null }
+  }
+
+  private def decodeOrThrow(b: Array[Byte]): JpegImage = {
+    def u8(p: Int) = b(p) & 0xff
+    def u16(p: Int) = (u8(p) << 8) | u8(p + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return null
+    var pos = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTab = new Array[HuffTable](4); val acTab = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var restartInterval = 0
+    var scanStart = -1
+    var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    while (scanStart < 0) {
+      if (pos + 4 > b.length || u8(pos) != 0xFF) return null
+      val m = u8(pos + 1); pos += 2
+      m match {
+        case 0xD8 => // stray SOI
+        case 0xDB =>
+          val len = u16(pos); val end = pos + len; var p = pos + 2
+          while (p < end) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f; p += 1
+            if (pq != 0) return null // 16-bit tables unsupported
+            val t = new Array[Int](64)
+            for (z <- 0 until 64) { t(ZIGZAG(z)) = u8(p); p += 1 }
+            qt(tq) = t
+          }
+          pos = end
+        case 0xC0 =>
+          val len = u16(pos)
+          if (u8(pos + 2) != 8) return null // 8-bit precision only
+          height = u16(pos + 3); width = u16(pos + 5)
+          val nc = u8(pos + 7)
+          if (nc != 1 && nc != 3) return null
+          compId = new Array(nc); compH = new Array(nc)
+          compV = new Array(nc); compQ = new Array(nc)
+          for (c <- 0 until nc) {
+            val o = pos + 8 + 3 * c
+            compId(c) = u8(o); compH(c) = u8(o + 1) >> 4
+            compV(c) = u8(o + 1) & 0x0f; compQ(c) = u8(o + 2)
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return null
+          }
+          pos += len
+        case 0xC4 =>
+          val len = u16(pos); val end = pos + len; var p = pos + 2
+          while (p < end) {
+            val cls = u8(p) >> 4; val id = u8(p) & 0x0f; p += 1
+            val bits = Array.tabulate(16)(i => u8(p + i)); p += 16
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => u8(p + i)); p += n
+            val t = new HuffTable(bits, vals)
+            if (cls == 0) dcTab(id) = t else acTab(id) = t
+          }
+          pos = end
+        case 0xDD =>
+          restartInterval = u16(pos + 2); pos += u16(pos)
+        case 0xDA =>
+          val len = u16(pos)
+          val nc = u8(pos + 2)
+          if (compId == null || nc != compId.length) return null
+          compDc = new Array(nc); compAc = new Array(nc)
+          for (c <- 0 until nc) {
+            val o = pos + 3 + 2 * c
+            if (u8(o) != compId(c)) return null // non-SOF scan order
+            compDc(c) = u8(o + 1) >> 4; compAc(c) = u8(o + 1) & 0x0f
+          }
+          scanStart = pos + len
+        case 0xD9 => return null // EOI before any scan
+        case x if x >= 0xC1 && x <= 0xCF && x != 0xC4 && x != 0xC8 =>
+          return null // progressive / extended / arithmetic
+        case _ => pos += u16(pos) // APPn, COM, anything skippable
+      }
+    }
+    if (width <= 0 || height <= 0) return null
+    val nc = compId.length
+    val maxH = compH.max; val maxV = compV.max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // per-component sample planes at the component's own resolution
+    val planeW = Array.tabulate(nc)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nc)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
+    for (c <- 0 until nc) {
+      if (qt(compQ(c)) == null || dcTab(compDc(c)) == null ||
+        acTab(compAc(c)) == null) return null
+    }
+    val br = new BitReader(b, scanStart)
+    val pred = new Array[Int](nc)
+    val coef = new Array[Double](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) throw new IllegalArgumentException("missing RST")
+        java.util.Arrays.fill(pred, 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var c = 0
+      while (c < nc) {
+        val q = qt(compQ(c))
+        val dt = dcTab(compDc(c)); val at = acTab(compAc(c))
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            java.util.Arrays.fill(coef, 0.0)
+            val s = decodeHuff(br, dt)
+            if (s < 0 || s > 11) throw new IllegalArgumentException("bad DC")
+            pred(c) += extend(br.bits(s), s)
+            coef(0) = pred(c).toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(br, at)
+              if (rs < 0) throw new IllegalArgumentException("bad AC")
+              val r = rs >> 4; val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) throw new IllegalArgumentException("AC overrun")
+                coef(ZIGZAG(k)) = extend(br.bits(sz), sz).toDouble * q(ZIGZAG(k))
+                k += 1
+              }
+            }
+            if (br.hitMarker && mcu < totalMcus - 1 && restartInterval == 0)
+              throw new IllegalArgumentException("truncated entropy data")
+            val px = idctBlock(coef)
+            val ox = (mx * compH(c) + bx) * 8; val oy = (my * compV(c) + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((oy + yy) * planeW(c) + ox + xx) =
+                  px(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // assemble output: replication upsampling, then JFIF YCbCr→RGB.
+    // The double expressions below are mirrored term-for-term by the
+    // q118 oracle — literal constants, left-assoc adds, floor(x+0.5).
+    val chans = if (nc == 3) 3 else 1
+    val outPx = new Array[Byte](width * height * chans)
+    def clamp(d: Double): Int = {
+      val v = math.floor(d + 0.5).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (nc == 1) {
+          outPx(y * width + x) = planes(0)(y * planeW(0) + x)
+        } else {
+          def samp(c: Int): Int = {
+            val sx = x * compH(c) / maxH; val sy = y * compV(c) / maxV
+            planes(c)(sy * planeW(c) + sx) & 0xff
+          }
+          val yv = samp(0).toDouble
+          val cb = samp(1) - 128; val cr = samp(2) - 128
+          val o = (y * width + x) * 3
+          outPx(o) = clamp(yv + 1.402 * cr).toByte
+          outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr).toByte
+          outPx(o + 2) = clamp(yv + 1.772 * cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    JpegImage(width, height, chans, outPx)
+  }
+
+  // ------------------------------------------------------------------
+  // DataFrame surface
+  // ------------------------------------------------------------------
+
+  /** Distributed full-pixel JPEG decode — the [[Multimodal.pngFeatures]]
+    * shape and schema: dimensions, first/last pixel RGB, Σ over every
+    * channel sample. Undecodable payloads yield a null-stats row.
+    * Grayscale reports its single channel as r=g=b.
+    */
+  def jpegFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(Multimodal.pngSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = jpegDecode(r.getAs[Array[Byte]](1))
+          if (img == null)
+            Row(r.getLong(0), null, null, null, null, null, null,
+              null, null, null, null)
+          else {
+            val c = img.channels
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+            val last = (img.height * img.width - 1) * c
+            def px(o: Int, ch: Int) = img.pixels(o + (ch min (c - 1))) & 0xff
+            Row(r.getLong(0), img.width, img.height, c,
+              px(0, 0), px(0, 1), px(0, 2),
+              px(last, 0), px(last, 1), px(last, 2), sum)
+          }
+        }
+      }(enc)
+  }
+}

@@ -262,5 +262,76 @@ object MultimodalQueries {
     FROM documents
     ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89)
+  // -- q118: REAL baseline-JPEG pixel decode, oracle-gated -------------
+  // Each doc synthesizes a 16x16 baseline JFIF (4:4:4 YCbCr, flat Q=8
+  // quant) whose four 8x8 blocks carry doc_id-derived DC-ONLY
+  // coefficients — the regime where the IDCT is integer-exact
+  // (IDCT(dc·8)/8 = dc to 1 ulp, absorbed by half-up rounding), so
+  // every decoded pixel is closed-form: Y = 128+dcY, then the JFIF
+  // YCbCr→RGB doubles, which the oracle mirrors literal-for-literal
+  // (multiply/add/floor only — no libm). Spark must huffman-decode the
+  // entropy stream (DC prediction chain across 12 blocks, EOB runs),
+  // dequantize, IDCT, and color-convert the BYTES back to pixels; the
+  // general AC/4:2:0/restart paths are JpegSpec's in-JVM territory.
+  // Clamping is exercised: R/B leave [0,255] for ~1/4 of blocks.
+  private val JW = 16
+  private val JH = 16
+  private val q118 = Q(
+    "q118_jpeg_pixels",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val flat8 = Array.fill(64)(8)
+      // per-row huffman encode is the compute; restore scan splits
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            def dcOnly(dc: Int) = { val a = new Array[Int](64); a(0) = dc; a }
+            val bytes = graft.operators.Jpeg.jpegEncode(JW, JH,
+              Seq((1, 1), (1, 1), (1, 1)), Seq(flat8, flat8, flat8),
+              (c, by, bx) => dcOnly(c match {
+                case 0 => ((d * 5 + bx * 7 + by * 11) % 200).toInt - 100
+                case 1 => ((d * 3 + bx + 2 * by) % 100).toInt - 50
+                case _ => ((d * 7 + 2 * bx + by) % 100).toInt - 50
+              }))
+            Row(d, bytes, "image/jpeg")
+          }
+        }(mediaEnc)
+      graft.operators.Jpeg.jpegFeatures(media).orderBy(col("media_id"))
+    },
+    Some {
+      // closed-form per-block channel values (bx, by ∈ {0,1})
+      def yv(bx: String, by: String) =
+        s"(128 + (doc_id*5 + ($bx)*7 + ($by)*11) % 200 - 100)"
+      def cb(bx: String, by: String) =
+        s"((doc_id*3 + ($bx) + 2*($by)) % 100 - 50)"
+      def cr(bx: String, by: String) =
+        s"((doc_id*7 + 2*($bx) + ($by)) % 100 - 50)"
+      def ch(e: String) =
+        s"LEAST(255, GREATEST(0, CAST(FLOOR($e + 0.5) AS BIGINT)))"
+      def r(bx: String, by: String) =
+        ch(s"${yv(bx, by)} + 1.402*${cr(bx, by)}")
+      def g(bx: String, by: String) =
+        ch(s"${yv(bx, by)} - 0.344136*${cb(bx, by)} - 0.714136*${cr(bx, by)}")
+      def b(bx: String, by: String) =
+        ch(s"${yv(bx, by)} + 1.772*${cb(bx, by)}")
+      s"""SELECT doc_id AS media_id,
+        CAST($JW AS INT) AS width, CAST($JH AS INT) AS height,
+        CAST(3 AS INT) AS channels,
+        CAST(${r("0", "0")} AS INT) AS p_first_r,
+        CAST(${g("0", "0")} AS INT) AS p_first_g,
+        CAST(${b("0", "0")} AS INT) AS p_first_b,
+        CAST(${r("1", "1")} AS INT) AS p_last_r,
+        CAST(${g("1", "1")} AS INT) AS p_last_g,
+        CAST(${b("1", "1")} AS INT) AS p_last_b,
+        (SELECT CAST(64 * SUM(${r("x", "y")} + ${g("x", "y")}
+                            + ${b("x", "y")}) AS BIGINT)
+         FROM range(0, 2) tx(x), range(0, 2) ty(y)) AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118)
 }
