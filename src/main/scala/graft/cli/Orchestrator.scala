@@ -139,6 +139,26 @@ object Orchestrator {
       require(RunValidations.allPassed(RunValidations.validateAll(spark, wh)),
         "validation failed")))
 
+  /** Document-corpus dedup DAG: fold newly landed doc files through
+    * the stored-signature-index pipeline (in-batch near-dedup →
+    * cross-corpus check against the index → survivor append), then
+    * validate the index invariants. The continuous-ingest counterpart
+    * of q112: steady-state dedup cost stays O(delta) END TO END
+    * because the standing DAG maintains the bands/sets index the
+    * cross check reads — the corpus text is never re-scanned.
+    */
+  def dedupDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, indexDir: String, n: Int, tau: Double,
+      p: graft.operators.Dedup.MinHashParams): Seq[TaskDef] = Seq(
+    TaskDef("dedup_fold", Nil, () => {
+      graft.pipeline.DedupIndexPipeline.foldNewDocFiles(
+        spark, indexDir, watchDir, n, tau, p)
+      ()
+    }),
+    TaskDef("dedup_validate", Seq("dedup_fold"), () =>
+      require(graft.pipeline.DedupIndexPipeline.validateIndex(
+        spark, indexDir, p), "dedup index invariants violated")))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(

@@ -122,4 +122,68 @@ class OrchestratorSpec extends SparkSpec {
     assert(ParquetTable.read(spark, s"$wh/silver/flights").count()
       === afterFold + 12)
   }
+
+  test("dedup DAG: two-batch fold keeps the stored index == full recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.operators.Dedup.MinHashParams
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dedup_dag")
+    val watch = Files.createDirectories(tmp.resolve("landing")).toString
+    val ix = tmp.resolve("index").toString
+    val mh = MinHashParams()
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words about spark query engines here",
+      5L -> "yet another entirely unrelated document about flink runtimes")
+
+    def statuses() = runDag(dedupDag(spark, watch, ix, 3, 0.5, mh))
+      .map(r => r.name -> r.status).toMap
+
+    // batch 1: docs 1, 2 (exact dup of 1 — in-batch drop), 3
+    Seq((1L, texts(1L)), (2L, texts(1L)), (3L, texts(3L)))
+      .toDF("doc_id", "text").write.parquet(s"$watch/batch1.parquet")
+    assert(statuses() === Map("dedup_fold" -> Succeeded,
+      "dedup_validate" -> Succeeded))
+    // batch 2: doc 4 (exact dup of 1 — CROSS-corpus drop via the
+    // stored index, batch 1's text never re-read), doc 5 (new)
+    Seq((4L, texts(1L)), (5L, texts(5L)))
+      .toDF("doc_id", "text").write.parquet(s"$watch/batch2.parquet")
+    assert(statuses() === Map("dedup_fold" -> Succeeded,
+      "dedup_validate" -> Succeeded))
+
+    // kept corpus is exactly {1, 3, 5}…
+    val corpus = spark.read.parquet(s"$ix/corpus")
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 5L))
+    // …and the incrementally appended index is BIT-IDENTICAL to a
+    // from-scratch recompute over that corpus (the DedupSpec append
+    // property, driven through the CLI path)
+    val keptDf = texts.toSeq.map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    def bandSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band_idx"),
+        r.getAs[Long]("band_hash"))).toSet
+    assert(bandSet(spark.read.parquet(s"$ix/bands"))
+      === bandSet(Dedup.minhashBands(keptDf, "doc_id", "text", 3, mh)))
+    def setSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Seq[Long]]("shingle_set").toSet)).toSet
+    assert(setSet(spark.read.parquet(s"$ix/sets"))
+      === setSet(Dedup.shingleSets(keptDf, "doc_id", "text", 3)))
+
+    // verdicts carry the drop provenance (scope + best match)
+    val v = spark.read.parquet(s"$ix/verdicts")
+      .select("doc_id", "keep", "dup_scope", "dup_of").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[String]("dup_scope"),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(v(2L) === ((0, "batch", 1L)))
+    assert(v(4L) === ((0, "corpus", 1L)))
+    assert(v(1L)._1 === 1 && v(3L)._1 === 1 && v(5L)._1 === 1)
+
+    // re-run with no new files: marker log makes the fold a no-op
+    val bandsBefore = spark.read.parquet(s"$ix/bands").count()
+    assert(statuses()("dedup_fold") === Succeeded)
+    assert(spark.read.parquet(s"$ix/bands").count() === bandsBefore)
+  }
 }
