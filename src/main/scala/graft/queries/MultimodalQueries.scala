@@ -333,5 +333,66 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118)
+  // -- q119: REAL video-container decode + stride frame sampling ------
+  // Each doc synthesizes an uncompressed AVI (RIFF hdrl/movi, one
+  // 'vids'/'DIB ' stream, 24bpp BI_RGB frames stored as BOTTOM-UP
+  // 4-byte-padded BGR rows — the DIB layout, padding exercised at
+  // width 6) with 4 + doc_id%3 frames of doc_id/frame-derived pixel
+  // formulas. Spark must walk the RIFF chunks, validate the
+  // BITMAPINFOHEADER, un-flip + un-pad + BGR→RGB the sampled frames
+  // (stride 2 — unsampled frames are seek-skipped, never copied), and
+  // report frame counts, corner pixels of the first/last SAMPLED
+  // frame, and the all-channel sum over sampled frames; the oracle
+  // recomputes everything closed-form. A wrong row flip, pad width,
+  // channel order, stride index, or chunk-size walk diverges.
+  private val VW = 6
+  private val VH = 4
+  private val VSTRIDE = 2
+  private val q119 = Q(
+    "q119_video_frames",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val n = (4 + d % 3).toInt
+            val bytes = graft.operators.VideoAvi.aviEncode(VW, VH, n,
+              (f, x, y) => (
+                ((d + f.toLong * x + 2L * y) % 256).toInt,
+                ((2 * d + f + 4L * x + y) % 256).toInt,
+                ((d + 3L * f + 5L * x + 7L * y) % 256).toInt))
+            Row(d, bytes, "video/avi")
+          }
+        }(mediaEnc)
+      graft.operators.VideoAvi.videoFeatures(media, VSTRIDE)
+        .orderBy(col("media_id"))
+    },
+    Some {
+      // last sampled frame index: largest multiple of VSTRIDE < n
+      val fL = s"($VSTRIDE * ((4 + doc_id % 3 - 1) // $VSTRIDE))"
+      s"""SELECT doc_id AS media_id,
+        CAST($VW AS INT) AS width, CAST($VH AS INT) AS height,
+        CAST(4 + doc_id % 3 AS INT) AS n_frames,
+        CAST((4 + doc_id % 3 + ${VSTRIDE - 1}) // $VSTRIDE AS INT) AS n_sampled,
+        CAST(doc_id % 256 AS INT) AS f_first_r,
+        CAST((2 * doc_id) % 256 AS INT) AS f_first_g,
+        CAST(doc_id % 256 AS INT) AS f_first_b,
+        CAST((doc_id + $fL * ${VW - 1} + ${2 * (VH - 1)}) % 256 AS INT) AS l_last_r,
+        CAST((2 * doc_id + $fL + ${4 * (VW - 1) + (VH - 1)}) % 256 AS INT) AS l_last_g,
+        CAST((doc_id + 3 * $fL + ${5 * (VW - 1) + 7 * (VH - 1)}) % 256 AS INT) AS l_last_b,
+        (SELECT CAST(SUM(CASE WHEN f % $VSTRIDE = 0 AND f < 4 + doc_id % 3
+            THEN (doc_id + f * x + 2 * y) % 256
+               + (2 * doc_id + f + 4 * x + y) % 256
+               + (doc_id + 3 * f + 5 * x + 7 * y) % 256
+            ELSE 0 END) AS BIGINT)
+         FROM range(0, 6) tf(f), range(0, $VW) tx(x), range(0, $VH) ty(y))
+          AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119)
 }
