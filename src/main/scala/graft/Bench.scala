@@ -54,6 +54,7 @@ object Bench {
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
+    "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q76_mixture_sample",
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
@@ -63,9 +64,11 @@ object Bench {
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
     "q96_duplicated_spans", "q97_dup_span_stats",
     "q98_corpus_shuffle", "q99_epoch_allocation", "q116_token_budget",
+    "q121_dsir_selection",
     "q102_kmeans_fit", "q103_ngram_novelty", "q104_quality_logit",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
+    "q122_jsonl_roundtrip",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

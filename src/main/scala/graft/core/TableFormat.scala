@@ -117,3 +117,49 @@ object ParquetTable extends TableFormat {
       .format("parquet").saveAsTable(table)
   }
 }
+
+/** JSONL (newline-delimited JSON) interchange — the de-facto exchange
+  * format of LLM training corpora: one document object per line,
+  * gzip-compressed per file. Not part of the reference surface (it is
+  * parquet/Delta-only); added for the training-data pipeline, which
+  * must ingest and hand off corpora in this shape.
+  *
+  * Scale notes:
+  *  - reads take an EXPLICIT schema — inference is a full extra pass
+  *    over the corpus and is reserved for dev ([[readInferred]]);
+  *  - a gzip member is not splittable, so one input file = one task:
+  *    corpus writers shard into many moderate files (caller controls
+  *    file count via repartition before [[write]], the same
+  *    discipline as the parquet writers);
+  *  - JSON string escaping is lossless for arbitrary text (newlines,
+  *    quotes, unicode) — pinned by JsonlSpec and the q122 oracle,
+  *    which hash-compares a full write→read round trip against the
+  *    untouched parquet source.
+  */
+object JsonlTable {
+  val Compression = "gzip"
+
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Dev-only: schema-inferring read (extra pass over the data). */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", Compression).json(path)
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", Compression).json(path)
+
+  /** Write `df` as gzipped JSONL and read it back under the same
+    * schema — the lossless-interchange primitive q122 oracles.
+    */
+  def roundTrip(df: DataFrame, path: String): DataFrame = {
+    write(df, path)
+    read(df.sparkSession, path, df.schema)
+  }
+}

@@ -312,5 +312,35 @@ object CorpusQueries {
       GROUP BY src1, src2, n1, n2
       ORDER BY src1, src2"""))
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54, q105)
+  // -- C9: JSONL corpus interchange (core.JsonlTable) — the documents
+  //    table is written as gzipped JSONL (the LLM-corpus exchange
+  //    format) and read back under the explicit schema; the oracle
+  //    aggregates the UNTOUCHED parquet source, so a hash match proves
+  //    the round trip is lossless (text escaping included: the
+  //    per-source rolling-hash sum covers every character). -----------
+  private val q122 = Q(
+    "q122_jsonl_roundtrip",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_q122").toString
+      val back = graft.core.JsonlTable.roundTrip(t.documents, tmp)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextFns.rollingHash(col("text"))).as("text_hash_sum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+          AS text_hash_sum,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122)
 }

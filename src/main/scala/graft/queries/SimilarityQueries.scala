@@ -610,7 +610,102 @@ object SimilarityQueries {
       WHERE rank <= $PQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V15: hybrid lexical+vector retrieval via reciprocal-rank fusion
+  //    (operators.Hybrid.rrfFuse) — BM25 top-NL over documents fused
+  //    with exact cosine top-NV over the matching embedding row (doc_id
+  //    ≡ vec_id in the synthetic corpus). RRF needs no score
+  //    calibration and no libm: ranks are ints, 1/(k0+rank) is one
+  //    exactly-rounded IEEE division per leg, legs fold in written
+  //    order — bit-exact vs the oracle. Legs are top-k-bounded by
+  //    their own production operators; fusion is one tiny keyed agg. --
+  private val HY_TERMS = Seq("stream", "merge", "filter")
+  private val HY_K1 = 1.25
+  private val HY_B = 0.75
+  private val HY_LEGK = 30 // per-leg depth
+  private val HY_K0 = 60 // the standard RRF smoothing constant
+  private val HY_K = 20 // fused top-k
+  private val HY_QVEC = 100L // query = this doc's embedding row
+  private val q120 = Q(
+    "q120_hybrid_rrf",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val lex = graft.operators.Bm25.topK(t.documents, "doc_id", "text",
+          HY_TERMS, HY_K1, HY_B, HY_LEGK)
+        .select(col("doc_id"), col("rank"))
+      val qv = t.embeddings.filter(col("vec_id") === HY_QVEC)
+      val vec = Similarity.topK(t.embeddings, qv, "vec_id", "embedding",
+          HY_LEGK)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      graft.operators.Hybrid.rrfFuse(
+          Seq("lex" -> lex, "vec" -> vec), "doc_id", HY_K0, HY_K)
+        .select(col("rank"), col("doc_id"), col("lex_rank"),
+          col("vec_rank"), pround(col("rrf_score"), 6).as("rrf_score"))
+    },
+    Some {
+      import graft.functions.TextFns
+      val termList = HY_TERMS.map(t => s"'$t'").mkString(", ")
+      val contribCases = HY_TERMS.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN contrib END), 0.0)")
+        .mkString("\n          + ")
+      s"""WITH toksrc AS (
+        SELECT doc_id, ${TextFns.tokensSql("text")} AS toks FROM documents),
+      toks AS (
+        SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+        FROM toksrc),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+          avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+        FROM toksrc),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+        FROM toks WHERE term IN ($termList)
+        GROUP BY doc_id, term),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term),
+      contribs AS (
+        SELECT tf.doc_id, tf.term,
+          ((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+            * tf.tf * ${HY_K1 + 1}
+            / (tf.tf + $HY_K1 * (1.0 - $HY_B + $HY_B * tf.dl / s.avgdl))
+            AS contrib
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s),
+      lexscored AS (
+        SELECT doc_id, $contribCases AS score
+        FROM contribs GROUP BY doc_id),
+      lex AS (
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+            AS lex_rank
+        FROM lexscored ORDER BY score DESC, doc_id ASC LIMIT $HY_LEGK),
+      v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      vecscored AS (
+        SELECT c.vec_id AS doc_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id = $HY_QVEC) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      vec AS (
+        SELECT doc_id, CAST(rnk AS INT) AS vec_rank FROM (
+          SELECT doc_id, row_number() OVER (
+              ORDER BY cosine DESC, doc_id ASC) AS rnk
+          FROM vecscored)
+        WHERE rnk <= $HY_LEGK),
+      fused AS (
+        SELECT doc_id, lex_rank, vec_rank,
+          coalesce(1.0 / ($HY_K0.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+            + coalesce(1.0 / ($HY_K0.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+            AS rrf_score
+        FROM lex FULL OUTER JOIN vec USING (doc_id))
+      SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+          AS INT) AS rank,
+        doc_id, lex_rank, vec_rank, ${proundSql("rrf_score", 6)} AS rrf_score
+      FROM fused
+      ORDER BY rrf_score DESC, doc_id ASC
+      LIMIT $HY_K"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117)
+      q114, q117, q120)
 }

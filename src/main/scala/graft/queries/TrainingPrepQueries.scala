@@ -586,6 +586,63 @@ object TrainingPrepQueries {
       ORDER BY doc_id"""
     })
 
+  // -- T14: DSIR importance selection (operators.Dsir) — candidate
+  //    docs ranked toward a target distribution over hashed
+  //    unigram+bigram features (Xie et al. 2023). Product-form weights
+  //    folded in sorted bucket order: every factor is an exactly-
+  //    rounded division, no libm — bit-exact vs the oracle. Target =
+  //    four of the twenty sources; candidates = the rest. ------------
+  private val DSIR_B = 256 // hashed feature buckets (the DSIR knob)
+  private val DSIR_M = 50  // selected docs
+  private val DSIR_TARGETS = Seq("src0", "src1", "src2", "src3")
+  private val q121 = Q(
+    "q121_dsir_selection",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val isTarget = col("source").isin(DSIR_TARGETS.map(lit): _*)
+      graft.operators.Dsir.selectTop(
+          t.documents, "doc_id", "text", isTarget, DSIR_B, DSIR_M)
+        .select(col("rank"), col("doc_id"), col("source"),
+          col("n_feats"), pround(col("weight"), 6).as("weight"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val targetList = DSIR_TARGETS.map(t => s"'$t'").mkString(", ")
+      s"""WITH feats AS (
+        SELECT doc_id, source, source IN ($targetList) AS is_t,
+          ${graft.operators.Dsir.featureIdsSql("text", DSIR_B)} AS fl
+        FROM documents),
+      occ AS (
+        SELECT doc_id, is_t, unnest(fl) AS bucket FROM feats),
+      cnt AS (
+        SELECT bucket,
+          sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+          sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        FROM occ GROUP BY bucket),
+      tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM cnt),
+      ratio AS (
+        SELECT bucket,
+          (CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+            / (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) AS ratio
+        FROM cnt CROSS JOIN tot),
+      w AS (
+        SELECT o.doc_id, f.source, len(f.fl) AS n_feats,
+          list_reduce(list_prepend(CAST(1 AS DOUBLE),
+            list(r.ratio ORDER BY o.bucket)), (x, y) -> x * y) AS weight
+        FROM occ o
+        JOIN ratio r USING (bucket)
+        JOIN feats f USING (doc_id)
+        WHERE NOT o.is_t
+        GROUP BY o.doc_id, f.source, len(f.fl))
+      SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id ASC)
+          AS INT) AS rank,
+        doc_id, source, n_feats, ${proundSql("weight", 6)} AS weight
+      FROM w
+      ORDER BY weight DESC, doc_id ASC
+      LIMIT $DSIR_M"""
+    })
+
   val all: Seq[Q] =
-    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116)
+    Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
+      q121)
 }
