@@ -235,14 +235,56 @@ class PlanQualitySpec extends SparkSpec {
       s"q117 degraded a join:\n$p")
   }
 
+  test("hybrid RRF legs keep their production shapes") {
+    val p = planOf("q120_hybrid_rrf")
+    assert(count(p, "SortMergeJoin") === 0 &&
+      count(p, "CartesianProduct") === 0,
+      s"q120 degraded a join:\n$p")
+    // the ONLY nested-loop joins are the exact-cosine leg's deliberate
+    // single-query broadcast probe (q27's documented brute shape — at
+    // scale the vector leg is ivfPqTopK, whose plan q117 pins) and
+    // BM25's 1-row corpus-stats fanout (q79's shape); the fusion
+    // itself is a union + one keyed agg, never a join of legs
+    assert(count(p, "BroadcastNestedLoopJoin") === 2,
+      s"q120 grew an extra nested-loop join:\n$p")
+  }
+
+  test("DSIR scoring is a narrow map over a broadcast model") {
+    val p = planOf("q121_dsir_selection")
+    // two deliberate 1-row scalar fanouts (smoothing totals, ratio
+    // MAP); the candidate scan must score row-locally — no join, no
+    // explode, no shuffle of documents
+    assert(count(p, "BroadcastNestedLoopJoin") === 2,
+      s"q121 must fan out exactly the two 1-row model tables:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0, s"q121 degraded a join:\n$p")
+    // every keyed exchange is bucket-keyed (bounded by nBuckets, the
+    // whole point of hashed features); the document table itself never
+    // hash-shuffles (scoring is row-local against the broadcast map)
+    assert(count(p, "hashpartitioning\\(bucket") >= 1 &&
+      count(p, "Exchange hashpartitioning") ===
+        count(p, "hashpartitioning\\(bucket"),
+      s"q121 grew a non-bucket keyed exchange:\n$p")
+    assert(count(p, "hashpartitioning\\(doc_id") === 0,
+      s"q121 must never shuffle documents:\n$p")
+  }
+
+  test("JSONL round trip aggregates without joins") {
+    val p = planOf("q122_jsonl_roundtrip")
+    assert(count(p, "Join") === 0, s"q122 is scan+agg only:\n$p")
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:
     //   q64/q68/q81: prefix-sum over per-BUCKET totals (rows = bucket
     //     count, input already aggregated);
     //   q79: final rank over the per-query top-k survivors (≤ q·k rows)
+    //   q120/q121: final rank over the ≤ k fused / ≤ m selected
+    //     survivors (both post-limit, like q79)
     val allowed = Set("q64_pack_offsets", "q68_pack_segments",
-      "q81_chunk_spans", "q79_bm25_topk")
+      "q81_chunk_spans", "q79_bm25_topk", "q120_hybrid_rrf",
+      "q121_dsir_selection")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
