@@ -159,6 +159,26 @@ object Orchestrator {
       require(graft.pipeline.DedupIndexPipeline.validateIndex(
         spark, indexDir, p), "dedup index invariants violated")))
 
+  /** Embedding-corpus ANN-index DAG: fold newly landed vector files
+    * through the stored-ANN-index pipeline (bootstrap build → frozen-
+    * model O(delta) append-encode → growth-triggered retrain as a new
+    * model generation), then validate the index invariants. The
+    * continuous-ingest counterpart of q117's stored artifacts, and the
+    * vector sibling of [[dedupDag]].
+    */
+  def annDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, indexDir: String, idCol: String, vecCol: String,
+      m: Int, retrainGrowth: Double = 2.0): Seq[TaskDef] = Seq(
+    TaskDef("ann_fold", Nil, () => {
+      graft.pipeline.AnnIndexPipeline.foldNewVecFiles(
+        spark, indexDir, watchDir, idCol, vecCol, m,
+        retrainGrowth = retrainGrowth)
+      ()
+    }),
+    TaskDef("ann_validate", Seq("ann_fold"), () =>
+      require(graft.pipeline.AnnIndexPipeline.validateIndex(
+        spark, indexDir, m), "ann index invariants violated")))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(

@@ -59,7 +59,10 @@ object AnnIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       pqSeedMod: Int, ivfSeedMod: Int, dir: String): Unit = {
     val cb = Similarity.pqCodebooks(corpus, idCol, vecCol, m, pqSeedMod)
-    val seeds = Similarity.seedCentroids(corpus, idCol, vecCol, ivfSeedMod)
+    // seedMod ≤ 0 → the measured √n default, same rule as pqCodebooks
+    // (seedCentroids itself takes the raw mod — oracles pin it)
+    val seeds = Similarity.seedCentroids(corpus, idCol, vecCol,
+      Similarity.resolveSeedMod(corpus, ivfSeedMod))
     VersionedTable.commit(cb, cbPath(dir))
     VersionedTable.commit(seeds, ctPath(dir))
     Similarity.pqEncode(corpus, idCol, vecCol, m, cb)

@@ -114,7 +114,7 @@ object Similarity {
     * sites that already know n (oracles pin it for exactly this
     * reason) or that cannot tolerate a job before the action.
     */
-  private def resolveSeedMod(corpus: DataFrame, seedMod: Int): Int =
+  private[graft] def resolveSeedMod(corpus: DataFrame, seedMod: Int): Int =
     if (seedMod > 0) seedMod else sqrtSeedMod(corpus.count())
 
   /** Deterministic IVF seed centroids: corpus rows whose id ≡ 0 mod

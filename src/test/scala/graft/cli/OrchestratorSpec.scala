@@ -186,4 +186,76 @@ class OrchestratorSpec extends SparkSpec {
     assert(statuses()("dedup_fold") === Succeeded)
     assert(spark.read.parquet(s"$ix/bands").count() === bandsBefore)
   }
+
+  test("ANN DAG: bootstrap build, frozen append, growth retrain == recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.VersionedTable
+    import graft.operators.{AnnIndex, Similarity}
+    import spark.implicits._
+    val dim = 16
+    val m = 4
+    val tmp = Files.createTempDirectory("ann_dag")
+    val watch = Files.createDirectories(tmp.resolve("landing")).toString
+    val ix = tmp.resolve("index").toString
+    def mkVecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f))
+    }.toDF("vec_id", "embedding")
+    def statuses() = runDag(annDag(spark, watch, ix, "vec_id", "embedding",
+      m, retrainGrowth = 1.5)).map(r => r.name -> r.status).toMap
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Long]("cw"))).toSet
+
+    // batch 1 (100 vecs): no model yet -> bootstrap generation 1
+    mkVecs(0 until 100).write.parquet(s"$watch/b1.parquet")
+    assert(statuses() === Map("ann_fold" -> Succeeded,
+      "ann_validate" -> Succeeded))
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1))
+
+    // batch 2 (20 vecs, 120 < 1.5x100): frozen-model O(delta) append —
+    // appended codes == full re-encode of the grown corpus under gen 1
+    mkVecs(100 until 120).write.parquet(s"$watch/b2.parquet")
+    assert(statuses() === Map("ann_fold" -> Succeeded,
+      "ann_validate" -> Succeeded))
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1))
+    val cb1 = VersionedTable.read(spark, s"$ix/codebooks")
+    assert(codeSet(spark.read.parquet(s"$ix/codes")) ===
+      codeSet(Similarity.pqEncode(mkVecs(0 until 120), "vec_id",
+        "embedding", m, cb1)))
+
+    // batch 3 (60 vecs, 180 >= 1.5x100): growth retrain -> generation 2,
+    // codes rewritten over the FULL corpus under the new model
+    mkVecs(120 until 180).write.parquet(s"$watch/b3.parquet")
+    assert(statuses() === Map("ann_fold" -> Succeeded,
+      "ann_validate" -> Succeeded))
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1, 2))
+    val cb2 = VersionedTable.read(spark, s"$ix/codebooks")
+    val all = mkVecs(0 until 180)
+    assert(codeSet(spark.read.parquet(s"$ix/codes")) ===
+      codeSet(Similarity.pqEncode(all, "vec_id", "embedding", m, cb2)))
+
+    // serving from the folded store == in-memory artifacts over the
+    // full corpus under the current generation, bit-exact
+    val queries = all.filter(col("vec_id") % 40 === 0)
+    val seeds = VersionedTable.read(spark, s"$ix/centroids")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id", "adist").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("adist")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val direct = rows(Similarity.ivfPqTopK(
+      Similarity.pqEncode(all, "vec_id", "embedding", m, cb2),
+      Similarity.ivfAssign(all, "vec_id", "embedding", seeds)
+        .select(col("vec_id"), col("cell")),
+      seeds, queries, "vec_id", "embedding", m, cb2, nprobe = 3, k = 5))
+    assert(rows(AnnIndex.topK(spark, ix, queries, "vec_id", "embedding",
+      m, nprobe = 3, k = 5)) === direct)
+
+    // re-run with no new files: marker log makes the fold a no-op
+    val codesBefore = spark.read.parquet(s"$ix/codes").count()
+    assert(statuses()("ann_fold") === Succeeded)
+    assert(spark.read.parquet(s"$ix/codes").count() === codesBefore)
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1, 2))
+  }
 }
