@@ -394,5 +394,62 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119)
+  // -- q123: REAL GIF decode (LZW), oracle-gated ----------------------
+  // Each doc synthesizes an 8x6 16-color GIF (even doc_ids INTERLACED
+  // — the 8/8/4/2 pass order must be undone) plus doc_id%3 extra
+  // frames (animated container walk), with palette and indices from
+  // doc_id-derived integer formulas. LZW is lossless over indices and
+  // the palette lookup is integer, so EVERY decoded pixel is
+  // closed-form — the oracle recomputes corners and the full channel
+  // sum with pure integer arithmetic. A wrong LZW width transition,
+  // deinterlace, palette slot, or sub-block walk diverges.
+  private val GW = 8
+  private val GH = 6
+  private val q123 = Q(
+    "q123_gif_pixels",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val pal = Array.tabulate(16)(i =>
+              (((d * 7 + i * 13) % 256).toInt << 16) |
+                (((d * 11 + i * 17) % 256).toInt << 8) |
+                ((d * 3 + i * 29) % 256).toInt)
+            val f1 = Array.tabulate(GW * GH)(p => ((d + 5L * p) % 16).toInt)
+            val extra = (d % 3).toInt
+            val frames = (f1, d % 2 == 0) +: Seq.tabulate(extra)(fi =>
+              (Array.tabulate(GW * GH)(p => ((d + p + fi) % 16).toInt),
+                false))
+            Row(d, graft.operators.Gif.gifEncode(GW, GH, pal, frames),
+              "image/gif")
+          }
+        }(mediaEnc)
+      graft.operators.Gif.gifFeatures(media).orderBy(col("media_id"))
+    },
+    Some {
+      def idx(p: String) = s"((doc_id + 5*($p)) % 16)"
+      def r(i: String) = s"((doc_id*7 + ($i)*13) % 256)"
+      def g(i: String) = s"((doc_id*11 + ($i)*17) % 256)"
+      def b(i: String) = s"((doc_id*3 + ($i)*29) % 256)"
+      s"""SELECT doc_id AS media_id,
+        CAST($GW AS INT) AS width, CAST($GH AS INT) AS height,
+        CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        CAST(${r(idx("0"))} AS INT) AS p_first_r,
+        CAST(${g(idx("0"))} AS INT) AS p_first_g,
+        CAST(${b(idx("0"))} AS INT) AS p_first_b,
+        CAST(${r(idx(s"${GW * GH - 1}"))} AS INT) AS p_last_r,
+        CAST(${g(idx(s"${GW * GH - 1}"))} AS INT) AS p_last_g,
+        CAST(${b(idx(s"${GW * GH - 1}"))} AS INT) AS p_last_b,
+        (SELECT CAST(SUM(${r(idx("p"))} + ${g(idx("p"))} + ${b(idx("p"))})
+            AS BIGINT)
+         FROM range(0, ${GW * GH}) t(p)) AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123)
 }
