@@ -97,4 +97,48 @@ object BpeTrainer {
     merges.toSeq
       .toDF("merge_idx", "left", "right", "merged", "pair_count")
   }
+
+  // ------------------------------------------------------------------
+  // Tokenizer APPLICATION: run a (trained or shipped) merge list over
+  // a corpus — the inference half of BPE, and the everyday operation
+  // of a training-data pipeline (token counting with the REAL
+  // tokenizer, not the whitespace estimate).
+  // ------------------------------------------------------------------
+
+  /** The document as a marker-delimited symbol string: every non-space
+    * character becomes `|c`, then each merge (a, b) → ab is ONE
+    * single-pass left-to-right non-overlapping string replace of
+    * `|a|b` with `|ab` — exactly [[mergePair]]'s fold semantics
+    * (the leading marker pins symbol boundaries, so a symbol ENDING
+    * in `a` can never false-match, and a just-merged symbol cannot
+    * re-merge in the same pass because its interior has no marker).
+    * Word boundaries need no special casing: patterns contain no
+    * spaces, so merges never cross them.
+    *
+    * Why strings instead of chained array folds: both engines ship a
+    * codegen'd single-pass `replace`, the whole merge chain stays one
+    * narrow scan-stage expression per document (zero shuffles), and
+    * the SQL oracle is the IDENTICAL chain ([[bpeSymbolStringSql]]).
+    * Precondition: the text must not contain the `|` marker.
+    */
+  def bpeSymbolString(text: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(text, "(\\S)", "|$1")) {
+      case (s, (a, b)) => replace(s, lit(s"|$a|$b"), lit(s"|$a$b"))
+    }
+
+  def bpeSymbolStringSql(x: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(s"regexp_replace($x, '(\\S)', '|\\1', 'g')") {
+      case (s, (a, b)) => s"replace($s, '|$a|$b', '|$a$b')"
+    }
+
+  /** Token count under the merge list: one marker per symbol. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val s = bpeSymbolString(text, merges)
+    (length(s) - length(replace(s, lit("|"), lit("")))).cast("long")
+  }
+
+  def bpeTokenCountSql(x: String, merges: Seq[(String, String)]): String = {
+    val s = bpeSymbolStringSql(x, merges)
+    s"CAST(len($s) - len(replace($s, '|', '')) AS BIGINT)"
+  }
 }

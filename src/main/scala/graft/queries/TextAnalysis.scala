@@ -542,7 +542,54 @@ object TextAnalysis {
         4)} AS retention
     FROM ($gopherFlagsSql)"""))
 
+  // -- T14: BPE tokenizer APPLICATION (BpeTrainer.bpeTokenCount) — run
+  //    a shipped merge list over the corpus and count REAL tokens (the
+  //    everyday pipeline operation q107's trainer produces merges
+  //    for; q95's pre-token count is the merge-free estimate). The
+  //    whole merge chain is one narrow scan-stage expression: marker-
+  //    delimited symbol string + one single-pass replace per merge —
+  //    semantics identical to the trainer's fold (spec-pinned), and
+  //    the oracle runs the IDENTICAL chain in DuckDB. The list
+  //    exercises multi-level merges (t+h → th, th+e → the; e+r → er,
+  //    er+y → ery) whose pair members are themselves merge products.
+  private val BPE_MERGES = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("t", "a"), ("ta", "b"),
+    ("s", "t"), ("q", "u"), ("qu", "e"), ("o", "r"), ("i", "n"),
+    ("a", "g"), ("er", "y"))
+  private val q124 = Q(
+    "q124_bpe_apply",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.BpeTrainer
+      val toks = tokens(col("text"))
+      t.documents.select(
+          col("doc_id"),
+          size(toks).as("n_ws_tokens"),
+          length(regexp_replace(col("text"), "\\s", ""))
+            .cast("long").as("n_chars_nospace"),
+          BpeTrainer.bpeTokenCount(col("text"), BPE_MERGES)
+            .as("n_bpe_tokens"),
+          pround(when(size(toks) > 0,
+            BpeTrainer.bpeTokenCount(col("text"), BPE_MERGES)
+              .cast("double") / size(toks)), 4).as("fertility"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.operators.BpeTrainer
+      val cnt = BpeTrainer.bpeTokenCountSql("text", BPE_MERGES)
+      s"""SELECT doc_id,
+        len(${tokensSql("text")}) AS n_ws_tokens,
+        CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+          AS n_chars_nospace,
+        $cnt AS n_bpe_tokens,
+        ${proundSql(
+          s"CAST($cnt AS DOUBLE) / len(${tokensSql("text")})", 4)}
+          AS fertility
+      FROM documents
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111)
+      q110, q111, q124)
 }

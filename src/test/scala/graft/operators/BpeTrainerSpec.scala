@@ -81,4 +81,49 @@ class BpeTrainerSpec extends SparkSpec {
     val out = BpeTrainer.train(docs, "text", nMerges = 5).collect()
     assert(out.isEmpty)
   }
+
+  test("string-replace APPLY reproduces the trainer's fold segmentation") {
+    import org.apache.spark.sql.functions._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", nMerges = 10, minCount = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(merges.nonEmpty)
+    // per distinct word: chars -> chained mergePair folds (the
+    // trainer's own semantics) vs the marker-string replace chain
+    val words = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .distinct()
+    val viaFold = merges.foldLeft(
+        words.select(col("w"), split(col("w"), "").as("syms"))) {
+        case (df, (a, b)) =>
+          df.select(col("w"), BpeTrainer.mergePair(col("syms"), a, b).as("syms"))
+      }
+      .collect().map(r => r.getAs[String]("w") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toSeq).toMap
+    val viaReplace = words
+      .select(col("w"),
+        BpeTrainer.bpeSymbolString(col("w"), merges).as("s"),
+        BpeTrainer.bpeTokenCount(col("w"), merges).as("n"))
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[String]("s"), r.getAs[Long]("n"))).toMap
+    for ((w, syms) <- viaFold) {
+      val (str, n) = viaReplace(w)
+      assert(str === syms.mkString("|", "|", "").stripSuffix("|").
+        ensuring(_ => true), s"word=$w") // marker form: |s1|s2...
+      assert(str === "|" + syms.mkString("|"), s"word=$w")
+      assert(n === syms.length.toLong, s"word=$w")
+    }
+    // whole-document application == sum over its words (merges never
+    // cross the space boundary)
+    val perDoc = docs.select(col("doc_id"),
+        BpeTrainer.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = corpus.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => viaFold(w).length.toLong).sum
+    }.toMap
+    assert(perDoc === expected)
+  }
 }
