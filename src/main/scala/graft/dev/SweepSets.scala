@@ -44,7 +44,8 @@ object SweepSets {
     "q90_semantic_dedup_auto" -> "sqrt-n IVF assign oracle crossjoin — among the slowest passing sweep entries",
     "q100_pq_encode" -> "per-subspace codeword crossjoin oracle (n*m*sqrt(n) list folds in DuckDB) — minutes at 10x, passes",
     "q101_pq_adc_topk" -> "shares q100's encode CTE — same budget note",
-    "q117_ivf_pq_topk" -> "q100's encode CTE PLUS q53's pinned-seed assign crossjoin — measured ~3 min at 10x (round 9), passes; the probe CTE prunes the scoring join enough that the q53 exclusion precedent does NOT apply")
+    "q117_ivf_pq_topk" -> "q100's encode CTE PLUS q53's pinned-seed assign crossjoin — measured ~3 min at 10x (round 9), passes; the probe CTE prunes the scoring join enough that the q53 exclusion precedent does NOT apply",
+    "q125_ivf_pq_filtered" -> "q117's CTE chain plus the label predicate (which PRUNES the scoring join) — measured ~3 min at 10x (round 9), passes")
 
   /** The scaled oracle sweep: every registered query minus the
     * documented exclusions. Computed from the live registry so a new

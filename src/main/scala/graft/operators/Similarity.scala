@@ -609,6 +609,52 @@ object Similarity {
         col("adist"))
   }
 
+  /** Metadata-filtered IVF-PQ top-k — [[ivfPqTopK]] composed with
+    * [[topKFiltered]]'s predicate: candidates must share the query's
+    * `filterCol` value (tenant/language-scoped compressed search, the
+    * full production vector-DB shape). The filter value is stored
+    * WITH the cell assignment — the covering-index pattern, so the
+    * predicate becomes part of the scoring join's HASH KEY
+    * (cell, filter): non-matching rows are never scored, never even
+    * probed, and the corpus still never shuffles. `cellAssignments`
+    * must carry (idCol, cell, filterCol); `queries` carry their own
+    * filterCol. Output as [[ivfPqTopK]].
+    */
+  def ivfPqTopKFiltered(codes: DataFrame, cellAssignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, m: Int, codebooks: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val (cbIdx, ncw) = denseCodebook(codebooks, m)
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(filterCol).as("__f"),
+        col(vecCol).as("qvec"), sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__f"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("__f"), col("cell"))
+    val probeLuts = probes.join(
+      adcLuts(queries, idCol, vecCol, m, cbIdx, ncw), Seq("query_id"))
+    val pivoted = pivotCodes(codes, idCol, m, cbIdx)
+      .join(cellAssignments.select(col(idCol).as("corpus_id"), col("cell"),
+        col(filterCol).as("__f")), Seq("corpus_id"))
+    val scored = pivoted.join(broadcast(probeLuts), Seq("cell", "__f"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        adcDistExpr(m, ncw).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+        col("adist"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query, the top-k most-similar corpus vectors whose LABEL differs —
     * the near-boundary negatives that make a contrastive batch

@@ -705,7 +705,80 @@ object SimilarityQueries {
       LIMIT $HY_K"""
     })
 
+  // -- V16: metadata-filtered IVF-PQ (Similarity.ivfPqTopKFiltered) —
+  //    the FULL production vector-DB shape: compressed search (q117)
+  //    with q114's metadata predicate, stored covering-index style so
+  //    the filter value is part of the scoring join's hash key
+  //    (cell, label). Candidates outside the query's label are never
+  //    scored; the corpus never shuffles. ---------------------------
+  private val q125 = Q(
+    "q125_ivf_pq_filtered",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cb = Similarity.pqCodebooks(
+        t.embeddings, "vec_id", "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding", PQ_M, cb)
+      val seeds = Similarity.seedCentroids(
+        t.embeddings, "vec_id", "embedding", SEEDMOD)
+      // covering index: the filter column is stored WITH the cell
+      // assignment (AnnIndexPipeline would persist exactly this shape)
+      val cells = Similarity.ivfAssign(t.embeddings, "vec_id", "embedding", seeds)
+        .select(col("vec_id"), col("cell"))
+        .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val queries = t.embeddings.filter(col("vec_id") % PQ_QMOD === 0)
+      Similarity.ivfPqTopKFiltered(enc, cells, seeds, queries, "vec_id",
+          "embedding", "label", PQ_M, cb, NPROBE, PQ_K)
+        .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+          pround(col("adist"), 6).as("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH ${pqBaseSql},
+      v AS (
+        SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, qlab, cell FROM (
+          SELECT v.vec_id AS query_id, v.label AS qlab, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $PQ_QMOD = 0)
+        WHERE rn <= $NPROBE),
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $PQ_QMOD = 0),
+      dists AS (
+        SELECT a.query_id, g.cell, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e
+        JOIN assign g ON g.vec_id = e.vec_id
+        JOIN v cv ON cv.vec_id = e.vec_id
+        JOIN probe p ON p.cell = g.cell AND p.qlab = cv.label
+        JOIN adc a ON a.query_id = p.query_id AND a.sub = e.sub
+          AND a.cw = e.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, g.cell, e.vec_id)
+      SELECT query_id, cell, rank, corpus_id, ${proundSql("adist", 6)} AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+      WHERE rank <= $PQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120)
+      q114, q117, q120, q125)
 }

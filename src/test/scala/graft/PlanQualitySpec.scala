@@ -220,7 +220,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("IVF-PQ scores via a cell hash join — the brute LUT probe is gone") {
-    val p = planOf("q117_ivf_pq_topk")
+    for (q <- Seq("q117_ivf_pq_topk", "q125_ivf_pq_filtered"))
+      assertIvfPqShape(planOf(q))
+  }
+
+  private def assertIvfPqShape(p: String): Unit = {
     // the ONLY nested-loop joins allowed are the two centroid-fanout
     // ranking passes (queries × nlist seeds, corpus × nlist seeds in
     // ivfAssign) — per-row work bounded by nlist ≈ √n, never |corpus|.

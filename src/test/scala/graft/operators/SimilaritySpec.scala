@@ -268,6 +268,61 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("ivfPqTopKFiltered: uniform label ≡ unfiltered; mixed labels never leak") {
+    val dim = 16; val m = 4
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (((i + 1) * 2654435761L + d * 40503L) % 1003L).toFloat / 1003f),
+        (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m, seedMod = 20)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", m, cb)
+    val seeds = Similarity.seedCentroids(corpus, "vec_id", "embedding", 20)
+    val cellsPlain = Similarity.ivfAssign(corpus, "vec_id", "embedding", seeds)
+      .select(col("vec_id"), col("cell"))
+    val cells = cellsPlain
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "corpus_id", "adist").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("corpus_id"), r.getAs[Double]("adist")))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+    // a constant label filters nothing: must equal ivfPqTopK bit-exact
+    val uniform = cellsPlain.withColumn("label", lit(7))
+    val qUniform = queries.withColumn("label", lit(7))
+    assert(rows(Similarity.ivfPqTopKFiltered(enc, uniform, seeds, qUniform,
+        "vec_id", "embedding", "label", m, cb, nprobe = 10, k = 10)) ===
+      rows(Similarity.ivfPqTopK(enc, cellsPlain, seeds, queries,
+        "vec_id", "embedding", m, cb, nprobe = 10, k = 10)))
+
+    // with real labels, no cross-label candidate ever surfaces — and
+    // the result equals the unfiltered run post-filtered + re-ranked
+    val filtered = Similarity.ivfPqTopKFiltered(enc, cells, seeds, queries,
+        "vec_id", "embedding", "label", m, cb, nprobe = 10, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("adist")))
+    val labelOf = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filtered.forall { case (q, c, _, _) => labelOf(q) == labelOf(c) },
+      "cross-label leak")
+    val unfLists = Similarity.ivfPqTopK(enc, cellsPlain, seeds, queries,
+        "vec_id", "embedding", m, cb, nprobe = 10, k = 200)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("adist")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .filter(t => labelOf(t._3) == labelOf(t._1)).take(5)
+        .zipWithIndex.map { case ((_, _, c, d), i) => (c, i + 1, d) }.toSeq)
+      .toMap
+    val gotLists = filtered.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map { case (_, c, r, d) => (c, r, d) }.toSeq)
+      .toMap
+    assert(gotLists === unfLists)
+  }
+
   test("lshTopK restricts candidates to the query's bucket") {
     val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1L),
       "vec_id", "embedding", nBits = 8, k = 3).collect()
