@@ -47,7 +47,8 @@ object Bench {
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q41_asof_join", "q42_interval_pairs",
-    "q43_dedup_clusters", "q57_dedup_clusters_star", "q44_window_suite",
+    "q43_dedup_clusters", "q57_dedup_clusters_star",
+    "q126_quality_survivors", "q44_window_suite",
     "q45_cube", "q87_grouping_sets", "q88_relative_rank",
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",

@@ -590,4 +590,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Quality-aware near-dup survivor selection — the production
+    * cluster-representative rule: instead of the lowest-id survivor
+    * (q39/q112's convention), each near-dup component keeps its
+    * BEST document under the caller's quality ordering
+    * (`qualityCols` descending, in written priority order, final tie
+    * id ascending — callers pass EXACT-valued columns so the ordering
+    * is engine-portable).
+    *
+    * `scored` is the per-doc table (idCol + quality columns); `pairs`
+    * is any near-dup pair set (d1, d2) — [[minhashNearDups]],
+    * [[simhashPairs]], … Unpaired docs form singleton components of
+    * themselves and are always kept. Output = `scored` plus
+    * (component, n_cluster_docs, keep, kept_by).
+    *
+    * Scale shape: components via [[connectedComponents]] (pairs-sized,
+    * not corpus-sized); the verdict is two window passes over ONE
+    * component-keyed exchange of the scored table — the quality
+    * columns ride the same shuffle, the corpus text never moves.
+    */
+  def qualitySurvivors(scored: DataFrame, idCol: String, pairs: DataFrame,
+      qualityCols: Seq[String]): DataFrame = {
+    require(qualityCols.nonEmpty)
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("node", idCol)
+    val withComp = scored
+      .join(comps, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val ord = qualityCols.map(c => col(c).desc) :+ col(idCol).asc
+    val w = Window.partitionBy(col("component")).orderBy(ord: _*)
+    val wAll = Window.partitionBy(col("component"))
+    withComp
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_cluster_docs", count(lit(1)).over(wAll))
+      .withColumn("keep", when(col("__rk") === 1, 1).otherwise(0))
+      .withColumn("kept_by",
+        max(when(col("__rk") === 1, col(idCol))).over(wAll))
+      .drop("__rk")
+  }
 }

@@ -521,6 +521,92 @@ object DedupQueries {
       ORDER BY 1"""
     })
 
+  // -- D13: quality-aware survivor selection (Dedup.qualitySurvivors)
+  //    — each near-dup component (q43's clusters, singletons included)
+  //    keeps its BEST doc under q18's quality score (tie: distinct
+  //    ratio, then id) instead of the lowest id — the production
+  //    representative rule: dedup should drop the WORSE copy. Both
+  //    ordering keys are exactly-rounded integer-ratio doubles, so
+  //    the rank is engine-portable without rounding.
+  private val QS_STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val q126 = Q(
+    "q126_quality_survivors",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = TextFns.tokens(col("text"))
+      val nTok = size(toks)
+      val stopRatio = TextFns.markerCount(toks, QS_STOPWORDS)
+        .cast("double") / nTok
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val punctRatio = length(regexp_replace(col("text"),
+        "[a-zA-Z0-9\\s]", "")).cast("double") / length(col("text"))
+      val score = (
+        when(length(col("text")).between(50, 1000), 1).otherwise(0) +
+          when(nTok >= 20, 1).otherwise(0) +
+          when(stopRatio <= 0.4, 1).otherwise(0) +
+          when(distinctRatio >= 0.3, 1).otherwise(0) +
+          when(punctRatio <= 0.05, 1).otherwise(0)).cast("double") / 5.0
+      val scored = t.documents.select(col("doc_id"),
+        score.as("quality_score"), distinctRatio.as("dr"))
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text",
+        N, LSHTAU, mh)
+      Dedup.qualitySurvivors(scored, "doc_id", pairs,
+          Seq("quality_score", "dr"))
+        .select(col("doc_id"), col("component"),
+          col("n_cluster_docs").cast("long").as("n_cluster_docs"),
+          col("keep"), col("kept_by"),
+          pround(col("quality_score"), 4).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      val nTok = s"len($toksSql)"
+      val stopRatio =
+        s"CAST(${TextFns.markerCountSql(toksSql, QS_STOPWORDS)} AS DOUBLE) / $nTok"
+      val distinctRatio =
+        s"CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok"
+      val punctRatio =
+        s"CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text)"
+      val score = s"""CAST(
+        (CASE WHEN len(text) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END) +
+        (CASE WHEN $nTok >= 20 THEN 1 ELSE 0 END) +
+        (CASE WHEN $stopRatio <= 0.4 THEN 1 ELSE 0 END) +
+        (CASE WHEN $distinctRatio >= 0.3 THEN 1 ELSE 0 END) +
+        (CASE WHEN $punctRatio <= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0"""
+      s"""${lshPipelineCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      prs AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      undirected(a, b) AS (SELECT d1, d2 FROM prs UNION SELECT d2, d1 FROM prs),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+      scored AS (
+        SELECT doc_id, $score AS quality_score, $distinctRatio AS dr
+        FROM documents),
+      lab AS (
+        SELECT s.doc_id, coalesce(l.component, s.doc_id) AS component,
+          s.quality_score, s.dr
+        FROM scored s LEFT JOIN labels l ON l.node = s.doc_id),
+      ranked AS (
+        SELECT doc_id, component, quality_score,
+          row_number() OVER (PARTITION BY component
+            ORDER BY quality_score DESC, dr DESC, doc_id ASC) AS rk,
+          count(*) OVER (PARTITION BY component) AS n_cluster_docs
+        FROM lab),
+      kept AS (SELECT component, doc_id AS kept_by FROM ranked WHERE rk = 1)
+      SELECT r.doc_id, r.component,
+        CAST(r.n_cluster_docs AS BIGINT) AS n_cluster_docs,
+        CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS keep,
+        k.kept_by, ${proundSql("r.quality_score", 4)} AS quality_score
+      FROM ranked r JOIN kept k USING (component)
+      ORDER BY r.doc_id"""
+    })
+
   val all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115)
+    Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
+      q126)
 }

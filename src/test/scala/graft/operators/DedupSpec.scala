@@ -350,4 +350,29 @@ class DedupSpec extends SparkSpec {
     val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
     assert(hamming12 < hamming13)
   }
+
+  test("qualitySurvivors keeps the best-quality doc per component, not the lowest id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pairs: {1,2,3} one component, {5,6} another; 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val scored = Seq(
+      (1L, 0.2, 0.9), (2L, 0.8, 0.1), (3L, 0.8, 0.5), // 3 beats 2 on dr
+      (5L, 0.4, 0.0), (6L, 0.4, 0.0),                 // full tie -> id 5
+      (9L, 0.1, 0.1)
+    ).toDF("doc_id", "q", "dr")
+    val out = Dedup.qualitySurvivors(scored, "doc_id", pairs, Seq("q", "dr"))
+      .select("doc_id", "component", "n_cluster_docs", "keep", "kept_by")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    // component 1 = {1,2,3}: rep is 3 (q 0.8, dr 0.5) — NOT min id 1
+    assert(out(1L) === ((1L, 3L, 0, 3L)))
+    assert(out(2L) === ((1L, 3L, 0, 3L)))
+    assert(out(3L) === ((1L, 3L, 1, 3L)))
+    // component 5 = {5,6}: full quality tie -> lowest id wins
+    assert(out(5L) === ((5L, 2L, 1, 5L)))
+    assert(out(6L) === ((5L, 2L, 0, 5L)))
+    // unpaired doc is its own singleton component, always kept
+    assert(out(9L) === ((9L, 1L, 1, 9L)))
+  }
 }
