@@ -451,5 +451,70 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123)
+  // -- q127: PROGRESSIVE (SOF2) JPEG decode, oracle-gated -------------
+  // q118's DC-only 16x16 images re-encoded with the progressive
+  // progression: interleaved DC-first at Al=1, a DC refinement scan
+  // (successive approximation), then per-component AC-first scans
+  // whose all-zero bands compress into EOB RUNS spanning blocks.
+  // Spark must drive the multi-scan coefficient accumulation (shifted
+  // DC + OR-ed refinement bit + EOBRUN bookkeeping) back to the SAME
+  // closed-form pixels as q118 — the oracle is byte-for-byte q118's
+  // integer/literal-double formula. The AC-refinement scan class is
+  // pinned against the JDK ImageIO codec in JpegProgressiveSpec.
+  private val q127 = Q(
+    "q127_jpeg_progressive",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val flat8 = Array.fill(64)(8)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            def dcOnly(dc: Int) = { val a = new Array[Int](64); a(0) = dc; a }
+            val bytes = graft.operators.Jpeg.jpegEncodeProgressive(JW, JH,
+              Seq((1, 1), (1, 1), (1, 1)), Seq(flat8, flat8, flat8),
+              (c, by, bx) => dcOnly(c match {
+                case 0 => ((d * 5 + bx * 7 + by * 11) % 200).toInt - 100
+                case 1 => ((d * 3 + bx + 2 * by) % 100).toInt - 50
+                case _ => ((d * 7 + 2 * bx + by) % 100).toInt - 50
+              }), dcAl = 1)
+            Row(d, bytes, "image/jpeg")
+          }
+        }(mediaEnc)
+      graft.operators.Jpeg.jpegFeatures(media).orderBy(col("media_id"))
+    },
+    Some {
+      def yv(bx: String, by: String) =
+        s"(128 + (doc_id*5 + ($bx)*7 + ($by)*11) % 200 - 100)"
+      def cb(bx: String, by: String) =
+        s"((doc_id*3 + ($bx) + 2*($by)) % 100 - 50)"
+      def cr(bx: String, by: String) =
+        s"((doc_id*7 + 2*($bx) + ($by)) % 100 - 50)"
+      def ch(e: String) =
+        s"LEAST(255, GREATEST(0, CAST(FLOOR($e + 0.5) AS BIGINT)))"
+      def r(bx: String, by: String) =
+        ch(s"${yv(bx, by)} + 1.402*${cr(bx, by)}")
+      def g(bx: String, by: String) =
+        ch(s"${yv(bx, by)} - 0.344136*${cb(bx, by)} - 0.714136*${cr(bx, by)}")
+      def b(bx: String, by: String) =
+        ch(s"${yv(bx, by)} + 1.772*${cb(bx, by)}")
+      s"""SELECT doc_id AS media_id,
+        CAST($JW AS INT) AS width, CAST($JH AS INT) AS height,
+        CAST(3 AS INT) AS channels,
+        CAST(${r("0", "0")} AS INT) AS p_first_r,
+        CAST(${g("0", "0")} AS INT) AS p_first_g,
+        CAST(${b("0", "0")} AS INT) AS p_first_b,
+        CAST(${r("1", "1")} AS INT) AS p_last_r,
+        CAST(${g("1", "1")} AS INT) AS p_last_g,
+        CAST(${b("1", "1")} AS INT) AS p_last_b,
+        (SELECT CAST(64 * SUM(${r("x", "y")} + ${g("x", "y")}
+                            + ${b("x", "y")}) AS BIGINT)
+         FROM range(0, 2) tx(x), range(0, 2) ty(y)) AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127)
 }
