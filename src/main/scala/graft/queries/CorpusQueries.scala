@@ -207,61 +207,65 @@ object CorpusQueries {
   //    mean is independent of partitioning/summation order.
   //    Scale: two explode→hash-agg passes (shuffle key = token/bigram,
   //    high cardinality, map-side combine) + one broadcast scalar.
-  private val q54 = Q(
-    "q54_bigram_surprise",
-    (s, dir) => {
-      val t = Tpch(s, dir)
-      // Hash-bucketed bigram LM: every count is keyed by the NATIVE
-      // codegen shingle hash (graft_shingle_hashes, same integer
-      // arithmetic as the oracle's list_transform chain), never by
-      // the bigram string — no interpreted HOF string building, and
-      // shuffles carry longs instead of strings. Hash collisions
-      // merge buckets identically in both engines, so parity holds
-      // (a hash-bucketed n-gram model, the standard scale variant).
-      // Instance i of the bigram list pairs with unigram hash i =
-      // its first token's hash.
-      val h = t.documents.select(col("doc_id"),
-        TextFns.shingleHashes(lower(col("text")), 2).as("bh"),
-        TextFns.shingleHashes(lower(col("text")), 1).as("uh"))
-      val bi = h
-        .select(col("doc_id"), col("uh"),
-          posexplode(col("bh")).as(Seq("pos", "bh2")))
-        .select(col("doc_id"), col("bh2"),
-          element_at(col("uh"), col("pos") + 1).as("w1h"))
-      val perDoc = bi.groupBy(col("doc_id"), col("bh2"), col("w1h"))
-        .agg(count(lit(1)).as("cnt"))
-      val cb = perDoc.groupBy(col("bh2")).agg(sum(col("cnt")).as("cb"))
-      val c1 = perDoc.groupBy(col("w1h")).agg(sum(col("cnt")).as("c1"))
-      val voc = h.select(explode(col("uh")).as("u"))
-        .agg(countDistinct(col("u")).as("vsize"))
-      // Bigram vocabulary grows sublinearly in corpus size (Heaps'
-      // law), so the model table broadcasts and the per-doc frame
-      // never reshuffles on the bigram key. (Past the broadcast
-      // bound this degrades gracefully to a shuffle join.)
-      perDoc
-        .join(broadcast(cb), "bh2")
-        .join(broadcast(c1), "w1h")
-        .crossJoin(broadcast(voc))
-        .withColumn("wterm",
-          // cnt as DECIMAL(7,0): 7+28+1 = 36 <= 38 keeps the product
-          // at scale 8 exactly (long x DECIMAL(28,8) would overflow
-          // precision and silently shrink the scale)
-          col("cnt").cast(DecimalType(7, 0)) *
-            ((col("c1") + col("vsize")).cast("double") /
-              (col("cb") + lit(1)).cast("double")).cast(DecimalType(28, 8)))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_bigrams"),
-          pround(sum(col("wterm")).cast("double") / sum(col("cnt")), 4)
-            .as("surprise"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH h AS (
-        SELECT doc_id,
+  /** Per-doc bigram-LM surprise, shared by q54 (raw score) and q129
+    * (CCNet-style bucket selection): (doc_id, lang, n_bigrams,
+    * surprise), surprise = mean add-one-smoothed inverse bigram
+    * probability, rounded portably to 4 decimals.
+    *
+    * Hash-bucketed bigram LM: every count is keyed by the NATIVE
+    * codegen shingle hash (graft_shingle_hashes, same integer
+    * arithmetic as the oracle's list_transform chain), never by
+    * the bigram string — no interpreted HOF string building, and
+    * shuffles carry longs instead of strings. Hash collisions
+    * merge buckets identically in both engines, so parity holds
+    * (a hash-bucketed n-gram model, the standard scale variant).
+    * Instance i of the bigram list pairs with unigram hash i =
+    * its first token's hash.
+    */
+  private def docSurprise(t: Tpch) = {
+    val h = t.documents.select(col("doc_id"), col("lang"),
+      TextFns.shingleHashes(lower(col("text")), 2).as("bh"),
+      TextFns.shingleHashes(lower(col("text")), 1).as("uh"))
+    val bi = h
+      .select(col("doc_id"), col("lang"), col("uh"),
+        posexplode(col("bh")).as(Seq("pos", "bh2")))
+      .select(col("doc_id"), col("lang"), col("bh2"),
+        element_at(col("uh"), col("pos") + 1).as("w1h"))
+    val perDoc = bi.groupBy(col("doc_id"), col("lang"), col("bh2"), col("w1h"))
+      .agg(count(lit(1)).as("cnt"))
+    val cb = perDoc.groupBy(col("bh2")).agg(sum(col("cnt")).as("cb"))
+    val c1 = perDoc.groupBy(col("w1h")).agg(sum(col("cnt")).as("c1"))
+    val voc = h.select(explode(col("uh")).as("u"))
+      .agg(countDistinct(col("u")).as("vsize"))
+    // Bigram vocabulary grows sublinearly in corpus size (Heaps'
+    // law), so the model table broadcasts and the per-doc frame
+    // never reshuffles on the bigram key. (Past the broadcast
+    // bound this degrades gracefully to a shuffle join.)
+    perDoc
+      .join(broadcast(cb), "bh2")
+      .join(broadcast(c1), "w1h")
+      .crossJoin(broadcast(voc))
+      .withColumn("wterm",
+        // cnt as DECIMAL(7,0): 7+28+1 = 36 <= 38 keeps the product
+        // at scale 8 exactly (long x DECIMAL(28,8) would overflow
+        // precision and silently shrink the scale)
+        col("cnt").cast(DecimalType(7, 0)) *
+          ((col("c1") + col("vsize")).cast("double") /
+            (col("cb") + lit(1)).cast("double")).cast(DecimalType(28, 8)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        pround(sum(col("wterm")).cast("double") / sum(col("cnt")), 4)
+          .as("surprise"))
+  }
+
+  /** DuckDB mirror of docSurprise, as a parenthesized subquery. */
+  private val docSurpriseSql = s"""(WITH h AS (
+        SELECT doc_id, lang,
           ${TextFns.shingleHashesSql("lower(text)", 2)} AS bh,
           ${TextFns.shingleHashesSql("lower(text)", 1)} AS uh
         FROM documents),
       bi AS (
-        SELECT doc_id, unnest(bh) AS bh2,
+        SELECT doc_id, lang, unnest(bh) AS bh2,
           unnest(list_slice(uh, 1, len(bh))) AS w1h
         FROM h),
       cb AS (SELECT bh2, count(*) AS cb FROM bi GROUP BY 1),
@@ -269,17 +273,62 @@ object CorpusQueries {
       voc AS (SELECT count(DISTINCT u) AS vsize
         FROM (SELECT unnest(uh) AS u FROM h)),
       terms AS (
-        SELECT b.doc_id,
+        SELECT b.doc_id, b.lang,
           CAST(CAST(c1.c1 + voc.vsize AS DOUBLE) / CAST(cb.cb + 1 AS DOUBLE)
             AS DECIMAL(28,8)) AS term
         FROM bi b
         JOIN cb ON b.bh2 = cb.bh2
         JOIN c1 ON b.w1h = c1.w1h
         CROSS JOIN voc)
-      SELECT doc_id, count(*) AS n_bigrams,
+      SELECT doc_id, lang, count(*) AS n_bigrams,
         ${proundSql("CAST(sum(term) AS DOUBLE) / count(*)", 4)} AS surprise
       FROM terms
-      GROUP BY doc_id
+      GROUP BY doc_id, lang)"""
+
+  private val q54 = Q(
+    "q54_bigram_surprise",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      docSurprise(t)
+        .select(col("doc_id"), col("n_bigrams"), col("surprise"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, n_bigrams, surprise
+      FROM $docSurpriseSql s
+      ORDER BY doc_id"""))
+
+  // -- C10: CCNet-style LM-score bucket selection (q129) — the
+  //    standard perplexity-tercile filter (Wenzek et al. 2020): score
+  //    every document with the corpus bigram LM, split each LANGUAGE
+  //    into head/middle/tail terciles by score, keep head+middle.
+  //    Per-language partitioning is CCNet's own semantics (its LMs
+  //    and cutoffs are per-language) AND the scale story: the tercile
+  //    sort is windowed per lang partition, never a global sort. At
+  //    100 TB a single language is still big — swap exact ntile for
+  //    histogram-derived cutoffs (q38's percentile machinery) at the
+  //    same semantics; ties broken by doc_id keep both deterministic.
+  private val q129 = Q(
+    "q129_ccnet_buckets",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("surprise"), col("doc_id"))
+      docSurprise(t)
+        .withColumn("tc", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("surprise"),
+          when(col("tc") === 1, "head").when(col("tc") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          (col("tc") <= 2).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, lang, n_bigrams, surprise,
+        CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+          AS bucket,
+        CAST(CASE WHEN tc <= 2 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM (SELECT s.*, ntile(3) OVER (PARTITION BY lang
+              ORDER BY surprise, doc_id) AS tc
+            FROM $docSurpriseSql s)
       ORDER BY doc_id"""))
 
   // -- C8: pairwise source distribution drift (operators.Divergence) —
@@ -342,5 +391,6 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122)
+  val all: Seq[Q] =
+    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129)
 }

@@ -606,7 +606,85 @@ object DedupQueries {
       ORDER BY r.doc_id"""
     })
 
+  // -- D15: PARAGRAPH-level exact dedup (q128) — the Dolma-style stage
+  //    between whole-doc exact dedup (q21) and substring span dedup
+  //    (q96): each document is segmented into paragraphs, every
+  //    paragraph that already appeared anywhere earlier in the corpus
+  //    (first occurrence = lowest (doc_id, pidx)) is dropped, and the
+  //    document is reassembled from its surviving paragraphs. The
+  //    synthetic corpus has no newlines, so the segmenter is a fixed
+  //    PARA_W-word chunker (the operator is the corpus-wide
+  //    first-occurrence machinery, not the splitter).
+  //
+  //    Scale shape: paragraphs shuffle ONCE on md5(para) for the
+  //    first-occurrence window (bucket cardinality ≈ distinct-para
+  //    count, uniform by construction of the hash), then once on
+  //    doc_id to reassemble — both keyed exchanges, no joins, no
+  //    corpus×corpus anything. At 100 TB the paragraph table is the
+  //    same O(corpus chars) as the input and each exchange carries it
+  //    exactly once; the window needs no WindowGroupLimit because
+  //    every partition is a tiny duplicate set (P50 = 1 row).
+  private val PARA_W = 10
+  private val q128 = Q(
+    "q128_para_dedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val nPar = floor((size(words) + lit(PARA_W - 1)) / lit(PARA_W)).cast("int")
+      val paras = t.documents.select(
+          col("doc_id"),
+          posexplode(transform(sequence(lit(0), nPar - 1),
+            i => array_join(slice(words, i * PARA_W + 1, lit(PARA_W)), " ")))
+            .as(Seq("pidx", "para")))
+      val w = Window.partitionBy(md5(col("para")))
+        .orderBy(col("doc_id"), col("pidx"))
+      paras
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum(when(!col("keep"), length(col("para"))).otherwise(0L))
+            .as("n_dup_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("keep"), struct(col("pidx"), col("para"))))),
+              st => st.getField("para")),
+            " ")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, ws,
+          unnest(range((len(ws) + ${PARA_W - 1}) // $PARA_W)) AS pidx
+        FROM w),
+      paras AS (
+        SELECT doc_id, pidx,
+          array_to_string(
+            list_slice(ws, pidx * $PARA_W + 1, pidx * $PARA_W + $PARA_W),
+            ' ') AS para
+        FROM idx),
+      marked AS (
+        SELECT doc_id, pidx, para,
+          row_number() OVER (PARTITION BY md5(para)
+            ORDER BY doc_id, pidx) = 1 AS keep
+        FROM paras)
+      SELECT doc_id,
+        count(*) AS n_paras,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN keep THEN 0 ELSE len(para) END) AS BIGINT)
+          AS n_dup_chars,
+        md5(coalesce(
+          string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE keep), ''))
+          AS clean_hash
+      FROM marked
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126)
+      q126, q128)
 }
