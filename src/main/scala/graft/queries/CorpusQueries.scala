@@ -391,6 +391,56 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  // -- C11: WARC crawl-archive interchange (core.WarcTable) — the
+  //    documents table is written as Common-Crawl-layout WARC (one
+  //    gzip member per record, warcinfo + response records,
+  //    length-delimited payloads) and parsed back; the oracle
+  //    aggregates the UNTOUCHED parquet source, so a hash match
+  //    proves the archive round trip is byte-lossless AND that the
+  //    parser's Content-Length accounting matches the oracle's
+  //    independent byte count (strlen = UTF-8 octets). ---------------
+  private val q130 = Q(
+    "q130_warc_roundtrip",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_warc_q130").toString
+      graft.core.WarcTable.write(
+        t.documents.select(
+          concat(lit("urn:graft:doc:"), col("doc_id")).as("record_id"),
+          concat(lit("http://corpus.example/"), col("source"), lit("/"),
+            col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/plain; charset=utf-8").as("content_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+          .repartition(4, col("record_id")),
+        tmp)
+      graft.core.WarcTable.read(s, tmp)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"),
+            "http://corpus\\.example/([^/]+)/", 1).as("source"),
+          substring_index(col("record_id"), ":", -1).cast("long")
+            .as("doc_id"),
+          col("content_length"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("content_length")).as("sum_bytes"),
+          sum(TextFns.rollingHash(col("text"))).as("text_hash_sum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+          AS text_hash_sum,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
-    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129)
+    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130)
 }
