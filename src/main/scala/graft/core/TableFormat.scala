@@ -163,3 +163,46 @@ object JsonlTable {
     read(df.sparkSession, path, df.schema)
   }
 }
+
+/** ORC interchange — the OTHER columnar format of the Hadoop/Hive
+  * ecosystem (many lakehouse estates are ORC-resident; a corpus
+  * engine must hand data to and from them without a parquet detour).
+  * Spark ships a native vectorized ORC reader/writer, so this is the
+  * declarative path end to end — predicate pushdown, column pruning,
+  * and min/max stripe skipping all work exactly as on parquet.
+  *
+  * Scale notes:
+  *  - reads take an EXPLICIT schema (same discipline as
+  *    [[JsonlTable]]) — ORC footers carry types, but pinning the
+  *    schema at the call site keeps silent drift (e.g. a writer
+  *    widening int→long) a loud failure;
+  *  - ORC stripes are splittable regardless of compression, so unlike
+  *    gzip JSONL the file count does not bound read parallelism;
+  *  - nested types (array&lt;float&gt; embeddings) round-trip natively —
+  *    pinned by OrcSpec and the q131 oracle, which hash-compares a
+  *    full write→read round trip of BOTH the documents and embeddings
+  *    tables against the untouched parquet source.
+  */
+object OrcTable {
+  val Compression = "zlib"
+
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", Compression).orc(path)
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("compression", Compression).orc(path)
+
+  /** Write `df` as ORC and read it back under the same schema — the
+    * lossless-interchange primitive q131 oracles.
+    */
+  def roundTrip(df: DataFrame, path: String): DataFrame = {
+    write(df, path)
+    read(df.sparkSession, path, df.schema)
+  }
+}

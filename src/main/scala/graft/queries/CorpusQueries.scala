@@ -441,6 +441,60 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  // -- C12: ORC columnar interchange (core.OrcTable) — documents AND
+  //    embeddings are written as zlib ORC and read back under explicit
+  //    schemas; the oracle aggregates the UNTOUCHED parquet sources.
+  //    The embeddings checksum position-weights each element at 2^-24
+  //    granularity ((i+1)·floor(x·2^24): exact power-of-two scaling of
+  //    a float, so any element corruption, reorder, or truncation the
+  //    ORC round trip could introduce breaks the hash), and the text
+  //    checksum is the per-char rolling hash — so a hash match proves
+  //    both the string AND nested-array paths are lossless. -----------
+  private val q131 = Q(
+    "q131_orc_roundtrip",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc_q131").toString
+      val docs = graft.core.OrcTable.roundTrip(t.documents, s"$tmp/documents")
+      val vecs = graft.core.OrcTable.roundTrip(t.embeddings, s"$tmp/embeddings")
+      val dAgg = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(TextFns.rollingHash(col("text"))).as("checksum"),
+          min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .select(concat(lit("doc:"), col("lang")).as("key"),
+          col("n_rows"), col("checksum"), col("lo"), col("hi"))
+      val vecHash = aggregate(
+        transform(col("embedding"), (x, i) =>
+          (i + 1).cast("long") *
+            floor(x.cast("double") * lit(16777216.0)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val vAgg = vecs.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"), sum(vecHash).as("checksum"),
+          min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+        .select(concat(lit("vec:"), col("label")).as("key"),
+          col("n_rows"), col("checksum"), col("lo"), col("hi"))
+      dAgg.unionByName(vAgg).orderBy(col("key"))
+    },
+    Some(s"""WITH d AS (
+        SELECT 'doc:' || lang AS key, count(*) AS n_rows,
+          CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+            AS checksum,
+          min(doc_id) AS lo, max(doc_id) AS hi
+        FROM documents GROUP BY lang),
+      v AS (
+        SELECT 'vec:' || label AS key, count(*) AS n_rows,
+          CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1,
+                CAST(len(embedding) AS BIGINT)),
+              i -> i * CAST(floor(CAST(embedding[i] AS DOUBLE)
+                * 16777216.0) AS BIGINT))),
+            (x, y) -> x + y)) AS BIGINT) AS checksum,
+          min(vec_id) AS lo, max(vec_id) AS hi
+        FROM embeddings GROUP BY label)
+      SELECT * FROM d UNION ALL SELECT * FROM v
+      ORDER BY key"""))
+
   val all: Seq[Q] =
-    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130)
+    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131)
 }
