@@ -778,7 +778,51 @@ object SimilarityQueries {
       WHERE rank <= $PQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V17: SQ8 scalar-quantized top-k (Similarity.sqTopK) — the
+  //    middle rung of the quantization ladder (float32 q27 → SQ8 here
+  //    → PQ q101): per-dim symmetric max-abs scales, int8 codes via
+  //    the portable floor(x·127/s + 0.5), and pure-INTEGER dot-product
+  //    ranking — exact and order-independent, so unlike the float
+  //    paths the scores need no rounding discipline at all: the
+  //    oracle matches on raw BIGINTs. -------------------------------
+  private val SQ_K = 5
+  private val SQ_DIMS = 64
+  private val q132 = Q(
+    "q132_sq8_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.sqTopK(t.embeddings, queries, "vec_id", "embedding", SQ_K)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("iscore"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH dims AS (
+        SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(q.q, c.q), pr -> pr[1] * pr[2])),
+            (x, y) -> x + y) AS iscore
+        FROM (SELECT * FROM enc WHERE vec_id % $QMOD = 0) q
+        JOIN enc c ON q.vec_id != c.vec_id)
+      SELECT query_id, rank, corpus_id, iscore
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY iscore DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $SQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125)
+      q114, q117, q120, q125, q132)
 }

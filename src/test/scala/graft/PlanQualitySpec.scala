@@ -219,6 +219,24 @@ class PlanQualitySpec extends SparkSpec {
       "q114 must keep the filter in the join condition, not go all-pairs")
   }
 
+  test("SQ8 topK: integer probe, corpus never shuffles, scales broadcast") {
+    val p = planOf("q132_sq8_topk")
+    // three deliberate nested-loop fanouts and no more: the brute
+    // query probe (q27's documented shape — queries broadcast against
+    // the encoded corpus) plus the two 1-ROW scale-table broadcasts
+    // (corpus encode, query encode) — per-row work is bounded by dim,
+    // never |corpus|
+    assert(count(p, "BroadcastNestedLoopJoin") === 3,
+      s"q132 must keep only the probe + two 1-row scale fanouts:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0,
+      s"q132 degraded a join:\n$p")
+    // shuffles: the dim-sized scale agg (map-side combined) and the
+    // per-query ranking window — the corpus codes themselves ride scans
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"q132 grew an unexpected shuffle:\n$p")
+  }
+
   test("IVF-PQ scores via a cell hash join — the brute LUT probe is gone") {
     for (q <- Seq("q117_ivf_pq_topk", "q125_ivf_pq_filtered"))
       assertIvfPqShape(planOf(q))

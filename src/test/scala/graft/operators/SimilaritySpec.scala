@@ -413,4 +413,44 @@ class SimilaritySpec extends SparkSpec {
     assert(even.min > odd.max || odd.min > even.max,
       "projection collapsed the well-separated blobs")
   }
+
+  test("sqEncode: ±maxabs → ±127 exactly, all-zero dims → 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(2.0f, -0.5f, 0.0f)),
+      (2L, Array(-2.0f, 0.25f, 0.0f)), // dim0 maxabs donor (negative)
+      (3L, Array(1.0f, 0.5f, 0.0f))    // dim1 maxabs donor; dim2 all-zero
+    ).toDF("vec_id", "embedding")
+    val scales = Similarity.sqScales(corpus, "embedding")
+    assert(scales.collect().head.getAs[Seq[Double]]("scales") ===
+      Seq(2.0, 0.5, 0.0))
+    val codes = Similarity.sqEncode(corpus, "vec_id", "embedding", scales)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Long]]("sq_code")).toMap
+    assert(codes(1L) === Seq(127L, -127L, 0L))
+    assert(codes(2L) === Seq(-127L, 64L, 0L)) // floor(0.25·127/0.5+0.5)=64
+    assert(codes(3L) === Seq(64L, 127L, 0L))  // floor(63.5+0.5)=64
+  }
+
+  test("sqTopK ranks like full-precision topK on well-separated data") {
+    import spark.implicits._
+    // two tight direction blobs — int8 rounding cannot flip the order
+    val corpus = (1 to 30).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.05f * (i % 5), 0.0f, 0.0f)
+      else Array(0.0f, 0.0f, 1.0f, 0.05f * (i % 5))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2L)
+    val sq = Similarity.sqTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect()
+    // every neighbour comes from the query's own blob
+    assert(sq.forall(r => (r.getAs[Long]("query_id") % 2) ===
+      (r.getAs[Long]("corpus_id") % 2)), "SQ8 crossed the blobs")
+    // deterministic under repartitioning (integer scores, exact sums)
+    val again = Similarity.sqTopK(corpus.repartition(7), queries,
+      "vec_id", "embedding", 5).orderBy("query_id", "rank").collect()
+    assert(again.map(_.toSeq).toSeq ===
+      sq.sortBy(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")))
+        .map(_.toSeq).toSeq)
+  }
 }
