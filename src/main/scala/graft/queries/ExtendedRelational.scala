@@ -594,7 +594,51 @@ object ExtendedRelational {
       ORDER BY source"""
     })
 
+  // -- E15: PageRank (operators.PageRank) — crawl-graph centrality
+  //    over the events-derived link graph (user_id → props.k). Scaled-
+  //    integer arithmetic (millionths, 85/100 damping, dropped
+  //    dangling mass) makes all three unrolled iterations EXACT: the
+  //    oracle replays them with BIGINT `//` and matches bit-for-bit.
+  private val PR_ITERS = 3
+  private val q133 = Q(
+    "q133_pagerank",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val edges = t.events.select(col("user_id").as("src"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", PR_ITERS)
+        .orderBy(col("node"))
+    },
+    Some {
+      def iterSql(prev: String, cur: String) =
+        s"""$cur AS (
+        SELECT n.node,
+          CAST(150000 + (85 * coalesce(s.cs, CAST(0 AS BIGINT))) // 100
+            AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(sum(r.r // e.outdeg) AS BIGINT) AS cs
+          FROM eo e JOIN $prev r ON r.node = e.src
+          GROUP BY e.dst) s ON n.node = s.node)"""
+      val iters = (1 to PR_ITERS)
+        .map(i => iterSql(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n      ")
+      s"""WITH e AS (
+        SELECT DISTINCT user_id AS src,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+        FROM events),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      eo AS (
+        SELECT e.src, e.dst, od.outdeg
+        FROM e JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY src) od
+          ON e.src = od.src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $iters
+      SELECT node, r AS rank_scaled FROM it$PR_ITERS
+      ORDER BY node"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113)
+      q80, q82, q83, q86, q113, q133)
 }
