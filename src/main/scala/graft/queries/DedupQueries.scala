@@ -684,7 +684,59 @@ object DedupQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  // -- D15: URL canonicalization + URL-keyed dedup (UrlFns) — the
+  //    crawl-pipeline step that runs BEFORE text dedup. Four messy
+  //    surface forms are derived deterministically from each document
+  //    (case, default port, fragment, query order, trailing slash);
+  //    forms 0/1 and 2/3 canonicalize to the SAME url, so the group
+  //    sizes and survivors pin every rule. Both engines construct the
+  //    identical raw urls and run the mirrored canonicalizer — one
+  //    keyed shuffle on the canonical url, like every exact dedup. ---
+  private val q134 = Q(
+    "q134_url_dedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val base = expr("doc_id div 4")
+      val raw = t.documents.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Example.COM:80/docs/"), base,
+            lit("/?b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://example.com/docs/"), base, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://CDN.Example.com:443/docs/"), base, lit("/")))
+        .otherwise(
+          concat(lit("https://cdn.example.com/docs/"), base, lit("#x")))
+          .as("url"))
+      raw.select(col("doc_id"),
+          graft.functions.UrlFns.canonicalizeUrl(col("url"))
+            .as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
+        .orderBy(col("canonical_url"))
+    },
+    Some {
+      val canon = graft.functions.UrlFns.canonicalizeUrlSql("url")
+      s"""WITH raw AS (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN 'HTTP://Example.COM:80/docs/' || (doc_id // 4)
+              || '/?b=2&a=1#frag'
+            WHEN 1 THEN 'http://example.com/docs/' || (doc_id // 4)
+              || '?a=1&b=2'
+            WHEN 2 THEN 'https://CDN.Example.com:443/docs/'
+              || (doc_id // 4) || '/'
+            ELSE 'https://cdn.example.com/docs/' || (doc_id // 4) || '#x'
+          END AS url
+        FROM documents)
+      SELECT $canon AS canonical_url,
+        count(*) AS n_dups, min(doc_id) AS survivor
+      FROM raw
+      GROUP BY canonical_url
+      ORDER BY canonical_url"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128)
+      q126, q128, q134)
 }
