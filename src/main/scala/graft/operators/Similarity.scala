@@ -377,13 +377,13 @@ object Similarity {
     * the encoded corpus never shuffles.
     */
   def sqEncode(df: DataFrame, idCol: String, vecCol: String,
-      scales: DataFrame): DataFrame =
+      scales: DataFrame, keep: Seq[String] = Nil): DataFrame =
     df.crossJoin(broadcast(scales))
-      .select(col(idCol),
+      .select(col(idCol) +: keep.map(col) :+
         zip_with(col(vecCol), col("scales"), (x, s) =>
           when(s === 0d, lit(0L)).otherwise(
             floor(x.cast("double") * lit(127.0) / s + lit(0.5))
-              .cast("long"))).as("sq_code"))
+              .cast("long"))).as("sq_code"): _*)
 
   /** Brute-force top-k by int8 dot product (descending; corpus-id
     * tie-break). The integer score sum is exact and order-independent,
@@ -405,6 +405,54 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("sq_code").as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("iscore"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-SQ8: cell-pruned int8 search — the FAISS `IVF…,SQ8` shape,
+    * completing the {brute, IVF} × {float32, SQ8, PQ} matrix ([[topK]]
+    * / [[ivfTopK]] / [[sqTopK]] / here / [[pqAdcTopK]] /
+    * [[ivfPqTopK]]). Cell ranking reuses the pinned seed centroids and
+    * float probe of [[ivfTopK]]; candidate scoring is [[sqTopK]]'s
+    * exact integer dot over the cell's inverted list only.
+    *
+    * Scale shape = [[ivfPqTopK]]'s: centroids and the 1-row scale
+    * table broadcast, the corpus is encoded in place (narrow), and the
+    * scoring join is a broadcast HASH join on cell id — per-query
+    * candidate work |corpus|·nprobe/nlist at 8 bits per dim of scan
+    * bandwidth, and the integer scores keep ranking bit-stable at any
+    * partitioning.
+    */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, k: Int): DataFrame = {
+    val m = resolveSeedMod(corpus, seedMod)
+    val seeds = seedCentroids(corpus, idCol, vecCol, m)
+    val scales = sqScales(corpus, vecCol)
+    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
+    val cCodes = sqEncode(assigned, idCol, vecCol, scales, Seq("cell"))
+      .select(col(idCol).as("corpus_id"), col("cell"),
+        col("sq_code").as("cq"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), sqrt(norm2(col(vecCol))).as("qnorm"))
+    val qScored = qn.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val qCells = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qCodes = sqEncode(qn, "query_id", "qvec", scales)
+      .select(col("query_id"), col("sq_code").as("qq"))
+    val probes = qCells.join(qCodes, "query_id")
+    val scored = cCodes.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
         aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
           lit(0L), (acc, v) => acc + v).as("iscore"))
     val w = Window.partitionBy(col("query_id"))

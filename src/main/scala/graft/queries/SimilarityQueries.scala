@@ -822,7 +822,70 @@ object SimilarityQueries {
       WHERE rank <= $SQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V18: IVF-SQ8 top-k (Similarity.ivfSqTopK) — cell-pruned int8
+  //    search (the FAISS IVF…,SQ8 shape), completing the {brute, IVF}
+  //    × {float32, SQ8, PQ} matrix: q53's pinned seed cells + float
+  //    probe ranking, q132's scales/codes/integer scoring, scoring
+  //    join a broadcast HASH join on cell id (plan pinned like q117).
+  private val q136 = Q(
+    "q136_ivf_sq8_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.ivfSqTopK(t.embeddings, queries, "vec_id", "embedding",
+          SEEDMOD, NPROBE, SQ_K)
+        .select(col("query_id"), col("cell"), col("rank"),
+          col("corpus_id"), col("iscore"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= $NPROBE),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      scored AS (
+        SELECT p.query_id, p.cell, a.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(qe.q, ce.q), pr -> pr[1] * pr[2])),
+            (x, y) -> x + y) AS iscore
+        FROM probe p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN enc qe ON qe.vec_id = p.query_id
+        JOIN enc ce ON ce.vec_id = a.vec_id)
+      SELECT query_id, cell, rank, corpus_id, iscore
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY iscore DESC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $SQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132)
+      q114, q117, q120, q125, q132, q136)
 }

@@ -242,6 +242,21 @@ class PlanQualitySpec extends SparkSpec {
       assertIvfPqShape(planOf(q))
   }
 
+  test("IVF-SQ8 scores via a cell hash join — bounded fanouts only") {
+    val p = planOf("q136_ivf_sq8_topk")
+    // allowed nested-loop joins: the two centroid fanouts (corpus
+    // assign, query probe — per-row work nlist ≈ √n) and the two 1-ROW
+    // scale-table fanouts (corpus encode, query encode — per-row work
+    // dim). The SCORING join must be a broadcast HASH join on cell id.
+    assert(count(p, "BroadcastNestedLoopJoin") === 4,
+      s"q136 must keep only the 4 bounded fanouts:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"q136 must hash-join codes to probes on cell:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0,
+      s"q136 degraded a join:\n$p")
+  }
+
   private def assertIvfPqShape(p: String): Unit = {
     // the ONLY nested-loop joins allowed are the two centroid-fanout
     // ranking passes (queries × nlist seeds, corpus × nlist seeds in

@@ -453,4 +453,29 @@ class SimilaritySpec extends SparkSpec {
       sq.sortBy(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")))
         .map(_.toSeq).toSeq)
   }
+
+  test("ivfSqTopK: nprobe = nlist equals brute sqTopK; pruning keeps blobs") {
+    import spark.implicits._
+    val corpus = (1 to 30).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.05f * (i % 5), 0.0f, 0.0f)
+      else Array(0.0f, 0.0f, 1.0f, 0.05f * (i % 5))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2L)
+    // seedMod 10 → 3 cells; probing ALL of them ≡ the brute scan
+    val full = Similarity.ivfSqTopK(corpus, queries, "vec_id", "embedding",
+        seedMod = 10, nprobe = 3, k = 5)
+      .select("query_id", "rank", "corpus_id", "iscore")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.sqTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id", "iscore")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full === brute)
+    // nprobe=1 prunes to the query's own cell — results stay in-blob
+    val pruned = Similarity.ivfSqTopK(corpus, queries, "vec_id",
+      "embedding", seedMod = 10, nprobe = 1, k = 5).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(r => (r.getAs[Long]("query_id") % 2) ===
+      (r.getAs[Long]("corpus_id") % 2)), "IVF-SQ8 crossed the blobs")
+  }
 }
