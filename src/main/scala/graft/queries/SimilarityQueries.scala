@@ -885,7 +885,59 @@ object SimilarityQueries {
       WHERE rank <= $SQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V19: cluster-balanced selection — the DataComp-style curation
+  //    step: cap how much any one SEMANTIC cluster contributes by
+  //    keeping only the top-B quality-ranked members per IVF cell
+  //    (quality column pluggable; here the documents table's n_chars
+  //    via the vec↔doc join). Without the cap, dense clusters (spam,
+  //    boilerplate) dominate token budgets. One cell-keyed window —
+  //    WindowGroupLimit prunes to B per cell map-side, so the shuffle
+  //    carries ≤ B·nlist rows no matter how skewed the clusters. -----
+  private val CB_B = 10
+  private val q135 = Q(
+    "q135_cluster_balanced",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val seeds = Similarity.seedCentroids(t.embeddings, "vec_id",
+        "embedding", SEEDMOD)
+      val assigned = Similarity.ivfAssign(t.embeddings, "vec_id",
+          "embedding", seeds)
+        .select(col("vec_id"), col("cell"))
+      val joined = assigned.join(
+        t.documents.select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(col("n_chars").desc, col("vec_id").asc)
+      joined.withColumn("sel_rank", row_number().over(w))
+        .filter(col("sel_rank") <= CB_B)
+        .select(col("cell"), col("sel_rank"), col("vec_id"),
+          col("n_chars"))
+        .orderBy(col("cell"), col("sel_rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      sel AS (
+        SELECT a.cell, d.doc_id AS vec_id, d.n_chars,
+          row_number() OVER (PARTITION BY a.cell
+            ORDER BY d.n_chars DESC, d.doc_id ASC) AS sel_rank
+        FROM assign a JOIN documents d ON d.doc_id = a.vec_id)
+      SELECT cell, sel_rank, vec_id, n_chars
+      FROM sel WHERE sel_rank <= $CB_B
+      ORDER BY cell, sel_rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q136)
+      q114, q117, q120, q125, q132, q135, q136)
 }
