@@ -47,6 +47,15 @@ object UrlFns {
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
+  /** Canonical host of a URL (lowercased, default port stripped) —
+    * the aggregation key for domain-level curation (host reputation,
+    * per-domain quotas). */
+  def hostOf(u: Column): Column =
+    regexp_extract(canonicalizeUrl(u), Host, 1)
+
+  def hostOfSql(x: String): String =
+    s"regexp_extract(${canonicalizeUrlSql(x)}, '$Host', 1)"
+
   /** DuckDB mirror of [[canonicalizeUrl]] over the SQL expression `x`
     * (list_filter/list_sort/array_to_string ≡ filter/array_sort/
     * array_join; both engines compare strings bytewise).

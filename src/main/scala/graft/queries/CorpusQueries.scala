@@ -495,6 +495,56 @@ object CorpusQueries {
       SELECT * FROM d UNION ALL SELECT * FROM v
       ORDER BY key"""))
 
+  // -- C13: domain-level reputation stats (UrlFns.hostOf) — the
+  //    RefinedWeb-style curation gate that runs at HOST granularity,
+  //    not document granularity: per canonical host, volume, language
+  //    diversity, mean length, and English share, with a keep verdict
+  //    (enough volume AND enough target-language coverage). Hosts are
+  //    derived from messy per-doc URLs through the full canonicalizer
+  //    (case + default-port variation pinned). One keyed shuffle on
+  //    host — at 100 TB this is the cheap pre-filter that drops whole
+  //    domains before any per-document scoring runs. ----------------
+  private val q137 = Q(
+    "q137_domain_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val url = concat(lit("https://WWW."), col("source"),
+        lit(".Example.COM:443/"), col("lang"), lit("/"), col("doc_id"))
+      t.documents
+        .select(col("lang"), col("n_chars"),
+          graft.functions.UrlFns.hostOf(url).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          pround(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("mean_chars"),
+          pround(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("en_share"),
+          (count(lit(1)) >= 20 &&
+            (sum(when(col("lang") === "en", 1L).otherwise(0L))
+              .cast("double") / count(lit(1)) >= 0.4)).as("keep"))
+        .orderBy(col("host"))
+    },
+    Some {
+      val host = graft.functions.UrlFns.hostOfSql(
+        "'https://WWW.' || source || '.Example.COM:443/' || lang || '/' || doc_id")
+      s"""SELECT $host AS host,
+        count(*) AS n_docs,
+        count(DISTINCT lang) AS n_langs,
+        ${proundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)}
+          AS mean_chars,
+        ${proundSql(
+          "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / count(*)", 4)} AS en_share,
+        (count(*) >= 20 AND
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) >= 0.4) AS keep
+      FROM documents
+      GROUP BY host
+      ORDER BY host"""
+    })
+
   val all: Seq[Q] =
-    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131)
+    Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
+      q137)
 }
