@@ -70,7 +70,10 @@ object Bench {
     "q102_kmeans_fit", "q103_ngram_novelty", "q104_quality_logit",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
-    "q122_jsonl_roundtrip",
+    "q122_jsonl_roundtrip", "q130_warc_roundtrip", "q131_orc_roundtrip",
+    "q128_para_dedup", "q129_ccnet_buckets",
+    "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",
+    "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
