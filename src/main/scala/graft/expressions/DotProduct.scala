@@ -71,3 +71,66 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native INTEGER dot product over two integral arrays — the SQ8
+  * scoring kernel (Similarity.sqTopK / ivfSqTopK). Semantics of
+  *   aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)
+  * but in one tight primitive loop instead of interpreted
+  * per-element lambda bindings. Integer products/sums are exact and
+  * order-independent, so this is trivially bit-identical to the
+  * DuckDB list_reduce oracle; callers guarantee |elements| and
+  * magnitudes keep the accumulation inside Long (int8 codes: |x| ≤
+  * 127 ⇒ overflow needs > 5·10¹⁴ dims).
+  *
+  * Null semantics mirror the HOF chain: null array → null; length
+  * mismatch or null element → null.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType | LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_idot expects integral arrays, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  @inline private def get(a: ArrayData, i: Int, t: DataType): Long =
+    t match {
+      case IntegerType => a.getInt(i).toLong
+      case LongType => a.getLong(i)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    if (la.numElements() != ra.numElements()) return null
+    val lt = left.dataType.asInstanceOf[ArrayType].elementType
+    val rt = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = la.numElements()
+    var i = 0
+    var acc = 0L
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      acc += get(la, i, lt) * get(ra, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}

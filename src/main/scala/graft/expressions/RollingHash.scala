@@ -363,5 +363,12 @@ object GraftExtensions {
         require(children.size == 2, "graft_dot takes two array arguments")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_idot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_idot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_idot takes two array arguments")
+        IntDotProduct(children(0), children(1))
+      }))
   }
 }

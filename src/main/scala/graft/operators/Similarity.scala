@@ -405,13 +405,16 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("sq_code").as("qq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v).as("iscore"))
+        idot(col("cq"), col("qq")).as("iscore"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("iscore").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Native integer dot (expressions.IntDotProduct): exact semantics
+    * of aggregate(zip_with(a,b,*),0L,+) in one primitive loop. */
+  def idot(a: Column, b: Column): Column = call_function("graft_idot", a, b)
 
   /** IVF-SQ8: cell-pruned int8 search — the FAISS `IVF…,SQ8` shape,
     * completing the {brute, IVF} × {float32, SQ8, PQ} matrix ([[topK]]
@@ -453,8 +456,7 @@ object Similarity {
     val scored = cCodes.join(broadcast(probes), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("cell"), col("corpus_id"),
-        aggregate(zip_with(col("cq"), col("qq"), (a, b) => a * b),
-          lit(0L), (acc, v) => acc + v).as("iscore"))
+        idot(col("cq"), col("qq")).as("iscore"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("iscore").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -544,7 +544,47 @@ object CorpusQueries {
       ORDER BY host"""
     })
 
+  // -- C14: corpus snapshot diff (operators.CorpusDiff) — "what
+  //    changed between crawl N and N+1": two deterministic views of
+  //    the documents table (v2 drops every 5th id, adds back ids v1
+  //    lacks, and edits every 11th text) are diffed by ONE id-keyed
+  //    full-outer join that shuffles (id, hash) — never the text.
+  //    added/removed/changed/unchanged counts + id ranges pin all
+  //    four verdict branches. --------------------------------------
+  private val q138 = Q(
+    "q138_corpus_diff",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val v1 = t.documents.filter(col("doc_id") % 7 =!= 0)
+      val v2 = t.documents.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"),
+            lit(" [edited]"))).otherwise(col("text")).as("text"))
+      graft.operators.CorpusDiff.summary(v1, v2, "doc_id", "text")
+    },
+    Some {
+      val ha = TextFns.rollingHashSql("a.text")
+      val hb = TextFns.rollingHashSql("b.text")
+      s"""WITH v1 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 5 != 0),
+      d AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN $ha = $hb THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      SELECT status, count(*) AS n_docs,
+        min(doc_id) AS lo, max(doc_id) AS hi
+      FROM d GROUP BY status ORDER BY status"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137)
+      q137, q138)
 }

@@ -143,6 +143,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native graft_idot ≡ HOF integer fold; null/mismatch semantics") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-127L, 127L))
+    forAll(Gen.listOfN(10, Gen.zip(vecGen, vecGen))) {
+      (pairs: List[(List[Long], List[Long])]) =>
+      whenever(pairs.nonEmpty) {
+        val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }
+          .toDF("a", "b")
+        val hof = aggregate(
+          zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+        df.select(graft.operators.Similarity.idot(col("a"), col("b"))
+            .as("native"), hof.as("hof"))
+          .collect()
+          .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+      }
+    }
+    // length mismatch and null arrays → null, like the HOF chain
+    val edge = Seq((Array(1L, 2L), Array(1L, 2L, 3L)))
+      .toDF("a", "b")
+      .select(graft.operators.Similarity.idot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge.head.isNullAt(0))
+  }
+
   test("delay categorization is total and first-match ordered") {
     import graft.pipeline.Silver
     forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-2000.0, 5000.0)))) {
