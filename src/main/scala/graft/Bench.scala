@@ -255,7 +255,7 @@ object Bench {
         else {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.list(dir).iterator().asScala
-            .filter(_.getFileName.toString.matches("bench_sf0\\.1_r\\d+\\.json"))
+            .filter(_.getFileName.toString.matches("bench_sf0\\.1_r\\d+[a-z]?\\.json"))
             .toSeq.sortBy(_.getFileName.toString).lastOption
             .flatMap { f =>
               """"value":([0-9.]+)""".r
