@@ -455,7 +455,8 @@ object TextAnalysis {
     val nStop = size(filter(array_distinct(toks),
       tk => tk.isin(stopwords.map(lit): _*)))
     t.documents.select(
-      col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_wlen"),
+      col("doc_id"), col("source"), col("lang"), col("text"),
+      nTok.as("n_tokens"), meanLen.as("mean_wlen"),
       dupFrac.as("dup_frac"), nStop.as("n_stop"),
       when(nTok.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS), 1)
         .otherwise(0).as("r_nwords"),
@@ -475,7 +476,8 @@ object TextAnalysis {
     val dupFrac =
       s"(1.0 - CAST(len(list_distinct($toksSql2)) AS DOUBLE) / $nTok)"
     val nStop = markerCountSql(s"list_distinct($toksSql2)", stopwords)
-    s"""SELECT doc_id, $nTok AS n_tokens, $meanLen AS mean_wlen,
+    s"""SELECT doc_id, source, lang, text,
+      $nTok AS n_tokens, $meanLen AS mean_wlen,
       $dupFrac AS dup_frac, $nStop AS n_stop,
       CASE WHEN $nTok BETWEEN $GOPHER_MIN_WORDS AND $GOPHER_MAX_WORDS
         THEN 1 ELSE 0 END AS r_nwords,
@@ -589,7 +591,100 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  // -- T15: END-TO-END curation funnel — the FineWeb/RefinedWeb stage
+  //    chain in one DAG, reported per source: input → URL-canonical
+  //    dedup (q134's rules) → language gate → Gopher quality rules
+  //    (q110's flags) → exact text dedup — each stage's survivor
+  //    count from CUMULATIVE flags computed in one pass: two windows
+  //    (canonical-url, text-hash) + one map-side-combined agg; the
+  //    corpus text never re-scans between stages. The exact-dedup
+  //    window orders survivors first (s3 DESC, doc_id) so a dropped
+  //    doc never claims a surviving duplicate's slot. ---------------
+  private val q139 = Q(
+    "q139_curation_funnel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val base = expr("doc_id div 4")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Example.COM:80/docs/"), base,
+            lit("/?b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://example.com/docs/"), base, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://CDN.Example.com:443/docs/"), base, lit("/")))
+        .otherwise(
+          concat(lit("https://cdn.example.com/docs/"), base, lit("#x")))
+      val gpass = col("r_nwords") * col("r_meanlen") * col("r_stop") *
+        col("r_dupfrac") === 1
+      val w1 = Window.partitionBy(col("curl")).orderBy(col("doc_id").asc)
+      val staged = gopherFlags(t)
+        .withColumn("curl", graft.functions.UrlFns.canonicalizeUrl(url))
+        .withColumn("url_rn", row_number().over(w1))
+        .withColumn("s1", (col("url_rn") === 1).cast("int"))
+        .withColumn("s2", (col("s1") === 1 && col("lang") === "en")
+          .cast("int"))
+        .withColumn("s3", (col("s2") === 1 && gpass).cast("int"))
+        .withColumn("h", TextFns.rollingHash(col("text")))
+      val w2 = Window.partitionBy(col("h"))
+        .orderBy(col("s3").desc, col("doc_id").asc)
+      staged.withColumn("hrn", row_number().over(w2))
+        .withColumn("s4",
+          (col("s3") === 1 && col("hrn") === 1).cast("int"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_input"),
+          sum(col("s1")).cast("long").as("after_url"),
+          sum(col("s2")).cast("long").as("after_lang"),
+          sum(col("s3")).cast("long").as("after_gopher"),
+          sum(col("s4")).cast("long").as("after_exact"),
+          pround(sum(col("s4")).cast("double") / count(lit(1)), 4)
+            .as("retention"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val canon = graft.functions.UrlFns.canonicalizeUrlSql("url")
+      s"""WITH g AS ($gopherFlagsSql),
+      u AS (
+        SELECT *,
+          CASE doc_id % 4
+            WHEN 0 THEN 'HTTP://Example.COM:80/docs/' || (doc_id // 4)
+              || '/?b=2&a=1#frag'
+            WHEN 1 THEN 'http://example.com/docs/' || (doc_id // 4)
+              || '?a=1&b=2'
+            WHEN 2 THEN 'https://CDN.Example.com:443/docs/'
+              || (doc_id // 4) || '/'
+            ELSE 'https://cdn.example.com/docs/' || (doc_id // 4) || '#x'
+          END AS url
+        FROM g),
+      c AS (SELECT *, $canon AS curl FROM u),
+      r1 AS (
+        SELECT *, row_number() OVER (PARTITION BY curl
+          ORDER BY doc_id) AS url_rn FROM c),
+      st AS (
+        SELECT *,
+          CASE WHEN url_rn = 1 THEN 1 ELSE 0 END AS s1,
+          CASE WHEN url_rn = 1 AND lang = 'en' THEN 1 ELSE 0 END AS s2,
+          CASE WHEN url_rn = 1 AND lang = 'en'
+            AND r_nwords * r_meanlen * r_stop * r_dupfrac = 1
+            THEN 1 ELSE 0 END AS s3,
+          ${TextFns.rollingHashSql("text")} AS h
+        FROM r1),
+      s4t AS (
+        SELECT *, row_number() OVER (PARTITION BY h
+          ORDER BY s3 DESC, doc_id ASC) AS hrn FROM st)
+      SELECT source, count(*) AS n_input,
+        CAST(sum(s1) AS BIGINT) AS after_url,
+        CAST(sum(s2) AS BIGINT) AS after_lang,
+        CAST(sum(s3) AS BIGINT) AS after_gopher,
+        CAST(sum(CASE WHEN s3 = 1 AND hrn = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS after_exact,
+        ${proundSql(
+          "CAST(sum(CASE WHEN s3 = 1 AND hrn = 1 THEN 1 ELSE 0 END) " +
+            "AS DOUBLE) / count(*)", 4)} AS retention
+      FROM s4t GROUP BY source ORDER BY source"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124)
+      q110, q111, q124, q139)
 }
