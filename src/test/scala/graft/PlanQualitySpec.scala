@@ -237,6 +237,33 @@ class PlanQualitySpec extends SparkSpec {
       s"q132 grew an unexpected shuffle:\n$p")
   }
 
+  test("curation funnel is ONE documents scan — stages share flags, no rejoin") {
+    val p = planOf("q139_curation_funnel")
+    assert(count(p, "Scan parquet") === 1,
+      s"q139 must compute every stage's flags from one scan:\n$p")
+    assert(count(p, "Join") === 0,
+      s"q139 must not join stages back together:\n$p")
+  }
+
+  test("URL dedup and domain stats are narrow + one keyed shuffle") {
+    for (q <- Seq("q134_url_dedup", "q137_domain_stats")) {
+      val p = planOf(q)
+      assert(count(p, "Join") === 0, s"$q grew a join:\n$p")
+      assert(count(p, "Scan parquet") === 1, s"$q re-scanned:\n$p")
+    }
+  }
+
+  test("PageRank never goes all-pairs; iteration state is checkpointed") {
+    val p = planOf("q133_pagerank")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "BroadcastNestedLoopJoin") === 0,
+      s"q133 must join contributions on src, never all-pairs:\n$p")
+    // localCheckpoint per iteration → the final plan reads scanned
+    // RDD state, not a 3-iteration lineage of nested joins
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"q133 lost its per-iteration localCheckpoint:\n$p")
+  }
+
   test("IVF-PQ scores via a cell hash join — the brute LUT probe is gone") {
     for (q <- Seq("q117_ivf_pq_topk", "q125_ivf_pq_filtered"))
       assertIvfPqShape(planOf(q))
