@@ -74,6 +74,7 @@ object Bench {
     "q128_para_dedup", "q129_ccnet_buckets",
     "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
+    "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -83,7 +84,8 @@ object Bench {
     * would actually ship at 100 TB.
     */
   private val quadraticExact =
-    Set("q22_jaccard_pairs", "q26_cosine_neardup", "q115_lsh_recall")
+    Set("q22_jaccard_pairs", "q26_cosine_neardup", "q115_lsh_recall",
+      "q140_simhash_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -19,6 +19,7 @@ object SweepSets {
     "q41_asof_join" -> "replica set violates the unique-(key,ts) precondition: as-of ties among identical-timestamp twins are arbitrary in any engine",
     "q24_minhash_lsh_pairs" -> "LSH oracle CTEs re-derive candidates with interpreted list lambdas — minutes-to-hours single-node at 10x",
     "q115_lsh_recall" -> "exact side is q22's quadratic inverted-index oracle AND the LSH CTEs — doubly 10x-infeasible in DuckDB; the audit runs on samples at scale by design",
+    "q140_simhash_recall" -> "exact side is all-pairs hamming (q25's oracle shape) — quadratic in DuckDB at 10x; the audit runs on samples at scale by design (q115 precedent)",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
     "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
     "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",

@@ -591,6 +591,43 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** SimHash banding recall audit — the MEASURED counterpart of the
+    * pigeonhole guarantee [[simhashPairs]] relies on (the SimHash
+    * sibling of q115's MinHash-LSH audit): per hamming distance up to
+    * `hMax`, how many document pairs share at least one of the
+    * 64/bandBits bands. Hamming ≤ nBands−1 MUST read recall 1.0 — a
+    * pair with fewer flipped bits than bands always leaves one band
+    * intact — and beyond it the decay IS the banding's measured miss
+    * rate (the number a recall dial like bandBits=8 would buy back).
+    *
+    * The exact side is deliberately all-pairs (like q22/q26:
+    * correctness baseline, bench-gated above sf0.1); at corpus scale
+    * the audit runs on hash-sampled slices, same recipe as q115.
+    * Candidacy is a pure pair predicate on the two fingerprints
+    * (band-masked equality), so the audit needs no second
+    * pair-generation dataflow that could itself be wrong.
+    */
+  def simhashRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, hMax: Int, bandBits: Int = 16): DataFrame = {
+    require(bandBits > 0 && 64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    val fp = simhashDF(docs, idCol, textCol, n)
+    val a = fp.select(col(idCol).as("d1"), col("simhash").as("h1"))
+    val b = fp.select(col(idCol).as("d2"), col("simhash").as("h2"))
+    val cand = (0 until nBands).map { k =>
+      val m =
+        if (bandBits == 64) -1L
+        else ((1L << bandBits) - 1L) << (bandBits * k)
+      col("h1").bitwiseAND(lit(m)) === col("h2").bitwiseAND(lit(m))
+    }.reduce(_ || _)
+    a.join(b, col("d1") < col("d2"))
+      .select(bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"),
+        cand.cast("long").as("cand"))
+      .filter(col("hamming") <= hMax)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cand")).as("n_cands"))
+  }
+
   /** Quality-aware near-dup survivor selection — the production
     * cluster-representative rule: instead of the lowest-id survivor
     * (q39/q112's convention), each near-dup component keeps its

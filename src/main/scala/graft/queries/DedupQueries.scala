@@ -38,6 +38,20 @@ object DedupQueries {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr),
        | (h, m) -> (h * 31 + m) % $P)""".stripMargin
 
+  /** 64-bit SimHash fingerprint over a CTE column `ths` (the distinct
+    * shingle-hash set) — bit k from an independent rehash of each
+    * shingle hash, mirroring Dedup.simhashDF:
+    * g_k = ((h+1)·(2654435761+40503k)) % P; disjoint powers assembled
+    * with | (bit 63 is the sign bit). Shared by q25 and q140.
+    */
+  private lazy val simhashBitsSql: String = (0 until 64).map { k =>
+    val mult = 2654435761L + 40503L * k
+    s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | list_transform(ths,
+       |   h -> (((h + 1) * $mult) % $P & 1) * 2 - 1)),
+       | (a, b) -> a + b) > 0 THEN ${1L << k} ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  }.mkString(" | ")
+
   // -- D1: exact dedup — keep latest event per (user_id, event_type) ---
   private val q21 = Q(
     "q21_exact_dedup",
@@ -161,19 +175,8 @@ object DedupQueries {
         .orderBy(col("d1"), col("d2"))
     },
     Some {
-      val ths = shingleSetSql
-      // bit k from an independent rehash of each shingle hash —
-      // mirrors Dedup.simhashDF: g_k = ((h+1)·(2654435761+40503k)) % P;
-      // disjoint powers assembled with | (bit 63 is the sign bit)
-      val bits = (0 until 64).map { k =>
-        val mult = 2654435761L + 40503L * k
-        s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-           | list_transform(ths,
-           |   h -> (((h + 1) * $mult) % ${graft.functions.TextFns.P} & 1) * 2 - 1)),
-           | (a, b) -> a + b) > 0 THEN ${1L << k} ELSE CAST(0 AS BIGINT) END)""".stripMargin
-      }.mkString(" | ")
-      s"""WITH th AS (SELECT doc_id, $ths AS ths FROM documents),
-      sh AS (SELECT doc_id, $bits AS simhash FROM th)
+      s"""WITH th AS (SELECT doc_id, $shingleSetSql AS ths FROM documents),
+      sh AS (SELECT doc_id, $simhashBitsSql AS simhash FROM th)
       SELECT a.doc_id AS d1, b.doc_id AS d2,
         bit_count(xor(a.simhash, b.simhash)) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -736,7 +739,44 @@ object DedupQueries {
       ORDER BY canonical_url"""
     })
 
+  // -- D16: SimHash banding recall audit (Dedup.simhashRecallAudit) —
+  //    the SimHash sibling of q115: per hamming distance ≤ SH_HMAX,
+  //    the fraction of pairs the 4×16-bit banding would surface.
+  //    Hamming ≤ 3 rows MUST read recall 1.0 (the pigeonhole bound
+  //    q25's dataflow relies on, here measured rather than asserted);
+  //    the decay beyond it is the dial a smaller bandBits buys back.
+  //    Exact side all-pairs (bench-gated above sf0.1, like q22/q26).
+  private val SH_HMAX = 16
+  private val q140 = Q(
+    "q140_simhash_recall",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.simhashRecallAudit(graft.core.Scan.fanOut(t.documents),
+          "doc_id", "text", N, SH_HMAX)
+        .select(col("hamming"), col("n_pairs"), col("n_cands"),
+          pround(col("n_cands").cast("double") / col("n_pairs"), 4)
+            .as("recall"))
+        .orderBy(col("hamming"))
+    },
+    Some {
+      val masks = (0 until 4).map { k =>
+        val m = ((1L << 16) - 1L) << (16 * k)
+        s"(a.simhash & ($m)) = (b.simhash & ($m))"
+      }.mkString(" OR ")
+      s"""WITH th AS (SELECT doc_id, $shingleSetSql AS ths FROM documents),
+      sh AS (SELECT doc_id, $simhashBitsSql AS simhash FROM th),
+      p AS (
+        SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+          CASE WHEN $masks THEN 1 ELSE 0 END AS cand
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT hamming, count(*) AS n_pairs,
+        CAST(sum(cand) AS BIGINT) AS n_cands,
+        ${proundSql("CAST(sum(cand) AS DOUBLE) / count(*)", 4)} AS recall
+      FROM p WHERE hamming <= $SH_HMAX
+      GROUP BY hamming ORDER BY hamming"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134)
+      q126, q128, q134, q140)
 }

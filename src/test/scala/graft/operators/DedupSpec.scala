@@ -375,4 +375,28 @@ class DedupSpec extends SparkSpec {
     // unpaired doc is its own singleton component, always kept
     assert(out(9L) === ((9L, 1L, 1, 9L)))
   }
+
+  test("simhashRecallAudit: recall is EXACTLY 1.0 for hamming <= bands-1") {
+    import spark.implicits._
+    // near-dup mutations + unrelated docs give a hamming spread
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with remarkable persistence every single day"
+    val docs = ((1 to 12).map(i =>
+        (i.toLong, base + s" variation token$i number$i")) ++
+      (13 to 24).map(i =>
+        (i.toLong, s"completely different corpus line $i about " +
+          s"spark partitions shuffles and catalyst optimizer rules $i")))
+      .toDF("doc_id", "text")
+    val audit = Dedup.simhashRecallAudit(docs, "doc_id", "text",
+        n = 3, hMax = 64).collect()
+    assert(audit.nonEmpty)
+    // the pigeonhole bound, measured: 4 bands / hamming <= 3 -> every
+    // pair is a banding candidate
+    for (r <- audit if r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("n_cands") === r.getAs[Long]("n_pairs"),
+        s"banding missed a pair at hamming ${r.getAs[Int]("hamming")}")
+    // candidate counts never exceed pair counts
+    for (r <- audit)
+      assert(r.getAs[Long]("n_cands") <= r.getAs[Long]("n_pairs"))
+  }
 }
