@@ -684,7 +684,70 @@ object TextAnalysis {
       FROM s4t GROUP BY source ORDER BY source"""
     })
 
+  // -- T16: quality-signal ENSEMBLE selection — no single quality
+  //    signal survives contact with a real corpus, so production
+  //    curation fuses several. Here: reciprocal-rank fusion (q120's
+  //    calibration-free recipe, applied to CURATION instead of
+  //    retrieval) over three independent per-source rankings — token
+  //    count, distinct-token ratio (1 − dup_frac), stopword coverage —
+  //    then top-B per source by fused score. All four windows share
+  //    ONE source-partitioned exchange (sorts differ, partitioning
+  //    doesn't), and the RRF sum is three exactly-rounded divisions in
+  //    written order ⇒ bit-exact doubles, no calibration, no libm. ---
+  private val RRF_K = 60
+  private val ENS_B = 5
+  private val q141 = Q(
+    "q141_quality_ensemble",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val ws = Window.partitionBy(col("source"))
+      val staged = gopherFlags(t)
+        .withColumn("r_tokens", row_number().over(
+          ws.orderBy(col("n_tokens").desc, col("doc_id").asc)))
+        .withColumn("r_distinct", row_number().over(
+          ws.orderBy(col("dup_frac").asc, col("doc_id").asc)))
+        .withColumn("r_stopw", row_number().over(
+          ws.orderBy(col("n_stop").desc, col("doc_id").asc)))
+      val rrf = lit(1.0) / (lit(RRF_K) + col("r_tokens")) +
+        lit(1.0) / (lit(RRF_K) + col("r_distinct")) +
+        lit(1.0) / (lit(RRF_K) + col("r_stopw"))
+      staged.withColumn("rrf_score", rrf)
+        .withColumn("sel_rank", row_number().over(
+          ws.orderBy(col("rrf_score").desc, col("doc_id").asc)))
+        .filter(col("sel_rank") <= ENS_B)
+        .select(col("source"), col("sel_rank"), col("doc_id"),
+          col("r_tokens"), col("r_distinct"), col("r_stopw"),
+          pround(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("source"), col("sel_rank"))
+    },
+    Some(s"""WITH g AS ($gopherFlagsSql),
+      r AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id ASC) AS r_tokens,
+          row_number() OVER (PARTITION BY source
+            ORDER BY dup_frac ASC, doc_id ASC) AS r_distinct,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_stop DESC, doc_id ASC) AS r_stopw
+        FROM g),
+      f AS (
+        SELECT *, 1.0 / ($RRF_K + r_tokens) + 1.0 / ($RRF_K + r_distinct)
+            + 1.0 / ($RRF_K + r_stopw) AS rrf_score
+        FROM r),
+      sel AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY rrf_score DESC, doc_id ASC) AS sel_rank
+        FROM f)
+      SELECT source, sel_rank, doc_id,
+        CAST(r_tokens AS INT) AS r_tokens,
+        CAST(r_distinct AS INT) AS r_distinct,
+        CAST(r_stopw AS INT) AS r_stopw,
+        ${proundSql("rrf_score", 6)} AS rrf_score
+      FROM sel WHERE sel_rank <= $ENS_B
+      ORDER BY source, sel_rank"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139)
+      q110, q111, q124, q139, q141)
 }

@@ -264,6 +264,14 @@ class PlanQualitySpec extends SparkSpec {
       s"q133 lost its per-iteration localCheckpoint:\n$p")
   }
 
+  test("quality ensemble: four windows share ONE source exchange") {
+    val p = planOf("q141_quality_ensemble")
+    assert(count(p, "Scan parquet") === 1 && count(p, "Join") === 0,
+      s"q141 must stay one scan, no joins:\n$p")
+    assert(count(p, "Exchange hashpartitioning") === 1,
+      s"q141's four source-partitioned windows must reuse one exchange:\n$p")
+  }
+
   test("IVF-PQ scores via a cell hash join — the brute LUT probe is gone") {
     for (q <- Seq("q117_ivf_pq_topk", "q125_ivf_pq_filtered"))
       assertIvfPqShape(planOf(q))
