@@ -35,7 +35,16 @@ object RunValidations {
       "gold/dim_airport" -> FlightSuites.dimAirport,
       "gold/dim_route" -> FlightSuites.dimRoute,
       "gold/fact_flights" -> FlightSuites.factFlights)
-    suites.map { case (table, suite) =>
+    // corpus-side layers validate only when present — a flights-only
+    // warehouse is complete without them, but a landed corpus is
+    // gated exactly like the marts (see quality.CorpusSuites)
+    val corpusSuites = Seq(
+      "corpus/documents" -> graft.quality.CorpusSuites.documents,
+      "corpus/embeddings" -> graft.quality.CorpusSuites.embeddings())
+      .filter { case (table, _) =>
+        new java.io.File(s"$wh/$table").isDirectory
+      }
+    (suites ++ corpusSuites).map { case (table, suite) =>
       val report =
         try Some(Expectations.validate(
           ParquetTable.read(spark, s"$wh/$table"), suite))

@@ -77,4 +77,36 @@ class ExpectationsSpec extends SparkSpec {
     assert(validate(fact, FlightSuites.factFlights).success,
       validate(fact, FlightSuites.factFlights).summary)
   }
+
+  test("corpus suites pass on the testdata tables, one scan each") {
+    val t = graft.core.Tables.Tpch(spark, "/root/testdata/sf0.001")
+    val docs = validate(t.documents, CorpusSuites.documents)
+    assert(docs.success, docs.summary)
+    val vecs = validate(t.embeddings, CorpusSuites.embeddings())
+    assert(vecs.success, vecs.summary)
+  }
+
+  test("corpus suites catch the defects they claim to") {
+    import spark.implicits._
+    // drifted n_chars + out-of-domain lang
+    val badDocs = Seq(
+      (1L, "hello world", "en", "src0", 11L),
+      (2L, "short", "xx", "src0", 99L)) // lang out of domain, n_chars wrong
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = validate(badDocs, CorpusSuites.documents)
+    val failed = r.results.filterNot(_.success).map(_.name)
+    assert(failed.exists(_.startsWith("in_set(lang")), r.summary)
+    assert(failed.exists(_.contains("n_chars_matches_text")), r.summary)
+    // NaN embedding + ragged dims + duplicate key
+    val badVecs = Seq(
+      (1L, Array(1.0f, Float.NaN), 3),
+      (1L, Array(1.0f), 12))
+      .toDF("vec_id", "embedding", "label")
+    val v = validate(badVecs, CorpusSuites.embeddings(dims = 2))
+    val vf = v.results.filterNot(_.success).map(_.name)
+    assert(vf.exists(_.contains("embedding_all_finite")), v.summary)
+    assert(vf.exists(_.contains("embedding_dim_2")), v.summary)
+    assert(vf.exists(_.startsWith("unique(vec_id")), v.summary)
+    assert(vf.exists(_.startsWith("between(label")), v.summary)
+  }
 }
