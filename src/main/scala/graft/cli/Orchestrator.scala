@@ -179,6 +179,27 @@ object Orchestrator {
       require(graft.pipeline.AnnIndexPipeline.validateIndex(
         spark, indexDir, m), "ann index invariants violated")))
 
+  /** Document-corpus CURATION DAG: fold newly landed doc batches
+    * through the q139 funnel (URL dedup → language gate → Gopher
+    * rules → exact dedup, in-batch AND against the stored curated-
+    * corpus hash table), then validate the curated-corpus invariants.
+    * The standing-pipeline form of the curation funnel, and the third
+    * sibling next to [[dedupDag]] / [[annDag]]: steady-state cost is
+    * O(delta) because the cross-corpus stage joins stored HASHES, not
+    * text.
+    */
+  def curationDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, curDir: String,
+      keepLangs: Seq[String]): Seq[TaskDef] = Seq(
+    TaskDef("curation_fold", Nil, () => {
+      graft.pipeline.CurationPipeline.foldNewDocFiles(
+        spark, curDir, watchDir, keepLangs)
+      ()
+    }),
+    TaskDef("curation_validate", Seq("curation_fold"), () =>
+      require(graft.pipeline.CurationPipeline.validateCurated(spark, curDir),
+        "curated corpus invariants violated")))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(

@@ -445,7 +445,8 @@ object TextAnalysis {
   private val GOPHER_MAX_DUPFRAC = 0.55
 
   /** Per-doc raw metrics + rule flags (shared by q110/q111). */
-  private def gopherFlags(t: Tpch) = {
+  def gopherFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val meanLen = aggregate(toks, lit(0L), (a, tk) => a + length(tk))
@@ -454,7 +455,7 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("double") / nTok
     val nStop = size(filter(array_distinct(toks),
       tk => tk.isin(stopwords.map(lit): _*)))
-    t.documents.select(
+    docs.select(
       col("doc_id"), col("source"), col("lang"), col("text"),
       nTok.as("n_tokens"), meanLen.as("mean_wlen"),
       dupFrac.as("dup_frac"), nStop.as("n_stop"),
@@ -493,7 +494,7 @@ object TextAnalysis {
     "q110_gopher_rules",
     (s, dir) => {
       val t = Tpch(s, dir)
-      gopherFlags(t).select(
+      gopherFlags(t.documents).select(
           col("doc_id"), col("n_tokens"),
           pround(col("mean_wlen"), 4).as("mean_wlen"),
           pround(col("dup_frac"), 4).as("dup_frac"),
@@ -519,7 +520,7 @@ object TextAnalysis {
     "q111_filter_funnel",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val f = gopherFlags(t)
+      val f = gopherFlags(t.documents)
       val after1 = col("r_nwords")
       val after2 = after1 * col("r_meanlen")
       val after3 = after2 * col("r_stop")
@@ -618,7 +619,7 @@ object TextAnalysis {
       val gpass = col("r_nwords") * col("r_meanlen") * col("r_stop") *
         col("r_dupfrac") === 1
       val w1 = Window.partitionBy(col("curl")).orderBy(col("doc_id").asc)
-      val staged = gopherFlags(t)
+      val staged = gopherFlags(t.documents)
         .withColumn("curl", graft.functions.UrlFns.canonicalizeUrl(url))
         .withColumn("url_rn", row_number().over(w1))
         .withColumn("s1", (col("url_rn") === 1).cast("int"))
@@ -702,7 +703,7 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val t = Tpch(s, dir)
       val ws = Window.partitionBy(col("source"))
-      val staged = gopherFlags(t)
+      val staged = gopherFlags(t.documents)
         .withColumn("r_tokens", row_number().over(
           ws.orderBy(col("n_tokens").desc, col("doc_id").asc)))
         .withColumn("r_distinct", row_number().over(

@@ -258,4 +258,56 @@ class OrchestratorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/codes").count() === codesBefore)
     assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1, 2))
   }
+  test("curation DAG: funnel fold, cross-corpus exact dedup, idempotent") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("curation_dag")
+    val watch = Files.createDirectories(tmp.resolve("landing")).toString
+    val cur = tmp.resolve("curated").toString
+    // a text that PASSES all four gopher rules: 60 words, sane mean
+    // length, stopwords present, low dup fraction
+    val good = (1 to 60).map(i => s"the quick word$i of text and").mkString(" ")
+      .split(" ").distinct.mkString(" ") + " " +
+      (1 to 45).map(i => s"filler$i").mkString(" ")
+
+    def statuses() = runDag(curationDag(spark, watch, cur, Seq("en")))
+      .map(r => r.name -> r.status).toMap
+
+    // batch 1: 1 survives; 2 is a URL-dup of 1 (same canonical);
+    // 3 fails the lang gate; 4 fails gopher (tiny text)
+    Seq(
+      (1L, "HTTP://Example.COM:80/a?b=2&a=1#f", "en", "s0", good),
+      (2L, "http://example.com/a?a=1&b=2", "en", "s0", good + " tail1"),
+      (3L, "http://example.com/b", "fr", "s0", good + " tail2"),
+      (4L, "http://example.com/c", "en", "s0", "too short"))
+      .toDF("doc_id", "url", "lang", "source", "text")
+      .write.parquet(s"$watch/batch1.parquet")
+    assert(statuses() === Map("curation_fold" -> Succeeded,
+      "curation_validate" -> Succeeded))
+    assert(spark.read.parquet(s"$cur/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+
+    // batch 2: 5 is an exact text dup of curated 1 -> CROSS-corpus
+    // drop via stored hashes; 6 is new and survives
+    Seq(
+      (5L, "http://example.com/d", "en", "s0", good),
+      (6L, "http://example.com/e", "en", "s0", good + " novel ending"))
+      .toDF("doc_id", "url", "lang", "source", "text")
+      .write.parquet(s"$watch/batch2.parquet")
+    assert(statuses() === Map("curation_fold" -> Succeeded,
+      "curation_validate" -> Succeeded))
+    assert(spark.read.parquet(s"$cur/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 6L))
+
+    // funnel metrics: batch-2 row shows the cross-corpus drop
+    val m2 = spark.read.parquet(s"$cur/metrics")
+      .filter(col("src_file") === "batch2.parquet").head()
+    assert(m2.getAs[Long]("after_gopher") === 2L)
+    assert(m2.getAs[Long]("after_exact") === 1L)
+
+    // marker-log idempotence: re-run with no new files is a no-op
+    val before = spark.read.parquet(s"$cur/curated").count()
+    assert(statuses()("curation_fold") === Succeeded)
+    assert(spark.read.parquet(s"$cur/curated").count() === before)
+  }
 }
