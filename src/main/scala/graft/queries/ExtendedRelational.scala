@@ -638,7 +638,53 @@ object ExtendedRelational {
       ORDER BY node"""
     })
 
+  // -- E16: cohort retention matrix — the product-analytics workload
+  //    class (cohort = a user's first active week; retention(k) =
+  //    share of the cohort active k weeks later). Weeks are pure
+  //    integer epoch-µs division (no calendar functions → no dialect
+  //    drift), activity is pre-distincted to (user, week) so the
+  //    matrix agg never recounts events, and the rate is one exactly-
+  //    rounded division. Two keyed shuffles (user, then cohort) over
+  //    user-sized data — events collapse map-side at the distinct.
+  private val WEEK_US = 604800000000L
+  private val q142 = Q(
+    "q142_cohort_retention",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val uw = t.eventsUs
+        .select(col("user_id"), expr(s"ts_us div $WEEK_US").as("week"))
+        .distinct()
+      val cohorts = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort"))
+      val act = uw.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohorts.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(sizes, "cohort")
+        .select(col("cohort"), col("k"), col("n_active"),
+          col("cohort_size"),
+          pround(col("n_active").cast("double") / col("cohort_size"), 4)
+            .as("retention"))
+        .orderBy(col("cohort"), col("k"))
+    },
+    Some(s"""WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // $WEEK_US AS week
+        FROM events),
+      c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id),
+      act AS (
+        SELECT c.cohort, uw.week - c.cohort AS k,
+          count(DISTINCT uw.user_id) AS n_active
+        FROM uw JOIN c ON uw.user_id = c.user_id
+        GROUP BY 1, 2),
+      cs AS (SELECT cohort, count(*) AS cohort_size FROM c GROUP BY cohort)
+      SELECT a.cohort, a.k, a.n_active, cs.cohort_size,
+        ${proundSql("CAST(a.n_active AS DOUBLE) / cs.cohort_size", 4)}
+          AS retention
+      FROM act a JOIN cs ON a.cohort = cs.cohort
+      ORDER BY a.cohort, a.k"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133)
+      q80, q82, q83, q86, q113, q133, q142)
 }
