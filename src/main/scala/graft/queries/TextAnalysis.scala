@@ -51,7 +51,7 @@ object TextAnalysis {
 
   // -- T2: heuristic quality scoring (5-flag score like the reference's
   //    DATA_QUALITY_SCORE, flight_data_cleaner.py:117-124) -------------
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val q18 = Q(
     "q18_text_quality",
     (s, dir) => {
@@ -437,12 +437,12 @@ object TextAnalysis {
   //         span-level sibling is q96/q97)
   //    Flags are computed from RAW values; displayed ratios are
   //    pround'd separately so rounding never flips a flag. ----------
-  private val GOPHER_MIN_WORDS = 20
-  private val GOPHER_MAX_WORDS = 1000
-  private val GOPHER_MIN_WLEN = 3.0
-  private val GOPHER_MAX_WLEN = 10.0
-  private val GOPHER_MIN_STOP = 2
-  private val GOPHER_MAX_DUPFRAC = 0.55
+  val GOPHER_MIN_WORDS = 20
+  val GOPHER_MAX_WORDS = 1000
+  val GOPHER_MIN_WLEN = 3.0
+  val GOPHER_MAX_WLEN = 10.0
+  val GOPHER_MIN_STOP = 2
+  val GOPHER_MAX_DUPFRAC = 0.55
 
   /** Per-doc raw metrics + rule flags (shared by q110/q111). */
   def gopherFlags(docs: org.apache.spark.sql.DataFrame)
