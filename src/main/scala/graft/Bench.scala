@@ -75,7 +75,7 @@ object Bench {
     "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
-    "q141_quality_ensemble", "q142_cohort_retention",
+    "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

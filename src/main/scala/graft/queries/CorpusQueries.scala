@@ -584,7 +584,62 @@ object CorpusQueries {
       FROM d GROUP BY status ORDER BY status"""
     })
 
+  // -- C15: collocation mining — token-pair LIFT over document-level
+  //    co-occurrence (the market-basket / PMI family; lift =
+  //    P(ab)/(P(a)P(b)) is monotone to PMI and needs no libm: one
+  //    exactly-rounded division over integer counts). Scale shape:
+  //    the vocabulary is pruned to df ≥ MINDF FIRST and broadcast
+  //    into the exploded token table, so the doc_id-keyed pair join's
+  //    per-doc cost is (frequent tokens/doc)² — bounded by the vocab
+  //    gate, never vocab². --------------------------------------------
+  private val COL_MINDF = 100
+  private val COL_MINPAIR = 60
+  private val q143 = Q(
+    "q143_collocations",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val dt = t.documents.select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+      val freq = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= COL_MINDF)
+      val ft = dt.join(broadcast(freq), "tok")
+      val a = ft.select(col("doc_id"), col("tok").as("t1"),
+        col("df").as("df1"))
+      val b = ft.select(col("doc_id").as("doc_id2"), col("tok").as("t2"),
+        col("df").as("df2"))
+      val pairs = a.join(b,
+          col("doc_id") === col("doc_id2") && col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= COL_MINPAIR)
+      val nd = t.documents.agg(count(lit(1)).as("n_docs"))
+      pairs.crossJoin(broadcast(nd))
+        .select(col("t1"), col("t2"), col("df1"), col("df2"), col("n_ab"),
+          pround(col("n_ab").cast("double") * col("n_docs") /
+            (col("df1") * col("df2")), 6).as("lift"))
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some(s"""WITH dt AS (
+        SELECT doc_id,
+          unnest(list_distinct(${TextFns.tokensSql("text")})) AS tok
+        FROM documents),
+      f AS (
+        SELECT tok, count(*) AS df FROM dt
+        GROUP BY tok HAVING count(*) >= $COL_MINDF),
+      ft AS (
+        SELECT dt.doc_id, dt.tok, f.df FROM dt JOIN f ON dt.tok = f.tok),
+      p AS (
+        SELECT a.tok AS t1, b.tok AS t2, a.df AS df1, b.df AS df2,
+          count(*) AS n_ab
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= $COL_MINPAIR),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT t1, t2, df1, df2, n_ab,
+        ${proundSql("CAST(n_ab AS DOUBLE) * n_docs / (df1 * df2)", 6)}
+          AS lift
+      FROM p, n ORDER BY t1, t2"""))
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138)
+      q137, q138, q143)
 }
