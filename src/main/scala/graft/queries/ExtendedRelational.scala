@@ -684,7 +684,68 @@ object ExtendedRelational {
       FROM act a JOIN cs ON a.cohort = cs.cohort
       ORDER BY a.cohort, a.k"""))
 
+  // -- E17: ordered conversion funnel — the first-touch funnel
+  //    (view → click → purchase, each stage's FIRST event strictly
+  //    after the previous stage's): one conditional-min agg per user
+  //    (map-side combined, events collapse to 3 timestamps/user) +
+  //    one global rollup. The order predicate is exact integer µs
+  //    comparison; rates are exactly-rounded divisions. Complements
+  //    q46 (session boundaries) and q142 (cohort retention) — this is
+  //    the ORDER-sensitive member of the events-analytics family.
+  private val q144 = Q(
+    "q144_event_funnel",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      def firstOf(tp: String) =
+        min(when(col("event_type") === tp, col("ts_us")))
+      val firsts = t.eventsUs.groupBy(col("user_id")).agg(
+        firstOf("view").as("t_view"),
+        firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+      val s1 = col("t_view").isNotNull
+      val s2 = s1 && col("t_click") > col("t_view")
+      val s3 = s2 && col("t_purchase") > col("t_click")
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_full_funnel"),
+        pround(sum(when(s2, 1L).otherwise(0L)).cast("double") /
+          sum(when(s1, 1L).otherwise(0L)), 4).as("click_rate"),
+        pround(sum(when(s3, 1L).otherwise(0L)).cast("double") /
+          sum(when(s2, 1L).otherwise(0L)), 4).as("purchase_rate"))
+    },
+    Some(s"""WITH f AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+            AS t_view,
+          min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+            AS t_click,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            AS t_purchase
+        FROM events GROUP BY user_id),
+      s AS (
+        SELECT
+          (t_view IS NOT NULL) AS s1,
+          (t_view IS NOT NULL AND t_click > t_view) AS s2,
+          (t_view IS NOT NULL AND t_click > t_view
+            AND t_purchase > t_click) AS s3
+        FROM f)
+      SELECT count(*) AS n_users,
+        CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_view_click,
+        CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_full_funnel,
+        ${proundSql(
+          "CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+            "sum(CASE WHEN s1 THEN 1 ELSE 0 END)", 4)} AS click_rate,
+        ${proundSql(
+          "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+            "sum(CASE WHEN s2 THEN 1 ELSE 0 END)", 4)} AS purchase_rate
+      FROM s"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142)
+      q80, q82, q83, q86, q113, q133, q142, q144)
 }
