@@ -200,6 +200,47 @@ object Orchestrator {
       require(graft.pipeline.CurationPipeline.validateCurated(spark, curDir),
         "curated corpus invariants violated")))
 
+  /** END-TO-END dataset build DAG — the capstone composition: landed
+    * crawl batches → curation funnel (q139 stages, stored-hash exact
+    * dedup) → MinHash near-dup fold against the stored signature
+    * index (q112's O(delta) path, watching the curated output) →
+    * packed training sequences (seeded shuffle + token packing) →
+    * validation of every layer's invariants. A user pointing this at
+    * a landing directory gets a training-ready work order out; the
+    * fold stages stay O(delta), and only the final packing is a
+    * per-epoch full rewrite (documented in [[
+    * graft.pipeline.DatasetPipeline]]).
+    */
+  def datasetDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, curDir: String, indexDir: String, outDir: String,
+      keepLangs: Seq[String], n: Int, tau: Double,
+      p: graft.operators.Dedup.MinHashParams, seed: Long = 42L,
+      numShards: Int = 4, seqLen: Int = 64): Seq[TaskDef] = Seq(
+    TaskDef("dataset_curate", Nil, () => {
+      graft.pipeline.CurationPipeline.foldNewDocFiles(
+        spark, curDir, watchDir, keepLangs)
+      ()
+    }),
+    TaskDef("dataset_neardup", Seq("dataset_curate"), () => {
+      graft.pipeline.DedupIndexPipeline.foldNewDocFiles(
+        spark, indexDir, s"$curDir/curated", n, tau, p)
+      ()
+    }),
+    TaskDef("dataset_pack", Seq("dataset_neardup"), () => {
+      graft.pipeline.DatasetPipeline.packCorpus(
+        spark, s"$indexDir/corpus", outDir, seed, numShards, seqLen)
+      ()
+    }),
+    TaskDef("dataset_validate", Seq("dataset_pack"), () => {
+      require(graft.pipeline.CurationPipeline.validateCurated(spark, curDir),
+        "curated corpus invariants violated")
+      require(graft.pipeline.DedupIndexPipeline.validateIndex(spark,
+        indexDir, p), "dedup index invariants violated")
+      require(graft.pipeline.DatasetPipeline.validatePacked(spark,
+        s"$indexDir/corpus", outDir, seqLen),
+        "packed dataset invariants violated")
+    }))
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(

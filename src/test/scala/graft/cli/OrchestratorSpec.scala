@@ -310,4 +310,66 @@ class OrchestratorSpec extends SparkSpec {
     assert(statuses()("curation_fold") === Succeeded)
     assert(spark.read.parquet(s"$cur/curated").count() === before)
   }
+  test("dataset DAG: curate -> near-dup fold -> pack, end to end") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup.MinHashParams
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dataset_dag")
+    val watch = Files.createDirectories(tmp.resolve("landing")).toString
+    val cur = tmp.resolve("cur").toString
+    val ix = tmp.resolve("ix").toString
+    val out = tmp.resolve("out").toString
+    val mh = MinHashParams()
+    val textA = "the quick brown fox of the valley jumps over a lazy " +
+      "dog and then wanders through seventeen quiet meadows towards " +
+      "distant mountain villages carrying small parcels for friendly " +
+      "residents who wave back cheerfully every single morning"
+    val textB = "a completely different long document about the spark " +
+      "catalyst optimizer and its rules which rewrite logical plans " +
+      "into efficient physical operators while keeping the whole " +
+      "pipeline declarative and friendly for the analytics user today"
+    val textC = "yet another unrelated corpus entry describing the " +
+      "streaming watermark semantics of stateful operators and the " +
+      "eviction rules that keep state bounded by keys per horizon in " +
+      "a production ingest deployment running around the clock"
+
+    def statuses() = runDag(datasetDag(spark, watch, cur, ix, out,
+        Seq("en"), 3, 0.5, mh)).map(r => r.name -> r.status).toMap
+    def doc(id: Long, t: String) =
+      (id, s"http://example.com/p$id", "en", "s0", t)
+
+    Seq(doc(1L, textA), doc(3L, textB))
+      .toDF("doc_id", "url", "lang", "source", "text")
+      .write.parquet(s"$watch/b1.parquet")
+    assert(statuses().values.forall(_ == Succeeded))
+    assert(spark.read.parquet(s"$ix/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+
+    // batch 2: 5 = exact dup of A (curation drops via stored hash);
+    // 7 = near-dup paraphrase of A (passes curation, near-dup fold
+    // drops it against the STORED signature index); 9 = new
+    Seq(doc(5L, textA), doc(7L, textA.replace("morning", "evening")),
+        doc(9L, textC))
+      .toDF("doc_id", "url", "lang", "source", "text")
+      .write.parquet(s"$watch/b2.parquet")
+    assert(statuses().values.forall(_ == Succeeded))
+    assert(spark.read.parquet(s"$cur/curated").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 7L, 9L))
+    assert(spark.read.parquet(s"$ix/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 9L))
+
+    // the packed work order covers exactly the deduped corpus, and
+    // offsets are the gapless prefix sums validatePacked pins
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 9L))
+    assert(graft.pipeline.DatasetPipeline.validatePacked(spark,
+      s"$ix/corpus", out, 64))
+
+    // idempotent re-run: folds are no-ops, pack rewrite is identical
+    val before = packed.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(statuses().values.forall(_ == Succeeded))
+    assert(spark.read.parquet(s"$out/packed").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq === before)
+  }
 }
