@@ -167,6 +167,43 @@ class PropertySpec extends SparkSpec {
     assert(edge.head.isNullAt(0))
   }
 
+  test("SQ8 codes are invariant under uniform positive scaling") {
+    // max-abs scales make quantization scale-free: encoding 2x·v must
+    // give the SAME int8 codes as encoding v (the property that lets
+    // corpora with different global norms share the code path)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5f, 5f))
+    forAll(Gen.listOfN(6, vecGen)) { (vecs: List[List[Float]]) =>
+      whenever(vecs.nonEmpty) {
+        def codes(mult: Float) = {
+          val df = vecs.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.map(_ * mult).toArray) }
+            .toDF("vec_id", "embedding")
+          val s = graft.operators.Similarity.sqScales(df, "embedding")
+          graft.operators.Similarity.sqEncode(df, "vec_id", "embedding", s)
+            .collect().map(r => r.getAs[Long]("vec_id") ->
+              r.getAs[Seq[Long]]("sq_code")).toMap
+        }
+        val base = codes(1f)
+        // power-of-two multipliers are exact in float
+        for (m <- Seq(2f, 64f)) assert(codes(m) === base)
+      }
+    }
+  }
+
+  test("PageRank conserves mass exactly on dangling-free graphs") {
+    // every node has an out-edge → no mass leaks; with integer ranks
+    // the total can only drift by the per-node div truncations, each
+    // < outdeg ≤ n — bound it exactly
+    forAll(Gen.chooseNum(3, 12)) { (n: Int) =>
+      val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      val r = graft.operators.PageRank
+        .run(ring.toDF("src", "dst"), "src", "dst", iters = 3)
+        .collect().map(_.getAs[Long]("rank_scaled"))
+      // a ring is symmetric: every node keeps exactly the unit rank
+      assert(r.toSet === Set(1000000L))
+    }
+  }
+
   test("delay categorization is total and first-match ordered") {
     import graft.pipeline.Silver
     forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-2000.0, 5000.0)))) {
