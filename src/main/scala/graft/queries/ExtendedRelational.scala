@@ -745,7 +745,81 @@ object ExtendedRelational {
             "sum(CASE WHEN s2 THEN 1 ELSE 0 END)", 4)} AS purchase_rate
       FROM s"""))
 
+  // -- E18: triangle count + global clustering coefficient — the
+  //    third graph-analytics member (q43/q57 components, q133
+  //    PageRank): the co-visitation item graph (items sharing ≥ TC_T
+  //    users) is projected from events via ONE user-keyed join
+  //    (per-user work bounded by items-per-user²), and triangles are
+  //    counted by two edge self-joins over canonically ordered edges
+  //    (i1 < i2, so each triangle a<b<c is found exactly once — no
+  //    /6 correction, no double counting). Wedges and triangles are
+  //    pure integers; the coefficient is one exactly-rounded
+  //    division. At 100 TB the standard refinement is degree-ordered
+  //    edge orientation (each edge keyed by its lower-degree end) —
+  //    the join SHAPE is identical, only the canonical order changes.
+  private val TC_T = 40
+  private val q145 = Q(
+    "q145_triangle_count",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+      val e = ui.as("a").join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= TC_T)
+        .select(col("i1"), col("i2"))
+        .localCheckpoint(true)
+      val deg = e.select(col("i1").as("node"))
+        .union(e.select(col("i2").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.i2") === col("e2.i1"))
+        .join(e.as("e3"),
+          col("e3.i1") === col("e1.i1") && col("e3.i2") === col("e2.i2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          pround(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+    },
+    Some(s"""WITH ui AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      e AS (
+        SELECT a.item AS i1, b.item AS i2
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= $TC_T),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT i1 AS node FROM e UNION ALL SELECT i2 FROM e)
+        GROUP BY node),
+      w AS (
+        SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+          count(*) AS n_nodes
+        FROM deg),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.i2 = e2.i1
+        JOIN e e3 ON e3.i1 = e1.i1 AND e3.i2 = e2.i2),
+      ne AS (SELECT count(*) AS n_edges FROM e)
+      SELECT w.n_nodes, ne.n_edges, w.n_wedges, tri.n_triangles,
+        ${proundSql("3.0 * tri.n_triangles / w.n_wedges", 6)}
+          AS clustering_coeff
+      FROM w, ne, tri"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142, q144)
+      q80, q82, q83, q86, q113, q133, q142, q144, q145)
 }
