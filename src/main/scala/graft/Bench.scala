@@ -76,7 +76,7 @@ object Bench {
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
-    "q144_event_funnel", "q145_triangle_count",
+    "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -819,7 +819,82 @@ object ExtendedRelational {
           AS clustering_coeff
       FROM w, ne, tri"""))
 
+  // -- E19: item-item co-visitation top-k — "people also viewed":
+  //    recsys candidate generation without embeddings. Neighbour
+  //    quality is LIFT (q143's portable PMI stand-in: co-visits
+  //    normalized by both items' popularity, so hub items don't
+  //    dominate every list). One user-keyed pair join (per-user cost
+  //    items-per-user²) + one item-keyed top-k window
+  //    (WindowGroupLimit prunes to k map-side). Symmetric pairs are
+  //    materialized in both directions so every item gets a full
+  //    list — the output is the candidate table a ranker would read.
+  private val CV_K = 3
+  private val q146 = Q(
+    "q146_item_neighbors",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+      val pop = ui.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+      val co = ui.as("a").join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("n_co"))
+      val sym = co.unionByName(co.select(col("i2").as("i1"),
+        col("i1").as("i2"), col("n_co")))
+      val nUsers = ui.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_total"))
+      val scored = sym
+        .join(broadcast(pop.select(col("item").as("i1"),
+          col("n_users").as("p1"))), "i1")
+        .join(broadcast(pop.select(col("item").as("i2"),
+          col("n_users").as("p2"))), "i2")
+        .crossJoin(broadcast(nUsers))
+        .withColumn("lift",
+          col("n_co").cast("double") * col("n_total") /
+            (col("p1") * col("p2")))
+      val w = Window.partitionBy(col("i1"))
+        .orderBy(col("lift").desc, col("i2").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= CV_K)
+        .select(col("i1").as("item"), col("rank"),
+          col("i2").as("neighbor"), col("n_co"),
+          pround(col("lift"), 6).as("lift"))
+        .orderBy(col("item"), col("rank"))
+    },
+    Some(s"""WITH ui AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      pop AS (SELECT item, count(*) AS n_users FROM ui GROUP BY item),
+      co AS (
+        SELECT a.item AS i1, b.item AS i2, count(*) AS n_co
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT i1, i2, n_co FROM co
+        UNION ALL SELECT i2, i1, n_co FROM co),
+      n AS (SELECT count(DISTINCT user_id) AS n_total FROM ui),
+      scored AS (
+        SELECT s.i1, s.i2, s.n_co,
+          CAST(s.n_co AS DOUBLE) * n.n_total / (p1.n_users * p2.n_users)
+            AS lift
+        FROM sym s
+        JOIN pop p1 ON p1.item = s.i1
+        JOIN pop p2 ON p2.item = s.i2
+        CROSS JOIN n)
+      SELECT i1 AS item, rank, i2 AS neighbor, n_co,
+        ${proundSql("lift", 6)} AS lift
+      FROM (SELECT *, row_number() OVER (PARTITION BY i1
+              ORDER BY lift DESC, i2 ASC) AS rank FROM scored)
+      WHERE rank <= $CV_K
+      ORDER BY item, rank"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142, q144, q145)
+      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146)
 }
