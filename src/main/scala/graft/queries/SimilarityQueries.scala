@@ -937,7 +937,82 @@ object SimilarityQueries {
       FROM sel WHERE sel_rank <= $CB_B
       ORDER BY cell, sel_rank"""))
 
+  // -- V20: SQ8 reconstruction-error profile — the quantization QA
+  //    mart: per label, mean/max absolute reconstruction error and
+  //    the error-to-magnitude ratio of the int8 codes (q132's exact
+  //    pipeline re-expanded through x̂ = q·s/127). The number a
+  //    production rollout gates on before switching scans to SQ8.
+  //    Error sums accumulate as exact DECIMALs (q106's idiom) so the
+  //    profile is order-independent; max is order-free by nature.
+  private val q148 = Q(
+    "q148_sq8_error_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val scales = Similarity.sqScales(t.embeddings, "embedding")
+      val enc = Similarity.sqEncode(t.embeddings, "vec_id", "embedding",
+          scales, Seq("embedding", "label"))
+        .crossJoin(broadcast(scales))
+      val recon = zip_with(col("sq_code"), col("scales"),
+        (q, sc) => q.cast("double") * sc / lit(127.0))
+      val errArr = zip_with(col("embedding"), recon,
+        (x, xq) => abs(x.cast("double") - xq))
+      val errs = enc.select(col("label"), explode(errArr).as("err"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_elems"),
+          sum(col("err").cast(DecimalType(38, 8))).cast("double")
+            .as("serr"),
+          max(col("err")).as("max_err"))
+      val mags = t.embeddings
+        .select(col("label"), explode(col("embedding")).as("x"))
+        .groupBy(col("label"))
+        .agg(sum(abs(col("x").cast("double")).cast(DecimalType(38, 8)))
+          .cast("double").as("sabs"))
+      errs.join(mags, "label")
+        .select(col("label"), col("n_elems"),
+          pround(col("serr") / col("n_elems"), 8).as("mean_err"),
+          pround(col("max_err"), 8).as("max_err"),
+          pround(col("serr") / col("sabs"), 6).as("rel_err"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH dims AS (
+        SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc AS (
+        SELECT vec_id, label, embedding,
+          list_transform(generate_series(1, $SQ_DIMS),
+            i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                   / sc[i] + 0.5) AS BIGINT) END) AS q,
+          sc
+        FROM embeddings CROSS JOIN sarr),
+      ev AS (
+        SELECT label, unnest(list_transform(generate_series(1, $SQ_DIMS),
+          i -> abs(CAST(embedding[i] AS DOUBLE)
+            - CAST(q[i] AS DOUBLE) * sc[i] / 127.0))) AS err
+        FROM enc),
+      errs AS (
+        SELECT label, count(*) AS n_elems,
+          CAST(sum(CAST(err AS DECIMAL(38,8))) AS DOUBLE) AS serr,
+          max(err) AS max_err
+        FROM ev GROUP BY label),
+      mags AS (
+        SELECT label,
+          CAST(sum(CAST(abs(CAST(x AS DOUBLE)) AS DECIMAL(38,8)))
+            AS DOUBLE) AS sabs
+        FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
+        GROUP BY label)
+      SELECT e.label, e.n_elems,
+        ${proundSql("e.serr / e.n_elems", 8)} AS mean_err,
+        ${proundSql("e.max_err", 8)} AS max_err,
+        ${proundSql("e.serr / m.sabs", 6)} AS rel_err
+      FROM errs e JOIN mags m ON e.label = m.label
+      ORDER BY e.label"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q135, q136)
+      q114, q117, q120, q125, q132, q135, q136, q148)
 }

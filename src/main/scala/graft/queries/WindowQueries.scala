@@ -302,5 +302,48 @@ object WindowQueries {
         ORDER BY o_totalprice ASC, o_orderkey ASC)
       ORDER BY o_orderpriority, o_orderkey"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88)
+  // -- W8: event-type transition matrix — the Markov-chain view of
+  //    user behaviour (what follows what): per user, events in strict
+  //    (ts, event_id) order; one lag window + one keyed count, then
+  //    row-normalized transition probabilities (exactly-rounded
+  //    division over integer counts). The behavioural-modeling member
+  //    of the events family (q46 finds session BOUNDARIES, q144
+  //    first-touch ORDER, q142 cohort TIME — this is the sequence
+  //    STRUCTURE).
+  private val q147 = Q(
+    "q147_event_transitions",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val trans = t.eventsUs
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("row_total"))
+      trans.join(totals, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          pround(col("n").cast("double") / col("row_total"), 4).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some(s"""WITH tr AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM (
+          SELECT event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS prev_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        FROM tr GROUP BY prev_type)
+      SELECT tr.prev_type, tr.next_type, tr.n,
+        ${proundSql("CAST(tr.n AS DOUBLE) / tot.row_total", 4)} AS p
+      FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+      ORDER BY tr.prev_type, tr.next_type"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147)
 }
