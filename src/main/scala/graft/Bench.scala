@@ -77,7 +77,7 @@ object Bench {
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
-    "q147_event_transitions", "q148_sq8_error_profile",
+    "q147_event_transitions", "q148_sq8_error_profile", "q149_ann_fidelity",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

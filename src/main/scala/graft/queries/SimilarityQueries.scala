@@ -1012,7 +1012,113 @@ object SimilarityQueries {
       FROM errs e JOIN mags m ON e.label = m.label
       ORDER BY e.label"""))
 
+  // -- V21: ANN fidelity ladder — recall@K of BOTH compressed paths
+  //    (SQ8 integer ranking, PQ/ADC) against the exact float top-K on
+  //    the SAME pinned query set: the measured answer to "what does
+  //    each compression rung cost in retrieval quality" (q148 gives
+  //    the RECONSTRUCTION side; this is the RANKING side). Overlap
+  //    counts are integers; recall is one exactly-rounded division.
+  private val q149 = Q(
+    "q149_ann_fidelity",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+      val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+      val cb = Similarity.pqCodebooks(t.embeddings, "vec_id",
+        "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+        PQ_M, cb)
+      val pq = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
+          PQ_M, cb, SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+      def row(name: String, m: org.apache.spark.sql.DataFrame) =
+        exact.join(m, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(
+            exact.agg(count(lit(1)).as("n_total"))))
+          .select(lit(name).as("method"), col("n_hits"), col("n_total"),
+            pround(col("n_hits").cast("double") / col("n_total"), 4)
+              .as("recall"))
+      row("pq", pq).unionByName(row("sq8", sq)).orderBy(col("method"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredx)
+        WHERE rank <= $SQ_K),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc8 AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      scored8 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(q.q, c.q), pr -> pr[1] * pr[2])),
+            (x, y) -> x + y) AS iscore
+        FROM (SELECT * FROM enc8 WHERE vec_id % $QMOD = 0) q
+        JOIN enc8 c ON q.vec_id != c.vec_id),
+      sq8 AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY iscore DESC, corpus_id ASC) AS rank
+              FROM scored8)
+        WHERE rank <= $SQ_K),
+      $pqBaseSql,
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $QMOD = 0),
+      dists AS (
+        SELECT a.query_id, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e JOIN adc a ON e.sub = a.sub AND e.cw = a.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, e.vec_id),
+      pq AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+        WHERE rank <= $SQ_K),
+      tot AS (SELECT count(*) AS n_total FROM exact)
+      SELECT method, n_hits, n_total,
+        ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall
+      FROM (
+        SELECT 'pq' AS method,
+          (SELECT count(*) FROM exact e JOIN pq m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot
+        UNION ALL
+        SELECT 'sq8' AS method,
+          (SELECT count(*) FROM exact e JOIN sq8 m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot)
+      ORDER BY method"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q135, q136, q148)
+      q114, q117, q120, q125, q132, q135, q136, q148, q149)
 }
