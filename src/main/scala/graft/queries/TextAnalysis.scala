@@ -749,23 +749,27 @@ object TextAnalysis {
       ORDER BY source, sel_rank"""))
 
   // -- T17: Spearman rank agreement between quality signals — do the
-  //    q141 ensemble's inputs actually measure different things? The
-  //    rank-based sibling of q84's Pearson: ranks are integers (ties
-  //    broken by doc_id — the documented convention that keeps both
-  //    engines bit-identical; textbook average-rank ties would differ
-  //    only in the 3rd decimal here), Σd² is an exact integer sum,
-  //    and ρ = 1 − 6Σd²/(n(n²−1)) is ONE exactly-rounded division.
-  //    Low |ρ| justifies fusing the signals; ρ ≈ 1 would mean the
-  //    ensemble is redundant.
+  //    q141 ensemble's inputs actually measure different things, and
+  //    does the answer vary by domain? The rank-based sibling of
+  //    q84's Pearson, computed PER SOURCE: ranks are integers from
+  //    source-partitioned windows (ties broken by doc_id — the
+  //    documented convention that keeps both engines bit-identical;
+  //    textbook average-rank ties would differ only in low decimals),
+  //    Σd² is an exact integer sum, and ρ = 1 − 6Σd²/(n(n²−1)) is ONE
+  //    exactly-rounded division. Per-source partitioning is also the
+  //    scale shape: no global sort ever happens — the same
+  //    source-keyed exchange as q141, reused by all three rank
+  //    windows. Low |ρ| justifies fusing the signals.
   private val q150 = Q(
     "q150_signal_spearman",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val t = Tpch(s, dir)
       val f = gopherFlags(t.documents)
+      val ws = Window.partitionBy(col("source"))
       def rk(c: org.apache.spark.sql.Column) = row_number().over(
-        Window.orderBy(c, col("doc_id"))).cast("long")
-      val ranked = f.select(col("doc_id"),
+        ws.orderBy(c, col("doc_id"))).cast("long")
+      val ranked = f.select(col("source"), col("doc_id"),
         rk(col("n_tokens")).as("r_tokens"),
         rk(col("n_stop")).as("r_stop"),
         rk(col("dup_frac")).as("r_dup"))
@@ -775,38 +779,40 @@ object TextAnalysis {
         ("n_stop", "dup_frac", "r_stop", "r_dup"))
       val rows = pairs.map { case (a, b, ra, rb) =>
         val d = col(ra) - col(rb)
-        ranked.agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
-          .select(lit(a).as("sig_a"), lit(b).as("sig_b"), col("n"),
-            col("sd2"),
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(d * d).as("sd2"))
+          .select(lit(a).as("sig_a"), lit(b).as("sig_b"), col("source"),
+            col("n"), col("sd2"),
             pround(lit(1.0) - lit(6.0) * col("sd2") /
               (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
       }
-      rows.reduce(_.unionByName(_)).orderBy(col("sig_a"), col("sig_b"))
+      rows.reduce(_.unionByName(_))
+        .orderBy(col("sig_a"), col("sig_b"), col("source"))
     },
     Some {
       def rk(c: String) =
-        s"CAST(row_number() OVER (ORDER BY $c, doc_id) AS BIGINT)"
+        s"CAST(row_number() OVER (PARTITION BY source ORDER BY $c, doc_id) AS BIGINT)"
       val pairs = Seq(("n_tokens", "n_stop", "r_tokens", "r_stop"),
         ("n_tokens", "dup_frac", "r_tokens", "r_dup"),
         ("n_stop", "dup_frac", "r_stop", "r_dup"))
       val rows = pairs.map { case (a, b, ra, rb) =>
-        s"""SELECT '$a' AS sig_a, '$b' AS sig_b, count(*) AS n,
+        s"""SELECT '$a' AS sig_a, '$b' AS sig_b, source, count(*) AS n,
           CAST(sum(($ra - $rb) * ($ra - $rb)) AS BIGINT) AS sd2,
           ${proundSql(
             s"1.0 - 6.0 * sum(($ra - $rb) * ($ra - $rb)) / " +
               "(count(*) * (count(*) * count(*) - 1))", 6)} AS rho
-        FROM ranked"""
+        FROM ranked GROUP BY source"""
       }.mkString("\n        UNION ALL\n        ")
       s"""WITH g AS ($gopherFlagsSql),
       ranked AS (
-        SELECT doc_id,
+        SELECT source, doc_id,
           ${rk("n_tokens")} AS r_tokens,
           ${rk("n_stop")} AS r_stop,
           ${rk("dup_frac")} AS r_dup
         FROM g)
       SELECT * FROM (
         $rows)
-      ORDER BY sig_a, sig_b"""
+      ORDER BY sig_a, sig_b, source"""
     })
 
   val all: Seq[Q] =
