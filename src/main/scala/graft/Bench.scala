@@ -78,7 +78,7 @@ object Bench {
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
     "q147_event_transitions", "q148_sq8_error_profile", "q149_ann_fidelity",
-    "q150_signal_spearman",
+    "q150_signal_spearman", "q151_dup_source_matrix",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -776,7 +776,55 @@ object DedupQueries {
       GROUP BY hamming ORDER BY hamming"""
     })
 
+  // -- D17: cross-source duplication matrix — WHICH sources copy from
+  //    which (mirror-site / syndication detection, the diagnostic that
+  //    tells a curation team where its duplicate mass comes from):
+  //    verified MinHash near-dup pairs (the q24 pipeline) joined to
+  //    both docs' source labels, rolled up per UNORDERED source pair
+  //    with mean similarity. Pair volume is already sub-linear (banded
+  //    candidates only); the rollup is one tiny keyed agg. -----------
+  private val q151 = Q(
+    "q151_dup_source_matrix",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text",
+        N, LSHTAU, mh)
+      val src = t.documents.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"),
+          col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"),
+          col("source").as("s2")), "d2")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"), col("jaccard"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          pround(sum(col("jaccard").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 8)))
+            .cast("double") / count(lit(1)), 6).as("mean_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""$lshPipelineCtes,
+      vp AS (
+        SELECT d1, d2,
+          CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) AS jaccard
+        FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      lab AS (
+        SELECT least(sa.source, sb.source) AS src_a,
+          greatest(sa.source, sb.source) AS src_b, vp.jaccard
+        FROM vp
+        JOIN documents sa ON vp.d1 = sa.doc_id
+        JOIN documents sb ON vp.d2 = sb.doc_id)
+      SELECT src_a, src_b, count(*) AS n_pairs,
+        ${proundSql(
+          "CAST(sum(CAST(jaccard AS DECIMAL(38,8))) AS DOUBLE) / count(*)",
+          6)} AS mean_jaccard
+      FROM lab
+      GROUP BY src_a, src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140)
+      q126, q128, q134, q140, q151)
 }
