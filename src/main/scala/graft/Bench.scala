@@ -79,6 +79,7 @@ object Bench {
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
     "q147_event_transitions", "q148_sq8_error_profile", "q149_ann_fidelity",
     "q150_signal_spearman", "q151_dup_source_matrix",
+    "q152_image_neardup",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -291,18 +292,21 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench_self.json: $e")
     }
     // ...but print a COMPACT line to stdout: the driver tail-captures
-    // only the last ~2000 chars of sbt output, and the full 97-query
-    // line is ~6 KB — BENCH_r04/r05/r06 all recorded a truncated,
-    // unparseable line that way. Short qNN keys (the contract's own
-    // example uses "q1") + 3-decimal walls + no task map ≈ 1.3 KB,
-    // which fits the tail window with room for sbt's epilogue.
-    val shortQs = results.map { case (k, t) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(t.wall)
-    }.mkString("{", ",", "}")
+    // only the LAST 2000 chars of sbt output (BENCH_r09 measured), so
+    // any line longer than ~1.9 KB loses its FRONT — r09's 151-entry
+    // short map overflowed and the capture parsed to null. A full map
+    // can never fit durably as the registry grows, so the stdout line
+    // carries summary fields first, then only the TOP-20 slowest
+    // queries (the regression-relevant ones) plus a count and a
+    // pointer to the full per-query map persisted above. ~0.7 KB.
     val shortCont = contended.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val shortMeta = meta.replace(s""""contended":$contJson""", s""""contended":$shortCont""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$shortQs,$shortMeta}""")
+      .replace("\"sf\":\"" + sfDir + "\"", "\"sf\":\"" + sfDir.split('/').last + "\"")
+    val top20 = results.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(20)
+      .map { case (k, t) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(t.wall) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",$shortMeta,"nq":${results.size},"queries":$top20,"queries_full":"target/bench_self.json"}""")
     spark.stop()
   }
 }

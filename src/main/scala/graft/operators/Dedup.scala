@@ -561,21 +561,33 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): DataFrame =
+    fingerprintPairs(simhashDF(docs, idCol, textCol, n), idCol, "simhash",
+      maxHamming, maxBucket, bandBits)
+
+  /** Banded hamming join over ANY 64-bit fingerprint column — the
+    * pair-generation engine [[simhashPairs]] documents, factored out so
+    * every 64-bit sketch (text SimHash, image pHash, future audio
+    * chromaprints) shares ONE implementation of the banding, the
+    * bucket cap, and the pigeonhole guarantee. Output: `d1, d2,
+    * hamming` with d1 < d2.
+    */
+  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, maxBucket: Int = 10000,
       bandBits: Int = 16): DataFrame = {
     require(bandBits > 0 && 64 % bandBits == 0, "bandBits must divide 64")
     val nBands = 64 / bandBits
     require(maxHamming <= nBands - 1,
       s"$nBands bands of $bandBits bits are lossless only for hamming <= ${nBands - 1}")
-    val sh = simhashDF(docs, idCol, textCol, n)
     val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1L)
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
-        shiftrightunsigned(col("simhash"), bandBits * b).bitwiseAND(mask)
+        shiftrightunsigned(col(fpCol), bandBits * b).bitwiseAND(mask)
           .as("band_val")))
     val bands = capBuckets(
-      sh.select(col(idCol), col("simhash"),
+      fp.select(col(idCol), col(fpCol),
         explode(array(bandCols: _*)).as("band"))
-        .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_val")),
+        .select(col(idCol), col(fpCol), col("band.band_idx"), col("band.band_val")),
       Seq("band_idx", "band_val"), maxBucket)
     bands.as("a")
       .join(bands.as("b"),
@@ -583,13 +595,28 @@ object Dedup {
         col("a.band_val") === col("b.band_val") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+        col(s"a.$fpCol").as("fp1"), col(s"b.$fpCol").as("fp2"))
       .distinct()
       .withColumn("hamming",
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Image near-duplicate pairs — the IMAGE member of the dedup matrix
+    * (exact/near × batch/stream × text/image): 64-bit perceptual hash
+    * per payload ([[Multimodal.phashFeatures]]: decode → luma → 32×32
+    * → DCT low band → median sign), then the SAME banded hamming join
+    * as text SimHash. Undecodable payloads drop out (null phash).
+    * Scale shape: fingerprinting is row-local scan work; pair
+    * generation shuffles 64-bit hashes on band keys — the corpus
+    * bytes never move past the scan stage.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int,
+      maxBucket: Int = 10000, bandBits: Int = 16): DataFrame =
+    fingerprintPairs(
+      Multimodal.phashFeatures(media).filter(col("phash").isNotNull),
+      "media_id", "phash", maxHamming, maxBucket, bandBits)
 
   /** SimHash banding recall audit — the MEASURED counterpart of the
     * pigeonhole guarantee [[simhashPairs]] relies on (the SimHash

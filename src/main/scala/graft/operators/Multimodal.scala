@@ -258,6 +258,181 @@ object Multimodal {
       i => content.substr(i * lit(stride) + lit(1), lit(frameSize)))
 
   // ------------------------------------------------------------------
+  // Perceptual hash (pHash): the image member of the dedup matrix.
+  // decode → integer luma → 32×32 nearest-neighbor resize → 8×8
+  // low-band of the 32×32 DCT-II → median-sign 64-bit fingerprint.
+  // Pair generation reuses Dedup's banded hamming join unchanged
+  // (Dedup.imageNearDupPairs) — the fingerprint is the only new part.
+  // ------------------------------------------------------------------
+
+  /** pHash working size: images are luma-resized to PHASH_N×PHASH_N
+    * before the DCT; the fingerprint keeps the PHASH_LOW×PHASH_LOW
+    * lowest-frequency coefficients (64 bits).
+    */
+  val PHASH_N = 32
+  val PHASH_LOW = 8
+
+  /** Integer ITU-R BT.601 luma (the JPEG/MPEG weights scaled to /256,
+    * half-up): (77·r + 150·g + 29·b + 128) >> 8. Integer-exact — for
+    * r=g=b it returns exactly that value (77+150+29 = 256), which is
+    * what makes crafted grayscale oracles closed-form.
+    */
+  def luma601(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b + 128) >> 8
+
+  /** Decode a PNG (RGB/RGBA, via [[pngDecode]]) or uncompressed 24bpp
+    * BMP payload to a top-down row-major luma grid. Returns null for
+    * undecodable payloads (same contract as the other codecs).
+    */
+  def grayDecode(bytes: Array[Byte],
+      inflater: java.util.zip.Inflater): (Int, Int, Array[Int]) = {
+    if (bytes == null) return null
+    if (bytes.length >= 8 && bytes.take(8).sameElements(pngSig)) {
+      val img = pngDecode(bytes, inflater)
+      if (img == null) return null
+      val g = new Array[Int](img.width * img.height)
+      var i = 0
+      while (i < g.length) {
+        val p = i * img.channels
+        g(i) = luma601(img.pixels(p) & 0xff, img.pixels(p + 1) & 0xff,
+          img.pixels(p + 2) & 0xff)
+        i += 1
+      }
+      (img.width, img.height, g)
+    } else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        le16(bytes, 28) == 24) {
+      val w = le32(bytes, 18)
+      val h = math.abs(le32(bytes, 22))
+      val off = le32(bytes, 10)
+      val rowSize = ((3 * w + 3) / 4) * 4
+      if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+        off.toLong + rowSize.toLong * h > bytes.length) return null
+      val g = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, gg, b) = bmpPixel(bytes, x, y)
+          g(y * w + x) = luma601(r, gg, b)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, g)
+    } else null
+  }
+
+  /** pHash DCT basis: cos(π(2x+1)u/(2N)) for u < PHASH_LOW, x < N,
+    * via StrictMath (bit-identical on every JVM — Math.cos is allowed
+    * platform variance, which would make the fingerprint
+    * cluster-dependent). Built once per partition.
+    */
+  def phashBasis(): Array[Array[Double]] =
+    Array.tabulate(PHASH_LOW, PHASH_N)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * PHASH_N)))
+
+  /** 64-bit perceptual hash of a luma grid. Bit v·8+u is set iff the
+    * orthonormal-DCT coefficient C(u,v) of the 32×32 nearest-neighbor
+    * resize, ROUNDED to the nearest integer, exceeds the median of the
+    * 63 rounded AC coefficients in the 8×8 low band (u = x-frequency).
+    *
+    * Rounding before the median/sign threshold is load-bearing twice:
+    * it kills the ±1e-13 float residue that mathematically-zero
+    * coefficients (e.g. of separable images) carry — without it those
+    * bits would be noise — and it makes crafted-image signs closed-form
+    * for the oracle (q152: step images whose low-band signs are pure
+    * integer arithmetic in doc_id). Pixel-scale inputs put real
+    * coefficients at |C| ≫ 1, so the quantization discards nothing a
+    * 1-bit sign could have kept.
+    */
+  def phash64(w: Int, h: Int, gray: Array[Int],
+      basis: Array[Array[Double]]): Long = {
+    val n = PHASH_N
+    // nearest-neighbor luma resize (⌊x·w/N⌋ — resizeBmp24's kernel)
+    val g = new Array[Double](n * n)
+    var y = 0
+    while (y < n) {
+      val sy = y * h / n
+      var x = 0
+      while (x < n) {
+        g(y * n + x) = gray(sy * w + x * w / n).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    // separable low-band DCT: T(u,y) = Σ_x g(x,y)·cos_u(x), then
+    // C(u,v) = α(u)α(v)·Σ_y T(u,y)·cos_v(y) — 8·N·N + 64·N mults
+    val t = new Array[Double](PHASH_LOW * n)
+    var u = 0
+    while (u < PHASH_LOW) {
+      y = 0
+      while (y < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y * n + x) * basis(u)(x); x += 1 }
+        t(u * n + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val a0 = StrictMath.sqrt(1.0 / n)
+    val a1 = StrictMath.sqrt(2.0 / n)
+    val c = new Array[Long](64)
+    var v = 0
+    while (v < PHASH_LOW) {
+      u = 0
+      while (u < PHASH_LOW) {
+        var s = 0.0
+        y = 0
+        while (y < n) { s += t(u * n + y) * basis(v)(y); y += 1 }
+        val au = if (u == 0) a0 else a1
+        val av = if (v == 0) a0 else a1
+        c(v * PHASH_LOW + u) = Math.round(au * av * s)
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (c(i) > median) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("phash", LongType)))
+
+  /** Distributed perceptual hashing: DataFrame(media_id, content) →
+    * (media_id, width, height, phash). Row-parallel, one Inflater +
+    * one DCT basis per partition, null phash for undecodable payloads
+    * — the per-partition-init discipline of the other codecs. The
+    * fingerprint is a pure function of the bytes, so the column is
+    * bit-stable under any partitioning (the property every downstream
+    * banded join and stored index relies on).
+    */
+  def phashFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(phashSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        val inflater = new java.util.zip.Inflater()
+        val basis = phashBasis()
+        rows.map { r =>
+          val dec = grayDecode(r.getAs[Array[Byte]](1), inflater)
+          if (dec == null) Row(r.getLong(0), null, null, null)
+          else Row(r.getLong(0), dec._1, dec._2,
+            phash64(dec._1, dec._2, dec._3, basis))
+        }
+      }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // Full PNG pixel codec (RFC 2083): zlib IDAT inflate + scanline
   // unfilter — pure JVM (java.util.zip), no codec library. Supported
   // subset: 8-bit depth, color types 2 (RGB) and 6 (RGBA),

@@ -516,5 +516,109 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
-  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127)
+  // -- q152: image NEAR-DUP via perceptual hash, oracle-gated ----------
+  // The image member of the dedup matrix. Each subset doc (doc_id%5=0)
+  // synthesizes a 64×64 grayscale STEP image — v(x,y) = 16 +
+  // 96·[x ≥ 2px] + 96·[y ≥ 2py] with doc-derived odd step positions
+  // px, py ∈ {1,3,…,31} — as a zlib PNG (even doc_id, per-row filter
+  // cycling) or a bottom-up 24bpp BMP (odd). Such "plus-separable"
+  // images have an ANALYTIC pHash: the 8×8 DCT low band is nonzero
+  // only on its first row/column, where sign(C(u,0)) =
+  // −sign(sin(π·u·px/32)) — i.e. bit u·set ⟺ (u·px mod 64) > 32,
+  // pure integer arithmetic (odd px keeps every u·px off the sin
+  // zeros; min |C| ≈ 20 ≫ the rounding margin) — the 49 interior
+  // coefficients round to exactly 0, pinning the 63-AC median at 0.
+  // Spark must therefore decode BOTH codecs, luma, resize, DCT, and
+  // median-threshold to the closed-form fingerprint, then surface
+  // every pair within hamming ≤ 3 through the banded join; the oracle
+  // recomputes the hashes with CASE arithmetic and verifies the pair
+  // set EXHAUSTIVELY (all-pairs — the banding must lose nothing:
+  // pigeonhole, 4 bands > 3 flips). Shared step positions collide
+  // (hamming 0 duplicates); neighboring positions land at hamming
+  // 1-3 (true near-dups); everything else stays apart.
+  private val IW = 64
+  private val ISTEP = 96
+  private val IBASE = 16
+  private val q152 = Q(
+    "q152_image_neardup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(
+        t.documents.select(col("doc_id")).filter(col("doc_id") % 5 === 0))
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater()
+          def bmp24(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+            val rowSize = ((3 * w + 3) / 4) * 4
+            val out = new Array[Byte](54 + rowSize * h)
+            def putLe32(o: Int, x: Int): Unit = {
+              out(o) = x.toByte; out(o + 1) = (x >> 8).toByte
+              out(o + 2) = (x >> 16).toByte; out(o + 3) = (x >> 24).toByte
+            }
+            out(0) = 'B'; out(1) = 'M'
+            putLe32(2, out.length); putLe32(10, 54); putLe32(14, 40)
+            putLe32(18, w); putLe32(22, h); out(26) = 1; out(28) = 24
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = 54 + (h - 1 - y) * rowSize + x * 3
+                val vv = v(x, y).toByte
+                out(p) = vv; out(p + 1) = vv; out(p + 2) = vv
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+          rows.map { r =>
+            val d = r.getLong(0)
+            val px = 2 * (d % 16) + 1
+            val py = 2 * ((d / 16) % 16) + 1
+            def v(x: Int, y: Int): Int =
+              IBASE + (if (x >= 2 * px) ISTEP else 0) +
+                (if (y >= 2 * py) ISTEP else 0)
+            val bytes =
+              if (d % 2 == 0) {
+                val pxl = new Array[Byte](IW * IW * 3)
+                var y = 0
+                while (y < IW) {
+                  var x = 0
+                  while (x < IW) {
+                    val vv = v(x, y).toByte
+                    val i = (y * IW + x) * 3
+                    pxl(i) = vv; pxl(i + 1) = vv; pxl(i + 2) = vv
+                    x += 1
+                  }
+                  y += 1
+                }
+                Multimodal.pngEncode(Multimodal.PngImage(IW, IW, 3, pxl),
+                  yy => ((d + yy) % 5).toInt, deflater)
+              } else bmp24(IW, IW, v)
+            Row(d, bytes, if (d % 2 == 0) "image/png" else "image/bmp")
+          }
+        }(mediaEnc)
+      graft.operators.Dedup.imageNearDupPairs(media, maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val phx = (1 to 7).map(u =>
+        s"(CASE WHEN (($u * (2*(doc_id%16)+1)) % 64) > 32 THEN ${1L << u} ELSE 0 END)")
+        .mkString(" + ")
+      val phy = (1 to 7).map(v =>
+        s"(CASE WHEN (($v * (2*((doc_id//16)%16)+1)) % 64) > 32 THEN ${1L << (8 * v)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (
+        SELECT doc_id, CAST(1 + $phx + $phy AS BIGINT) AS ph
+        FROM documents WHERE doc_id % 5 = 0)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      FROM p a JOIN p b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 3
+      ORDER BY d1, d2"""
+    })
+
+  val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
+    q152)
 }
