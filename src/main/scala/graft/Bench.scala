@@ -56,7 +56,7 @@ object Bench {
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
-    "q125_ivf_pq_filtered", "q120_hybrid_rrf",
+    "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk", "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q76_mixture_sample",
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",

@@ -49,7 +49,8 @@ object SweepSets {
     "q100_pq_encode" -> "per-subspace codeword crossjoin oracle (n*m*sqrt(n) list folds in DuckDB) — minutes at 10x, passes",
     "q101_pq_adc_topk" -> "shares q100's encode CTE — same budget note",
     "q117_ivf_pq_topk" -> "q100's encode CTE PLUS q53's pinned-seed assign crossjoin — measured ~3 min at 10x (round 9), passes; the probe CTE prunes the scoring join enough that the q53 exclusion precedent does NOT apply",
-    "q125_ivf_pq_filtered" -> "q117's CTE chain plus the label predicate (which PRUNES the scoring join) — measured ~3 min at 10x (round 9), passes")
+    "q125_ivf_pq_filtered" -> "q117's CTE chain plus the label predicate (which PRUNES the scoring join) — measured ~3 min at 10x (round 9), passes",
+    "q153_ivfpq_residual_topk" -> "q117's assign/probe CTEs plus the residual transform and a second codebook chain — q100/q117 budget class")
 
   /** The scaled oracle sweep: every registered query minus the
     * documented exclusions. Computed from the live registry so a new

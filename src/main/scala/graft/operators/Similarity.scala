@@ -771,6 +771,89 @@ object Similarity {
         col("adist"))
   }
 
+  /** Per-vector IVF residual r = x − centroid(cell): the input to
+    * RESIDUAL product quantization (the FAISS IVF-PQ standard — PQ
+    * codes spend their bits on the within-cell remainder instead of
+    * re-encoding the coarse structure the cell id already carries;
+    * measured in q149's ladder: recall@5 0.24 → 0.36 at the same m on
+    * the sf0.01 corpus). `assigned` is [[ivfAssign]] output (it
+    * already carries the vector, so no corpus re-join): the residual
+    * is a narrow map over the scan plus one broadcast centroid join.
+    * Elements subtract in DOUBLE (float−float is exact in double;
+    * re-rounding to float would diverge from any double-side oracle).
+    * Output: (idCol, cell, rvec). Reconstruction for QA marts is
+    * centroid + decode(code).
+    */
+  def ivfResiduals(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assigned.select(col(idCol), col(vecCol), col("cell"))
+      .join(broadcast(centroids.select(col("cell"), col("cvec").as("__c"))),
+        Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("__c"),
+          (a, b) => a.cast("double") - b.cast("double")).as("rvec"))
+
+  /** IVF-PQ top-k over RESIDUAL codes — [[ivfPqTopK]] with the lookup
+    * tables built from each probed cell's query residual q − c_cell
+    * (codes from [[pqEncode]] over [[ivfResiduals]]). The LUT is
+    * per-(query, probed cell) instead of per-query — nq·nprobe rows of
+    * m·ncw doubles, still broadcast-sized — and the scoring join stays
+    * the broadcast HASH join on cell id: candidates meet exactly the
+    * LUT of their own cell, so with nprobe = nlist the result IS the
+    * exhaustive residual-ADC ranking (spec-pinned). Same exclusions,
+    * tie-breaks, and output as [[ivfPqTopK]].
+    */
+  def ivfPqResidualTopK(codes: DataFrame, cellAssignments: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, codebooks: DataFrame, nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val (cbIdx, ncw) = denseCodebook(codebooks, m)
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("cell"), col("cvec"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    // per probed cell, the query RESIDUAL against that cell's centroid
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qvec"), col("cvec"),
+          (a, b) => a.cast("double") - b.cast("double")).as("qrvec"))
+    val subLen = (size(col("qrvec")) / m).cast("int")
+    val probeLuts = probes
+      .select(col("query_id"), col("cell"), col("qrvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        slice(col("qrvec"), col("sub") * subLen + 1, subLen).as("qsub"))
+      .join(cbIdx, Seq("sub"))
+      .select(col("query_id"), col("cell"),
+        (col("sub") * ncw + col("cwi")).as("pos"),
+        (dot(col("qsub"), col("qsub")) - lit(2.0) * dot(col("qsub"), col("cvec"))
+          + col("cc")).as("qd"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("qd")))),
+        s => s.getField("qd")).as("lut"))
+    val pivoted = pivotCodes(codes, idCol, m, cbIdx)
+      .join(cellAssignments.select(col(idCol).as("corpus_id"), col("cell")),
+        Seq("corpus_id"))
+    val scored = pivoted.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        adcDistExpr(m, ncw).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+        col("adist"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query, the top-k most-similar corpus vectors whose LABEL differs —
     * the near-boundary negatives that make a contrastive batch

@@ -937,6 +937,129 @@ object SimilarityQueries {
       FROM sel WHERE sel_rank <= $CB_B
       ORDER BY cell, sel_rank"""))
 
+  // Residual-PQ CTE chain (shared by q153 and q149's ladder row):
+  // IVF assign as q117, residual r = x − centroid(cell) in exact
+  // doubles, codebook/encode over the residuals (same √n donor rule).
+  private def residualPqSql = s"""
+      v2 AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds2 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v2 WHERE vec_id % $SEEDMOD = 0),
+      assign2 AS (
+        SELECT vec_id, cell FROM (
+          SELECT v2.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v2.vec_id
+              ORDER BY ${dotSql("v2.embedding", "s.svec")} / (v2.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v2 CROSS JOIN seeds2 s) WHERE rn = 1),
+      resid AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(list_zip(v2.embedding, s.svec),
+            pr -> CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) AS rvec
+        FROM assign2 a JOIN v2 ON v2.vec_id = a.vec_id
+        JOIN seeds2 s ON s.cell = a.cell),
+      rsubs AS (
+        SELECT vec_id, cell, sub, rvec[(sub * sl + 1):(sub * sl + sl)] AS svec
+        FROM (SELECT vec_id, cell, rvec, CAST(len(rvec) // $PQ_M AS INT) AS sl,
+                unnest(generate_series(0, ${PQ_M - 1})) AS sub
+              FROM resid)),
+      smcte2 AS (
+        SELECT GREATEST(CAST(round(sqrt(count(*))) AS BIGINT), 1) AS sm
+        FROM embeddings),
+      rcodebook AS (
+        SELECT sub, CAST(vec_id AS BIGINT) AS cw, svec AS cvec,
+          ${norm2Sql("svec")} AS cc
+        FROM rsubs, smcte2 WHERE vec_id % smcte2.sm = 0),
+      rscored AS (
+        SELECT s.vec_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS sdist
+        FROM rsubs s JOIN rcodebook c USING (sub)),
+      renc AS (
+        SELECT vec_id, sub, cw FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+            ORDER BY sdist ASC, cw ASC) AS rn
+          FROM rscored)
+        WHERE rn = 1)"""
+
+  // Per-(query, probed cell) residual ADC: the LUT uses q − c_cell of
+  // the PROBED cell, so candidates meet exactly their own cell's LUT.
+  private def residualProbeSql(qmod: Int, nprobe: Int) = s"""
+      probe2 AS (
+        SELECT query_id, cell FROM (
+          SELECT v2.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v2.vec_id
+              ORDER BY ${dotSql("v2.embedding", "s.svec")} / (v2.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v2 CROSS JOIN seeds2 s WHERE v2.vec_id % $qmod = 0)
+        WHERE rn <= $nprobe),
+      qres AS (
+        SELECT p.query_id, p.cell,
+          list_transform(list_zip(v2.embedding, s.svec),
+            pr -> CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) AS qr
+        FROM probe2 p JOIN v2 ON v2.vec_id = p.query_id
+        JOIN seeds2 s ON s.cell = p.cell),
+      qrsubs AS (
+        SELECT query_id, cell, sub, qr[(sub * sl + 1):(sub * sl + sl)] AS qvec
+        FROM (SELECT query_id, cell, qr, CAST(len(qr) // $PQ_M AS INT) AS sl,
+                unnest(generate_series(0, ${PQ_M - 1})) AS sub
+              FROM qres)),
+      radc AS (
+        SELECT q.query_id, q.cell, q.sub, c.cw,
+          ${norm2Sql("q.qvec")} - 2 * ${dotSql("q.qvec", "c.cvec")} + c.cc
+            AS qd
+        FROM qrsubs q JOIN rcodebook c USING (sub)),
+      rdists AS (
+        SELECT a.query_id, g.cell, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM renc e
+        JOIN assign2 g ON g.vec_id = e.vec_id
+        JOIN radc a ON a.cell = g.cell AND a.sub = e.sub AND a.cw = e.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, g.cell, e.vec_id)"""
+
+  // -- V22: RESIDUAL IVF-PQ top-k (Similarity.ivfPqResidualTopK) —
+  //    q117's composition with the FAISS-standard residual encoding:
+  //    PQ codes quantize x − centroid(cell), the per-(query, probed
+  //    cell) LUTs use the query residual against THAT cell, and the
+  //    scoring join stays the broadcast hash join on cell id. Same
+  //    m/donor codebook as q117 — the measured fidelity difference is
+  //    q149's ladder (recall@5 0.24 raw → 0.36 residual at sf0.01). --
+  private val q153 = Q(
+    "q153_ivfpq_residual_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val seeds = Similarity.seedCentroids(
+        t.embeddings, "vec_id", "embedding", SEEDMOD)
+      // materialize the assignment once: codebook, encode, and the
+      // scoring join all read it, and in production it IS a persisted
+      // model table (q117's stored-model contract) — without this the
+      // lazy DAG re-runs the centroid fanout in every branch
+      val assigned = Similarity.ivfAssign(
+        t.embeddings, "vec_id", "embedding", seeds).localCheckpoint()
+      val res = Similarity.ivfResiduals(assigned, "vec_id", "embedding", seeds)
+      val sm = Similarity.sqrtSeedMod(t.embeddings.count())
+      val rcb = Similarity.pqCodebooks(res, "vec_id", "rvec", PQ_M, sm)
+      val renc = Similarity.pqEncode(res, "vec_id", "rvec", PQ_M, rcb)
+      val cells = assigned.select(col("vec_id"), col("cell"))
+      val queries = t.embeddings.filter(col("vec_id") % PQ_QMOD === 0)
+      Similarity.ivfPqResidualTopK(renc, cells, seeds, queries, "vec_id",
+          "embedding", PQ_M, rcb, NPROBE, PQ_K)
+        .select(col("query_id"), col("cell"), col("rank"), col("corpus_id"),
+          pround(col("adist"), 6).as("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH ${residualPqSql},
+      ${residualProbeSql(PQ_QMOD, NPROBE)}
+      SELECT query_id, cell, rank, corpus_id, ${proundSql("adist", 6)} AS adist
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adist ASC, corpus_id ASC) AS rank FROM rdists)
+      WHERE rank <= $PQ_K
+      ORDER BY query_id, rank"""))
+
   // -- V20: SQ8 reconstruction-error profile — the quantization QA
   //    mart: per label, mean/max absolute reconstruction error and
   //    the error-to-magnitude ratio of the int8 codes (q132's exact
@@ -1036,6 +1159,21 @@ object SimilarityQueries {
       val pq = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
           PQ_M, cb, SQ_K)
         .select(col("query_id"), col("corpus_id"))
+      // residual rung: q153's full composition (IVF cells + residual
+      // codes + per-cell LUTs) at the production nprobe — the measured
+      // answer to "what does residual encoding buy at the same m"
+      val seeds = Similarity.seedCentroids(
+        t.embeddings, "vec_id", "embedding", SEEDMOD)
+      val assigned = Similarity.ivfAssign(
+        t.embeddings, "vec_id", "embedding", seeds).localCheckpoint()
+      val res = Similarity.ivfResiduals(assigned, "vec_id", "embedding", seeds)
+      val sm = Similarity.sqrtSeedMod(t.embeddings.count())
+      val rcb = Similarity.pqCodebooks(res, "vec_id", "rvec", PQ_M, sm)
+      val renc = Similarity.pqEncode(res, "vec_id", "rvec", PQ_M, rcb)
+      val rpq = Similarity.ivfPqResidualTopK(renc,
+          assigned.select(col("vec_id"), col("cell")), seeds, queries,
+          "vec_id", "embedding", PQ_M, rcb, NPROBE, SQ_K)
+        .select(col("query_id"), col("corpus_id"))
       def row(name: String, m: org.apache.spark.sql.DataFrame) =
         exact.join(m, Seq("query_id", "corpus_id"))
           .agg(count(lit(1)).as("n_hits"))
@@ -1044,7 +1182,8 @@ object SimilarityQueries {
           .select(lit(name).as("method"), col("n_hits"), col("n_total"),
             pround(col("n_hits").cast("double") / col("n_total"), 4)
               .as("recall"))
-      row("pq", pq).unionByName(row("sq8", sq)).orderBy(col("method"))
+      row("pq", pq).unionByName(row("sq8", sq))
+        .unionByName(row("ivfpq_res", rpq)).orderBy(col("method"))
     },
     Some(s"""WITH v AS (
         SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
@@ -1103,6 +1242,13 @@ object SimilarityQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
         WHERE rank <= $SQ_K),
+      ${residualPqSql.trim},
+      ${residualProbeSql(QMOD, NPROBE).trim},
+      rtop AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, corpus_id ASC) AS rank FROM rdists)
+        WHERE rank <= $SQ_K),
       tot AS (SELECT count(*) AS n_total FROM exact)
       SELECT method, n_hits, n_total,
         ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall
@@ -1115,10 +1261,15 @@ object SimilarityQueries {
         SELECT 'sq8' AS method,
           (SELECT count(*) FROM exact e JOIN sq8 m
             ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot
+        UNION ALL
+        SELECT 'ivfpq_res' AS method,
+          (SELECT count(*) FROM exact e JOIN rtop m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
             AS n_hits, n_total FROM tot)
       ORDER BY method"""))
 
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q135, q136, q148, q149)
+      q114, q117, q120, q125, q132, q135, q136, q148, q149, q153)
 }

@@ -278,6 +278,21 @@ class PlanQualitySpec extends SparkSpec {
       assertIvfPqShape(planOf(q))
   }
 
+  test("residual IVF-PQ keeps q117's shape — residual math never degrades a join") {
+    val p = planOf("q153_ivfpq_residual_topk")
+    // the assignment is localCheckpointed (a persisted model table in
+    // production), so the final plan keeps only the query-probe
+    // centroid fanout; the residual subtraction is a narrow map behind
+    // broadcast hash joins on cell, and scoring stays the cell hash join
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"q153 grew an unbounded nested-loop join:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"q153 must hash-join residuals, codes, and probe LUTs:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0,
+      s"q153 degraded a join:\n$p")
+  }
+
   test("IVF-SQ8 scores via a cell hash join — bounded fanouts only") {
     val p = planOf("q136_ivf_sq8_topk")
     // allowed nested-loop joins: the two centroid fanouts (corpus

@@ -478,4 +478,94 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.forall(r => (r.getAs[Long]("query_id") % 2) ===
       (r.getAs[Long]("corpus_id") % 2)), "IVF-SQ8 crossed the blobs")
   }
+
+  test("ivfPqResidualTopK: nprobe = nlist ≡ exhaustive residual ADC; residual beats raw") {
+    import spark.implicits._
+    val dim = 16; val m = 4; val seedMod = 20; val k = 10
+    // LINE-MANIFOLD corpus (ids walk a line in R^16 + small noise):
+    // the regime where residual encoding pays — the coarse quantizer
+    // segments the line, and the donor RESIDUALS form a fine grid of
+    // within-segment offsets, ~nlist× finer than the donors' absolute
+    // positions raw PQ must reuse. Measured on this fixture: raw 0.2,
+    // residual 0.5. (On structureless uniform data residual LOSES —
+    // the seed centroids inject their own noise into every residual —
+    // so the assertion below deliberately uses structured data, like
+    // the real embeddings q149 measures.)
+    val data = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        (i / 200.0f) * 10f * ((d % 3) + 1) + 0.3f *
+          ((((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f)
+      })
+    }
+    val corpus = data.toDF("vec_id", "embedding")
+    val seeds = Similarity.seedCentroids(corpus, "vec_id", "embedding", seedMod)
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", seeds)
+    val res = Similarity.ivfResiduals(assigned, "vec_id", "embedding", seeds)
+    val rcb = Similarity.pqCodebooks(res, "vec_id", "rvec", m, seedMod)
+    val renc = Similarity.pqEncode(res, "vec_id", "rvec", m, rcb)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+
+    // ---- driver-side exhaustive residual ADC, replicating the exact
+    // double arithmetic: residual in double, sequential-fold dots,
+    // per-sub qd = ⟨qr,qr⟩ − 2⟨qr,cw⟩ + ⟨cw,cw⟩, sub-ascending sum
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecsD = data.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val residOf = res.select("vec_id", "rvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codeOf = renc.select("vec_id", "sub", "cw").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).map(_._2) }
+    val sl = dim / m
+    def subv(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * sl, (s + 1) * sl)
+    val qids = data.map(_._1).filter(_ % 40 == 0)
+    val brute = qids.flatMap { q =>
+      val scored = data.map(_._1).filter(_ != q).map { x =>
+        val qr = vecsD(q).zip(vecsD(cellOf(x))).map { case (a, b) => a - b }
+        var adist = 0.0
+        for (s <- 0 until m) {
+          val qs = subv(qr, s)
+          val cw = subv(residOf(codeOf(x)(s)), s)
+          adist += dotD(qs, qs) - 2.0 * dotD(qs, cw) + dotD(cw, cw)
+        }
+        (x, adist)
+      }.sortBy { case (x, d) => (d, x) }.take(k)
+      scored.zipWithIndex.map { case ((x, d), r) => (q, r + 1, x, d) }
+    }.sortBy(t => (t._1, t._2))
+
+    // nlist = 10 cells; probing all of them scores every corpus row via
+    // its OWN cell's residual LUT — must equal the brute ranking with
+    // bit-identical distances
+    val full = Similarity.ivfPqResidualTopK(renc, cells, seeds, queries,
+        "vec_id", "embedding", m, rcb, nprobe = 10, k = k)
+      .select("query_id", "rank", "corpus_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(full === brute)
+
+    // residual recall vs exact float top-k must beat raw-PQ recall at
+    // the same m (the reason the rung exists)
+    val exact = Similarity.topK(corpus, queries, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawCb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m, seedMod)
+    val rawEnc = Similarity.pqEncode(corpus, "vec_id", "embedding", m, rawCb)
+    val raw = Similarity.pqAdcTopK(rawEnc, queries, "vec_id", "embedding",
+        m, rawCb, k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val residSet = full.map(t => (t._1, t._3)).toSet
+    val rRecall = (residSet & exact).size.toDouble / exact.size
+    val rawRecall = (raw & exact).size.toDouble / exact.size
+    info(f"residual recall $rRecall%.2f vs raw PQ $rawRecall%.2f at m=$m")
+    assert(rRecall > rawRecall,
+      s"residual encoding must lift recall: $rRecall vs $rawRecall")
+  }
 }
