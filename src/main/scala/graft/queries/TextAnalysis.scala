@@ -416,13 +416,54 @@ object TextAnalysis {
   //    this is the surface's one deliberately oracle-less query (the
   //    driver records the rows-only check); BpeTrainerSpec pins it
   //    merge-for-merge against a naive single-node reference BPE. ----
+  // The merge loop IS SQL-expressible after all: the 25 rounds UNROLL
+  // into a fixed CTE chain (nMerges is a query constant) — per round,
+  // pair counts over the word table, the (cnt DESC, a, b) argmax, and
+  // the same single-pass marker-string replace q124's oracle already
+  // proved ≡ mergePair's fold. MATERIALIZED is load-bearing: without
+  // it DuckDB re-inlines each w_{i-1} into both of its two readers and
+  // the chain goes exponential (measured: >5 min vs 0.8 s at sf0.01).
+  // An early-stopped round (best cnt < 2) leaves m_i empty, which
+  // empties every later w_i/m_i — exactly the trainer's early stop.
+  private val BPE_NMERGES = 25
   private val q107 = Q(
     "q107_bpe_merges",
     (s, dir) => {
       val t = Tpch(s, dir)
-      graft.operators.BpeTrainer.train(t.documents, "text", nMerges = 25)
+      graft.operators.BpeTrainer.train(t.documents, "text",
+        nMerges = BPE_NMERGES)
     },
-    None)
+    Some {
+      val rounds = (1 to BPE_NMERGES).map { i =>
+        s"""
+      p$i AS MATERIALIZED (
+        SELECT pr.a, pr.b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq, unnest(list_transform(generate_series(1, len(sy) - 1),
+            j -> struct_pack(a := sy[j], b := sy[j+1]))) AS pr
+          FROM (SELECT s, freq, string_split(s, '|')[2:] AS sy FROM w${i - 1}))
+        GROUP BY pr.a, pr.b),
+      m$i AS MATERIALIZED (
+        SELECT a, b, cnt FROM p$i WHERE cnt >= 2
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT replace(w.s, '|' || m.a || '|' || m.b, '|' || m.a || m.b) AS s,
+          w.freq
+        FROM w${i - 1} w, m$i m)"""
+      }.mkString(",")
+      val union = (1 to BPE_NMERGES)
+        .map(i => s"SELECT $i AS i, a, b, cnt FROM m$i")
+        .mkString(" UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '|\\1', 'g') AS s,
+          CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+        WHERE len(w) > 0
+        GROUP BY w),$rounds
+      SELECT CAST(i AS INT) AS merge_idx, a AS "left", b AS "right",
+        a || b AS merged, cnt AS pair_count
+      FROM ($union) ORDER BY merge_idx"""
+    })
 
   // -- T11: Gopher-style document quality rules (Rae et al. 2021,
   //    "Scaling Language Models", §A.1.1 adapted to this corpus) —
