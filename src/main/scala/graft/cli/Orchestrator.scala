@@ -215,7 +215,9 @@ object Orchestrator {
       watchDir: String, curDir: String, indexDir: String, outDir: String,
       keepLangs: Seq[String], n: Int, tau: Double,
       p: graft.operators.Dedup.MinHashParams, seed: Long = 42L,
-      numShards: Int = 4, seqLen: Int = 64): Seq[TaskDef] = Seq(
+      numShards: Int = 4, seqLen: Int = 64,
+      merges: Seq[(String, String)] =
+        graft.operators.BpeTrainer.demoMerges): Seq[TaskDef] = Seq(
     TaskDef("dataset_curate", Nil, () => {
       graft.pipeline.CurationPipeline.foldNewDocFiles(
         spark, curDir, watchDir, keepLangs)
@@ -231,7 +233,14 @@ object Orchestrator {
         spark, s"$indexDir/corpus", outDir, seed, numShards, seqLen)
       ()
     }),
-    TaskDef("dataset_validate", Seq("dataset_pack"), () => {
+    TaskDef("dataset_tokenize", Seq("dataset_neardup"), () => {
+      graft.pipeline.DatasetPipeline.packIdSequences(
+        spark, s"$indexDir/corpus", outDir, seed, numShards, seqLen,
+        merges)
+      ()
+    }),
+    TaskDef("dataset_validate", Seq("dataset_pack", "dataset_tokenize"),
+      () => {
       require(graft.pipeline.CurationPipeline.validateCurated(spark, curDir),
         "curated corpus invariants violated")
       require(graft.pipeline.DedupIndexPipeline.validateIndex(spark,
@@ -239,6 +248,9 @@ object Orchestrator {
       require(graft.pipeline.DatasetPipeline.validatePacked(spark,
         s"$indexDir/corpus", outDir, seqLen),
         "packed dataset invariants violated")
+      require(graft.pipeline.DatasetPipeline.validateSequences(spark,
+        s"$indexDir/corpus", outDir, seqLen, merges),
+        "training-sequence invariants violated")
     }))
 
   def main(args: Array[String]): Unit = {

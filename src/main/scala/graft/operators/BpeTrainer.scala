@@ -105,15 +105,22 @@ object BpeTrainer {
   // tokenizer, not the whitespace estimate).
   // ------------------------------------------------------------------
 
-  /** The document as a marker-delimited symbol string: every non-space
-    * character becomes `|c`, then each merge (a, b) → ab is ONE
-    * single-pass left-to-right non-overlapping string replace of
-    * `|a|b` with `|ab` — exactly [[mergePair]]'s fold semantics
-    * (the leading marker pins symbol boundaries, so a symbol ENDING
-    * in `a` can never false-match, and a just-merged symbol cannot
-    * re-merge in the same pass because its interior has no marker).
-    * Word boundaries need no special casing: patterns contain no
-    * spaces, so merges never cross them.
+  /** The document as a marker-delimited symbol string: whitespace is
+    * canonicalized to single spaces, every non-space character becomes
+    * `|c`, a marker is appended after each word's LAST symbol (before
+    * each space and at the end), and each merge (a, b) → ab is then
+    * ONE single-pass left-to-right non-overlapping string replace of
+    * `|a|b|` with `|ab|` — exactly [[mergePair]]'s fold semantics.
+    * Markers on BOTH sides of the pattern are load-bearing: with only
+    * leading markers (the pre-round-10 encoding), merge (s,t) on
+    * `…|s|ta|…` would match `|s|t` as a PREFIX of symbol `ta` and
+    * corrupt the segmentation — "distant" under the demo list was the
+    * caught counterexample (the trainer's fold compares full symbols,
+    * so prefix matches must be impossible here too). The trailing
+    * marker consumed by a match is re-emitted by the replacement, so
+    * chained merges still see every boundary. Word boundaries need no
+    * special casing: patterns contain no spaces, so merges never
+    * cross them.
     *
     * Why strings instead of chained array folds: both engines ship a
     * codegen'd single-pass `replace`, the whole merge chain stays one
@@ -121,24 +128,139 @@ object BpeTrainer {
     * the SQL oracle is the IDENTICAL chain ([[bpeSymbolStringSql]]).
     * Precondition: the text must not contain the `|` marker.
     */
-  def bpeSymbolString(text: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(regexp_replace(text, "(\\S)", "|$1")) {
-      case (s, (a, b)) => replace(s, lit(s"|$a|$b"), lit(s"|$a$b"))
+  def bpeSymbolString(text: Column, merges: Seq[(String, String)]): Column = {
+    val canon = regexp_replace(trim(text), "\\s+", " ")
+    val marked = concat(
+      replace(regexp_replace(canon, "(\\S)", "|$1"), lit(" "), lit("| ")),
+      lit("|"))
+    merges.foldLeft(marked) {
+      case (s, (a, b)) => replace(s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
     }
+  }
 
-  def bpeSymbolStringSql(x: String, merges: Seq[(String, String)]): String =
-    merges.foldLeft(s"regexp_replace($x, '(\\S)', '|\\1', 'g')") {
-      case (s, (a, b)) => s"replace($s, '|$a|$b', '|$a$b')"
+  def bpeSymbolStringSql(x: String, merges: Seq[(String, String)]): String = {
+    val canon = s"regexp_replace(trim($x), '\\s+', ' ', 'g')"
+    val marked =
+      s"replace(regexp_replace($canon, '(\\S)', '|\\1', 'g'), ' ', '| ') || '|'"
+    merges.foldLeft(marked) {
+      case (s, (a, b)) => s"replace($s, '|$a|$b|', '|$a$b|')"
     }
+  }
 
   /** Token count under the merge list: one marker per symbol. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    // markers = symbols + one terminator per word; words = spaces + 1
+    // in the canonical string (all-whitespace text ⇒ s = "|" ⇒ 0)
     val s = bpeSymbolString(text, merges)
-    (length(s) - length(replace(s, lit("|"), lit("")))).cast("long")
+    val markers = length(s) - length(replace(s, lit("|"), lit("")))
+    val spaces = length(s) - length(replace(s, lit(" "), lit("")))
+    when(length(s) === 1, lit(0L))
+      .otherwise((markers - spaces - 1).cast("long"))
   }
+
+  /** A small shipped merge list for pipeline defaults and oracles
+    * (q124/q154): deliberately exercises multi-level merges (t+h→th,
+    * th+e→the; e+r→er, er+y→ery) whose pair members are themselves
+    * merge products. Order matters — it IS the vocabulary rank order.
+    */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("t", "a"), ("ta", "b"),
+    ("s", "t"), ("q", "u"), ("qu", "e"), ("o", "r"), ("i", "n"),
+    ("a", "g"), ("er", "y"))
+
+  /** The tokenized document as an ARRAY of symbol strings (the
+    * [[bpeSymbolString]] markers split off) — the bridge from the
+    * replace chain to id assignment. The symbol string keeps the
+    * document's whitespace BETWEEN markers (word-final symbols read
+    * "w " etc.), so it is scrubbed before the split — without this,
+    * every word-final symbol silently misses the vocabulary join (the
+    * round-trip spec is what catches that class of bug).
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    filter(
+      split(regexp_replace(bpeSymbolString(text, merges), "\\s+", ""),
+        "\\|"),
+      s => length(s) > 0)
+
+  /** DuckDB mirror of [[bpeTokens]]. */
+  def bpeTokensSql(x: String, merges: Seq[(String, String)]): String =
+    s"""list_filter(string_split(regexp_replace(
+       |${bpeSymbolStringSql(x, merges)}, '\\s+', '', 'g'), '|'),
+       |x -> x != '')""".stripMargin
+
+  /** Vocabulary table (token, id) for a merge list over a corpus:
+    * the corpus' distinct non-whitespace CHARACTERS sorted ascending
+    * take ids 0..B−1, then each merge's product takes id B+rank −
+    * the merge-rank order a real BPE tokenizer ships (merge i's
+    * product is always id-able even when later merges consume it).
+    * Every post-merge token is either a base character or some
+    * merge's product, so the table is total over [[bpeTokens]]
+    * output. The base count B is a bounded driver read (the vocab is
+    * a MODEL table, ≤ alphabet + |merges| rows); the id window runs
+    * over that same tiny table.
+    */
+  def vocabTable(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(split(regexp_replace(col(textCol), "\\s+", ""), ""))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val charIds = chars.select(col("token"),
+      (row_number().over(Window.orderBy(col("token"))) - 1).cast("long")
+        .as("id"))
+    val base = chars.count()
+    val mergeIds = merges.zipWithIndex
+      .map { case ((a, b), i) => (a + b, base + i) }
+      .toDF("token", "id")
+    charIds.unionByName(mergeIds)
+  }
+
+  /** Tokenize the corpus to vocabulary-id arrays: (idCol, ids) with
+    * `ids[pos]` = vocab id of the pos-th BPE token. The scan emits
+    * (doc, pos, token) rows, the model-sized vocab broadcasts into an
+    * equi-join, and one doc-keyed aggregation reassembles position
+    * order — tokenization at scale is scan + broadcast probe + one
+    * keyed shuffle, never a corpus-side sort. Tokens outside the
+    * vocab cannot occur ([[vocabTable]] is total by construction);
+    * the inner join makes a violated precondition visible as a
+    * shortened array rather than a silent wrong id.
+    */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(bpeTokens(col(textCol), merges)).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+
+  /** Inverse of [[bpeEncodeIds]] for QA round-trips: ids back to the
+    * concatenated surface form (the document with its whitespace
+    * removed — BPE merges never cross the token boundary, so
+    * detokenize(encode(text)) must equal the scrubbed text exactly;
+    * spec-pinned corpus-wide).
+    */
+  def bpeDecodeIds(encoded: DataFrame, idCol: String,
+      vocab: DataFrame): DataFrame =
+    encoded
+      .select(col(idCol), posexplode(col("ids")).as(Seq("pos", "id")))
+      .join(broadcast(vocab), Seq("id"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), "").as("detok"))
 
   def bpeTokenCountSql(x: String, merges: Seq[(String, String)]): String = {
     val s = bpeSymbolStringSql(x, merges)
-    s"CAST(len($s) - len(replace($s, '|', '')) AS BIGINT)"
+    s"""CAST(CASE WHEN len($s) = 1 THEN 0
+       | ELSE (len($s) - len(replace($s, '|', '')))
+       |    - (len($s) - len(replace($s, ' ', ''))) - 1 END
+       | AS BIGINT)""".stripMargin
   }
 }

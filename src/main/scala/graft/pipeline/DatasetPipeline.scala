@@ -47,6 +47,74 @@ object DatasetPipeline {
     spark.read.parquet(s"$outDir/packed").count()
   }
 
+  /** Materialize TRAINING-READY sequences: tokenize the corpus to
+    * vocabulary ids with a shipped merge list
+    * ([[graft.operators.BpeTrainer.bpeEncodeIds]]), order it with the
+    * seeded shuffle, pack into `seqLen`-id sequences via the bucketed
+    * prefix sum, and ASSEMBLE each sequence's actual id array from its
+    * contributing document slices — [[packCorpus]] emits the OFFSET
+    * table (the work order); this emits the sequences themselves
+    * (seq_id, ids, n_ids) at `outDir/sequences`.
+    *
+    * Invariants (OrchestratorSpec): every sequence except the last
+    * carries exactly `seqLen` ids; Σ n_ids = Σ per-doc token counts
+    * (gapless, nothing duplicated); and the concatenation over
+    * seq_id order equals the concatenation of per-document id arrays
+    * in shuffled order — which round-trip-detokenizes to the corpus.
+    *
+    * Scale: tokenization is scan + broadcast vocab probe + one
+    * doc-keyed reassembly; assembly shuffles each id exactly once,
+    * keyed by seq_id (segment slices are narrow). Like [[packCorpus]],
+    * a full rewrite per epoch by design.
+    */
+  def packIdSequences(spark: SparkSession, corpusDir: String,
+      outDir: String, seed: Long, numShards: Int, seqLen: Int,
+      merges: Seq[(String, String)]): Long = {
+    import graft.operators.BpeTrainer
+    val corpus = spark.read.parquet(corpusDir)
+    val vocab = BpeTrainer.vocabTable(corpus, "text", merges)
+    val ids = BpeTrainer.bpeEncodeIds(corpus, "doc_id", "text", merges, vocab)
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+    val ordered = TrainingPrep.shuffleOrder(ids, "doc_id", seed, numShards)
+      .withColumn("ord",
+        col("shard").cast("long") * lit(1L << 40) + col("pos"))
+    val seqs = TrainingPrep.packSegments(ordered, "ord", "n_tokens", seqLen)
+      .filter(col("seg_len") > 0)
+      .select(col("seq_id"), col("offset"),
+        slice(col("ids"), (col("seg_start") + 1).cast("int"),
+          col("seg_len").cast("int")).as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("offset"), col("piece")))),
+        x => x.getField("piece"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+    seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
+    spark.read.parquet(s"$outDir/sequences").count()
+  }
+
+  /** Sequence-table invariants the standing DAG validates (the
+    * bounded checks; the ≡-recompute assertion is OrchestratorSpec's):
+    * every sequence except the last carries exactly `seqLen` ids,
+    * sequence ids are gapless 0..maxSeq, and Σ n_ids equals the
+    * corpus' total BPE token count under the same merge list.
+    */
+  def validateSequences(spark: SparkSession, corpusDir: String,
+      outDir: String, seqLen: Int,
+      merges: Seq[(String, String)]): Boolean = {
+    import graft.operators.BpeTrainer
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    val total = spark.read.parquet(corpusDir)
+      .agg(sum(BpeTrainer.bpeTokenCount(col("text"), merges)))
+      .head.getLong(0)
+    val agg = seqs.agg(max(col("seq_id")).as("mx"),
+      sum(col("n_ids")).as("s"), count(lit(1)).as("n")).head
+    val (maxSeq, sumIds, n) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val badLen = seqs
+      .filter(col("seq_id") =!= maxSeq && col("n_ids") =!= seqLen)
+      .count()
+    badLen == 0 && sumIds == total && n == maxSeq + 1
+  }
+
   /** Packed-table invariants the standing DAG validates: one row per
     * corpus doc, offsets are EXACTLY the prefix sums of token counts
     * in (shard, pos) order (gapless, overlap-free), and every

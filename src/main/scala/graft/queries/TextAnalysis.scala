@@ -596,10 +596,7 @@ object TextAnalysis {
   //    the oracle runs the IDENTICAL chain in DuckDB. The list
   //    exercises multi-level merges (t+h → th, th+e → the; e+r → er,
   //    er+y → ery) whose pair members are themselves merge products.
-  private val BPE_MERGES = Seq(
-    ("e", "r"), ("t", "h"), ("th", "e"), ("t", "a"), ("ta", "b"),
-    ("s", "t"), ("q", "u"), ("qu", "e"), ("o", "r"), ("i", "n"),
-    ("a", "g"), ("er", "y"))
+  private val BPE_MERGES = graft.operators.BpeTrainer.demoMerges
   private val q124 = Q(
     "q124_bpe_apply",
     (s, dir) => {
@@ -631,6 +628,106 @@ object TextAnalysis {
           AS fertility
       FROM documents
       ORDER BY doc_id"""
+    })
+
+  // -- T14b: tokenize-to-ids + sequence assembly — the TRAINING-READY
+  //    output format: q124's merge chain feeds vocabulary-id arrays
+  //    (base chars sorted take ids 0..B−1, merge products B+rank —
+  //    BpeTrainer.vocabTable/bpeEncodeIds), which pack into SEQ_LEN-id
+  //    training sequences via the q64/q68 bucketed prefix sum, and
+  //    each sequence's ACTUAL id array is assembled from its document
+  //    slices (offset order). Output pins the ids end-to-end: count,
+  //    first/last id, and a polynomial fold of the whole sequence —
+  //    a wrong id, a swapped slice, or a gapped offset all diverge.
+  //    Round-trip detokenize ≡ scrubbed corpus is BpeTrainerSpec's
+  //    corpus-wide pin; DatasetPipeline.packIdSequences is the
+  //    standing-DAG twin (OrchestratorSpec).
+  private val SEQ_LEN = 64
+  private val q154 = Q(
+    "q154_bpe_pack_ids",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.{BpeTrainer, TrainingPrep}
+      val vocab = BpeTrainer.vocabTable(t.documents, "text", BPE_MERGES)
+      val ids = BpeTrainer.bpeEncodeIds(t.documents, "doc_id", "text",
+          BPE_MERGES, vocab)
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+      val seqs = TrainingPrep.packSegments(ids, "doc_id", "n_tokens", SEQ_LEN)
+        .filter(col("seg_len") > 0)
+        .select(col("seq_id"), col("offset"),
+          slice(col("ids"), (col("seg_start") + 1).cast("int"),
+            col("seg_len").cast("int")).as("piece"))
+        .groupBy(col("seq_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("offset"), col("piece")))),
+          x => x.getField("piece"))).as("ids"))
+      seqs.select(col("seq_id"),
+          size(col("ids")).as("n_ids"),
+          element_at(col("ids"), 1).as("first_id"),
+          element_at(col("ids"), -1).as("last_id"),
+          aggregate(col("ids"), lit(0L),
+            (h, i) => (h * 31 + i) % lit(TextFns.P)).as("ids_hash"))
+        .orderBy(col("seq_id"))
+    },
+    Some {
+      import graft.operators.BpeTrainer
+      val mergeVals = BPE_MERGES.zipWithIndex
+        .map { case ((a, b), i) => s"('${a + b}', $i)" }.mkString(", ")
+      s"""WITH scrub AS (
+        SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS t
+        FROM documents),
+      chars AS (
+        SELECT DISTINCT unnest(list_transform(generate_series(1, len(t)),
+          i -> t[i])) AS token
+        FROM scrub),
+      vocab AS MATERIALIZED (
+        SELECT token,
+          CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+        FROM chars
+        UNION ALL
+        SELECT m.token,
+          (SELECT CAST(count(*) AS BIGINT) FROM chars) + m.i AS id
+        FROM (VALUES $mergeVals) m(token, i)),
+      toks AS (
+        SELECT doc_id,
+          ${BpeTrainer.bpeTokensSql("text", BPE_MERGES)} AS toks
+        FROM documents),
+      exploded AS (
+        SELECT doc_id, pr.pos AS pos, pr.tok AS tok
+        FROM (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks)),
+                  i -> struct_pack(pos := i, tok := toks[i]))) AS pr
+              FROM toks)),
+      docids AS (
+        SELECT e.doc_id, list(v.id ORDER BY e.pos) AS ids
+        FROM exploded e JOIN vocab v ON v.token = e.tok
+        GROUP BY e.doc_id),
+      offs AS (
+        SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM docids),
+      segs AS (
+        SELECT seq_id, off, ids, n,
+          GREATEST(seq_id * $SEQ_LEN - off, 0) AS seg_start,
+          LEAST((seq_id + 1) * $SEQ_LEN - off, n)
+            - GREATEST(seq_id * $SEQ_LEN - off, 0) AS seg_len
+        FROM (SELECT *, unnest(generate_series(off // $SEQ_LEN,
+                (off + n - 1) // $SEQ_LEN)) AS seq_id
+              FROM offs)),
+      pieces AS (
+        SELECT seq_id, off, ids[seg_start + 1 : seg_start + seg_len] AS piece
+        FROM segs WHERE seg_len > 0),
+      seqs AS (
+        SELECT seq_id, flatten(list(piece ORDER BY off)) AS ids
+        FROM pieces GROUP BY seq_id)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(len(ids) AS INT) AS n_ids,
+        ids[1] AS first_id, ids[len(ids)] AS last_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+          (h, i) -> (h * 31 + i) % ${TextFns.P}) AS BIGINT) AS ids_hash
+      FROM seqs ORDER BY seq_id"""
     })
 
   // -- T15: END-TO-END curation funnel — the FineWeb/RefinedWeb stage
@@ -858,5 +955,5 @@ object TextAnalysis {
 
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150)
+      q110, q111, q124, q139, q141, q150, q154)
 }

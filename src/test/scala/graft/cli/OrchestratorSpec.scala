@@ -366,10 +366,41 @@ class OrchestratorSpec extends SparkSpec {
     assert(graft.pipeline.DatasetPipeline.validatePacked(spark,
       s"$ix/corpus", out, 64))
 
-    // idempotent re-run: folds are no-ops, pack rewrite is identical
+    // training-ready id sequences: bounded invariants, then the
+    // ≡-recompute assertion — the concatenation over seq_id order must
+    // equal the per-doc id arrays in shuffled (shard, pos) order, and
+    // decode back to the scrubbed corpus
+    import graft.operators.{BpeTrainer, TrainingPrep}
+    val merges = BpeTrainer.demoMerges
+    assert(graft.pipeline.DatasetPipeline.validateSequences(spark,
+      s"$ix/corpus", out, 64, merges))
+    val seqRows = spark.read.parquet(s"$out/sequences")
+      .orderBy("seq_id").collect()
+    val allIds = seqRows.flatMap(r =>
+      r.getSeq[Long](r.fieldIndex("ids"))).toSeq
+    val corpusDf = spark.read.parquet(s"$ix/corpus")
+    val vocab = BpeTrainer.vocabTable(corpusDf, "text", merges)
+    val enc = BpeTrainer.bpeEncodeIds(corpusDf, "doc_id", "text",
+      merges, vocab)
+    val expectIds = TrainingPrep.shuffleOrder(enc, "doc_id", 42L, 4)
+      .orderBy("shard", "pos").collect()
+      .flatMap(r => r.getSeq[Long](r.fieldIndex("ids"))).toSeq
+    assert(allIds === expectIds)
+    val detok = BpeTrainer.bpeDecodeIds(enc, "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrubbed = corpusDf.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).replaceAll("\\s+", ""))
+      .toMap
+    assert(detok === scrubbed)
+
+    // idempotent re-run: folds are no-ops, pack + sequence rewrites
+    // are identical
     val before = packed.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val beforeSeqs = seqRows.map(_.toSeq).toSeq
     assert(statuses().values.forall(_ == Succeeded))
     assert(spark.read.parquet(s"$out/packed").orderBy("doc_id")
       .collect().map(_.toSeq).toSeq === before)
+    assert(spark.read.parquet(s"$out/sequences").orderBy("seq_id")
+      .collect().map(_.toSeq).toSeq === beforeSeqs)
   }
 }

@@ -110,9 +110,9 @@ class BpeTrainerSpec extends SparkSpec {
         (r.getAs[String]("s"), r.getAs[Long]("n"))).toMap
     for ((w, syms) <- viaFold) {
       val (str, n) = viaReplace(w)
-      assert(str === syms.mkString("|", "|", "").stripSuffix("|").
-        ensuring(_ => true), s"word=$w") // marker form: |s1|s2...
-      assert(str === "|" + syms.mkString("|"), s"word=$w")
+      // marker form |s1|s2|...|sn| — terminated, so a merge pattern
+      // can never prefix-match inside a longer symbol
+      assert(str === syms.mkString("|", "|", "|"), s"word=$w")
       assert(n === syms.length.toLong, s"word=$w")
     }
     // whole-document application == sum over its words (merges never
@@ -125,5 +125,60 @@ class BpeTrainerSpec extends SparkSpec {
         .map(w => viaFold(w).length.toLong).sum
     }.toMap
     assert(perDoc === expected)
+  }
+
+  test("merge patterns never prefix-match inside a longer symbol") {
+    import org.apache.spark.sql.functions._
+    // "distant" under demoMerges: (t,a) fires first → symbol "ta";
+    // when (s,t)'s turn comes, s is followed by "ta", NOT "t" — the
+    // fold compares full symbols, so no merge. The pre-round-10
+    // leading-marker encoding matched "|s|t" as a prefix of "|s|ta"
+    // and corrupted the segmentation to d,i,sta,n,t.
+    val out = Seq((1L, "distant")).toDF("doc_id", "text")
+      .select(BpeTrainer.bpeSymbolString(col("text"),
+        BpeTrainer.demoMerges)).head.getString(0)
+    assert(out === "|d|i|s|ta|n|t|")
+  }
+
+  test("vocab ids: chars first (sorted), merge ranks after; encode round-trips") {
+    import org.apache.spark.sql.functions._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.demoMerges
+    val vocab = BpeTrainer.vocabTable(docs, "text", merges)
+    val rows = vocab.collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("id")).toMap
+    // base chars = the corpus' distinct non-space chars, ids 0..B-1 in
+    // sorted order; merge products follow at B+rank
+    val chars = corpus.mkString.replaceAll("\\s+", "").distinct.sorted
+    chars.zipWithIndex.foreach { case (c, i) =>
+      assert(rows(c.toString) === i.toLong, s"char $c")
+    }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(rows(a + b) === chars.length + i.toLong, s"merge $a+$b")
+    }
+    assert(rows.size === chars.length + merges.size)
+
+    // encode → decode round-trips the whitespace-scrubbed corpus, and
+    // ids re-tokenize consistently under any partitioning
+    val enc = BpeTrainer.bpeEncodeIds(docs, "doc_id", "text", merges, vocab)
+    val detok = BpeTrainer.bpeDecodeIds(enc, "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      assert(detok(i.toLong) === t.replaceAll("\\s+", ""), s"doc $i")
+    }
+    val encRepart = BpeTrainer.bpeEncodeIds(docs.repartition(7), "doc_id",
+      "text", merges, vocab)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(asMap(enc) === asMap(encRepart))
+    // every id array length equals the replace-chain token count
+    val counts = docs.select(col("doc_id"),
+        BpeTrainer.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    asMap(enc).foreach { case (d, ids) =>
+      assert(ids.length.toLong === counts(d), s"doc $d")
+    }
   }
 }
