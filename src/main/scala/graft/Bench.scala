@@ -29,7 +29,7 @@ object Bench {
     "q18_text_quality", "q19_lang_id", "q20_fingerprint",
     "q110_gopher_rules", "q111_filter_funnel",
     "q95_bpe_pretokens", "q107_bpe_merges", "q124_bpe_apply",
-    "q154_bpe_pack_ids",
+    "q154_bpe_pack_ids", "q155_multimodal_pack",
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q112_cross_dedup", "q115_lsh_recall",

@@ -343,6 +343,50 @@ object TrainingPrep {
       .drop("first_seq", "last_seq", "n_seqs")
 
   // ------------------------------------------------------------------
+  // Multimodal interleaving (image placeholders in token streams)
+  // ------------------------------------------------------------------
+
+  /** Interleave PLACEHOLDER tokens into per-document id arrays — the
+    * standard multimodal training layout: the text token stream
+    * carries one `placeholderId` per attached image, and a parallel
+    * ref table maps each placeholder back to its media row. Input
+    * rows carry `ids` (array<long>, the text ids) and `marksCol`
+    * (array<struct<p: insert-before text position 0..n, ref: media
+    * id>>, in insertion order); output replaces `ids` with the
+    * interleaved array and adds `refs` = array<struct<ref, idx>>
+    * with `idx` the placeholder's position IN THE INTERLEAVED array —
+    * after sequence packing, a ref's global position is simply
+    * doc_offset + idx, which is how the packed query pins alignment.
+    *
+    * Several images at one text position keep their list order, and
+    * placeholders sit BEFORE the text token they mark (p = n appends
+    * after the last token). Pure per-row higher-order functions:
+    * no shuffle, no explode — the interleave rides the scan, and the
+    * quadratic-looking nested filters are over the per-doc MARK list
+    * (a handful of images), not the token stream.
+    */
+  def interleavePlaceholders(docs: DataFrame, idCol: String,
+      marksCol: String, placeholderId: Long): DataFrame = {
+    val n = size(col("ids"))
+    val marks = col(marksCol)
+    val interleaved = flatten(transform(sequence(lit(0), n), i =>
+      concat(
+        transform(filter(marks, m => m.getField("p") === i),
+          _ => lit(placeholderId)),
+        when(i < n, array(element_at(col("ids"), i + 1)))
+          .otherwise(array().cast("array<bigint>")))))
+    val refs = transform(marks, (m, j) =>
+      struct(
+        m.getField("ref").as("ref"),
+        (m.getField("p").cast("long") +
+          size(filter(marks, (m2, j2) =>
+            m2.getField("p") < m.getField("p") ||
+              (m2.getField("p") === m.getField("p") && j2 < j))))
+          .as("idx")))
+    docs.withColumn("ids", interleaved).withColumn("refs", refs)
+  }
+
+  // ------------------------------------------------------------------
   // Embedding quantization (symmetric int8)
   // ------------------------------------------------------------------
 

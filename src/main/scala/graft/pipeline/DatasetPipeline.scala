@@ -92,6 +92,64 @@ object DatasetPipeline {
     spark.read.parquet(s"$outDir/sequences").count()
   }
 
+  /** MULTIMODAL variant of [[packIdSequences]]: an images table at
+    * `imagesDir` (doc_id, p, ref — insert-before text position and
+    * media id) interleaves one placeholder id (= |vocab|, the next
+    * free id) per image into each document's token stream before
+    * packing, and an ALIGNMENT table maps every image to its
+    * (seq_id, pos_in_seq) slot — the layout a multimodal trainer
+    * consumes (sequences + where to splice each image's features).
+    * Writes `outDir/sequences` and `outDir/image_align`. Returns
+    * (nSequences, nAlignedImages). Docs without images pack
+    * unchanged; images of dropped/unknown docs are ignored (inner
+    * join against the corpus).
+    */
+  def packMultimodalSequences(spark: SparkSession, corpusDir: String,
+      imagesDir: String, outDir: String, seed: Long, numShards: Int,
+      seqLen: Int, merges: Seq[(String, String)]): (Long, Long) = {
+    import graft.operators.{BpeTrainer, TrainingPrep}
+    val corpus = spark.read.parquet(corpusDir)
+    val vocab = BpeTrainer.vocabTable(corpus, "text", merges)
+    val imgId = vocab.count()
+    val marks = spark.read.parquet(imagesDir)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("p").cast("int").as("p"),
+        col("ref").cast("long").as("ref")))).as("marks"))
+    val enc = BpeTrainer.bpeEncodeIds(corpus, "doc_id", "text", merges, vocab)
+      .join(marks, Seq("doc_id"), "left")
+      .withColumn("marks", coalesce(col("marks"),
+        array().cast("array<struct<p:int,ref:bigint>>")))
+    val inter = TrainingPrep.interleavePlaceholders(enc, "doc_id",
+        "marks", imgId)
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+    val ordered = TrainingPrep.shuffleOrder(inter, "doc_id", seed, numShards)
+      .withColumn("ord",
+        col("shard").cast("long") * lit(1L << 40) + col("pos"))
+      .localCheckpoint() // read by assembly AND alignment
+    val seqs = TrainingPrep.packSegments(ordered, "ord", "n_tokens", seqLen)
+      .filter(col("seg_len") > 0)
+      .select(col("seq_id"), col("offset"),
+        slice(col("ids"), (col("seg_start") + 1).cast("int"),
+          col("seg_len").cast("int")).as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("offset"), col("piece")))),
+        x => x.getField("piece"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+    val align = TrainingPrep.packOffsets(ordered, "ord", "n_tokens", seqLen)
+      .select(col("doc_id"), col("offset"),
+        posexplode(col("refs")).as(Seq("img_idx", "r")))
+      .select(col("doc_id"), col("img_idx"),
+        col("r.ref").as("media_ref"),
+        (col("offset") + col("r.idx")).as("gpos"))
+      .withColumn("seq_id", floor(col("gpos") / seqLen).cast("long"))
+      .withColumn("pos_in_seq", pmod(col("gpos"), lit(seqLen)).cast("int"))
+    seqs.write.mode("overwrite").parquet(s"$outDir/sequences")
+    align.write.mode("overwrite").parquet(s"$outDir/image_align")
+    (spark.read.parquet(s"$outDir/sequences").count(),
+      spark.read.parquet(s"$outDir/image_align").count())
+  }
+
   /** Sequence-table invariants the standing DAG validates (the
     * bounded checks; the ≡-recompute assertion is OrchestratorSpec's):
     * every sequence except the last carries exactly `seqLen` ids,

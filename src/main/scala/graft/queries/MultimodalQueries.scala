@@ -619,6 +619,119 @@ object MultimodalQueries {
       ORDER BY d1, d2"""
     })
 
+  // -- q155: MULTIMODAL interleaved packing, oracle-gated --------------
+  // The standard multimodal training-data layout: each doc's BPE id
+  // stream (q154's vocab/encode) gains one PLACEHOLDER token per
+  // attached image (id = |vocab| — the next free id), inserted at
+  // doc-derived text positions (doc_id%3 images, insert-before
+  // position (doc_id·7 + j·13) mod (n+1)); the interleaved streams
+  // pack into MSEQ-id sequences and every image ref is located at its
+  // (seq_id, pos_in_seq) — verified by reading the id AT that
+  // position out of the ASSEMBLED sequence (must be the placeholder).
+  // A wrong insertion order, off-by-one in the interleave index, or a
+  // mis-packed slice all diverge. MSEQ < q154's SEQ_LEN so refs
+  // straddle sequence boundaries.
+  private val MSEQ = 48
+  private val q155 = Q(
+    "q155_multimodal_pack",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.{BpeTrainer, TrainingPrep}
+      val merges = BpeTrainer.demoMerges
+      val vocab = BpeTrainer.vocabTable(t.documents, "text", merges)
+      val imgId = vocab.count() // |vocab| = next free id (model-sized read)
+      val enc = BpeTrainer.bpeEncodeIds(t.documents, "doc_id", "text",
+        merges, vocab)
+      val nImgs = (col("doc_id") % 3).cast("int")
+      val marksExpr = when(nImgs > 0,
+        transform(sequence(lit(0), nImgs - 1), j =>
+          struct(
+            pmod(col("doc_id") * 7 + j.cast("long") * 13,
+              size(col("ids")).cast("long") + 1).cast("int").as("p"),
+            (col("doc_id") * 10 + j.cast("long")).as("ref"))))
+        .otherwise(array().cast("array<struct<p:int,ref:bigint>>"))
+      val inter = TrainingPrep.interleavePlaceholders(
+          enc.withColumn("marks", marksExpr), "doc_id", "marks", imgId)
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+        .localCheckpoint() // read by assembly AND alignment below
+      val seqs = TrainingPrep.packSegments(inter, "doc_id", "n_tokens", MSEQ)
+        .filter(col("seg_len") > 0)
+        .select(col("seq_id"), col("offset"),
+          slice(col("ids"), (col("seg_start") + 1).cast("int"),
+            col("seg_len").cast("int")).as("piece"))
+        .groupBy(col("seq_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("offset"), col("piece")))),
+          x => x.getField("piece"))).as("seq_ids"))
+      val aligned = TrainingPrep.packOffsets(inter, "doc_id", "n_tokens", MSEQ)
+        .select(col("doc_id"), col("offset"),
+          posexplode(col("refs")).as(Seq("img_idx", "r")))
+        .select(col("doc_id"), col("img_idx"),
+          col("r.ref").as("media_ref"),
+          (col("offset") + col("r.idx")).as("gpos"))
+        .withColumn("seq_id", floor(col("gpos") / MSEQ).cast("long"))
+        .withColumn("pos_in_seq", pmod(col("gpos"), lit(MSEQ)).cast("int"))
+      aligned.join(seqs, Seq("seq_id"))
+        .select(col("doc_id"), col("img_idx"), col("media_ref"),
+          col("gpos"), col("seq_id"), col("pos_in_seq"),
+          element_at(col("seq_ids"), col("pos_in_seq") + 1).as("id_at_pos"))
+        .orderBy(col("doc_id"), col("img_idx"))
+    },
+    Some {
+      val nm = graft.operators.BpeTrainer.demoMerges.size
+      s"""WITH ${TextAnalysis.bpeDocIdsCtes},
+      imgid AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM chars) + $nm AS iid),
+      iv AS (
+        SELECT doc_id, ids AS tids, CAST(len(ids) AS BIGINT) AS n,
+          list_transform(generate_series(0, CAST(doc_id % 3 AS INT) - 1),
+            j -> struct_pack(
+              p := (doc_id * 7 + j * 13) % (len(ids) + 1),
+              jx := j, ref := doc_id * 10 + j)) AS marks
+        FROM docids),
+      iv2 AS (
+        SELECT doc_id,
+          flatten(list_transform(generate_series(0, n), i ->
+            list_concat(
+              list_transform(list_filter(marks, m -> m.p = i), m -> iid),
+              CASE WHEN i < n THEN [tids[i + 1]] ELSE [] END))) AS ids,
+          list_transform(marks, m -> struct_pack(
+            jx := m.jx, ref := m.ref,
+            idx := m.p + len(list_filter(marks, m2 ->
+              m2.p < m.p OR (m2.p = m.p AND m2.jx < m.jx))))) AS refs
+        FROM iv CROSS JOIN imgid),
+      offs AS (
+        SELECT doc_id, ids, refs, CAST(len(ids) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM iv2),
+      segs AS (
+        SELECT seq_id, off, ids, n,
+          GREATEST(seq_id * $MSEQ - off, 0) AS seg_start,
+          LEAST((seq_id + 1) * $MSEQ - off, n)
+            - GREATEST(seq_id * $MSEQ - off, 0) AS seg_len
+        FROM (SELECT *, unnest(generate_series(off // $MSEQ,
+                (off + n - 1) // $MSEQ)) AS seq_id
+              FROM offs)),
+      pieces AS (
+        SELECT seq_id, off, ids[seg_start + 1 : seg_start + seg_len] AS piece
+        FROM segs WHERE seg_len > 0),
+      seqs AS (
+        SELECT seq_id, flatten(list(piece ORDER BY off)) AS ids
+        FROM pieces GROUP BY seq_id),
+      align AS (
+        SELECT doc_id, CAST(r.jx AS INT) AS img_idx, r.ref AS media_ref,
+          CAST(off + r.idx AS BIGINT) AS gpos,
+          CAST((off + r.idx) // $MSEQ AS BIGINT) AS seq_id,
+          CAST((off + r.idx) % $MSEQ AS INT) AS pos_in_seq
+        FROM (SELECT doc_id, off, unnest(refs) AS r FROM offs))
+      SELECT a.doc_id, a.img_idx, a.media_ref, a.gpos, a.seq_id,
+        a.pos_in_seq, s.ids[a.pos_in_seq + 1] AS id_at_pos
+      FROM align a JOIN seqs s ON s.seq_id = a.seq_id
+      ORDER BY a.doc_id, a.img_idx"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152)
+    q152, q155)
 }

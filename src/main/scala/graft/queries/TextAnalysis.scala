@@ -643,37 +643,17 @@ object TextAnalysis {
   //    corpus-wide pin; DatasetPipeline.packIdSequences is the
   //    standing-DAG twin (OrchestratorSpec).
   private val SEQ_LEN = 64
-  private val q154 = Q(
-    "q154_bpe_pack_ids",
-    (s, dir) => {
-      val t = Tpch(s, dir)
-      import graft.operators.{BpeTrainer, TrainingPrep}
-      val vocab = BpeTrainer.vocabTable(t.documents, "text", BPE_MERGES)
-      val ids = BpeTrainer.bpeEncodeIds(t.documents, "doc_id", "text",
-          BPE_MERGES, vocab)
-        .withColumn("n_tokens", size(col("ids")).cast("long"))
-      val seqs = TrainingPrep.packSegments(ids, "doc_id", "n_tokens", SEQ_LEN)
-        .filter(col("seg_len") > 0)
-        .select(col("seq_id"), col("offset"),
-          slice(col("ids"), (col("seg_start") + 1).cast("int"),
-            col("seg_len").cast("int")).as("piece"))
-        .groupBy(col("seq_id"))
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("offset"), col("piece")))),
-          x => x.getField("piece"))).as("ids"))
-      seqs.select(col("seq_id"),
-          size(col("ids")).as("n_ids"),
-          element_at(col("ids"), 1).as("first_id"),
-          element_at(col("ids"), -1).as("last_id"),
-          aggregate(col("ids"), lit(0L),
-            (h, i) => (h * 31 + i) % lit(TextFns.P)).as("ids_hash"))
-        .orderBy(col("seq_id"))
-    },
-    Some {
-      import graft.operators.BpeTrainer
-      val mergeVals = BPE_MERGES.zipWithIndex
-        .map { case ((a, b), i) => s"('${a + b}', $i)" }.mkString(", ")
-      s"""WITH scrub AS (
+
+  /** Shared DuckDB CTE prefix: corpus → vocabulary → per-doc BPE id
+    * arrays (`docids(doc_id, ids)`), mirroring
+    * BpeTrainer.vocabTable + bpeEncodeIds. Used by q154's packing
+    * oracle and q155's multimodal interleave oracle.
+    */
+  private[queries] def bpeDocIdsCtes: String = {
+    import graft.operators.BpeTrainer
+    val mergeVals = BPE_MERGES.zipWithIndex
+      .map { case ((a, b), i) => s"('${a + b}', $i)" }.mkString(", ")
+    s"""scrub AS (
         SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS t
         FROM documents),
       chars AS (
@@ -701,7 +681,37 @@ object TextAnalysis {
       docids AS (
         SELECT e.doc_id, list(v.id ORDER BY e.pos) AS ids
         FROM exploded e JOIN vocab v ON v.token = e.tok
-        GROUP BY e.doc_id),
+        GROUP BY e.doc_id)"""
+  }
+
+  private val q154 = Q(
+    "q154_bpe_pack_ids",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.{BpeTrainer, TrainingPrep}
+      val vocab = BpeTrainer.vocabTable(t.documents, "text", BPE_MERGES)
+      val ids = BpeTrainer.bpeEncodeIds(t.documents, "doc_id", "text",
+          BPE_MERGES, vocab)
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+      val seqs = TrainingPrep.packSegments(ids, "doc_id", "n_tokens", SEQ_LEN)
+        .filter(col("seg_len") > 0)
+        .select(col("seq_id"), col("offset"),
+          slice(col("ids"), (col("seg_start") + 1).cast("int"),
+            col("seg_len").cast("int")).as("piece"))
+        .groupBy(col("seq_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("offset"), col("piece")))),
+          x => x.getField("piece"))).as("ids"))
+      seqs.select(col("seq_id"),
+          size(col("ids")).as("n_ids"),
+          element_at(col("ids"), 1).as("first_id"),
+          element_at(col("ids"), -1).as("last_id"),
+          aggregate(col("ids"), lit(0L),
+            (h, i) => (h * 31 + i) % lit(TextFns.P)).as("ids_hash"))
+        .orderBy(col("seq_id"))
+    },
+    Some {
+      s"""WITH $bpeDocIdsCtes,
       offs AS (
         SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
           CAST(COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (ORDER BY doc_id

@@ -370,11 +370,11 @@ class PlanQualitySpec extends SparkSpec {
     //   q79: final rank over the per-query top-k survivors (≤ q·k rows)
     //   q120/q121: final rank over the ≤ k fused / ≤ m selected
     //     survivors (both post-limit, like q79)
-    //   q154: q64's bucket-total prefix window plus the vocab-id
+    //   q154/q155: q64's bucket-total prefix window plus the vocab-id
     //     window over the char table (≤ alphabet + merges rows)
     val allowed = Set("q64_pack_offsets", "q68_pack_segments",
       "q81_chunk_spans", "q79_bm25_topk", "q120_hybrid_rrf",
-      "q121_dsir_selection", "q154_bpe_pack_ids")
+      "q121_dsir_selection", "q154_bpe_pack_ids", "q155_multimodal_pack")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
