@@ -149,13 +149,19 @@ object BpeTrainer {
 
   /** Token count under the merge list: one marker per symbol. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
-    // markers = symbols + one terminator per word; words = spaces + 1
-    // in the canonical string (all-whitespace text ⇒ s = "|" ⇒ 0)
+    // markers = symbols + one terminator per word, so tokens =
+    // markers − words. Words count from the RAW text (one cheap
+    // regex split), NOT from the symbol string: every additional
+    // reference to `s` re-evaluates the whole merge chain — a
+    // 5-reference variant with a `when` guard defeated codegen
+    // subexpression reuse and cost 7.5× on q124 (measured). The
+    // all-whitespace edge folds into the word count (its split
+    // yields [""], i.e. 1, matching the lone terminator marker).
     val s = bpeSymbolString(text, merges)
     val markers = length(s) - length(replace(s, lit("|"), lit("")))
-    val spaces = length(s) - length(replace(s, lit(" "), lit("")))
-    when(length(s) === 1, lit(0L))
-      .otherwise((markers - spaces - 1).cast("long"))
+    val words = when(length(trim(text)) === 0, lit(1))
+      .otherwise(size(split(trim(text), "\\s+")))
+    (markers - words).cast("long")
   }
 
   /** A small shipped merge list for pipeline defaults and oracles
@@ -258,9 +264,9 @@ object BpeTrainer {
 
   def bpeTokenCountSql(x: String, merges: Seq[(String, String)]): String = {
     val s = bpeSymbolStringSql(x, merges)
-    s"""CAST(CASE WHEN len($s) = 1 THEN 0
-       | ELSE (len($s) - len(replace($s, '|', '')))
-       |    - (len($s) - len(replace($s, ' ', ''))) - 1 END
+    s"""CAST((len($s) - len(replace($s, '|', '')))
+       | - (CASE WHEN len(trim($x)) = 0 THEN 1
+       |     ELSE len(regexp_split_to_array(trim($x), '\\s+')) END)
        | AS BIGINT)""".stripMargin
   }
 }
