@@ -29,6 +29,7 @@ object SweepSets {
     "q39_neardup_dedup" -> "shares the LSH oracle CTEs",
     "q151_dup_source_matrix" -> "shares the LSH oracle CTEs (q24/q39 reason)",
     "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",
+    "q156_image_dedup_clusters" -> "q43's recursive-CTE oracle shape over the all-pairs hamming set — quadratic in DuckDB at 10x (engine side verified by PhashSpec + sf0.01 strict)",
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q126_quality_survivors" -> "component labels come from q43's recursive-CTE oracle — same 10x infeasibility (engine side verified by DedupSpec + sf0.01 strict)",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",

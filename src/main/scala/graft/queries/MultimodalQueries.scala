@@ -539,13 +539,16 @@ object MultimodalQueries {
   private val IW = 64
   private val ISTEP = 96
   private val IBASE = 16
-  private val q152 = Q(
-    "q152_image_neardup",
-    (s, dir) => {
+
+  /** q152's crafted step-image corpus (see q152's comment), shared by
+    * the pair query and the cluster query.
+    */
+  private def stepMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val t = Tpch(s, dir)
       import org.apache.spark.sql.{Encoders, Row}
       val mediaEnc = Encoders.row(Multimodal.mediaSchema)
-      val media = graft.core.Scan.fanOut(
+      graft.core.Scan.fanOut(
         t.documents.select(col("doc_id")).filter(col("doc_id") % 5 === 0))
         .mapPartitions { rows =>
           val deflater = new java.util.zip.Deflater()
@@ -599,25 +602,73 @@ object MultimodalQueries {
             Row(d, bytes, if (d % 2 == 0) "image/png" else "image/bmp")
           }
         }(mediaEnc)
-      graft.operators.Dedup.imageNearDupPairs(media, maxHamming = 3)
+  }
+
+  /** q152's closed-form phash CTE (`p(doc_id, ph)`) — shared with the
+    * q156 cluster oracle.
+    */
+  private def stepPhashCte: String = {
+    val phx = (1 to 7).map(u =>
+      s"(CASE WHEN (($u * (2*(doc_id%16)+1)) % 64) > 32 THEN ${1L << u} ELSE 0 END)")
+      .mkString(" + ")
+    val phy = (1 to 7).map(v =>
+      s"(CASE WHEN (($v * (2*((doc_id//16)%16)+1)) % 64) > 32 THEN ${1L << (8 * v)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""p AS (
+        SELECT doc_id, CAST(1 + $phx + $phy AS BIGINT) AS ph
+        FROM documents WHERE doc_id % 5 = 0),
+      ipairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        FROM p a JOIN p b
+          ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 3)"""
+  }
+
+  private val q152 = Q(
+    "q152_image_neardup",
+    (s, dir) => {
+      graft.operators.Dedup.imageNearDupPairs(stepMedia(s, dir),
+          maxHamming = 3)
         .orderBy(col("d1"), col("d2"))
     },
-    Some {
-      val phx = (1 to 7).map(u =>
-        s"(CASE WHEN (($u * (2*(doc_id%16)+1)) % 64) > 32 THEN ${1L << u} ELSE 0 END)")
-        .mkString(" + ")
-      val phy = (1 to 7).map(v =>
-        s"(CASE WHEN (($v * (2*((doc_id//16)%16)+1)) % 64) > 32 THEN ${1L << (8 * v)} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH p AS (
-        SELECT doc_id, CAST(1 + $phx + $phy AS BIGINT) AS ph
-        FROM documents WHERE doc_id % 5 = 0)
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
-        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-      FROM p a JOIN p b
-        ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 3
-      ORDER BY d1, d2"""
-    })
+    Some(s"""WITH $stepPhashCte
+      SELECT d1, d2, hamming FROM ipairs
+      ORDER BY d1, d2"""))
+
+  // -- q156: image dedup CLUSTERS — q152's verified pair set closed
+  //    into connected components (q43's CC machinery over image
+  //    fingerprints): the "keep one per duplicate-image group" unit a
+  //    multimodal curation pipeline actually deletes by. Same rollup
+  //    and recursive-CTE oracle shape as q43. maxHamming = 1 here:
+  //    at 3 the crafted patterns chain transitively into ONE giant
+  //    component (computed), which pins almost nothing — at 1 the
+  //    corpus closes into 22 components with real structure.
+  private val q156 = Q(
+    "q156_image_dedup_clusters",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.imageNearDupPairs(
+        stepMedia(s, dir), maxHamming = 1)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_imgs"),
+          min(col("node")).as("min_media"), max(col("node")).as("max_media"))
+        .orderBy(col("component"))
+    },
+    Some(s"""WITH RECURSIVE $stepPhashCte,
+      close AS (SELECT d1, d2 FROM ipairs WHERE hamming <= 1),
+      undirected(a, b) AS (
+        SELECT d1, d2 FROM close UNION SELECT d2, d1 FROM close),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+      SELECT component, count(*) AS n_imgs,
+        min(node) AS min_media, max(node) AS max_media
+      FROM labels
+      GROUP BY component
+      ORDER BY component"""))
 
   // -- q155: MULTIMODAL interleaved packing, oracle-gated --------------
   // The standard multimodal training-data layout: each doc's BPE id
@@ -733,5 +784,5 @@ object MultimodalQueries {
     })
 
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155)
+    q152, q155, q156)
 }
