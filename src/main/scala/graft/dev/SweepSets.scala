@@ -29,7 +29,6 @@ object SweepSets {
     "q39_neardup_dedup" -> "shares the LSH oracle CTEs",
     "q151_dup_source_matrix" -> "shares the LSH oracle CTEs (q24/q39 reason)",
     "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",
-    "q156_image_dedup_clusters" -> "q43's recursive-CTE oracle shape over the all-pairs hamming set — quadratic in DuckDB at 10x (engine side verified by PhashSpec + sf0.01 strict)",
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q126_quality_survivors" -> "component labels come from q43's recursive-CTE oracle — same 10x infeasibility (engine side verified by DedupSpec + sf0.01 strict)",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",
@@ -51,7 +50,9 @@ object SweepSets {
     "q101_pq_adc_topk" -> "shares q100's encode CTE — same budget note",
     "q117_ivf_pq_topk" -> "q100's encode CTE PLUS q53's pinned-seed assign crossjoin — measured ~3 min at 10x (round 9), passes; the probe CTE prunes the scoring join enough that the q53 exclusion precedent does NOT apply",
     "q125_ivf_pq_filtered" -> "q117's CTE chain plus the label predicate (which PRUNES the scoring join) — measured ~3 min at 10x (round 9), passes",
-    "q153_ivfpq_residual_topk" -> "q117's assign/probe CTEs plus the residual transform and a second codebook chain — q100/q117 budget class")
+    "q153_ivfpq_residual_topk" -> "q117's assign/probe CTEs plus the residual transform and a second codebook chain — q100/q117 budget class",
+    "q158_pq_recon_profile" -> "BOTH codebook chains (q100's raw + q153's residual) plus the per-element error unnests — measured 148 s at 10x (round 10), passes",
+    "q156_image_dedup_clusters" -> "q43's recursive-CTE shape, but over the hamming<=1 pair set, which stays small — measured strict-passing at 10x (round 10), unlike q43's LSH closure")
 
   /** The scaled oracle sweep: every registered query minus the
     * documented exclusions. Computed from the live registry so a new

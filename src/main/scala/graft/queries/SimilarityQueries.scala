@@ -1135,6 +1135,125 @@ object SimilarityQueries {
       FROM errs e JOIN mags m ON e.label = m.label
       ORDER BY e.label"""))
 
+  // -- V23: PQ reconstruction-error profile, raw vs RESIDUAL — the
+  //    reconstruction-side answer to what residual encoding buys
+  //    (q149 gives the ranking side; q148 is SQ8's version of this):
+  //    per method, mean/max absolute element error and the
+  //    error-to-magnitude ratio of x̂ = codeword (raw) vs
+  //    x̂ = centroid + residual-codeword. Error sums accumulate as
+  //    exact DECIMALs (q148's idiom) so the profile is
+  //    order-independent; every per-element double op is pure
+  //    two-operand arithmetic, so both engines agree bit-for-bit.
+  //    MEASURED at sf0.01: residual mean |err| 0.091 vs raw 0.080 —
+  //    slightly WORSE at reconstruction while clearly better at
+  //    ranking (q149: 0.36 vs 0.24). Both can be true with donor
+  //    codebooks: seed-member centroids inject their own noise into
+  //    every reconstructed element, but within a probed cell the
+  //    residual grid is locally finer, which is what ADC ranking
+  //    feels. The two marts exist together precisely so a rollout
+  //    reads BOTH costs instead of assuming one implies the other.
+  private val q158 = Q(
+    "q158_pq_recon_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val sl = SQ_DIMS / PQ_M
+      val sm = Similarity.sqrtSeedMod(t.embeddings.count())
+      def profile(name: String, errCol: org.apache.spark.sql.DataFrame) =
+        errCol.agg(count(lit(1)).as("n_elems"),
+            sum(col("err").cast(DecimalType(38, 8))).cast("double")
+              .as("serr"),
+            max(col("err")).as("max_err"))
+          .select(lit(name).as("method"), col("n_elems"),
+            col("serr"), col("max_err"))
+      // raw PQ: x̂_sub = assigned codeword subvector
+      val cb = Similarity.pqCodebooks(t.embeddings, "vec_id", "embedding",
+        PQ_M, sm)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+        PQ_M, cb)
+      val rawErr = enc
+        .join(broadcast(cb.select(col("sub"), col("cw"), col("cvec"))),
+          Seq("sub", "cw"))
+        .join(t.embeddings.select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+        .select(explode(zip_with(
+          slice(col("embedding"), col("sub") * sl + 1, lit(sl)), col("cvec"),
+          (x, c) => abs(x.cast("double") - c.cast("double")))).as("err"))
+      // residual PQ: x̂_sub = centroid subvector + residual codeword
+      val seeds = Similarity.seedCentroids(
+        t.embeddings, "vec_id", "embedding", SEEDMOD)
+      val assigned = Similarity.ivfAssign(
+        t.embeddings, "vec_id", "embedding", seeds).localCheckpoint()
+      val res = Similarity.ivfResiduals(assigned, "vec_id", "embedding", seeds)
+      val rcb = Similarity.pqCodebooks(res, "vec_id", "rvec", PQ_M, sm)
+      val renc = Similarity.pqEncode(res, "vec_id", "rvec", PQ_M, rcb)
+      val recon = zip_with(
+        slice(col("ccvec"), col("sub") * sl + 1, lit(sl)), col("rcvec"),
+        (c, r) => c.cast("double") + r)
+      val resErr = renc
+        .join(broadcast(rcb.select(col("sub"), col("cw"),
+          col("cvec").as("rcvec"))), Seq("sub", "cw"))
+        .join(assigned.select(col("vec_id"), col("embedding"), col("cell")),
+          Seq("vec_id"))
+        .join(broadcast(seeds.select(col("cell"), col("cvec").as("ccvec"))),
+          Seq("cell"))
+        .select(explode(zip_with(
+          slice(col("embedding"), col("sub") * sl + 1, lit(sl)), recon,
+          (x, rec) => abs(x.cast("double") - rec))).as("err"))
+      val mags = t.embeddings
+        .select(explode(col("embedding")).as("x"))
+        .agg(sum(abs(col("x").cast("double")).cast(DecimalType(38, 8)))
+          .cast("double").as("sabs"))
+      profile("pq", rawErr).unionByName(profile("ivfpq_res", resErr))
+        .crossJoin(broadcast(mags))
+        .select(col("method"), col("n_elems"),
+          pround(col("serr") / col("n_elems"), 8).as("mean_err"),
+          pround(col("max_err"), 8).as("max_err"),
+          pround(col("serr") / col("sabs"), 6).as("rel_err"))
+        .orderBy(col("method"))
+    },
+    Some {
+      val sl = SQ_DIMS / PQ_M
+      s"""WITH ${pqBaseSql},
+      ${residualPqSql.trim},
+      rawerr AS (
+        SELECT unnest(list_transform(generate_series(1, $sl), i ->
+          abs(CAST(v.embedding[e.sub * $sl + i] AS DOUBLE)
+            - CAST(c.cvec[i] AS DOUBLE)))) AS err
+        FROM enc e
+        JOIN codebook c ON c.sub = e.sub AND c.cw = e.cw
+        JOIN embeddings v ON v.vec_id = e.vec_id),
+      reserr AS (
+        SELECT unnest(list_transform(generate_series(1, $sl), i ->
+          abs(CAST(v2.embedding[e.sub * $sl + i] AS DOUBLE)
+            - (CAST(s.svec[e.sub * $sl + i] AS DOUBLE) + c.cvec[i]))))
+          AS err
+        FROM renc e
+        JOIN rcodebook c ON c.sub = e.sub AND c.cw = e.cw
+        JOIN assign2 a ON a.vec_id = e.vec_id
+        JOIN seeds2 s ON s.cell = a.cell
+        JOIN v2 ON v2.vec_id = e.vec_id),
+      mags AS (
+        SELECT CAST(sum(CAST(abs(CAST(x AS DOUBLE)) AS DECIMAL(38,8)))
+          AS DOUBLE) AS sabs
+        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      prof AS (
+        SELECT 'pq' AS method, count(*) AS n_elems,
+          CAST(sum(CAST(err AS DECIMAL(38,8))) AS DOUBLE) AS serr,
+          max(err) AS max_err
+        FROM rawerr
+        UNION ALL
+        SELECT 'ivfpq_res', count(*),
+          CAST(sum(CAST(err AS DECIMAL(38,8))) AS DOUBLE), max(err)
+        FROM reserr)
+      SELECT method, n_elems,
+        ${proundSql("serr / n_elems", 8)} AS mean_err,
+        ${proundSql("max_err", 8)} AS max_err,
+        ${proundSql("serr / (SELECT sabs FROM mags)", 6)} AS rel_err
+      FROM prof
+      ORDER BY method"""
+    })
+
   // -- V21: ANN fidelity ladder — recall@K of BOTH compressed paths
   //    (SQ8 integer ranking, PQ/ADC) against the exact float top-K on
   //    the SAME pinned query set: the measured answer to "what does
@@ -1271,5 +1390,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q135, q136, q148, q149, q153)
+      q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158)
 }

@@ -963,7 +963,59 @@ object TextAnalysis {
       ORDER BY sig_a, sig_b, source"""
     })
 
+  // -- T18: per-source tokenizer QA mart — the compression-ratio view
+  //    a tokenizer rollout gates on: chars-per-token (bytes-per-token
+  //    on an ASCII corpus) and tokens-per-word (fertility) per source,
+  //    under the shipped merge list. q124 is the per-doc view; this is
+  //    the mart a team actually reads. One scan, one tiny keyed agg;
+  //    integer sums stay exact (BIGINT both sides), ratios are single
+  //    exactly-rounded divisions of those integers.
+  private val q157 = Q(
+    "q157_tokenizer_source_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.BpeTrainer
+      val nChars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast("long")
+      val nToks = BpeTrainer.bpeTokenCount(col("text"), BPE_MERGES)
+      val nWords = size(tokens(col("text"))).cast("long")
+      t.documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nChars).as("n_chars"),
+          sum(nToks).as("n_tokens"),
+          sum(nWords).as("n_words"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("n_tokens"), col("n_words"),
+          pround(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"),
+          pround(col("n_tokens").cast("double") / col("n_words"), 4)
+            .as("fertility"))
+        .orderBy(col("source"))
+    },
+    Some {
+      import graft.operators.BpeTrainer
+      val cnt = BpeTrainer.bpeTokenCountSql("text", BPE_MERGES)
+      s"""SELECT source, count(*) AS n_docs,
+        CAST(SUM(len(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT)
+          AS n_chars,
+        CAST(SUM($cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS n_words,
+        ${proundSql(
+          s"""CAST(CAST(SUM(len(regexp_replace(text, '\\s', '', 'g')))
+             | AS BIGINT) AS DOUBLE)
+             | / CAST(SUM($cnt) AS BIGINT)""".stripMargin, 4)}
+          AS chars_per_token,
+        ${proundSql(
+          s"""CAST(CAST(SUM($cnt) AS BIGINT) AS DOUBLE)
+             | / CAST(SUM(len(${tokensSql("text")})) AS BIGINT)""".stripMargin,
+          4)} AS fertility
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150, q154)
+      q110, q111, q124, q139, q141, q150, q154, q157)
 }
