@@ -58,7 +58,7 @@ object Bench {
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
-    "q158_pq_recon_profile", "q120_hybrid_rrf",
+    "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q76_mixture_sample",
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
@@ -99,7 +99,7 @@ object Bench {
       // vs their pruned production counterparts q117/q153 (headline).
       // Audits run at sf ≤ 0.1 where the exact baseline is computable
       // (the q115/q140 sampled-at-scale policy).
-      "q101_pq_adc_topk", "q149_ann_fidelity")
+      "q101_pq_adc_topk", "q149_ann_fidelity", "q159_pq_kmeans_ladder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,17 +76,15 @@ object KMeans {
     * the 6-decimal-rounded exact-decimal mean. Rows with a null
     * vector are excluded up front (they could never be assigned).
     */
-  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, outDims: Int = 8): DataFrame = {
-    require(k >= 1 && iters >= 1 && outDims >= 1)
-    import graft.queries.Portable.pround
-    val src = vecs.filter(col(vecCol).isNotNull)
-
-    // seed: k vectors, hash-of-id order; cluster index = seed rank.
-    // The id is reduced mod P BEFORE the multiply: (P-1)·SeedMul fits
-    // int64, a raw id·SeedMul does not once ids pass ~3.4e9 — Spark
-    // would wrap silently where DuckDB (and common sense) overflow.
-    var cents: Array[Array[Double]] = src
+  /** Seed centroids: the first k non-null vectors in deterministic
+    * hash-of-id order. The id is reduced mod P BEFORE the multiply:
+    * (P-1)·SeedMul fits int64, a raw id·SeedMul does not once ids
+    * pass ~3.4e9 — Spark would wrap silently where DuckDB (and common
+    * sense) overflow.
+    */
+  private def seedArrays(src: DataFrame, idCol: String,
+      vecCol: String, k: Int): Array[Array[Double]] = {
+    val cents = src
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .withColumn("__h",
         ((col("__id") % lit(SeedMod)) * lit(SeedMul)) % lit(SeedMod))
@@ -97,34 +95,68 @@ object KMeans {
       .map(_.getSeq[Double](0).toArray)
     require(cents.length == k,
       s"need at least k=$k non-null vectors, found ${cents.length}")
+    cents
+  }
 
-    var it = 1
-    var out: DataFrame = null
-    while (it <= iters) {
-      val stats = src
-        .select(col(vecCol), distArray(col(vecCol), cents).as("__d"))
-        .select(
-          (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
-            .cast("int").as("cluster"),
-          posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(count(lit(1)).as("n_vecs"),
-          pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
-            .cast("double") / count(lit(1)), 6).as("mean_v"))
-      if (it < iters) {
-        // collect k·d rounded means; empty clusters carry forward
-        val next = Array.tabulate(k)(j => cents(j).clone())
-        stats.select(col("cluster"), col("pos"), col("mean_v")).collect()
-          .foreach { r =>
-            next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-          }
-        cents = next
-      } else {
-        out = stats.filter(col("pos") < outDims)
-          .orderBy(col("cluster"), col("pos"))
-      }
-      it += 1
+  /** One assignment pass under `cents`: per-(cluster, dim) counts and
+    * 6-decimal exact-decimal means of the assigned vectors.
+    */
+  private def assignStats(src: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    import graft.queries.Portable.pround
+    src
+      .select(col(vecCol), distArray(col(vecCol), cents).as("__d"))
+      .select(
+        (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
+          .cast("int").as("cluster"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+          .cast("double") / count(lit(1)), 6).as("mean_v"))
+  }
+
+  /** Fold `updates` assignment-and-mean rounds into the centroid
+    * arrays (empty clusters carry their previous value forward).
+    */
+  private def updatedCents(src: DataFrame, idCol: String, vecCol: String,
+      k: Int, updates: Int): Array[Array[Double]] = {
+    var cents = seedArrays(src, idCol, vecCol, k)
+    for (_ <- 1 to updates) {
+      val next = Array.tabulate(k)(j => cents(j).clone())
+      assignStats(src, vecCol, cents)
+        .select(col("cluster"), col("pos"), col("mean_v")).collect()
+        .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
     }
-    out
+    cents
+  }
+
+  def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, outDims: Int = 8): DataFrame = {
+    require(k >= 1 && iters >= 1 && outDims >= 1)
+    val src = vecs.filter(col(vecCol).isNotNull)
+    val cents = updatedCents(src, idCol, vecCol, k, iters - 1)
+    assignStats(src, vecCol, cents)
+      .filter(col("pos") < outDims)
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  /** The trained MODEL itself: centroid arrays after `iters` full
+    * assignment-and-mean rounds (each mean 6-decimal rounded — the
+    * cross-engine state discipline [[fit]] documents), empty clusters
+    * carrying their previous value. Driver-side k·dims doubles, the
+    * same bounded model read as fit's per-iteration collect. This is
+    * what PQ codebook TRAINING consumes
+    * ([[Similarity.pqCodebooksKMeans]]) — fit's stats view is the
+    * audit mart, this is the artifact.
+    */
+  def fitCentroidArrays(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    // iters = 0 is allowed and returns the raw seeds — the untrained
+    // baseline q159's ladder compares Lloyd training against
+    require(k >= 1 && iters >= 0)
+    updatedCents(vecs.filter(col(vecCol).isNotNull), idCol, vecCol, k,
+      iters)
   }
 }

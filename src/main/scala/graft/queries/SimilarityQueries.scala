@@ -1135,6 +1135,166 @@ object SimilarityQueries {
       FROM errs e JOIN mags m ON e.label = m.label
       ORDER BY e.label"""))
 
+  // -- V24: k-means-TRAINED PQ codebooks vs untrained seeds — the
+  //    FAISS training step, measured: both rungs share the SAME 32
+  //    hash-seeded initial codewords per subspace; one encodes with
+  //    them raw, the other after PQKM_ITERS Lloyd rounds
+  //    (Similarity.pqCodebooksKMeans → KMeans.fitCentroidArrays:
+  //    exact-decimal argmin, 6-decimal rounded means — the q102
+  //    discipline, which is also what makes the trained model
+  //    oracle-able: the oracle unrolls the same rounds as CTEs over
+  //    (sub, cluster)). Recall@K against the exact float top-K on the
+  //    pinned query set isolates exactly what TRAINING buys at
+  //    identical code size (sf0.01: 0.28 seeds → 0.38 trained;
+  //    the √n donor codebook of q149's 'pq' rung sits at 0.24).
+  private val PQKM_K = 32
+  private val PQKM_ITERS = 2
+  private val q159 = Q(
+    "q159_pq_kmeans_ladder",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+      def rung(name: String, iters: Int) = {
+        val cb = Similarity.pqCodebooksKMeans(t.embeddings, "vec_id",
+          "embedding", PQ_M, PQKM_K, iters)
+        val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+          PQ_M, cb)
+        val top = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
+            PQ_M, cb, SQ_K)
+          .select(col("query_id"), col("corpus_id"))
+        exact.join(top, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_total"))))
+          .select(lit(name).as("method"), col("n_hits"), col("n_total"),
+            pround(col("n_hits").cast("double") / col("n_total"), 4)
+              .as("recall"))
+      }
+      rung("pq_kmeans", PQKM_ITERS).unionByName(rung("pq_seed", 0))
+        .orderBy(col("method"))
+    },
+    Some {
+      val sl = SQ_DIMS / PQ_M
+      // one Lloyd round over (sub, cluster): exact-decimal distances,
+      // lowest-cluster tie-break, 6-decimal rounded means, empty
+      // clusters carrying the previous centroid forward
+      val iterCtes = (1 to PQKM_ITERS).map { i =>
+        s"""kdist$i AS (
+          SELECT s.vec_id, s.sub, c.cluster,
+            list_reduce(list_prepend(CAST(0 AS DECIMAL(38,8)),
+              list_transform(list_zip(s.svec, c.cvec), pr ->
+                CAST((CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                   * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                  AS DECIMAL(28,8)))),
+              (a, b) -> CAST(a + b AS DECIMAL(38,8))) AS d2
+          FROM subs2 s JOIN kcent${i - 1} c USING (sub)),
+        kasg$i AS (
+          SELECT vec_id, sub, cluster FROM (
+            SELECT vec_id, sub, cluster,
+              row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, cluster) AS rk
+            FROM kdist$i) WHERE rk = 1),
+        kmean$i AS (
+          SELECT a.sub, a.cluster, t.p AS pos,
+            ${proundSql(
+              "CAST(sum(CAST(CAST(s.svec[t.p] AS DOUBLE) AS DECIMAL(28,8)))" +
+                " AS DOUBLE) / count(*)", 6)} AS mean_v
+          FROM kasg$i a
+          JOIN subs2 s ON s.vec_id = a.vec_id AND s.sub = a.sub
+          CROSS JOIN (SELECT unnest(generate_series(1, $sl)) AS p) t
+          GROUP BY a.sub, a.cluster, t.p),
+        kcent$i AS (
+          SELECT sub, cluster, list(mean_v ORDER BY pos) AS cvec
+          FROM kmean$i GROUP BY sub, cluster
+          UNION ALL
+          SELECT p.sub, p.cluster, p.cvec FROM kcent${i - 1} p
+          WHERE NOT EXISTS (SELECT 1 FROM kmean$i m
+            WHERE m.sub = p.sub AND m.cluster = p.cluster))"""
+      }.mkString(",\n      ")
+      // shared: encode + full ADC + top-K + hit count for a centroid CTE
+      def rungSql(name: String, cent: String) =
+        s"""${name}cw AS (
+          SELECT sub, cluster AS cw, cvec, ${norm2Sql("cvec")} AS cc
+          FROM $cent),
+        ${name}enc AS (
+          SELECT vec_id, sub, cw FROM (
+            SELECT s.vec_id, s.sub, c.cw,
+              row_number() OVER (PARTITION BY s.vec_id, s.sub
+                ORDER BY ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")}
+                  + c.cc ASC, c.cw ASC) AS rn
+            FROM subs2 s JOIN ${name}cw c USING (sub))
+          WHERE rn = 1),
+        ${name}adc AS (
+          SELECT s.vec_id AS query_id, s.sub, c.cw,
+            ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+              AS qd
+          FROM subs2 s JOIN ${name}cw c USING (sub)
+          WHERE s.vec_id % $QMOD = 0),
+        ${name}top AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, corpus_id ASC)
+              AS rank
+            FROM (
+              SELECT a.query_id, e.vec_id AS corpus_id,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+              FROM ${name}enc e
+              JOIN ${name}adc a ON a.sub = e.sub AND a.cw = e.cw
+              WHERE a.query_id != e.vec_id
+              GROUP BY a.query_id, e.vec_id))
+          WHERE rank <= $SQ_K)"""
+      s"""WITH subs2 AS (
+        SELECT vec_id, sub,
+          embedding[(sub * $sl + 1):(sub * $sl + $sl)] AS svec
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(0, ${PQ_M - 1})) AS sub
+              FROM embeddings)),
+      kseed AS (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+              vec_id) - 1 AS cluster
+        FROM embeddings),
+      kcent0 AS (
+        SELECT s.sub, sd.cluster,
+          list_transform(s.svec, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM kseed sd JOIN subs2 s USING (vec_id)
+        WHERE sd.cluster < $PQKM_K),
+      $iterCtes,
+      ${rungSql("ks", "kcent0")},
+      ${rungSql("km", s"kcent$PQKM_ITERS")},
+      v3 AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredx3 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v3 WHERE vec_id % $QMOD = 0) q
+        JOIN v3 c ON q.vec_id != c.vec_id),
+      exact3 AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredx3)
+        WHERE rank <= $SQ_K),
+      tot3 AS (SELECT count(*) AS n_total FROM exact3)
+      SELECT method, n_hits, n_total,
+        ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall
+      FROM (
+        SELECT 'pq_kmeans' AS method,
+          (SELECT count(*) FROM exact3 e JOIN kmtop m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot3
+        UNION ALL
+        SELECT 'pq_seed' AS method,
+          (SELECT count(*) FROM exact3 e JOIN kstop m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot3)
+      ORDER BY method"""
+    })
+
   // -- V23: PQ reconstruction-error profile, raw vs RESIDUAL — the
   //    reconstruction-side answer to what residual encoding buys
   //    (q149 gives the ranking side; q148 is SQ8's version of this):
@@ -1390,5 +1550,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
-      q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158)
+      q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
+      q159)
 }

@@ -568,4 +568,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rRecall > rawRecall,
       s"residual encoding must lift recall: $rRecall vs $rawRecall")
   }
+
+  test("pqCodebooksKMeans: Lloyd rounds cut quantization error vs raw seeds") {
+    import spark.implicits._
+    val dim = 16; val m = 4; val k = 8
+    val corpus = (0L until 160L).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        (i / 160.0f) * 10f * ((d % 3) + 1) + 0.3f *
+          ((((i + 1) * 2654435761L + d * 40503L) % 1000003L).toFloat / 1000003f)
+      })
+    }.toDF("vec_id", "embedding")
+    def totalErr(iters: Int): Double = {
+      val cb = Similarity.pqCodebooksKMeans(corpus, "vec_id", "embedding",
+        m, k, iters)
+      Similarity.pqEncode(corpus, "vec_id", "embedding", m, cb)
+        .agg(sum(col("sdist"))).head.getDouble(0)
+    }
+    val seedErr = totalErr(0)
+    val trainedErr = totalErr(2)
+    info(f"total quantization error: seeds $seedErr%.3f → trained $trainedErr%.3f")
+    assert(trainedErr < seedErr * 0.9,
+      s"Lloyd must materially cut quantization error: $trainedErr vs $seedErr")
+    // schema contract: consumable by the whole PQ stack
+    val cb = Similarity.pqCodebooksKMeans(corpus, "vec_id", "embedding",
+      m, k, 1)
+    assert(cb.columns.toSeq === Seq("sub", "cw", "cvec", "cc"))
+    assert(cb.count() === (m * k).toLong)
+  }
 }
