@@ -32,7 +32,7 @@ object Bench {
     "q154_bpe_pack_ids", "q155_multimodal_pack",
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
-    "q112_cross_dedup", "q115_lsh_recall",
+    "q112_cross_dedup", "q115_lsh_recall", "q160_containment_pairs",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q114_filtered_ann",
     "q109_hard_negatives",
@@ -99,7 +99,10 @@ object Bench {
       // vs their pruned production counterparts q117/q153 (headline).
       // Audits run at sf ≤ 0.1 where the exact baseline is computable
       // (the q115/q140 sampled-at-scale policy).
-      "q101_pq_adc_topk", "q149_ann_fidelity", "q159_pq_kmeans_ladder")
+      "q101_pq_adc_topk", "q149_ann_fidelity", "q159_pq_kmeans_ladder",
+      // exact containment shares q22's un-prefiltered inverted
+      // self-join; its scale path is the df-pruned variant (maxDf)
+      "q160_containment_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

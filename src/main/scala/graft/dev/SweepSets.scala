@@ -14,6 +14,7 @@ object SweepSets {
     */
   val scaledExclusions: Map[String, String] = Map(
     "q22_jaccard_pairs" -> "intentionally quadratic exact baseline (bench-gated above sf0.1)",
+    "q160_containment_pairs" -> "q22's un-prefiltered inverted self-join shape (exact baseline, bench-gated above sf0.1); the scale path is containmentPairs' maxDf df-pruning",
     "q26_cosine_neardup" -> "intentionally quadratic exact baseline (bench-gated above sf0.1)",
     "q25_simhash_pairs" -> "oracle is naive all-pairs — quadratic in DuckDB; banded Spark plan parity pinned at sf0.01",
     "q41_asof_join" -> "replica set violates the unique-(key,ts) precondition: as-of ties among identical-timestamp twins are arbitrary in any engine",

@@ -88,6 +88,59 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Directed CONTAINMENT near-dup pairs — the asymmetric operator
+    * Jaccard dedup structurally misses: C(A,B) = |A∩B| / |A| flags an
+    * EXCERPT/quote/subset document inside a longer one even when
+    * J = |A∩B| / |A∪B| is far below any dedup threshold (a 40%%
+    * prefix has containment 1.0 and Jaccard ≈ 0.4). The standard
+    * curation case: syndicated article fragments, quoted posts,
+    * chunked re-uploads.
+    *
+    * Same inverted shingle index as [[jaccardPairs]], WITHOUT its
+    * length-ratio prefilter (size asymmetry is the point here).
+    * Output is directed: `contained` = the side with the smaller
+    * shingle set (ties → lower id), `containment` =
+    * n_common / n_contained ≥ tau, with the Jaccard alongside so a
+    * consumer can see exactly which pairs only THIS operator finds.
+    *
+    * Scale: `maxDf` df-prunes the inverted index (shingles occurring
+    * in more than maxDf docs are dropped BEFORE the self-join — the
+    * classic stop-shingle guard, [[capBuckets]]'s cousin keyed on
+    * document frequency). A contained doc shares its whole set with
+    * its container, so it still surfaces as long as any of its
+    * shingles stays under the cap; counts then undercount common
+    * mass, so prune conservatively (0 = off, the exact baseline).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inv0 = sets.select(col(idCol).as("doc"),
+      size(col("shingle_set")).as("n_shingles"),
+      explode(col("shingle_set")).as("shingle"))
+    val inv = if (maxDf <= 0) inv0
+      else capBuckets(inv0, Seq("shingle"), maxDf)
+    val pairs = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.n_shingles")).as("n1"),
+        max(col("b.n_shingles")).as("n2"))
+    pairs.select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+          .as("container"),
+        col("n_common"),
+        least(col("n1"), col("n2")).as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        (col("n_common").cast("double") / least(col("n1"), col("n2")))
+          .as("containment"),
+        (col("n_common").cast("double")
+          / (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+      .filter(col("containment") >= tau)
+  }
+
   /** MinHash parameters: K hashes split into `bands` bands of `rows`.
     * Hash family j: h_j(s) = (a_j·s + b_j) mod P with arithmetic
     * generators (portable to the SQL oracle).

@@ -824,7 +824,75 @@ object DedupQueries {
       GROUP BY src_a, src_b
       ORDER BY src_a, src_b"""))
 
+  // -- D18: directed CONTAINMENT pairs — the asymmetric dedup operator
+  //    (Dedup.containmentPairs): excerpts/quotes/subset docs inside
+  //    longer ones, which Jaccard structurally misses. The query
+  //    PLANTS the case: every doc_id%10 doc gains an excerpt twin
+  //    (its first ⌊2n/5⌋ tokens, id + 100000) whose shingle set is a
+  //    strict subset of the original's — containment exactly 1.0,
+  //    Jaccard ≈ 0.4 (below q22's threshold). The output carries the
+  //    Jaccard alongside, so the rows only THIS operator finds are
+  //    visible in the result itself.
+  private val CONT_TAU = 0.8
+  private val q160 = Q(
+    "q160_containment_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = TextFns.tokens(col("text"))
+      val exLen = floor(size(toks) * 2 / 5).cast("int")
+      val excerpts = t.documents.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), exLen)).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text"))
+        .unionByName(excerpts)
+      Dedup.containmentPairs(corpus, "doc_id", "text", N, CONT_TAU)
+        .select(col("contained"), col("container"), col("n_common"),
+          col("n_contained"), col("n_container"),
+          pround(col("containment"), 6).as("containment"),
+          pround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("contained"), col("container"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      s"""WITH ex AS (
+        SELECT doc_id + 100000 AS doc_id,
+          array_to_string(list_slice($toksSql, 1,
+            (len($toksSql) * 2) // 5), ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM ex),
+      sets AS (
+        SELECT doc_id, list_distinct(${TextFns.shingleHashesSql("text", N)})
+          AS shingle_set
+        FROM corpus),
+      sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sets),
+      inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sets),
+      common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT
+          CASE WHEN sa.n <= sb.n THEN d1 ELSE d2 END AS contained,
+          CASE WHEN sa.n <= sb.n THEN d2 ELSE d1 END AS container,
+          n_common,
+          LEAST(sa.n, sb.n) AS n_contained,
+          GREATEST(sa.n, sb.n) AS n_container,
+          CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+          CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON d1 = sa.doc_id
+        JOIN sizes sb ON d2 = sb.doc_id)
+      SELECT contained, container, n_common, n_contained, n_container,
+        ${proundSql("containment", 6)} AS containment,
+        ${proundSql("jaccard", 6)} AS jaccard
+      FROM scored
+      WHERE containment >= $CONT_TAU
+      ORDER BY contained, container"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151)
+      q126, q128, q134, q140, q151, q160)
 }

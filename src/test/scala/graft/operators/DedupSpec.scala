@@ -399,4 +399,36 @@ class DedupSpec extends SparkSpec {
     for (r <- audit)
       assert(r.getAs[Long]("n_cands") <= r.getAs[Long]("n_pairs"))
   }
+
+  test("containmentPairs: excerpts surface where jaccard misses; maxDf prunes") {
+    import spark.implicits._
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = full.split(" ").take(8).mkString(" ") // strict prefix
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((1L, full), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(pairs.length === 1)
+    val r = pairs.head
+    // directed: the excerpt (smaller set) is the contained side, its
+    // shingles are all in the full doc (containment exactly 1.0), and
+    // jaccard sits far below any symmetric dedup threshold
+    assert(r.getAs[Long]("contained") === 2L)
+    assert(r.getAs[Long]("container") === 1L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    // the SAME corpus under jaccardPairs finds nothing — the gap the
+    // operator exists for
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).isEmpty)
+    // df-pruning: every shared shingle has df = 2, so maxDf = 1 drops
+    // the whole inverted index — the documented conservative-prune
+    // trade (recall, not correctness)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = 1).isEmpty)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDf = 2).collect().length === 1)
+  }
 }
