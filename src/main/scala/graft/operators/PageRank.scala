@@ -69,4 +69,63 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * the determinized variant) over an UNDIRECTED edge list — the
+    * community-detection member of the graph-analytics family (q43/q57
+    * give exact components, q133 centrality, q145 local clustering;
+    * LPA gives the coarser "which cluster of the co-visitation graph
+    * is this item in" cut that recsys / topic-balance pipelines use).
+    *
+    * Semantics (pinned, oracle-checkable): every node starts labelled
+    * with its own id; each round, EVERY node simultaneously adopts the
+    * most frequent label among its NEIGHBOURS (its own current label
+    * does not vote), ties broken by the smallest label. Synchronous
+    * update + min-tie-break makes the result a pure function of
+    * (edges, rounds) — no RNG, no visit order, bit-identical across
+    * engines and partitionings. A fixed round count is the contract
+    * (classic LPA's "run to convergence" can oscillate on bipartite
+    * subgraphs under synchronous update; bounded rounds are also what
+    * a production scheduler wants).
+    *
+    * Scale: per round ONE src-keyed join (node-sized label table onto
+    * the mirrored edge table) + one (node, label)-keyed count + one
+    * node-partitioned argmax window — shuffle volume O(edges), state
+    * O(nodes), plan kept flat by per-round localCheckpoint (the
+    * PageRank/CC loop discipline above).
+    *
+    * @param edges undirected edge list, one row per unordered pair
+    *              (canonical s < d orientation, already deduplicated —
+    *              the q145 projection's shape); self-loops are dropped
+    * @param rounds fixed synchronous round count (unrolled by oracles)
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, "rounds must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+    // mirror once: each undirected pair votes in both directions
+    val eb = e.union(e.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(true)
+    var labels = eb.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val argmax = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = eb.join(labels, eb("s") === labels("node"))
+        .select(col("d").as("node"), col("label"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(argmax))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -894,7 +894,75 @@ object ExtendedRelational {
       WHERE rank <= $CV_K
       ORDER BY item, rank"""))
 
+  // -- E20: label-propagation communities — the community-detection
+  //    member of the graph family (q43/q57 exact components, q133
+  //    centrality, q145 local clustering, q146 neighbour lists): the
+  //    coarse cluster structure of the co-visitation graph, the cut a
+  //    recsys/topic-balance pipeline groups items by. Determinized
+  //    synchronous LPA (operators/PageRank.labelPropagation): 3 fixed
+  //    rounds, neighbour-majority label, min-label tie-break — a pure
+  //    function of (edges, rounds), so the oracle replays the rounds
+  //    as unrolled CTEs bit-exactly. Edge threshold 45 (vs q145's 40)
+  //    keeps the graph sparse enough to carry real community
+  //    structure (the 40-threshold graph is near-complete at sf0.01
+  //    and collapses to one label — measured, not assumed).
+  private val LPA_T = 45
+  private val LPA_R = 3
+  private val q161 = Q(
+    "q161_lpa_communities",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+      val e = ui.as("a").join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= LPA_T)
+        .select(col("i1"), col("i2"))
+      graft.operators.PageRank.labelPropagation(e, "i1", "i2", LPA_R)
+        .select(col("node").as("item"), col("label").as("community"),
+          count(lit(1)).over(Window.partitionBy(col("label")))
+            .as("community_size"))
+        .orderBy(col("item"))
+    },
+    Some {
+      def roundSql(prev: String, cur: String, r: Int) =
+        s"""m$r AS (
+        SELECT eb.d AS node, l.label, count(*) AS c
+        FROM eb JOIN $prev l ON eb.s = l.node
+        GROUP BY 1, 2),
+      $cur AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rn FROM m$r)
+        WHERE rn = 1)"""
+      val roundsSql = (1 to LPA_R)
+        .map(i => roundSql(if (i == 1) "l0" else s"l${i - 1}", s"l$i", i))
+        .mkString(",\n      ")
+      s"""WITH ui AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      e AS (
+        SELECT a.item AS i1, b.item AS i2
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= $LPA_T),
+      eb AS (SELECT i1 AS s, i2 AS d FROM e
+             UNION ALL SELECT i2, i1 FROM e),
+      l0 AS (SELECT DISTINCT s AS node, s AS label FROM eb),
+      $roundsSql
+      SELECT node AS item, label AS community,
+        count(*) OVER (PARTITION BY label) AS community_size
+      FROM l$LPA_R
+      ORDER BY item"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146)
+      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161)
 }

@@ -204,6 +204,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("label propagation resolves disjoint cliques to their min label") {
+    // in a clique, 3 synchronous rounds provably converge to the min
+    // node id (round 1: min's neighbours tie → second-smallest, all
+    // others → min or smaller; rounds 2-3 flood the min); disjoint
+    // cliques can never exchange labels
+    val cliqueSizes = Gen.listOfN(3, Gen.chooseNum(3, 6))
+    forAll(Gen.zip(cliqueSizes, Gen.chooseNum(0L, 1000L)), n = 15) {
+      case (sizes: List[Int], base: Long) =>
+        var next = base
+        val cliques = sizes.map { sz =>
+          val ids = (0 until sz).map(i => next + i * 7L); next += sz * 7L + 3L
+          ids
+        }
+        val edges = cliques.flatMap(ids =>
+          for (i <- ids.indices; j <- (i + 1) until ids.size)
+            yield (ids(i), ids(j)))
+        val out = graft.operators.PageRank
+          .labelPropagation(edges.toDF("s", "d"), "s", "d", rounds = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        cliques.foreach { ids =>
+          ids.foreach(id => assert(out(id) === ids.min,
+            s"node $id of clique $ids"))
+        }
+    }
+  }
+
   test("delay categorization is total and first-match ordered") {
     import graft.pipeline.Silver
     forAll(Gen.listOfN(50, Gen.option(Gen.chooseNum(-2000.0, 5000.0)))) {
