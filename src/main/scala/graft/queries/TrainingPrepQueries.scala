@@ -642,7 +642,102 @@ object TrainingPrepQueries {
       LIMIT $DSIR_M"""
     })
 
+  // -- T15: length-bucketed batching efficiency — the OTHER padding
+  //    policy family (q64/q154 pack by gapless concatenation, which
+  //    never pads; SFT/instruction corpora can't split documents, so
+  //    they pad instead). The fairseq/HF recipe: quantize each doc's
+  //    length up to a bucket (LB_W tokens), batch within the bucket
+  //    (LB_B docs), pad only to the bucket ceiling. The mart reports,
+  //    per bucket + corpus-wide, the batch count and the padding
+  //    waste of bucketed padding vs the naive pad-to-corpus-max —
+  //    the measured justification for length bucketing. One scan +
+  //    one small keyed agg; the corpus max arrives as a broadcast
+  //    1-row fanout; totals are a second agg over the (tiny) bucket
+  //    table — all integer until the two exactly-rounded ratios.
+  private val LB_W = 16L // bucket quantum (tokens)
+  private val LB_B = 16L // batch size (docs)
+  private val q162 = Q(
+    "q162_bucket_batching",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      val perBucket = toks
+        .withColumn("bucket_len",
+          expr(s"((greatest(n_tokens, 1) + ${LB_W - 1}) div $LB_W) * $LB_W"))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          expr(s"(count(1) + ${LB_B - 1}) div $LB_B").as("n_batches"))
+      val gmax = toks.agg(max(col("n_tokens")).as("gmax"))
+      val rows = perBucket.crossJoin(broadcast(gmax))
+        .select(lit(0).cast("int").as("gid"), col("bucket_len"),
+          col("n_docs"), col("n_tokens"), col("n_batches"),
+          (col("bucket_len") * col("n_docs") - col("n_tokens"))
+            .as("padded_bucketed"),
+          (col("gmax") * col("n_docs") - col("n_tokens"))
+            .as("padded_to_max"))
+      val total = rows.agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_batches")).as("n_batches"),
+        sum(col("padded_bucketed")).as("padded_bucketed"),
+        sum(col("padded_to_max")).as("padded_to_max"))
+        .select(lit(1).cast("int").as("gid"),
+          lit(null).cast("long").as("bucket_len"),
+          col("n_docs"), col("n_tokens"), col("n_batches"),
+          col("padded_bucketed"), col("padded_to_max"))
+      rows.unionByName(total)
+        .select(col("gid"), col("bucket_len"), col("n_docs"),
+          col("n_tokens"), col("n_batches"), col("padded_bucketed"),
+          pround(col("padded_bucketed").cast("double") /
+            (col("n_tokens") + col("padded_bucketed")), 6)
+            .as("bucketed_waste_pct"),
+          col("padded_to_max"),
+          pround(col("padded_to_max").cast("double") /
+            (col("n_tokens") + col("padded_to_max")), 6)
+            .as("to_max_waste_pct"))
+        .orderBy(col("gid"), col("bucket_len"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      pb AS (
+        SELECT CAST(((greatest(n_tokens, 1) + ${LB_W - 1}) // $LB_W)
+            * $LB_W AS BIGINT) AS bucket_len,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          CAST((count(*) + ${LB_B - 1}) // $LB_B AS BIGINT) AS n_batches
+        FROM toks GROUP BY 1),
+      g AS (SELECT CAST(max(n_tokens) AS BIGINT) AS gmax FROM toks),
+      rws AS (
+        SELECT CAST(0 AS INT) AS gid, bucket_len, n_docs, n_tokens,
+          n_batches,
+          CAST(bucket_len * n_docs - n_tokens AS BIGINT)
+            AS padded_bucketed,
+          CAST(gmax * n_docs - n_tokens AS BIGINT) AS padded_to_max
+        FROM pb, g),
+      tot AS (
+        SELECT CAST(1 AS INT) AS gid, CAST(NULL AS BIGINT) AS bucket_len,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(sum(n_batches) AS BIGINT) AS n_batches,
+          CAST(sum(padded_bucketed) AS BIGINT) AS padded_bucketed,
+          CAST(sum(padded_to_max) AS BIGINT) AS padded_to_max
+        FROM rws)
+      SELECT gid, bucket_len, n_docs, n_tokens, n_batches,
+        padded_bucketed,
+        ${proundSql(
+          "CAST(padded_bucketed AS DOUBLE) / (n_tokens + padded_bucketed)",
+          6)} AS bucketed_waste_pct,
+        padded_to_max,
+        ${proundSql(
+          "CAST(padded_to_max AS DOUBLE) / (n_tokens + padded_to_max)",
+          6)} AS to_max_waste_pct
+      FROM (SELECT * FROM rws UNION ALL SELECT * FROM tot)
+      ORDER BY gid, bucket_len"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121)
+      q121, q162)
 }
