@@ -1015,7 +1015,95 @@ object TextAnalysis {
       ORDER BY source"""
     })
 
+  // -- T16: per-source DATASET CARD — the datasheet table a corpus
+  //    release ships (Gebru et al.'s "Datasheets for Datasets",
+  //    instantiated the way FineWeb/Dolma publish per-source stats):
+  //    volume (docs, tokens, mean length), language mix (distinct
+  //    langs, English share), quality (all-four-Gopher-rules pass
+  //    rate), repetition (corpus-level intra-doc duplicate-token
+  //    rate as EXACT integer sums Σdistinctᵢ/Σtokensᵢ — never a mean
+  //    of per-doc floats, the q106 order-independence discipline),
+  //    and lexical diversity (distinct tokens, type-token ratio).
+  //    Shape: the doc-grain metrics ride ONE source-keyed agg over
+  //    row-local expressions; the token-distinct leg is its own
+  //    (source, token) agg; the final join is over the handful of
+  //    source rows. Ratios are exactly-rounded last.
+  private val q163 = Q(
+    "q163_dataset_card",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val flags = gopherFlags(t.documents)
+        .withColumn("__distinct",
+          size(array_distinct(tokens(col("text")))).cast("long"))
+      val base = flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"),
+        sum((col("r_nwords") * col("r_meanlen") * col("r_stop") *
+          col("r_dupfrac")).cast("long")).as("__pass"),
+        sum(col("__distinct")).as("__sum_distinct"))
+      val tt = t.documents
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("distinct_tokens"))
+      base.join(tt, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          pround(col("n_tokens").cast("double") / col("n_docs"), 4)
+            .as("mean_tokens"),
+          col("n_langs"),
+          pround(col("__en").cast("double") / col("n_docs"), 6)
+            .as("pct_en"),
+          pround(col("__pass").cast("double") / col("n_docs"), 6)
+            .as("gopher_pass_rate"),
+          pround(lit(1.0) -
+            col("__sum_distinct").cast("double") / col("n_tokens"), 6)
+            .as("intra_dup_rate"),
+          col("distinct_tokens"),
+          pround(col("distinct_tokens").cast("double") / col("n_tokens"),
+            6).as("ttr"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val toksSql2 = tokensSql("text")
+      s"""WITH g AS ($gopherFlagsSql),
+      d AS (
+        SELECT *, CAST(len(list_distinct($toksSql2)) AS BIGINT)
+          AS n_distinct
+        FROM g),
+      base AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          count(DISTINCT lang) AS n_langs,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS en,
+          CAST(sum(r_nwords * r_meanlen * r_stop * r_dupfrac) AS BIGINT)
+            AS pass,
+          CAST(sum(n_distinct) AS BIGINT) AS sum_distinct
+        FROM d GROUP BY source),
+      tt AS (
+        SELECT source, count(DISTINCT w) AS distinct_tokens
+        FROM (SELECT source, unnest($toksSql2) AS w FROM documents)
+        WHERE len(w) > 0
+        GROUP BY source)
+      SELECT b.source, n_docs, n_tokens,
+        ${proundSql("CAST(n_tokens AS DOUBLE) / n_docs", 4)}
+          AS mean_tokens,
+        n_langs,
+        ${proundSql("CAST(en AS DOUBLE) / n_docs", 6)} AS pct_en,
+        ${proundSql("CAST(pass AS DOUBLE) / n_docs", 6)}
+          AS gopher_pass_rate,
+        ${proundSql("1.0 - CAST(sum_distinct AS DOUBLE) / n_tokens", 6)}
+          AS intra_dup_rate,
+        distinct_tokens,
+        ${proundSql("CAST(distinct_tokens AS DOUBLE) / n_tokens", 6)}
+          AS ttr
+      FROM base b JOIN tt ON b.source = tt.source
+      ORDER BY b.source"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150, q154, q157)
+      q110, q111, q124, q139, q141, q150, q154, q157, q163)
 }
