@@ -1103,7 +1103,90 @@ object TextAnalysis {
       ORDER BY b.source"""
     })
 
+  // -- T17: WordPiece greedy longest-match vs BPE merge order — the
+  //    SECOND tokenizer inference rule (operators/WordPiece), run
+  //    under the SAME vocabulary (q124's merge products + implicit
+  //    base chars) with the disagreement made measurable per doc:
+  //    greedy commits to the longest piece at each position, BPE
+  //    replays merge rank order, and they genuinely split ("query" =
+  //    qu|ery under BPE, que|r|y under greedy). Shape: the greedy
+  //    fold runs on the DISTINCT-WORD dictionary only and counts are
+  //    broadcast-joined back onto the token stream (the BpeTrainer
+  //    word-dict discipline) — per-word work once per distinct word,
+  //    never per occurrence; the BPE chain is referenced ONCE
+  //    (the q124 subexpression-reuse lesson).
+  private val WP_PIECES = BPE_MERGES.map { case (a, b) => a + b }
+  private val q164 = Q(
+    "q164_wordpiece_compare",
+    (s, dir) => {
+      import graft.operators.{BpeTrainer, WordPiece}
+      val t = Tpch(s, dir)
+      val dw = t.documents
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .withColumn("n_wp",
+          WordPiece.greedyPieceCount(col("w"), WP_PIECES).cast("long"))
+      val perDoc = t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(dw), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ws_tokens"),
+          sum(col("n_wp")).as("n_wp_tokens"))
+      t.documents
+        .select(col("doc_id"),
+          BpeTrainer.bpeTokenCount(col("text"), BPE_MERGES)
+            .as("n_bpe_tokens"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_wp_tokens"),
+          col("n_bpe_tokens"),
+          (col("n_wp_tokens") - col("n_bpe_tokens")).as("wp_minus_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.operators.BpeTrainer
+      val jumpSql = WP_PIECES.filter(_.length > 1).distinct
+        .groupBy(_.length).toSeq.sortBy(-_._1)
+        .map { case (l, ps) =>
+          val inList = ps.sorted.map(p => s"'$p'").mkString(", ")
+          s"WHEN substr(w, pos, $l) IN ($inList) THEN $l"
+        }.mkString("\n            ")
+      s"""WITH RECURSIVE dw AS (
+        SELECT DISTINCT w
+        FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+        WHERE len(w) > 0),
+      s(w, pos, cnt) AS (
+        SELECT w, 1, 0 FROM dw
+        UNION ALL
+        SELECT w,
+          pos + CASE
+            $jumpSql
+            ELSE 1 END,
+          cnt + 1
+        FROM s WHERE pos <= len(w)),
+      seg AS (
+        SELECT w, CAST(cnt AS BIGINT) AS n_wp
+        FROM s WHERE pos = len(w) + 1),
+      tok AS (
+        SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+      perdoc AS (
+        SELECT doc_id, count(*) AS n_ws_tokens,
+          CAST(sum(n_wp) AS BIGINT) AS n_wp_tokens
+        FROM tok JOIN seg USING (w)
+        WHERE len(w) > 0
+        GROUP BY doc_id),
+      base AS (
+        SELECT d.doc_id, n_ws_tokens, n_wp_tokens,
+          ${BpeTrainer.bpeTokenCountSql("text", BPE_MERGES)}
+            AS n_bpe_tokens
+        FROM documents d JOIN perdoc ON d.doc_id = perdoc.doc_id)
+      SELECT doc_id, n_ws_tokens, n_wp_tokens, n_bpe_tokens,
+        n_wp_tokens - n_bpe_tokens AS wp_minus_bpe
+      FROM base
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150, q154, q157, q163)
+      q110, q111, q124, q139, q141, q150, q154, q157, q163, q164)
 }
