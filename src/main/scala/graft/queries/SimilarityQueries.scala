@@ -1548,8 +1548,157 @@ object SimilarityQueries {
             AS n_hits, n_total FROM tot)
       ORDER BY method"""))
 
+  // -- S25: nDCG@K of the compression rungs — the RANK-SENSITIVE
+  //    fidelity metric next to q149's recall (recall counts set
+  //    membership; nDCG pays more for errors near the top, the number
+  //    an IR evaluation actually reports). Binary relevance = "in the
+  //    exact float top-K", so every query has exactly K relevant items
+  //    and IDCG is the constant Σ 1/log₂(r+1). The discount table is
+  //    SCALED-INTEGER LITERALS (millionths of 1/log₂(r+1), derivation
+  //    in the comment below) — per-query DCG is an integer sum, order-
+  //    independent and libm-free (the PageRank integer discipline);
+  //    the only division is the final exactly-rounded mean. Same scan
+  //    shapes as q149's sq8/pq rungs.
+  //    g[r] = round(10⁶ / log₂(r+1)), r = 1..5; IDCG = Σ g = 2948460.
+  private val NDCG_G = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+  private val NDCG_IDCG = NDCG_G.sum
+  private val q165 = Q(
+    "q165_ann_ndcg",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+      val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+      val cb = Similarity.pqCodebooks(t.embeddings, "vec_id",
+        "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+        PQ_M, cb)
+      val pq = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
+          PQ_M, cb, SQ_K)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+      val gains = array(NDCG_G.map(lit): _*)
+      val nqDf = queries.agg(count(lit(1)).as("n_queries"))
+      def row(name: String, m: org.apache.spark.sql.DataFrame) = {
+        val perq = m.join(exact, Seq("query_id", "corpus_id"))
+          .select(col("query_id"),
+            element_at(gains, col("rank")).as("g"))
+          .groupBy(col("query_id"))
+          .agg(sum(col("g")).as("dcg"), count(lit(1)).as("nh"))
+        perq.agg(
+            sum(col("dcg")).as("__dcg"),
+            sum(when(col("nh") === SQ_K, 1L).otherwise(0L)).as("__perf"))
+          .crossJoin(broadcast(nqDf))
+          .select(lit(name).as("method"), col("n_queries"),
+            coalesce(col("__perf"), lit(0L)).as("n_perfect"),
+            pround(coalesce(col("__dcg"), lit(0L)).cast("double") /
+              (col("n_queries") * lit(NDCG_IDCG)), 6).as("mean_ndcg"))
+      }
+      row("pq", pq).unionByName(row("sq8", sq)).orderBy(col("method"))
+    },
+    Some {
+      val gList = NDCG_G.mkString("[", ", ", "]")
+      s"""WITH ${pqBaseSql},
+      v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredx)
+        WHERE rank <= $SQ_K),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc8 AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      scored8 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(q.q, c.q), pr -> pr[1] * pr[2])),
+            (x, y) -> x + y) AS iscore
+        FROM (SELECT * FROM enc8 WHERE vec_id % $QMOD = 0) q
+        JOIN enc8 c ON q.vec_id != c.vec_id),
+      sq8 AS (
+        SELECT query_id, corpus_id, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY iscore DESC, corpus_id ASC) AS rank
+              FROM scored8)
+        WHERE rank <= $SQ_K),
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $QMOD = 0),
+      dists AS (
+        SELECT a.query_id, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e JOIN adc a ON e.sub = a.sub AND e.cw = a.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, e.vec_id),
+      pq AS (
+        SELECT query_id, corpus_id, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+        WHERE rank <= $SQ_K),
+      nq AS (
+        SELECT count(*) AS n_queries FROM embeddings
+        WHERE vec_id % $QMOD = 0),
+      sqperq AS (
+        SELECT m.query_id,
+          CAST(sum(($gList)[m.rank]) AS BIGINT) AS dcg,
+          count(*) AS nh
+        FROM sq8 m JOIN exact e
+          ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id
+        GROUP BY m.query_id),
+      pqperq AS (
+        SELECT m.query_id,
+          CAST(sum(($gList)[m.rank]) AS BIGINT) AS dcg,
+          count(*) AS nh
+        FROM pq m JOIN exact e
+          ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id
+        GROUP BY m.query_id)
+      SELECT method, n_queries, n_perfect,
+        ${proundSql(
+          s"CAST(dcg AS DOUBLE) / (n_queries * $NDCG_IDCG)", 6)}
+          AS mean_ndcg
+      FROM (
+        SELECT 'pq' AS method, nq.n_queries,
+          coalesce((SELECT CAST(sum(CASE WHEN nh = $SQ_K THEN 1 ELSE 0
+            END) AS BIGINT) FROM pqperq), 0) AS n_perfect,
+          coalesce((SELECT CAST(sum(dcg) AS BIGINT) FROM pqperq), 0)
+            AS dcg
+        FROM nq
+        UNION ALL
+        SELECT 'sq8' AS method, nq.n_queries,
+          coalesce((SELECT CAST(sum(CASE WHEN nh = $SQ_K THEN 1 ELSE 0
+            END) AS BIGINT) FROM sqperq), 0) AS n_perfect,
+          coalesce((SELECT CAST(sum(dcg) AS BIGINT) FROM sqperq), 0)
+            AS dcg
+        FROM nq)
+      ORDER BY method"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159)
+      q159, q165)
 }
