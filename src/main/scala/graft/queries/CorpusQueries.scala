@@ -639,7 +639,47 @@ object CorpusQueries {
           AS lift
       FROM p, n ORDER BY t1, t2"""))
 
+  // -- C16: feature-hashing vectorizer (the "hashing trick",
+  //    Weinberger et al. 2009 / scikit's HashingVectorizer) — the
+  //    fixed-dimension text vectorizer that needs NO vocabulary pass:
+  //    bucket = hash(token) mod DIM. This is the vectorizer a 100 TB
+  //    pipeline reaches for when the vocab doesn't fit (q47/q48 build
+  //    explicit vocabularies; hashing is one explode → one
+  //    (doc, bucket)-keyed agg, stateless and single-pass, at the
+  //    price of collisions). Output is the sparse long-format vector
+  //    (doc_id, bucket, tf) with the collision rate made VISIBLE:
+  //    n_terms counts the distinct tokens sharing the bucket, so
+  //    n_terms > 1 rows measure exactly what the trick traded away.
+  //    Hash = the engine's portable polynomial rolling hash (the
+  //    shingle-index key), identical in both engines.
+  private val FH_DIM = 64
+  private val q166 = Q(
+    "q166_feature_hashing",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      t.documents
+        .select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          pmod(TextFns.rollingHash(col("w")), lit(FH_DIM.toLong))
+            .as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("w")).as("n_terms"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+    Some(s"""SELECT doc_id,
+        ${TextFns.rollingHashSql("w")} % $FH_DIM AS bucket,
+        count(*) AS tf,
+        count(DISTINCT w) AS n_terms
+      FROM (SELECT doc_id, unnest(${TextFns.tokensSql("text")}) AS w
+            FROM documents)
+      WHERE len(w) > 0
+      GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket"""))
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143)
+      q137, q138, q143, q166)
 }
