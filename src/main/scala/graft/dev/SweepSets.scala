@@ -25,6 +25,7 @@ object SweepSets {
     "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
     "q149_ann_fidelity" -> "composes q27's brute exact CTE (10x-infeasible) with the SQ8 and PQ chains; the fidelity ladder is measured at sf<=0.1 where the exact baseline is computable",
     "q159_pq_kmeans_ladder" -> "q149's reason: the exact-baseline CTE is the brute crossjoin, plus two full-ADC rungs; the training ladder is measured at sf<=0.1",
+    "q165_ann_ndcg" -> "q149's reason: the exact baseline is the brute crossjoin CTE (plus the SQ8 and PQ chains); nDCG is measured at sf<=0.1 alongside the recall ladder",
     "q28_ann_lsh_buckets" -> "per-vector 8-plane fold oracle too slow in DuckDB at 10x",
     "q108_random_projection" -> "per-vector 16-plane fold oracle — twice q28's per-row cost, same 10x infeasibility",
     "q33_ann_lsh_topk" -> "LSH oracle crossjoin too slow in DuckDB at 10x",
