@@ -892,7 +892,97 @@ object DedupQueries {
       ORDER BY contained, container"""
     })
 
+  // -- q167: dedup ROI mart — "what did near-dup dedup buy": q43's
+  //    verified clusters (singletons included via left join +
+  //    coalesce) rolled up by CLUSTER SIZE, with the token mass a
+  //    keep-one-per-cluster policy deletes (keep = min doc_id, the
+  //    nearDupSurvivors convention; kept tokens via min_by so the
+  //    saved mass is exact, not size×mean). This is the number a
+  //    curation team reports to justify the dedup stage — per cluster
+  //    size and corpus-total, all integers until the exactly-rounded
+  //    saved fraction. Adds ONE doc-keyed left join + two tiny aggs
+  //    on top of the q43 component dataflow.
+  private val q167 = Q(
+    "q167_dedup_roi",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text",
+        N, LSHTAU, mh)
+      val comp = Dedup.connectedComponents(pairs)
+      val toks = t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      val labeled = toks.join(comp, toks("doc_id") === comp("node"),
+          "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val perCluster = labeled.groupBy(col("component")).agg(
+        count(lit(1)).as("sz"),
+        sum(col("n_tokens")).as("tok_total"),
+        min_by(col("n_tokens"), col("doc_id")).as("tok_kept"))
+      val rows = perCluster.groupBy(col("sz").as("cluster_size")).agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("tok_total")).as("tokens_total"),
+          (sum(col("tok_total")) - sum(col("tok_kept")))
+            .as("tokens_saved"))
+        .select(lit(0).cast("int").as("gid"), col("cluster_size"),
+          col("n_clusters"), col("tokens_total"), col("tokens_saved"))
+      val total = rows.agg(
+          sum(col("n_clusters")).as("n_clusters"),
+          sum(col("tokens_total")).as("tokens_total"),
+          sum(col("tokens_saved")).as("tokens_saved"))
+        .select(lit(1).cast("int").as("gid"),
+          lit(null).cast("long").as("cluster_size"),
+          col("n_clusters"), col("tokens_total"), col("tokens_saved"))
+      rows.unionByName(total)
+        .select(col("gid"), col("cluster_size"), col("n_clusters"),
+          col("tokens_total"), col("tokens_saved"),
+          pround(col("tokens_saved").cast("double") /
+            col("tokens_total"), 6).as("saved_pct"))
+        .orderBy(col("gid"), col("cluster_size"))
+    },
+    Some(s"""${lshPipelineCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      pairs AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      undirected(a, b) AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+      toks AS (
+        SELECT doc_id, CAST(len(${TextFns.tokensSql("text")}) AS BIGINT)
+          AS n_tokens
+        FROM documents),
+      lab AS (
+        SELECT t.doc_id, t.n_tokens,
+          coalesce(l.component, t.doc_id) AS component
+        FROM toks t LEFT JOIN labels l ON t.doc_id = l.node),
+      pc AS (
+        SELECT component, count(*) AS sz,
+          CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+          min_by(n_tokens, doc_id) AS tok_kept
+        FROM lab GROUP BY component),
+      rws AS (
+        SELECT CAST(0 AS INT) AS gid, CAST(sz AS BIGINT) AS cluster_size,
+          count(*) AS n_clusters,
+          CAST(sum(tok_total) AS BIGINT) AS tokens_total,
+          CAST(sum(tok_total) - sum(tok_kept) AS BIGINT) AS tokens_saved
+        FROM pc GROUP BY sz),
+      tot AS (
+        SELECT CAST(1 AS INT) AS gid, CAST(NULL AS BIGINT) AS cluster_size,
+          CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+          CAST(sum(tokens_total) AS BIGINT) AS tokens_total,
+          CAST(sum(tokens_saved) AS BIGINT) AS tokens_saved
+        FROM rws)
+      SELECT gid, cluster_size, n_clusters, tokens_total, tokens_saved,
+        ${proundSql(
+          "CAST(tokens_saved AS DOUBLE) / tokens_total", 6)} AS saved_pct
+      FROM (SELECT * FROM rws UNION ALL SELECT * FROM tot)
+      ORDER BY gid, cluster_size"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160)
+      q126, q128, q134, q140, q151, q160, q167)
 }
