@@ -35,6 +35,7 @@ object SweepSets {
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q126_quality_survivors" -> "component labels come from q43's recursive-CTE oracle — same 10x infeasibility (engine side verified by DedupSpec + sf0.01 strict)",
     "q167_dedup_roi" -> "q43's LSH + recursive-CTE oracle chain — same 10x infeasibility; the ROI rollup itself is two tiny aggs",
+    "q168_minhash_estimate" -> "q24's LSH signature CTEs (interpreted list lambdas) plus per-pair set intersections — same 10x oracle infeasibility; calibration is measured at sf<=0.1",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",
     "q75_semantic_dedup" -> "same IVF assign oracle shape (q90 covers the auto path)",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",

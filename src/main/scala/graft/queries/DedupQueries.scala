@@ -982,7 +982,99 @@ object DedupQueries {
       FROM (SELECT * FROM rws UNION ALL SELECT * FROM tot)
       ORDER BY gid, cluster_size"""))
 
+  // -- q168: MinHash ESTIMATOR calibration — the other half of the
+  //    audit story: q115 measures what the BANDING misses (recall per
+  //    decile); this measures how far the k=16 signature's Jaccard
+  //    ESTIMATE (matching components / k) sits from the true Jaccard
+  //    on the surfaced candidate pairs — the measured error bar on
+  //    every downstream threshold applied to signatures instead of
+  //    sets (E[est] = J, sd ≈ √(J(1−J)/k) ≈ 0.12 at k=16 — the mart
+  //    shows the realized spread, not the formula). True J comes from
+  //    a per-candidate-pair set intersection (bounded by the
+  //    candidate count — never all-pairs); means accumulate as exact
+  //    DECIMALs (the q148 idiom) so buckets are order-independent.
+  private val q168 = Q(
+    "q168_minhash_estimate",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val cands = Dedup.lshCandidatePairs(t.documents, "doc_id", "text",
+        N, mh)
+      val sets = Dedup.shingleSets(t.documents, "doc_id", "text", N)
+      val sigs = Dedup.minhashSigDF(t.documents, "doc_id", "text", N, mh)
+      val joined = cands
+        .join(sets.select(col("doc_id").as("d1"),
+          col("shingle_set").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"),
+          col("shingle_set").as("s2")), "d2")
+        .join(sigs.select(col("doc_id").as("d1") +:
+          (0 until mh.k).map(j => col(s"m$j").as(s"a$j")): _*), "d1")
+        .join(sigs.select(col("doc_id").as("d2") +:
+          (0 until mh.k).map(j => col(s"m$j").as(s"b$j")): _*), "d2")
+      val common = size(array_intersect(col("s1"), col("s2")))
+      val jac = common.cast("double") /
+        (size(col("s1")) + size(col("s2")) - common)
+      val matches = (0 until mh.k)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = matches.cast("double") / lit(mh.k.toDouble)
+      def dmean(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 8))).cast("double") / count(lit(1))
+      joined
+        .select(least(floor(jac * 10), lit(9L)).cast("long").as("bucket"),
+          jac.as("j"), est.as("e"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          pround(dmean(col("j")), 6).as("mean_true_j"),
+          pround(dmean(col("e")), 6).as("mean_est_j"),
+          pround(dmean(abs(col("e") - col("j"))), 6).as("mean_abs_err"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val bandFold = foldSql(
+        s"list_slice(sig, i * ${mh.rows} + 1, i * ${mh.rows} + ${mh.rows})")
+      s"""WITH sets AS (
+        SELECT doc_id, $shingleSetSql AS shingle_set FROM documents),
+      sigs AS (
+        SELECT doc_id, ${sigSql("shingle_set")} AS sig FROM sets),
+      bands AS (
+        SELECT doc_id, i AS band_idx, $bandFold AS band_hash
+        FROM sigs, unnest(generate_series(0, ${mh.bands - 1})) t(i)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.d1, c.d2,
+          CAST(len(list_intersect(x.shingle_set, y.shingle_set))
+            AS DOUBLE) /
+          (len(x.shingle_set) + len(y.shingle_set)
+            - len(list_intersect(x.shingle_set, y.shingle_set))) AS j,
+          CAST(len(list_filter(list_zip(gx.sig, gy.sig),
+            p -> p[1] = p[2])) AS DOUBLE) / ${mh.k} AS e
+        FROM cands c
+        JOIN sets x ON c.d1 = x.doc_id
+        JOIN sets y ON c.d2 = y.doc_id
+        JOIN sigs gx ON c.d1 = gx.doc_id
+        JOIN sigs gy ON c.d2 = gy.doc_id)
+      SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS bucket,
+        count(*) AS n_pairs,
+        ${proundSql(
+          "CAST(sum(CAST(j AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 6)}
+          AS mean_true_j,
+        ${proundSql(
+          "CAST(sum(CAST(e AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 6)}
+          AS mean_est_j,
+        ${proundSql(
+          "CAST(sum(CAST(abs(e - j) AS DECIMAL(38,8))) AS DOUBLE)" +
+            " / count(*)", 6)} AS mean_abs_err
+      FROM pairs
+      GROUP BY 1
+      ORDER BY 1"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160, q167)
+      q126, q128, q134, q140, q151, q160, q167, q168)
 }
