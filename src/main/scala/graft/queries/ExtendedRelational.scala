@@ -962,7 +962,73 @@ object ExtendedRelational {
       ORDER BY item"""
     })
 
+  // -- E21: freshness-decayed popularity — the trending/recency
+  //    signal (exponential time decay, half-life = 1 week) computed
+  //    EXACTLY without libm: integer week age k (epoch-µs div, the
+  //    q142 discipline), decay factor looked up from a LITERAL table
+  //    of 2⁻ᵏ (powers of two are exact doubles, and literals are
+  //    bit-identical across engines — no pow()), value·2⁻ᵏ an exact
+  //    mantissa-preserving product, and sums accumulated as exact
+  //    DECIMALs (the q148 idiom) so the ranking is order-independent
+  //    at any partitioning. One scan + one item-keyed agg; the
+  //    corpus-max timestamp is a broadcast 1-row fanout.
+  private val DECAY_MAXK = 8
+  private val q169 = Q(
+    "q169_decayed_popularity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val decays = (0 to DECAY_MAXK).map(k => lit(math.pow(0.5, k)))
+      val ev = t.eventsUs.select(
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"),
+        col("value"), col("ts_us"))
+      val mx = ev.agg(max(col("ts_us")).as("mx_us"))
+      val k = least(
+        expr(s"(mx_us - ts_us) div $WEEK_US"), lit(DECAY_MAXK.toLong))
+        .cast("int")
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 8))).cast("double")
+      ev.crossJoin(broadcast(mx))
+        .select(col("item"), col("value"),
+          (col("value") * element_at(array(decays: _*), k + 1))
+            .as("decayed"))
+        .groupBy(col("item"))
+        .agg(count(lit(1)).as("n_events"),
+          pround(dsum(col("value")), 6).as("raw_sum"),
+          pround(dsum(col("decayed")), 6).as("decayed_sum"),
+          pround(dsum(col("decayed")) / dsum(col("value")), 6)
+            .as("freshness"))
+        .orderBy(col("item"))
+    },
+    Some {
+      val dList = (0 to DECAY_MAXK)
+        .map(k => new java.math.BigDecimal(math.pow(0.5, k)).toPlainString)
+        .mkString("[", ", ", "]")
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),
+      ev AS (
+        SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+          value,
+          value * ($dList)[CAST(least(
+            (mx.mx_us - epoch_us(ts)) // $WEEK_US, $DECAY_MAXK)
+            AS INT) + 1] AS decayed
+        FROM events, mx)
+      SELECT item, count(*) AS n_events,
+        ${proundSql(
+          "CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+          AS raw_sum,
+        ${proundSql(
+          "CAST(sum(CAST(decayed AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+          AS decayed_sum,
+        ${proundSql(
+          "CAST(sum(CAST(decayed AS DECIMAL(38,8))) AS DOUBLE) / " +
+            "CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+          AS freshness
+      FROM ev
+      GROUP BY item
+      ORDER BY item"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161)
+      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169)
 }
