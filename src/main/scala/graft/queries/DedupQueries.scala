@@ -1074,7 +1074,96 @@ object DedupQueries {
       ORDER BY 1"""
     })
 
+  // -- q170: contamination SPAN localization — q62 reports WHICH eval
+  //    docs are contaminated (doc-level shingle hits); this produces
+  //    the receipts: every maximal verbatim ≥ CONTAM_W-token overlap
+  //    between an eval doc (doc_id % 10 = 0, q62's split) and a train
+  //    doc, WITH POSITIONS on both sides (Lee et al. 2022's
+  //    exact-substring view applied cross-set). The trick is the
+  //    DIAGONAL: a verbatim run of length L contributes L−W+1 window
+  //    matches whose (eval_pos − train_pos) is CONSTANT, so maximal
+  //    spans are gaps-and-islands over e_pos per (eval, train, diag) —
+  //    strictly-consecutive merge, tighter than q96's within-w rule,
+  //    because every interior window of a verbatim run must match.
+  //    Shape: one hash-keyed inverted join (eval side is 1/10 of the
+  //    corpus — broadcastable at scale) + one window over the match
+  //    set; the 128-bit window key is q96's collision regime (spans
+  //    are positions, the hash never reaches the output).
+  private val CONTAM_W = 8
+  private val q170 = Q(
+    "q170_contamination_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val grams = t.documents.select(col("doc_id"),
+        posexplode(TextFns.shinglesNative(col("text"), CONTAM_W))
+          .as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
+      val ev = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc"), col("pos").as("e_pos"),
+          col("h1"), col("h2"))
+      val tr = grams.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("pos").as("t_pos"),
+          col("h1"), col("h2"))
+      val m = ev.join(tr, Seq("h1", "h2"))
+        .select(col("eval_doc"), col("train_doc"), col("e_pos"),
+          (col("e_pos") - col("t_pos")).as("diag"))
+      val byDiag = Window
+        .partitionBy(col("eval_doc"), col("train_doc"), col("diag"))
+        .orderBy(col("e_pos"))
+      m.withColumn("__prev", lag(col("e_pos"), 1).over(byDiag))
+        .withColumn("__new",
+          (col("__prev").isNull || col("e_pos") > col("__prev") + 1)
+            .cast("int"))
+        .withColumn("__span", sum(col("__new")).over(byDiag))
+        .groupBy(col("eval_doc"), col("train_doc"), col("diag"),
+          col("__span"))
+        .agg(min(col("e_pos")).as("__mn"), max(col("e_pos")).as("__mx"),
+          count(lit(1)).as("n_windows"))
+        .select(col("eval_doc"), col("train_doc"),
+          (col("__mn") + 1).as("eval_start"),
+          (col("__mx") + lit(CONTAM_W)).as("eval_end"),
+          (col("__mn") - col("diag") + 1).as("train_start"),
+          (col("__mx") + lit(CONTAM_W) - col("__mn")).as("span_len"),
+          col("n_windows"))
+        .orderBy(col("eval_doc"), col("train_doc"), col("eval_start"),
+          col("train_start"))
+    },
+    Some(s"""WITH g AS (
+        SELECT doc_id, u.pos, grams[CAST(u.pos + 1 AS INT)] AS sh
+        FROM (SELECT doc_id,
+                ${TextFns.shinglesSql(TextFns.tokensSql("text"),
+                  CONTAM_W)} AS grams
+              FROM documents) d,
+          unnest(generate_series(0, len(grams) - 1)) u(pos)),
+      m AS (
+        SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+          ev.pos AS e_pos, ev.pos - tr.pos AS diag
+        FROM (SELECT * FROM g WHERE doc_id % 10 = 0) ev
+        JOIN (SELECT * FROM g WHERE doc_id % 10 != 0) tr
+          ON ev.sh = tr.sh),
+      w1 AS (
+        SELECT *, lag(e_pos) OVER (PARTITION BY eval_doc, train_doc,
+          diag ORDER BY e_pos) AS prev
+        FROM m),
+      w2 AS (
+        SELECT *, sum(CASE WHEN prev IS NULL OR e_pos > prev + 1
+            THEN 1 ELSE 0 END)
+          OVER (PARTITION BY eval_doc, train_doc, diag ORDER BY e_pos)
+          AS spn
+        FROM w1)
+      SELECT eval_doc, train_doc,
+        min(e_pos) + 1 AS eval_start,
+        max(e_pos) + $CONTAM_W AS eval_end,
+        min(e_pos) - diag + 1 AS train_start,
+        max(e_pos) + $CONTAM_W - min(e_pos) AS span_len,
+        count(*) AS n_windows
+      FROM w2
+      GROUP BY eval_doc, train_doc, diag, spn
+      ORDER BY eval_doc, train_doc, eval_start, train_start"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160, q167, q168)
+      q126, q128, q134, q140, q151, q160, q167, q168, q170)
 }
