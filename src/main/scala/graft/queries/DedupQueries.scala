@@ -919,6 +919,9 @@ object DedupQueries {
         count(lit(1)).as("sz"),
         sum(col("n_tokens")).as("tok_total"),
         min_by(col("n_tokens"), col("doc_id")).as("tok_kept"))
+      // referenced twice (per-size rows + total row): checkpoint the
+      // tiny size table so the LSH + CC dataflow upstream isn't
+      // replayed for the second branch
       val rows = perCluster.groupBy(col("sz").as("cluster_size")).agg(
           count(lit(1)).as("n_clusters"),
           sum(col("tok_total")).as("tokens_total"),
@@ -926,6 +929,7 @@ object DedupQueries {
             .as("tokens_saved"))
         .select(lit(0).cast("int").as("gid"), col("cluster_size"),
           col("n_clusters"), col("tokens_total"), col("tokens_saved"))
+        .localCheckpoint(true)
       val total = rows.agg(
           sum(col("n_clusters")).as("n_clusters"),
           sum(col("tokens_total")).as("tokens_total"),

@@ -670,6 +670,9 @@ object TrainingPrepQueries {
           sum(col("n_tokens")).as("n_tokens"),
           expr(s"(count(1) + ${LB_B - 1}) div $LB_B").as("n_batches"))
       val gmax = toks.agg(max(col("n_tokens")).as("gmax"))
+      // the bucket table is a handful of rows referenced twice (per-
+      // bucket rows + the total row) — checkpoint it so the scan +
+      // fanout subtree isn't evaluated once per branch
       val rows = perBucket.crossJoin(broadcast(gmax))
         .select(lit(0).cast("int").as("gid"), col("bucket_len"),
           col("n_docs"), col("n_tokens"), col("n_batches"),
@@ -677,6 +680,7 @@ object TrainingPrepQueries {
             .as("padded_bucketed"),
           (col("gmax") * col("n_docs") - col("n_tokens"))
             .as("padded_to_max"))
+        .localCheckpoint(true)
       val total = rows.agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

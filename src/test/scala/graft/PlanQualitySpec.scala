@@ -362,6 +362,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(count(p, "Join") === 0, s"q122 is scan+agg only:\n$p")
   }
 
+  test("round-10 continuation queries keep their scale shapes") {
+    // q164: the greedy fold runs on the distinct-word dictionary and
+    // its counts BROADCAST back onto the token stream — never a
+    // shuffle join against the exploded tokens
+    val p164 = planOf("q164_wordpiece_compare")
+    assert(count(p164, "BroadcastHashJoin") >= 1, "q164 lost the " +
+      "dictionary broadcast")
+    assert(count(p164, "CartesianProduct") === 0, "q164 went quadratic")
+    // q170: contamination spans come from the hash-keyed inverted
+    // join — never all-pairs
+    val p170 = planOf("q170_contamination_spans")
+    assert(count(p170, "CartesianProduct") === 0, "q170 went quadratic")
+    assert(count(p170, "BroadcastNestedLoopJoin") === 0,
+      "q170 went quadratic")
+    // q166: the hashing trick is ONE scan, zero joins — that's the
+    // point of the operator
+    val p166 = planOf("q166_feature_hashing")
+    assert(count(p166, "Scan parquet") === 1, "q166 must scan once")
+    assert(count(p166, "Join") === 0, "q166 must not join")
+    // q162/q169: the only fanout is the documented broadcast 1-row
+    // (corpus max); everything else is keyed aggregation
+    for (q <- Seq("q162_bucket_batching", "q169_decayed_popularity")) {
+      val p = planOf(q)
+      assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+        s"$q grew beyond its single 1-row fanout")
+      assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
+      assert(count(p, "SortMergeJoin") === 0, s"$q grew a shuffle join")
+    }
+    // q163: the card reads documents once per leg (doc-grain + token
+    // distinct) and joins only the per-source aggregates
+    val p163 = planOf("q163_dataset_card")
+    assert(count(p163, "Scan parquet") === 2,
+      "q163 must scan documents exactly twice (one per leg)")
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:
