@@ -82,6 +82,11 @@ object Bench {
     "q147_event_transitions", "q148_sq8_error_profile", "q149_ann_fidelity",
     "q150_signal_spearman", "q151_dup_source_matrix",
     "q152_image_neardup",
+    "q157_tokenizer_source_stats",
+    "q161_lpa_communities", "q162_bucket_batching", "q163_dataset_card",
+    "q164_wordpiece_compare", "q165_ann_ndcg", "q166_feature_hashing",
+    "q167_dedup_roi", "q168_minhash_estimate", "q169_decayed_popularity",
+    "q170_contamination_spans", "q171_span_scrub",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -100,6 +105,7 @@ object Bench {
       // Audits run at sf ≤ 0.1 where the exact baseline is computable
       // (the q115/q140 sampled-at-scale policy).
       "q101_pq_adc_topk", "q149_ann_fidelity", "q159_pq_kmeans_ladder",
+      "q165_ann_ndcg",
       // exact containment shares q22's un-prefiltered inverted
       // self-join; its scale path is the df-pruned variant (maxDf)
       "q160_containment_pairs")

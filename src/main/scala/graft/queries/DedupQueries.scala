@@ -1094,47 +1094,44 @@ object DedupQueries {
   //    set; the 128-bit window key is q96's collision regime (spans
   //    are positions, the hash never reaches the output).
   private val CONTAM_W = 8
-  private val q170 = Q(
-    "q170_contamination_spans",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = Tpch(s, dir)
-      val grams = t.documents.select(col("doc_id"),
-        posexplode(TextFns.shinglesNative(col("text"), CONTAM_W))
-          .as(Seq("pos", "sh")))
-        .select(col("doc_id"), col("pos"),
-          xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
-      val ev = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_doc"), col("pos").as("e_pos"),
-          col("h1"), col("h2"))
-      val tr = grams.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("train_doc"), col("pos").as("t_pos"),
-          col("h1"), col("h2"))
-      val m = ev.join(tr, Seq("h1", "h2"))
-        .select(col("eval_doc"), col("train_doc"), col("e_pos"),
-          (col("e_pos") - col("t_pos")).as("diag"))
-      val byDiag = Window
-        .partitionBy(col("eval_doc"), col("train_doc"), col("diag"))
-        .orderBy(col("e_pos"))
-      m.withColumn("__prev", lag(col("e_pos"), 1).over(byDiag))
-        .withColumn("__new",
-          (col("__prev").isNull || col("e_pos") > col("__prev") + 1)
-            .cast("int"))
-        .withColumn("__span", sum(col("__new")).over(byDiag))
-        .groupBy(col("eval_doc"), col("train_doc"), col("diag"),
-          col("__span"))
-        .agg(min(col("e_pos")).as("__mn"), max(col("e_pos")).as("__mx"),
-          count(lit(1)).as("n_windows"))
-        .select(col("eval_doc"), col("train_doc"),
-          (col("__mn") + 1).as("eval_start"),
-          (col("__mx") + lit(CONTAM_W)).as("eval_end"),
-          (col("__mn") - col("diag") + 1).as("train_start"),
-          (col("__mx") + lit(CONTAM_W) - col("__mn")).as("span_len"),
-          col("n_windows"))
-        .orderBy(col("eval_doc"), col("train_doc"), col("eval_start"),
-          col("train_start"))
-    },
-    Some(s"""WITH g AS (
+
+  /** The q170/q171 shared dataflow: maximal cross-set verbatim spans
+    * as (eval_doc, train_doc, diag, __mn, __mx, n_windows) — window
+    * positions 0-based, span covers tokens __mn+1 .. __mx+CONTAM_W.
+    */
+  private def contamSpans(t: Tpch): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = t.documents.select(col("doc_id"),
+      posexplode(TextFns.shinglesNative(col("text"), CONTAM_W))
+        .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("sh")).as("h1"), xxhash64(lit(1), col("sh")).as("h2"))
+    val ev = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_doc"), col("pos").as("e_pos"),
+        col("h1"), col("h2"))
+    val tr = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("pos").as("t_pos"),
+        col("h1"), col("h2"))
+    val m = ev.join(tr, Seq("h1", "h2"))
+      .select(col("eval_doc"), col("train_doc"), col("e_pos"),
+        (col("e_pos") - col("t_pos")).as("diag"))
+    val byDiag = Window
+      .partitionBy(col("eval_doc"), col("train_doc"), col("diag"))
+      .orderBy(col("e_pos"))
+    m.withColumn("__prev", lag(col("e_pos"), 1).over(byDiag))
+      .withColumn("__new",
+        (col("__prev").isNull || col("e_pos") > col("__prev") + 1)
+          .cast("int"))
+      .withColumn("__span", sum(col("__new")).over(byDiag))
+      .groupBy(col("eval_doc"), col("train_doc"), col("diag"),
+        col("__span"))
+      .agg(min(col("e_pos")).as("__mn"), max(col("e_pos")).as("__mx"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** DuckDB mirror of [[contamSpans]] through the `spans` CTE. */
+  private def contamSpansCtes: String =
+    s"""g AS (
         SELECT doc_id, u.pos, grams[CAST(u.pos + 1 AS INT)] AS sh
         FROM (SELECT doc_id,
                 ${TextFns.shinglesSql(TextFns.tokensSql("text"),
@@ -1156,18 +1153,101 @@ object DedupQueries {
             THEN 1 ELSE 0 END)
           OVER (PARTITION BY eval_doc, train_doc, diag ORDER BY e_pos)
           AS spn
-        FROM w1)
+        FROM w1),
+      spans AS (
+        SELECT eval_doc, train_doc, diag,
+          min(e_pos) AS mn, max(e_pos) AS mx, count(*) AS n_windows
+        FROM w2
+        GROUP BY eval_doc, train_doc, diag, spn)"""
+
+  private val q170 = Q(
+    "q170_contamination_spans",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      contamSpans(t)
+        .select(col("eval_doc"), col("train_doc"),
+          (col("__mn") + 1).as("eval_start"),
+          (col("__mx") + lit(CONTAM_W)).as("eval_end"),
+          (col("__mn") - col("diag") + 1).as("train_start"),
+          (col("__mx") + lit(CONTAM_W) - col("__mn")).as("span_len"),
+          col("n_windows"))
+        .orderBy(col("eval_doc"), col("train_doc"), col("eval_start"),
+          col("train_start"))
+    },
+    Some(s"""WITH $contamSpansCtes
       SELECT eval_doc, train_doc,
-        min(e_pos) + 1 AS eval_start,
-        max(e_pos) + $CONTAM_W AS eval_end,
-        min(e_pos) - diag + 1 AS train_start,
-        max(e_pos) + $CONTAM_W - min(e_pos) AS span_len,
-        count(*) AS n_windows
-      FROM w2
-      GROUP BY eval_doc, train_doc, diag, spn
+        mn + 1 AS eval_start,
+        mx + $CONTAM_W AS eval_end,
+        mn - diag + 1 AS train_start,
+        mx + $CONTAM_W - mn AS span_len,
+        n_windows
+      FROM spans
       ORDER BY eval_doc, train_doc, eval_start, train_start"""))
+
+  // -- q171: surgical decontamination — don't DROP a contaminated
+  //    train doc (q62's verdict granularity), CUT the contaminated
+  //    span out and keep the rest (Lee et al. 2022's remediation):
+  //    q170's spans keyed train-side become per-doc coverage ranges,
+  //    and the cleaned text is the token sequence with covered
+  //    positions removed — a per-row HOF filter with an index lambda
+  //    probing the doc's own (tiny) span list; overlapping spans from
+  //    different eval docs compose for free through the coverage
+  //    predicate. Output = only the affected docs, with the CLEANED
+  //    TEXT itself oracle-compared (not just counts). One extra
+  //    doc-keyed join over q170's dataflow; the corpus never
+  //    re-shuffles.
+  private val q171 = Q(
+    "q171_span_scrub",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val spanList = contamSpans(t)
+        .select(col("train_doc"),
+          (col("__mn") - col("diag") + 1).as("s"),
+          (col("__mx") - col("diag") + lit(CONTAM_W)).as("e"))
+        .groupBy(col("train_doc"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      val toks = TextFns.tokens(col("text"))
+      val docs = t.documents
+      docs.join(spanList, docs("doc_id") === spanList("train_doc"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_before"),
+          filter(toks, (tk, i) =>
+            !exists(col("spans"),
+              sp => (i + 1) >= sp.getField("s") &&
+                (i + 1) <= sp.getField("e"))).as("kept"))
+        .select(col("doc_id"), col("n_before"),
+          size(col("kept")).cast("long").as("n_after"),
+          (col("n_before") - size(col("kept")).cast("long"))
+            .as("n_removed"),
+          array_join(col("kept"), " ").as("cleaned_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $contamSpansCtes,
+      sl AS (
+        SELECT train_doc,
+          list({'s': mn - diag + 1, 'e': mx - diag + $CONTAM_W})
+            AS spans
+        FROM spans
+        GROUP BY train_doc),
+      base AS (
+        SELECT d.doc_id, sl.spans,
+          ${TextFns.tokensSql("text")} AS toks
+        FROM documents d JOIN sl ON d.doc_id = sl.train_doc),
+      cut AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+          list_filter(toks, (tk, i) ->
+            len(list_filter(spans,
+              sp -> i >= sp.s AND i <= sp.e)) = 0) AS kept
+        FROM base)
+      SELECT doc_id, n_before,
+        CAST(len(kept) AS BIGINT) AS n_after,
+        n_before - CAST(len(kept) AS BIGINT) AS n_removed,
+        coalesce(list_aggregate(kept, 'string_agg', ' '), '')
+          AS cleaned_text
+      FROM cut
+      ORDER BY doc_id"""))
 
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160, q167, q168, q170)
+      q126, q128, q134, q140, q151, q160, q167, q168, q170, q171)
 }
