@@ -159,4 +159,79 @@ object KMeans {
     updatedCents(vecs.filter(col(vecCol).isNotNull), idCol, vecCol, k,
       iters)
   }
+
+  /** All m PQ-subspace codebooks trained in ONE dataflow per Lloyd
+    * round — bit-identical to calling [[fitCentroidArrays]] on each
+    * subspace slice independently (the seed ids are shared across
+    * subspaces because the hash order depends only on ids; the
+    * decimal argmin and 6-decimal means are per-subspace either way),
+    * but the JOB count drops from m·(1 + iters) sequential driver
+    * round-trips to 1 + iters: each round explodes (vector, sub),
+    * scores against the m×k nested centroid LITERAL, and hash-aggs
+    * per (sub, cluster, dim) — one corpus pass for all subspaces.
+    * That is the 100 TB shape: driver round-trips, not per-row work,
+    * are what serial per-subspace training multiplies.
+    *
+    * @return centroids indexed [sub][codeword][dim-within-subspace]
+    */
+  def fitSubspaceCentroidArrays(vecs: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, iters: Int)
+      : Array[Array[Array[Double]]] = {
+    import graft.queries.Portable.pround
+    require(m >= 1 && k >= 1 && iters >= 0)
+    val src = vecs.filter(col(vecCol).isNotNull)
+    val dims = src.select(size(col(vecCol))).head.getInt(0)
+    require(dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val subLen = dims / m
+    val seedVecs = src
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h",
+        ((col("__id") % lit(SeedMod)) * lit(SeedMul)) % lit(SeedMod))
+      .orderBy(col("__h"), col("__id"))
+      .limit(k)
+      .select(col("__v").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == k,
+      s"need at least k=$k non-null vectors, found ${seedVecs.length}")
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m, k)(
+      (sub, j) => seedVecs(j).slice(sub * subLen, (sub + 1) * subLen))
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(m, k)((sub, j) => cents(sub)(j).clone())
+      val cLit = array(cents.map(subCents =>
+        array(subCents.map(c => array(c.map(lit(_)): _*)): _*)): _*)
+      def subDist(sv: Column, sub: Column, j: Int): Column =
+        aggregate(
+          zip_with(sv,
+            element_at(element_at(cLit, sub + 1), j + 1),
+            (a, b) => {
+              val d = a.cast("double") - b
+              (d * d).cast(DecimalType(28, 8))
+            }),
+          lit(0L).cast(DecimalType(38, 8)),
+          (acc, x) => (acc + x).cast(DecimalType(38, 8)))
+      val stats = src
+        .select(col(vecCol).as("__v"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"))
+        .select(col("sub"),
+          slice(col("__v"), col("sub") * lit(subLen) + lit(1),
+            lit(subLen)).as("__sv"))
+        .select(col("sub"), col("__sv"),
+          array((0 until k)
+            .map(j => subDist(col("__sv"), col("sub"), j)): _*)
+            .as("__d"))
+        .select(col("sub"),
+          (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
+            .cast("int").as("cluster"),
+          posexplode(col("__sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+          .cast("double") / count(lit(1)), 6).as("mean_v"))
+        .collect()
+      stats.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      cents = next
+    }
+    cents
+  }
 }

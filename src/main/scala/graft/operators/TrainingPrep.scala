@@ -634,4 +634,61 @@ object TrainingPrep {
           / col("n_grams"), 6).as("novelty"))
       .orderBy(col(idCol))
   }
+
+  /** WATERFILLING mixture allocation — the fair cross-source token
+    * budget: allocationᵢ = min(sizeᵢ, L) with the water level L
+    * chosen so Σ allocations = budget EXACTLY (integer level + the
+    * division remainder distributed +1 each to the first r capped
+    * keys in key order). Closed form over the per-key totals: sort by
+    * size ascending with a prefix sum; the first index whose size
+    * exceeds its candidate level (budget − prefix) div (remaining)
+    * opens the capped set. All integer, deterministic, and the whole
+    * computation runs on k per-key rows (the unpartitioned windows
+    * are over the per-source totals — the q64 bucket-prefix class).
+    * Budget = (Σ sizes · num) div den.
+    *
+    * Output: (keyCol, sizeCol, allocation, takes_all).
+    */
+  def waterfill(sizes: DataFrame, keyCol: String, sizeCol: String,
+      num: Long, den: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num >= 0 && den >= 1)
+    val src = sizes.select(col(keyCol).as("__key"),
+      col(sizeCol).cast("long").as("__n"))
+    val tot = src.agg(sum(col("__n")).as("__total"),
+      count(lit(1)).as("__k"))
+    val bySize = Window.orderBy(col("__n"), col("__key"))
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("__b", expr(s"(__total * $num) div $den"))
+      .withColumn("__rn", row_number().over(bySize).cast("long"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__n")).over(
+          bySize.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cand", expr("(__b - __prefix) div (__k - __rn + 1)"))
+      .localCheckpoint(true)
+    val thr = ranked
+      .agg(min(when(col("__n") > col("__cand"), col("__rn"))).as("__t"))
+    val everything =
+      Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    val byKey = Window.orderBy(col("__key"))
+    ranked.crossJoin(broadcast(thr))
+      .withColumn("__t2", coalesce(col("__t"), col("__k") + 1))
+      .withColumn("__lvl",
+        max(when(col("__rn") === col("__t2"), col("__cand")))
+          .over(everything))
+      .withColumn("__rem",
+        max(when(col("__rn") === col("__t2"),
+          expr("(__b - __prefix) % (__k - __rn + 1)"))).over(everything))
+      .withColumn("__capped", col("__rn") >= col("__t2"))
+      .withColumn("__caprank",
+        sum(when(col("__capped"), 1L).otherwise(0L)).over(
+          byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("__key").as(keyCol), col("__n").as(sizeCol),
+        when(!col("__capped"), col("__n"))
+          .otherwise(col("__lvl") +
+            when(col("__caprank") <= col("__rem"), 1L).otherwise(0L))
+          .as("allocation"),
+        (!col("__capped")).as("takes_all"))
+  }
 }

@@ -741,7 +741,84 @@ object TrainingPrepQueries {
       FROM (SELECT * FROM rws UNION ALL SELECT * FROM tot)
       ORDER BY gid, bucket_len"""))
 
+  // -- T16: WATERFILLING mixture allocation — the fair cross-source
+  //    token budget (the pretraining-mix question "how much of each
+  //    source goes in?"): every source gets an equal share, sources
+  //    smaller than the share contribute everything, and their slack
+  //    redistributes to the rest — i.e. allocation_i = min(size_i, L)
+  //    with the water level L chosen so Σ allocations = B exactly.
+  //    Closed form, no iteration: sort sources by size ascending with
+  //    a prefix sum; the first index where size_i exceeds the
+  //    candidate level (B − prefix_i) div (remaining sources) marks
+  //    the capped set; integer division remainder goes +1 each to the
+  //    first r capped sources by name — everything integer, the
+  //    budget is hit EXACTLY, and the whole computation runs on the
+  //    per-source totals (a handful of rows — the unpartitioned
+  //    windows are over k ≈ 20 rows, allowlisted like q64's bucket
+  //    prefix sums). q116 budgets WITHIN a priority order; this
+  //    balances ACROSS sources — the DoReMi-adjacent fair-mix
+  //    baseline every mixture study starts from.
+  //    Budget = 3/5 of total corpus tokens (integer div).
+  private val q172 = Q(
+    "q172_waterfill_mixture",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val src = t.documents
+        .select(col("source"), size(TextFns.tokens(col("text")))
+          .cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      TrainingPrep.waterfill(src, "source", "n_tokens", 3L, 5L)
+        .withColumn("fill_rate",
+          pround(col("allocation").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH src AS (
+        SELECT source,
+          CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        count(*) AS k FROM src),
+      ranked AS (
+        SELECT source, n_tokens, total, k,
+          CAST((total * 3) // 5 AS BIGINT) AS b,
+          CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+            AS rn,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS prefix
+        FROM src, tot),
+      lv AS (
+        SELECT *, CAST((b - prefix) // (k - rn + 1) AS BIGINT) AS cand
+        FROM ranked),
+      thr AS (
+        SELECT coalesce(min(CASE WHEN n_tokens > cand THEN rn END),
+          (SELECT k FROM tot) + 1) AS t_rn
+        FROM lv),
+      lvl AS (
+        SELECT l.cand AS lvl,
+          CAST((l.b - l.prefix) % (l.k - l.rn + 1) AS BIGINT) AS rem
+        FROM lv l, thr WHERE l.rn = thr.t_rn),
+      alloc AS (
+        SELECT l.source, l.n_tokens,
+          l.rn >= thr.t_rn AS capped,
+          CAST(sum(CASE WHEN l.rn >= thr.t_rn THEN 1 ELSE 0 END)
+            OVER (ORDER BY l.source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cap_rank
+        FROM lv l, thr)
+      SELECT a.source, a.n_tokens,
+        CASE WHEN NOT a.capped THEN a.n_tokens
+          ELSE lvl.lvl + CASE WHEN a.cap_rank <= lvl.rem THEN 1
+            ELSE 0 END END AS allocation,
+        NOT a.capped AS takes_all,
+        ${proundSql(
+          "CAST((CASE WHEN NOT a.capped THEN a.n_tokens ELSE lvl.lvl" +
+            " + CASE WHEN a.cap_rank <= lvl.rem THEN 1 ELSE 0 END END)" +
+            " AS DOUBLE) / a.n_tokens", 6)} AS fill_rate
+      FROM alloc a LEFT JOIN lvl ON true
+      ORDER BY a.source"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162)
+      q121, q162, q172)
 }

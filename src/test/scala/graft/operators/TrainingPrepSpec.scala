@@ -442,4 +442,58 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(1L) === ((2L, 0L)))
     assert(out(2L) === ((1L, 1L)))
   }
+
+  // ------------------------------------------------------------------
+  // waterfill
+  // ------------------------------------------------------------------
+
+  private def runWaterfill(sizes: Seq[(String, Long)], num: Long,
+      den: Long): Map[String, (Long, Boolean)] =
+    TrainingPrep.waterfill(sizes.toDF("src", "n"), "src", "n", num, den)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("waterfill: small sources take all, capped split level exactly") {
+    // total 3030, budget 1/2 = 1515; a(10) and b(20) fit under their
+    // candidate levels and take everything; the 1485 left splits over
+    // {c, d} as level 742 + remainder 1 to the first capped key
+    val out = runWaterfill(
+      Seq(("a", 10L), ("b", 20L), ("c", 1000L), ("d", 2000L)), 1L, 2L)
+    assert(out("a") === ((10L, true)))
+    assert(out("b") === ((20L, true)))
+    assert(out("c") === ((743L, false)))
+    assert(out("d") === ((742L, false)))
+    assert(out.values.map(_._1).sum === 1515L)
+  }
+
+  test("waterfill: budget >= total means everyone takes all") {
+    val out = runWaterfill(Seq(("a", 5L), ("b", 7L), ("c", 100L)), 1L, 1L)
+    assert(out.values.forall(_._2 === true))
+    assert(out.values.map(_._1).sum === 112L)
+  }
+
+  test("waterfill hits the budget exactly on skewed randomized sizes") {
+    val sizes = (0 until 17)
+      .map(i => (s"s$i", ((i * 2654435761L) % 997L) * (i % 5 + 1) + 1L))
+    for ((num, den) <- Seq((1L, 3L), (3L, 5L), (9L, 10L))) {
+      val out = runWaterfill(sizes, num, den)
+      val total = sizes.map(_._2).sum
+      val capped = out.values.filter(!_._2)
+      if (capped.nonEmpty)
+        assert(out.values.map(_._1).sum === total * num / den,
+          s"budget $num/$den not hit exactly")
+      out.foreach { case (k, (alloc, takesAll)) =>
+        val sz = sizes.toMap.apply(k)
+        assert(alloc <= sz, s"$k over-allocated")
+        if (takesAll) assert(alloc === sz)
+      }
+      // fairness: no capped source may end below another's allocation
+      // by more than the +1 remainder step
+      if (capped.nonEmpty) {
+        val allocs = capped.map(_._1)
+        assert(allocs.max - allocs.min <= 1L, "uneven water level")
+      }
+    }
+  }
 }
