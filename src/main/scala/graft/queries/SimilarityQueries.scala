@@ -1157,6 +1157,9 @@ object SimilarityQueries {
       val exact = Similarity.topK(t.embeddings, queries, "vec_id",
           "embedding", SQ_K)
         .select(col("query_id"), col("corpus_id"))
+        // tiny (queries x K) and referenced once per rung plus the
+        // n_total agg: checkpoint so the brute scan runs ONCE
+        .localCheckpoint(true)
       def rung(name: String, iters: Int) = {
         val cb = Similarity.pqCodebooksKMeans(t.embeddings, "vec_id",
           "embedding", PQ_M, PQKM_K, iters)
@@ -1428,6 +1431,9 @@ object SimilarityQueries {
       val exact = Similarity.topK(t.embeddings, queries, "vec_id",
           "embedding", SQ_K)
         .select(col("query_id"), col("corpus_id"))
+        // tiny (queries x K) and referenced once per rung plus the
+        // n_total agg: checkpoint so the brute scan runs ONCE
+        .localCheckpoint(true)
       val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
           "embedding", SQ_K)
         .select(col("query_id"), col("corpus_id"))
@@ -1570,6 +1576,9 @@ object SimilarityQueries {
       val exact = Similarity.topK(t.embeddings, queries, "vec_id",
           "embedding", SQ_K)
         .select(col("query_id"), col("corpus_id"))
+        // tiny (queries x K) and referenced once per rung plus the
+        // n_total agg: checkpoint so the brute scan runs ONCE
+        .localCheckpoint(true)
       val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
           "embedding", SQ_K)
         .select(col("query_id"), col("corpus_id"), col("rank"))
