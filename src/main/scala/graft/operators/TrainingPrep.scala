@@ -649,6 +649,52 @@ object TrainingPrep {
     *
     * Output: (keyCol, sizeCol, allocation, takes_all).
     */
+  /** Largest-remainder (Hamilton) apportionment — the PROPORTIONAL
+    * budget split next to [[waterfill]]'s equal-share one (eval-set
+    * quotas, shard counts, per-source sampling targets): quotaᵢ =
+    * ⌊B·sizeᵢ/total⌋, and the leftover seats go +1 each to the keys
+    * with the largest division remainders (ties by key — fully
+    * deterministic). Guarantees Σ quotas = B exactly and every quota
+    * within 1 of its exact proportional share. The B·sizeᵢ product is
+    * computed in DECIMAL(38,0) with an exact remainder-subtract
+    * division, so the math cannot overflow int64 even at
+    * astronomical token counts. Runs on k per-key rows (unpartitioned
+    * windows over the per-source totals — the q64/q172 class).
+    * Budget B = (total · num) div den.
+    *
+    * Output: (keyCol, sizeCol, allocation, got_bonus).
+    */
+  def apportion(sizes: DataFrame, keyCol: String, sizeCol: String,
+      num: Long, den: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(num >= 0 && den >= 1)
+    val src = sizes.select(col(keyCol).as("__key"),
+      col(sizeCol).cast("long").as("__n"))
+    val tot = src.agg(sum(col("__n")).as("__total"))
+    val everything = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val byRem = Window.orderBy(col("__rem").desc, col("__key"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("__b", expr(s"(__total * $num) div $den"))
+      .withColumn("__prod",
+        col("__b").cast(DecimalType(38, 0)) * col("__n"))
+      .withColumn("__rem", (col("__prod") % col("__total")).cast("long"))
+      // exact: numerator is a multiple of total after the remainder
+      // subtract, so the decimal division carries no fraction
+      .withColumn("__quota",
+        ((col("__prod") - (col("__prod") % col("__total"))) /
+          col("__total")).cast("long"))
+      .withColumn("__leftover",
+        col("__b") - sum(col("__quota")).over(everything))
+      .withColumn("__rank", row_number().over(byRem).cast("long"))
+      .select(col("__key").as(keyCol), col("__n").as(sizeCol),
+        (col("__quota") +
+          when(col("__rank") <= col("__leftover"), 1L).otherwise(0L))
+          .as("allocation"),
+        (col("__rank") <= col("__leftover")).as("got_bonus"))
+  }
+
   def waterfill(sizes: DataFrame, keyCol: String, sizeCol: String,
       num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

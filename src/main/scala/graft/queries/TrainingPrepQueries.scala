@@ -818,7 +818,55 @@ object TrainingPrepQueries {
       FROM alloc a LEFT JOIN lvl ON true
       ORDER BY a.source"""))
 
+  // -- T17: largest-remainder eval apportionment — the PROPORTIONAL
+  //    sibling of q172's equal-share waterfill: how many of each
+  //    source's docs go into a 10% eval split, with quotas that sum
+  //    to the budget EXACTLY and stay within 1 doc of the exact
+  //    proportional share (Hamilton's method, the standard answer to
+  //    "floor() under-allocates"). Deterministic bonus order =
+  //    largest remainder, ties by source; integer/decimal-exact
+  //    throughout (TrainingPrep.apportion).
+  private val q173 = Q(
+    "q173_apportion_eval",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val src = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      TrainingPrep.apportion(src, "source", "n_docs", 1L, 10L)
+        .withColumn("eval_share",
+          pround(col("allocation").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH src AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM src),
+      base AS (
+        SELECT source, n_docs, total,
+          CAST(total // 10 AS BIGINT) AS b
+        FROM src, tot),
+      q AS (
+        SELECT *,
+          CAST((CAST(b AS HUGEINT) * n_docs) // total AS BIGINT)
+            AS quota,
+          CAST((CAST(b AS HUGEINT) * n_docs) % total AS BIGINT) AS rem
+        FROM base),
+      l AS (
+        SELECT CAST(max(b) - sum(quota) AS BIGINT) AS leftover FROM q),
+      r AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+          AS BIGINT) AS rk
+        FROM q)
+      SELECT r.source, r.n_docs,
+        CAST(r.quota + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+          AS BIGINT) AS allocation,
+        r.rk <= l.leftover AS got_bonus,
+        ${proundSql(
+          "CAST(r.quota + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0" +
+            " END AS DOUBLE) / r.n_docs", 6)} AS eval_share
+      FROM r, l
+      ORDER BY r.source"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172)
+      q121, q162, q172, q173)
 }

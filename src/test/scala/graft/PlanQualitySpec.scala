@@ -412,7 +412,7 @@ class PlanQualitySpec extends SparkSpec {
     val allowed = Set("q64_pack_offsets", "q68_pack_segments",
       "q81_chunk_spans", "q79_bm25_topk", "q120_hybrid_rrf",
       "q121_dsir_selection", "q154_bpe_pack_ids", "q155_multimodal_pack",
-      "q172_waterfill_mixture")
+      "q172_waterfill_mixture", "q173_apportion_eval")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {

@@ -473,6 +473,25 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.values.map(_._1).sum === 112L)
   }
 
+  test("apportion: exact budget, within-1 proportionality, largest remainder first") {
+    val sizes = Seq(("a", 7L), ("b", 13L), ("c", 101L), ("d", 379L),
+      ("e", 500L))
+    val total = sizes.map(_._2).sum
+    for ((num, den) <- Seq((1L, 10L), (1L, 3L), (2L, 5L))) {
+      val b = total * num / den
+      val out = TrainingPrep.apportion(sizes.toDF("src", "n"), "src",
+          "n", num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(out.values.sum === b, s"budget $num/$den not hit exactly")
+      sizes.foreach { case (k, n) =>
+        val exactShare = b.toDouble * n / total
+        assert(out(k) >= math.floor(exactShare).toLong &&
+          out(k) <= math.ceil(exactShare).toLong,
+          s"$k allocation ${out(k)} not within 1 of $exactShare")
+      }
+    }
+  }
+
   test("waterfill hits the budget exactly on skewed randomized sizes") {
     val sizes = (0 until 17)
       .map(i => (s"s$i", ((i * 2654435761L) % 997L) * (i % 5 + 1) + 1L))
