@@ -87,7 +87,7 @@ object Bench {
     "q164_wordpiece_compare", "q165_ann_ndcg", "q166_feature_hashing",
     "q167_dedup_roi", "q168_minhash_estimate", "q169_decayed_popularity",
     "q170_contamination_spans", "q171_span_scrub",
-    "q172_waterfill_mixture", "q173_apportion_eval",
+    "q172_waterfill_mixture", "q173_apportion_eval", "q174_mp4_metadata",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -783,6 +783,71 @@ object MultimodalQueries {
       ORDER BY a.doc_id, a.img_idx"""
     })
 
+  // -- q174: REAL MP4 (ISO-BMFF) container walk + stride sampling ----
+  //    The second video container next to q119's RIFF/AVI: each doc
+  //    synthesizes a spec-conformant MP4 (ftyp/mdat/moov with the full
+  //    trak→mdia→minf→stbl sample-table chain, 'raw ' visual entries)
+  //    with 3 + doc_id%4 frames of closed-form integer pixels; decode
+  //    walks the box tree, reads the 16.16 track dimensions, expands
+  //    stsc chunk runs, and resolves every sampled frame through
+  //    stco/stsz — a wrong box size, fixed-point shift, or sample-
+  //    table offset diverges from the pure-arithmetic oracle.
+  private val M4W = 6
+  private val M4H = 4
+  private val M4TS = 12
+  private val M4STR = 2
+  private val q174 = Q(
+    "q174_mp4_metadata",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val n = (3 + d % 4).toInt
+            val bytes = graft.operators.VideoMp4.mp4Encode(M4W, M4H, n,
+              M4TS, (f, x, y) => (
+                ((d + 2L * f + 3L * x + 5L * y) % 256).toInt,
+                ((3L * d + f + x + 2L * y) % 256).toInt,
+                ((d + f + 7L * x + y) % 256).toInt))
+            Row(d, bytes, "video/mp4")
+          }
+        }(mediaEnc)
+      graft.operators.VideoMp4.mp4Features(media, M4STR)
+        .orderBy(col("media_id"))
+    },
+    Some {
+      // last sampled frame: largest multiple of M4STR below n
+      val fL = s"($M4STR * ((3 + doc_id % 4 - 1) // $M4STR))"
+      s"""SELECT doc_id AS media_id,
+        CAST($M4W AS INT) AS width, CAST($M4H AS INT) AS height,
+        CAST($M4TS AS BIGINT) AS timescale,
+        CAST(3 + doc_id % 4 AS BIGINT) AS duration_ts,
+        CAST(3 + doc_id % 4 AS INT) AS n_samples,
+        CAST((3 + doc_id % 4 + ${M4STR - 1}) // $M4STR AS INT)
+          AS n_sampled,
+        CAST(doc_id % 256 AS INT) AS f_first_r,
+        CAST((3 * doc_id) % 256 AS INT) AS f_first_g,
+        CAST(doc_id % 256 AS INT) AS f_first_b,
+        CAST((doc_id + 2 * $fL + ${3 * (M4W - 1) + 5 * (M4H - 1)}) % 256
+          AS INT) AS l_last_r,
+        CAST((3 * doc_id + $fL + ${(M4W - 1) + 2 * (M4H - 1)}) % 256
+          AS INT) AS l_last_g,
+        CAST((doc_id + $fL + ${7 * (M4W - 1) + (M4H - 1)}) % 256
+          AS INT) AS l_last_b,
+        (SELECT CAST(SUM(CASE WHEN f % $M4STR = 0 AND f < 3 + doc_id % 4
+            THEN (doc_id + 2 * f + 3 * x + 5 * y) % 256
+               + (3 * doc_id + f + x + 2 * y) % 256
+               + (doc_id + f + 7 * x + y) % 256
+            ELSE 0 END) AS BIGINT)
+         FROM range(0, 7) tf(f), range(0, $M4W) tx(x),
+           range(0, $M4H) ty(y)) AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156)
+    q152, q155, q156, q174)
 }
