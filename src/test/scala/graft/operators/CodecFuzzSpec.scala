@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Decoder robustness net: every pure-JVM codec must satisfy the
+  * corrupt-input contract (return null/empty, NEVER throw) on
+  * arbitrary mutations of valid files — the property that lets the
+  * per-partition decode loops run over untrusted 100 TB media columns
+  * without a poison byte killing a task. Deterministic seeded fuzz:
+  * every truncation length and a fixed LCG sample of byte flips and
+  * byte-value corruptions per codec.
+  */
+class CodecFuzzSpec extends SparkSpec {
+
+  private def fixtures: Seq[(String, Array[Byte], Array[Byte] => Any)] = {
+    val png = {
+      val pix = Array.tabulate(4 * 3 * 3)(i => (i * 7 % 256).toByte)
+      Multimodal.pngEncode(Multimodal.PngImage(4, 3, 3, pix), _ % 5,
+        new java.util.zip.Deflater())
+    }
+    val jpgB = Jpeg.jpegEncode(8, 8, Seq((1, 1)),
+      Seq(Array.fill(64)(1)), (_, _, _) => Array.fill(64)(3))
+    val jpgP = Jpeg.jpegEncodeProgressive(8, 8, Seq((1, 1)),
+      Seq(Array.fill(64)(1)), (_, _, _) => Array.fill(64)(3))
+    val gif = Gif.gifEncode(4, 4, Array(0x000000, 0xffffff, 0xff0000,
+      0x00ff00), Seq((Array.tabulate(16)(_ % 4), false)))
+    val avi = VideoAvi.aviEncode(4, 2, 2,
+      (f, x, y) => (f * 50 % 256, x * 80 % 256, y * 90 % 256))
+    val mp4 = VideoMp4.mp4Encode(4, 2, 3, 10,
+      (f, x, y) => (f * 50 % 256, x * 80 % 256, y * 90 % 256))
+    Seq(
+      ("png", png,
+        b => Multimodal.pngDecode(b, new java.util.zip.Inflater())),
+      ("jpeg_baseline", jpgB, b => Jpeg.jpegDecode(b)),
+      ("jpeg_progressive", jpgP, b => Jpeg.jpegDecode(b)),
+      ("gif", gif, b => Gif.gifDecode(b)),
+      ("avi", avi, b => VideoAvi.aviDecode(b, 1)),
+      ("mp4", mp4, b => VideoMp4.mp4Decode(b, 1)),
+      ("wav_header", avi, b => Multimodal.wavSamples(b)),
+      ("header", png, b => Multimodal.decodeHeader(b)))
+  }
+
+  test("every truncation of every valid file decodes without throwing") {
+    for ((name, bytes, dec) <- fixtures; len <- 0 to bytes.length) {
+      try dec(bytes.take(len))
+      catch { case e: Exception =>
+        fail(s"$name threw on truncation to $len: $e")
+      }
+    }
+  }
+
+  test("seeded byte corruptions decode without throwing") {
+    var lcg = 0x2545F4914F6CDD1DL
+    def next(bound: Int): Int = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      (((lcg >>> 33) % bound + bound) % bound).toInt
+    }
+    for ((name, bytes, dec) <- fixtures; trial <- 0 until 400) {
+      val s = bytes.clone()
+      // corrupt 1-4 positions per trial
+      val hits = 1 + next(4)
+      for (_ <- 0 until hits) s(next(s.length)) = next(256).toByte
+      try dec(s)
+      catch { case e: Exception =>
+        fail(s"$name threw on corruption trial $trial: $e")
+      }
+    }
+  }
+}
