@@ -20,6 +20,8 @@ object DedupQueries {
 
   private val N = 3          // shingle width
   private val JTAU = 0.5     // Jaccard output threshold
+  private val PN = 4         // q175 prefix-filter shingle width
+  private val PTAU = 0.5     // q175 threshold (exactly-representable)
   private val LSHTAU = 0.5   // LSH verify threshold
   private val mh = MinHashParams(k = 16, bands = 4)
 
@@ -29,6 +31,8 @@ object DedupQueries {
     */
   private def shingleSetSql =
     s"list_distinct(${shingleHashesSql("text", N)})"
+  private def prefixShingleSetSql =
+    s"list_distinct(${shingleHashesSql("text", PN)})"
   private def sigSql(hashesExpr: String) =
     s"""list_transform(generate_series(0, ${mh.k - 1}), j ->
        | list_aggregate(list_transform($hashesExpr,
@@ -95,6 +99,43 @@ object DedupQueries {
       JOIN sizes sa ON d1 = sa.doc_id
       JOIN sizes sb ON d2 = sb.doc_id
       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $JTAU
+      ORDER BY d1, d2"""))
+
+  // -- D22: PREFIX-FILTERED Jaccard pairs — the PPJoin prefix step:
+  //    index only the rarest (1−tau)·|d|+1 shingles of each doc (global
+  //    df-asc order) and the candidate join provably still surfaces
+  //    every J ≥ tau pair. The oracle is DuckDB's EXHAUSTIVE inverted
+  //    join — every run re-proves the filter lossless — plus each doc's
+  //    prefix length so the pruning is visible in the result. Distinct
+  //    params from q22 (4-gram shingles) exercise the second width.
+  private val q175 = Q(
+    "q175_jaccard_prefix",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Dedup.jaccardPairsPrefix(t.documents, "doc_id", "text", PN, PTAU)
+        .select(col("d1"), col("d2"), col("n_common"), col("n1"), col("n2"),
+          (col("n1") - ceil(col("n1") * lit(PTAU)) + 1).cast("long").as("p1"),
+          (col("n2") - ceil(col("n2") * lit(PTAU)) + 1).cast("long").as("p2"),
+          pround(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some(s"""WITH sets AS (
+        SELECT doc_id, $prefixShingleSetSql AS shingle_set FROM documents),
+      sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sets),
+      inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sets),
+      common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+        CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+        CAST(sa.n - ceil(sa.n * $PTAU) + 1 AS BIGINT) AS p1,
+        CAST(sb.n - ceil(sb.n * $PTAU) + 1 AS BIGINT) AS p2,
+        ${proundSql("CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)", 6)} AS jaccard
+      FROM common
+      JOIN sizes sa ON d1 = sa.doc_id
+      JOIN sizes sb ON d2 = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $PTAU
       ORDER BY d1, d2"""))
 
   // -- D3: MinHash signatures (flattened: whole-sig fold + band hashes) -
@@ -1249,5 +1290,5 @@ object DedupQueries {
 
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160, q167, q168, q170, q171)
+      q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175)
 }

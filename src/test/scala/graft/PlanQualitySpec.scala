@@ -50,7 +50,7 @@ class PlanQualitySpec extends SparkSpec {
   test("pair generation joins on inverted-index keys — never all-pairs") {
     for (q <- Seq("q22_jaccard_pairs", "q24_minhash_lsh_pairs",
         "q25_simhash_pairs", "q96_duplicated_spans", "q112_cross_dedup",
-        "q152_image_neardup")) {
+        "q152_image_neardup", "q175_jaccard_prefix")) {
       val p = planOf(q)
       assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")

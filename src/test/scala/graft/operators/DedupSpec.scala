@@ -342,6 +342,47 @@ class DedupSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must contain duplicated spans")
   }
 
+  test("jaccardPairsPrefix ≡ jaccardPairs on seeded random corpora with planted near-dups") {
+    // the prefix-filter losslessness theorem, exercised empirically:
+    // identical (pair set, counts, jaccard) at three exactly-
+    // representable thresholds on a corpus where near-dup pairs
+    // straddle each threshold
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (1 to 40).map(i => s"w$i")
+    val base = (1L to 20L).map { id =>
+      (id, (1 to 15 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    // plant mutated copies: replace 0–4 random tokens of a base doc
+    val mutated = base.filter(_._1 % 2 == 0).map { case (id, toks) =>
+      val nMut = rnd.nextInt(5)
+      val arr = toks.toArray
+      (0 until nMut).foreach { _ =>
+        arr(rnd.nextInt(arr.length)) = vocab(rnd.nextInt(vocab.size))
+      }
+      (id + 100L, arr.toSeq)
+    }
+    val corpus = (base ++ mutated).map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))
+    }.toSet
+    for (tau <- Seq(0.25, 0.5, 0.75)) {
+      val exhaustive = key(Dedup.jaccardPairs(corpus, "doc_id", "text", 3, tau)
+        .select(col("d1"), col("d2"), col("n_common").cast("long").as("n_common"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          col("jaccard")))
+      val prefixed = key(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 3, tau))
+      assert(prefixed === exhaustive, s"tau=$tau")
+      assert(exhaustive.nonEmpty, s"fixture must have pairs at tau=$tau")
+    }
+    // the point of the filter: the prefix index is materially smaller
+    val (full, pref) = Dedup.prefixIndexSizes(corpus, "doc_id", "text", 3, 0.5)
+    assert(pref < full, s"prefix index ($pref) must shrink vs full ($full)")
+    assert(pref >= 1L)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val sh = Dedup.simhashDF(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
