@@ -88,7 +88,7 @@ object Bench {
     "q167_dedup_roi", "q168_minhash_estimate", "q169_decayed_popularity",
     "q170_contamination_spans", "q171_span_scrub",
     "q172_waterfill_mixture", "q173_apportion_eval", "q174_mp4_metadata",
-    "q175_jaccard_prefix",
+    "q175_jaccard_prefix", "q176_binary_ann",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -108,6 +108,10 @@ object Bench {
       // (the q115/q140 sampled-at-scale policy).
       "q101_pq_adc_topk", "q149_ann_fidelity", "q159_pq_kmeans_ladder",
       "q165_ann_ndcg",
+      // brute hamming probe over the whole corpus (q27's shape at 1
+      // bit/dim); the scale path drops the same codes into the IVF
+      // cell join or uses them as a rerank prefilter
+      "q176_binary_ann",
       // exact containment shares q22's un-prefiltered inverted
       // self-join; its scale path is the df-pruned variant (maxDf)
       "q160_containment_pairs")

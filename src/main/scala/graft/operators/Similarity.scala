@@ -416,6 +416,59 @@ object Similarity {
     * of aggregate(zip_with(a,b,*),0L,+) in one primitive loop. */
   def idot(a: Column, b: Column): Column = call_function("graft_idot", a, b)
 
+  /** BINARY (1-bit / sign) quantization — the most compressed rung of
+    * the fidelity ladder (float32 → SQ8 → PQ → here): bit d = [x_d > 0],
+    * packed into ⌈dims/64⌉ long words. 32× smaller than float32 and
+    * 8× smaller than SQ8; ranking degrades accordingly (measured in
+    * q149's ladder). The packing is a fold of plain bitwise
+    * when/otherwise terms — fully codegen, no HOF lambdas — so the
+    * encoded corpus is produced in the scan stage and never shuffles.
+    */
+  def binEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val nWords = (dims + 63) / 64
+    val words = (0 until nWords).map { w =>
+      (0 until math.min(64, dims - w * 64)).foldLeft(lit(0L)) { (acc, j) =>
+        acc.bitwiseOR(
+          when(element_at(col(vecCol), w * 64 + j + 1) > lit(0f),
+            lit(1L << j)).otherwise(lit(0L)))
+      }
+    }
+    df.select(col(idCol) +: keep.map(col) :+ array(words: _*).as("bin_code"): _*)
+  }
+
+  /** Brute-force top-k by HAMMING distance over [[binEncode]] codes
+    * (ascending; corpus-id tie-break) — the sign pattern is SimHash
+    * over the coordinate basis, so hamming/dims estimates the angular
+    * distance: the cheapest rung of the compression matrix, with
+    * integer scores (bit-stable at any partitioning, like SQ8).
+    *
+    * Scale shape = [[sqTopK]]'s: queries broadcast, the corpus rides
+    * its scan at 1 BIT per dim of bandwidth (a 100 TB float corpus
+    * becomes 400 GB of codes), per-word popcount is one `bit_count`
+    * of an XOR — fully codegen. At scale the same codes drop into the
+    * IVF cell join for pruned search, or serve as a cheap RERANK
+    * prefilter ahead of the float/SQ8 stage.
+    */
+  def binTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int): DataFrame = {
+    val nWords = (dims + 63) / 64
+    val c = binEncode(corpus, idCol, vecCol, dims)
+      .select(col(idCol).as("corpus_id"), col("bin_code").as("cb"))
+    val q = binEncode(queries, idCol, vecCol, dims)
+      .select(col(idCol).as("query_id"), col("bin_code").as("qb"))
+    val ham = (0 until nWords).map { w =>
+      bit_count(element_at(col("cb"), w + 1)
+        .bitwiseXOR(element_at(col("qb"), w + 1))).cast("long")
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), ham.as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-SQ8: cell-pruned int8 search — the FAISS `IVF…,SQ8` shape,
     * completing the {brute, IVF} × {float32, SQ8, PQ} matrix ([[topK]]
     * / [[ivfTopK]] / [[sqTopK]] / here / [[pqAdcTopK]] /

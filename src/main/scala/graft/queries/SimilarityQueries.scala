@@ -1459,6 +1459,11 @@ object SimilarityQueries {
           assigned.select(col("vec_id"), col("cell")), seeds, queries,
           "vec_id", "embedding", PQ_M, rcb, NPROBE, SQ_K)
         .select(col("query_id"), col("corpus_id"))
+      // binary rung: 1 bit/dim, hamming ranking — the floor of the
+      // ladder (what the cheapest possible code costs in recall)
+      val bin = Similarity.binTopK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_DIMS, SQ_K)
+        .select(col("query_id"), col("corpus_id"))
       def row(name: String, m: org.apache.spark.sql.DataFrame) =
         exact.join(m, Seq("query_id", "corpus_id"))
           .agg(count(lit(1)).as("n_hits"))
@@ -1468,7 +1473,8 @@ object SimilarityQueries {
             pround(col("n_hits").cast("double") / col("n_total"), 4)
               .as("recall"))
       row("pq", pq).unionByName(row("sq8", sq))
-        .unionByName(row("ivfpq_res", rpq)).orderBy(col("method"))
+        .unionByName(row("ivfpq_res", rpq))
+        .unionByName(row("bin", bin)).orderBy(col("method"))
     },
     Some(s"""WITH v AS (
         SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
@@ -1534,6 +1540,19 @@ object SimilarityQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adist ASC, corpus_id ASC) AS rank FROM rdists)
         WHERE rank <= $SQ_K),
+      binh AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(0,
+            list_transform(generate_series(1, $SQ_DIMS),
+              i -> CASE WHEN (q.embedding[i] > 0) != (c.embedding[i] > 0)
+                   THEN 1 ELSE 0 END)), (x, y) -> x + y) AS hamming
+        FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+        JOIN embeddings c ON q.vec_id != c.vec_id),
+      binm AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, corpus_id ASC) AS rank FROM binh)
+        WHERE rank <= $SQ_K),
       tot AS (SELECT count(*) AS n_total FROM exact)
       SELECT method, n_hits, n_total,
         ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall
@@ -1550,6 +1569,11 @@ object SimilarityQueries {
         UNION ALL
         SELECT 'ivfpq_res' AS method,
           (SELECT count(*) FROM exact e JOIN rtop m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total FROM tot
+        UNION ALL
+        SELECT 'bin' AS method,
+          (SELECT count(*) FROM exact e JOIN binm m
             ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
             AS n_hits, n_total FROM tot)
       ORDER BY method"""))
@@ -1706,8 +1730,39 @@ object SimilarityQueries {
       ORDER BY method"""
     })
 
+  // -- V27: BINARY (1-bit) quantization top-k — the most compressed
+  //    rung of the matrix (float32 q27 → SQ8 q132 → PQ q101 → here):
+  //    sign bits packed into one 64-bit word, ranking by hamming
+  //    distance (integer — bit-stable like SQ8, no rounding needed).
+  //    1 bit/dim: a 100 TB float corpus scans as 400 GB of codes.
+  private val q176 = Q(
+    "q176_binary_ann",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.binTopK(t.embeddings, queries, "vec_id", "embedding",
+          SQ_DIMS, SQ_K)
+        .select(col("query_id"), col("rank"), col("corpus_id"),
+          col("hamming"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          CAST(list_reduce(list_prepend(0,
+            list_transform(generate_series(1, $SQ_DIMS),
+              i -> CASE WHEN (q.embedding[i] > 0) != (c.embedding[i] > 0)
+                   THEN 1 ELSE 0 END)), (x, y) -> x + y) AS BIGINT)
+            AS hamming
+        FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+        JOIN embeddings c ON q.vec_id != c.vec_id)
+      SELECT query_id, rank, corpus_id, hamming
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, corpus_id ASC) AS rank FROM ham)
+      WHERE rank <= $SQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165)
+      q159, q165, q176)
 }

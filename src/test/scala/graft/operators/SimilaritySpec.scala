@@ -569,6 +569,45 @@ class SimilaritySpec extends SparkSpec {
       s"residual encoding must lift recall: $rRecall vs $rawRecall")
   }
 
+  test("binEncode packs sign bits exactly; multi-word split; binTopK ≡ naive hamming") {
+    // hand-computable packing: dims=3 → bits 0,1,2 of one word
+    val enc3 = Similarity.binEncode(vecs, "vec_id", "embedding", dims = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Long]]("bin_code").toSeq).toMap
+    assert(enc3(1L) === Seq(1L))           // (+,0,0) → only bit 0 (0 is NOT > 0)
+    assert(enc3(3L) === Seq(2L))           // (0,+,0) → bit 1
+    assert(enc3(4L) === Seq(3L))           // (+,+,0) → bits 0,1
+    // multi-word: 70 dims → 2 words; bit 64+i lands in word 2 bit i
+    val rnd = new scala.util.Random(42)
+    val wide = (1L to 30L).map(id =>
+      (id, Array.fill(70)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val rows = wide.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[collection.Seq[Float]]("embedding").toSeq).toMap
+    val enc70 = Similarity.binEncode(wide, "vec_id", "embedding", dims = 70)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Long]]("bin_code").toSeq).toMap
+    def naiveWords(v: Seq[Float]): Seq[Long] = Seq(
+      (0 until 64).map(j => if (v(j) > 0) 1L << j else 0L).foldLeft(0L)(_ | _),
+      (64 until 70).map(j => if (v(j) > 0) 1L << (j - 64) else 0L).foldLeft(0L)(_ | _))
+    rows.foreach { case (id, v) => assert(enc70(id) === naiveWords(v), s"id=$id") }
+    // binTopK ≡ exhaustive hamming ranking with (hamming, id) order
+    val queries = wide.filter(col("vec_id") <= 3L)
+    val got = Similarity.binTopK(wide, queries, "vec_id", "embedding",
+        dims = 70, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("corpus_id"), r.getAs[Long]("hamming"))).toSet
+    def hamming(a: Seq[Float], b: Seq[Float]): Long =
+      (0 until 70).count(j => (a(j) > 0) != (b(j) > 0)).toLong
+    val want = (1L to 3L).flatMap { qid =>
+      rows.toSeq.filter(_._1 != qid)
+        .map { case (cid, v) => (cid, hamming(rows(qid), v)) }
+        .sortBy { case (cid, h) => (h, cid) }
+        .take(4).zipWithIndex
+        .map { case ((cid, h), i) => (qid, i + 1, cid, h) }
+    }.toSet
+    assert(got === want)
+  }
+
   test("pqCodebooksKMeans: Lloyd rounds cut quantization error vs raw seeds") {
     import spark.implicits._
     val dim = 16; val m = 4; val k = 8
