@@ -679,7 +679,65 @@ object CorpusQueries {
       GROUP BY doc_id, bucket
       ORDER BY doc_id, bucket"""))
 
+  // -- C17: TAR / WebDataset interchange (core.TarTable) — documents
+  //    are published as WebDataset shards (each sample = adjacent
+  //    `<doc_id>.txt` + `<doc_id>.json` members in a POSIX ustar
+  //    archive), read back by the pure-JVM header walk, and
+  //    re-assembled into samples (one groupBy on the basename key).
+  //    The oracle aggregates the UNTOUCHED parquet source, so a hash
+  //    match proves: member payloads are byte-lossless (text rolling
+  //    hash), the ustar size fields match an independent UTF-8 octet
+  //    count (sum_bytes vs strlen), the metadata sidecar survives a
+  //    JSON round trip (source/lang recovered FROM the .json member),
+  //    and sample assembly pairs every txt with its json. ------------
+  private val q177 = Q(
+    "q177_tar_webdataset",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tar_q177").toString
+      val members = t.documents.select(col("doc_id"),
+          explode(array(
+            struct(concat(col("doc_id"), lit(".txt")).as("member_name"),
+              encode(col("text"), "UTF-8").as("payload")),
+            struct(concat(col("doc_id"), lit(".json")).as("member_name"),
+              encode(to_json(struct(col("doc_id"), col("source"),
+                col("lang"))), "UTF-8").as("payload")))).as("m"))
+        .repartition(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("m.member_name"))
+        .select(col("m.member_name").as("member_name"),
+          col("m.payload").as("payload"))
+      graft.core.TarTable.write(members, tmp)
+      val back = graft.core.TarTable.samples(
+        graft.core.TarTable.read(s, tmp))
+      back.select(col("key").cast("long").as("doc_id"),
+          decode(element_at(col("parts"), "txt"), "UTF-8").as("text"),
+          length(element_at(col("parts"), "txt")).cast("long").as("n_bytes"),
+          get_json_object(decode(element_at(col("parts"), "json"), "UTF-8"),
+            "$.source").as("source"),
+          get_json_object(decode(element_at(col("parts"), "json"), "UTF-8"),
+            "$.lang").as("lang"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          sum(TextFns.rollingHash(col("text"))).as("text_hash_sum"),
+          sum(TextFns.rollingHash(col("lang"))).as("lang_hash_sum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+          AS text_hash_sum,
+        CAST(sum(${TextFns.rollingHashSql("lang")}) AS BIGINT)
+          AS lang_hash_sum,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166)
+      q137, q138, q143, q166, q177)
 }
