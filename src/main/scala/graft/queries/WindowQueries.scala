@@ -345,5 +345,73 @@ object WindowQueries {
       FROM tr JOIN tot ON tr.prev_type = tot.prev_type
       ORDER BY tr.prev_type, tr.next_type"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147)
+  // -- W9: rolling z-score ANOMALY detection — the time-series QA
+  //    monitor (traffic spikes/drops per event type): daily counts,
+  //    trailing-7-observed-day mean/σ, and the textbook |x−μ| > 2σ
+  //    flag decided in PURE INTEGER arithmetic — |x−μ| > λσ ⟺
+  //    (W·x − S)² > λ²·(W·Q − S²) with S=Σx, Q=Σx² over the window —
+  //    so the verdict is bit-stable with no sqrt/float in the
+  //    decision path (z itself is emitted for humans: IEEE sqrt is
+  //    correctly rounded, so even it matches cross-engine). Warmup
+  //    rows (< W prior observed days) emit no verdict and are
+  //    filtered (a nullable BOOLEAN can't ride the driver's
+  //    stringified hash compare: None vs NaN). One keyed shuffle
+  //    (event_type, day) + one type-partitioned window; at scale the
+  //    daily table is |types|·|days| rows — tiny. Gaps: the window is
+  //    over OBSERVED days (join the q15 date spine first if a dense
+  //    calendar is required).
+  private val AD_W = 7
+  private val AD_L2 = 4 // λ² for λ = 2σ
+  private val q178 = Q(
+    "q178_rolling_anomaly",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-AD_W, -1)
+      val stats = daily.select(col("event_type"), col("day"), col("n"),
+        count(col("n")).over(w).as("w_days"),
+        sum(col("n")).over(w).as("s"),
+        sum(col("n") * col("n")).over(w).as("q"))
+      val meanRaw = col("s").cast("double") / lit(AD_W)
+      val varNum = lit(AD_W) * col("q") - col("s") * col("s")
+      val varRaw = varNum.cast("double") / lit(AD_W * AD_W)
+      val dev = lit(AD_W) * col("n") - col("s")
+      stats.filter(col("w_days") === AD_W)
+        .select(col("event_type"), col("day"), col("n"),
+          pround(meanRaw, 6).as("mean"),
+          when(varNum > 0,
+            pround((col("n").cast("double") - meanRaw) / sqrt(varRaw), 6))
+            .as("z"),
+          (dev * dev > lit(AD_L2) * varNum).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day, n,
+          count(n) OVER w AS w_days,
+          CAST(sum(n) OVER w AS BIGINT) AS s,
+          CAST(sum(n * n) OVER w AS BIGINT) AS q
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN $AD_W PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, n,
+        ${proundSql(s"CAST(s AS DOUBLE) / $AD_W", 6)} AS mean,
+        CASE WHEN $AD_W * q - s * s > 0
+          THEN ${proundSql(
+            s"(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / $AD_W)" +
+            s" / sqrt(CAST($AD_W * q - s * s AS DOUBLE) / ${AD_W * AD_W})",
+            6)} END AS z,
+        ($AD_W * n - s) * ($AD_W * n - s) > $AD_L2 * ($AD_W * q - s * s)
+          AS is_anomaly
+      FROM win
+      WHERE w_days = $AD_W
+      ORDER BY event_type, day"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178)
 }
