@@ -342,6 +342,36 @@ object TrainingPrep {
           col(tokenCol).cast("long")) - col("seg_start"))
       .drop("first_seq", "last_seq", "n_seqs")
 
+  /** Byte-targeted OUTPUT-SHARD manifest — the publishing step's size
+    * planner (WebDataset/JSONL shards of ~targetBytes each, the ~1 GB
+    * discipline every tar/WARC consumer assumes): documents stay
+    * WHOLE (atomic — a shard boundary never splits one), assigned by
+    * `shard = ⌊exclusive byte prefix / targetBytes⌋` in `orderCol`
+    * order — a pure function of (corpus, target), no sequential
+    * next-fit state, so the plan is [[packOffsets]]' two-phase
+    * bucketed prefix sum VERBATIM (shard id = its `first_seq` with
+    * bytes as tokens and targetBytes as seqLen; no global sort, no
+    * new machinery). Each shard lands in (target − maxDoc, target +
+    * maxDoc) bytes; utilization makes the spread visible per shard.
+    *
+    * Output: shard, n_docs, n_bytes, first_doc, last_doc,
+    * utilization (n_bytes / targetBytes, exactly rounded).
+    */
+  def shardManifest(
+      df: DataFrame,
+      orderCol: String,
+      bytesCol: String,
+      targetBytes: Int,
+      bucketWidth: Long = 1 << 20): DataFrame =
+    packOffsets(df, orderCol, bytesCol, targetBytes, bucketWidth)
+      .groupBy(col("first_seq").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(bytesCol)).as("n_bytes"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+      .withColumn("utilization",
+        col("n_bytes").cast("double") / lit(targetBytes))
+
   // ------------------------------------------------------------------
   // Multimodal interleaving (image placeholders in token streams)
   // ------------------------------------------------------------------

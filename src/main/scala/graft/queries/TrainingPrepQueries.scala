@@ -866,7 +866,47 @@ object TrainingPrepQueries {
       FROM r, l
       ORDER BY r.source"""))
 
+  // -- T18: byte-targeted output-shard MANIFEST — the publishing
+  //    planner (how many ~target-byte WebDataset/JSONL shards will
+  //    this corpus make, and how balanced): whole-doc assignment by
+  //    shard = ⌊exclusive byte prefix / target⌋ in doc_id order — a
+  //    pure function of the corpus (no sequential next-fit state),
+  //    which is what makes it BOTH distributable (packOffsets'
+  //    two-phase prefix sum, no global sort) and oracle-able. Bytes
+  //    are UTF-8 octets (octet_length ≡ DuckDB strlen, the q130
+  //    convention).
+  private val SHARD_B = 8192
+  private val q179 = Q(
+    "q179_shard_manifest",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      TrainingPrep.shardManifest(
+          t.documents.select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_b")),
+          "doc_id", "n_b", SHARD_B)
+        .select(col("shard"), col("n_docs"), col("n_bytes"),
+          col("first_doc"), col("last_doc"),
+          pround(col("utilization"), 6).as("utilization"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH b AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb FROM documents),
+      p AS (
+        SELECT doc_id, nb,
+          CAST(coalesce(sum(nb) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM b)
+      SELECT off // $SHARD_B AS shard, count(*) AS n_docs,
+        CAST(sum(nb) AS BIGINT) AS n_bytes,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        ${proundSql(s"CAST(sum(nb) AS DOUBLE) / $SHARD_B", 6)}
+          AS utilization
+      FROM p
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173)
+      q121, q162, q172, q173, q179)
 }

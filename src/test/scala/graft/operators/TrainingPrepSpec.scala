@@ -515,4 +515,39 @@ class TrainingPrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("shardManifest: whole docs, contiguous ranges, sizes within one doc of target") {
+    val rnd = new scala.util.Random(7L)
+    val docs = (1L to 200L).map(id => (id, 50L + rnd.nextInt(900)))
+      .toDF("doc_id", "n_b")
+    val target = 4096
+    val m = TrainingPrep.shardManifest(docs, "doc_id", "n_b", target)
+      .orderBy("shard").collect()
+    val totalBytes = docs.agg(sum("n_b")).head().getLong(0)
+    val maxDoc = docs.agg(max("n_b")).head().getLong(0)
+    // conservation: every doc in exactly one shard, all bytes accounted
+    assert(m.map(_.getAs[Long]("n_docs")).sum === 200L)
+    assert(m.map(_.getAs[Long]("n_bytes")).sum === totalBytes)
+    // contiguity in publishing order: ranges tile [1, 200] in order
+    val ranges = m.map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(ranges.head._1 === 1L && ranges.last._2 === 200L)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 === hi + 1, "shard doc ranges must tile without gap/overlap")
+    }
+    // the floor(prefix/target) policy bounds every shard's size by one
+    // doc around the target (the final shard only from below has no
+    // lower bound)
+    m.init.foreach { r =>
+      val nb = r.getAs[Long]("n_bytes")
+      assert(nb > target - maxDoc && nb < target + maxDoc,
+        s"shard ${r.getAs[Long]("shard")} size $nb strays beyond ±maxDoc")
+    }
+    // shard id = floor(exclusive prefix / target), recomputed naively
+    val sizes = docs.orderBy("doc_id").collect().map(_.getLong(1))
+    val naive = sizes.scanLeft(0L)(_ + _).init.map(_ / target)
+    val wantDocs = naive.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === wantDocs(r.getAs[Long]("shard")))
+    }
+  }
 }
