@@ -1186,7 +1186,84 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  // -- T22: pairwise Cohen's KAPPA between the Gopher gates — the
+  //    CATEGORICAL-agreement member of the signal-diagnostics family
+  //    (q84 Pearson on continuous, q150 Spearman on ranks, kappa on
+  //    binary verdicts): does gate B actually add information over
+  //    gate A, or do they fire together (chance-corrected)? kappa =
+  //    (n·agree − E) / (n² − E) with E = c_a·c_b + (n−c_a)(n−c_b) —
+  //    every term an integer from ONE scan-stage agg (no unpivot, no
+  //    self-join; the 1-row agg is checkpointed and fanned into the 6
+  //    pair rows), one exactly-rounded division at the end. Products
+  //    ride DECIMAL(38,0) so n² never overflows int64 at corpus scale
+  //    (the q173 discipline). Constant-gate pairs (E = n²) emit NULL.
+  private val KAPPA_GATES = Seq("r_dupfrac", "r_meanlen", "r_nwords", "r_stop")
+  private val q180 = Q(
+    "q180_gate_kappa",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val g = KAPPA_GATES
+      val pairs = for {
+        i <- g.indices; j <- (i + 1) until g.length
+      } yield (g(i), g(j))
+      val aggCols = Seq(count(lit(1)).as("n")) ++
+        g.map(c => sum(col(c).cast("long")).as(s"c_$c")) ++
+        pairs.flatMap { case (a, b) => Seq(
+          sum((col(a) * col(b)).cast("long")).as(s"t11_${a}_$b"),
+          sum(((lit(1) - col(a)) * (lit(1) - col(b))).cast("long"))
+            .as(s"t00_${a}_$b"))
+        }
+      val one = gopherFlags(t.documents)
+        .agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val rows = pairs.map { case (a, b) =>
+        val agree = col(s"t11_${a}_$b") + col(s"t00_${a}_$b")
+        val e = dec(col(s"c_$a")) * dec(col(s"c_$b")) +
+          dec(col("n") - col(s"c_$a")) * dec(col("n") - col(s"c_$b"))
+        val numer = dec(col("n")) * dec(agree) - e
+        val denom = dec(col("n")) * dec(col("n")) - e
+        one.select(lit(a).as("gate_a"), lit(b).as("gate_b"),
+          col("n"), agree.as("n_agree"),
+          when(denom =!= dec(lit(0)),
+            pround(numer.cast("double") / denom.cast("double"), 6))
+            .as("kappa"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("gate_a"), col("gate_b"))
+    },
+    Some {
+      val g = KAPPA_GATES
+      val pairs = for {
+        i <- g.indices; j <- (i + 1) until g.length
+      } yield (g(i), g(j))
+      val sums = (g.map(c =>
+          s"CAST(sum($c) AS BIGINT) AS c_$c") ++
+        pairs.flatMap { case (a, b) => Seq(
+          s"CAST(sum($a * $b) AS BIGINT) AS t11_${a}_$b",
+          s"CAST(sum((1 - $a) * (1 - $b)) AS BIGINT) AS t00_${a}_$b")
+        }).mkString(",\n          ")
+      val arms = pairs.map { case (a, b) =>
+        val e = s"""(CAST(c_$a AS DECIMAL(38,0)) * c_$b
+          | + CAST(n - c_$a AS DECIMAL(38,0)) * (n - c_$b))""".stripMargin
+        s"""SELECT '$a' AS gate_a, '$b' AS gate_b, n,
+          t11_${a}_$b + t00_${a}_$b AS n_agree,
+          CASE WHEN CAST(n AS DECIMAL(38,0)) * n - $e <> 0
+            THEN ${proundSql(
+              s"CAST(CAST(n AS DECIMAL(38,0)) * (t11_${a}_$b + t00_${a}_$b) - $e AS DOUBLE)" +
+              s" / CAST(CAST(n AS DECIMAL(38,0)) * n - $e AS DOUBLE)", 6)}
+          END AS kappa
+        FROM agg"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH flags AS ($gopherFlagsSql),
+        agg AS (
+          SELECT count(*) AS n,
+          $sums
+          FROM flags)
+        $arms
+        ORDER BY gate_a, gate_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150, q154, q157, q163, q164)
+      q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180)
 }
