@@ -516,6 +516,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-BIN: cell-pruned binary search — the last cell of the
+    * {brute, IVF} × {float32, SQ8, PQ, binary} matrix ([[topK]] /
+    * [[ivfTopK]] / [[sqTopK]] / [[ivfSqTopK]] / [[pqAdcTopK]] /
+    * [[ivfPqTopK]] / [[binTopK]] / here). Cell ranking reuses the
+    * pinned seed centroids and float probe of [[ivfTopK]]; candidate
+    * scoring is [[binTopK]]'s packed hamming over the probed cells'
+    * inverted lists only.
+    *
+    * Scale shape = [[ivfSqTopK]]'s — centroids broadcast, corpus
+    * encoded in place (narrow), scoring via broadcast HASH join on
+    * cell id — at 1 BIT per dim of candidate bandwidth: the cheapest
+    * index probe this engine has, and integer distances keep ranking
+    * bit-stable at any partitioning.
+    */
+  def ivfBinTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, seedMod: Int, nprobe: Int,
+      k: Int): DataFrame = {
+    val nWords = (dims + 63) / 64
+    val m = resolveSeedMod(corpus, seedMod)
+    val seeds = seedCentroids(corpus, idCol, vecCol, m)
+    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
+    val cCodes = binEncode(assigned, idCol, vecCol, dims, Seq("cell"))
+      .select(col(idCol).as("corpus_id"), col("cell"),
+        col("bin_code").as("cb"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), sqrt(norm2(col(vecCol))).as("qnorm"))
+    val qScored = qn.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val qCells = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qCodes = binEncode(qn, "query_id", "qvec", dims)
+      .select(col("query_id"), col("bin_code").as("qb"))
+    val probes = qCells.join(qCodes, "query_id")
+    val ham = (0 until nWords).map { w =>
+      bit_count(element_at(col("cb"), w + 1)
+        .bitwiseXOR(element_at(col("qb"), w + 1))).cast("long")
+    }.reduce(_ + _)
+    val scored = cCodes.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        ham.as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): compressed-corpus ANN
   // ------------------------------------------------------------------

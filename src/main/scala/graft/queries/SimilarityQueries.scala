@@ -1761,8 +1761,65 @@ object SimilarityQueries {
       WHERE rank <= $SQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V28: IVF-BIN cell-pruned binary search — closes the
+  //    {brute, IVF} × {float32, SQ8, PQ, binary} matrix: q176's
+  //    packed-hamming ranking confined to the probed IVF cells
+  //    (q136's shape at 1 bit/dim of candidate bandwidth — the
+  //    cheapest index probe in the engine).
+  private val q181 = Q(
+    "q181_ivf_bin_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.ivfBinTopK(t.embeddings, queries, "vec_id", "embedding",
+          SQ_DIMS, SEEDMOD, NPROBE, SQ_K)
+        .select(col("query_id"), col("cell"), col("rank"),
+          col("corpus_id"), col("hamming"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= $NPROBE),
+      enc AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS b
+        FROM embeddings),
+      scored AS (
+        SELECT p.query_id, p.cell, a.vec_id AS corpus_id,
+          CAST(list_reduce(list_prepend(0,
+            list_transform(list_zip(qe.b, ce.b),
+              pr -> CASE WHEN pr[1] != pr[2] THEN 1 ELSE 0 END)),
+            (x, y) -> x + y) AS BIGINT) AS hamming
+        FROM probe p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN enc qe ON qe.vec_id = p.query_id
+        JOIN enc ce ON ce.vec_id = a.vec_id)
+      SELECT query_id, cell, rank, corpus_id, hamming
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, corpus_id ASC) AS rank FROM scored)
+      WHERE rank <= $SQ_K
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176)
+      q159, q165, q176, q181)
 }

@@ -479,6 +479,33 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("corpus_id") % 2)), "IVF-SQ8 crossed the blobs")
   }
 
+  test("ivfBinTopK: nprobe = nlist equals brute binTopK; pruning keeps blobs") {
+    import spark.implicits._
+    // two sign-separated blobs: even ids positive in dims 1-2, odd in
+    // dims 3-4 — hamming separates them cleanly
+    val corpus = (1 to 30).map { i =>
+      val v = if (i % 2 == 0)
+        Array(1.0f, 0.1f + 0.01f * (i % 7), -1.0f, -0.5f)
+      else Array(-1.0f, -0.1f - 0.01f * (i % 7), 1.0f, 0.5f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2L)
+    val full = Similarity.ivfBinTopK(corpus, queries, "vec_id", "embedding",
+        dims = 4, seedMod = 10, nprobe = 3, k = 5)
+      .select("query_id", "rank", "corpus_id", "hamming")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.binTopK(corpus, queries, "vec_id", "embedding",
+        dims = 4, k = 5)
+      .select("query_id", "rank", "corpus_id", "hamming")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full === brute)
+    val pruned = Similarity.ivfBinTopK(corpus, queries, "vec_id",
+      "embedding", dims = 4, seedMod = 10, nprobe = 1, k = 5).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(r => (r.getAs[Long]("query_id") % 2) ===
+      (r.getAs[Long]("corpus_id") % 2)), "IVF-BIN crossed the blobs")
+  }
+
   test("ivfPqResidualTopK: nprobe = nlist ≡ exhaustive residual ADC; residual beats raw") {
     import spark.implicits._
     val dim = 16; val m = 4; val seedMod = 20; val k = 10
