@@ -52,4 +52,29 @@ object StreamJoin {
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"interval $horizon"),
       joinType)
   }
+
+  /** STREAM–STATIC broadcast enrichment — the other streaming join
+    * class (one side bounded): decorate an event stream with a
+    * dimension snapshot (user → segment, url → domain reputation,
+    * doc → curation verdict). The static side broadcasts, so the
+    * stream never shuffles and NO join state accrues — unlike
+    * [[intervalJoin]] there is nothing to watermark or evict, which
+    * is exactly why this is the default enrichment shape at scale
+    * (a stateful join for a lookup table would buffer the whole
+    * stream).
+    *
+    * `left` keeps unmatched events null-padded (the usual contract:
+    * an unknown key must not drop the event); pass `inner` to gate
+    * instead. The dim snapshot is resolved at query START — a
+    * file-backed dim updated mid-query is not re-listed (the
+    * Structured Streaming static-side caveat, spec-pinned); restart
+    * the query (or use a versioned-table view) to pick up dim
+    * changes.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame = {
+    require(Seq("left", "inner").contains(joinType),
+      s"unsupported joinType $joinType (left | inner)")
+    stream.join(broadcast(dim), keys, joinType)
+  }
 }

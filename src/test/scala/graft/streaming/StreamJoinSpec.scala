@@ -144,4 +144,38 @@ class StreamJoinSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static enrich: broadcast dim, null-padded unknowns, no join state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = MemoryStream[View]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = StreamJoin.enrich(events.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("sj_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      events.addData(
+        View(1L, ts("2025-01-01 10:00:00"), "home"),
+        View(2L, ts("2025-01-01 10:00:01"), "search"),
+        View(9L, ts("2025-01-01 10:00:02"), "home")) // unknown user
+      q.processAllAvailable()
+      val got = spark.table("sj_enrich")
+        .select("user_id", "page", "segment").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+        .toSet
+      assert(got === Set(
+        (1L, "home", Some("gold")),
+        (2L, "search", Some("silver")),
+        (9L, "home", None)))
+      // a second batch enriches too, and the query holds NO join
+      // state (the static side is not buffered — that's the point)
+      events.addData(View(2L, ts("2025-01-01 10:05:00"), "cart"))
+      q.processAllAvailable()
+      assert(spark.table("sj_enrich").count() === 4)
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty ||
+        progress.stateOperators.forall(_.numRowsTotal == 0L),
+        "stream-static enrich must not accrue join state")
+    } finally q.stop()
+  }
 }
