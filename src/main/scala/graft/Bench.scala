@@ -90,7 +90,7 @@ object Bench {
     "q172_waterfill_mixture", "q173_apportion_eval", "q174_mp4_metadata",
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
     "q178_rolling_anomaly", "q179_shard_manifest", "q180_gate_kappa",
-    "q181_ivf_bin_topk",
+    "q181_ivf_bin_topk", "q182_mmr_topk",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -114,6 +114,10 @@ object Bench {
       // bit/dim); the scale path drops the same codes into the IVF
       // cell join or uses them as a rerank prefilter
       "q176_binary_ann",
+      // MMR's candidate pool is the brute topK (q27's shape); at
+      // scale the pool generator swaps to the IVF probe — the greedy
+      // rounds themselves are linear in queries
+      "q182_mmr_topk",
       // exact containment shares q22's un-prefiltered inverted
       // self-join; its scale path is the df-pruned variant (maxDf)
       "q160_containment_pairs")

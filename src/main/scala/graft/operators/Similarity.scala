@@ -319,6 +319,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diverse top-k — the selection rule behind diverse retrieval and
+    * few-shot example picking: greedily take the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance
+    * penalized by redundancy with what's already chosen — instead of
+    * the plain top-k, which returns k near-copies when the corpus has
+    * near-dups (the measured case in q182: plain top-5 and MMR top-5
+    * genuinely diverge on this corpus).
+    *
+    * Execution shape: (1) bound the candidate pool to the top
+    * `candN` by relevance per query ([[topK]]); (2) materialize the
+    * per-query candidate×candidate cosine matrix (≤ queries·candN²
+    * rows — candN is a small constant, so this is linear in queries);
+    * (3) k DATAFRAME iterations, each one query-keyed shuffle:
+    * score every unselected candidate against the selected set
+    * (max-sim via one join + agg on the precomputed matrix), take the
+    * per-query argmax with a WindowGroupLimit rank-1 window, append.
+    * No driver-side data path at all — selection state is a DataFrame
+    * keyed by query, so the operator scales to millions of concurrent
+    * queries; the loop is k (a small constant) rounds,
+    * localCheckpointed like the CC/k-means iterations.
+    *
+    * Exactness: scores are doubles built from the same fused
+    * dot/norm expressions both engines share; `lam` must be exactly
+    * representable in binary (0.5, 0.25, 0.75) so `λ·rel − (1−λ)·ms`
+    * is the identical float program in the DuckDB replay; argmax
+    * ties break on corpus_id. Step 1 is the pure-relevance argmax
+    * (max-sim coalesces to 0 over the empty selected set).
+    *
+    * Output: query_id, step (1..k), corpus_id, rel, mmr (the score
+    * at selection time), unrounded.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, candN: Int, k: Int, lam: Double): DataFrame = {
+    require(k >= 1 && candN >= k, "need candN >= k >= 1")
+    val cands = topK(corpus, queries, idCol, vecCol, candN)
+      .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"))
+      .localCheckpoint(true)
+    val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      sqrt(norm2(col(vecCol))).as("vn"))
+    val sims = cands.select(col("query_id"), col("corpus_id").as("ca"))
+      .join(cands.select(col("query_id"), col("corpus_id").as("cb")),
+        Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .join(v.select(col("vid").as("ca"), col("vv").as("va"),
+        col("vn").as("na")), Seq("ca"))
+      .join(v.select(col("vid").as("cb"), col("vv").as("vb"),
+        col("vn").as("nb")), Seq("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("corpus_id").asc)
+    var selected = cands
+      .withColumn("mmr", lit(lam) * col("rel"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr").desc, col("corpus_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("corpus_id"),
+        col("rel"), col("mmr"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val remaining = cands.join(
+        selected.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("query_id"),
+          col("corpus_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("corpus_id"))
+        .agg(max(col("sim")).as("ms"))
+      val next = remaining.join(maxSim, Seq("query_id", "corpus_id"))
+        .withColumn("mmr",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(step).as("step"), col("corpus_id"),
+          col("rel"), col("mmr"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected
+  }
+
   /** Metadata-filtered top-k (the vector-DB "filtered search" shape):
     * candidates are restricted to corpus rows whose `filterCol` equals
     * the query's own value — e.g. same-language nearest neighbours, or

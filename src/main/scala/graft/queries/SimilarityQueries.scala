@@ -1818,8 +1818,88 @@ object SimilarityQueries {
       WHERE rank <= $SQ_K
       ORDER BY query_id, rank"""))
 
+  // -- V29: MMR diverse top-k (Carbonell & Goldstein 1998) — greedy
+  //    λ·rel − (1−λ)·max-sim-to-selected over a bounded top-candN
+  //    candidate pool: the selection rule behind diversity-aware
+  //    retrieval and few-shot example picking. k dataframe rounds
+  //    (query-keyed, no driver data path — scales to millions of
+  //    queries); the oracle replays all k greedy rounds as unrolled
+  //    CTEs (the q107/q159/q161 discipline). λ = 0.5 is binary-exact
+  //    so both engines run the identical float program.
+  private val MMR_N = 15
+  private val MMR_K = 5
+  private val MMR_LAM = 0.5
+  private val q182 = Q(
+    "q182_mmr_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.mmrTopK(t.embeddings, queries, "vec_id", "embedding",
+          MMR_N, MMR_K, MMR_LAM)
+        .select(col("query_id"), col("step"), col("corpus_id"),
+          pround(col("rel"), 6).as("rel"), pround(col("mmr"), 6).as("mmr"))
+        .orderBy(col("query_id"), col("step"))
+    },
+    Some {
+      val l = MMR_LAM.toString
+      val m = (1.0 - MMR_LAM).toString
+      val rounds = (2 to MMR_K).map { st =>
+        s"""cand$st AS (
+          SELECT r.query_id, r.corpus_id, r.rel, max(si.sim) AS ms
+          FROM rel r
+          JOIN sims si ON si.query_id = r.query_id AND si.ca = r.corpus_id
+          JOIN u${st - 1} u ON u.query_id = si.query_id AND u.corpus_id = si.cb
+          WHERE NOT EXISTS (SELECT 1 FROM u${st - 1} x
+            WHERE x.query_id = r.query_id AND x.corpus_id = r.corpus_id)
+          GROUP BY 1, 2, 3),
+        sel$st AS (
+          SELECT query_id, $st AS step, corpus_id, rel,
+            $l * rel - $m * ms AS mmr
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY $l * rel - $m * ms DESC, corpus_id ASC) AS rn
+                FROM cand$st)
+          WHERE rn = 1),
+        u$st AS (SELECT query_id, corpus_id FROM u${st - 1}
+          UNION ALL SELECT query_id, corpus_id FROM sel$st)"""
+      }.mkString(",\n        ")
+      val arms = (1 to MMR_K).map(st => s"SELECT * FROM sel$st")
+        .mkString("\n        UNION ALL ")
+      s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredm AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      rel AS (
+        SELECT query_id, corpus_id, cosine AS rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank FROM scoredm)
+        WHERE rank <= $MMR_N),
+      sims AS (
+        SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+          ${dotSql("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm)
+            AS sim
+        FROM rel a
+        JOIN rel b ON a.query_id = b.query_id AND a.corpus_id != b.corpus_id
+        JOIN v va ON va.vec_id = a.corpus_id
+        JOIN v vb ON vb.vec_id = b.corpus_id),
+      sel1 AS (
+        SELECT query_id, 1 AS step, corpus_id, rel, $l * rel AS mmr
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY $l * rel DESC, corpus_id ASC) AS rn FROM rel)
+        WHERE rn = 1),
+      u1 AS (SELECT query_id, corpus_id FROM sel1),
+      $rounds
+      SELECT query_id, step, corpus_id,
+        ${proundSql("rel", 6)} AS rel, ${proundSql("mmr", 6)} AS mmr
+      FROM ($arms)
+      ORDER BY query_id, step"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181)
+      q159, q165, q176, q181, q182)
 }

@@ -506,6 +506,72 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("corpus_id") % 2)), "IVF-BIN crossed the blobs")
   }
 
+  test("mmrTopK ≡ naive greedy reference; breaks up a near-dup cluster that top-k returns whole") {
+    import spark.implicits._
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    // naive driver-side greedy MMR over the top-candN pool
+    def naive(vecs: Map[Long, Array[Float]], qid: Long, candN: Int,
+        k: Int, lam: Double): Seq[Long] = {
+      val rel = vecs.collect { case (id, v) if id != qid =>
+        id -> cos(vecs(qid), v) }.toSeq
+        .sortBy { case (id, r) => (-r, id) }.take(candN).toMap
+      var sel = Seq.empty[Long]
+      (1 to k).foreach { _ =>
+        val best = rel.keys.filterNot(sel.contains).map { c =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(vecs(c), vecs(s))).max
+          (c, lam * rel(c) - (1 - lam) * ms)
+        }.toSeq.sortBy { case (id, sc) => (-sc, id) }
+        sel = sel :+ best.head._1
+      }
+      sel
+    }
+    val rnd = new scala.util.Random(20260814L)
+    // a near-dup cluster (ids 1-4 tiny jitters of one direction) plus
+    // scattered vectors — plain top-k returns the cluster en bloc
+    val base = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val cluster = (1L to 4L).map(id =>
+      (id, base.zipWithIndex.map { case (x, i) =>
+        x + 0.001f * ((id + i) % 3) }))
+    val scattered = (5L to 40L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val all = (cluster ++ scattered)
+    val vecs = all.toMap
+    val df = all.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" === 1L)
+    // λ = 0.25 (binary-exact) weights diversity enough to escape a
+    // λ=0.5-resistant tight cluster
+    val got = Similarity.mmrTopK(df, queries, "vec_id", "embedding",
+        candN = 10, k = 4, lam = 0.25)
+      .orderBy("step").collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(got === naive(vecs, 1L, 10, 4, 0.25))
+    // diversification is real: plain top-4 is the rest of the cluster;
+    // MMR keeps one near-dup then escapes to scattered vectors
+    val plain = Similarity.topK(df, queries, "vec_id", "embedding", 4)
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(plain === Set(2L, 3L, 4L) + plain.find(_ > 4L).getOrElse(2L)
+      || plain.subsetOf(Set(2L, 3L, 4L) ++ Set(plain.maxBy(identity))),
+      s"fixture sanity: top-k should be cluster-heavy, got $plain")
+    assert(got.count(_ <= 4L) < plain.count(_ <= 4L),
+      s"MMR ($got) must carry fewer cluster members than top-k ($plain)")
+    // and a multi-query run agrees with the reference per query
+    val multiQ = df.filter($"vec_id" % 10L === 0L)
+    val multi = Similarity.mmrTopK(df, multiQ, "vec_id", "embedding",
+        candN = 8, k = 3, lam = 0.5)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("corpus_id")).toSeq
+      }
+    multi.foreach { case (q, sel) =>
+      assert(sel === naive(vecs, q, 8, 3, 0.5), s"query $q")
+    }
+  }
+
   test("ivfPqResidualTopK: nprobe = nlist ≡ exhaustive residual ADC; residual beats raw") {
     import spark.implicits._
     val dim = 16; val m = 4; val seedMod = 20; val k = 10
