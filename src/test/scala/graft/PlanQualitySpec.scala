@@ -323,6 +323,56 @@ class PlanQualitySpec extends SparkSpec {
       s"q117 degraded a join:\n$p")
   }
 
+  test("IVF-BIN scores via a cell hash join — centroid fanouts only") {
+    val p = planOf("q181_ivf_bin_topk")
+    // allowed nested-loop joins: the two centroid fanouts (corpus
+    // assign, query probe); bin codes need no scale table, so two
+    // fewer fanouts than IVF-SQ8. Scoring must stay the broadcast
+    // hash join on cell id.
+    assert(count(p, "BroadcastNestedLoopJoin") === 2,
+      s"q181 must keep only the two centroid fanouts:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"q181 must hash-join codes to probes on cell:\n$p")
+    assert(count(p, "CartesianProduct") === 0 &&
+      count(p, "SortMergeJoin") === 0,
+      s"q181 degraded a join:\n$p")
+  }
+
+  test("rolling anomaly: one keyed agg + one type-partitioned window") {
+    val p = planOf("q178_rolling_anomaly")
+    assert(count(p, "Scan parquet") === 1 && count(p, "Join") === 0,
+      s"q178 is one scan, no joins:\n$p")
+    // the (event_type, day) agg and the event_type window can share a
+    // partitioning only if the window repartitions on the agg's
+    // prefix; pin the shuffle budget instead of the exact reuse
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"q178 grew an unexpected shuffle:\n$p")
+  }
+
+  test("shard manifest: two-phase prefix sum, no global sort of the corpus") {
+    val p = planOf("q179_shard_manifest")
+    // packOffsets' shape: bucket-local window + broadcast bucket
+    // bases; the only range partitioning allowed is the final tiny
+    // manifest ORDER BY (shards ≈ corpus/target rows, never corpus)
+    assert(count(p, "Exchange rangepartitioning") <= 1,
+      s"q179 must not globally sort the corpus:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"q179's bucket bases must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0 &&
+      count(p, "CartesianProduct") === 0,
+      s"q179 degraded a join:\n$p")
+  }
+
+  test("gate kappa: ONE documents scan fans into the six pair rows") {
+    val p = planOf("q180_gate_kappa")
+    // the checkpointed 1-row agg means the final plan reads RDD state
+    // once per union arm — but documents itself is scanned exactly
+    // once (inside the checkpoint's lineage, gone from this plan)
+    assert(count(p, "Scan parquet") === 0,
+      s"q180 must aggregate documents once inside the checkpoint:\n$p")
+    assert(count(p, "Join") === 0, s"q180 must not join:\n$p")
+  }
+
   test("hybrid RRF legs keep their production shapes") {
     val p = planOf("q120_hybrid_rrf")
     assert(count(p, "SortMergeJoin") === 0 &&
