@@ -1263,7 +1263,89 @@ object TextAnalysis {
         ORDER BY gate_a, gate_b"""
     })
 
+  // -- T23: BATCH PERCEPTRON trainer — the linear-classifier member
+  //    of the trainer family (q102 k-means, q107 BPE, q159 PQ
+  //    codebooks, q161 LPA): fixed-round batch updates
+  //    w += Σ_misclassified y·x over INTEGER features, ZERO float ops
+  //    in training (margins, updates, error counts are exact int64 —
+  //    bit-identical at any partitioning, the one trainer needing no
+  //    rounding discipline at all). Task: learn the n_chars > THR
+  //    length gate from TOKEN statistics (count, distinct, summed
+  //    length) — genuinely separable (n_chars = Σlen + n_tok − 1 on
+  //    single-spaced text) but not given away (n_chars is not a
+  //    feature). The bias feature is the constant 256, scaled to the
+  //    feature magnitudes so the threshold is reachable in few
+  //    rounds (with x0 = 1 the bias moves ±1 per sample and the
+  //    hyperplane needs |w0| ≈ THR·w3 — hundreds of rounds away).
+  //    sf0.01 trace: 500 → 250 → 250 → 250 → 8 → 13 errors — round 5
+  //    nearly solves it, round 6 overshoots: the measured case for
+  //    pocketing (keep the best-round weights, here round 4's
+  //    output), visible IN the result. Oracle replays all rounds as
+  //    unrolled CTEs (q107/q159/q161/q182 discipline).
+  private val PT_ROUNDS = 6
+  private val PT_THR = 306 // fixed n_chars gate (≈ sf0.01 median)
+  private val PT_BIAS = 256
+  private val q183 = Q(
+    "q183_perceptron_gate",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val feats = t.documents.select(
+        when(col("n_chars") > PT_THR, 1L).otherwise(-1L).as("y"),
+        lit(PT_BIAS.toLong).as("x0"),
+        size(toks).cast("long").as("x1"),
+        size(array_distinct(toks)).cast("long").as("x2"),
+        aggregate(toks, lit(0L), (a, tk) => a + length(tk)).as("x3"))
+      val hist = graft.operators.Perceptron.fitBatch(
+        feats, Seq("x0", "x1", "x2", "x3"), "y", PT_ROUNDS)
+      hist.map { r =>
+        val acc = math.floor((r.n - r.nErr).toDouble / r.n * 1e6 + 0.5) / 1e6
+        (r.round, r.nErr, r.n, acc, r.w(0), r.w(1), r.w(2), r.w(3))
+      }.toDF("round", "n_err", "n", "acc", "w0", "w1", "w2", "w3")
+        .orderBy(col("round"))
+    },
+    Some {
+      val toksSql2 = tokensSql("text")
+      val sumLen = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform($toksSql2, tk -> CAST(len(tk) AS BIGINT))),
+        | (a, b) -> a + b)""".stripMargin
+      val ws = 0 to 3
+      val rounds = (1 to PT_ROUNDS).map { t =>
+        val margin = ws.map(j => s"pw$j * x$j").mkString(" + ")
+        s"""r$t AS (
+          SELECT $t AS round,
+            CAST(sum(bad) AS BIGINT) AS n_err, count(*) AS n,
+            ${ws.map(j =>
+              s"min(pw$j) + CAST(sum(bad * y * x$j) AS BIGINT) AS w$j")
+              .mkString(",\n            ")}
+          FROM (
+            SELECT f.*, ${ws.map(j => s"p.w$j AS pw$j").mkString(", ")},
+              CASE WHEN y * ($margin) <= 0 THEN 1 ELSE 0 END AS bad
+            FROM feats f CROSS JOIN r${t - 1} p))"""
+      }.mkString(",\n        ")
+      val arms = (1 to PT_ROUNDS)
+        .map(t => s"SELECT round, n_err, n, " +
+          s"${proundSql("CAST(n - n_err AS DOUBLE) / n", 6)} AS acc, " +
+          s"w0, w1, w2, w3 FROM r$t")
+        .mkString("\n        UNION ALL ")
+      s"""WITH feats AS (
+        SELECT CASE WHEN n_chars > $PT_THR THEN 1 ELSE -1 END AS y,
+          CAST($PT_BIAS AS BIGINT) AS x0,
+          CAST(len($toksSql2) AS BIGINT) AS x1,
+          CAST(len(list_distinct($toksSql2)) AS BIGINT) AS x2,
+          CAST($sumLen AS BIGINT) AS x3
+        FROM documents),
+      r0 AS (SELECT ${ws.map(j => s"CAST(0 AS BIGINT) AS w$j")
+          .mkString(", ")}),
+      $rounds
+      $arms
+      ORDER BY round"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
-      q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180)
+      q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
+      q183)
 }
