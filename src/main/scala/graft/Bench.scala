@@ -91,6 +91,7 @@ object Bench {
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
     "q178_rolling_anomaly", "q179_shard_manifest", "q180_gate_kappa",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
+    "q184_ivf_nprobe_curve",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right
@@ -114,6 +115,8 @@ object Bench {
       // bit/dim); the scale path drops the same codes into the IVF
       // cell join or uses them as a rerank prefilter
       "q176_binary_ann",
+      // nprobe curve's exact baseline is the brute topK (q27)
+      "q184_ivf_nprobe_curve",
       // MMR's candidate pool is the brute topK (q27's shape); at
       // scale the pool generator swaps to the IVF probe — the greedy
       // rounds themselves are linear in queries

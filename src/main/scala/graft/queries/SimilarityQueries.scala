@@ -1898,8 +1898,100 @@ object SimilarityQueries {
       ORDER BY query_id, step"""
     })
 
+  // -- V30: IVF nprobe RECALL CURVE — the measured error bars for the
+  //    nprobe dial (the q115/q140/q168 audit discipline applied to the
+  //    IVF index): recall@K of the cell-pruned search vs the exact
+  //    float top-K at nprobe ∈ {1, 2, 4} on the same pinned queries —
+  //    the curve that tells an operator what each probe buys BEFORE
+  //    they pick the production setting. Exact side is the brute
+  //    baseline (bench-gated, 10×-excluded with q149's reason; the
+  //    audit runs where the baseline is computable).
+  private val NPROBE_CURVE = Seq(1, 2, 4)
+  private val q184 = Q(
+    "q184_ivf_nprobe_curve",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      val rows = NPROBE_CURVE.map { np =>
+        val m = Similarity.ivfTopK(t.embeddings, queries, "vec_id",
+            "embedding", SEEDMOD, np, SQ_K)
+          .select(col("query_id"), col("corpus_id"))
+        exact.join(m, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_total"))))
+          .select(lit(np).as("nprobe"), col("n_hits"), col("n_total"),
+            pround(col("n_hits").cast("double") / col("n_total"), 4)
+              .as("recall"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("nprobe"))
+    },
+    Some {
+      def probeArm(np: Int) = s"""
+        SELECT $np AS nprobe,
+          (SELECT count(*) FROM exact e JOIN (
+            SELECT query_id, corpus_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id ASC) AS rank
+                  FROM scored$np)
+            WHERE rank <= $SQ_K) m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits, n_total
+        FROM tot"""
+      def scoredCte(np: Int) = s"""
+      probe$np AS (
+        SELECT query_id, cell FROM probeall WHERE rn <= $np),
+      scored$np AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM probe$np p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id)"""
+      s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probeall AS (
+        SELECT query_id, cell, rn FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= ${NPROBE_CURVE.max}),
+      exscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank FROM exscored)
+        WHERE rank <= $SQ_K),
+      ${NPROBE_CURVE.map(scoredCte).mkString(",")},
+      tot AS (SELECT count(*) AS n_total FROM exact)
+      SELECT nprobe, n_hits, n_total,
+        ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall
+      FROM (${NPROBE_CURVE.map(probeArm).mkString("\n        UNION ALL")})
+      ORDER BY nprobe"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182)
+      q159, q165, q176, q181, q182, q184)
 }
