@@ -135,6 +135,72 @@ object CorpusQueries {
     GROUP BY label, pos
     ORDER BY label, pos"""))
 
+  // -- C18: embedding-space OUTLIER QA — the mislabeled/corrupt-vector
+  //    detector an embedding pipeline runs before training on the
+  //    vectors: per label, the exactly-reproducible centroid (q49's
+  //    6-decimal DECIMAL-mean discipline — rounding makes the model
+  //    bit-identical cross-engine) and the top-OUT_K farthest members
+  //    by squared distance, computed as a FIXED-ORDER fold over the
+  //    (vector, centroid) zip — deterministic left-to-right like the
+  //    shared dot kernel, no accumulation-order drift. One label-keyed
+  //    agg (dim-exploded, map-side combined) + one broadcast join of
+  //    the tiny centroid table + one label-partitioned rank window.
+  private val OUT_K = 3
+  private val OUT_DIMS = 64 // full embedding width (q49 caps ITS output at 8)
+  private val q185 = Q(
+    "q185_embedding_outliers",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cent = t.embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < OUT_DIMS)
+        .groupBy(col("label"), col("pos"))
+        .agg(pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+          .cast("double") / count(lit(1)), 6).as("mean_v"))
+      val carr = cent.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+          s => s.getField("mean_v")).as("cvec"))
+      val scored = t.embeddings.join(broadcast(carr), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          aggregate(
+            zip_with(col("embedding"), col("cvec"), (x, c) =>
+              (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), _ + _).as("dist2"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dist2").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= OUT_K)
+        .select(col("label"), col("rank"), col("vec_id"),
+          pround(col("dist2"), 6).as("dist2"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some(s"""WITH cent AS (
+        SELECT label, pos,
+          ${proundSql(
+            "CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)" +
+              " / count(*)", 6)} AS mean_v
+        FROM (
+          SELECT label, pos, embedding[CAST(pos + 1 AS INT)] AS v
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(0, ${OUT_DIMS - 1})) AS pos))
+        GROUP BY label, pos),
+      carr AS (
+        SELECT label, list(mean_v ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      sc AS (
+        SELECT e.label, e.vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list_zip(e.embedding, c.cvec), p ->
+              (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))),
+            (x, y) -> x + y) AS dist2
+        FROM embeddings e JOIN carr c USING (label))
+      SELECT label, rank, vec_id, ${proundSql("dist2", 6)} AS dist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY dist2 DESC, vec_id ASC) AS rank FROM sc)
+      WHERE rank <= $OUT_K
+      ORDER BY label, rank"""))
+
   // -- C4: value histogram (fixed-width bucketing) ----------------------
   private val BUCKET_W = 60000.0
   private val q51 = Q(
@@ -739,5 +805,5 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177)
+      q137, q138, q143, q166, q177, q185)
 }
