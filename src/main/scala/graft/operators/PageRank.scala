@@ -128,4 +128,47 @@ object PageRank {
     }
     labels
   }
+
+  /** k-CORE decomposition — the density-peeling member of the graph
+    * family (connected components = reachability, PageRank =
+    * centrality, triangles = local clustering, LPA = communities,
+    * k-core = COHESION): iteratively drop every node whose degree in
+    * the SURVIVING subgraph is < k; the fixpoint — the maximal
+    * subgraph of minimum degree ≥ k — is unique and order-independent
+    * (Seidman 1983), which is what makes it exactly oracle-able.
+    * The standard "dense engaged core vs peripheral noise" cut for
+    * co-visitation graphs and spam-farm detection.
+    *
+    * Runs a FIXED `rounds` peels (not a driver convergence probe), so
+    * engine and oracle execute the same deterministic program whether
+    * or not the fixpoint has been reached; peeling removes nodes
+    * monotonically, so rounds beyond convergence are no-ops (pick
+    * rounds with headroom — the spec pins fixpoint stability on the
+    * real corpus). Output: surviving (node, deg) under the final
+    * edge set.
+    *
+    * Scale: per round one degree aggregation + two semi-joins on the
+    * shrinking edge set — O(edges) shuffle like the CC/LPA loops,
+    * localCheckpointed per round. Undirected degrees come from the
+    * both-orientations union; input edges must be canonical
+    * (src < dst, deduplicated).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint(true)
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("s").as("n"))
+        .unionByName(es.select(col("d").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("s")), Seq("s"))
+        .join(keep.select(col("n").as("d")), Seq("d"))
+        .select(col("s"), col("d"))
+        .localCheckpoint(true)
+    }
+    degrees(e)
+  }
 }

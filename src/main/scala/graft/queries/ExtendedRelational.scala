@@ -1028,7 +1028,67 @@ object ExtendedRelational {
       ORDER BY item"""
     })
 
+  // -- E23: k-CORE decomposition — the cohesion member of the graph
+  //    family (q43/q57 reachability, q133 centrality, q145 local
+  //    clustering, q161 communities): peel nodes with surviving
+  //    degree < k until the unique maximal min-degree-≥-k subgraph
+  //    remains (Seidman 1983) — the "dense engaged core vs
+  //    peripheral noise" cut on the q161 co-visitation graph. Fixed
+  //    KC_R peel rounds in BOTH engines (rounds past convergence are
+  //    no-ops — measured fixpoint at 4 rounds on sf0.01, KC_R = 6
+  //    headroom), oracle-unrolled like the LPA rounds. sf0.01: 26 of
+  //    the graph's nodes survive at k = 4.
+  private val KC_K = 4
+  private val KC_R = 6
+  private val q186 = Q(
+    "q186_kcore",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+      val e = ui.as("a").join(ui.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= LPA_T)
+        .select(col("i1"), col("i2"))
+      graft.operators.PageRank.kCore(e, "i1", "i2", KC_K, KC_R)
+        .select(col("n").as("item"), col("deg"))
+        .orderBy(col("item"))
+    },
+    Some {
+      // MATERIALIZED per round or the triple references to e_{r-1}
+      // expand the CTE tree 3^KC_R-fold (the q107 lesson)
+      def roundSql(r: Int) = s"""d$r AS MATERIALIZED (
+        SELECT n, count(*) AS deg FROM (
+          SELECT s AS n FROM e${r - 1} UNION ALL SELECT d FROM e${r - 1})
+        GROUP BY n),
+      k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= $KC_K),
+      e$r AS MATERIALIZED (
+        SELECT p.s, p.d FROM e${r - 1} p
+        JOIN k$r a ON p.s = a.n
+        JOIN k$r b ON p.d = b.n)"""
+      val roundsSql = (1 to KC_R).map(roundSql).mkString(",\n      ")
+      s"""WITH ui AS (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      e0 AS MATERIALIZED (
+        SELECT a.item AS s, b.item AS d
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= $LPA_T),
+      $roundsSql
+      SELECT n AS item, count(*) AS deg FROM (
+        SELECT s AS n FROM e$KC_R UNION ALL SELECT d FROM e$KC_R)
+      GROUP BY n
+      ORDER BY item"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
-      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169)
+      q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
+      q186)
 }
