@@ -92,6 +92,7 @@ object Bench {
     "q178_rolling_anomaly", "q179_shard_manifest", "q180_gate_kappa",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
+    "q187_cuped_experiment",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

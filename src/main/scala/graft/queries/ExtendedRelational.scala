@@ -1087,8 +1087,117 @@ object ExtendedRelational {
       ORDER BY item"""
     })
 
+  // -- E24: CUPED experiment readout — the variance-reduction
+  //    technique every experimentation platform runs (Deng et al.
+  //    2013): adjust the post-period metric by the pre-period
+  //    covariate, ŷᵢ = yᵢ − θ(xᵢ − x̄) with θ = cov(x,y)/var(x), so
+  //    the A/B delta keeps its expectation but sheds the variance
+  //    pre-existing behaviour explains. Variant = user_id % 2 (the
+  //    deterministic hash bucket), x/y = pre/post event COUNTS —
+  //    INTEGER sufficient statistics (Σx, Σy, Σxy, Σx², Σy² exact
+  //    int64; squared cross-terms on DECIMAL(38,0), the q173
+  //    discipline), so θ, the adjusted means, and the variance-
+  //    reduction ratio are each ONE fixed-order float expression over
+  //    exact integers — bit-stable at any partitioning. Two keyed
+  //    aggs (user, then variant) + a broadcast 1-row stats fanout.
+  private val q187 = Q(
+    "q187_cuped_experiment",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val weeks = t.eventsUs.select(col("user_id"),
+        expr(s"ts_us div $WEEK_US").as("week"))
+      val bounds = weeks.agg(min(col("week")).as("wmin"),
+        max(col("week")).as("wmax"))
+      val split = expr("(wmin + wmax + 1) div 2")
+      val perUser = weeks.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          when(col("week") < split, 1L).otherwise(0L).as("pre"),
+          when(col("week") >= split, 1L).otherwise(0L).as("post"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val g = perUser.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .localCheckpoint(true)
+      val covN = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val varXN = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val varYN = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      val theta = covN.cast("double") / varXN.cast("double")
+      val vred = (covN * covN).cast("double") /
+        (varXN.cast("double") * varYN.cast("double"))
+      val stats = g.select(
+        col("n"), theta.as("theta"), vred.as("vred"),
+        (col("sx").cast("double") / col("n")).as("xbar"))
+      val byVariant = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("vx"), sum(col("y")).as("vy"))
+      byVariant.crossJoin(broadcast(stats))
+        .select(col("variant"), col("n_users"),
+          pround(col("vx").cast("double") / col("n_users"), 6).as("mean_x"),
+          pround(col("vy").cast("double") / col("n_users"), 6).as("mean_y"),
+          pround(col("vy").cast("double") / col("n_users") -
+            col("theta") * (col("vx").cast("double") / col("n_users") -
+              col("xbar")), 6).as("mean_y_adj"),
+          pround(col("theta"), 6).as("theta"),
+          pround(col("vred"), 6).as("var_reduction"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""WITH weeks AS (
+        SELECT user_id, epoch_us(ts) // $WEEK_US AS week FROM events),
+      bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM weeks),
+      pu AS (
+        SELECT user_id,
+          CAST(sum(CASE WHEN week < (wmin + wmax + 1) // 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          CAST(sum(CASE WHEN week >= (wmin + wmax + 1) // 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM weeks CROSS JOIN bounds
+        GROUP BY user_id),
+      g AS (
+        SELECT count(*) AS n,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pu),
+      st AS (
+        SELECT n,
+          CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+          / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+            - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS theta,
+          CAST((CAST(n AS DECIMAL(38,0)) * sxy
+              - CAST(sx AS DECIMAL(38,0)) * sy)
+            * (CAST(n AS DECIMAL(38,0)) * sxy
+              - CAST(sx AS DECIMAL(38,0)) * sy) AS DOUBLE)
+          / (CAST(CAST(n AS DECIMAL(38,0)) * sxx
+              - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+            * CAST(CAST(n AS DECIMAL(38,0)) * syy
+              - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)) AS vred,
+          CAST(sx AS DOUBLE) / n AS xbar
+        FROM g),
+      bv AS (
+        SELECT user_id % 2 AS variant, count(*) AS n_users,
+          CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+        FROM pu GROUP BY 1)
+      SELECT variant, n_users,
+        ${proundSql("CAST(vx AS DOUBLE) / n_users", 6)} AS mean_x,
+        ${proundSql("CAST(vy AS DOUBLE) / n_users", 6)} AS mean_y,
+        ${proundSql(
+          "CAST(vy AS DOUBLE) / n_users - theta * (CAST(vx AS DOUBLE)" +
+            " / n_users - xbar)", 6)} AS mean_y_adj,
+        ${proundSql("theta", 6)} AS theta,
+        ${proundSql("vred", 6)} AS var_reduction
+      FROM bv CROSS JOIN st
+      ORDER BY variant"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186)
+      q186, q187)
 }
