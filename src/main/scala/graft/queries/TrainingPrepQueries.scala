@@ -906,7 +906,76 @@ object TrainingPrepQueries {
       GROUP BY 1
       ORDER BY 1"""))
 
+  // -- T19: MLM MASKING PLAN — the static corruption layout a
+  //    BERT/T5-style pretraining data build materializes (mask 15% of
+  //    positions; of those 80% → [MASK], 10% → a random token, 10% →
+  //    kept): every decision is a portable hash of (seed, doc, pos) —
+  //    h = (A·(doc·2²⁰ + pos) + B) mod P, the TextFns constants — so
+  //    the plan is a pure function of the corpus and seed,
+  //    reproducible across engines, epochs, and partitionings. The
+  //    "random" replacement token is the same-doc token at index
+  //    h₃ mod len (deterministic, vocabulary-free). Entirely
+  //    row-local array work in ONE scan — no shuffle before the
+  //    output sort.
+  private val MLM_SEL = 150  // of 1000 → 15% positions selected
+  private val MLM_A = 2654435761L
+  private val MLM_B = 998244353L
+  private val MLM_A2 = 2246822519L
+  private val MLM_A3 = 3266489917L
+  private val q188 = Q(
+    "q188_mlm_mask_plan",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val P = graft.functions.TextFns.P
+      val toks = TextFns.tokens(col("text"))
+      val rows = t.documents
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "token")))
+      // reduce the key mod P BEFORE the A-multiply: scaled corpora
+      // carry large doc ids, and A·(doc·2²⁰) must stay inside int64
+      // in BOTH engines (DuckDB raises on overflow; Spark would wrap)
+      val key = pmod(pmod(col("doc_id"), lit(P)) * lit(1L << 20)
+        + col("pos"), lit(P))
+      def h(a: Long) = pmod(lit(a) * key + lit(MLM_B), lit(P))
+      val r = pmod(h(MLM_A2), lit(10L))
+      val planned = rows
+        .filter(pmod(h(MLM_A), lit(1000L)) < MLM_SEL)
+        .select(col("doc_id"), col("pos"), col("token"),
+          when(r <= 7, lit("mask"))
+            .when(r === 8, lit("random"))
+            .otherwise(lit("keep")).as("action"),
+          when(r <= 7, lit("[MASK]"))
+            .when(r === 8, element_at(col("toks"),
+              (pmod(h(MLM_A3), size(col("toks")).cast("long")) + 1)
+                .cast("int")))
+            .otherwise(col("token")).as("filled"))
+      planned.orderBy(col("doc_id"), col("pos"))
+    },
+    Some {
+      val P = graft.functions.TextFns.P
+      val toksSql2 = tokensSql("text")
+      val key = s"(((doc_id % $P) * ${1L << 20} + pos) % $P)"
+      def h(a: Long) = s"(($a * $key + $MLM_B) % $P)"
+      s"""WITH tk AS (
+        SELECT doc_id, $toksSql2 AS toks FROM documents),
+      px AS (
+        SELECT doc_id, toks, CAST(p - 1 AS INT) AS pos, toks[p] AS token
+        FROM tk CROSS JOIN unnest(generate_series(1, len(toks))) AS u(p)),
+      sel AS (
+        SELECT doc_id, toks, pos, token, ${h(MLM_A2)} % 10 AS r
+        FROM px WHERE ${h(MLM_A)} % 1000 < $MLM_SEL)
+      SELECT doc_id, pos, token,
+        CASE WHEN r <= 7 THEN 'mask' WHEN r = 8 THEN 'random'
+          ELSE 'keep' END AS action,
+        CASE WHEN r <= 7 THEN '[MASK]'
+          WHEN r = 8 THEN toks[CAST(${h(MLM_A3)} % len(toks) + 1 AS INT)]
+          ELSE token END AS filled
+      FROM sel
+      ORDER BY doc_id, pos"""
+    })
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179)
+      q121, q162, q172, q173, q179, q188)
 }
