@@ -459,10 +459,13 @@ class PlanQualitySpec extends SparkSpec {
     //     window over the char table (≤ alphabet + merges rows)
     //   q172: waterfill rank/prefix/level windows over the per-SOURCE
     //     totals (k ≈ 20 rows — the q64 bucket-prefix class)
+    //   q179: shardManifest IS packOffsets (q64's bucket-total prefix
+    //     window, rows = bucket count) + the per-shard rollup
     val allowed = Set("q64_pack_offsets", "q68_pack_segments",
       "q81_chunk_spans", "q79_bm25_topk", "q120_hybrid_rrf",
       "q121_dsir_selection", "q154_bpe_pack_ids", "q155_multimodal_pack",
-      "q172_waterfill_mixture", "q173_apportion_eval")
+      "q172_waterfill_mixture", "q173_apportion_eval",
+      "q179_shard_manifest")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
