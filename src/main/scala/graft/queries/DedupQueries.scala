@@ -1288,7 +1288,76 @@ object DedupQueries {
       FROM cut
       ORDER BY doc_id"""))
 
+  // -- D23: per-source BOILERPLATE paragraph filter — CCNet's
+  //    paragraph-frequency rule, the complement of q128's
+  //    first-occurrence dedup: a paragraph occurring ≥ BF times
+  //    within its SOURCE is boilerplate (navigation, footers,
+  //    templates) and EVERY occurrence drops — including the first,
+  //    which q128 keeps (the semantic difference between "dedup" and
+  //    "boilerplate removal"). Same 10-word pseudo-paragraph
+  //    segmentation; frequency via one count window over the
+  //    (source, md5(para)) exchange — paragraphs shuffle once, the
+  //    same scale shape as q128.
+  private val BF = 2
+  private val q189 = Q(
+    "q189_boilerplate_filter",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val nPar = floor((size(words) + lit(PARA_W - 1)) / lit(PARA_W)).cast("int")
+      val paras = t.documents.select(
+          col("doc_id"), col("source"),
+          posexplode(transform(sequence(lit(0), nPar - 1),
+            i => array_join(slice(words, i * PARA_W + 1, lit(PARA_W)), " ")))
+            .as(Seq("pidx", "para")))
+      val w = Window.partitionBy(col("source"), md5(col("para")))
+      paras
+        .withColumn("keep", count(lit(1)).over(w) < BF)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_boiler"),
+          sum(when(!col("keep"), length(col("para"))).otherwise(0L))
+            .as("n_boiler_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("keep"), struct(col("pidx"), col("para"))))),
+              st => st.getField("para")),
+            " ")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, source, ws,
+          unnest(range((len(ws) + ${PARA_W - 1}) // $PARA_W)) AS pidx
+        FROM w),
+      paras AS (
+        SELECT doc_id, source, pidx,
+          array_to_string(
+            list_slice(ws, pidx * $PARA_W + 1, pidx * $PARA_W + $PARA_W),
+            ' ') AS para
+        FROM idx),
+      marked AS (
+        SELECT doc_id, pidx, para,
+          count(*) OVER (PARTITION BY source, md5(para)) < $BF AS keep
+        FROM paras)
+      SELECT doc_id,
+        count(*) AS n_paras,
+        CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_boiler,
+        CAST(sum(CASE WHEN NOT keep THEN len(para) ELSE 0 END) AS BIGINT)
+          AS n_boiler_chars,
+        md5(coalesce(string_agg(CASE WHEN keep THEN para END, ' '
+          ORDER BY pidx), '')) AS clean_hash
+      FROM marked
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
-      q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175)
+      q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
+      q189)
 }
