@@ -292,6 +292,12 @@ object Gif {
           if (need) {
             if (pal == null || iw <= 0 || ih <= 0 || iw > sw || ih > sh)
               return null
+            // decompression-bomb guard: the screen/frame dims are
+            // attacker 16-bit fields; cap pixels before the
+            // iw·ih-driven allocations (lzw output, pixel buffer) —
+            // an OOM is an Error, not an Exception, and would kill
+            // the task instead of nulling the row
+            if (iw.toLong * ih > (1L << 26)) return null
             val stored = lzwDecode(buf.toByteArray, minCode, iw * ih)
             if (stored == null) return null
             val rowOrder =

@@ -409,7 +409,13 @@ object Jpeg {
         case _ => pos += u16(pos) // APPn, COM, anything skippable
       }
     }
-    if (width <= 0 || height <= 0) return null
+    // decompression-bomb guard alongside the validity check: SOF dims
+    // are attacker bytes, and the plane allocations below are
+    // dim-driven — an OutOfMemoryError is an Error, not an Exception,
+    // so without the cap a corrupt header kills the task instead of
+    // nulling the row
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > (1L << 26)) return null
     val nc = compId.length
     val maxH = compH.max; val maxV = compV.max
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
@@ -417,6 +423,8 @@ object Jpeg {
     // per-component sample planes at the component's own resolution
     val planeW = Array.tabulate(nc)(c => mcusX * compH(c) * 8)
     val planeH = Array.tabulate(nc)(c => mcusY * compV(c) * 8)
+    for (c <- 0 until nc)
+      if (planeW(c).toLong * planeH(c) > (1L << 27)) return null
     val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
     for (c <- 0 until nc) {
       if (qt(compQ(c)) == null || dcTab(compDc(c)) == null ||

@@ -163,6 +163,13 @@ object VideoAvi {
         } else if (id == "00db" || id == "00dc") {
           if (compression != 0 || bpp != 24)
             throw new IllegalArgumentException("unsupported stream format")
+          // decompression-bomb guard: strf carries full 32-bit dims —
+          // cap pixels before any dim-driven allocation (an OOM is an
+          // Error, not an Exception: it would kill the task, not null
+          // the row)
+          if (width <= 0 || height <= 0 ||
+              width.toLong * height > (1L << 26))
+            throw new IllegalArgumentException("implausible dimensions")
           if (frameIdx % stride == 0) {
             val rb2 = rowBytes(width)
             if (sz != rb2 * height)

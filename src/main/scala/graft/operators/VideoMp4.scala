@@ -205,7 +205,12 @@ object VideoMp4 {
       // width/height are the LAST two 16.16 fields of tkhd
       val width = (rdBe32(b, tkE - 8) >> 16).toInt
       val height = (rdBe32(b, tkE - 4) >> 16).toInt
-      if (width <= 0 || height <= 0) return null
+      // decompression-bomb guard: corrupt 16.16 fields can declare
+      // multi-GB frames — cap pixels BEFORE any size-driven allocation
+      // (an OutOfMemoryError is an Error, not an Exception: it would
+      // abort the task, not null the row)
+      if (width <= 0 || height <= 0 ||
+        width.toLong * height > (1L << 26)) return null
       val (mdS, mdE) = child(trak, "mdia").getOrElse(return null)
       val mdia = boxes(b, mdS, mdE)
       val (hdS, _) = child(mdia, "hdlr").getOrElse(return null)
@@ -219,14 +224,20 @@ object VideoMp4 {
       if (tag(b, sdS + 8 + 4) != "raw ") return null // compressed: no codec
       val (szS, _) = child(stbl, "stsz").getOrElse(return null)
       val uniform = rdBe32(b, szS + 4)
+      // structural bomb guards: each stsz entry occupies 4 bytes of
+      // THIS file, each stco/stsc entry 4/12 — declared counts beyond
+      // that are lies, rejected before the count-sized allocations
       val nSamples = rdBe32(b, szS + 8).toInt
+      if (nSamples < 0 || nSamples > b.length) return null
       val sizes = Array.tabulate(nSamples)(i =>
         if (uniform != 0L) uniform else rdBe32(b, szS + 12 + 4 * i))
       val (coS, _) = child(stbl, "stco").getOrElse(return null)
       val nChunks = rdBe32(b, coS + 4).toInt
+      if (nChunks < 0 || nChunks > b.length / 4) return null
       val chunkOff = Array.tabulate(nChunks)(i => rdBe32(b, coS + 8 + 4 * i))
       val (scS, _) = child(stbl, "stsc").getOrElse(return null)
       val nRuns = rdBe32(b, scS + 4).toInt
+      if (nRuns < 0 || nRuns > b.length / 12) return null
       val runs = Array.tabulate(nRuns)(i => (
         rdBe32(b, scS + 8 + 12 * i).toInt,      // first_chunk (1-based)
         rdBe32(b, scS + 12 + 12 * i).toInt))    // samples_per_chunk

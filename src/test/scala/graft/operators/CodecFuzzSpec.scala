@@ -66,4 +66,21 @@ class CodecFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("size-field bombs: every 4-byte window maxed out decodes without ballooning") {
+    // sliding 0xFFFFFFFF over the whole file hits every length /
+    // dimension / count field with its maximum value — without the
+    // decoders' decompression-bomb caps this test dies on a
+    // multi-GB allocation (OutOfMemoryError aborts the suite; it is
+    // an Error, so the null-on-corrupt catch can't save it)
+    for ((name, bytes, dec) <- fixtures; off <- 0 until bytes.length) {
+      val s = bytes.clone()
+      var i = 0
+      while (i < 4 && off + i < s.length) { s(off + i) = 0xFF.toByte; i += 1 }
+      try dec(s)
+      catch { case e: Exception =>
+        fail(s"$name threw with max bytes at $off: $e")
+      }
+    }
+  }
 }
