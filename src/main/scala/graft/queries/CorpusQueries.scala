@@ -201,6 +201,52 @@ object CorpusQueries {
       WHERE rank <= $OUT_K
       ORDER BY label, rank"""))
 
+  // -- C19: CRAWL POLITENESS SCHEDULER — the frontier-scheduling step
+  //    of a crawler (the upstream producer of every corpus this engine
+  //    curates): per canonical host, fetches are rate-limited to one
+  //    per CRAWL_DELAY seconds (slot = per-host rank, fetch_at =
+  //    slot·delay — politeness), and hosts are sharded to workers by a
+  //    portable hash so one host never spans two workers (per-host
+  //    sequencing is enforceable worker-locally, no cross-worker
+  //    coordination). One host-keyed rank window + scan-local hash;
+  //    the worker column is the shuffle key a real frontier would
+  //    repartition by.
+  private val CRAWL_DELAY = 5L  // seconds between hits on one host
+  private val CRAWL_W = 8       // worker count
+  private val q190 = Q(
+    "q190_crawl_schedule",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val url = concat(lit("https://WWW."), col("source"),
+        lit(".Example.COM:443/"), col("lang"), lit("/"), col("doc_id"))
+      val hosts = t.documents.select(col("doc_id"),
+        graft.functions.UrlFns.hostOf(url).as("host"))
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      hosts
+        .withColumn("slot", row_number().over(w).cast("long") - 1)
+        .select(col("host"), col("doc_id"), col("slot"),
+          (col("slot") * CRAWL_DELAY).as("fetch_at_s"),
+          pmod(TextFns.rollingHash(col("host")), lit(CRAWL_W.toLong))
+            .as("worker"))
+        .orderBy(col("host"), col("slot"))
+    },
+    Some {
+      val host = graft.functions.UrlFns.hostOfSql(
+        "'https://WWW.' || source || '.Example.COM:443/' || lang || '/' || doc_id")
+      s"""WITH h AS (
+        SELECT doc_id, $host AS host FROM documents),
+      ranked AS (
+        SELECT host, doc_id,
+          CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+            AS BIGINT) - 1 AS slot
+        FROM h)
+      SELECT host, doc_id, slot,
+        slot * $CRAWL_DELAY AS fetch_at_s,
+        ${TextFns.rollingHashSql("host")} % $CRAWL_W AS worker
+      FROM ranked
+      ORDER BY host, slot"""
+    })
+
   // -- C4: value histogram (fixed-width bucketing) ----------------------
   private val BUCKET_W = 60000.0
   private val q51 = Q(
@@ -805,5 +851,5 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177, q185)
+      q137, q138, q143, q166, q177, q185, q190)
 }
