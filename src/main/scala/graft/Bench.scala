@@ -91,6 +91,7 @@ object Bench {
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
     "q178_rolling_anomaly", "q179_shard_manifest", "q180_gate_kappa",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
+    "q191_dedup_method_matrix",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
     "q187_cuped_experiment",
@@ -125,7 +126,9 @@ object Bench {
       "q182_mmr_topk",
       // exact containment shares q22's un-prefiltered inverted
       // self-join; its scale path is the df-pruned variant (maxDf)
-      "q160_containment_pairs")
+      "q160_containment_pairs",
+      // the method matrix runs q22's AND q160's exact baselines
+      "q191_dedup_method_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

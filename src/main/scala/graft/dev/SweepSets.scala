@@ -33,6 +33,7 @@ object SweepSets {
     "q33_ann_lsh_topk" -> "LSH oracle crossjoin too slow in DuckDB at 10x",
     "q39_neardup_dedup" -> "shares the LSH oracle CTEs",
     "q151_dup_source_matrix" -> "shares the LSH oracle CTEs (q24/q39 reason)",
+    "q191_dedup_method_matrix" -> "composes the LSH signature CTEs (q24 reason) AND the all-pairs simhash oracle (q25 reason); the matrix is measured at sf<=0.1",
     "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q126_quality_survivors" -> "component labels come from q43's recursive-CTE oracle — same 10x infeasibility (engine side verified by DedupSpec + sf0.01 strict)",

@@ -1356,8 +1356,106 @@ object DedupQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  // -- D24: dedup METHOD-OVERLAP matrix — which pairs does each
+  //    near-dup detector find, and how much do they agree: the
+  //    diagnostic a curation team reads before deciding which
+  //    detectors to run in production (q115/q140 measure each
+  //    method's recall against ITS OWN exact baseline; this measures
+  //    the methods against EACH OTHER). Four pair sets at their
+  //    production thresholds — exact Jaccard (≥ 0.5), MinHash-LSH
+  //    (banded + verified ≥ 0.5), SimHash (hamming ≤ 3), containment
+  //    (≥ 0.8, undirected) — each localCheckpointed (pair sets are
+  //    tiny), pairwise intersected; the handful of counts assembles
+  //    driver-side (the bounded-collect contract, q183's class).
+  private val q191 = Q(
+    "q191_dedup_method_matrix",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val docs = t.documents
+      val defs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "containment" -> Dedup.containmentPairs(docs, "doc_id", "text",
+            N, CONT_TAU)
+          .select(least(col("contained"), col("container")).as("d1"),
+            greatest(col("contained"), col("container")).as("d2")),
+        "jaccard" -> Dedup.jaccardPairs(docs, "doc_id", "text", N, JTAU)
+          .select(col("d1"), col("d2")),
+        "lsh" -> Dedup.minhashNearDups(docs, "doc_id", "text", N, LSHTAU, mh)
+          .select(col("d1"), col("d2")),
+        "simhash" -> Dedup.simhashPairs(docs, "doc_id", "text", N, HAM)
+          .select(col("d1"), col("d2"))
+      ).map { case (n, df) => (n, df.localCheckpoint(true)) }
+      val counts = defs.map { case (n, df) => n -> df.count() }.toMap
+      val rows = for {
+        i <- defs.indices; j <- (i + 1) until defs.length
+      } yield {
+        val (na, dfa) = defs(i)
+        val (nb, dfb) = defs(j)
+        (na, nb, counts(na), counts(nb),
+          dfa.join(dfb, Seq("d1", "d2")).count())
+      }
+      rows.toDF("method_a", "method_b", "n_a", "n_b", "n_both")
+        .orderBy(col("method_a"), col("method_b"))
+    },
+    Some(s"""$lshPipelineCtes,
+      lshp AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      sizes AS (SELECT doc_id, len(shingle_set) AS n FROM sets),
+      inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sets),
+      common AS MATERIALIZED (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      paired AS MATERIALIZED (
+        SELECT d1, d2, n_common, sa.n AS n1, sb.n AS n2
+        FROM common
+        JOIN sizes sa ON d1 = sa.doc_id
+        JOIN sizes sb ON d2 = sb.doc_id),
+      jacp AS (
+        SELECT d1, d2 FROM paired
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $JTAU),
+      conp AS (
+        SELECT d1, d2 FROM paired
+        WHERE CAST(n_common AS DOUBLE) / least(n1, n2) >= $CONT_TAU),
+      th AS (SELECT doc_id, shingle_set AS ths FROM sets),
+      sh AS MATERIALIZED (
+        SELECT doc_id, $simhashBitsSql AS simhash FROM th),
+      simp AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= $HAM)
+      SELECT * FROM (
+        SELECT 'containment' AS method_a, 'jaccard' AS method_b,
+          (SELECT count(*) FROM conp) AS n_a,
+          (SELECT count(*) FROM jacp) AS n_b,
+          (SELECT count(*) FROM conp x JOIN jacp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2) AS n_both
+        UNION ALL SELECT 'containment', 'lsh',
+          (SELECT count(*) FROM conp), (SELECT count(*) FROM lshp),
+          (SELECT count(*) FROM conp x JOIN lshp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2)
+        UNION ALL SELECT 'containment', 'simhash',
+          (SELECT count(*) FROM conp), (SELECT count(*) FROM simp),
+          (SELECT count(*) FROM conp x JOIN simp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2)
+        UNION ALL SELECT 'jaccard', 'lsh',
+          (SELECT count(*) FROM jacp), (SELECT count(*) FROM lshp),
+          (SELECT count(*) FROM jacp x JOIN lshp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2)
+        UNION ALL SELECT 'jaccard', 'simhash',
+          (SELECT count(*) FROM jacp), (SELECT count(*) FROM simp),
+          (SELECT count(*) FROM jacp x JOIN simp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2)
+        UNION ALL SELECT 'lsh', 'simhash',
+          (SELECT count(*) FROM lshp), (SELECT count(*) FROM simp),
+          (SELECT count(*) FROM lshp x JOIN simp y
+            ON x.d1 = y.d1 AND x.d2 = y.d2))
+      ORDER BY method_a, method_b"""))
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189)
+      q189, q191)
 }
