@@ -247,6 +247,67 @@ object CorpusQueries {
       ORDER BY host, slot"""
     })
 
+  // -- C20: VOCABULARY GROWTH curve (Heaps' law, measured) — the
+  //    tokenizer-sizing diagnostic: distinct-type count vs running
+  //    token count at each corpus DECILE (by doc_id ingestion order).
+  //    No windowed count-distinct (which would buffer whole prefixes):
+  //    each type contributes at its FIRST-occurrence decile — one
+  //    token-keyed min-agg — and both curves are cumulative sums over
+  //    the 10-row decile table; log-free, all-integer, so the curve is
+  //    exact. New-type RATE per decile (types added / tokens added)
+  //    shows the tail flattening — the number that says when a bigger
+  //    vocab stops paying.
+  private val q192 = Q(
+    "q192_vocab_growth",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val nd = t.documents.agg(max(col("doc_id")).as("mx"),
+        min(col("doc_id")).as("mn"))
+      val toks = t.documents.crossJoin(broadcast(nd))
+        .select(
+          least(expr("((doc_id - mn) * 10) div (mx - mn + 1)"), lit(9L))
+            .as("decile"),
+          explode(TextFns.tokens(col("text"))).as("token"))
+      val perDecile = toks.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstSeen = toks.groupBy(col("token"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_new_types"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perDecile.join(firstSeen, Seq("decile"), "left")
+        .select(col("decile"), col("n_tokens"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_types", sum(col("n_new_types")).over(w))
+        .withColumn("new_type_rate",
+          pround(col("n_new_types").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH nd AS (
+        SELECT max(doc_id) AS mx, min(doc_id) AS mn FROM documents),
+      toks AS (
+        SELECT least(((doc_id - mn) * 10) // (mx - mn + 1), 9) AS decile,
+          unnest(${TextFns.tokensSql("text")}) AS token
+        FROM documents CROSS JOIN nd),
+      pd AS (SELECT decile, count(*) AS n_tokens FROM toks GROUP BY decile),
+      fs AS (
+        SELECT decile, count(*) AS n_new_types FROM (
+          SELECT token, min(decile) AS decile FROM toks GROUP BY token)
+        GROUP BY decile)
+      SELECT pd.decile, pd.n_tokens,
+        CAST(coalesce(fs.n_new_types, 0) AS BIGINT) AS n_new_types,
+        CAST(sum(pd.n_tokens) OVER (ORDER BY pd.decile) AS BIGINT)
+          AS cum_tokens,
+        CAST(sum(coalesce(fs.n_new_types, 0)) OVER (ORDER BY pd.decile)
+          AS BIGINT) AS cum_types,
+        ${proundSql(
+          "CAST(coalesce(fs.n_new_types, 0) AS DOUBLE) / pd.n_tokens", 6)}
+          AS new_type_rate
+      FROM pd LEFT JOIN fs ON pd.decile = fs.decile
+      ORDER BY pd.decile"""))
+
   // -- C4: value histogram (fixed-width bucketing) ----------------------
   private val BUCKET_W = 60000.0
   private val q51 = Q(
@@ -851,5 +912,5 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177, q185, q190)
+      q137, q138, q143, q166, q177, q185, q190, q192)
 }

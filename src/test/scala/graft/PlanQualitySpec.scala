@@ -465,7 +465,9 @@ class PlanQualitySpec extends SparkSpec {
       "q81_chunk_spans", "q79_bm25_topk", "q120_hybrid_rrf",
       "q121_dsir_selection", "q154_bpe_pack_ids", "q155_multimodal_pack",
       "q172_waterfill_mixture", "q173_apportion_eval",
-      "q179_shard_manifest")
+      "q179_shard_manifest",
+      // q192: cumulative sums over the 10-row decile table
+      "q192_vocab_growth")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
