@@ -91,7 +91,7 @@ object Bench {
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
     "q178_rolling_anomaly", "q179_shard_manifest", "q180_gate_kappa",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
-    "q191_dedup_method_matrix", "q192_vocab_growth",
+    "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
     "q187_cuped_experiment",
@@ -120,6 +120,8 @@ object Bench {
       "q176_binary_ann",
       // nprobe curve's exact baseline is the brute topK (q27)
       "q184_ivf_nprobe_curve",
+      // MRR's exact baseline + both rung probes are brute scans
+      "q193_ann_mrr",
       // MMR's candidate pool is the brute topK (q27's shape); at
       // scale the pool generator swaps to the IVF probe — the greedy
       // rounds themselves are linear in queries

@@ -23,6 +23,7 @@ object SweepSets {
     "q140_simhash_recall" -> "exact side is all-pairs hamming (q25's oracle shape) — quadratic in DuckDB at 10x; the audit runs on samples at scale by design (q115 precedent)",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
     "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
+    "q193_ann_mrr" -> "q149's reason: exact baseline + SQ8 + binary rungs are all brute crossjoin CTEs; MRR is measured at sf<=0.1 with the rest of the fidelity triad",
     "q184_ivf_nprobe_curve" -> "q149's reason: the exact baseline is the brute crossjoin CTE plus three probe chains; the curve is measured at sf<=0.1",
     "q182_mmr_topk" -> "the candidate pool is q27's brute crossjoin CTE (plus the candN^2 sim matrix and k unrolled greedy rounds) — same 10x oracle infeasibility; MMR parity is proved at sf0.01 + the naive-reference spec",
     "q149_ann_fidelity" -> "composes q27's brute exact CTE (10x-infeasible) with the SQ8 and PQ chains; the fidelity ladder is measured at sf<=0.1 where the exact baseline is computable",

@@ -1990,8 +1990,112 @@ object SimilarityQueries {
       ORDER BY nprobe"""
     })
 
+  // -- V31: MRR@K of the compression rungs — the third retrieval-
+  //    fidelity metric (q149 recall = set membership, q165 nDCG =
+  //    graded rank weight, MRR = WHERE DOES THE FIRST GOOD HIT LAND,
+  //    the navigational-search number). Relevant = exact-top-K
+  //    membership; per-query reciprocal rank as the SCALED INTEGER
+  //    60/first_rank (60 = lcm(1..5), so every reciprocal is exact —
+  //    q165's discipline, no float accumulation), summed exactly and
+  //    divided once. Rungs: SQ8 and binary (the PQ chains are q149's
+  //    territory; these two share no codebook machinery).
+  private val q193 = Q(
+    "q193_ann_mrr",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      val nq = queries.count()
+      def row(name: String, m: org.apache.spark.sql.DataFrame) =
+        m.join(exact, Seq("query_id", "corpus_id"))
+          .groupBy(col("query_id"))
+          .agg(min(col("rank")).as("fr"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(lit(60L) / col("fr")).as("srr"))
+          .select(lit(name).as("method"), lit(nq).as("n_queries"),
+            col("n_hit"),
+            pround(col("srr").cast("double") / (lit(60.0) * nq), 6)
+              .as("mrr"))
+      val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+      val bin = Similarity.binTopK(t.embeddings, queries, "vec_id",
+          "embedding", SQ_DIMS, SQ_K)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+      row("bin", bin).unionByName(row("sq8", sq))
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredx)
+        WHERE rank <= $SQ_K),
+      nq AS (SELECT count(*) AS n FROM v WHERE vec_id % $QMOD = 0),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc8 AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      sqm AS (
+        SELECT query_id, corpus_id, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_zip(q.q, c.q), pr -> pr[1] * pr[2])),
+                (x, y) -> x + y) DESC, c.vec_id ASC) AS rank
+          FROM (SELECT * FROM enc8 WHERE vec_id % $QMOD = 0) q
+          JOIN enc8 c ON q.vec_id != c.vec_id)
+        WHERE rank <= $SQ_K),
+      binb AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS b
+        FROM embeddings),
+      binm AS (
+        SELECT query_id, corpus_id, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_reduce(list_prepend(0,
+                list_transform(list_zip(q.b, c.b),
+                  pr -> CASE WHEN pr[1] != pr[2] THEN 1 ELSE 0 END)),
+                (x, y) -> x + y) ASC, c.vec_id ASC) AS rank
+          FROM (SELECT * FROM binb WHERE vec_id % $QMOD = 0) q
+          JOIN binb c ON q.vec_id != c.vec_id)
+        WHERE rank <= $SQ_K),
+      rr AS (
+        SELECT 'bin' AS method, query_id,
+          CAST(60 / min(rank) AS BIGINT) AS srr
+        FROM binm JOIN exact USING (query_id, corpus_id)
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'sq8', query_id, CAST(60 / min(rank) AS BIGINT)
+        FROM sqm JOIN exact USING (query_id, corpus_id)
+        GROUP BY 1, 2)
+      SELECT method, nq.n AS n_queries, count(*) AS n_hit,
+        ${proundSql("CAST(sum(srr) AS DOUBLE) / (60.0 * nq.n)", 6)} AS mrr
+      FROM rr CROSS JOIN nq
+      GROUP BY method, nq.n
+      ORDER BY method"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184)
+      q159, q165, q176, q181, q182, q184, q193)
 }
