@@ -308,6 +308,73 @@ object CorpusQueries {
       FROM pd LEFT JOIN fs ON pd.decile = fs.decile
       ORDER BY pd.decile"""))
 
+  // -- C21: SOURCE-CONCENTRATION Lorenz curve + Gini — the mixture-
+  //    balance diagnostic next to the q163 dataset card and the
+  //    q172/q173 budget allocators: how unequally is token mass
+  //    spread across sources? Lorenz points (per source, ascending:
+  //    cumulative token share) and the exact-formula Gini
+  //    G = 2·Σ i·xᵢ / (n·T) − (n+1)/n over the SORTED per-source
+  //    totals — every numerator an integer (Σ i·xᵢ on DECIMAL(38,0),
+  //    the q173 discipline), two fixed-order float ops at the end.
+  //    The rank window runs over the ~|sources| totals row set (the
+  //    q172 bounded-intermediate class), never the corpus.
+  private val q194 = Q(
+    "q194_source_gini",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val totals = t.documents
+        .select(col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tokens"))
+      val w = Window.orderBy(col("tokens").asc, col("source").asc)
+      val ranked = totals
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint(true)
+      val g = ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("tokens")).as("t"),
+          sum(col("rnk").cast(DecimalType(38, 0)) * col("tokens"))
+            .as("s2"))
+        .select((lit(2.0) * col("s2").cast("double") /
+            (col("n").cast("double") * col("t").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"))
+          .as("gini_raw"),
+          col("t"))
+      ranked.crossJoin(broadcast(g))
+        .select(col("rnk"), col("source"), col("tokens"),
+          pround(col("cum").cast("double") / col("t").cast("double"), 6)
+            .as("cum_share"),
+          pround(col("gini_raw"), 6).as("gini"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""WITH totals AS (
+        SELECT source,
+          CAST(sum(len(${TextFns.tokensSql("text")})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      ranked AS (
+        SELECT source, tokens,
+          CAST(row_number() OVER (ORDER BY tokens ASC, source ASC)
+            AS BIGINT) AS rnk,
+          CAST(sum(tokens) OVER (ORDER BY tokens ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum
+        FROM totals),
+      g AS (
+        SELECT 2.0 * CAST(sum(CAST(rnk AS DECIMAL(38,0)) * tokens)
+            AS DOUBLE)
+          / (CAST(count(*) AS DOUBLE) * CAST(sum(tokens) AS DOUBLE))
+          - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini_raw,
+          CAST(sum(tokens) AS BIGINT) AS t
+        FROM ranked)
+      SELECT rnk, source, tokens,
+        ${proundSql("CAST(cum AS DOUBLE) / g.t", 6)} AS cum_share,
+        ${proundSql("g.gini_raw", 6)} AS gini
+      FROM ranked CROSS JOIN g
+      ORDER BY rnk"""))
+
   // -- C4: value histogram (fixed-width bucketing) ----------------------
   private val BUCKET_W = 60000.0
   private val q51 = Q(
@@ -912,5 +979,5 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177, q185, q190, q192)
+      q137, q138, q143, q166, q177, q185, q190, q192, q194)
 }

@@ -467,7 +467,9 @@ class PlanQualitySpec extends SparkSpec {
       "q172_waterfill_mixture", "q173_apportion_eval",
       "q179_shard_manifest",
       // q192: cumulative sums over the 10-row decile table
-      "q192_vocab_growth")
+      "q192_vocab_growth",
+      // q194: rank/prefix windows over the per-SOURCE totals
+      "q194_source_gini")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
