@@ -38,6 +38,7 @@ object SweepSets {
     "q43_dedup_clusters" -> "recursive-CTE oracle over LSH pairs too slow at 10x",
     "q57_dedup_clusters_star" -> "same recursive-CTE oracle as q43",
     "q126_quality_survivors" -> "component labels come from q43's recursive-CTE oracle — same 10x infeasibility (engine side verified by DedupSpec + sf0.01 strict)",
+    "q195_leakfree_split" -> "q43's LSH + recursive-CTE oracle chain — same 10x infeasibility; the split property (cluster cross-pairs = 0) is structural",
     "q167_dedup_roi" -> "q43's LSH + recursive-CTE oracle chain — same 10x infeasibility; the ROI rollup itself is two tiny aggs",
     "q168_minhash_estimate" -> "q24's LSH signature CTEs (interpreted list lambdas) plus per-pair set intersections — same 10x oracle infeasibility; calibration is measured at sf<=0.1",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",

@@ -1454,8 +1454,95 @@ object DedupQueries {
             ON x.d1 = y.d1 AND x.d2 = y.d2))
       ORDER BY method_a, method_b"""))
 
+  // -- D25: LEAKAGE-FREE eval split — the ML-hygiene step a random
+  //    split gets wrong: hashing DOCS into train/test strands
+  //    near-duplicate pairs across the boundary (the eval set then
+  //    "contains" paraphrases of training data — silent leakage);
+  //    hashing whole near-dup CLUSTERS (q43's components; singletons
+  //    are their own cluster) makes cross-split near-dup pairs
+  //    structurally impossible. Output: both schemes side by side
+  //    with their MEASURED cross-split pair counts — cluster = 0 by
+  //    construction, naive > 0 on this corpus (the leak made
+  //    visible). Split hash reduces ids mod P before the multiplier
+  //    (the q188 overflow discipline).
+  private val SPL_A = 2654435761L
+  private val SPL_B = 998244353L
+  private val q195 = Q(
+    "q195_leakfree_split",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pairs = Dedup.minhashNearDups(t.documents, "doc_id", "text",
+          N, LSHTAU, mh)
+        .select(col("d1"), col("d2")).localCheckpoint(true)
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(pmod(pmod(pmod(c, lit(P)) * lit(SPL_A) + lit(SPL_B), lit(P)),
+          lit(10L)) < 2, "test").otherwise("train")
+      val assigned = t.documents.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep"))
+        .select(col("doc_id"),
+          splitOf(col("rep")).as("s_cluster"),
+          splitOf(col("doc_id")).as("s_naive"))
+        .localCheckpoint(true)
+      def summary(scheme: String, cCol: String) = {
+        val sp = assigned.select(col("doc_id"), col(cCol).as("sp"))
+        val cross = pairs
+          .join(sp.select(col("doc_id").as("d1"), col("sp").as("sp1")),
+            Seq("d1"))
+          .join(sp.select(col("doc_id").as("d2"), col("sp").as("sp2")),
+            Seq("d2"))
+          .filter(col("sp1") =!= col("sp2"))
+        assigned.agg(
+            sum(when(col(cCol) === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col(cCol) === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(
+            cross.agg(count(lit(1)).as("n_cross_pairs"))))
+          .select(lit(scheme).as("scheme"), col("n_train"), col("n_test"),
+            col("n_cross_pairs"))
+      }
+      summary("cluster", "s_cluster").unionByName(summary("naive", "s_naive"))
+        .orderBy(col("scheme"))
+    },
+    Some {
+      def sSql(x: String) =
+        s"CASE WHEN (($x % $P) * $SPL_A + $SPL_B) % $P % 10 < 2" +
+          s" THEN 'test' ELSE 'train' END"
+      def arm(scheme: String, c: String) = s"""
+        SELECT '$scheme' AS scheme,
+          (SELECT count(*) FROM asg WHERE $c = 'train') AS n_train,
+          (SELECT count(*) FROM asg WHERE $c = 'test') AS n_test,
+          (SELECT count(*) FROM pairs2 p
+            JOIN asg a1 ON p.d1 = a1.doc_id
+            JOIN asg a2 ON p.d2 = a2.doc_id
+            WHERE a1.$c != a2.$c) AS n_cross_pairs"""
+      s"""${lshPipelineCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      pairs2 AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      undirected(a, b) AS (
+        SELECT d1, d2 FROM pairs2 UNION SELECT d2, d1 FROM pairs2),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a),
+      asg AS (
+        SELECT d.doc_id,
+          ${sSql("coalesce(l.component, d.doc_id)")} AS s_cluster,
+          ${sSql("d.doc_id")} AS s_naive
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)
+      SELECT * FROM (${arm("cluster", "s_cluster")}
+        UNION ALL ${arm("naive", "s_naive")})
+      ORDER BY scheme"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191)
+      q189, q191, q195)
 }
