@@ -1196,8 +1196,76 @@ object ExtendedRelational {
       FROM bv CROSS JOIN st
       ORDER BY variant"""))
 
+  // -- E25: WILSON lower-bound ranking — confidence-adjusted CTR (the
+  //    "how not to sort by average rating" correction): rank items by
+  //    the Wilson score interval's lower bound at z = 2 instead of
+  //    the raw click rate, so a 2/2 item stops outranking a 180/200
+  //    one. Exactly replayable with zero libm concessions: counts are
+  //    integers, z² = 4 is an integer literal, and sqrt is the ONE
+  //    libm function IEEE 754 requires correctly rounded — the whole
+  //    formula is a fixed-order float program over exact inputs.
+  //    Output carries BOTH ranks; the rows where they differ are the
+  //    small-sample items the correction exists for.
+  private val q196 = Q(
+    "q196_wilson_ranking",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ev = t.events.select(
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"),
+        col("event_type"))
+        .filter(col("event_type").isin("view", "click"))
+      val counts = ev.groupBy(col("item"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("k"))
+      val nD = col("n").cast("double")
+      val phat = col("k").cast("double") / nD
+      val term = (phat * (lit(1.0) - phat) + lit(1.0) / nD) / nD
+      val lb = (phat + lit(2.0) / nD - lit(2.0) * sqrt(term)) /
+        (lit(1.0) + lit(4.0) / nD)
+      val scored = counts.withColumn("wilson_lb", lb)
+        .withColumn("phat", phat)
+      scored
+        .withColumn("rank_wilson", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("wilson_lb").desc, col("item").asc)))
+        .withColumn("rank_naive", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("phat").desc, col("item").asc)))
+        .select(col("item"), col("n"), col("k"),
+          pround(col("phat"), 6).as("phat"),
+          pround(col("wilson_lb"), 6).as("wilson_lb"),
+          col("rank_wilson"), col("rank_naive"))
+        .orderBy(col("rank_wilson"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+          event_type
+        FROM events WHERE event_type IN ('view', 'click')),
+      counts AS (
+        SELECT item, count(*) AS n,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM ev GROUP BY item),
+      scored AS (
+        SELECT item, n, k,
+          CAST(k AS DOUBLE) / n AS phat,
+          (CAST(k AS DOUBLE) / n + 2.0 / n
+            - 2.0 * sqrt(((CAST(k AS DOUBLE) / n)
+                * (1.0 - CAST(k AS DOUBLE) / n) + 1.0 / n) / n))
+          / (1.0 + 4.0 / n) AS wilson_lb
+        FROM counts)
+      SELECT item, n, k,
+        ${proundSql("phat", 6)} AS phat,
+        ${proundSql("wilson_lb", 6)} AS wilson_lb,
+        row_number() OVER (ORDER BY wilson_lb DESC, item ASC)
+          AS rank_wilson,
+        row_number() OVER (ORDER BY phat DESC, item ASC) AS rank_naive
+      FROM scored
+      ORDER BY rank_wilson"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187)
+      q186, q187, q196)
 }

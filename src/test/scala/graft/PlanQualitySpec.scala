@@ -469,7 +469,10 @@ class PlanQualitySpec extends SparkSpec {
       // q192: cumulative sums over the 10-row decile table
       "q192_vocab_growth",
       // q194: rank/prefix windows over the per-SOURCE totals
-      "q194_source_gini")
+      "q194_source_gini",
+      // q196: leaderboard ranks over the per-ITEM totals (item
+      // catalog = bounded dimension, not the event stream)
+      "q196_wilson_ranking")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
