@@ -375,6 +375,79 @@ object CorpusQueries {
       FROM ranked CROSS JOIN g
       ORDER BY rnk"""))
 
+  // -- C22: EMBEDDING DRIFT between corpus versions — the model-ops
+  //    monitor that catches a changed encoder, a bad re-embedding
+  //    batch, or population shift BEFORE retraining on it: per label,
+  //    the squared L2 shift between version centroids (q49's
+  //    6-decimal exact means; fixed-order zip fold, q185's
+  //    machinery). Versions are q138's deterministic views — v2 drops
+  //    every 5th vector and HALVES every 11th (an exact power-of-two
+  //    perturbation, bit-exact in both engines), so the drift the
+  //    mart must detect is planted and closed-form-ish while the
+  //    dataflow is the real one.
+  private val q197 = Q(
+    "q197_embedding_drift",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val v1 = t.embeddings.filter(col("vec_id") % 7 =!= 0)
+      val v2 = t.embeddings.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("label"),
+          when(col("vec_id") % 11 === 0,
+            transform(col("embedding"), x => x * lit(0.5f)))
+            .otherwise(col("embedding")).as("embedding"))
+      def centArr(df: org.apache.spark.sql.DataFrame, nm: String) = df
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < OUT_DIMS)
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("nv"),
+          pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
+            .cast("double") / count(lit(1)), 6).as("mv"))
+        .groupBy(col("label"))
+        .agg(max(col("nv")).as(s"n_$nm"),
+          transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+            st => st.getField("mv")).as(s"c_$nm"))
+      centArr(v1, "v1").join(centArr(v2, "v2"), Seq("label"))
+        .select(col("label"), col("n_v1"), col("n_v2"),
+          pround(aggregate(
+            zip_with(col("c_v1"), col("c_v2"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _), 6).as("shift2"))
+        .orderBy(col("label"))
+    },
+    Some {
+      def centSql(view: String, nm: String) = s"""cent_$nm AS (
+        SELECT label, pos, count(*) AS nv,
+          ${proundSql(
+            "CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)" +
+              " / count(*)", 6)} AS mv
+        FROM (
+          SELECT label, pos, embedding[CAST(pos + 1 AS INT)] AS v
+          FROM $view
+          CROSS JOIN (SELECT unnest(generate_series(0, ${OUT_DIMS - 1}))
+            AS pos))
+        GROUP BY label, pos),
+      arr_$nm AS (
+        SELECT label, max(nv) AS n_$nm, list(mv ORDER BY pos) AS c_$nm
+        FROM cent_$nm GROUP BY label)"""
+      s"""WITH v1 AS (
+        SELECT label, embedding FROM embeddings WHERE vec_id % 7 != 0),
+      v2 AS (
+        SELECT label,
+          CASE WHEN vec_id % 11 = 0
+            THEN list_transform(embedding, x -> x * CAST(0.5 AS FLOAT))
+            ELSE embedding END AS embedding
+        FROM embeddings WHERE vec_id % 5 != 0),
+      ${centSql("v1", "v1")},
+      ${centSql("v2", "v2")}
+      SELECT a.label, a.n_v1, b.n_v2,
+        ${proundSql(
+          """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            | list_transform(list_zip(a.c_v1, b.c_v2),
+            |   p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"""
+            .stripMargin, 6)} AS shift2
+      FROM arr_v1 a JOIN arr_v2 b ON a.label = b.label
+      ORDER BY a.label"""
+    })
+
   // -- C4: value histogram (fixed-width bucketing) ----------------------
   private val BUCKET_W = 60000.0
   private val q51 = Q(
@@ -979,5 +1052,5 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177, q185, q190, q192, q194)
+      q137, q138, q143, q166, q177, q185, q190, q192, q194, q197)
 }
