@@ -93,7 +93,7 @@ object Bench {
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
-    "q197_embedding_drift",
+    "q197_embedding_drift", "q198_flatten_resample",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
     "q187_cuped_experiment",

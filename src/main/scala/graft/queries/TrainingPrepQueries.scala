@@ -975,7 +975,71 @@ object TrainingPrepQueries {
       ORDER BY doc_id, pos"""
     })
 
+  // -- T20: distribution-FLATTENING resample plan — the rebalancer a
+  //    mixture pipeline runs when one source dominates (CCNet/Dolma
+  //    downsample the head): keep each doc with probability
+  //    min_tokens/src_tokens (token-MASS flattening, the quantity a
+  //    mixture actually balances), realized EXACTLY and
+  //    deterministically as the integer predicate
+  //    `hash(doc) mod src_tokens < min_tokens` — a rational
+  //    probability with no RNG and no float (the q55 hash-sampling
+  //    family, rate now DATA-DERIVED per group). The plan is a pure
+  //    function of the corpus; per-source realized keeps concentrate
+  //    tightly around n_min. Hash keys reduce mod P before the
+  //    multiplier (q188 discipline). One tiny counts agg broadcast
+  //    onto the scan; the corpus never shuffles.
+  private val FL_A = 2654435761L
+  private val FL_B = 998244353L
+  private val q198 = Q(
+    "q198_flatten_resample",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val P = TextFns.P
+      val counts = t.documents
+        .select(col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("src_tokens"))
+      val nMin = counts.agg(min(col("src_tokens")).as("min_tokens"))
+      val h = pmod(pmod(col("doc_id"), lit(P)) * lit(FL_A) + lit(FL_B),
+        lit(P))
+      t.documents
+        .join(broadcast(counts), Seq("source"))
+        .crossJoin(broadcast(nMin))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          col("min_tokens"),
+          when(pmod(h, col("src_tokens")) < col("min_tokens"), 1L)
+            .otherwise(0L).as("keep"))
+        .groupBy(col("source"), col("n_docs"), col("src_tokens"),
+          col("min_tokens"))
+        .agg(sum(col("keep")).as("n_kept"))
+        .withColumn("kept_ratio",
+          pround(col("n_kept").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+    Some {
+      val P = TextFns.P
+      s"""WITH counts AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source),
+      nm AS (SELECT min(src_tokens) AS min_tokens FROM counts),
+      marked AS (
+        SELECT d.source, c.n_docs, c.src_tokens, nm.min_tokens,
+          CASE WHEN ((d.doc_id % $P) * $FL_A + $FL_B) % $P % c.src_tokens
+            < nm.min_tokens THEN 1 ELSE 0 END AS keep
+        FROM documents d
+        JOIN counts c ON d.source = c.source
+        CROSS JOIN nm)
+      SELECT source, n_docs, src_tokens, min_tokens,
+        CAST(sum(keep) AS BIGINT) AS n_kept,
+        ${proundSql("CAST(sum(keep) AS DOUBLE) / n_docs", 6)} AS kept_ratio
+      FROM marked
+      GROUP BY source, n_docs, src_tokens, min_tokens
+      ORDER BY source"""
+    })
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188)
+      q121, q162, q172, q173, q179, q188, q198)
 }
