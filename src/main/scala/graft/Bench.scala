@@ -94,6 +94,7 @@ object Bench {
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
     "q197_embedding_drift", "q198_flatten_resample",
+    "q199_pack_boundary_stats",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
     "q187_cuped_experiment",

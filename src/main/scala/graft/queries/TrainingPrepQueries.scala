@@ -1039,7 +1039,69 @@ object TrainingPrepQueries {
       ORDER BY source"""
     })
 
+  // -- T21: packed-sequence BOUNDARY stats — the attention-
+  //    contamination diagnostic for concat packing (q64/q68): how
+  //    many training sequences splice multiple documents together
+  //    (cross-doc attention leaks context unless the trainer masks
+  //    at boundaries), how many documents the worst sequence
+  //    splices, and what fraction of sequences are single-doc (no
+  //    mask needed). One rollup over q68's segment map — integers
+  //    until two exactly-rounded ratios.
+  private val q199 = Q(
+    "q199_pack_boundary_stats",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      val perSeq = TrainingPrep.packSegments(toks, "doc_id", "n_tokens",
+          seqLen = SEQ_LEN, bucketWidth = BUCKET)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs_in_seq"))
+      perSeq.agg(
+          count(lit(1)).as("n_seqs"),
+          sum(when(col("n_docs_in_seq") > 1, 1L).otherwise(0L))
+            .as("n_multi_doc"),
+          max(col("n_docs_in_seq")).as("max_docs_in_seq"),
+          sum(col("n_docs_in_seq")).as("sum_docs"))
+        .select(col("n_seqs"), col("n_multi_doc"), col("max_docs_in_seq"),
+          pround(col("n_multi_doc").cast("double") / col("n_seqs"), 6)
+            .as("multi_frac"),
+          pround(col("sum_docs").cast("double") / col("n_seqs"), 6)
+            .as("mean_docs_per_seq"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      offs AS (
+        SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS doc_offset
+        FROM toks),
+      spans AS (
+        SELECT doc_id, doc_offset,
+          CAST(floor(doc_offset / ${SEQ_LEN}.0) AS BIGINT) AS first_seq,
+          CAST(floor((doc_offset + greatest(n_tokens, 1) - 1) / ${SEQ_LEN}.0)
+            AS BIGINT) AS last_seq
+        FROM offs),
+      per_seq AS (
+        SELECT seq_id, count(*) AS n_docs_in_seq FROM (
+          SELECT doc_id, unnest(generate_series(first_seq, last_seq))
+            AS seq_id
+          FROM spans)
+        GROUP BY seq_id)
+      SELECT count(*) AS n_seqs,
+        CAST(sum(CASE WHEN n_docs_in_seq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_multi_doc,
+        CAST(max(n_docs_in_seq) AS BIGINT) AS max_docs_in_seq,
+        ${proundSql(
+          "CAST(sum(CASE WHEN n_docs_in_seq > 1 THEN 1 ELSE 0 END)" +
+            " AS DOUBLE) / count(*)", 6)} AS multi_frac,
+        ${proundSql("CAST(sum(n_docs_in_seq) AS DOUBLE) / count(*)", 6)}
+          AS mean_docs_per_seq
+      FROM per_seq"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188, q198)
+      q121, q162, q172, q173, q179, q188, q198, q199)
 }
