@@ -472,7 +472,10 @@ class PlanQualitySpec extends SparkSpec {
       "q194_source_gini",
       // q196: leaderboard ranks over the per-ITEM totals (item
       // catalog = bounded dimension, not the event stream)
-      "q196_wilson_ranking")
+      "q196_wilson_ranking",
+      // q199: q68's segment map (packOffsets' bucket-total prefix
+      // window) under a rollup
+      "q199_pack_boundary_stats")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
