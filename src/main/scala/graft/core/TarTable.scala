@@ -107,7 +107,16 @@ object TarTable {
     members.select(
         regexp_extract(col("member_name"), "^(.*)\\.([^.]*)$", 1).as("key"),
         regexp_extract(col("member_name"), "^(.*)\\.([^.]*)$", 2).as("ext"),
-        col("payload"))
+        col("payload"),
+        // duplicate member names are legal tar (later entries override
+        // on extract); parser order is partition-local row order, so a
+        // partition-local sequence lets a last-wins reduce drop the
+        // shadowed payloads BEFORE map assembly — without it,
+        // map_from_entries throws under mapKeyDedupPolicy=EXCEPTION
+        // and one untrusted shard fails the job
+        monotonically_increasing_id().as("__seq"))
+      .groupBy(col("key"), col("ext"))
+      .agg(max_by(col("payload"), col("__seq")).as("payload"))
       .groupBy(col("key"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("ext"), col("payload"))))).as("parts"))

@@ -241,12 +241,28 @@ object VideoMp4 {
       val runs = Array.tabulate(nRuns)(i => (
         rdBe32(b, scS + 8 + 12 * i).toInt,      // first_chunk (1-based)
         rdBe32(b, scS + 12 + 12 * i).toInt))    // samples_per_chunk
+      // a run with samples_per_chunk <= 0 never advances the sample
+      // cursor, and non-increasing first_chunk wraps `chunk` through
+      // Int overflow — either makes the expansion below spin forever
+      // on crafted input, so reject up front
+      if (runs.exists(_._2 <= 0)) return null
+      if (runs.headOption.exists(_._1 < 1)) return null
+      var rv = 0
+      while (rv + 1 < nRuns) {
+        if (runs(rv + 1)._1 <= runs(rv)._1) return null
+        rv += 1
+      }
       // expand stsc runs: sample index -> (chunk, index within chunk)
       val loc = new Array[(Int, Int)](nSamples)
       var s = 0
       var run = 0
       var chunk = runs.headOption.map(_._1).getOrElse(return null)
+      // backstop: each outer iteration consumes a chunk; more chunk
+      // visits than samples + declared chunks means the tables lie
+      var outerLeft = nSamples.toLong + nChunks + 1
       while (s < nSamples) {
+        if (outerLeft <= 0) return null
+        outerLeft -= 1
         val spc = runs(run)._2
         val runEnds = if (run + 1 < nRuns) runs(run + 1)._1 else Int.MaxValue
         var k = 0

@@ -115,7 +115,16 @@ object DatasetPipeline {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("p").cast("int").as("p"),
         col("ref").cast("long").as("ref")))).as("marks"))
-    val enc = BpeTrainer.bpeEncodeIds(corpus, "doc_id", "text", merges, vocab)
+    // bpeEncodeIds posexplode emits no rows for a doc with zero text
+    // tokens, so left-join the encodings back onto the full corpus: an
+    // image-only / whitespace-text doc must still reach the interleave
+    // (as an empty id array) or its placeholders silently vanish from
+    // both sequences and image_align
+    val encRaw = BpeTrainer.bpeEncodeIds(corpus, "doc_id", "text", merges, vocab)
+    val enc = corpus.select(col("doc_id"))
+      .join(encRaw, Seq("doc_id"), "left")
+      .withColumn("ids", coalesce(col("ids"),
+        array().cast(encRaw.schema("ids").dataType)))
       .join(marks, Seq("doc_id"), "left")
       .withColumn("marks", coalesce(col("marks"),
         array().cast("array<struct<p:int,ref:bigint>>")))

@@ -46,6 +46,22 @@ object Forget {
   final case class EraseResult(dir: String, filesRewritten: Int,
       filesDeleted: Int, rowsErased: Long)
 
+  // a rewritten file is named fgen<N>_<base>; an untouched original is
+  // bare <base> (generation 0). Base and generation are recoverable
+  // from the name alone, which is what makes the swap crash recovery
+  // below deterministic.
+  private val FgenName = "^fgen(\\d+)_(.*)$".r
+
+  private[pipeline] def forgetGen(name: String): Int = name match {
+    case FgenName(n, _) => n.toInt
+    case _ => 0
+  }
+
+  private[pipeline] def forgetBase(name: String): String = name match {
+    case FgenName(_, b) => b
+    case _ => name
+  }
+
   /** Erase every row of the parquet append-dir `dir` whose value in
     * ANY of `idCols` is in `ids`, rewriting only the files that
     * contain such rows. No-op (Nil result) if the dir doesn't exist.
@@ -56,6 +72,20 @@ object Forget {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root) || ids.isEmpty)
       return EraseResult(dir, 0, 0, 0L)
+    // crash recovery for interrupted swaps (below): a replacement is
+    // promoted to a VISIBLE name fgen<N+1>_<base> before its
+    // predecessor (fgen<N>_<base> or bare <base>) is deleted, so a
+    // crash between the two leaves both copies readable. Here, before
+    // any read, keep only the highest generation per base name.
+    // Leftover dot-prefixed tmp dirs (crash before rename) are just
+    // deleted: the predecessor is still intact in that case.
+    val byBase = fs.listStatus(root).map(_.getPath).flatMap { p =>
+      if (p.getName.startsWith(".forget_tmp_")) { fs.delete(p, true); None }
+      else Some((forgetBase(p.getName), forgetGen(p.getName), p))
+    }.groupBy(_._1)
+    byBase.values.filter(_.length > 1).foreach { vs =>
+      vs.sortBy(-_._2).drop(1).foreach(v => fs.delete(v._3, false))
+    }
     // the id batch is bounded (deletion requests are batched), so it
     // folds into scan-stage IN predicates — pushed to the parquet
     // reader, no join
@@ -89,8 +119,16 @@ object Forget {
         val part = fs.listStatus(tmp).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file written under $tmp"))
+        // crash-safe swap: promote the replacement to a VISIBLE
+        // next-generation name first, delete the predecessor after. A
+        // crash between the two leaves both copies readable (kept rows
+        // never lost), and the recovery pass at the top of this method
+        // finishes the delete on the next run.
+        val dest = new Path(root,
+          s"fgen${forgetGen(filePath.getName) + 1}_${forgetBase(filePath.getName)}")
+        fs.delete(dest, false)
+        fs.rename(part, dest)
         fs.delete(filePath, false)
-        fs.rename(part, filePath)
         fs.delete(tmp, true)
         rewritten += 1
       }

@@ -125,4 +125,21 @@ class TarSpec extends SparkSpec {
     Files.write(Paths.get(dir, "bad.tar"), garbled)
     assert(TarTable.read(spark, dir).count() === 0)
   }
+
+  test("duplicate member names: samples keeps the last, never throws") {
+    // legal tar: a later member with the same name overrides on
+    // extract. Pre-fix this threw MAP_KEY_DUPLICATE under Spark's
+    // default mapKeyDedupPolicy=EXCEPTION.
+    val (_, members) = writeReadBack(Seq(
+      "9.txt" -> "first".getBytes("UTF-8"),
+      "9.json" -> """{"k":9}""".getBytes("UTF-8"),
+      "9.txt" -> "second".getBytes("UTF-8"),
+      "9.txt" -> "third".getBytes("UTF-8")))
+    assert(members.count() === 4) // read surface keeps every member
+    val got = TarTable.samples(members).collect()
+      .map(r => r.getAs[String]("key") ->
+        r.getAs[Map[String, Array[Byte]]]("parts").view
+          .mapValues(new String(_, "UTF-8")).toMap).toMap
+    assert(got === Map("9" -> Map("txt" -> "third", "json" -> """{"k":9}""")))
+  }
 }

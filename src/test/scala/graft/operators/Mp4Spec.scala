@@ -65,4 +65,33 @@ class Mp4Spec extends SparkSpec {
     System.arraycopy("avc1".getBytes("US-ASCII"), 0, s, at, 4)
     assert(VideoMp4.mp4Decode(s, 1) === null)
   }
+
+  test("crafted stsc tables null out instead of spinning the expansion") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def patched(base: Array[Byte], entryOff: Int, v: Long): Array[Byte] = {
+      val b = base.clone()
+      val pat = "stsc".getBytes("US-ASCII")
+      val at = b.indices.find(i => i + 4 <= b.length &&
+        b.slice(i, i + 4).sameElements(pat)).get
+      // content = version/flags(4) count(4) then 12-byte entries
+      System.arraycopy(be32(v), 0, b, at + 4 + 8 + entryOff, 4)
+      b
+    }
+    // one run, samples_per_chunk = 0: the sample cursor never advances
+    val single = VideoMp4.mp4Encode(4, 2, 3, 10, px)
+    assert(VideoMp4.mp4Decode(patched(single, 4, 0L), 1) === null)
+    // two runs (spc=3 then ragged): zero out BOTH spc fields and pin
+    // run 2's first_chunk at Int.MaxValue — pre-fix, `chunk` wraps
+    // through Int overflow while `run` stays on the last run
+    val multi = VideoMp4.mp4Encode(4, 2, 10, 10, px, samplesPerChunk = 3)
+    val bomb = patched(patched(patched(multi, 4, 0L), 16, 0L),
+      12, Int.MaxValue.toLong)
+    assert(VideoMp4.mp4Decode(bomb, 1) === null)
+    // non-increasing first_chunk with positive spc also nulls
+    assert(VideoMp4.mp4Decode(patched(multi, 12, 1L), 1) === null)
+    // and the untouched two-run encode still decodes (guards are not
+    // over-eager)
+    assert(VideoMp4.mp4Decode(multi, 1) != null)
+  }
 }

@@ -76,4 +76,43 @@ class DatasetPipelineSpec extends SparkSpec {
       .head.getLong(0)
     assert(seqs.values.map(_.size).sum === textTokens + 3)
   }
+
+  test("packMultimodalSequences: image-only / whitespace docs keep their placeholders") {
+    // pre-fix, a doc whose BPE id array is empty vanished before the
+    // marks join, silently dropping its images from both tables
+    val tmp = Files.createTempDirectory("mm_pack_empty")
+    val corpusDir = tmp.resolve("corpus").toString
+    val imagesDir = tmp.resolve("images").toString
+    val outDir = tmp.resolve("out").toString
+    Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "   ", // whitespace-only: zero text tokens
+      3L -> "")    // fully empty, image-only doc
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    Seq((2L, 0, 201L), (3L, 0, 301L), (3L, 0, 302L))
+      .toDF("doc_id", "p", "ref").write.parquet(imagesDir)
+    val merges = BpeTrainer.demoMerges
+    val (nSeqs, nAligned) = DatasetPipeline.packMultimodalSequences(
+      spark, corpusDir, imagesDir, outDir, seed = 11L, numShards = 2,
+      seqLen = 8, merges = merges)
+    assert(nAligned === 3L,
+      "empty-text docs must still contribute their placeholders")
+    assert(nSeqs >= 1L)
+    val vocabSize = BpeTrainer.vocabTable(
+      spark.read.parquet(corpusDir), "text", merges).count()
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+      .collect().map(r => r.getLong(r.fieldIndex("seq_id")) ->
+        r.getSeq[Long](r.fieldIndex("ids")).toSeq).toMap
+    val align = spark.read.parquet(s"$outDir/image_align")
+      .select("media_ref", "seq_id", "pos_in_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(align.map(_._1).toSet === Set(201L, 301L, 302L))
+    align.foreach { case (ref, seqId, pos) =>
+      assert(seqs(seqId)(pos) === vocabSize, s"ref $ref misaligned")
+    }
+    val textTokens = spark.read.parquet(corpusDir)
+      .agg(sum(BpeTrainer.bpeTokenCount(col("text"), merges)))
+      .head.getLong(0)
+    assert(seqs.values.map(_.size).sum === textTokens + 3)
+  }
 }

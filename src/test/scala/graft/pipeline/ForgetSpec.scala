@@ -117,4 +117,50 @@ class ForgetSpec extends SparkSpec {
     assert(again.forall(r => r.filesRewritten == 0 && r.filesDeleted == 0
       && r.rowsErased == 0L))
   }
+
+  private def onePartFile(rows: Seq[(Long, String)], dest: JPath): Unit = {
+    val stage = Files.createTempDirectory("forget_stage").toString
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dest)
+  }
+
+  test("eraseFromDir swap is crash-safe: interrupted swaps recover, kept rows never lost") {
+    // crash AFTER promote, BEFORE delete: both the superseded original
+    // and its fgen1 replacement are on disk — recovery must drop the
+    // original (higher generation wins), not double-count doc 2
+    val d1 = Files.createTempDirectory("forget_crash1")
+    onePartFile(Seq(1L -> "gone", 2L -> "kept"), d1.resolve("x.parquet"))
+    onePartFile(Seq(2L -> "kept"), d1.resolve("fgen1_x.parquet"))
+    val r1 = Forget.eraseFromDir(spark, d1.toString, Seq("doc_id"), Seq(99L))
+    assert(r1.rowsErased === 0L && r1.filesRewritten === 0)
+    assert(!Files.exists(d1.resolve("x.parquet")))
+    assert(spark.read.parquet(d1.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(2L -> "kept"))
+
+    // crash BEFORE promote: a leftover dot-tmp dir and the intact
+    // original — recovery deletes the tmp, the erase then completes
+    val d2 = Files.createTempDirectory("forget_crash2")
+    onePartFile(Seq(1L -> "gone", 2L -> "kept", 3L -> "kept too"),
+      d2.resolve("x.parquet"))
+    val tmpDir = Files.createDirectories(d2.resolve(".forget_tmp_x.parquet"))
+    Files.write(tmpDir.resolve("junk"), Array[Byte](1, 2, 3))
+    val r2 = Forget.eraseFromDir(spark, d2.toString, Seq("doc_id"), Seq(1L))
+    assert(r2.rowsErased === 1L && r2.filesRewritten === 1)
+    assert(!Files.exists(tmpDir) && !Files.exists(d2.resolve("x.parquet")))
+    assert(Files.exists(d2.resolve("fgen1_x.parquet")))
+    assert(spark.read.parquet(d2.toString).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+
+    // generations stack: a second erase of the same file promotes
+    // fgen1 -> fgen2 (deterministic names, never growing prefixes)
+    val r3 = Forget.eraseFromDir(spark, d2.toString, Seq("doc_id"), Seq(2L))
+    assert(r3.rowsErased === 1L && r3.filesRewritten === 1)
+    assert(Files.exists(d2.resolve("fgen2_x.parquet")) &&
+      !Files.exists(d2.resolve("fgen1_x.parquet")))
+    assert(spark.read.parquet(d2.toString).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+  }
 }
