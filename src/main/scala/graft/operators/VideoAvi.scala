@@ -4,24 +4,33 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Uncompressed-AVI (RIFF) video container codec — the video half of
-  * the multimodal surface next to [[Jpeg]] and [[Multimodal]]'s
+/** AVI (RIFF) video container codec — the video half of the
+  * multimodal surface next to [[Jpeg]] and [[Multimodal]]'s
   * PNG/BMP/WAV: a training pipeline treats video as "container →
   * sampled frames → the image path", and THIS operator is that first
   * hop, pure JVM (RIFF chunk walk, BITMAPINFOHEADER validation,
   * bottom-up padded-row BGR frame extraction — the same DIB layout as
-  * the BMP codec). COMPRESSED codecs (H.264 etc.) still need a codec
-  * library; the per-partition decode loop here is where one drops in,
-  * and `biCompression != 0` inputs are rejected to null rather than
-  * misread (the [[Multimodal.pngDecode]] corrupt-input contract).
+  * the BMP codec). Two stream formats decode: uncompressed BI_RGB
+  * 24bpp DIB frames, and MJPEG ('MJPG' biCompression — each '00dc'
+  * chunk a complete JFIF stream handed to the in-repo baseline
+  * [[Jpeg]] decoder). Other compressed codecs (H.264 etc.) still need
+  * a codec library; the per-frame decode dispatch here is where one
+  * drops in, and any other `biCompression` is rejected to null rather
+  * than misread (the [[Multimodal.pngDecode]] corrupt-input contract).
   *
   * Scale shape: decode is row-parallel and stride sampling happens
   * INSIDE the decode loop — unsampled frames are skipped by seeking
-  * (chunk sizes), never materialized, so per-row memory is
-  * O(sampled frames), the property that matters when a row is a
-  * multi-GB clip and the pipeline wants 1 frame per second of it.
+  * (chunk sizes), never materialized or (for MJPEG) entropy-decoded,
+  * so per-row memory is O(sampled frames), the property that matters
+  * when a row is a multi-GB clip and the pipeline wants 1 frame per
+  * second of it.
   */
 object VideoAvi {
+
+  /** 'MJPG' fourcc as the little-endian BITMAPINFOHEADER
+    * biCompression int.
+    */
+  val MJPG: Int = 0x47504A4D
 
   /** Decoded clip: frames as top-down interleaved RGB. */
   final case class AviClip(width: Int, height: Int, nFrames: Int,
@@ -52,6 +61,42 @@ object VideoAvi {
       pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rb = rowBytes(width)
     val frameSize = rb * height
+    val payloads = (0 until nFrames).map { f =>
+      val data = new Array[Byte](frameSize)
+      var y = 0
+      while (y < height) {
+        val srcY = height - 1 - y // bottom-up storage
+        var x = 0
+        while (x < width) {
+          val (r, g, bl) = pixel(f, x, srcY)
+          val o = y * rb + x * 3
+          data(o) = bl.toByte; data(o + 1) = g.toByte; data(o + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      data
+    }
+    assembleAvi(width, height, "DIB ", 0, "00db", payloads)
+  }
+
+  /** Encode an MJPEG AVI: the same RIFF skeleton as [[aviEncode]],
+    * but 'MJPG' handler/biCompression and each frame a '00dc' chunk
+    * holding a complete baseline JFIF stream (the MJPEG-in-AVI
+    * convention — no inter-frame state, every frame independently
+    * decodable, which is exactly what makes stride seek-skipping
+    * possible on the decode side).
+    */
+  def aviEncodeMjpeg(width: Int, height: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] =
+    assembleAvi(width, height, "MJPG", MJPG, "00dc", jpegFrames)
+
+  private def assembleAvi(width: Int, height: Int, handler: String,
+      biCompression: Int, chunkId: String,
+      framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = framePayloads.length
+    val frameSize =
+      if (framePayloads.isEmpty) 0 else framePayloads.map(_.length).max
     val out = new java.io.ByteArrayOutputStream()
     def w(b: Array[Byte]): Unit = out.write(b)
     def cc(s: String): Unit = w(s.getBytes("US-ASCII"))
@@ -60,14 +105,14 @@ object VideoAvi {
       val b = new java.io.ByteArrayOutputStream()
       b.write(le32(40)); b.write(le32(width)); b.write(le32(height))
       b.write(le16(1)); b.write(le16(24)) // planes, bpp
-      b.write(le32(0)) // BI_RGB
+      b.write(le32(biCompression))
       b.write(le32(frameSize))
       b.write(le32(0)); b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
       b.toByteArray
     }
     val strh = {
       val b = new java.io.ByteArrayOutputStream()
-      b.write("vids".getBytes); b.write("DIB ".getBytes)
+      b.write("vids".getBytes); b.write(handler.getBytes)
       b.write(le32(0)); b.write(le16(0)); b.write(le16(0)) // flags, prio, lang
       b.write(le32(0)) // initial frames
       b.write(le32(1)); b.write(le32(25)) // scale, rate (25 fps)
@@ -101,22 +146,7 @@ object VideoAvi {
     val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
     val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
     val moviPayload = new java.io.ByteArrayOutputStream()
-    for (f <- 0 until nFrames) {
-      val data = new Array[Byte](frameSize)
-      var y = 0
-      while (y < height) {
-        val srcY = height - 1 - y // bottom-up storage
-        var x = 0
-        while (x < width) {
-          val (r, g, bl) = pixel(f, x, srcY)
-          val o = y * rb + x * 3
-          data(o) = bl.toByte; data(o + 1) = g.toByte; data(o + 2) = r.toByte
-          x += 1
-        }
-        y += 1
-      }
-      moviPayload.write(chunk("00db", data))
-    }
+    framePayloads.foreach(p => moviPayload.write(chunk(chunkId, p)))
     val movi = list("movi", moviPayload.toByteArray)
     val body = hdrl ++ movi
     cc("RIFF"); w(le32(4 + body.length)); cc("AVI ")
@@ -125,10 +155,12 @@ object VideoAvi {
   }
 
   /** Decode frames `f` with `f % stride == 0` (stride 1 = all).
-    * Null on corrupt/unsupported input: bad RIFF/AVI magic, missing
-    * headers, compressed streams (biCompression != 0), non-24bpp,
-    * truncated movi data, or frame-size mismatch. Unsampled frames
-    * are SKIPPED by chunk-size seek, never copied.
+    * Handles BI_RGB DIB and 'MJPG' streams. Null on
+    * corrupt/unsupported input: bad RIFF/AVI magic, missing headers,
+    * any other biCompression, non-24bpp, truncated movi data,
+    * frame-size mismatch, or an MJPEG frame that fails JPEG decode or
+    * disagrees with the declared stream dims. Unsampled frames are
+    * SKIPPED by chunk-size seek, never copied or entropy-decoded.
     */
   def aviDecode(bytes: Array[Byte], stride: Int = 1): AviClip = {
     try decodeOrThrow(bytes, stride)
@@ -161,7 +193,7 @@ object VideoAvi {
           bpp = rdLe16(b, p + 8 + 14)
           compression = rdLe32(b, p + 8 + 16)
         } else if (id == "00db" || id == "00dc") {
-          if (compression != 0 || bpp != 24)
+          if ((compression != 0 && compression != MJPG) || bpp != 24)
             throw new IllegalArgumentException("unsupported stream format")
           // decompression-bomb guard: strf carries full 32-bit dims —
           // cap pixels before any dim-driven allocation (an OOM is an
@@ -171,24 +203,37 @@ object VideoAvi {
               width.toLong * height > (1L << 26))
             throw new IllegalArgumentException("implausible dimensions")
           if (frameIdx % stride == 0) {
-            val rb2 = rowBytes(width)
-            if (sz != rb2 * height)
-              throw new IllegalArgumentException("frame size mismatch")
-            val px = new Array[Byte](width * height * 3)
-            var y = 0
-            while (y < height) {
-              val srcRow = p + 8 + (height - 1 - y) * rb2 // un-flip
-              var x = 0
-              while (x < width) {
-                val o = (y * width + x) * 3
-                px(o) = b(srcRow + x * 3 + 2)     // R
-                px(o + 1) = b(srcRow + x * 3 + 1) // G
-                px(o + 2) = b(srcRow + x * 3)     // B
-                x += 1
+            if (compression == MJPG) {
+              // MJPEG: the chunk is a complete JFIF stream; decode
+              // with the in-repo baseline codec and pin the frame to
+              // the declared stream dims — a frame that decodes to
+              // different dims (or grayscale) is a lying container
+              val img = Jpeg.jpegDecode(
+                java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz))
+              if (img == null || img.channels != 3 ||
+                  img.width != width || img.height != height)
+                throw new IllegalArgumentException("bad MJPEG frame")
+              frames += img.pixels
+            } else {
+              val rb2 = rowBytes(width)
+              if (sz != rb2 * height)
+                throw new IllegalArgumentException("frame size mismatch")
+              val px = new Array[Byte](width * height * 3)
+              var y = 0
+              while (y < height) {
+                val srcRow = p + 8 + (height - 1 - y) * rb2 // un-flip
+                var x = 0
+                while (x < width) {
+                  val o = (y * width + x) * 3
+                  px(o) = b(srcRow + x * 3 + 2)     // R
+                  px(o + 1) = b(srcRow + x * 3 + 1) // G
+                  px(o + 2) = b(srcRow + x * 3)     // B
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              frames += px
             }
-            frames += px
           }
           frameIdx += 1
         }
@@ -196,7 +241,8 @@ object VideoAvi {
       }
     }
     walk(12, b.length)
-    if (width <= 0 || height <= 0 || compression != 0 || bpp != 24)
+    if (width <= 0 || height <= 0 ||
+      (compression != 0 && compression != MJPG) || bpp != 24)
       return null
     if (declaredFrames >= 0 && frameIdx != declaredFrames)
       throw new IllegalArgumentException("frame count mismatch")

@@ -848,6 +848,88 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
+  // -- q200: MJPEG-in-AVI compressed video decode, oracle-gated -------
+  // q119's container walk meets q118's entropy decode: each doc
+  // synthesizes an AVI whose stream is 'MJPG' biCompression and whose
+  // 3 + doc_id%3 '00dc' chunks each hold a complete 16x16 baseline
+  // JFIF (4:4:4, flat Q=8, DC-only blocks — the integer-exact IDCT
+  // regime) with doc_id- AND frame-derived coefficients. Spark must
+  // walk RIFF, dispatch each SAMPLED chunk (stride 2 — unsampled
+  // frames are seek-skipped, never huffman-decoded) through the full
+  // baseline JPEG path, and report the q119 frame-stats row; the
+  // oracle mirrors the JFIF YCbCr→RGB literals per sampled frame.
+  // A wrong chunk walk, stride index, DC prediction chain, or color
+  // convert diverges.
+  private val MJW = 16
+  private val MJH = 16
+  private val MJSTRIDE = 2
+  private val q200 = Q(
+    "q200_mjpeg_frames",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val flat8 = Array.fill(64)(8)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val n = (3 + d % 3).toInt
+            def dcOnly(dc: Int) = { val a = new Array[Int](64); a(0) = dc; a }
+            val frames = (0 until n).map(f =>
+              graft.operators.Jpeg.jpegEncode(MJW, MJH,
+                Seq((1, 1), (1, 1), (1, 1)), Seq(flat8, flat8, flat8),
+                (c, by, bx) => dcOnly(c match {
+                  case 0 => ((d * 5 + f * 31 + bx * 7 + by * 11) % 200).toInt - 100
+                  case 1 => ((d * 3 + f * 13 + bx + 2 * by) % 100).toInt - 50
+                  case _ => ((d * 7 + f * 19 + 2 * bx + by) % 100).toInt - 50
+                })))
+            Row(d, graft.operators.VideoAvi.aviEncodeMjpeg(MJW, MJH, frames),
+              "video/avi")
+          }
+        }(mediaEnc)
+      graft.operators.VideoAvi.videoFeatures(media, MJSTRIDE)
+        .orderBy(col("media_id"))
+    },
+    Some {
+      def yv(f: String, bx: String, by: String) =
+        s"(128 + (doc_id*5 + ($f)*31 + ($bx)*7 + ($by)*11) % 200 - 100)"
+      def cb(f: String, bx: String, by: String) =
+        s"((doc_id*3 + ($f)*13 + ($bx) + 2*($by)) % 100 - 50)"
+      def cr(f: String, bx: String, by: String) =
+        s"((doc_id*7 + ($f)*19 + 2*($bx) + ($by)) % 100 - 50)"
+      def ch(e: String) =
+        s"LEAST(255, GREATEST(0, CAST(FLOOR($e + 0.5) AS BIGINT)))"
+      def r(f: String, bx: String, by: String) =
+        ch(s"${yv(f, bx, by)} + 1.402*${cr(f, bx, by)}")
+      def g(f: String, bx: String, by: String) =
+        ch(s"${yv(f, bx, by)} - 0.344136*${cb(f, bx, by)} - 0.714136*${cr(f, bx, by)}")
+      def b(f: String, bx: String, by: String) =
+        ch(s"${yv(f, bx, by)} + 1.772*${cb(f, bx, by)}")
+      // last sampled frame: largest multiple of MJSTRIDE < n
+      val fL = s"($MJSTRIDE * ((3 + doc_id % 3 - 1) // $MJSTRIDE))"
+      s"""SELECT doc_id AS media_id,
+        CAST($MJW AS INT) AS width, CAST($MJH AS INT) AS height,
+        CAST(3 + doc_id % 3 AS INT) AS n_frames,
+        CAST((3 + doc_id % 3 + ${MJSTRIDE - 1}) // $MJSTRIDE AS INT)
+          AS n_sampled,
+        CAST(${r("0", "0", "0")} AS INT) AS f_first_r,
+        CAST(${g("0", "0", "0")} AS INT) AS f_first_g,
+        CAST(${b("0", "0", "0")} AS INT) AS f_first_b,
+        CAST(${r(fL, "1", "1")} AS INT) AS l_last_r,
+        CAST(${g(fL, "1", "1")} AS INT) AS l_last_g,
+        CAST(${b(fL, "1", "1")} AS INT) AS l_last_b,
+        (SELECT CAST(64 * SUM(CASE
+            WHEN f % $MJSTRIDE = 0 AND f < 3 + doc_id % 3
+            THEN ${r("f", "x", "y")} + ${g("f", "x", "y")}
+               + ${b("f", "x", "y")}
+            ELSE 0 END) AS BIGINT)
+         FROM range(0, 5) tf(f), range(0, 2) tx(x), range(0, 2) ty(y))
+          AS pix_sum
+      FROM documents
+      ORDER BY media_id"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174)
+    q152, q155, q156, q174, q200)
 }

@@ -26,6 +26,10 @@ class CodecFuzzSpec extends SparkSpec {
       0x00ff00), Seq((Array.tabulate(16)(_ % 4), false)))
     val avi = VideoAvi.aviEncode(4, 2, 2,
       (f, x, y) => (f * 50 % 256, x * 80 % 256, y * 90 % 256))
+    val aviMjpeg = VideoAvi.aviEncodeMjpeg(8, 8, (0 until 2).map(f =>
+      Jpeg.jpegEncode(8, 8, Seq((1, 1), (1, 1), (1, 1)),
+        Seq(Array.fill(64)(8), Array.fill(64)(8), Array.fill(64)(8)),
+        (c, _, _) => { val a = new Array[Int](64); a(0) = c + f; a })))
     val mp4 = VideoMp4.mp4Encode(4, 2, 3, 10,
       (f, x, y) => (f * 50 % 256, x * 80 % 256, y * 90 % 256))
     Seq(
@@ -35,6 +39,7 @@ class CodecFuzzSpec extends SparkSpec {
       ("jpeg_progressive", jpgP, b => Jpeg.jpegDecode(b)),
       ("gif", gif, b => Gif.gifDecode(b)),
       ("avi", avi, b => VideoAvi.aviDecode(b, 1)),
+      ("avi_mjpeg", aviMjpeg, b => VideoAvi.aviDecode(b, 1)),
       ("mp4", mp4, b => VideoMp4.mp4Decode(b, 1)),
       ("wav_header", avi, b => Multimodal.wavSamples(b)),
       ("header", png, b => Multimodal.decodeHeader(b)))
