@@ -1344,8 +1344,113 @@ object TextAnalysis {
       ORDER BY round"""
     })
 
+  // -- T24: unigram-LM (SentencePiece-style) tokenizer training
+  //    (operators.UnigramLm) — the THIRD tokenizer family next to BPE
+  //    (q107) and WordPiece (q164): Viterbi-EM over the word
+  //    dictionary with integer bit costs (zero floats in the model —
+  //    the q183 discipline). The oracle replays both EM rounds: seed
+  //    substring counts, then per round a RECURSIVE-CTE Viterbi whose
+  //    rows carry the last-4-position DP window (cost, piece count,
+  //    best segmentation list) and pick each step's lexicographic
+  //    (cost, np, -len) minimum via list_sort over candidate structs —
+  //    the exact tie order the Catalyst fold applies. Prune/floor/
+  //    recost are plain SQL. A wrong cost quantization, tie order, DP
+  //    window shift, or prune boundary diverges.
+  private val ULM_SEED = 60
+  private val ULM_KEEP = 40
+  private val q201 = Q(
+    "q201_unigram_lm",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.UnigramLm.train(t.documents, "text",
+        maxPieceLen = 4, seedMulti = ULM_SEED, keepMulti = ULM_KEEP,
+        rounds = 2)
+    },
+    Some {
+      // one Viterbi pass: recursive DP over character positions, the
+      // per-row state a 4-wide window of (cost, npieces, segmentation)
+      def dpSql(vocab: String) = s"""
+      WITH RECURSIVE dp AS (
+        SELECT w, freq, 0 AS j,
+          0 AS c0, NULL::INT AS c1, NULL::INT AS c2, NULL::INT AS c3,
+          0 AS n0, NULL::INT AS n1, NULL::INT AS n2, NULL::INT AS n3,
+          CAST([] AS VARCHAR[]) AS s0, NULL::VARCHAR[] AS s1,
+          NULL::VARCHAR[] AS s2, NULL::VARCHAR[] AS s3
+        FROM words
+        UNION ALL
+        SELECT w, freq, j + 1, best.c, c0, c1, c2,
+          best.np, n0, n1, n2, best.s, s0, s1, s2
+        FROM (
+          SELECT dp.*, list_sort(list_filter([
+            struct_pack(c := c0 + v1.cost, np := n0 + 1, nl := -1,
+              s := list_append(s0, substr(w, j + 1, 1))),
+            struct_pack(c := c1 + v2.cost, np := n1 + 1, nl := -2,
+              s := list_append(s1, substr(w, j, 2))),
+            struct_pack(c := c2 + v3.cost, np := n2 + 1, nl := -3,
+              s := list_append(s2, substr(w, j - 1, 3))),
+            struct_pack(c := c3 + v4.cost, np := n3 + 1, nl := -4,
+              s := list_append(s3, substr(w, j - 2, 4)))
+          ], x -> x.c IS NOT NULL))[1] AS best
+          FROM dp
+          LEFT JOIN $vocab v1 ON v1.piece = substr(w, j + 1, 1)
+          LEFT JOIN $vocab v2 ON v2.piece = substr(w, j, 2)
+          LEFT JOIN $vocab v3 ON v3.piece = substr(w, j - 1, 3)
+          LEFT JOIN $vocab v4 ON v4.piece = substr(w, j - 2, 4)
+          WHERE j < len(w)))
+      SELECT freq, s0 AS pieces FROM dp WHERE j = len(w)"""
+      def costSql(union: String) =
+        s"CAST(length(bin(CAST((SELECT sum(cnt) FROM $union) AS BIGINT) // cnt)) AS INT)"
+      s"""WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      subs AS MATERIALIZED (
+        SELECT substr(w, p, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS p
+              FROM words), range(1, 5) tl(l)
+        WHERE p + l - 1 <= len(w)
+        GROUP BY 1),
+      v0u AS MATERIALIZED (
+        SELECT piece, cnt FROM subs WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM subs WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT $ULM_SEED)),
+      vocab0 AS MATERIALIZED (
+        SELECT piece, cnt, ${costSql("v0u")} AS cost FROM v0u),
+      vit1 AS MATERIALIZED (${dpSql("vocab0")}),
+      counts1 AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest(pieces) AS piece FROM vit1) GROUP BY 1),
+      v1u AS MATERIALIZED (
+        SELECT v.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+        FROM vocab0 v LEFT JOIN counts1 c USING (piece)
+        WHERE len(v.piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM counts1 WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT $ULM_KEEP)),
+      vocab1 AS MATERIALIZED (
+        SELECT piece, cnt, ${costSql("v1u")} AS cost FROM v1u),
+      vit2 AS MATERIALIZED (${dpSql("vocab1")}),
+      counts2 AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest(pieces) AS piece FROM vit2) GROUP BY 1),
+      v2u AS MATERIALIZED (
+        SELECT v.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt,
+          CAST(coalesce(c.cnt, 0) AS BIGINT) AS uses
+        FROM vocab1 v LEFT JOIN counts2 c USING (piece)
+        WHERE len(v.piece) = 1
+        UNION ALL
+        SELECT piece, cnt, CAST(cnt AS BIGINT) AS uses
+        FROM counts2 WHERE len(piece) > 1)
+      SELECT piece, uses AS n_uses, ${costSql("v2u")} AS cost
+      FROM v2u
+      ORDER BY n_uses DESC, piece"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183)
+      q183, q201)
 }
