@@ -818,6 +818,62 @@ object Dedup {
     * component-keyed exchange of the scored table — the quality
     * columns ride the same shuffle, the corpus text never moves.
     */
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — embedding-cluster
+    * semantic dedup, the 2020s curation method the matrix's
+    * exact/fuzzy/LSH/SimHash/image members don't cover: k-means
+    * cluster the corpus ([[KMeans.fitCentroidArrays]] — deterministic
+    * Lloyd), generate exact cosine near-dup pairs ONLY within
+    * clusters (equi-join on the cluster id: pairwise work is
+    * O(Σ cell²), never corpus²), connect pairs into semantic groups,
+    * and keep per group the vector FARTHEST from its cluster centroid
+    * — the paper's keep-low-centroid-similarity rule, ranked on the
+    * sequential-fold-double squared distance [[KMeans.assign]] emits
+    * (bit-identical cross-engine; ties → lowest id), so survivor
+    * choice is engine- and partitioning-portable.
+    *
+    * Scale shape: centroid training and assignment are narrow maps
+    * against k·d broadcast literals; pair generation shuffles on the
+    * cluster id; components ride [[connectedComponents]] (pairs are
+    * cluster-confined, so component diameter is bounded by cell
+    * size). The knobs (k, iters, tau) are explicit — k controls the
+    * cell-size/recall trade exactly like IVF's nlist.
+    *
+    * @return one row per vector: (idCol, cluster, d2c, component,
+    *         n_group, keep, kept_by)
+    */
+  def semDeDup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, tau: Double): DataFrame = {
+    val (assigned, pairs) = semDeDupParts(vecs, idCol, vecCol, k, iters, tau)
+    qualitySurvivors(assigned, idCol, pairs, Seq("d2c"))
+      .withColumnRenamed("n_cluster_docs", "n_group")
+  }
+
+  /** Just the within-cluster near-dup PAIR set of [[semDeDup]]
+    * (d1 < d2) — the method-matrix surface (q203's overlap row against
+    * MinHash-LSH).
+    */
+  def semDeDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, tau: Double): DataFrame =
+    semDeDupParts(vecs, idCol, vecCol, k, iters, tau)._2
+
+  private def semDeDupParts(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, tau: Double)
+      : (DataFrame, DataFrame) = {
+    val cents = KMeans.fitCentroidArrays(vecs, idCol, vecCol, k, iters)
+    val assigned = KMeans.assign(vecs, idCol, vecCol, cents)
+    val m = vecs.select(col(idCol), col(vecCol),
+        sqrt(Similarity.norm2(col(vecCol))).as("norm"))
+      .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
+    val pairs = m.as("a")
+      .join(m.as("b"), col("a.cluster") === col("b.cluster") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(Similarity.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+        / (col("a.norm") * col("b.norm")) >= tau)
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+    (assigned, pairs)
+  }
+
   def qualitySurvivors(scored: DataFrame, idCol: String, pairs: DataFrame,
       qualityCols: Seq[String]): DataFrame = {
     require(qualityCols.nonEmpty)

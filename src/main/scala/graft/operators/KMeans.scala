@@ -132,6 +132,37 @@ object KMeans {
     cents
   }
 
+  /** One assignment pass under trained centroid arrays, per ROW:
+    * (id, cluster, d2c). The cluster is the exact-decimal argmin (the
+    * training rule — ties to the lowest cluster id); d2c is the
+    * squared L2 to the assigned centroid as a SEQUENTIAL-FOLD DOUBLE
+    * (`aggregate` ≡ `list_reduce` — the dot-product bit-parity
+    * discipline), NOT the decimal: Spark's double→decimal cast rounds
+    * the shortest decimal repr where DuckDB rounds the binary value,
+    * so the 8th decimal of the decimal sum is not engine-portable,
+    * while the fold double is bit-identical — which is what
+    * SemDeDup's survivor rank orders on. Narrow map against the k·d
+    * broadcast centroid literal — zero shuffles.
+    */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val cLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        distArray(col(vecCol), cents).as("__d"))
+      .select(col(idCol), col(vecCol),
+        (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
+          .cast("int").as("cluster"))
+      .select(col(idCol), col("cluster"),
+        aggregate(
+          zip_with(col(vecCol), element_at(cLit, col("cluster") + 1),
+            (a, b) => {
+              val d = a.cast("double") - b
+              d * d
+            }),
+          lit(0.0), (acc, x) => acc + x).as("d2c"))
+  }
+
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, outDims: Int = 8): DataFrame = {
     require(k >= 1 && iters >= 1 && outDims >= 1)

@@ -1454,6 +1454,43 @@ object DedupQueries {
             ON x.d1 = y.d1 AND x.d2 = y.d2))
       ORDER BY method_a, method_b"""))
 
+  // -- D24b: SemDeDup row of the method-overlap matrix — the
+  //    cross-MODALITY agreement diagnostic q191 can't show: MinHash
+  //    (text shingles over documents) vs SemDeDup (trained-cluster
+  //    cosine over embeddings) pair sets intersected on the shared id
+  //    space, q191's exact row shape. Both pair sets come from their
+  //    production banded/clustered generators; the oracle splices
+  //    q202's Lloyd+pair CTE fragment next to the MinHash pipeline
+  //    CTEs (sd_-prefixed — no name collisions) and counts. ---------
+  private val q203 = Q(
+    "q203_semdedup_overlap",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val lshp = Dedup.minhashNearDups(t.documents, "doc_id", "text",
+          N, LSHTAU, mh)
+        .select(col("d1"), col("d2")).localCheckpoint(true)
+      val semp = Dedup.semDeDupPairs(t.embeddings, "vec_id", "embedding",
+          SimilarityQueries.SD_K, SimilarityQueries.SD_ITERS,
+          SimilarityQueries.SD2_TAU)
+        .localCheckpoint(true)
+      Seq(("lsh", "semdedup", lshp.count(), semp.count(),
+          lshp.join(semp, Seq("d1", "d2")).count()))
+        .toDF("method_a", "method_b", "n_a", "n_b", "n_both")
+    },
+    Some(s"""${lshPipelineCtes.replaceFirst("WITH ",
+        "WITH RECURSIVE ")},
+      lshp AS (
+        SELECT d1, d2 FROM verified
+        WHERE CAST(n_common AS DOUBLE) / (n1 + n2 - n_common) >= $LSHTAU),
+      ${SimilarityQueries.semDeDupPairCtes}
+      SELECT 'lsh' AS method_a, 'semdedup' AS method_b,
+        (SELECT count(*) FROM lshp) AS n_a,
+        (SELECT count(*) FROM sd_prs) AS n_b,
+        (SELECT count(*) FROM lshp x JOIN sd_prs y
+          ON x.d1 = y.p1 AND x.d2 = y.p2) AS n_both"""))
+
   // -- D25: LEAKAGE-FREE eval split — the ML-hygiene step a random
   //    split gets wrong: hashing DOCS into train/test strands
   //    near-duplicate pairs across the boundary (the eval set then
@@ -1544,5 +1581,5 @@ object DedupQueries {
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191, q195)
+      q189, q191, q195, q203)
 }

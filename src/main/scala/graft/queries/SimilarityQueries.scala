@@ -442,6 +442,141 @@ object SimilarityQueries {
       ORDER BY cluster, pos"""
     })
 
+  // -- V10b: SemDeDup (Dedup.semDeDup) — embedding-CLUSTER semantic
+  //    dedup (Abbas et al. 2023): TRAINED Lloyd centroids (q102's
+  //    exact-decimal k-means, not q75's one-shot seed cells), exact
+  //    cosine pairs confined to clusters, connected semantic groups,
+  //    keep-farthest-from-centroid survivor rule ranked on the exact
+  //    DECIMAL(38,8) distance. The oracle unrolls the same two Lloyd
+  //    rounds as CTE stages (q102's text), assigns with the same
+  //    decimal argmin, and replays pairs → recursive-CTE components →
+  //    the d2-DESC survivor window. A wrong centroid round, argmin
+  //    tie, cluster confinement, or survivor rank diverges. ----------
+  private[queries] val SD_K = 8
+  private[queries] val SD_ITERS = 2
+  private[queries] val SD2_TAU = 0.4
+
+  /** Oracle CTE fragment (no WITH prefix) replaying SemDeDup's pair
+    * generation: unrolled Lloyd rounds (q102's text), exact-decimal
+    * assignment argmin, fold-double distance to the assigned
+    * centroid, and the within-cluster cosine pair set, ending in
+    * `sd_prs(p1, p2)` / `sd_m(vec_id, cluster, d2, embedding, nrm)`.
+    * `sd_`-prefixed so q203's matrix row can splice it next to the
+    * MinHash pipeline CTEs without name collisions.
+    */
+  private[queries] lazy val semDeDupPairCtes: String = {
+    val iterCtes = (1 to SD_ITERS).map { i =>
+      s"""sd_dist$i AS (
+        SELECT e.vec_id, c.cluster,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+        FROM sd_ev e JOIN sd_cent${i - 1} c USING (pos)
+        GROUP BY e.vec_id, c.cluster),
+      sd_asg$i AS (
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cluster) AS rk
+          FROM sd_dist$i) WHERE rk = 1),
+      sd_mean$i AS (
+        SELECT a.cluster, e.pos, count(*) AS n_vecs,
+          ${proundSql(
+            "CAST(sum(CAST(e.v AS DECIMAL(28,8))) AS DOUBLE) / count(*)",
+            6)} AS mean_v
+        FROM sd_asg$i a JOIN sd_ev e USING (vec_id)
+        GROUP BY a.cluster, e.pos),
+      sd_cent$i AS (
+        SELECT cluster, pos, mean_v AS c FROM sd_mean$i
+        UNION ALL
+        SELECT p.cluster, p.pos, p.c FROM sd_cent${i - 1} p
+        WHERE p.cluster NOT IN (SELECT cluster FROM sd_mean$i))"""
+    }.mkString(",\n      ")
+    val fin = SD_ITERS + 1
+    s"""sd_ev AS (
+      SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos)),
+    sd_seed AS (
+      SELECT vec_id, row_number() OVER (
+          ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+            vec_id) - 1 AS cluster
+      FROM embeddings),
+    sd_cent0 AS (
+      SELECT s.cluster, e.pos, e.v AS c
+      FROM sd_seed s JOIN sd_ev e USING (vec_id)
+      WHERE s.cluster < $SD_K),
+    $iterCtes,
+    sd_dist$fin AS (
+      SELECT e.vec_id, c.cluster,
+        sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+      FROM sd_ev e JOIN sd_cent$SD_ITERS c USING (pos)
+      GROUP BY e.vec_id, c.cluster),
+    sd_asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cluster) AS rk
+        FROM sd_dist$fin) WHERE rk = 1),
+    sd_cv AS (
+      SELECT cluster, list(c ORDER BY pos) AS cvec
+      FROM sd_cent$SD_ITERS GROUP BY cluster),
+    sd_v AS (
+      SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+      FROM embeddings),
+    sd_m AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip(v.embedding, cv.cvec),
+            pr -> (CAST(pr[1] AS DOUBLE) - pr[2])
+                * (CAST(pr[1] AS DOUBLE) - pr[2]))),
+          (x, y) -> x + y) AS d2,
+        v.embedding, v.nrm
+      FROM sd_asg a JOIN sd_v v USING (vec_id) JOIN sd_cv cv USING (cluster)),
+    sd_prs AS MATERIALIZED (
+      SELECT a.vec_id AS p1, b.vec_id AS p2
+      FROM sd_m a JOIN sd_m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+        >= $SD2_TAU)"""
+  }
+
+  private val q202 = Q(
+    "q202_semdedup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Dedup.semDeDup(t.embeddings, "vec_id", "embedding",
+          SD_K, SD_ITERS, SD2_TAU)
+        .select(col("vec_id"), col("cluster"),
+          pround(col("d2c").cast("double"), 6).as("d2c"),
+          col("component"), col("n_group").cast("long").as("n_group"),
+          col("keep"), col("kept_by"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $semDeDupPairCtes,
+      undirected(a, b) AS (
+        SELECT p1, p2 FROM sd_prs UNION SELECT p2, p1 FROM sd_prs),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+      lab AS (
+        SELECT m.vec_id, m.cluster, m.d2,
+          coalesce(l.component, m.vec_id) AS component
+        FROM sd_m m LEFT JOIN labels l ON l.node = m.vec_id),
+      ranked AS (
+        SELECT vec_id, cluster, d2, component,
+          row_number() OVER (PARTITION BY component
+            ORDER BY d2 DESC, vec_id ASC) AS rk,
+          count(*) OVER (PARTITION BY component) AS n_group
+        FROM lab),
+      kept AS (SELECT component, vec_id AS kept_by FROM ranked WHERE rk = 1)
+      SELECT r.vec_id, r.cluster,
+        ${proundSql("CAST(r.d2 AS DOUBLE)", 6)} AS d2c,
+        r.component, CAST(r.n_group AS BIGINT) AS n_group,
+        CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS keep, k.kept_by
+      FROM ranked r JOIN kept k USING (component)
+      ORDER BY r.vec_id"""))
+
   // -- V11: JL random projection (Similarity.randomProjection) — the
   //    ANN preprocessing step: 64→16 dims via the deterministic LSH
   //    hyperplanes, each output dim a native sequential-fold dot
@@ -2097,5 +2232,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184, q193)
+      q159, q165, q176, q181, q182, q184, q193, q202)
 }

@@ -57,6 +57,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup pairs never cross cluster boundaries — equi-join on cluster, no all-pairs") {
+    val p = planOf("q202_semdedup")
+    // pair generation must ride the cluster id as a hash-join key:
+    // any cartesian/BNLJ means the within-cluster confinement (the
+    // O(Σ cell²), never corpus², property) silently broke
+    assert(count(p, "CartesianProduct") === 0, "q202 went quadratic")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, "q202 went quadratic")
+  }
+
   test("CDC chunking is one scan — pure in-scan arithmetic, no join") {
     for (q <- Seq("q93_cdc_chunks", "q94_cdc_dedup_stats")) {
       val p = planOf(q)
