@@ -227,6 +227,12 @@ object KMeans {
       s"need at least k=$k non-null vectors, found ${seedVecs.length}")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m, k)(
       (sub, j) => seedVecs(j).slice(sub * subLen, (sub + 1) * subLen))
+    // each Lloyd row scores m·k decimal folds — heavy narrow work that
+    // runs serial when the scan collapses to one split (q159 measured
+    // 3.8 s/round single-task at sf0.1); restore splits first. No-op
+    // on real multi-file datasets (Scan.fanOut's partition guard), and
+    // the groupBy below is partition-invariant (exact decimal sums)
+    val fanned = graft.core.Scan.fanOut(src)
     for (_ <- 1 to iters) {
       val next = Array.tabulate(m, k)((sub, j) => cents(sub)(j).clone())
       val cLit = array(cents.map(subCents =>
@@ -241,7 +247,7 @@ object KMeans {
             }),
           lit(0L).cast(DecimalType(38, 8)),
           (acc, x) => (acc + x).cast(DecimalType(38, 8)))
-      val stats = src
+      val stats = fanned
         .select(col(vecCol).as("__v"),
           explode(sequence(lit(0), lit(m - 1))).as("sub"))
         .select(col("sub"),
