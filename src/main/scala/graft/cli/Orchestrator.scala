@@ -159,6 +159,25 @@ object Orchestrator {
       require(graft.pipeline.DedupIndexPipeline.validateIndex(
         spark, indexDir, p), "dedup index invariants violated")))
 
+  /** Image lane of the standing dedup index: fold newly landed media
+    * files (pHash fingerprint → in-batch drop → cross-corpus probe
+    * against STORED fingerprints → O(delta) appends) under its own
+    * marker log, then validate the image-lane invariants. Shares
+    * `indexDir` with [[dedupDag]] — a mixed corpus folds text and
+    * image batches into one index independently.
+    */
+  def imageDedupDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, indexDir: String, maxHamming: Int,
+      maxBucket: Int = 10000, bandBits: Int = 16): Seq[TaskDef] = Seq(
+    TaskDef("image_dedup_fold", Nil, () => {
+      graft.pipeline.DedupIndexPipeline.foldNewMediaFiles(
+        spark, indexDir, watchDir, maxHamming, maxBucket, bandBits)
+      ()
+    }),
+    TaskDef("image_dedup_validate", Seq("image_dedup_fold"), () =>
+      require(graft.pipeline.DedupIndexPipeline.validateImageIndex(
+        spark, indexDir), "image dedup index invariants violated")))
+
   /** Embedding-corpus ANN-index DAG: fold newly landed vector files
     * through the stored-ANN-index pipeline (bootstrap build → frozen-
     * model O(delta) append-encode → growth-triggered retrain as a new

@@ -716,23 +716,34 @@ object Dedup {
     * bucket cap, and the pigeonhole guarantee. Output: `d1, d2,
     * hamming` with d1 < d2.
     */
-  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
-      maxHamming: Int, maxBucket: Int = 10000,
-      bandBits: Int = 16): DataFrame = {
+  /** 64-bit fingerprint → per-band rows (id, fp, band_idx, band_val),
+    * hot buckets capped — the shared banding of [[fingerprintPairs]]
+    * and [[crossFingerprintDups]].
+    */
+  private def fpBands(fp: DataFrame, idCol: String, fpCol: String,
+      bandBits: Int, maxBucket: Int): DataFrame = {
     require(bandBits > 0 && 64 % bandBits == 0, "bandBits must divide 64")
     val nBands = 64 / bandBits
-    require(maxHamming <= nBands - 1,
-      s"$nBands bands of $bandBits bits are lossless only for hamming <= ${nBands - 1}")
     val mask = if (bandBits == 64) lit(-1L) else lit((1L << bandBits) - 1L)
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"),
         shiftrightunsigned(col(fpCol), bandBits * b).bitwiseAND(mask)
           .as("band_val")))
-    val bands = capBuckets(
+    capBuckets(
       fp.select(col(idCol), col(fpCol),
         explode(array(bandCols: _*)).as("band"))
-        .select(col(idCol), col(fpCol), col("band.band_idx"), col("band.band_val")),
+        .select(col(idCol), col(fpCol), col("band.band_idx"),
+          col("band.band_val")),
       Seq("band_idx", "band_val"), maxBucket)
+  }
+
+  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): DataFrame = {
+    val nBands = 64 / bandBits
+    require(maxHamming <= nBands - 1,
+      s"$nBands bands of $bandBits bits are lossless only for hamming <= ${nBands - 1}")
+    val bands = fpBands(fp, idCol, fpCol, bandBits, maxBucket)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -745,6 +756,36 @@ object Dedup {
         bit_count(col("fp1").bitwiseXOR(col("fp2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Cross-corpus fingerprint near-dups: every (batch id, corpus id)
+    * pair within `maxHamming`, via the same banded hamming equi-join
+    * as [[fingerprintPairs]] — O(batch + corpus) band rows on the
+    * (band_idx, band_val) shuffle key, never a batch × corpus
+    * product. This is the STANDING-INDEX probe (the fingerprint
+    * sibling of [[crossNearDupsFromIndex]]): the stored side is
+    * 64 bits per row, the corpus media bytes are never re-read.
+    * Returns (bid, cid, hamming).
+    */
+  def crossFingerprintDups(corpusFp: DataFrame, batchFp: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int,
+      maxBucket: Int = 10000, bandBits: Int = 16): DataFrame = {
+    val nBands = 64 / bandBits
+    require(maxHamming <= nBands - 1,
+      s"$nBands bands of $bandBits bits are lossless only for hamming <= ${nBands - 1}")
+    val cb = fpBands(corpusFp, idCol, fpCol, bandBits, maxBucket)
+    val bb = fpBands(batchFp, idCol, fpCol, bandBits, maxBucket)
+    bb.as("b")
+      .join(cb.as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+        col("b.band_val") === col("c.band_val"))
+      .select(col(s"b.$idCol").as("bid"), col(s"c.$idCol").as("cid"),
+        col(s"b.$fpCol").as("fp1"), col(s"c.$fpCol").as("fp2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("bid"), col("cid"), col("hamming"))
   }
 
   /** Image near-duplicate pairs — the IMAGE member of the dedup matrix

@@ -52,6 +52,9 @@ object DedupIndexPipeline {
   private def setsDir(ix: String) = s"$ix/sets"
   private def corpusDir(ix: String) = s"$ix/corpus"
   private def verdictsDir(ix: String) = s"$ix/verdicts"
+  private def fpsDir(ix: String) = s"$ix/fps"
+  private def mediaDir(ix: String) = s"$ix/media"
+  private def imageVerdictsDir(ix: String) = s"$ix/image_verdicts"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -137,14 +140,139 @@ object DedupIndexPipeline {
     FoldResult(srcFile, kept, batch.count() - kept)
   }
 
-  /** q112's best-match rule: per doc, max jaccard with ties to the
-    * lowest matched id.
+  /** q112's best-match rule: per id, best score first (jaccard DESC
+    * for text, hamming ASC for fingerprints) with ties to the lowest
+    * matched id.
     */
-  private def bestMatch(matches: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("dup_of").asc)
+  private def bestMatch(matches: DataFrame, idCol: String = "doc_id",
+      score: DataFrame => org.apache.spark.sql.Column =
+        _("jaccard").desc): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(score(matches), col("dup_of").asc)
     matches.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------
+  // IMAGE lane: the pHash member of the standing index. Same fold
+  // protocol as the text lane — in-batch drop, cross-corpus probe
+  // against STORED fingerprints ([[Dedup.crossFingerprintDups]]:
+  // 64 bits/row, media bytes never re-read), O(delta) appends —
+  // under its own marker log, so mixed corpora fold text and image
+  // batches into one index dir independently.
+  //
+  // Additional layout under `indexDir`:
+  // {{{
+  //   fps/            (media_id, phash)                  append-only
+  //   media/          (media_id, content)                append-only
+  //   image_verdicts/ (media_id, src_file, keep, dup_scope, dup_of,
+  //                    hamming)
+  //   _folded_media/<name>                               markers
+  // }}}
+  // ---------------------------------------------------------------
+
+  /** Fold every not-yet-processed `*.parquet` media file (schema:
+    * media_id, content, …) from `watchDir` into the image lane.
+    * Idempotent via the `_folded_media` marker log.
+    */
+  def foldNewMediaFiles(spark: SparkSession, indexDir: String,
+      watchDir: String, maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): Seq[FoldResult] = {
+    val logDir = new Path(s"$indexDir/_folded_media")
+    val watch = new Path(watchDir)
+    val fs = watch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val files = fs.listStatus(watch).toSeq.map(_.getPath)
+      .filter(_.getName.toLowerCase.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.filterNot(f => fs.exists(new Path(logDir, f.getName)))
+      .map { f =>
+        val r = foldImageBatch(spark, indexDir,
+          spark.read.parquet(f.toString)
+            .select(col("media_id"), col("content")),
+          f.getName, maxHamming, maxBucket, bandBits)
+        fs.create(new Path(logDir, f.getName), false).close()
+        r
+      }
+  }
+
+  /** One image batch through the fold: fingerprint, in-batch drop
+    * (lower-id survivor, best match = lowest hamming), cross-corpus
+    * probe against the stored fingerprints, append survivors +
+    * fingerprints + verdicts. Undecodable payloads (null phash) have
+    * no signature and always keep — the image analogue of docs below
+    * the shingle width.
+    */
+  def foldImageBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, srcFile: String, maxHamming: Int,
+      maxBucket: Int, bandBits: Int): FoldResult = {
+    import graft.operators.Multimodal
+    // fingerprint once; reused by in-batch pairs, the cross probe,
+    // and the fps append
+    val fps = Multimodal.phashFeatures(
+        batch.select(col("media_id"), col("content")))
+      .select(col("media_id"), col("phash"))
+      .localCheckpoint(true)
+    val sig = fps.filter(col("phash").isNotNull)
+    val inPairs = Dedup.fingerprintPairs(sig, "media_id", "phash",
+      maxHamming, maxBucket, bandBits)
+    val bestIn = bestMatch(
+      inPairs.select(col("d2").as("media_id"), col("d1").as("dup_of"),
+        col("hamming")),
+      "media_id", _("hamming").asc)
+    val afterIn = batch.join(bestIn.select("media_id"), Seq("media_id"),
+      "left_anti")
+    val afterInSig = sig.join(bestIn.select("media_id"), Seq("media_id"),
+      "left_anti")
+    val bestCross =
+      if (exists(spark, fpsDir(indexDir)))
+        bestMatch(Dedup.crossFingerprintDups(
+          spark.read.parquet(fpsDir(indexDir)), afterInSig,
+          "media_id", "phash", maxHamming, maxBucket, bandBits)
+          .select(col("bid").as("media_id"), col("cid").as("dup_of"),
+            col("hamming")),
+          "media_id", _("hamming").asc)
+      else spark.emptyDataFrame
+        .select(lit(0L).as("media_id"), lit(0L).as("dup_of"),
+          lit(0).as("hamming")).limit(0)
+    val survivors = afterIn.join(bestCross.select("media_id"),
+        Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+    afterInSig.join(bestCross.select("media_id"), Seq("media_id"),
+        "left_anti")
+      .write.mode("append").parquet(fpsDir(indexDir))
+    survivors.write.mode("append").parquet(mediaDir(indexDir))
+    val verdicts = batch.select(col("media_id"))
+      .join(bestIn.withColumn("dup_scope", lit("batch")),
+        Seq("media_id"), "left")
+      .join(bestCross.select(col("media_id"), col("dup_of").as("c_dup_of"),
+        col("hamming").as("c_hamming")), Seq("media_id"), "left")
+      .select(col("media_id"), lit(srcFile).as("src_file"),
+        when(col("dup_of").isNull && col("c_dup_of").isNull, 1).otherwise(0)
+          .as("keep"),
+        coalesce(col("dup_scope"),
+          when(col("c_dup_of").isNotNull, lit("corpus"))).as("dup_scope"),
+        coalesce(col("dup_of"), col("c_dup_of")).as("dup_of"),
+        coalesce(col("hamming"), col("c_hamming")).as("hamming"))
+    verdicts.write.mode("append").parquet(imageVerdictsDir(indexDir))
+    val kept = survivors.count()
+    FoldResult(srcFile, kept, batch.count() - kept)
+  }
+
+  /** Image-lane invariants: fingerprint ids are unique, every
+    * fingerprint row has its media row, and every DECODABLE kept
+    * payload carries a fingerprint.
+    */
+  def validateImageIndex(spark: SparkSession, indexDir: String): Boolean = {
+    import graft.operators.Multimodal
+    val media = spark.read.parquet(mediaDir(indexDir))
+    val fps = spark.read.parquet(fpsDir(indexDir))
+    val nFps = fps.count()
+    fps.select("media_id").distinct().count() == nFps &&
+      media.select("media_id").distinct().count() == media.count() &&
+      fps.join(media, Seq("media_id"), "left_anti").isEmpty &&
+      Multimodal.phashFeatures(media).filter(col("phash").isNotNull)
+        .join(fps, Seq("media_id"), "left_anti").isEmpty
   }
 
   /** Index invariants a standing DAG validates after each fold:

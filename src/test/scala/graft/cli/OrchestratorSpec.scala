@@ -187,6 +187,93 @@ class OrchestratorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/bands").count() === bandsBefore)
   }
 
+  test("image dedup lane: mixed corpus two-batch fold, stored fingerprints == full recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Multimodal}
+    import graft.operators.Dedup.MinHashParams
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("image_dedup_dag")
+    val docWatch = Files.createDirectories(tmp.resolve("docs")).toString
+    val imgWatch = Files.createDirectories(tmp.resolve("media")).toString
+    val ix = tmp.resolve("index").toString
+    // three distinct 16x16 images; A reappears as in-batch dup (2) and
+    // as a cross-batch dup (4)
+    def png(pat: (Int, Int) => Int): Array[Byte] = {
+      val pix = Array.tabulate(16 * 16 * 3) { i =>
+        val p = i / 3; (pat(p % 16, p / 16) & 0xff).toByte
+      }
+      Multimodal.pngEncode(Multimodal.PngImage(16, 16, 3, pix), _ => 0,
+        new java.util.zip.Deflater())
+    }
+    // high-frequency distinct textures — smooth gradients pHash too
+    // close together (hamming <= 3) to serve as distinct fixtures
+    val imgA = png((x, y) => x * 53 + y * 91 + (x ^ y) * 17)
+    val imgB = png((x, y) => x * 29 + y * 13 + x * y * 7 + 128)
+    val imgC = png((x, y) => (x * x * 11 + y * 41 + (x | y) * 23) ^ 0x5A)
+    // precondition: the three fixtures are pairwise far apart
+    locally {
+      val fps = Seq((101L, imgA), (102L, imgB), (103L, imgC))
+        .toDF("media_id", "content")
+      val hs = Multimodal.phashFeatures(fps).collect()
+        .map(r => r.getAs[Long]("phash"))
+      for (i <- 0 until 3; j <- (i + 1) until 3)
+        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 3,
+          s"fixtures $i/$j too close for maxHamming=3")
+    }
+
+    def imgStatuses() = runDag(imageDedupDag(spark, imgWatch, ix,
+      maxHamming = 3)).map(r => r.name -> r.status).toMap
+
+    Seq((1L, imgA), (2L, imgA), (3L, imgB))
+      .toDF("media_id", "content").write.parquet(s"$imgWatch/b1.parquet")
+    assert(imgStatuses() === Map("image_dedup_fold" -> Succeeded,
+      "image_dedup_validate" -> Succeeded))
+    Seq((4L, imgA), (5L, imgC))
+      .toDF("media_id", "content").write.parquet(s"$imgWatch/b2.parquet")
+    assert(imgStatuses() === Map("image_dedup_fold" -> Succeeded,
+      "image_dedup_validate" -> Succeeded))
+
+    // kept media is exactly {1, 3, 5}…
+    val media = spark.read.parquet(s"$ix/media")
+    assert(media.select("media_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 5L))
+    // …and the incrementally appended fingerprints are BIT-IDENTICAL
+    // to a from-scratch pHash recompute over that kept media
+    def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("phash"))).toSet
+    assert(fpSet(spark.read.parquet(s"$ix/fps"))
+      === fpSet(Multimodal.phashFeatures(media)
+        .select(col("media_id"), col("phash"))))
+
+    // verdicts carry scope + best match (hamming 0: identical images)
+    val v = spark.read.parquet(s"$ix/image_verdicts")
+      .select("media_id", "keep", "dup_scope", "dup_of", "hamming")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[String]("dup_scope"),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(v(2L) === ((0, "batch", 1L, 0)))
+    assert(v(4L) === ((0, "corpus", 1L, 0)))
+    assert(v(1L)._1 === 1 && v(3L)._1 === 1 && v(5L)._1 === 1)
+
+    // the TEXT lane folds into the SAME index dir, independently
+    Seq((11L, "spark engines and catalyst optimizer details tonight"),
+      (12L, "spark engines and catalyst optimizer details tonight"),
+      (13L, "completely unrelated flink streaming words here"))
+      .toDF("doc_id", "text").write.parquet(s"$docWatch/t1.parquet")
+    val mh = MinHashParams()
+    assert(runDag(dedupDag(spark, docWatch, ix, 3, 0.5, mh))
+      .map(r => r.name -> r.status).toMap
+      === Map("dedup_fold" -> Succeeded, "dedup_validate" -> Succeeded))
+    assert(spark.read.parquet(s"$ix/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 13L))
+    // image lane untouched by the text fold, and its re-run is a no-op
+    assert(fpSet(spark.read.parquet(s"$ix/fps")).size === 3)
+    val before = spark.read.parquet(s"$ix/media").count()
+    assert(imgStatuses()("image_dedup_fold") === Succeeded)
+    assert(spark.read.parquet(s"$ix/media").count() === before)
+  }
+
   test("ANN DAG: bootstrap build, frozen append, growth retrain == recompute") {
     import org.apache.spark.sql.functions.col
     import graft.core.VersionedTable
