@@ -644,6 +644,185 @@ object CorpusQueries {
             FROM $docSurpriseSql s)
       ORDER BY doc_id"""))
 
+  // -- C7b: Kneser-Ney trigram LM quality scoring — the standard
+  //    upgrade over q54's add-V bigram: interpolated KN (Kneser & Ney
+  //    1995; Chen & Goodman 1999 §2.7) with absolute discount
+  //    D = 0.75 (binary-exact double), continuation probabilities,
+  //    and bigram→unigram backoff. Zero logs (the libm-ulp rule):
+  //    the per-trigram score is mean INVERSE KN probability — the
+  //    same monotone perplexity surrogate as q54. Every count comes
+  //    from ONE aligned trigram-instance table (c12 = trigram-context
+  //    count, so Σ_w3 P(w3|w1w2) = 1 exactly); the per-instance double
+  //    is a fixed expression tree over integer-derived doubles
+  //    (identical cross-engine), portably 8-decimal-rounded BEFORE
+  //    the decimal cast, decimal-summed (order-free), then one
+  //    rounded division per doc.
+  //    Scale: q54's shape — explode → hash-agg count tables (Heaps'
+  //    law: they broadcast), narrow joins, no corpus reshuffle.
+  private val KN_D = 0.75
+
+  /** Per-doc KN trigram surprise: (doc_id, source, n_trigrams,
+    * kn_surprise). Shared by q204 (raw score) and q205 (rank
+    * agreement vs the bigram signal).
+    */
+  private def docKnSurprise(t: Tpch) = {
+    val h = t.documents.select(col("doc_id"), col("source"),
+      TextFns.shingleHashes(lower(col("text")), 3).as("th"),
+      TextFns.shingleHashes(lower(col("text")), 2).as("bh"),
+      TextFns.shingleHashes(lower(col("text")), 1).as("uh"))
+    // trigram instance i aligns with bigram hashes i (context w1w2)
+    // and i+1 (suffix w2w3), unigram hashes i+1 (w2) and i+2 (w3)
+    val tri = h
+      .select(col("doc_id"), col("source"), col("bh"), col("uh"),
+        posexplode(col("th")).as(Seq("pos", "t3")))
+      .select(col("doc_id"), col("source"), col("t3"),
+        element_at(col("bh"), col("pos") + 1).as("b12"),
+        element_at(col("bh"), col("pos") + 2).as("b23"),
+        element_at(col("uh"), col("pos") + 2).as("u2"),
+        element_at(col("uh"), col("pos") + 3).as("u3"))
+    val perDoc = tri.groupBy(col("doc_id"), col("source"), col("t3"),
+        col("b12"), col("b23"), col("u2"), col("u3"))
+      .agg(count(lit(1)).as("cnt"))
+    val c3 = perDoc.groupBy(col("t3")).agg(sum(col("cnt")).as("c3"))
+    val c12 = perDoc.groupBy(col("b12")).agg(sum(col("cnt")).as("c12"),
+      countDistinct(col("t3")).as("n1p12"))
+    val cb = perDoc.groupBy(col("b23")).agg(sum(col("cnt")).as("cb"))
+    val c1 = perDoc.groupBy(col("u2")).agg(sum(col("cnt")).as("c1"),
+      countDistinct(col("b23")).as("n1p2"))
+    val nc = perDoc.groupBy(col("u3"))
+      .agg(countDistinct(col("b23")).as("ncont"))
+    val nbt = perDoc.agg(countDistinct(col("b23")).as("nbt"))
+    val d = lit(KN_D)
+    val pc = col("ncont").cast("double") / col("nbt").cast("double")
+    val pl = (greatest(col("cb").cast("double") - d, lit(0.0))
+      + d * col("n1p2").cast("double") * pc) / col("c1").cast("double")
+    val p = (greatest(col("c3").cast("double") - d, lit(0.0))
+      + d * col("n1p12").cast("double") * pl) / col("c12").cast("double")
+    perDoc
+      .join(broadcast(c3), "t3")
+      .join(broadcast(c12), "b12")
+      .join(broadcast(cb), "b23")
+      .join(broadcast(c1), "u2")
+      .join(broadcast(nc), "u3")
+      .crossJoin(broadcast(nbt))
+      // 8-decimal pround BEFORE the decimal cast: a pround'd double
+      // sits on the 1e-8 grid, so Spark's shortest-repr and DuckDB's
+      // binary-value double→decimal roundings agree by construction
+      // (the q202 lesson)
+      .withColumn("wterm", col("cnt").cast(DecimalType(7, 0)) *
+        pround(lit(1.0) / p, 8).cast(DecimalType(28, 8)))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        pround(sum(col("wterm")).cast("double") / sum(col("cnt")), 4)
+          .as("kn_surprise"))
+  }
+
+  /** DuckDB mirror of docKnSurprise, as a parenthesized subquery. */
+  private val docKnSurpriseSql = {
+    val pc = "(CAST(nc.ncont AS DOUBLE) / CAST(nbt.nbt AS DOUBLE))"
+    val pl = s"""((greatest(CAST(cb.cb AS DOUBLE) - $KN_D, 0.0)
+         + $KN_D * CAST(c1.n1p2 AS DOUBLE) * $pc)
+        / CAST(c1.c1 AS DOUBLE))"""
+    val p = s"""((greatest(CAST(c3.c3 AS DOUBLE) - $KN_D, 0.0)
+         + $KN_D * CAST(c12.n1p12 AS DOUBLE) * $pl)
+        / CAST(c12.c12 AS DOUBLE))"""
+    s"""(WITH h AS (
+        SELECT doc_id, source,
+          ${TextFns.shingleHashesSql("lower(text)", 3)} AS th,
+          ${TextFns.shingleHashesSql("lower(text)", 2)} AS bh,
+          ${TextFns.shingleHashesSql("lower(text)", 1)} AS uh
+        FROM documents),
+      tri AS (
+        SELECT doc_id, source, unnest(th) AS t3,
+          unnest(list_slice(bh, 1, len(th))) AS b12,
+          unnest(list_slice(bh, 2, len(th) + 1)) AS b23,
+          unnest(list_slice(uh, 2, len(th) + 1)) AS u2,
+          unnest(list_slice(uh, 3, len(th) + 2)) AS u3
+        FROM h),
+      c3 AS (SELECT t3, count(*) AS c3 FROM tri GROUP BY 1),
+      c12 AS (SELECT b12, count(*) AS c12, count(DISTINCT t3) AS n1p12
+        FROM tri GROUP BY 1),
+      cb AS (SELECT b23, count(*) AS cb FROM tri GROUP BY 1),
+      c1 AS (SELECT u2, count(*) AS c1, count(DISTINCT b23) AS n1p2
+        FROM tri GROUP BY 1),
+      nc AS (SELECT u3, count(DISTINCT b23) AS ncont FROM tri GROUP BY 1),
+      nbt AS (SELECT count(DISTINCT b23) AS nbt FROM tri),
+      terms AS (
+        SELECT t.doc_id, t.source,
+          CAST(${proundSql(s"1.0 / $p", 8)} AS DECIMAL(28,8)) AS term
+        FROM tri t
+        JOIN c3 USING (t3) JOIN c12 USING (b12) JOIN cb USING (b23)
+        JOIN c1 USING (u2) JOIN nc USING (u3) CROSS JOIN nbt)
+      SELECT doc_id, source, count(*) AS n_trigrams,
+        ${proundSql("CAST(sum(term) AS DOUBLE) / count(*)", 4)}
+          AS kn_surprise
+      FROM terms GROUP BY doc_id, source)"""
+  }
+
+  private val q204 = Q(
+    "q204_trigram_kn",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      docKnSurprise(t)
+        .select(col("doc_id"),
+          col("n_trigrams").cast("long").as("n_trigrams"),
+          col("kn_surprise"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+        kn_surprise
+      FROM $docKnSurpriseSql s
+      ORDER BY doc_id"""))
+
+  // -- C7c: bigram-vs-KN rank agreement — q150's Spearman discipline
+  //    applied to the two LM quality signals: does the KN upgrade
+  //    actually reorder documents, per source? Integer rank diffs
+  //    (ties by doc_id — the portable convention), exact Σd², one
+  //    rounded division. Low ρ = the signals disagree = the ensemble
+  //    should carry both; ρ ≈ 1 = the bigram is a cheap proxy.
+  private val q205 = Q(
+    "q205_lm_agreement",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val kn = docKnSurprise(t)
+        .select(col("doc_id"), col("source"), col("kn_surprise"))
+      val bi = docSurprise(t).select(col("doc_id"), col("surprise"))
+      val ws = Window.partitionBy(col("source"))
+      val ranked = kn.join(bi, "doc_id")
+        .select(col("source"), col("doc_id"),
+          row_number().over(ws.orderBy(col("surprise"), col("doc_id")))
+            .cast("long").as("r_bi"),
+          row_number().over(ws.orderBy(col("kn_surprise"), col("doc_id")))
+            .cast("long").as("r_kn"))
+      val dd = col("r_bi") - col("r_kn")
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(dd * dd).as("sd2"))
+        .select(lit("bigram_surprise").as("sig_a"),
+          lit("kn_surprise").as("sig_b"), col("source"),
+          col("n"), col("sd2"),
+          pround(lit(1.0) - lit(6.0) * col("sd2") /
+            (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH kn AS (SELECT doc_id, source, kn_surprise
+        FROM $docKnSurpriseSql k),
+      bi AS (SELECT doc_id, surprise FROM $docSurpriseSql b),
+      ranked AS (
+        SELECT kn.source, kn.doc_id,
+          CAST(row_number() OVER (PARTITION BY kn.source
+            ORDER BY bi.surprise, kn.doc_id) AS BIGINT) AS r_bi,
+          CAST(row_number() OVER (PARTITION BY kn.source
+            ORDER BY kn.kn_surprise, kn.doc_id) AS BIGINT) AS r_kn
+        FROM kn JOIN bi USING (doc_id))
+      SELECT 'bigram_surprise' AS sig_a, 'kn_surprise' AS sig_b, source,
+        count(*) AS n,
+        CAST(sum((r_bi - r_kn) * (r_bi - r_kn)) AS BIGINT) AS sd2,
+        ${proundSql(
+          "1.0 - 6.0 * sum((r_bi - r_kn) * (r_bi - r_kn)) / " +
+            "(count(*) * (count(*) * count(*) - 1))", 6)} AS rho
+      FROM ranked GROUP BY source
+      ORDER BY source"""))
+
   // -- C8: pairwise source distribution drift (operators.Divergence) —
   //    total variation over token distributions via the min-overlap
   //    identity: shared-vocab join only, exact decimal mass sums, one
@@ -1052,5 +1231,6 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
-      q137, q138, q143, q166, q177, q185, q190, q192, q194, q197)
+      q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
+      q204, q205)
 }
