@@ -43,6 +43,7 @@ object SweepSets {
     "q168_minhash_estimate" -> "q24's LSH signature CTEs (interpreted list lambdas) plus per-pair set intersections — same 10x oracle infeasibility; calibration is measured at sf<=0.1",
     "q53_ann_ivf_topk" -> "IVF assign oracle crossjoin heavy at 10x (q90 covers the auto path in the sweep)",
     "q75_semantic_dedup" -> "same IVF assign oracle shape (q90 covers the auto path)",
+    "q203_semdedup_overlap" -> "splices the full-corpus LSH signature CTEs (q24's reason) next to the SemDeDup fragment; the overlap row is measured at sf<=0.1 — q202 keeps the SemDeDup side swept at 10x",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")
