@@ -902,7 +902,11 @@ object Dedup {
       vecCol: String, k: Int, iters: Int, tau: Double)
       : (DataFrame, DataFrame) = {
     val cents = KMeans.fitCentroidArrays(vecs, idCol, vecCol, k, iters)
+    // (id, cluster, d2c) is 3 narrow columns, but its subtree scores
+    // k decimal folds per row and is referenced by BOTH pair sides
+    // plus the survivor rank — checkpoint so the folds run once
     val assigned = KMeans.assign(vecs, idCol, vecCol, cents)
+      .localCheckpoint(true)
     val m = vecs.select(col(idCol), col(vecCol),
         sqrt(Similarity.norm2(col(vecCol))).as("norm"))
       .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))

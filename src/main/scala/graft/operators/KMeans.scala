@@ -122,9 +122,14 @@ object KMeans {
   private def updatedCents(src: DataFrame, idCol: String, vecCol: String,
       k: Int, updates: Int): Array[Array[Double]] = {
     var cents = seedArrays(src, idCol, vecCol, k)
+    // k decimal-fold distance scores per row run serial on a
+    // single-split scan (the q159 lesson); fanOut is a guarded no-op
+    // on real multi-file data, and the (cluster, pos) agg is
+    // partition-invariant, so the trained model is bit-identical
+    val fanned = graft.core.Scan.fanOut(src)
     for (_ <- 1 to updates) {
       val next = Array.tabulate(k)(j => cents(j).clone())
-      assignStats(src, vecCol, cents)
+      assignStats(fanned, vecCol, cents)
         .select(col("cluster"), col("pos"), col("mean_v")).collect()
         .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       cents = next
@@ -147,7 +152,7 @@ object KMeans {
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     val cLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    vecs.filter(col(vecCol).isNotNull)
+    graft.core.Scan.fanOut(vecs.filter(col(vecCol).isNotNull))
       .select(col(idCol), col(vecCol),
         distArray(col(vecCol), cents).as("__d"))
       .select(col(idCol), col(vecCol),
@@ -168,7 +173,7 @@ object KMeans {
     require(k >= 1 && iters >= 1 && outDims >= 1)
     val src = vecs.filter(col(vecCol).isNotNull)
     val cents = updatedCents(src, idCol, vecCol, k, iters - 1)
-    assignStats(src, vecCol, cents)
+    assignStats(graft.core.Scan.fanOut(src), vecCol, cents)
       .filter(col("pos") < outDims)
       .orderBy(col("cluster"), col("pos"))
   }
