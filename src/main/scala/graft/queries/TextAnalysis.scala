@@ -1186,6 +1186,109 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  // -- T21b: tokenizer OPTIMALITY gap — the third inference rule over
+  //    the SAME vocabulary closes the q164 comparison: BPE merge
+  //    order, WordPiece greedy longest-match, and min-piece Viterbi
+  //    (UnigramLm.viterbiPieces under uniform costs = the OPTIMAL
+  //    segmentation — fewest tokens any rule could produce with this
+  //    vocabulary). greedy_gap = wp − uni ≥ 0 and bpe_gap = bpe − uni
+  //    ≥ 0 by construction; their size is the measured token-budget
+  //    cost of each heuristic ("query": qu|ery optimal = 2, greedy
+  //    que|r|y = 3). Per-word work on the distinct-word dictionary,
+  //    broadcast back — the q164 shape.
+  private val UNI_PIECES2 = WP_PIECES.filter(_.length == 2).sorted
+  private val UNI_PIECES3 = WP_PIECES.filter(_.length == 3).sorted
+  private val q206 = Q(
+    "q206_tokenizer_optimal_gap",
+    (s, dir) => {
+      import graft.operators.{BpeTrainer, UnigramLm, WordPiece}
+      val t = Tpch(s, dir)
+      // uniform costs: Viterbi minimizes the piece count exactly; the
+      // vocabulary charset is [a-z] (the corpus word alphabet — the
+      // rlike filter pins the same domain in both engines)
+      val uniCosts = (WP_PIECES ++ ('a' to 'z').map(_.toString))
+        .map(_ -> 1).toMap
+      val dw = t.documents
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$")).distinct()
+        .withColumn("n_bpe",
+          BpeTrainer.bpeTokenCount(col("w"), BPE_MERGES).cast("long"))
+        .withColumn("n_wp",
+          WordPiece.greedyPieceCount(col("w"), WP_PIECES).cast("long"))
+        .withColumn("n_uni",
+          size(UnigramLm.viterbiPieces(col("w"), uniCosts, 3)).cast("long"))
+      t.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(broadcast(dw), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          sum(col("n_wp")).as("n_wp_tokens"),
+          sum(col("n_uni")).as("n_uni_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          col("n_wp_tokens"), col("n_uni_tokens"),
+          (col("n_wp_tokens") - col("n_uni_tokens")).as("greedy_gap"),
+          (col("n_bpe_tokens") - col("n_uni_tokens")).as("bpe_gap"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.operators.BpeTrainer
+      val jumpSql = WP_PIECES.filter(_.length > 1).distinct
+        .groupBy(_.length).toSeq.sortBy(-_._1)
+        .map { case (l, ps) =>
+          val inList = ps.sorted.map(p => s"'$p'").mkString(", ")
+          s"WHEN substr(w, pos, $l) IN ($inList) THEN $l"
+        }.mkString("\n            ")
+      val in2 = UNI_PIECES2.map(p => s"'$p'").mkString(", ")
+      val in3 = UNI_PIECES3.map(p => s"'$p'").mkString(", ")
+      s"""WITH RECURSIVE dw AS (
+        SELECT DISTINCT w
+        FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$$')),
+      s(w, pos, cnt) AS (
+        SELECT w, 1, 0 FROM dw
+        UNION ALL
+        SELECT w,
+          pos + CASE
+            $jumpSql
+            ELSE 1 END,
+          cnt + 1
+        FROM s WHERE pos <= len(w)),
+      wpseg AS (
+        SELECT w, CAST(cnt AS BIGINT) AS n_wp
+        FROM s WHERE pos = len(w) + 1),
+      u AS (
+        SELECT w, 0 AS j, 0 AS n0, NULL::INT AS n1, NULL::INT AS n2
+        FROM dw
+        UNION ALL
+        SELECT w, j + 1,
+          least(
+            n0 + 1,
+            CASE WHEN substr(w, j, 2) IN ($in2) THEN n1 + 1 END,
+            CASE WHEN substr(w, j - 1, 3) IN ($in3) THEN n2 + 1 END),
+          n0, n1
+        FROM u WHERE j < len(w)),
+      useg AS (
+        SELECT w, CAST(n0 AS BIGINT) AS n_uni FROM u WHERE j = len(w)),
+      pieces AS (
+        SELECT dw.w,
+          CAST(${BpeTrainer.bpeTokenCountSql("dw.w", BPE_MERGES)}
+            AS BIGINT) AS n_bpe,
+          wpseg.n_wp, useg.n_uni
+        FROM dw JOIN wpseg USING (w) JOIN useg USING (w)),
+      tok AS (
+        SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(n_wp) AS BIGINT) AS n_wp_tokens,
+        CAST(sum(n_uni) AS BIGINT) AS n_uni_tokens,
+        CAST(sum(n_wp) - sum(n_uni) AS BIGINT) AS greedy_gap,
+        CAST(sum(n_bpe) - sum(n_uni) AS BIGINT) AS bpe_gap
+      FROM tok JOIN pieces USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
+
   // -- T22: pairwise Cohen's KAPPA between the Gopher gates — the
   //    CATEGORICAL-agreement member of the signal-diagnostics family
   //    (q84 Pearson on continuous, q150 Spearman on ranks, kappa on
@@ -1452,5 +1555,5 @@ object TextAnalysis {
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201)
+      q183, q201, q206)
 }
