@@ -67,7 +67,8 @@ object KMeans {
     * decimal equality is exact, and first-position tie-break = lowest
     * cluster id.
     */
-  private def distArray(vec: Column, cents: Array[Array[Double]]): Column =
+  private[graft] def distArray(vec: Column,
+      cents: Array[Array[Double]]): Column =
     array(cents.map(c => dist2(vec, c)): _*)
 
   /** Run `iters` Lloyd iterations; returns the per-cluster per-dim
