@@ -87,7 +87,7 @@ object Bench {
     "q157_tokenizer_source_stats",
     "q161_lpa_communities", "q162_bucket_batching", "q163_dataset_card",
     "q164_wordpiece_compare", "q201_unigram_lm",
-    "q206_tokenizer_optimal_gap",
+    "q206_tokenizer_optimal_gap", "q207_unigram_pack_ids",
     "q165_ann_ndcg", "q166_feature_hashing",
     "q167_dedup_roi", "q168_minhash_estimate", "q169_decayed_popularity",
     "q170_contamination_spans", "q171_span_scrub",

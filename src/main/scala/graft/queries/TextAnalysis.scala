@@ -1289,6 +1289,127 @@ object TextAnalysis {
       ORDER BY doc_id"""
     })
 
+  // -- T21c: unigram tokenize-to-ids + packed training sequences —
+  //    q154's pack pipeline under the THIRD tokenizer: min-piece
+  //    Viterbi segmentation (q206's uniform-cost vocabulary), piece →
+  //    id by sorted-vocab position, per-doc id arrays in word order,
+  //    then the same SEQ_LEN greedy concat packing. Proves the pack
+  //    machinery is tokenizer-agnostic: swap the segmentation rule,
+  //    keep the pipeline. Per-word work on the distinct-word dict;
+  //    the pack is q154's two-phase prefix sum (no global sort).
+  private val UNI_VOCAB: Seq[String] =
+    (WP_PIECES ++ ('a' to 'z').map(_.toString)).distinct.sorted
+  private val q207 = Q(
+    "q207_unigram_pack_ids",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import graft.operators.{TrainingPrep, UnigramLm}
+      val uniCosts = UNI_VOCAB.map(_ -> 1).toMap
+      val uniIds = UNI_VOCAB.zipWithIndex.toMap
+      val idLit = typedLit(uniIds)
+      val dw = t.documents
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$")).distinct()
+        .withColumn("wids",
+          transform(UnigramLm.viterbiPieces(col("w"), uniCosts, 3),
+            p => try_element_at(idLit, p)))
+      val docIds = t.documents
+        .select(col("doc_id"), posexplode(tokens(col("text")))
+          .as(Seq("pos", "w")))
+        .join(broadcast(dw), "w")
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("wids")))),
+          x => x.getField("wids"))).as("ids"))
+        .withColumn("n_tokens", size(col("ids")).cast("long"))
+      val seqs = TrainingPrep.packSegments(docIds, "doc_id", "n_tokens",
+          SEQ_LEN)
+        .filter(col("seg_len") > 0)
+        .select(col("seq_id"), col("offset"),
+          slice(col("ids"), (col("seg_start") + 1).cast("int"),
+            col("seg_len").cast("int")).as("piece"))
+        .groupBy(col("seq_id"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("offset"), col("piece")))),
+          x => x.getField("piece"))).as("ids"))
+      seqs.select(col("seq_id"),
+          size(col("ids")).as("n_ids"),
+          element_at(col("ids"), 1).as("first_id"),
+          element_at(col("ids"), -1).as("last_id"),
+          aggregate(col("ids"), lit(0L),
+            (h, i) => (h * 31 + i) % lit(TextFns.P)).as("ids_hash"))
+        .orderBy(col("seq_id"))
+    },
+    Some {
+      val in2 = UNI_PIECES2.map(p => s"'$p'").mkString(", ")
+      val in3 = UNI_PIECES3.map(p => s"'$p'").mkString(", ")
+      val idCase = UNI_VOCAB.zipWithIndex
+        .map { case (p, i) => s"WHEN '$p' THEN $i" }
+        .mkString("\n              ")
+      s"""WITH RECURSIVE dw AS (
+        SELECT DISTINCT w
+        FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$$')),
+      u AS (
+        SELECT w, 0 AS j, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2,
+          CAST([] AS VARCHAR[]) AS s0, NULL::VARCHAR[] AS s1,
+          NULL::VARCHAR[] AS s2
+        FROM dw
+        UNION ALL
+        SELECT w, j + 1, best.c, c0, c1, best.s, s0, s1
+        FROM (
+          SELECT u.*, list_sort(list_filter([
+            struct_pack(c := c0 + 1, nl := -1,
+              s := list_append(s0, substr(w, j + 1, 1))),
+            struct_pack(c := CASE WHEN substr(w, j, 2) IN ($in2)
+                THEN c1 + 1 END, nl := -2,
+              s := list_append(s1, substr(w, j, 2))),
+            struct_pack(c := CASE WHEN substr(w, j - 1, 3) IN ($in3)
+                THEN c2 + 1 END, nl := -3,
+              s := list_append(s2, substr(w, j - 1, 3)))
+          ], x -> x.c IS NOT NULL))[1] AS best
+          FROM u WHERE j < len(w))),
+      wids AS (
+        SELECT w, list_transform(s0, p -> CASE p
+              $idCase
+              ELSE NULL END) AS wids
+        FROM u WHERE j = len(w)),
+      tok AS (
+        SELECT doc_id, unnest(${tokensSql("text")}) AS w,
+          unnest(generate_series(1, len(${tokensSql("text")}))) AS pos
+        FROM documents),
+      docids AS (
+        SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+        FROM tok JOIN wids USING (w)
+        GROUP BY doc_id),
+      offs AS (
+        SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM docids),
+      segs AS (
+        SELECT seq_id, off, ids, n,
+          GREATEST(seq_id * $SEQ_LEN - off, 0) AS seg_start,
+          LEAST((seq_id + 1) * $SEQ_LEN - off, n)
+            - GREATEST(seq_id * $SEQ_LEN - off, 0) AS seg_len
+        FROM (SELECT *, unnest(generate_series(off // $SEQ_LEN,
+                (off + n - 1) // $SEQ_LEN)) AS seq_id
+              FROM offs)),
+      pieces AS (
+        SELECT seq_id, off, ids[seg_start + 1 : seg_start + seg_len] AS piece
+        FROM segs WHERE seg_len > 0),
+      seqs AS (
+        SELECT seq_id, flatten(list(piece ORDER BY off)) AS ids
+        FROM pieces GROUP BY seq_id)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        CAST(len(ids) AS INT) AS n_ids,
+        ids[1] AS first_id, ids[len(ids)] AS last_id,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+          (h, i) -> (h * 31 + i) % ${TextFns.P}) AS BIGINT) AS ids_hash
+      FROM seqs ORDER BY seq_id"""
+    })
+
   // -- T22: pairwise Cohen's KAPPA between the Gopher gates — the
   //    CATEGORICAL-agreement member of the signal-diagnostics family
   //    (q84 Pearson on continuous, q150 Spearman on ranks, kappa on
@@ -1555,5 +1676,5 @@ object TextAnalysis {
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206)
+      q183, q201, q206, q207)
 }
