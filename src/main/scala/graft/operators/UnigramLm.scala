@@ -105,15 +105,21 @@ object UnigramLm {
     * closure), cost the integer bit cost under the final counts.
     */
   def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
-      seedMulti: Int = 60, keepMulti: Int = 40,
-      rounds: Int = 2): DataFrame = {
+      seedMulti: Int = 60, keepMulti: Int = 40, rounds: Int = 2,
+      maxWordLen: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1)
 
+    // maxWordLen is a decompression-bomb-class guard, not a tuning
+    // knob: [[viterbiPieces]]'s fold carries every prefix's
+    // segmentation, O(len²) pieces per word, so one adversarial
+    // megabyte "word" in an untrusted corpus would otherwise blow up
+    // a task. SentencePiece's own trainer caps sentence-piece input
+    // the same way (max_sentencepiece_length et al.).
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .localCheckpoint() // re-read once per EM round
 

@@ -1210,7 +1210,8 @@ object TextAnalysis {
         .map(_ -> 1).toMap
       val dw = t.documents
         .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$")).distinct()
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")) <= 64).distinct()
         .withColumn("n_bpe",
           BpeTrainer.bpeTokenCount(col("w"), BPE_MERGES).cast("long"))
         .withColumn("n_wp",
@@ -1244,7 +1245,7 @@ object TextAnalysis {
       s"""WITH RECURSIVE dw AS (
         SELECT DISTINCT w
         FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
-        WHERE regexp_matches(w, '^[a-z]+$$')),
+        WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= 64),
       s(w, pos, cnt) AS (
         SELECT w, 1, 0 FROM dw
         UNION ALL
@@ -1309,7 +1310,8 @@ object TextAnalysis {
       val idLit = typedLit(uniIds)
       val dw = t.documents
         .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$")).distinct()
+        .filter(col("w").rlike("^[a-z]+$") &&
+          length(col("w")) <= 64).distinct()
         .withColumn("wids",
           transform(UnigramLm.viterbiPieces(col("w"), uniCosts, 3),
             p => try_element_at(idLit, p)))
@@ -1349,7 +1351,7 @@ object TextAnalysis {
       s"""WITH RECURSIVE dw AS (
         SELECT DISTINCT w
         FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
-        WHERE regexp_matches(w, '^[a-z]+$$')),
+        WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= 64),
       u AS (
         SELECT w, 0 AS j, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2,
           CAST([] AS VARCHAR[]) AS s0, NULL::VARCHAR[] AS s1,
@@ -1627,7 +1629,7 @@ object TextAnalysis {
       s"""WITH words AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
-        WHERE len(w) > 0 GROUP BY w),
+        WHERE len(w) > 0 AND len(w) <= 64 GROUP BY w),
       subs AS MATERIALIZED (
         SELECT substr(w, p, l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
         FROM (SELECT w, freq, unnest(generate_series(1, len(w))) AS p

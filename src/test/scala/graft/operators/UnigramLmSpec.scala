@@ -110,6 +110,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(a.filter(_.getString(0).length > 1).forall(_.getLong(1) > 0))
   }
 
+  test("pathological mega-words are excluded by the maxWordLen bomb guard") {
+    import spark.implicits._
+    // viterbiPieces carries every prefix's segmentation — O(len²)
+    // pieces per word — so an adversarial "word" must never reach it
+    val bomb = "x" * 100000
+    val docs = Seq((0L, s"spark join $bomb hash join"),
+      (1L, "hash spark join join")).toDF("doc_id", "text")
+    val out = UnigramLm.train(docs, "text", seedMulti = 10, keepMulti = 5)
+      .collect()
+    // trains fine, and the bomb contributed nothing: 'x' never occurs
+    // in any counted word, so it is not even in the char vocabulary
+    assert(!out.exists(_.getString(0).contains("x")))
+    assert(out.nonEmpty)
+  }
+
   test("bitCost is floor(log2(t/c)) + 1") {
     for ((t, c, exp) <- Seq((8L, 8L, 1), (9L, 8L, 1), (16L, 8L, 2),
       (17L, 8L, 2), (1000L, 1L, 10), (1L, 1L, 1), (1023L, 512L, 1),
