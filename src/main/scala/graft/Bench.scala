@@ -55,7 +55,7 @@ object Bench {
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
-    "q204_trigram_kn", "q205_lm_agreement",
+    "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
@@ -129,6 +129,9 @@ object Bench {
       "q184_ivf_nprobe_curve",
       // MRR's exact baseline + both rung probes are brute scans
       "q193_ann_mrr",
+      // matryoshka rungs are brute scans on sliced vectors (q27's
+      // shape per rung); at scale each rung rides IVF on the slice
+      "q208_mrl_recall",
       // MMR's candidate pool is the brute topK (q27's shape); at
       // scale the pool generator swaps to the IVF probe — the greedy
       // rounds themselves are linear in queries

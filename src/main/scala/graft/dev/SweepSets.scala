@@ -22,6 +22,7 @@ object SweepSets {
     "q115_lsh_recall" -> "exact side is q22's quadratic inverted-index oracle AND the LSH CTEs — doubly 10x-infeasible in DuckDB; the audit runs on samples at scale by design",
     "q140_simhash_recall" -> "exact side is all-pairs hamming (q25's oracle shape) — quadratic in DuckDB at 10x; the audit runs on samples at scale by design (q115 precedent)",
     "q27_ann_topk" -> "brute-force oracle crossjoin too slow in DuckDB at 10x",
+    "q208_mrl_recall" -> "q27's brute crossjoin oracle shape, once per prefix-dim rung plus the full-dim baseline — same 10x infeasibility; the ladder is measured at sf<=0.1",
     "q109_hard_negatives" -> "q27's brute-force oracle crossjoin shape — same 10x infeasibility",
     "q193_ann_mrr" -> "q149's reason: exact baseline + SQ8 + binary rungs are all brute crossjoin CTEs; MRR is measured at sf<=0.1 with the rest of the fidelity triad",
     "q184_ivf_nprobe_curve" -> "q149's reason: the exact baseline is the brute crossjoin CTE plus three probe chains; the curve is measured at sf<=0.1",

@@ -577,6 +577,92 @@ object SimilarityQueries {
       FROM ranked r JOIN kept k USING (component)
       ORDER BY r.vec_id"""))
 
+  // -- V10c: MATRYOSHKA (prefix-dimension) recall ladder — the
+  //    dim-budget eval modern MRL-trained embeddings ship with
+  //    (Kusupati et al. 2022): truncate index AND query to the first
+  //    d dims (the MRL deployment mode — no re-embedding), brute
+  //    cosine top-K per rung, recall against the full-dim exact
+  //    top-K. The missing axis of the code-budget ladder (q149
+  //    compresses PRECISION per dim; this compresses the DIM COUNT).
+  //    Brute rungs by definition → quadraticExact bench gate + the
+  //    q27 oracle exclusion at 10×; at scale each rung rides the same
+  //    IVF machinery on sliced vectors.
+  private val MRL_DIMS = Seq(32, 16, 8)
+  private val MRL_K = 5 // == MRL_K, declared before this val initializes
+  private val q208 = Q(
+    "q208_mrl_recall",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val emb = t.embeddings
+      val queries = emb.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(emb, queries, "vec_id", "embedding",
+          MRL_K)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true) // one brute scan, three rung joins
+      def trunc(df: org.apache.spark.sql.DataFrame, d: Int) =
+        df.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+      val rows = MRL_DIMS.map { d =>
+        val top = Similarity.topK(trunc(emb, d), trunc(queries, d),
+            "vec_id", "embedding", MRL_K)
+          .select(col("query_id"), col("corpus_id"))
+        exact.join(top, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_total"))))
+          .select(lit(d).as("dims"), col("n_hits"), col("n_total"),
+            pround(col("n_hits").cast("double") / col("n_total"), 4)
+              .as("recall"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("dims").desc)
+    },
+    Some {
+      def rung(d: Int) = s"""
+      v$d AS (
+        SELECT vec_id, embedding[1:$d] AS e,
+          sqrt(${norm2Sql(s"embedding[1:$d]")}) AS nrm
+        FROM embeddings),
+      top$d AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+            FROM (SELECT * FROM v$d WHERE vec_id % $QMOD = 0) q
+            JOIN v$d c ON q.vec_id != c.vec_id))
+        WHERE rank <= $MRL_K)"""
+      val rows = MRL_DIMS.map { d =>
+        s"""SELECT $d AS dims,
+          (SELECT count(*) FROM ex JOIN top$d t
+            ON ex.query_id = t.query_id AND ex.corpus_id = t.corpus_id)
+            AS n_hits,
+          (SELECT count(*) FROM ex) AS n_total,
+          ${proundSql(
+            s"""CAST((SELECT count(*) FROM ex JOIN top$d t
+              ON ex.query_id = t.query_id AND ex.corpus_id = t.corpus_id)
+              AS DOUBLE) / (SELECT count(*) FROM ex)""", 4)} AS recall"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      ex AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+                AS cosine
+            FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+            JOIN v c ON q.vec_id != c.vec_id))
+        WHERE rank <= $MRL_K),${MRL_DIMS.map(rung).mkString(",")}
+      SELECT * FROM (
+        $rows)
+      ORDER BY dims DESC"""
+    })
+
   // -- V11: JL random projection (Similarity.randomProjection) — the
   //    ANN preprocessing step: 64→16 dims via the deterministic LSH
   //    hyperplanes, each output dim a native sequential-fold dot
@@ -2232,5 +2318,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184, q193, q202)
+      q159, q165, q176, q181, q182, q184, q193, q202, q208)
 }
