@@ -56,6 +56,7 @@ object Bench {
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
+    "q209_ngram_diversity",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",

@@ -823,6 +823,48 @@ object CorpusQueries {
       FROM ranked GROUP BY source
       ORDER BY source"""))
 
+  // -- C7d: n-gram DIVERSITY mart — the type-token view a curation
+  //    team reads next to q192's vocab GROWTH curve: per source, how
+  //    much of the token stream is novel at n = 1..3 (hash-bucketed
+  //    n-gram types / instances — low trigram TTR = templated or
+  //    self-repetitive source, the q63 signal aggregated to the mart
+  //    level). One exploded scan per n, keyed aggs with map-side
+  //    combine; ratios are single exactly-rounded divisions.
+  private val q209 = Q(
+    "q209_ngram_diversity",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val rows = Seq(1, 2, 3).map { n =>
+        t.documents
+          .select(col("source"),
+            explode(TextFns.shingleHashes(lower(col("text")), n)).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_instances"),
+            countDistinct(col("h")).as("n_types"))
+          .select(lit(n).as("n"), col("source"), col("n_instances"),
+            col("n_types"),
+            pround(col("n_types").cast("double") / col("n_instances"), 6)
+              .as("ttr"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy(col("n"), col("source"))
+    },
+    Some {
+      val rows = Seq(1, 2, 3).map { n =>
+        s"""SELECT $n AS n, source,
+          CAST(count(*) AS BIGINT) AS n_instances,
+          CAST(count(DISTINCT h) AS BIGINT) AS n_types,
+          ${proundSql(
+            "CAST(count(DISTINCT h) AS DOUBLE) / count(*)", 6)} AS ttr
+        FROM (SELECT source,
+                unnest(${TextFns.shingleHashesSql("lower(text)", n)}) AS h
+              FROM documents)
+        GROUP BY source"""
+      }.mkString("\n        UNION ALL ")
+      s"""SELECT * FROM (
+        $rows)
+      ORDER BY n, source"""
+    })
+
   // -- C8: pairwise source distribution drift (operators.Divergence) —
   //    total variation over token distributions via the min-overlap
   //    identity: shared-vocab join only, exact decimal mass sums, one
@@ -1232,5 +1274,5 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205)
+      q204, q205, q209)
 }
