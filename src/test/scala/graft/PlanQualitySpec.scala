@@ -484,7 +484,10 @@ class PlanQualitySpec extends SparkSpec {
       "q196_wilson_ranking",
       // q199: q68's segment map (packOffsets' bucket-total prefix
       // window) under a rollup
-      "q199_pack_boundary_stats")
+      "q199_pack_boundary_stats",
+      // q207: q154's pack pipeline under the unigram tokenizer — the
+      // same q64 bucket-total prefix window
+      "q207_unigram_pack_ids")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
