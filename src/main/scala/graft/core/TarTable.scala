@@ -168,7 +168,7 @@ object TarTable {
     * short/garbled header, or on a payload that overruns the archive
     * (never throws — the media-codec corruption contract).
     */
-  private def members(bytes: Array[Byte]): Iterator[Row] = {
+  private[core] def members(bytes: Array[Byte]): Iterator[Row] = {
     val out = scala.collection.mutable.ArrayBuffer[Row]()
     var off = 0
     var done = false

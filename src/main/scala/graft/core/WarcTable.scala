@@ -164,11 +164,18 @@ object WarcTable {
           throw new IllegalArgumentException(
             s"WARC: bad version line '$line'")
         var headers = Map.empty[String, String]
+        var nHeaders = 0
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
           val i = h.indexOf(':')
           if (i < 0) throw new IllegalArgumentException(
             s"WARC: bad header line '$h'")
+          nHeaders += 1
+          // allocation-bomb guard: a crafted endless header block
+          // must fail as a clean throw, not grow the map until OOM
+          // (an Error would kill the task, not fail the record)
+          if (nHeaders > 1024) throw new IllegalArgumentException(
+            "WARC: more than 1024 header lines")
           headers += h.substring(0, i).trim.toLowerCase ->
             h.substring(i + 1).trim
           h = readLine(in)
@@ -176,6 +183,11 @@ object WarcTable {
         val len = headers.getOrElse("content-length",
           throw new IllegalArgumentException(
             "WARC: missing Content-Length")).toLong
+        // same guard for the payload: a crafted multi-GB
+        // Content-Length must throw BEFORE the allocation
+        if (len < 0 || len > (1L << 30))
+          throw new IllegalArgumentException(
+            s"WARC: implausible Content-Length $len")
         val payload = readFully(in, len.toInt)
         Row(
           headers.getOrElse("warc-type", ""),
@@ -195,7 +207,14 @@ object WarcTable {
     val buf = new ArrayBuffer[Byte](96)
     var b = in.read()
     if (b < 0) return null
-    while (b >= 0 && b != '\n') { buf += b.toByte; b = in.read() }
+    while (b >= 0 && b != '\n') {
+      buf += b.toByte
+      // allocation-bomb guard: a header "line" with no newline for
+      // gigabytes must throw cleanly, not accumulate until OOM
+      if (buf.length > (1 << 20)) throw new IllegalArgumentException(
+        "WARC: header line exceeds 1 MiB")
+      b = in.read()
+    }
     if (buf.nonEmpty && buf.last == '\r') buf.dropRightInPlace(1)
     new String(buf.toArray, "ISO-8859-1")
   }

@@ -17,6 +17,43 @@ class TarSpec extends SparkSpec {
     (tmp, TarTable.read(spark, tmp))
   }
 
+  test("member walk survives seeded fuzz: truncations, corruptions, size bombs") {
+    // the CodecFuzzSpec contract applied to the archive walker: every
+    // truncation, a seeded sample of byte corruptions, and a sliding
+    // 0xFF window (maxing every octal size field) must CLEAN-STOP —
+    // never throw, never overrun, never spin
+    val payload = Array.tabulate(700)(i => (i * 7 % 256).toByte)
+    val arc = {
+      val bos = new java.io.ByteArrayOutputStream()
+      for (n <- Seq("a.txt", "b.bin")) {
+        bos.write(TarTable.header(n, payload.length.toLong))
+        bos.write(payload)
+        bos.write(new Array[Byte](512 - payload.length % 512))
+      }
+      bos.write(new Array[Byte](1024))
+      bos.toByteArray
+    }
+    assert(TarTable.members(arc).size === 2, "fixture must parse clean")
+    for (cut <- 0 to arc.length by 7)
+      TarTable.members(arc.take(cut)).size // must not throw
+    var lcg = 0x9E3779B97F4A7C15L
+    def next(bound: Int): Int = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L
+      (((lcg >>> 33) % bound + bound) % bound).toInt
+    }
+    for (_ <- 0 until 400) {
+      val s = arc.clone()
+      for (_ <- 0 to next(4)) s(next(s.length)) = next(256).toByte
+      TarTable.members(s).size // must not throw
+    }
+    for (off <- 0 until arc.length by 3) {
+      val s = arc.clone()
+      var i = 0
+      while (i < 4 && off + i < s.length) { s(off + i) = 0xFF.toByte; i += 1 }
+      TarTable.members(s).size // size-field bombs must not balloon
+    }
+  }
+
   test("round trip is byte-lossless across every padding edge") {
     // 0 / 1 / 511 / 512 / 513-byte payloads hit the header-only,
     // partial-block, exact-block, and block+1 padding branches

@@ -79,4 +79,39 @@ class WarcSpec extends SparkSpec {
       parse("WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
     }
   }
+
+  test("allocation bombs throw cleanly BEFORE allocating") {
+    def parse(s: String) =
+      WarcTable.records(new ByteArrayInputStream(s.getBytes("UTF-8")))
+        .toList
+    // multi-GB Content-Length: the throw must come from the guard,
+    // not from a 2 GB array allocation (an OOM Error would kill the
+    // task, not fail the record)
+    intercept[IllegalArgumentException] {
+      parse("WARC/1.0\r\nContent-Length: 2000000000\r\n\r\n")
+    }
+    intercept[IllegalArgumentException] {
+      parse("WARC/1.0\r\nContent-Length: -5\r\n\r\n")
+    }
+    // endless header block (streamed, never materialized here): the
+    // header-count guard fires at 1024 lines
+    val many = new java.io.SequenceInputStream(
+      new ByteArrayInputStream("WARC/1.0\r\n".getBytes("UTF-8")),
+      new java.io.InputStream {
+        private val line = "X-Filler: y\r\n".getBytes("UTF-8")
+        private var i = 0
+        override def read(): Int = { val b = line(i % line.length); i += 1; b }
+      })
+    intercept[IllegalArgumentException] {
+      WarcTable.records(many).toList
+    }
+    // a "line" that never ends: the 1 MiB line guard fires instead of
+    // accumulating the stream
+    val endless = new java.io.SequenceInputStream(
+      new ByteArrayInputStream("WARC/1.0\r\nA".getBytes("UTF-8")),
+      new java.io.InputStream { override def read(): Int = 'a' })
+    intercept[IllegalArgumentException] {
+      WarcTable.records(endless).toList
+    }
+  }
 }
