@@ -577,6 +577,66 @@ object SimilarityQueries {
       FROM ranked r JOIN kept k USING (component)
       ORDER BY r.vec_id"""))
 
+  // -- V10b2: SOFT dedup weights — the downweight-instead-of-drop
+  //    alternative to q202's hard survivor rule (the modern soft-dedup
+  //    recipe: a document in a semantic group of size g trains with
+  //    weight 1/g, so duplicated content contributes ONE group's worth
+  //    of gradient mass instead of g copies'). Per label: vectors,
+  //    groups touched, effective sample size Σ 1/g (fractional when
+  //    groups straddle labels), and the inflation ratio n/eff — the
+  //    measured "how over-counted is this slice" number a mixture
+  //    planner reads. Weights are 1/g doubles pround'd to the 1e-8
+  //    grid BEFORE the decimal-sum (the q204 portable recipe).
+  private val q210 = Q(
+    "q210_soft_dedup_weights",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val sem = graft.operators.Dedup.semDeDup(t.embeddings, "vec_id",
+        "embedding", SD_K, SD_ITERS, SD2_TAU)
+      val w = pround(lit(1.0) / col("n_group").cast("double"), 8)
+        .cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(28, 8))
+      sem.join(t.embeddings.select(col("vec_id"), col("label")), "vec_id")
+        .withColumn("w", w)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("component")).as("n_groups"),
+          pround(sum(col("w")).cast("double"), 4).as("effective_n"))
+        .select(col("label"), col("n_vecs"), col("n_groups"),
+          col("effective_n"),
+          pround(col("n_vecs").cast("double") / col("effective_n"), 4)
+            .as("inflation"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH RECURSIVE $semDeDupPairCtes,
+      undirected(a, b) AS (
+        SELECT p1, p2 FROM sd_prs UNION SELECT p2, p1 FROM sd_prs),
+      reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a),
+      lbls AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+      lab AS (
+        SELECT m.vec_id, coalesce(l.component, m.vec_id) AS component
+        FROM sd_m m LEFT JOIN lbls l ON l.node = m.vec_id),
+      grp AS (
+        SELECT component, count(*) AS g FROM lab GROUP BY component),
+      wv AS (
+        SELECT e.label, lab.component,
+          CAST(${proundSql("1.0 / grp.g", 8)} AS DECIMAL(28,8)) AS w
+        FROM lab JOIN grp USING (component)
+        JOIN embeddings e ON e.vec_id = lab.vec_id)
+      SELECT label, count(*) AS n_vecs,
+        CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+        ${proundSql("CAST(sum(w) AS DOUBLE)", 4)} AS effective_n,
+        ${proundSql(
+          s"""CAST(count(*) AS DOUBLE)
+            / (${proundSql("CAST(sum(w) AS DOUBLE)", 4)})""", 4)}
+          AS inflation
+      FROM wv GROUP BY label
+      ORDER BY label"""))
+
   // -- V10c: MATRYOSHKA (prefix-dimension) recall ladder — the
   //    dim-budget eval modern MRL-trained embeddings ship with
   //    (Kusupati et al. 2022): truncate index AND query to the first
@@ -2318,5 +2378,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184, q193, q202, q208)
+      q159, q165, q176, q181, q182, q184, q193, q202, q208, q210)
 }
