@@ -277,8 +277,16 @@ object Bench {
     // time, i.e. the clock ran while executors sat idle (machine
     // contention or a driver stall). Healthy parallel queries have
     // task >= wall; healthy serial ones have task ≈ wall.
+    // Exempt: queries whose SHAPE is a driver loop of many tiny jobs
+    // — q107 runs 25 sequential merge rounds (one collect each), so
+    // wall >> Σ task is inherent scheduling, not contention (measured
+    // ~2.9 s wall / 0.9 s task on a PROVEN-idle box, ext_cpu 0.001).
+    // Real contention still surfaces for them via extCpu and
+    // pass-drift, which inflate uniformly.
+    val driverLoop = Set("q107_bpe_merges")
     val contended = results.collect {
-      case (n, t) if t.wall > 1.0 && t.wall > 3.0 * t.task => n
+      case (n, t) if t.wall > 1.0 && t.wall > 3.0 * t.task &&
+        !driverLoop.contains(n) => n
     }
     contended.foreach(n => System.err.println(
       s"[bench] WARNING $n wall >> taskTime — rerun on an idle machine"))
