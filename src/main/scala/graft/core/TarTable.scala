@@ -45,11 +45,20 @@ object TarTable {
 
   private val Block = 512
 
-  /** Read-back schema: one row per tar member. */
+  /** Read-back schema: one row per tar member, plus its provenance —
+    * the archive path and the member's 0-based position within it.
+    * (archive, member_idx) is a STABLE total order derived from the
+    * inputs alone, so downstream last-wins rules are deterministic
+    * across runs, retries, and file-split layouts (a
+    * monotonically_increasing_id would order by partition index, which
+    * changes with listing order).
+    */
   val schema: StructType = StructType(Seq(
     StructField("member_name", StringType, nullable = false),
     StructField("member_size", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false),
+    StructField("archive", StringType, nullable = false),
+    StructField("member_idx", LongType, nullable = false)))
 
   /** Write `df` as sharded .tar files (one per partition). Expected
     * columns: member_name (string ≤ 100 bytes), payload (binary).
@@ -83,13 +92,20 @@ object TarTable {
     }
   }
 
-  /** Parse every member of every .tar file under `path`. */
+  /** Parse every member of every .tar file under `path`, tagging each
+    * row with (archive, member_idx) provenance per [[schema]].
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar").load(path)
-      .select(col("content"))
+      .select(col("path"), col("content"))
     files.mapPartitions { rows =>
-      rows.flatMap(r => members(r.getAs[Array[Byte]](0)))
+      rows.flatMap { r =>
+        val archive = r.getString(0)
+        members(r.getAs[Array[Byte]](1)).zipWithIndex.map { case (m, i) =>
+          Row(m.getString(0), m.getLong(1), m.get(2), archive, i.toLong)
+        }
+      }
     }(Encoders.row(schema))
   }
 
@@ -109,12 +125,15 @@ object TarTable {
         regexp_extract(col("member_name"), "^(.*)\\.([^.]*)$", 2).as("ext"),
         col("payload"),
         // duplicate member names are legal tar (later entries override
-        // on extract); parser order is partition-local row order, so a
-        // partition-local sequence lets a last-wins reduce drop the
-        // shadowed payloads BEFORE map assembly — without it,
-        // map_from_entries throws under mapKeyDedupPolicy=EXCEPTION
-        // and one untrusted shard fails the job
-        monotonically_increasing_id().as("__seq"))
+        // on extract); a last-wins reduce drops the shadowed payloads
+        // BEFORE map assembly — without it, map_from_entries throws
+        // under mapKeyDedupPolicy=EXCEPTION and one untrusted shard
+        // fails the job. The order key is the STABLE provenance pair
+        // from [[read]] (struct ordering is lexicographic): within an
+        // archive, member_idx is the tar contract's extract order;
+        // across archives the winner is pinned by path, never by
+        // partition layout or recompute.
+        struct(col("archive"), col("member_idx")).as("__seq"))
       .groupBy(col("key"), col("ext"))
       .agg(max_by(col("payload"), col("__seq")).as("payload"))
       .groupBy(col("key"))

@@ -880,14 +880,27 @@ object Dedup {
     * size). The knobs (k, iters, tau) are explicit — k controls the
     * cell-size/recall trade exactly like IVF's nlist.
     *
-    * @return one row per vector: (idCol, cluster, d2c, component,
-    *         n_group, keep, kept_by)
+    * @return one row per INPUT vector: (idCol, cluster, d2c,
+    *         component, n_group, keep, kept_by). Rows whose `vecCol`
+    *         is null cannot be embedded, so they are undecidable —
+    *         the image lane's "no signature ⇒ keep" contract applies:
+    *         they come back keep=1, n_group=1, kept_by=self with null
+    *         cluster/d2c, never silently dropped.
     */
   def semDeDup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, tau: Double): DataFrame = {
     val (assigned, pairs) = semDeDupParts(vecs, idCol, vecCol, k, iters, tau)
-    qualitySurvivors(assigned, idCol, pairs, Seq("d2c"))
+    val decided = qualitySurvivors(assigned, idCol, pairs, Seq("d2c"))
       .withColumnRenamed("n_cluster_docs", "n_group")
+    val undecidable = vecs.filter(col(vecCol).isNull)
+      .select(col(idCol),
+        lit(null).cast("int").as("cluster"),
+        lit(null).cast("double").as("d2c"),
+        col(idCol).as("component"),
+        lit(1L).as("n_group"),
+        lit(1).as("keep"),
+        col(idCol).as("kept_by"))
+    decided.unionByName(undecidable)
   }
 
   /** Just the within-cluster near-dup PAIR set of [[semDeDup]]
@@ -897,6 +910,47 @@ object Dedup {
   def semDeDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, tau: Double): DataFrame =
     semDeDupParts(vecs, idCol, vecCol, k, iters, tau)._2
+
+  /** Semantic DECONTAMINATION pairs — [[semDeDup]]'s machinery
+    * generalized to TWO frames, the embedding-space member of the
+    * decontamination family: q62/q91/q170 catch exact n-gram overlap
+    * between the training corpus and a held-out eval set; this
+    * catches PARAPHRASED benchmark leakage those structurally miss.
+    * Frozen centroids are trained on `corpus` ONLY (the eval set is
+    * held out of training — the AnnIndexPipeline frozen-model
+    * discipline), BOTH frames are assigned under the trained model,
+    * and the output is the cluster-confined cross pair set: (corpus
+    * doc, eval doc) in the SAME cell with cosine ≥ tau. No
+    * corpus-side or eval-side self-pairs — contamination is strictly
+    * cross-frame (q112's cross-corpus discipline).
+    *
+    * Scale shape: training and assignment are narrow maps against k·d
+    * broadcast centroid literals; pair generation is an equi-join on
+    * the trained cluster id — O(Σ corpus_cell × eval_cell), never
+    * |corpus|×|eval|; the eval set is benchmark-sized, so its side
+    * broadcasts under AQE at scale. k is the cell-size knob (IVF
+    * nlist); tau the paraphrase threshold.
+    *
+    * @return (corpus_id, eval_id, cluster, cosine) — cosine is the
+    *         sequential-fold double (bit-portable cross-engine)
+    */
+  def semDeDupCross(corpus: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = KMeans.fitCentroidArrays(corpus, idCol, vecCol, k, iters)
+    def side(df: DataFrame) =
+      df.select(col(idCol), col(vecCol),
+          sqrt(Similarity.norm2(col(vecCol))).as("norm"))
+        .join(KMeans.assign(df, idCol, vecCol, cents)
+          .select(col(idCol), col("cluster")), Seq(idCol))
+    val cos = Similarity.dot(col(s"c.$vecCol"), col(s"e.$vecCol")) /
+      (col("c.norm") * col("e.norm"))
+    side(corpus).as("c")
+      .join(side(eval).as("e"), col("c.cluster") === col("e.cluster"))
+      .filter(cos >= tau)
+      .select(col(s"c.$idCol").as("corpus_id"),
+        col(s"e.$idCol").as("eval_id"),
+        col("c.cluster").as("cluster"), cos.as("cosine"))
+  }
 
   private def semDeDupParts(vecs: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int, tau: Double)

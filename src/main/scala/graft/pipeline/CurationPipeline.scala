@@ -95,7 +95,7 @@ object CurationPipeline {
     val staged0 =
       if (exists(spark, hashesDir(curDir)))
         inBatch.join(
-          spark.read.parquet(hashesDir(curDir)).select(col("h"))
+          Forget.readAppendDir(spark, hashesDir(curDir)).select(col("h"))
             .distinct().withColumn("__seen", lit(1)),
           Seq("h"), "left")
           .withColumn("s4",
@@ -129,8 +129,8 @@ object CurationPipeline {
     * each metrics row monotone along the funnel.
     */
   def validateCurated(spark: SparkSession, curDir: String): Boolean = {
-    val curated = spark.read.parquet(curatedDir(curDir))
-    val hashes = spark.read.parquet(hashesDir(curDir))
+    val curated = Forget.readAppendDir(spark, curatedDir(curDir))
+    val hashes = Forget.readAppendDir(spark, hashesDir(curDir))
     val metrics = spark.read.parquet(metricsDir(curDir))
     val n = curated.count()
     curated.select("doc_id").distinct().count() == n &&

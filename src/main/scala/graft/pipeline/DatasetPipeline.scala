@@ -30,7 +30,7 @@ object DatasetPipeline {
     */
   def packCorpus(spark: SparkSession, corpusDir: String, outDir: String,
       seed: Long, numShards: Int, seqLen: Int): Long = {
-    val corpus = spark.read.parquet(corpusDir)
+    val corpus = Forget.readAppendDir(spark, corpusDir)
       .withColumn("n_tokens",
         size(TextFns.tokens(col("text"))).cast("long"))
     val ordered = TrainingPrep.shuffleOrder(corpus, "doc_id", seed,
@@ -71,7 +71,7 @@ object DatasetPipeline {
       outDir: String, seed: Long, numShards: Int, seqLen: Int,
       merges: Seq[(String, String)]): Long = {
     import graft.operators.BpeTrainer
-    val corpus = spark.read.parquet(corpusDir)
+    val corpus = Forget.readAppendDir(spark, corpusDir)
     val vocab = BpeTrainer.vocabTable(corpus, "text", merges)
     val ids = BpeTrainer.bpeEncodeIds(corpus, "doc_id", "text", merges, vocab)
       .withColumn("n_tokens", size(col("ids")).cast("long"))
@@ -108,7 +108,7 @@ object DatasetPipeline {
       imagesDir: String, outDir: String, seed: Long, numShards: Int,
       seqLen: Int, merges: Seq[(String, String)]): (Long, Long) = {
     import graft.operators.{BpeTrainer, TrainingPrep}
-    val corpus = spark.read.parquet(corpusDir)
+    val corpus = Forget.readAppendDir(spark, corpusDir)
     val vocab = BpeTrainer.vocabTable(corpus, "text", merges)
     val imgId = vocab.count()
     val marks = spark.read.parquet(imagesDir)
@@ -170,7 +170,7 @@ object DatasetPipeline {
       merges: Seq[(String, String)]): Boolean = {
     import graft.operators.BpeTrainer
     val seqs = spark.read.parquet(s"$outDir/sequences")
-    val total = spark.read.parquet(corpusDir)
+    val total = Forget.readAppendDir(spark, corpusDir)
       .agg(sum(BpeTrainer.bpeTokenCount(col("text"), merges)))
       .head.getLong(0)
     val agg = seqs.agg(max(col("seq_id")).as("mx"),
@@ -191,7 +191,7 @@ object DatasetPipeline {
       outDir: String, seqLen: Int): Boolean = {
     import org.apache.spark.sql.expressions.Window
     val packed = spark.read.parquet(s"$outDir/packed")
-    val corpusN = spark.read.parquet(corpusDir).count()
+    val corpusN = Forget.readAppendDir(spark, corpusDir).count()
     val w = Window.orderBy(col("shard"), col("pos"))
     val bad = packed
       .withColumn("expect_offset",

@@ -104,8 +104,8 @@ object DedupIndexPipeline {
     val bestCross =
       if (exists(spark, bandsDir(indexDir)))
         bestMatch(Dedup.crossNearDupsFromIndex(
-          spark.read.parquet(bandsDir(indexDir)),
-          spark.read.parquet(setsDir(indexDir)),
+          Forget.readAppendDir(spark, bandsDir(indexDir)),
+          Forget.readAppendDir(spark, setsDir(indexDir)),
           afterIn, "doc_id", "text", n, tau, p, maxBucket)
           .select(col("bid").as("doc_id"), col("cid").as("dup_of"),
             col("jaccard")))
@@ -227,7 +227,7 @@ object DedupIndexPipeline {
     val bestCross =
       if (exists(spark, fpsDir(indexDir)))
         bestMatch(Dedup.crossFingerprintDups(
-          spark.read.parquet(fpsDir(indexDir)), afterInSig,
+          Forget.readAppendDir(spark, fpsDir(indexDir)), afterInSig,
           "media_id", "phash", maxHamming, maxBucket, bandBits)
           .select(col("bid").as("media_id"), col("cid").as("dup_of"),
             col("hamming")),
@@ -265,8 +265,8 @@ object DedupIndexPipeline {
     */
   def validateImageIndex(spark: SparkSession, indexDir: String): Boolean = {
     import graft.operators.Multimodal
-    val media = spark.read.parquet(mediaDir(indexDir))
-    val fps = spark.read.parquet(fpsDir(indexDir))
+    val media = Forget.readAppendDir(spark, mediaDir(indexDir))
+    val fps = Forget.readAppendDir(spark, fpsDir(indexDir))
     val nFps = fps.count()
     fps.select("media_id").distinct().count() == nFps &&
       media.select("media_id").distinct().count() == media.count() &&
@@ -282,9 +282,9 @@ object DedupIndexPipeline {
     */
   def validateIndex(spark: SparkSession, indexDir: String,
       p: MinHashParams): Boolean = {
-    val corpus = spark.read.parquet(corpusDir(indexDir))
-    val bands = spark.read.parquet(bandsDir(indexDir))
-    val sets = spark.read.parquet(setsDir(indexDir))
+    val corpus = Forget.readAppendDir(spark, corpusDir(indexDir))
+    val bands = Forget.readAppendDir(spark, bandsDir(indexDir))
+    val sets = Forget.readAppendDir(spark, setsDir(indexDir))
     val nSets = sets.count()
     sets.select("doc_id").distinct().count() == nSets &&
       corpus.select("doc_id").distinct().count() == corpus.count() &&

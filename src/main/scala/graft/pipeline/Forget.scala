@@ -62,6 +62,40 @@ object Forget {
     case _ => name
   }
 
+  /** Finish any interrupted generation swap under `dir`: a
+    * replacement is promoted to a VISIBLE name fgen<N+1>_<base>
+    * before its predecessor (fgen<N>_<base> or bare <base>) is
+    * deleted, so a crash between the two leaves both copies readable
+    * — double-counting kept rows and keeping supposedly-erased rows
+    * readable until recovered. This pass keeps only the highest
+    * generation per base name and deletes leftover dot-prefixed tmp
+    * dirs (crash before rename: the predecessor is still intact).
+    * Driver-side listing only; no-op on a dir with no duplicates.
+    */
+  def recoverSwaps(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val byBase = fs.listStatus(root).map(_.getPath).flatMap { p =>
+      if (p.getName.startsWith(".forget_tmp_")) { fs.delete(p, true); None }
+      else Some((forgetBase(p.getName), forgetGen(p.getName), p))
+    }.groupBy(_._1)
+    byBase.values.filter(_.length > 1).foreach { vs =>
+      vs.sortBy(-_._2).drop(1).foreach(v => fs.delete(v._3, false))
+    }
+  }
+
+  /** Read a parquet append-dir that [[eraseFromDir]] may have
+    * rewritten, finishing any interrupted generation swap first so a
+    * crash mid-erase can never surface both generations of a file to
+    * a consumer. ALL readers of the erasable dirs (curated/hashes,
+    * bands/sets/corpus/fps/media/verdicts) go through here.
+    */
+  def readAppendDir(spark: SparkSession, dir: String): DataFrame = {
+    recoverSwaps(spark, dir)
+    spark.read.parquet(dir)
+  }
+
   /** Erase every row of the parquet append-dir `dir` whose value in
     * ANY of `idCols` is in `ids`, rewriting only the files that
     * contain such rows. No-op (Nil result) if the dir doesn't exist.
@@ -72,20 +106,7 @@ object Forget {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root) || ids.isEmpty)
       return EraseResult(dir, 0, 0, 0L)
-    // crash recovery for interrupted swaps (below): a replacement is
-    // promoted to a VISIBLE name fgen<N+1>_<base> before its
-    // predecessor (fgen<N>_<base> or bare <base>) is deleted, so a
-    // crash between the two leaves both copies readable. Here, before
-    // any read, keep only the highest generation per base name.
-    // Leftover dot-prefixed tmp dirs (crash before rename) are just
-    // deleted: the predecessor is still intact in that case.
-    val byBase = fs.listStatus(root).map(_.getPath).flatMap { p =>
-      if (p.getName.startsWith(".forget_tmp_")) { fs.delete(p, true); None }
-      else Some((forgetBase(p.getName), forgetGen(p.getName), p))
-    }.groupBy(_._1)
-    byBase.values.filter(_.length > 1).foreach { vs =>
-      vs.sortBy(-_._2).drop(1).foreach(v => fs.delete(v._3, false))
-    }
+    recoverSwaps(spark, dir)
     // the id batch is bounded (deletion requests are batched), so it
     // folds into scan-stage IN predicates — pushed to the parquet
     // reader, no join

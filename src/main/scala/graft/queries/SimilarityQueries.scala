@@ -637,6 +637,149 @@ object SimilarityQueries {
       FROM wv GROUP BY label
       ORDER BY label"""))
 
+  // -- V10c: SEMANTIC DECONTAMINATION (Dedup.semDeDupCross) — the
+  //    embedding-space member of the decontamination family: q62/q91/
+  //    q170 catch exact n-gram train↔eval overlap; this catches
+  //    PARAPHRASED benchmark leakage via cluster-confined cross-frame
+  //    cosine pairs. Frozen Lloyd centroids are trained on the CORPUS
+  //    side only (eval held out of training), both frames assigned
+  //    under the trained model, pairs = corpus×eval in the SAME cell
+  //    with cosine ≥ tau. Eval split = every 10th vector (q62's
+  //    deterministic convention). The oracle unrolls the corpus-only
+  //    Lloyd rounds, assigns ALL vectors with the same decimal
+  //    argmin, and replays the cross pair join — a centroid trained
+  //    on an eval vector, a self-frame pair, or a cross-cluster pair
+  //    diverges. -----------------------------------------------------
+  private[queries] val SDC_EVERY = 10
+  private[queries] val SDC_TAU = 0.5
+
+  /** Oracle CTE fragment (no WITH prefix) replaying
+    * [[graft.operators.Dedup.semDeDupCross]]: corpus-only seed +
+    * unrolled Lloyd rounds (train rows = vec_id % SDC_EVERY ≠ 0),
+    * final exact-decimal assignment of BOTH frames, and the
+    * cluster-confined corpus×eval cosine pair set, ending in
+    * `sdc_prs(corpus_id, eval_id, cluster, cosine)`. `sdc_`-prefixed
+    * so q212's method-overlap row can splice it next to the n-gram
+    * shingle CTEs without collisions.
+    */
+  private[queries] lazy val semDeDupCrossCtes: String = {
+    val trainPred = s"vec_id % $SDC_EVERY <> 0"
+    val iterCtes = (1 to SD_ITERS).map { i =>
+      s"""sdc_dist$i AS (
+        SELECT e.vec_id, c.cluster,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+        FROM sdc_ev e JOIN sdc_cent${i - 1} c USING (pos)
+        WHERE e.$trainPred
+        GROUP BY e.vec_id, c.cluster),
+      sdc_asg$i AS (
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cluster) AS rk
+          FROM sdc_dist$i) WHERE rk = 1),
+      sdc_mean$i AS (
+        SELECT a.cluster, e.pos, count(*) AS n_vecs,
+          ${proundSql(
+            "CAST(sum(CAST(e.v AS DECIMAL(28,8))) AS DOUBLE) / count(*)",
+            6)} AS mean_v
+        FROM sdc_asg$i a JOIN sdc_ev e USING (vec_id)
+        GROUP BY a.cluster, e.pos),
+      sdc_cent$i AS (
+        SELECT cluster, pos, mean_v AS c FROM sdc_mean$i
+        UNION ALL
+        SELECT p.cluster, p.pos, p.c FROM sdc_cent${i - 1} p
+        WHERE p.cluster NOT IN (SELECT cluster FROM sdc_mean$i))"""
+    }.mkString(",\n      ")
+    val fin = SD_ITERS + 1
+    s"""sdc_ev AS (
+      SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos)),
+    sdc_seed AS (
+      SELECT vec_id, row_number() OVER (
+          ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+            vec_id) - 1 AS cluster
+      FROM embeddings WHERE $trainPred),
+    sdc_cent0 AS (
+      SELECT s.cluster, e.pos, e.v AS c
+      FROM sdc_seed s JOIN sdc_ev e USING (vec_id)
+      WHERE s.cluster < $SD_K),
+    $iterCtes,
+    sdc_dist$fin AS (
+      SELECT e.vec_id, c.cluster,
+        sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+      FROM sdc_ev e JOIN sdc_cent$SD_ITERS c USING (pos)
+      GROUP BY e.vec_id, c.cluster),
+    sdc_asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, cluster) AS rk
+        FROM sdc_dist$fin) WHERE rk = 1),
+    sdc_v AS (
+      SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+      FROM embeddings),
+    sdc_m AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, v.embedding, v.nrm
+      FROM sdc_asg a JOIN sdc_v v USING (vec_id)),
+    sdc_prs AS MATERIALIZED (
+      SELECT a.vec_id AS corpus_id, b.vec_id AS eval_id, a.cluster,
+        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+      FROM sdc_m a JOIN sdc_m b
+        ON a.cluster = b.cluster
+        AND a.vec_id % $SDC_EVERY <> 0 AND b.vec_id % $SDC_EVERY = 0
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+        >= $SDC_TAU)"""
+  }
+
+  private val q211 = Q(
+    "q211_semantic_decontamination",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val corpus = t.embeddings.filter(col("vec_id") % SDC_EVERY =!= 0)
+      val evalSet = t.embeddings.filter(col("vec_id") % SDC_EVERY === 0)
+      // one training + cross join, consumed by the per-eval agg AND
+      // the top-contaminant window — cut the lineage once
+      val prs = graft.operators.Dedup.semDeDupCross(corpus, evalSet,
+          "vec_id", "embedding", SD_K, SD_ITERS, SDC_TAU)
+        .localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("eval_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      val top = prs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("eval_id"), col("corpus_id").as("top_corpus_id"))
+      val agg = prs.groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_contaminants"),
+          pround(max(col("cosine")), 6).as("max_cos"))
+      evalSet.select(col("vec_id").as("eval_id"))
+        .join(agg, Seq("eval_id"), "left")
+        .join(top, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_contaminants"), lit(0L)).as("n_contaminants"),
+          col("max_cos"), col("top_corpus_id"))
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""WITH $semDeDupCrossCtes,
+      agg AS (
+        SELECT eval_id, count(*) AS n_contaminants,
+          ${proundSql("max(cosine)", 6)} AS max_cos
+        FROM sdc_prs GROUP BY eval_id),
+      top AS (
+        SELECT eval_id, corpus_id AS top_corpus_id FROM (
+          SELECT eval_id, corpus_id,
+            row_number() OVER (PARTITION BY eval_id
+              ORDER BY cosine DESC, corpus_id) AS rk
+          FROM sdc_prs) WHERE rk = 1)
+      SELECT e.vec_id AS eval_id,
+        CAST(coalesce(a.n_contaminants, 0) AS BIGINT) AS n_contaminants,
+        a.max_cos, t.top_corpus_id
+      FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id % $SDC_EVERY = 0) e
+      LEFT JOIN agg a ON a.eval_id = e.vec_id
+      LEFT JOIN top t ON t.eval_id = e.vec_id
+      ORDER BY eval_id"""))
+
   // -- V10c: MATRYOSHKA (prefix-dimension) recall ladder — the
   //    dim-budget eval modern MRL-trained embeddings ship with
   //    (Kusupati et al. 2022): truncate index AND query to the first
@@ -648,7 +791,9 @@ object SimilarityQueries {
   //    q27 oracle exclusion at 10×; at scale each rung rides the same
   //    IVF machinery on sliced vectors.
   private val MRL_DIMS = Seq(32, 16, 8)
-  private val MRL_K = 5 // == MRL_K, declared before this val initializes
+  private val MRL_K = 5 // == the exact baseline's K: each rung's top-K
+                        // is scored against the SAME-K full-dim brute
+                        // answer, so recall@K compares like for like
   private val q208 = Q(
     "q208_mrl_recall",
     (s, dir) => {
@@ -2378,5 +2523,5 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184, q193, q202, q208, q210)
+      q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211)
 }

@@ -1196,6 +1196,13 @@ object TextAnalysis {
   //    cost of each heuristic ("query": qu|ery optimal = 2, greedy
   //    que|r|y = 3). Per-word work on the distinct-word dictionary,
   //    broadcast back — the q164 shape.
+  // q206/q207's min-piece Viterbi runs with maxPieceLen=3 and the
+  // oracle DP probes window lengths 1–3 only; both are optimal over
+  // the shared vocabulary ONLY while no vocab piece exceeds 3 chars —
+  // a future 4-char merge would silently break the greedy_gap ≥ 0 /
+  // bpe_gap ≥ 0 invariant while both engines still agree, so pin it.
+  require(WP_PIECES.forall(_.length <= 3),
+    s"q206/q207 assume max piece length 3; got ${WP_PIECES.filter(_.length > 3)}")
   private val UNI_PIECES2 = WP_PIECES.filter(_.length == 2).sorted
   private val UNI_PIECES3 = WP_PIECES.filter(_.length == 3).sorted
   private val q206 = Q(

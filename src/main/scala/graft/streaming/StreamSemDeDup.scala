@@ -29,7 +29,16 @@ import graft.operators.KMeans
   *     arrival verifies cosine against them, then joins the state.
   *     Entries evict once the watermark passes their time + delay;
   *     the cell dies via EventTimeTimeout. `maxCell` caps adversarial
-  *     cells (a capped cell stops accumulating but still verifies).
+  *     cells. Capped-cell SEMANTICS (recall, not correctness): a
+  *     capped cell stops storing new arrivals but still verifies them
+  *     against the stored entries — so a post-cap arrival IS flagged
+  *     when it duplicates a stored vector, but two post-cap arrivals
+  *     that duplicate only EACH OTHER produce no match (their pair is
+  *     lost until the batch path sweeps the horizon). The dropped
+  *     mass is surfaced through the `droppedAcc` accumulator (one
+  *     count per arrival verified-but-not-stored), the hotBuckets-
+  *     style visibility knob: a nonzero count tells the operator to
+  *     raise `maxCell` or retrain with larger k.
   *
   * State size: d floats per entry (the raw vector — cosine
   * verification needs it). At 100 TB horizons, swap the stored vector
@@ -50,7 +59,9 @@ object StreamSemDeDup {
 
   def matches(vecs: DataFrame, idCol: String, tsCol: String,
       vecCol: String, cents: Array[Array[Double]], tau: Double,
-      delaySeconds: Long, maxCell: Int = 10000): Dataset[Match] = {
+      delaySeconds: Long, maxCell: Int = 10000,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Match] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val delayMs = delaySeconds * 1000L
@@ -95,8 +106,14 @@ object StreamSemDeDup {
                 if (c >= tau)
                   out += Match(r.vec_id, r.ts, id, c, cluster)
               }
-              if (kept.size < maxCell && !kept.exists(_._1 == r.vec_id))
-                kept = kept :+ ((r.vec_id, r.ts.getTime, r.vec))
+              if (!kept.exists(_._1 == r.vec_id)) {
+                if (kept.size < maxCell)
+                  kept = kept :+ ((r.vec_id, r.ts.getTime, r.vec))
+                else
+                  // verified but NOT stored: count the dropped mass so
+                  // capped-cell pair loss is observable (scaladoc)
+                  droppedAcc.foreach(_.add(1L))
+              }
             }
             if (kept.isEmpty) state.remove()
             else {
