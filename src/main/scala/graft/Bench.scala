@@ -62,7 +62,9 @@ object Bench {
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
     "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q202_semdedup",
-    "q203_semdedup_overlap", "q210_soft_dedup_weights", "q76_mixture_sample",
+    "q203_semdedup_overlap", "q210_soft_dedup_weights",
+    "q211_semantic_decontamination", "q212_decon_method_overlap",
+    "q76_mixture_sample",
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",

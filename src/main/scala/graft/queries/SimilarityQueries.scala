@@ -651,7 +651,7 @@ object SimilarityQueries {
   //    on an eval vector, a self-frame pair, or a cross-cluster pair
   //    diverges. -----------------------------------------------------
   private[queries] val SDC_EVERY = 10
-  private[queries] val SDC_TAU = 0.5
+  private[queries] val SDC_TAU = 0.3
 
   /** Oracle CTE fragment (no WITH prefix) replaying
     * [[graft.operators.Dedup.semDeDupCross]]: corpus-only seed +

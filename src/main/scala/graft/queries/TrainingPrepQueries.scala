@@ -1101,7 +1101,58 @@ object TrainingPrepQueries {
           AS mean_docs_per_seq
       FROM per_seq"""))
 
+  // -- T: decontamination METHOD-OVERLAP row (q191's matrix shape
+  //    pointed at the decon family): the set of corpus docs flagged by
+  //    SEMANTIC cross-frame decontamination (q211's cluster-confined
+  //    corpus×eval cosine pairs over embeddings) vs the set flagged by
+  //    the exact N-GRAM method (q62's shingle index over text; vec_id
+  //    ≡ doc_id in the testdata), intersected on the shared id space —
+  //    the measured "how much does paraphrase-level catch that exact
+  //    overlap misses" number. Both sets come from their production
+  //    generators; the oracle splices the sdc_-prefixed Lloyd+cross
+  //    CTEs next to the shingle CTEs and counts.
+  private val q212 = Q(
+    "q212_decon_method_overlap",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      import SimilarityQueries.{SDC_EVERY, SDC_TAU, SD_K, SD_ITERS}
+      val corpus = t.embeddings.filter(col("vec_id") % SDC_EVERY =!= 0)
+      val evalSet = t.embeddings.filter(col("vec_id") % SDC_EVERY === 0)
+      val semIds = graft.operators.Dedup.semDeDupCross(corpus, evalSet,
+          "vec_id", "embedding", SD_K, SD_ITERS, SDC_TAU)
+        .select(col("corpus_id")).distinct().localCheckpoint(true)
+      val ngramIds = TrainingPrep.contaminationReport(
+          t.documents, "doc_id", "text", N, col("doc_id") % SDC_EVERY === 0)
+        .select(col("doc_id").as("corpus_id")).distinct()
+        .localCheckpoint(true)
+      Seq(("semantic", "ngram", semIds.count(), ngramIds.count(),
+          semIds.join(ngramIds, Seq("corpus_id")).count()))
+        .toDF("method_a", "method_b", "n_a", "n_b", "n_both")
+    },
+    Some(s"""WITH ${SimilarityQueries.semDeDupCrossCtes},
+      dsh AS (
+        SELECT doc_id, doc_id % ${SimilarityQueries.SDC_EVERY} = 0 AS is_eval,
+          list_distinct(${shingleHashesSql("text", N)}) AS shingle_set
+        FROM documents),
+      deval_idx AS (
+        SELECT DISTINCT unnest(shingle_set) AS shingle
+        FROM dsh WHERE is_eval),
+      dtrain AS (
+        SELECT doc_id, unnest(shingle_set) AS shingle
+        FROM dsh WHERE NOT is_eval),
+      ngram AS (
+        SELECT DISTINCT t.doc_id FROM dtrain t
+        JOIN deval_idx e ON t.shingle = e.shingle),
+      sem AS (SELECT DISTINCT corpus_id FROM sdc_prs)
+      SELECT 'semantic' AS method_a, 'ngram' AS method_b,
+        (SELECT count(*) FROM sem) AS n_a,
+        (SELECT count(*) FROM ngram) AS n_b,
+        (SELECT count(*) FROM sem x JOIN ngram y
+          ON x.corpus_id = y.doc_id) AS n_both"""))
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188, q198, q199)
+      q121, q162, q172, q173, q179, q188, q198, q199, q212)
 }

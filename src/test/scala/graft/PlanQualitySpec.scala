@@ -58,12 +58,16 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("SemDeDup pairs never cross cluster boundaries — equi-join on cluster, no all-pairs") {
-    val p = planOf("q202_semdedup")
     // pair generation must ride the cluster id as a hash-join key:
     // any cartesian/BNLJ means the within-cluster confinement (the
-    // O(Σ cell²), never corpus², property) silently broke
-    assert(count(p, "CartesianProduct") === 0, "q202 went quadratic")
-    assert(count(p, "BroadcastNestedLoopJoin") === 0, "q202 went quadratic")
+    // O(Σ cell²), never corpus², property) silently broke. Same pin
+    // for the cross-frame decontamination member (q211): corpus×eval
+    // must equi-join on the trained cell, never |corpus|×|eval|.
+    for (q <- Seq("q202_semdedup", "q211_semantic_decontamination")) {
+      val p = planOf(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")
+    }
   }
 
   test("CDC chunking is one scan — pure in-scan arithmetic, no join") {

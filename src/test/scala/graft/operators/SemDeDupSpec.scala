@@ -63,6 +63,66 @@ class SemDeDupSpec extends SparkSpec {
     assert(out.exists(_.getAs[Long]("n_group") > 1))
   }
 
+  test("null-embedding rows come back keep=1 singleton, never dropped") {
+    import spark.implicits._
+    val withNull = vecs.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val out = Dedup.semDeDup(withNull, "vec_id", "embedding", 3, 2, 0.95)
+      .collect()
+    // every input row present — the undecidable row included
+    assert(out.map(_.getAs[Long]("vec_id")).sorted ===
+      ((0L to 9L) :+ 99L).toArray)
+    val nr = out.find(_.getAs[Long]("vec_id") == 99L).get
+    assert(nr.getAs[Int]("keep") === 1 && nr.getAs[Long]("n_group") === 1L &&
+      nr.getAs[Long]("kept_by") === 99L && nr.getAs[Long]("component") === 99L)
+    assert(nr.isNullAt(nr.fieldIndex("cluster")) &&
+      nr.isNullAt(nr.fieldIndex("d2c")))
+    // and it perturbs nothing: the decided rows match the null-free run
+    val base = Dedup.semDeDup(vecs, "vec_id", "embedding", 3, 2, 0.95)
+      .orderBy("vec_id").collect().toSeq
+    assert(out.filter(_.getAs[Long]("vec_id") != 99L)
+      .sortBy(_.getAs[Long]("vec_id")).toSeq === base)
+  }
+
+  test("semDeDupCross: strictly cross-frame, cluster-confined, eval held out of training") {
+    import spark.implicits._
+    val corpus = vecs.filter(col("vec_id") % 2 === 0)
+    val evalA = vecs.filter(col("vec_id") % 2 === 1)
+    val prs = Dedup.semDeDupCross(corpus, evalA, "vec_id", "embedding",
+      k = 3, iters = 2, tau = 0.9).collect()
+    val corpusIds = (0L to 9L).filter(_ % 2 == 0).toSet
+    // sides are strictly from their frames — no self-frame pairs
+    assert(prs.forall(r => corpusIds(r.getAs[Long]("corpus_id")) &&
+      !corpusIds(r.getAs[Long]("eval_id"))))
+    assert(prs.forall(_.getAs[Double]("cosine") >= 0.9))
+    // the tight group 0/1/2 splits corpus {0,2} / eval {1}: both cross
+    // pairs must surface (they share a cell under any sane clustering)
+    val got = prs.map(r => (r.getAs[Long]("corpus_id"),
+      r.getAs[Long]("eval_id"))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((2L, 1L)),
+      s"expected the 0-1 and 2-1 cross pairs, got $got")
+    // held-out training: centroids are a function of the corpus ONLY,
+    // so shrinking the eval frame cannot change surviving verdicts for
+    // the eval vectors both runs share
+    val evalB = evalA.filter(col("vec_id") =!= 9L)
+    val prsB = Dedup.semDeDupCross(corpus, evalB, "vec_id", "embedding",
+      3, 2, 0.9).collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val prsAShared = prs.filter(_.getAs[Long]("eval_id") != 9L)
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cosine"))).toSet
+    assert(prsB === prsAShared)
+    // partitioning invariance
+    val rep = Dedup.semDeDupCross(corpus.repartition(5),
+        evalA.repartition(3), "vec_id", "embedding", 3, 2, 0.9)
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("eval_id"), r.getAs[Double]("cosine"))).toSet
+    assert(rep === prs.map(r => (r.getAs[Long]("corpus_id"),
+      r.getAs[Long]("eval_id"), r.getAs[Double]("cosine"))).toSet)
+  }
+
   test("partitioning-invariant and tau-monotone") {
     val a = Dedup.semDeDup(vecs, "vec_id", "embedding", 3, 2, 0.95)
       .orderBy("vec_id").collect().toSeq
