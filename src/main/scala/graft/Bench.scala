@@ -40,7 +40,8 @@ object Bench {
     "q29_binary_features", "q56_media_decode",
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q118_jpeg_pixels", "q127_jpeg_progressive", "q119_video_frames",
-    "q123_gif_pixels", "q200_mjpeg_frames", "q156_image_dedup_clusters",
+    "q123_gif_pixels", "q200_mjpeg_frames", "q213_adpcm_audio",
+    "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
     "q105_source_divergence", "q106_moments",

@@ -169,6 +169,181 @@ object Multimodal {
     Array.tabulate(n)(i => le16(bytes, 44 + 2 * i).toShort.toInt)
   }
 
+  // -- IMA-ADPCM (format tag 0x0011) — the standard compressed-WAV
+  //    codec (IMA "DVI4" spec; 4 bits/sample, step-size table adaptive
+  //    quantizer). Pure JVM like the JPEG/GIF/AVI codecs: per block, a
+  //    4-byte header seeds (predictor int16, step index uint8), then
+  //    each 4-bit nibble (low nibble of each byte first) advances the
+  //    predictor by a step-table delta and the index by indexTable.
+
+  /** IMA step-size table, 89 entries (the published spec constants). */
+  private[graft] val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index advance per nibble value (sign bit mirrors the low 3). */
+  private[graft] val AdpcmIndexAdv: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clampSample(v: Int): Int =
+    if (v > 32767) 32767 else if (v < -32768) -32768 else v
+  private def clampIndex(v: Int): Int =
+    if (v > 88) 88 else if (v < 0) 0 else v
+
+  /** Decode one IMA nibble against (predictor, index) state; returns
+    * the new (predictor, index). diff = step·(n₂ n₁ n₀)/8 + step/8
+    * computed in the spec's shift cascade (NOT a float multiply — the
+    * truncation points are normative), sign bit n₃ subtracts.
+    */
+  private[operators] def adpcmStep(pred: Int, index: Int, nib: Int)
+      : (Int, Int) = {
+    val step = AdpcmSteps(index)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = clampSample(if ((nib & 8) != 0) pred - diff else pred + diff)
+    (p, clampIndex(index + AdpcmIndexAdv(nib)))
+  }
+
+  /** Walk RIFF chunks from offset 12; first chunk named `id` →
+    * (payload offset, CLIPPED payload size). None on any structural
+    * violation — the clean-stop corruption contract.
+    */
+  private def riffChunk(bytes: Array[Byte], id: String): Option[(Int, Int)] = {
+    // Long cursor + unsigned size read: a near-MAXINT declared chunk
+    // size must step PAST the end and stop, never wrap negative (the
+    // size-field-bomb fuzz contract)
+    var off = 12L
+    while (off + 8 <= bytes.length) {
+      val name = new String(bytes, off.toInt, 4, "US-ASCII")
+      val size = le32(bytes, off.toInt + 4).toLong & 0xFFFFFFFFL
+      if (name == id)
+        return Some((off.toInt + 8,
+          math.min(size, bytes.length - off - 8).toInt))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** 16-bit samples of a mono IMA-ADPCM (format 0x0011) RIFF/WAVE:
+    * chunk-walked fmt + data, block-by-block nibble decode. Returns
+    * empty on anything malformed (wrong tag, stereo, bad block align,
+    * truncated chunks) — never throws. Allocation is bounded by the
+    * ACTUAL data bytes present (≤ 2 samples/byte), never by declared
+    * header sizes — the allocation-bomb guard the TAR/WARC readers
+    * use.
+    */
+  def adpcmWavSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.length < 12 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return Array.empty
+    val fmtOpt = riffChunk(bytes, "fmt ")
+    val dataOpt = riffChunk(bytes, "data")
+    if (fmtOpt.isEmpty || dataOpt.isEmpty) return Array.empty
+    val (fo, fs) = fmtOpt.get
+    val (do_, ds) = dataOpt.get
+    if (fs < 16 || le16(bytes, fo) != 0x11 || le16(bytes, fo + 2) != 1)
+      return Array.empty
+    val blockAlign = le16(bytes, fo + 12)
+    if (blockAlign < 5 || blockAlign > 65535) return Array.empty
+    // output is ≤ 2 samples per DATA byte PRESENT (header fields can
+    // never inflate it) — the allocation-bomb bound
+    val out = new scala.collection.mutable.ArrayBuffer[Int](
+      math.max(16, math.min(2 * ds + 8, Int.MaxValue / 8)))
+    var b = do_
+    while (b + blockAlign <= do_ + ds) {
+      // block header: predictor int16 LE (= first output sample),
+      // step index uint8, reserved byte
+      var pred = le16(bytes, b).toShort.toInt
+      var index = clampIndex(bytes(b + 2) & 0xff)
+      out += pred
+      var i = b + 4
+      while (i < b + blockAlign) {
+        val lo = bytes(i) & 0x0f
+        val hi = (bytes(i) >> 4) & 0x0f
+        val s1 = adpcmStep(pred, index, lo); pred = s1._1; index = s1._2
+        out += pred
+        val s2 = adpcmStep(pred, index, hi); pred = s2._1; index = s2._2
+        out += pred
+        i += 1
+      }
+      b += blockAlign
+    }
+    out.toArray
+  }
+
+  /** Encode 16-bit mono samples as an IMA-ADPCM RIFF/WAVE (format
+    * 0x0011, `blockAlign`-byte blocks) — the writer side of
+    * [[adpcmWavSamples]], used by the round-trip spec and for
+    * publishing compressed audio shards. Each block stores its first
+    * sample verbatim in the header and quantizes the rest with the
+    * spec's shift-cascade encoder; the trailing partial block pads
+    * with repeats of the last sample's nibble 0 (decoders emit the
+    * declared sample count per block — ours clips to data present).
+    */
+  def adpcmEncodeWav(samples: Array[Int], sampleRate: Int,
+      blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign $blockAlign too small")
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = if (samples.isEmpty) 0 else (samples.length + spb - 1) / spb
+    val dataSize = nBlocks * blockAlign
+    val bos = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 8 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bos.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort)
+      .putShort(4).putShort(2).putShort(spb.toShort)
+    bos.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = 0
+    while (s < samples.length) {
+      var pred = clampSample(samples(s))
+      var index = 0
+      // seed the block's step index with the best match for the first
+      // real delta (the reference encoders' convention)
+      if (s + 1 < samples.length) {
+        val d0 = math.abs(clampSample(samples(s + 1)) - pred)
+        while (index < 88 && AdpcmSteps(index) < d0) index += 1
+      }
+      bos.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+      var i = 0
+      val nNibs = (blockAlign - 4) * 2
+      var k = 0
+      var byteAcc = 0
+      while (i < nNibs) {
+        val target =
+          if (s + 1 + i < samples.length) clampSample(samples(s + 1 + i))
+          else pred
+        val step = AdpcmSteps(index)
+        var diff = target - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        var st = step
+        var vpdiff = step >> 3
+        if (diff >= st) { nib |= 4; diff -= st; vpdiff += st }
+        st >>= 1
+        if (diff >= st) { nib |= 2; diff -= st; vpdiff += st }
+        st >>= 1
+        if (diff >= st) { nib |= 1; vpdiff += st }
+        pred = clampSample(if ((nib & 8) != 0) pred - vpdiff
+          else pred + vpdiff)
+        index = clampIndex(index + AdpcmIndexAdv(nib))
+        if ((i & 1) == 0) byteAcc = nib & 0x0f
+        else { bos.put(((byteAcc | (nib << 4)) & 0xff).toByte); k += 1 }
+        i += 1
+      }
+      s += spb
+    }
+    bos.array()
+  }
+
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_samples", IntegerType),
@@ -176,17 +351,32 @@ object Multimodal {
     StructField("sum_abs", LongType),
     StructField("energy", LongType)))
 
-  /** Distributed audio feature extraction: per-partition PCM decode of
-    * each WAV payload into amplitude statistics — sample count, peak
-    * |amplitude|, Σ|s| and the energy Σs² (all integer-exact, so an
-    * oracle can recompute them bit-for-bit from synthesized samples).
+  /** Codec dispatch on the fmt tag: PCM (tag 1, canonical layout) via
+    * [[wavSamples]], IMA-ADPCM (tag 0x0011) via [[adpcmWavSamples]] —
+    * the audio analogue of [[VideoAvi]]'s per-stream MJPEG dispatch.
+    * Empty for anything else.
+    */
+  def anyWavSamples(bytes: Array[Byte]): Array[Int] =
+    if (bytes != null && bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE" &&
+        riffChunk(bytes, "fmt ").exists { case (o, s) =>
+          s >= 2 && o + 2 <= bytes.length && le16(bytes, o) == 0x11 })
+      adpcmWavSamples(bytes)
+    else wavSamples(bytes)
+
+  /** Distributed audio feature extraction: per-partition decode of
+    * each WAV payload (PCM or IMA-ADPCM — [[anyWavSamples]]) into
+    * amplitude statistics — sample count, peak |amplitude|, Σ|s| and
+    * the energy Σs² (all integer-exact, so an oracle can recompute
+    * them bit-for-bit from synthesized samples).
     */
   def audioFeatures(media: DataFrame): DataFrame = {
     val enc = Encoders.row(audioSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val s = wavSamples(r.getAs[Array[Byte]](1))
+          val s = anyWavSamples(r.getAs[Array[Byte]](1))
           var peak = 0
           var sumAbs = 0L
           var energy = 0L

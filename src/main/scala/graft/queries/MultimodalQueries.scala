@@ -930,6 +930,97 @@ object MultimodalQueries {
       ORDER BY media_id"""
     })
 
+  // -- q213: REAL IMA-ADPCM compressed-audio decode, oracle-gated ------
+  // The audio analogue of q200's MJPEG move: the WAV lane decodes the
+  // standard COMPRESSED codec (format 0x0011), not just canonical PCM.
+  // Each doc synthesizes a mono ADPCM WAV of two 36-byte blocks: block
+  // b seeds predictor (31d+997b)%2003-1001 and step index (d+7b)%89,
+  // then 64 nibbles (d+11b+3j)%16, low nibble of each byte first.
+  // Spark chunk-walks the RIFF container and replays the spec's
+  // shift-cascade quantizer per nibble (Multimodal.adpcmWavSamples →
+  // the audioFeatures fmt-tag dispatch); the oracle replays the SAME
+  // state machine as a recursive CTE over the published step tables
+  // and aggregates identical integer-exact amplitude stats. A wrong
+  // shift truncation, sample/index clamp, index advance, nibble
+  // order, or per-block state reset diverges.
+  private val ADP_BA = 36 // block align (bytes): 64 nibbles, 65 samples
+  private val q213 = Q(
+    "q213_adpcm_audio",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val nb = 2
+            val bb = java.nio.ByteBuffer
+              .allocate(12 + 28 + 8 + nb * ADP_BA)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII"))
+              .putInt(4 + 28 + 8 + nb * ADP_BA)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+              .putShort(0x11).putShort(1).putInt(8000)
+              .putInt(8000 * ADP_BA / 65).putShort(ADP_BA.toShort)
+              .putShort(4).putShort(2).putShort(65)
+            bb.put("data".getBytes("US-ASCII")).putInt(nb * ADP_BA)
+            var b = 0
+            while (b < nb) {
+              val p0 = ((d * 31 + 997 * b) % 2003 - 1001).toInt
+              val i0 = ((d + 7 * b) % 89).toInt
+              bb.putShort(p0.toShort).put(i0.toByte).put(0.toByte)
+              var k = 0
+              while (k < ADP_BA - 4) {
+                val lo = ((d + 11 * b + 3 * (2 * k)) % 16).toInt
+                val hi = ((d + 11 * b + 3 * (2 * k + 1)) % 16).toInt
+                bb.put(((lo | (hi << 4)) & 0xff).toByte)
+                k += 1
+              }
+              b += 1
+            }
+            Row(d, bb.array(), "audio/wav")
+          }
+        }(mediaEnc)
+      Multimodal.audioFeatures(media).orderBy(col("media_id"))
+    },
+    Some {
+      val stepsLit =
+        graft.operators.Multimodal.AdpcmSteps.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE dec(doc_id, b, j, pred, idx) AS (
+        SELECT d.doc_id, b.b, 0,
+          CAST((d.doc_id * 31 + 997 * b.b) % 2003 - 1001 AS INT),
+          CAST((d.doc_id + 7 * b.b) % 89 AS INT)
+        FROM documents d CROSS JOIN (SELECT unnest([0, 1]) AS b) b
+        UNION ALL
+        SELECT doc_id, b, j + 1,
+          CAST(greatest(-32768, least(32767,
+            CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END))
+            AS INT),
+          CAST(greatest(0, least(88,
+            idx + CASE WHEN nib % 8 < 4 THEN -1
+                       ELSE (nib % 8 - 3) * 2 END)) AS INT)
+        FROM (
+          SELECT doc_id, b, j, pred, idx, nib,
+            CAST(st // 8
+              + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+              + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+              + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END AS INT)
+              AS diff
+          FROM (
+            SELECT doc_id, b, j, pred, idx,
+              CAST((doc_id + 11 * b + 3 * j) % 16 AS INT) AS nib,
+              ($stepsLit)[idx + 1] AS st
+            FROM dec WHERE j < 64))
+      )
+      SELECT doc_id AS media_id, CAST(count(*) AS INT) AS n_samples,
+        CAST(max(abs(pred)) AS INT) AS peak,
+        CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+        CAST(sum(CAST(pred AS BIGINT) * pred) AS BIGINT) AS energy
+      FROM dec GROUP BY doc_id ORDER BY media_id"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200)
+    q152, q155, q156, q174, q200, q213)
 }

@@ -42,6 +42,9 @@ class CodecFuzzSpec extends SparkSpec {
       ("avi_mjpeg", aviMjpeg, b => VideoAvi.aviDecode(b, 1)),
       ("mp4", mp4, b => VideoMp4.mp4Decode(b, 1)),
       ("wav_header", avi, b => Multimodal.wavSamples(b)),
+      ("adpcm", Multimodal.adpcmEncodeWav(
+        Array.tabulate(150)(i => (i * 37 % 2003) - 1001), 8000, 36),
+        b => Multimodal.anyWavSamples(b)),
       ("header", png, b => Multimodal.decodeHeader(b)))
   }
 

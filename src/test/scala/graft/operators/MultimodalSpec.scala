@@ -91,6 +91,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavSamples(wav).toSeq === Seq(1, -1, 300, -32768))
     assert(Multimodal.wavSamples(null).isEmpty)
     assert(Multimodal.wavSamples("RIFFjunk".getBytes).isEmpty)
+    // PCM payloads route through the dispatcher unchanged
+    assert(Multimodal.anyWavSamples(wav).toSeq === Seq(1, -1, 300, -32768))
+  }
+
+  test("adpcmStep matches the IMA spec on hand-derived vectors") {
+    // from (pred=0, index=0): step=7. nibble 3 (0b0011):
+    // diff = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4 → pred 4; index += -1 → 0
+    assert(Multimodal.adpcmStep(0, 0, 3) === ((4, 0)))
+    // nibble 0xB (0b1011, sign bit): same magnitude, subtracted
+    assert(Multimodal.adpcmStep(0, 0, 0xB) === ((-4, 0)))
+    // nibble 7 (0b0111): diff = 0+1+3+7 = 11; index += 8
+    assert(Multimodal.adpcmStep(0, 0, 7) === ((11, 8)))
+    // nibble 8 (sign only): diff = step>>3 = 0 → pred unchanged; -1 clamps to 0
+    assert(Multimodal.adpcmStep(0, 0, 8) === ((0, 0)))
+    // clamps: max index 88 (step 32767), nibble 7 from pred 30000:
+    // diff = 4095 + 8191 + 16383 + 32767 = 61436 → clamp to 32767
+    assert(Multimodal.adpcmStep(30000, 88, 7) === ((32767, 88)))
+    assert(Multimodal.adpcmStep(-30000, 88, 0xF) === ((-32768, 88)))
+  }
+
+  test("IMA-ADPCM encode -> decode round-trip tracks the input within step bound") {
+    // a slow sine-ish ramp the adaptive quantizer can follow
+    val src = Array.tabulate(300)(i =>
+      (8000 * math.sin(i / 20.0)).toInt)
+    val wav = Multimodal.adpcmEncodeWav(src, 8000, 36)
+    val dec = Multimodal.anyWavSamples(wav)
+    // decoder clips to data present: full blocks of 65 samples
+    assert(dec.length >= src.length && dec.length % 65 === 0)
+    // block-leading samples are stored verbatim
+    for (b <- 0 until src.length / 65)
+      assert(dec(b * 65) === src(b * 65), s"block $b header sample")
+    // quantization error of a trackable signal stays far below the
+    // signal amplitude (codec sanity: the state machine is FOLLOWING,
+    // not wandering)
+    val errs = src.indices.map(i => math.abs(dec(i) - src(i)))
+    assert(errs.max < 2000, s"max err ${errs.max}")
+    assert(errs.sum.toDouble / errs.size < 300.0,
+      s"mean err ${errs.sum.toDouble / errs.size}")
+    // dispatcher: the emitted container self-identifies as ADPCM
+    assert(Multimodal.wavSamples(wav).isEmpty,
+      "PCM path must reject an ADPCM payload")
+    // malformed: stereo / truncated-below-header reject cleanly
+    assert(Multimodal.adpcmWavSamples(wav.take(30)).isEmpty)
   }
 
   private def testImage(w: Int, h: Int, c: Int): Multimodal.PngImage = {
