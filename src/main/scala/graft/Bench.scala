@@ -57,7 +57,7 @@ object Bench {
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
-    "q209_ngram_diversity",
+    "q209_ngram_diversity", "q214_nsw_topk", "q215_nsw_recall",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
@@ -144,7 +144,10 @@ object Bench {
       // self-join; its scale path is the df-pruned variant (maxDf)
       "q160_containment_pairs",
       // the method matrix runs q22's AND q160's exact baselines
-      "q191_dedup_method_matrix")
+      "q191_dedup_method_matrix",
+      // NSW recall's denominator is the brute topK (q27's shape);
+      // the graph walk itself (q214) stays in the headline at any sf
+      "q215_nsw_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -299,6 +299,116 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Graph-ANN rung (bounded-degree NSW-style beam search) — the index
+    * family the ladder lacked next to LSH / IVF / SQ8 / PQ / BIN:
+    * navigable-small-world search run as SYNCHRONOUS beam rounds so it
+    * is deterministic, distributed, and oracle-replayable.
+    *
+    * Construction (per IVF cell, deterministic — no RNG, no insertion
+    * randomness): vector v links to its `degree` nearest SMALLER-id
+    * members of its cell (the NSW insert rule replayed in fixed id
+    * order), edges kept undirected. Search: route each query to its
+    * `nprobe` nearest cells ([[ivfTopK]]'s probe shape); per probed
+    * cell start from the cell's lowest-id member and run `hops`
+    * synchronous beam rounds — each round scores all neighbors of the
+    * current beam and keeps the `beam` best (cosine desc, id asc) per
+    * (query, cell); the answer is the top-k over every node SCORED
+    * during the walk (beam-evicted nodes stay eligible — standard
+    * best-first bookkeeping). Self-matches are excluded from the
+    * output only, not from the walk.
+    *
+    * Scale shape: edge construction is within-cell pair generation
+    * (equi-join on the cell id — O(Σ cell²) once, the SemDeDup build
+    * economics; the √n seedMod rule bounds cells) and the stored graph
+    * is `degree` edges/vector. Each search hop is ONE equi-join of the
+    * (queries × nprobe × beam)-row frontier against the edge list on
+    * (cell, node) + a WindowGroupLimit-pruned beam window — per-query
+    * work is O(hops · beam · degree) vector scores, independent of
+    * corpus size; the frontier broadcasts at any realistic query
+    * batch. Knobs: degree/beam/hops trade recall for scored-candidate
+    * count, measured as a recall ladder rung (q215).
+    */
+  def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
+      hops: Int, k: Int): DataFrame = {
+    require(degree >= 1 && beam >= 1 && hops >= 0 && k >= 1)
+    val m = resolveSeedMod(corpus, seedMod)
+    val seeds = seedCentroids(corpus, idCol, vecCol, m)
+    // reused by both edge endpoints, the entry picks, and every hop's
+    // neighbor-vector lookup — cut the groupBy lineage once
+    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
+        col("vnorm"), col("cell"))
+      .localCheckpoint(true)
+    val aSrc = assigned.select(col("cell"), col("corpus_id").as("src"),
+      col("nvec").as("svec"), col("vnorm").as("snorm"))
+    val aDst = assigned.select(col("cell"), col("corpus_id").as("dst"),
+      col("nvec").as("dvec"), col("vnorm").as("dnorm"))
+    val we = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst").asc)
+    val directed = aSrc.join(aDst, Seq("cell"))
+      .filter(col("dst") < col("src"))
+      .select(col("cell"), col("src"), col("dst"),
+        (dot(col("svec"), col("dvec")) / (col("snorm") * col("dnorm")))
+          .as("ecos"))
+      .withColumn("erk", row_number().over(we))
+      .filter(col("erk") <= degree)
+      .select(col("cell"), col("src"), col("dst"))
+    val edges = directed.unionByName(directed.select(col("cell"),
+        col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    val entries = assigned.groupBy(col("cell"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(assigned.select(col("cell"), col("corpus_id"), col("nvec"),
+        col("vnorm")), Seq("cell", "corpus_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"), col("qvec"), col("qnorm"))
+    var frontier = score(probes.join(entries, Seq("cell")))
+      .localCheckpoint(true)
+    var visited = frontier
+    val wb = Window.partitionBy(col("query_id"), col("cell"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    for (_ <- 1 to hops) {
+      val expand = score(frontier
+        .join(edges, frontier("cell") === edges("cell") &&
+          frontier("corpus_id") === edges("src"))
+        .select(frontier("query_id"), frontier("cell"),
+          edges("dst").as("corpus_id"), col("qvec"), col("qnorm")))
+      frontier = frontier.unionByName(expand)
+        .groupBy(col("query_id"), col("cell"), col("corpus_id"))
+        .agg(any_value(col("cosine")).as("cosine"),
+          any_value(col("qvec")).as("qvec"),
+          any_value(col("qnorm")).as("qnorm"))
+        .withColumn("brk", row_number().over(wb))
+        .filter(col("brk") <= beam)
+        .drop("brk")
+        .localCheckpoint(true)
+      visited = visited.unionByName(expand)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    visited
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("cosine"))
+      .distinct()
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k nearest (cosine) corpus rows per query row.
     * Queries are broadcast; ranking is a per-query window with id
     * tie-break for determinism.

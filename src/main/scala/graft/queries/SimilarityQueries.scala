@@ -637,6 +637,158 @@ object SimilarityQueries {
       FROM wv GROUP BY label
       ORDER BY label"""))
 
+  // -- V11: GRAPH-ANN rung — bounded-degree NSW-style beam search
+  //    (Similarity.nswTopK), the index family the ladder lacked next
+  //    to LSH/IVF/SQ8/PQ/BIN. Construction is deterministic (vector →
+  //    its NSW_DEG nearest smaller-id cell members, undirected);
+  //    search = NSW_HOPS synchronous beam rounds per probed cell from
+  //    the cell's lowest-id entry. The oracle replays the edge build
+  //    as a within-cell window and UNROLLS the beam rounds as CTE
+  //    stages (the q107/q202 fixed-round discipline); the answer
+  //    ranks every node scored during the walk. A wrong edge prune,
+  //    beam truncation, entry pick, or hop count diverges. ----------
+  private val NSW_DEG = 3
+  private val NSW_BEAM = 4
+  private val NSW_HOPS = 2
+  private val q214 = Q(
+    "q214_nsw_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.nswTopK(t.embeddings, queries, "vec_id", "embedding",
+          SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS, K)
+        .select(col("query_id"), col("rank"), col("cell"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val hopCtes = (1 to NSW_HOPS).map { h =>
+        s"""x$h AS (
+          SELECT f.query_id, f.cell, ed.dst AS corpus_id,
+            ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+              AS cosine
+          FROM f${h - 1} f
+          JOIN edges ed ON ed.cell = f.cell AND ed.src = f.corpus_id
+          JOIN v q ON q.vec_id = f.query_id
+          JOIN v c ON c.vec_id = ed.dst),
+        f$h AS (
+          SELECT query_id, cell, corpus_id, cosine FROM (
+            SELECT u.*, row_number() OVER (PARTITION BY query_id, cell
+                ORDER BY cosine DESC, corpus_id ASC) AS rn
+            FROM (SELECT DISTINCT * FROM (
+              SELECT * FROM f${h - 1} UNION ALL SELECT * FROM x$h)) u)
+          WHERE rn <= $NSW_BEAM)"""
+      }.mkString(",\n      ")
+      val visUnion = (1 to NSW_HOPS).map(h => s"SELECT * FROM x$h")
+        .mkString("SELECT * FROM f0 UNION ALL ", " UNION ALL ", "")
+      s"""WITH v AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec, nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      m AS (
+        SELECT a.vec_id, a.cell, v.embedding, v.nrm
+        FROM assign a JOIN v USING (vec_id)),
+      edir AS (
+        SELECT cell, src, dst FROM (
+          SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${dotSql("a.embedding", "b.embedding")}
+                  / (a.nrm * b.nrm) DESC,
+                b.vec_id ASC) AS rn
+          FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+        WHERE rn <= $NSW_DEG),
+      edges AS (
+        SELECT cell, src, dst FROM edir
+        UNION ALL SELECT cell, dst AS src, src AS dst FROM edir),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")} / (v.nrm * s.snrm) DESC,
+                s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= $NPROBE),
+      entry AS (SELECT cell, min(vec_id) AS node FROM m GROUP BY cell),
+      f0 AS (
+        SELECT p.query_id, p.cell, e.node AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM probe p JOIN entry e USING (cell)
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = e.node),
+      $hopCtes,
+      vis AS (SELECT DISTINCT query_id, cell, corpus_id, cosine
+        FROM ($visUnion))
+      SELECT query_id, rank, cell, corpus_id,
+        ${proundSql("cosine", 6)} AS cosine
+      FROM (
+        SELECT query_id, cell, corpus_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM vis WHERE corpus_id != query_id)
+      WHERE rank <= $K
+      ORDER BY query_id, rank"""
+    })
+
+  // -- V11b: NSW recall rung — the graph walk's recall@K against the
+  //    brute exact baseline, the q149-family recall-vs-cost number
+  //    for the graph index (scored candidates per query is
+  //    O(hops·beam·degree), vs nprobe/nlist of the corpus for IVF).
+  private val q215 = Q(
+    "q215_nsw_recall",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val nsw = Similarity.nswTopK(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS, K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val nq = queries.count()
+      val hits = nsw.join(exact, Seq("query_id", "corpus_id")).count()
+      Seq(("nsw", K, nq, hits,
+          BigDecimal(hits) / BigDecimal(K * nq)))
+        .toDF("method", "k", "n_queries", "n_hits", "recall")
+        .select(col("method"), col("k"), col("n_queries"), col("n_hits"),
+          pround(col("recall").cast("double"), 6).as("recall"))
+    },
+    Some(s"""WITH exact AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                  / (sqrt(${norm2Sql("q.embedding")})
+                     * sqrt(${norm2Sql("c.embedding")})) DESC,
+                c.vec_id ASC) AS rank
+          FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+          JOIN embeddings c ON c.vec_id != q.vec_id)
+        WHERE rank <= $K),
+      nsw AS (SELECT query_id, corpus_id
+        FROM (${q214.oracle.get})),
+      hits AS (
+        SELECT count(*) AS n_hits
+        FROM nsw JOIN exact USING (query_id, corpus_id)),
+      nq AS (SELECT count(*) AS n
+        FROM embeddings WHERE vec_id % $QMOD = 0)
+      SELECT 'nsw' AS method, CAST($K AS INT) AS k,
+        CAST(nq.n AS BIGINT) AS n_queries,
+        CAST(hits.n_hits AS BIGINT) AS n_hits,
+        ${proundSql(s"CAST(hits.n_hits AS DOUBLE) / ($K * nq.n)", 6)}
+          AS recall
+      FROM hits, nq"""))
+
   // -- V10c: SEMANTIC DECONTAMINATION (Dedup.semDeDupCross) — the
   //    embedding-space member of the decontamination family: q62/q91/
   //    q170 catch exact n-gram train↔eval overlap; this catches
@@ -2523,5 +2675,6 @@ object SimilarityQueries {
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
-      q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211)
+      q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
+      q214, q215)
 }

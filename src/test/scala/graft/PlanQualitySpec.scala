@@ -70,6 +70,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("NSW graph build + search never go all-pairs") {
+    val p = planOf("q214_nsw_topk")
+    // edge construction must equi-join on the cell id and every hop
+    // must equi-join the frontier on (cell, node): a cartesian means
+    // the within-cell confinement or the hop join silently broke. The
+    // only nested-loop joins allowed are the broadcast-SEED routing
+    // crossjoins (corpus×nlist and queries×nlist — linear in the
+    // corpus, the accepted IVF pattern).
+    assert(count(p, "CartesianProduct") === 0, "q214 went quadratic")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 3,
+      "q214 grew a nested-loop join beyond the broadcast-seed routing")
+  }
+
   test("CDC chunking is one scan — pure in-scan arithmetic, no join") {
     for (q <- Seq("q93_cdc_chunks", "q94_cdc_dedup_stats")) {
       val p = planOf(q)

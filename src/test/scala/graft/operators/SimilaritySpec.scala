@@ -75,6 +75,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("nswTopK with a full graph and wide beam equals ivfTopK on the same cells") {
+    // degree ≥ cell−1 makes every cell a clique, so one hop from the
+    // entry scores the whole probed cell — the walk degenerates to
+    // IVF's candidate set and the ranks must agree exactly. A bigger
+    // corpus than `vecs` so cells have >2 members.
+    val big = (1L to 40L).map(i => (i,
+        Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") % 10 === 0)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val nsw = shape(Similarity.nswTopK(big, queries, "vec_id", "embedding",
+      seedMod = 13, nprobe = 2, degree = 40, beam = 40, hops = 1, k = 3))
+    val ivf = shape(Similarity.ivfTopK(big, queries, "vec_id", "embedding",
+      seedMod = 13, nprobe = 2, k = 3))
+    assert(nsw === ivf)
+    // bounded walk: results are deterministic under repartitioning
+    val nswRep = shape(Similarity.nswTopK(big.repartition(7), queries,
+      "vec_id", "embedding", 13, 2, 3, 4, 2, 3))
+    val nswBase = shape(Similarity.nswTopK(big, queries,
+      "vec_id", "embedding", 13, 2, 3, 4, 2, 3))
+    assert(nswRep === nswBase)
+    // the bounded walk scores FEWER candidates than the full clique
+    // walk yet still returns k ranked rows per query
+    assert(nswBase.map(_._1).distinct.size === queries.count())
+  }
+
   test("semanticDedup drops within-cell near-dups of lower-id vectors") {
     // seedMod=5 ⇒ centroids are ids 0 and 5 (x-axis, y-axis)
     val corpus = Seq(
