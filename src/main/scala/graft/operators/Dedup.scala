@@ -61,8 +61,17 @@ object Dedup {
     * Output: d1, d2, n_common, n1, n2, jaccard(double, unrounded).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+      n: Int, tau: Double): DataFrame =
+    jaccardPairsFromSets(shingleSets(docs, idCol, textCol, n), idCol, tau)
+
+  /** [[jaccardPairs]] over a PREBUILT [[shingleSets]] frame — the
+    * shared-scan entry: a caller running several shingle-based
+    * detectors (q191's method matrix) computes the sets once,
+    * localCheckpoints them, and feeds every detector, instead of
+    * re-reading and re-shingling the corpus per method.
+    */
+  def jaccardPairsFromSets(sets: DataFrame, idCol: String,
+      tau: Double): DataFrame = {
     // carry each doc's set size ON the inverted rows — per-group
     // constant recovered with max() after the join. (A separate sizes
     // table would need either a broadcast that breaks at |docs| rows
@@ -112,8 +121,15 @@ object Dedup {
     * mass, so prune conservatively (0 = off, the exact baseline).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, maxDf: Int = 0): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+      n: Int, tau: Double, maxDf: Int = 0): DataFrame =
+    containmentPairsFromSets(shingleSets(docs, idCol, textCol, n), idCol,
+      tau, maxDf)
+
+  /** [[containmentPairs]] over a prebuilt [[shingleSets]] frame (the
+    * q191 shared-scan entry, like [[jaccardPairsFromSets]]).
+    */
+  def containmentPairsFromSets(sets: DataFrame, idCol: String,
+      tau: Double, maxDf: Int = 0): DataFrame = {
     val inv0 = sets.select(col(idCol).as("doc"),
       size(col("shingle_set")).as("n_shingles"),
       explode(col("shingle_set")).as("shingle"))
@@ -255,14 +271,23 @@ object Dedup {
     docs.select(col(idCol),
       explode(array_distinct(TextFns.shingleHashes(col(textCol), n))).as("s"))
 
+  /** [[shingleHashRows]] from a prebuilt [[shingleSets]] frame —
+    * identical rows (the set column is already distinct).
+    */
+  def shingleRowsFromSets(sets: DataFrame, idCol: String): DataFrame =
+    sets.select(col(idCol), explode(col("shingle_set")).as("s"))
+
   /** Per-doc MinHash signature as K columns m0..m_{k-1}: a map-side-
     * combinable min-aggregate per hash function, with the (a_j, b_j)
     * family constants folded at plan time. Docs with an empty shingle
     * set (< n tokens) produce no row.
     */
   def minhashSigDF(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, p: MinHashParams): DataFrame = {
-    val rows = shingleHashRows(docs, idCol, textCol, n)
+      n: Int, p: MinHashParams): DataFrame =
+    minhashSigFromRows(shingleHashRows(docs, idCol, textCol, n), idCol, p)
+
+  private def minhashSigFromRows(rows: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
     val sigCols = (0 until p.k).map { j =>
       val a = (j + 1) * p.aGen % P
       val b = (j + 1) * p.bGen % P
@@ -280,8 +305,11 @@ object Dedup {
 
   /** (id, band_idx, band_hash) rows — the LSH bucket index. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, p: MinHashParams): DataFrame = {
-    val sig = minhashSigDF(docs, idCol, textCol, n, p)
+      n: Int, p: MinHashParams): DataFrame =
+    bandsFromSig(minhashSigDF(docs, idCol, textCol, n, p), idCol, p)
+
+  private def bandsFromSig(sig: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
     val bandCols = (0 until p.bands).map(i =>
       struct(lit(i).as("band_idx"),
         sigFold(i * p.rows, p.rows).as("band_hash")))
@@ -336,8 +364,16 @@ object Dedup {
     * recall measurement, q115). Bucket-capped like the verify path.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, p: MinHashParams, maxBucket: Int = 10000): DataFrame = {
-    val bands = capBuckets(minhashBands(docs, idCol, textCol, n, p),
+      n: Int, p: MinHashParams, maxBucket: Int = 10000): DataFrame =
+    lshCandidatePairsFromSets(shingleSets(docs, idCol, textCol, n), idCol,
+      p, maxBucket)
+
+  /** [[lshCandidatePairs]] over a prebuilt [[shingleSets]] frame. */
+  def lshCandidatePairsFromSets(sets: DataFrame, idCol: String,
+      p: MinHashParams, maxBucket: Int = 10000): DataFrame = {
+    val bands = capBuckets(
+      bandsFromSig(minhashSigFromRows(shingleRowsFromSets(sets, idCol),
+        idCol, p), idCol, p),
       Seq("band_idx", "band_hash"), maxBucket)
     bands.as("a")
       .join(bands.as("b"),
@@ -350,9 +386,17 @@ object Dedup {
 
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, p: MinHashParams,
-      maxBucket: Int = 10000): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, n, p, maxBucket)
-    val sets = shingleSets(docs, idCol, textCol, n)
+      maxBucket: Int = 10000): DataFrame =
+    minhashNearDupsFromSets(shingleSets(docs, idCol, textCol, n), idCol,
+      tau, p, maxBucket)
+
+  /** [[minhashNearDups]] over a prebuilt [[shingleSets]] frame (the
+    * q191 shared-scan entry: candidates AND the exact verify both
+    * ride the caller's checkpointed sets).
+    */
+  def minhashNearDupsFromSets(sets: DataFrame, idCol: String,
+      tau: Double, p: MinHashParams, maxBucket: Int = 10000): DataFrame = {
+    val cands = lshCandidatePairsFromSets(sets, idCol, p, maxBucket)
     cands
       .join(sets.select(col(idCol).as("d1"), col("shingle_set").as("set1")), "d1")
       .join(sets.select(col(idCol).as("d2"), col("shingle_set").as("set2")), "d2")
@@ -441,8 +485,10 @@ object Dedup {
     * the sign bit — arithmetic + would overflow).
     */
   def simhashDF(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val rows = shingleHashRows(docs, idCol, textCol, n)
+      n: Int): DataFrame =
+    simhashFromRows(shingleHashRows(docs, idCol, textCol, n), idCol)
+
+  private def simhashFromRows(rows: DataFrame, idCol: String): DataFrame = {
     val bitSums = (0 until 64).map { k =>
       val g = (col("s") + lit(1L)) * lit(2654435761L + 40503L * k) % lit(graft.functions.TextFns.P)
       sum(g.bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"bs$k")
@@ -708,6 +754,16 @@ object Dedup {
       bandBits: Int = 16): DataFrame =
     fingerprintPairs(simhashDF(docs, idCol, textCol, n), idCol, "simhash",
       maxHamming, maxBucket, bandBits)
+
+  /** [[simhashPairs]] over a prebuilt [[shingleSets]] frame (the q191
+    * shared-scan entry).
+    */
+  def simhashPairsFromSets(sets: DataFrame, idCol: String,
+      maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): DataFrame =
+    fingerprintPairs(
+      simhashFromRows(shingleRowsFromSets(sets, idCol), idCol), idCol,
+      "simhash", maxHamming, maxBucket, bandBits)
 
   /** Banded hamming join over ANY 64-bit fingerprint column — the
     * pair-generation engine [[simhashPairs]] documents, factored out so

@@ -1373,19 +1373,33 @@ object DedupQueries {
       val sp = s
       import sp.implicits._
       val t = Tpch(s, dir)
-      val docs = t.documents
-      val defs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "containment" -> Dedup.containmentPairs(docs, "doc_id", "text",
-            N, CONT_TAU)
+      // ONE shingle scan feeds all four detectors (the q159 shared-
+      // split discipline): tokenize+shingle+hash runs once, the
+      // checkpointed sets frame is the common input
+      val sets = Dedup.shingleSets(t.documents, "doc_id", "text", N)
+        .localCheckpoint(true)
+      val lazyDefs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "containment" -> Dedup.containmentPairsFromSets(sets, "doc_id",
+            CONT_TAU)
           .select(least(col("contained"), col("container")).as("d1"),
             greatest(col("contained"), col("container")).as("d2")),
-        "jaccard" -> Dedup.jaccardPairs(docs, "doc_id", "text", N, JTAU)
+        "jaccard" -> Dedup.jaccardPairsFromSets(sets, "doc_id", JTAU)
           .select(col("d1"), col("d2")),
-        "lsh" -> Dedup.minhashNearDups(docs, "doc_id", "text", N, LSHTAU, mh)
+        "lsh" -> Dedup.minhashNearDupsFromSets(sets, "doc_id", LSHTAU, mh)
           .select(col("d1"), col("d2")),
-        "simhash" -> Dedup.simhashPairs(docs, "doc_id", "text", N, HAM)
-          .select(col("d1"), col("d2"))
-      ).map { case (n, df) => (n, df.localCheckpoint(true)) }
+        "simhash" -> Dedup.simhashPairsFromSets(sets, "doc_id", HAM)
+          .select(col("d1"), col("d2")))
+      // materialize the four detectors CONCURRENTLY — they are
+      // independent jobs over the same checkpointed input, so nothing
+      // serializes them but the old eager per-detector count()s
+      val defs = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        Await.result(Future.sequence(lazyDefs.map { case (n, df) =>
+          Future(n -> df.localCheckpoint(true))
+        }), 30.minutes)
+      }
       val counts = defs.map { case (n, df) => n -> df.count() }.toMap
       val rows = for {
         i <- defs.indices; j <- (i + 1) until defs.length
