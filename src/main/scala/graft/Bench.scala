@@ -58,6 +58,7 @@ object Bench {
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
     "q209_ngram_diversity", "q214_nsw_topk", "q215_nsw_recall",
+    "q216_graph_vs_ivf",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
@@ -147,7 +148,11 @@ object Bench {
       "q191_dedup_method_matrix",
       // NSW recall's denominator is the brute topK (q27's shape);
       // the graph walk itself (q214) stays in the headline at any sf
-      "q215_nsw_recall")
+      "q215_nsw_recall",
+      // the efficiency matrix shares q215's brute exact denominator;
+      // both pruned arms (IVF probe, NSW walk) scale, the recall
+      // numerator doesn't — measured at sf<=0.1 like the recall rungs
+      "q216_graph_vs_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -331,7 +331,25 @@ object Similarity {
   def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
       hops: Int, k: Int): DataFrame = {
-    require(degree >= 1 && beam >= 1 && hops >= 0 && k >= 1)
+    require(k >= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    nswScored(corpus, queries, idCol, vecCol, seedMod, nprobe, degree,
+        beam, hops)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Every node the NSW walk SCORES, deduped, self-matches excluded —
+    * [[nswTopK]] is the per-query top-k window over exactly this
+    * frame. Exposed for the efficiency matrix (q216): |scored| per
+    * query is the graph walk's measured COST, the denominator of
+    * recall-per-candidate.
+    */
+  def nswScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
+      hops: Int): DataFrame = {
+    require(degree >= 1 && beam >= 1 && hops >= 0)
     val m = resolveSeedMod(corpus, seedMod)
     val seeds = seedCentroids(corpus, idCol, vecCol, m)
     // reused by both edge endpoints, the entry picks, and every hop's
@@ -399,14 +417,10 @@ object Similarity {
         .localCheckpoint(true)
       visited = visited.unionByName(expand)
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
     visited
       .select(col("query_id"), col("cell"), col("corpus_id"), col("cosine"))
       .distinct()
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Brute-force top-k nearest (cosine) corpus rows per query row.

@@ -650,18 +650,13 @@ object SimilarityQueries {
   private val NSW_DEG = 3
   private val NSW_BEAM = 4
   private val NSW_HOPS = 2
-  private val q214 = Q(
-    "q214_nsw_topk",
-    (s, dir) => {
-      val t = Tpch(s, dir)
-      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
-      Similarity.nswTopK(t.embeddings, queries, "vec_id", "embedding",
-          SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS, K)
-        .select(col("query_id"), col("rank"), col("cell"), col("corpus_id"),
-          pround(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some {
+  /** Oracle CTE fragment (no WITH prefix) replaying the NSW build +
+    * walk, ending in `vis(query_id, cell, corpus_id, cosine)` — every
+    * node the walk scored, deduped, self rows still present (filtered
+    * at use sites). Shared by q214 (top-k) and q216 (the efficiency
+    * matrix, which also needs |vis| as the measured cost).
+    */
+  private lazy val nswCtes: String = {
       val hopCtes = (1 to NSW_HOPS).map { h =>
         s"""x$h AS (
           SELECT f.query_id, f.cell, ed.dst AS corpus_id,
@@ -681,7 +676,7 @@ object SimilarityQueries {
       }.mkString(",\n      ")
       val visUnion = (1 to NSW_HOPS).map(h => s"SELECT * FROM x$h")
         .mkString("SELECT * FROM f0 UNION ALL ", " UNION ALL ", "")
-      s"""WITH v AS (
+      s"""v AS (
         SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
         FROM embeddings),
       seeds AS (
@@ -727,7 +722,21 @@ object SimilarityQueries {
         JOIN v c ON c.vec_id = e.node),
       $hopCtes,
       vis AS (SELECT DISTINCT query_id, cell, corpus_id, cosine
-        FROM ($visUnion))
+        FROM ($visUnion))"""
+  }
+
+  private val q214 = Q(
+    "q214_nsw_topk",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      Similarity.nswTopK(t.embeddings, queries, "vec_id", "embedding",
+          SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS, K)
+        .select(col("query_id"), col("rank"), col("cell"), col("corpus_id"),
+          pround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH $nswCtes
       SELECT query_id, rank, cell, corpus_id,
         ${proundSql("cosine", 6)} AS cosine
       FROM (
@@ -736,8 +745,7 @@ object SimilarityQueries {
             ORDER BY cosine DESC, corpus_id ASC) AS rank
         FROM vis WHERE corpus_id != query_id)
       WHERE rank <= $K
-      ORDER BY query_id, rank"""
-    })
+      ORDER BY query_id, rank"""))
 
   // -- V11b: NSW recall rung — the graph walk's recall@K against the
   //    brute exact baseline, the q149-family recall-vs-cost number
@@ -788,6 +796,107 @@ object SimilarityQueries {
         ${proundSql(s"CAST(hits.n_hits AS DOUBLE) / ($K * nq.n)", 6)}
           AS recall
       FROM hits, nq"""))
+
+  // -- V11c: GRAPH-vs-IVF efficiency matrix — the two pruned index
+  //    families at the SAME frozen cell structure, measured on both
+  //    axes at once: recall@K against the brute exact baseline AND
+  //    the measured cost (candidates actually scored per method —
+  //    |probed cells| for IVF, |walk-visited nodes| for NSW). The
+  //    recall ladders (q149/q165/q184/q193/q215) measure one method
+  //    against its own exact baseline; this row answers "which PRUNER
+  //    buys more recall per scored candidate" — the number an index
+  //    chooser reads. ------------------------------------------------
+  private val q216 = Q(
+    "q216_graph_vs_ivf",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val nq = queries.count()
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val nswVis = Similarity.nswScored(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)
+        .localCheckpoint(true)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      val nswTop = nswVis.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= K).select(col("query_id"), col("corpus_id"))
+      // k beyond any cell size keeps EVERY scored candidate — the IVF
+      // arm's measured cost is this frame's row count
+      val ivfAll = Similarity.ivfTopK(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, Int.MaxValue)
+        .localCheckpoint(true)
+      val ivfTop = ivfAll.filter(col("rank") <= K)
+        .select(col("query_id"), col("corpus_id"))
+      def arm(name: String, nScored: Long, top: org.apache.spark.sql.DataFrame) = {
+        val hits = top.join(exact, Seq("query_id", "corpus_id")).count()
+        (name, nq, nScored, hits, hits.toDouble / (K * nq))
+      }
+      Seq(arm("ivf", ivfAll.count(), ivfTop),
+          arm("nsw", nswVis.count(), nswTop))
+        .toDF("method", "n_queries", "n_scored", "n_hits", "recall")
+        .select(col("method"), col("n_queries"), col("n_scored"),
+          col("n_hits"), pround(col("recall"), 6).as("recall"))
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH $nswCtes,
+      ivf_scored AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM probe p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id),
+      ivf_top AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rk
+          FROM ivf_scored) WHERE rk <= $K),
+      nsw_sc AS (
+        SELECT query_id, corpus_id, cosine FROM vis
+        WHERE corpus_id != query_id),
+      nsw_top AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rk
+          FROM nsw_sc) WHERE rk <= $K),
+      exact AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                  / (sqrt(${norm2Sql("q.embedding")})
+                     * sqrt(${norm2Sql("c.embedding")})) DESC,
+                c.vec_id ASC) AS rank
+          FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+          JOIN embeddings c ON c.vec_id != q.vec_id)
+        WHERE rank <= $K),
+      nq AS (SELECT count(*) AS n
+        FROM embeddings WHERE vec_id % $QMOD = 0)
+      SELECT method, CAST(nq.n AS BIGINT) AS n_queries,
+        CAST(n_scored AS BIGINT) AS n_scored,
+        CAST(n_hits AS BIGINT) AS n_hits,
+        ${proundSql(s"CAST(n_hits AS DOUBLE) / ($K * nq.n)", 6)} AS recall
+      FROM (
+        SELECT 'ivf' AS method,
+          (SELECT count(*) FROM ivf_scored) AS n_scored,
+          (SELECT count(*) FROM ivf_top t JOIN exact e
+            ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)
+            AS n_hits
+        UNION ALL
+        SELECT 'nsw',
+          (SELECT count(*) FROM nsw_sc),
+          (SELECT count(*) FROM nsw_top t JOIN exact e
+            ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id))
+      CROSS JOIN nq
+      ORDER BY method"""))
 
   // -- V10c: SEMANTIC DECONTAMINATION (Dedup.semDeDupCross) — the
   //    embedding-space member of the decontamination family: q62/q91/
@@ -2676,5 +2785,5 @@ object SimilarityQueries {
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215)
+      q214, q215, q216)
 }

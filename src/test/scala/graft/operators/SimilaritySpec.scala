@@ -105,6 +105,28 @@ class SimilaritySpec extends SparkSpec {
     assert(nswBase.map(_._1).distinct.size === queries.count())
   }
 
+  test("nswScored is the dedup'd self-free cost frame nswTopK ranks over") {
+    val big = (1L to 40L).map(i => (i,
+        Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") % 10 === 0)
+    val scored = Similarity.nswScored(big, queries, "vec_id", "embedding",
+        seedMod = 13, nprobe = 2, degree = 3, beam = 4, hops = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"))).toSeq
+    // no self matches and no duplicate rows — |scored| is a cost COUNT
+    assert(scored.forall { case (q, _, c, _) => q != c })
+    assert(scored.distinct.size === scored.size)
+    // nswTopK's result set is exactly contained in the scored frame
+    val top = Similarity.nswTopK(big, queries, "vec_id", "embedding",
+        13, 2, 3, 4, 2, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .toSet
+    assert(top.subsetOf(scored.map(t => (t._1, t._3)).toSet))
+  }
+
   test("semanticDedup drops within-cell near-dups of lower-id vectors") {
     // seedMod=5 ⇒ centroids are ids 0 and 5 (x-axis, y-axis)
     val corpus = Seq(
