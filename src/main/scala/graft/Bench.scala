@@ -41,6 +41,7 @@ object Bench {
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q118_jpeg_pixels", "q127_jpeg_progressive", "q119_video_frames",
     "q123_gif_pixels", "q200_mjpeg_frames", "q213_adpcm_audio",
+    "q217_g711_audio",
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
@@ -58,7 +59,7 @@ object Bench {
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
     "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
     "q209_ngram_diversity", "q214_nsw_topk", "q215_nsw_recall",
-    "q216_graph_vs_ivf",
+    "q216_graph_vs_ivf", "q218_pca_power", "q219_pca_project",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
@@ -80,6 +81,7 @@ object Bench {
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q122_jsonl_roundtrip", "q130_warc_roundtrip", "q131_orc_roundtrip",
+    "q220_zip_webdataset",
     "q128_para_dedup", "q129_ccnet_buckets",
     "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",

@@ -344,6 +344,61 @@ object Multimodal {
     bos.array()
   }
 
+  // -- G.711 µ-law (format tag 0x0007) and A-law (0x0006) — the
+  //    telephony log-companded codecs: 8 bits/sample, STATELESS per
+  //    byte (unlike ADPCM's running predictor), expanded by the
+  //    published segment/mantissa formulas to 16-bit linear.
+
+  /** Expand one µ-law byte to its 16-bit linear sample (G.711 µ-law,
+    * the bias-132 segment expansion; two zero codes 0x7F/0xFF by
+    * construction, range ±32124).
+    */
+  private[graft] def mulawToLinear(byteVal: Int): Int = {
+    val u = ~byteVal & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Expand one A-law byte to its 16-bit linear sample (G.711 A-law,
+    * the 0x55 toggle + segment expansion, range ±32256; note A-law's
+    * sign convention is inverted relative to µ-law's).
+    */
+  private[graft] def alawToLinear(byteVal: Int): Int = {
+    val a = byteVal ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val base = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) base + 8
+      else if (seg == 1) base + 0x108
+      else (base + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** 16-bit samples of a mono G.711 RIFF/WAVE (format tag 0x0006
+    * A-law or 0x0007 µ-law, 8 bits/sample): chunk-walked fmt + data,
+    * one stateless table expansion per data byte. Returns empty on
+    * anything malformed — never throws. Output allocation is exactly
+    * the data bytes present (1 sample/byte), so declared header sizes
+    * can never inflate it.
+    */
+  def g711WavSamples(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.length < 12 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") return Array.empty
+    val fmtOpt = riffChunk(bytes, "fmt ")
+    val dataOpt = riffChunk(bytes, "data")
+    if (fmtOpt.isEmpty || dataOpt.isEmpty) return Array.empty
+    val (fo, fs) = fmtOpt.get
+    val (do_, ds) = dataOpt.get
+    if (fs < 16 || fo + 16 > bytes.length) return Array.empty
+    val tag = le16(bytes, fo)
+    if ((tag != 0x0006 && tag != 0x0007) || le16(bytes, fo + 2) != 1 ||
+        le16(bytes, fo + 14) != 8) return Array.empty
+    val expand: Int => Int =
+      if (tag == 0x0007) mulawToLinear else alawToLinear
+    Array.tabulate(ds)(i => expand(bytes(do_ + i) & 0xff))
+  }
+
   val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_samples", IntegerType),
@@ -352,18 +407,26 @@ object Multimodal {
     StructField("energy", LongType)))
 
   /** Codec dispatch on the fmt tag: PCM (tag 1, canonical layout) via
-    * [[wavSamples]], IMA-ADPCM (tag 0x0011) via [[adpcmWavSamples]] —
+    * [[wavSamples]], IMA-ADPCM (tag 0x0011) via [[adpcmWavSamples]],
+    * G.711 A-law/µ-law (tags 0x0006/0x0007) via [[g711WavSamples]] —
     * the audio analogue of [[VideoAvi]]'s per-stream MJPEG dispatch.
     * Empty for anything else.
     */
-  def anyWavSamples(bytes: Array[Byte]): Array[Int] =
-    if (bytes != null && bytes.length >= 12 &&
-        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-        new String(bytes, 8, 4, "US-ASCII") == "WAVE" &&
-        riffChunk(bytes, "fmt ").exists { case (o, s) =>
-          s >= 2 && o + 2 <= bytes.length && le16(bytes, o) == 0x11 })
-      adpcmWavSamples(bytes)
-    else wavSamples(bytes)
+  def anyWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val tag: Int =
+      if (bytes != null && bytes.length >= 12 &&
+          new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(bytes, 8, 4, "US-ASCII") == "WAVE")
+        riffChunk(bytes, "fmt ").collect {
+          case (o, s) if s >= 2 && o + 2 <= bytes.length => le16(bytes, o)
+        }.getOrElse(-1)
+      else -1
+    tag match {
+      case 0x0011 => adpcmWavSamples(bytes)
+      case 0x0006 | 0x0007 => g711WavSamples(bytes)
+      case _ => wavSamples(bytes)
+    }
+  }
 
   /** Distributed audio feature extraction: per-partition decode of
     * each WAV payload (PCM or IMA-ADPCM — [[anyWavSamples]]) into

@@ -1271,8 +1271,64 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  // -- C17b: ZIP / WebDataset interchange (core.ZipTable) — q177's
+  //    contract on the OTHER archive format corpora ship in: documents
+  //    published as DEFLATED zip shards (real compression through the
+  //    pure-JVM writer), read back via the central-directory walk (the
+  //    format's defining feature vs tar: an index, not a scan), CRC-
+  //    verified, reassembled into samples. Same untouched-source
+  //    oracle as q177: a hash match proves deflate→inflate is
+  //    byte-lossless, central sizes match an independent octet count,
+  //    the JSON sidecar survives, and assembly pairs txt with json.
+  private val q220 = Q(
+    "q220_zip_webdataset",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zip_q220").toString
+      val members = t.documents.select(col("doc_id"),
+          explode(array(
+            struct(concat(col("doc_id"), lit(".txt")).as("member_name"),
+              encode(col("text"), "UTF-8").as("payload")),
+            struct(concat(col("doc_id"), lit(".json")).as("member_name"),
+              encode(to_json(struct(col("doc_id"), col("source"),
+                col("lang"))), "UTF-8").as("payload")))).as("m"))
+        .repartition(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("m.member_name"))
+        .select(col("m.member_name").as("member_name"),
+          col("m.payload").as("payload"))
+      graft.core.ZipTable.write(members, tmp, deflate = true)
+      val back = graft.core.ZipTable.samples(
+        graft.core.ZipTable.read(s, tmp))
+      back.select(col("key").cast("long").as("doc_id"),
+          decode(element_at(col("parts"), "txt"), "UTF-8").as("text"),
+          length(element_at(col("parts"), "txt")).cast("long").as("n_bytes"),
+          get_json_object(decode(element_at(col("parts"), "json"), "UTF-8"),
+            "$.source").as("source"),
+          get_json_object(decode(element_at(col("parts"), "json"), "UTF-8"),
+            "$.lang").as("lang"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("sum_bytes"),
+          sum(TextFns.rollingHash(col("text"))).as("text_hash_sum"),
+          sum(TextFns.rollingHash(col("lang"))).as("lang_hash_sum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+        CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+          AS text_hash_sum,
+        CAST(sum(${TextFns.rollingHashSql("lang")}) AS BIGINT)
+          AS lang_hash_sum,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209)
+      q204, q205, q209, q220)
 }

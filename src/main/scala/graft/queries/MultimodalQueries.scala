@@ -1021,6 +1021,79 @@ object MultimodalQueries {
       FROM dec GROUP BY doc_id ORDER BY media_id"""
     })
 
+  // -- q217: G.711 µ-law/A-law compressed-audio decode, oracle-gated --
+  // Completes the WAV codec family (PCM q61, IMA-ADPCM q213): the
+  // telephony log-companded codecs, format tags 0x0007/0x0006. Unlike
+  // ADPCM there is no running state — each byte expands independently
+  // by the published segment/mantissa formula — so the oracle is pure
+  // closed-form bit math over a range table, no recursion. Each doc
+  // synthesizes a mono 8-bit WAV (µ-law for even doc_id, A-law for
+  // odd; byte j = (13d+7j) mod 256, length 48 + d mod 5) and the
+  // audioFeatures fmt-tag dispatch decodes it. A wrong bias, segment
+  // shift, 0x55 toggle, sign convention (A-law's is INVERTED relative
+  // to µ-law's), or dispatch tag diverges.
+  private val q217 = Q(
+    "q217_g711_audio",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val n = (48 + d % 5).toInt
+            val tag = if (d % 2 == 0) 0x0007 else 0x0006
+            val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + n)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + n)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(tag.toShort).putShort(1).putInt(8000)
+              .putInt(8000).putShort(1).putShort(8)
+            bb.put("data".getBytes("US-ASCII")).putInt(n)
+            var j = 0
+            while (j < n) {
+              bb.put(((d * 13 + 7 * j) % 256).toByte)
+              j += 1
+            }
+            Row(d, bb.array(), "audio/wav")
+          }
+        }(mediaEnc)
+      Multimodal.audioFeatures(media).orderBy(col("media_id"))
+    },
+    Some {
+      // µ-law: complement, bias-132 segment expansion
+      val mu = """(CASE WHEN (255 - v) // 128 = 1
+          THEN 132 - ((((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8)))
+          ELSE ((((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8))) - 132
+        END)"""
+      // A-law: 0x55 toggle, then per-segment expansion; sign inverted
+      val alT = """(CASE WHEN (xor(v, 85) // 16) % 8 = 0
+          THEN (xor(v, 85) % 16) * 16 + 8
+          WHEN (xor(v, 85) // 16) % 8 = 1
+          THEN (xor(v, 85) % 16) * 16 + 264
+          ELSE ((xor(v, 85) % 16) * 16 + 264)
+               * (1 << ((xor(v, 85) // 16) % 8 - 1))
+        END)"""
+      val al = s"(CASE WHEN xor(v, 85) // 128 = 1 THEN $alT ELSE -$alT END)"
+      s"""WITH s AS (
+        SELECT d.doc_id, j,
+          CAST((d.doc_id * 13 + 7 * j) % 256 AS INT) AS v
+        FROM documents d, range(0, 52) t(j)
+        WHERE j < 48 + d.doc_id % 5),
+      dec AS (
+        SELECT doc_id,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN $mu ELSE $al END AS INT)
+            AS smp
+        FROM s)
+      SELECT doc_id AS media_id, CAST(count(*) AS INT) AS n_samples,
+        CAST(max(abs(smp)) AS INT) AS peak,
+        CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS energy
+      FROM dec GROUP BY doc_id ORDER BY media_id"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213)
+    q152, q155, q156, q174, q200, q213, q217)
 }

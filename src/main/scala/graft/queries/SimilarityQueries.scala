@@ -898,6 +898,154 @@ object SimilarityQueries {
       CROSS JOIN nq
       ORDER BY method"""))
 
+  // -- V12: PCA over the embedding corpus (operators/Pca) — exact
+  //    covariance in ONE distributed pass (posexplode → vec_id-keyed
+  //    self-join → partial-agg decimal sums), then a DETERMINISTIC
+  //    driver-side power iteration with deflation on the collected
+  //    d×d model (the KMeans bounded-state pattern). Every scalar the
+  //    iteration touches is either an exact decimal-sum double or a
+  //    sequential ascending fold, so the oracle replays the whole
+  //    eigensolve: the same sums in SQL, the same 12 mat-vec/normalize
+  //    stages unrolled as CTEs via list_reduce folds. A wrong
+  //    covariance term, fold order, normalization point, Rayleigh
+  //    quotient, or deflation expression diverges. ---------------------
+  private val PCA_DIM = 64
+  private val PCA_ITERS = 12
+
+  /** Oracle CTE fragment (no WITH prefix) replaying
+    * [[graft.operators.Pca.fit]] on `embeddings`: exact sums → cov →
+    * 12 unrolled power-iteration stages per component (seeds e₀, e₁;
+    * deflation between) — ends with `meanl(m)`, `tr(trace)`,
+    * `v1_$PCA_ITERS(v)` / `v2_$PCA_ITERS(v)` (unit components) and
+    * `lam1(lam)` / `lam2(lam)` (Rayleigh eigenvalues). Shared by q218
+    * (the spectrum row) and q219 (the projection).
+    */
+  private lazy val pcaCtes: String = {
+    def iterCtes(c: Int, mat: String): String =
+      (1 to PCA_ITERS).map { i =>
+        s"""w${c}_$i AS MATERIALIZED (
+          SELECT m.j AS j, ${dotSql("m.cs", "p.v")} AS w
+          FROM $mat m, v${c}_${i - 1} p),
+        wl${c}_$i AS MATERIALIZED (SELECT list(w ORDER BY j) AS wl FROM w${c}_$i),
+        v${c}_$i AS MATERIALIZED (
+          SELECT list_transform(wl, x -> x / sqrt(${norm2Sql("wl")}))
+            AS v
+          FROM wl${c}_$i)"""
+      }.mkString(",\n      ")
+    def seed(c: Int, basis: Int): String =
+      s"""v${c}_0 AS MATERIALIZED (
+        SELECT list_transform(range(0, $PCA_DIM),
+          i -> CASE WHEN i = $basis THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END) AS v)"""
+    def rayleigh(c: Int, mat: String): String =
+      s"""r${c}w AS MATERIALIZED (
+        SELECT m.j AS j, ${dotSql("m.cs", "p.v")} AS w
+        FROM $mat m, v${c}_$PCA_ITERS p),
+      r${c}wl AS MATERIALIZED (SELECT list(w ORDER BY j) AS wl FROM r${c}w),
+      lam$c AS MATERIALIZED (SELECT ${dotSql("p.v", "q.wl")} AS lam
+        FROM v${c}_$PCA_ITERS p, r${c}wl q)"""
+    s"""ex AS MATERIALIZED (
+        SELECT vec_id AS id, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+        FROM embeddings, range(0, $PCA_DIM) t(j)),
+      sj AS MATERIALIZED (
+        SELECT j, CAST(sum(CAST(${proundSql("x", 8)} AS DECIMAL(38,8)))
+          AS DOUBLE) AS s
+        FROM ex GROUP BY j),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM embeddings),
+      sjk AS MATERIALIZED (
+        SELECT a.j AS j, b.j AS k,
+          CAST(sum(CAST(${proundSql("a.x * b.x", 8)} AS DECIMAL(38,8)))
+            AS DOUBLE) AS s
+        FROM ex a JOIN ex b ON a.id = b.id GROUP BY a.j, b.j),
+      cv AS MATERIALIZED (
+        SELECT p.j, p.k, (p.s - s1.s * s2.s / nn.nd) / nn.nd AS c
+        FROM sjk p
+        JOIN sj s1 ON s1.j = p.j
+        JOIN sj s2 ON s2.j = p.k
+        CROSS JOIN nn),
+      meanl AS MATERIALIZED (
+        SELECT list(s / nn.nd ORDER BY j) AS m FROM sj CROSS JOIN nn
+        GROUP BY nn.nd),
+      trd AS MATERIALIZED (SELECT list(c ORDER BY j) AS dl FROM cv WHERE j = k),
+      tr AS MATERIALIZED (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), dl),
+        (x, y) -> x + y) AS trace FROM trd),
+      cl AS MATERIALIZED (SELECT j, list(c ORDER BY k) AS cs FROM cv GROUP BY j),
+      ${seed(1, 0)},
+      ${iterCtes(1, "cl")},
+      ${rayleigh(1, "cl")},
+      cv2 AS MATERIALIZED (
+        SELECT c.j, c.k, c.c - l.lam * p.v[c.j + 1] * p.v[c.k + 1] AS c
+        FROM cv c CROSS JOIN lam1 l CROSS JOIN v1_$PCA_ITERS p),
+      cl2 AS MATERIALIZED (SELECT j, list(c ORDER BY k) AS cs FROM cv2 GROUP BY j),
+      ${seed(2, 1)},
+      ${iterCtes(2, "cl2")},
+      ${rayleigh(2, "cl2")}"""
+  }
+
+  private val q218 = Q(
+    "q218_pca_power",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val m = graft.operators.Pca.fit(t.embeddings, "vec_id", "embedding",
+        PCA_DIM, 2, PCA_ITERS)
+      (1 to 2).map { c =>
+        val v = m.comps(c - 1)
+        (c, m.eigs(c - 1), m.eigs(c - 1) / m.trace,
+          v(0), v(15), v(31), v(63))
+      }.toDF("component", "eigenvalue", "var_share", "l0", "l15", "l31",
+          "l63")
+        .select(col("component"), pround(col("eigenvalue"), 6).as("eigenvalue"),
+          pround(col("var_share"), 6).as("var_share"),
+          pround(col("l0"), 6).as("l0"), pround(col("l15"), 6).as("l15"),
+          pround(col("l31"), 6).as("l31"), pround(col("l63"), 6).as("l63"))
+        .orderBy(col("component"))
+    },
+    Some(s"""WITH $pcaCtes
+      SELECT CAST(1 AS INT) AS component,
+        ${proundSql("l.lam", 6)} AS eigenvalue,
+        ${proundSql("l.lam / t.trace", 6)} AS var_share,
+        ${proundSql("p.v[1]", 6)} AS l0, ${proundSql("p.v[16]", 6)} AS l15,
+        ${proundSql("p.v[32]", 6)} AS l31, ${proundSql("p.v[64]", 6)} AS l63
+      FROM lam1 l, v1_$PCA_ITERS p, tr t
+      UNION ALL
+      SELECT CAST(2 AS INT),
+        ${proundSql("l.lam", 6)}, ${proundSql("l.lam / t.trace", 6)},
+        ${proundSql("p.v[1]", 6)}, ${proundSql("p.v[16]", 6)},
+        ${proundSql("p.v[32]", 6)}, ${proundSql("p.v[64]", 6)}
+      FROM lam2 l, v2_$PCA_ITERS p, tr t
+      ORDER BY component"""))
+
+  // -- V12b: PCA projection — every vector centered and projected onto
+  //    the two fitted components as a NARROW per-row map against
+  //    broadcast literal arrays (zero shuffle: the 100 TB deployment
+  //    path of q218's model). Sequential zip_with/aggregate folds ≡
+  //    the oracle's list_transform/list_reduce on the same unrolled
+  //    eigensolve. ------------------------------------------------------
+  private val q219 = Q(
+    "q219_pca_project",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val m = graft.operators.Pca.fit(t.embeddings, "vec_id", "embedding",
+        PCA_DIM, 2, PCA_ITERS)
+      graft.operators.Pca.project(t.embeddings, "vec_id", "embedding", m)
+        .select(col("vec_id"), pround(col("p1"), 6).as("p1"),
+          pround(col("p2"), 6).as("p2"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $pcaCtes,
+      cent AS (
+        SELECT e.vec_id,
+          list_transform(list_zip(e.embedding, m.m),
+            pr -> CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) AS cvec
+        FROM embeddings e CROSS JOIN meanl m)
+      SELECT c.vec_id,
+        ${proundSql(dotSql("c.cvec", "p1.v"), 6)} AS p1,
+        ${proundSql(dotSql("c.cvec", "p2.v"), 6)} AS p2
+      FROM cent c, v1_$PCA_ITERS p1, v2_$PCA_ITERS p2
+      ORDER BY c.vec_id"""))
+
   // -- V10c: SEMANTIC DECONTAMINATION (Dedup.semDeDupCross) — the
   //    embedding-space member of the decontamination family: q62/q91/
   //    q170 catch exact n-gram train↔eval overlap; this catches
@@ -2785,5 +2933,5 @@ object SimilarityQueries {
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216)
+      q214, q215, q216, q218, q219)
 }

@@ -45,6 +45,19 @@ class CodecFuzzSpec extends SparkSpec {
       ("adpcm", Multimodal.adpcmEncodeWav(
         Array.tabulate(150)(i => (i * 37 % 2003) - 1001), 8000, 36),
         b => Multimodal.anyWavSamples(b)),
+      ("g711", {
+        val n = 64
+        val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + n)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(0x0007).putShort(1).putInt(8000)
+          .putInt(8000).putShort(1).putShort(8)
+        bb.put("data".getBytes("US-ASCII")).putInt(n)
+        for (j <- 0 until n) bb.put(((j * 13 + 7) % 256).toByte)
+        bb.array()
+      }, b => Multimodal.anyWavSamples(b)),
       ("header", png, b => Multimodal.decodeHeader(b)))
   }
 

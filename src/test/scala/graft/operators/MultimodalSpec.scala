@@ -95,6 +95,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.anyWavSamples(wav).toSeq === Seq(1, -1, 300, -32768))
   }
 
+  test("G.711 expansion matches the published tables on hand vectors") {
+    // µ-law: both zero codes; the two rail extremes ±32124
+    assert(Multimodal.mulawToLinear(0xFF) === 0)
+    assert(Multimodal.mulawToLinear(0x7F) === 0)
+    assert(Multimodal.mulawToLinear(0x00) === -32124)
+    assert(Multimodal.mulawToLinear(0x80) === 32124)
+    // µ-law segment interior: byte 0xE7 → u=0x18: mant 8, exp 1,
+    // t = (64+132)<<1 = 392 → 392-132 = 260
+    assert(Multimodal.mulawToLinear(0xE7) === 260)
+    // A-law: smallest magnitudes are ±8 (no zero code); rails ±32256;
+    // sign convention INVERTED vs µ-law (MSB set = positive)
+    assert(Multimodal.alawToLinear(0x55) === -8)
+    assert(Multimodal.alawToLinear(0xD5) === 8)
+    assert(Multimodal.alawToLinear(0x2A) === -32256)
+    assert(Multimodal.alawToLinear(0xAA) === 32256)
+    // A-law seg-1 interior: byte 0x5F → a=0x0A: seg 0, base 160 → -168
+    assert(Multimodal.alawToLinear(0x5F) === -168)
+    // sign symmetry holds across the whole byte range for both laws
+    for (v <- 0 until 128) {
+      assert(Multimodal.mulawToLinear(v) === -Multimodal.mulawToLinear(v | 0x80))
+      assert(Multimodal.alawToLinear(v) === -Multimodal.alawToLinear(v | 0x80))
+    }
+  }
+
+  test("g711WavSamples chunk-walks and dispatches; PCM/ADPCM paths reject it") {
+    def wav(tag: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 16 + 8 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(tag.toShort).putShort(1).putInt(8000)
+        .putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes("US-ASCII")).putInt(data.length)
+      bb.put(data)
+      bb.array()
+    }
+    val mu = wav(0x0007, Array(0xFF, 0x00, 0x80, 0xE7).map(_.toByte))
+    assert(Multimodal.anyWavSamples(mu).toSeq === Seq(0, -32124, 32124, 260))
+    val a = wav(0x0006, Array(0x55, 0xD5, 0x2A, 0xAA).map(_.toByte))
+    assert(Multimodal.anyWavSamples(a).toSeq === Seq(-8, 8, -32256, 32256))
+    // wrong-lane rejections: the PCM and ADPCM decoders both bail
+    assert(Multimodal.wavSamples(mu).isEmpty)
+    assert(Multimodal.adpcmWavSamples(mu).isEmpty)
+    // malformed G.711: stereo, 16-bit, truncation — clean empties
+    val stereo = wav(0x0007, Array[Byte](1, 2)); stereo(22) = 2
+    assert(Multimodal.g711WavSamples(stereo).isEmpty)
+    val wide = wav(0x0006, Array[Byte](1, 2)); wide(34) = 16
+    assert(Multimodal.g711WavSamples(wide).isEmpty)
+    assert(Multimodal.g711WavSamples(mu.take(30)).isEmpty)
+  }
+
   test("adpcmStep matches the IMA spec on hand-derived vectors") {
     // from (pred=0, index=0): step=7. nibble 3 (0b0011):
     // diff = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4 → pred 4; index += -1 → 0
