@@ -1682,8 +1682,66 @@ object TextAnalysis {
       ORDER BY n_uses DESC, piece"""
     })
 
+  // -- T26: ISOTONIC score calibration (operators.Isotonic) — pool-
+  //    adjacent-violators turns a ranking signal into a monotone
+  //    probability, the standard calibration for the quality-gate
+  //    family (q104 logit, q141 ensemble, q183 perceptron). Score
+  //    grid: token-count bins (capped at 99); label: "document
+  //    repeats a token" (rises with length, so the isotonic fit has
+  //    real structure plus sampling violations to pool). Engine =
+  //    one hash-agg pass to grid-bounded longs + driver-side PAV with
+  //    EXACT long cross-multiplied pooling; oracle = the minimax
+  //    closed form ŷ_i = max_{j≤i} min_{k≥i} mean(j..k) over the same
+  //    long counts — every probability is one IEEE division of exact
+  //    longs, and monotone rounding makes the two characterizations
+  //    the same double (Isotonic scaladoc has the argument). A wrong
+  //    pooling rule, tie direction, or block boundary diverges. ------
+  private val q221 = Q(
+    "q221_isotonic_calibration",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val perdoc = t.documents.select(
+        least(lit(99), size(toks)).as("bin"),
+        (size(array_distinct(toks)) < size(toks)).cast("long").as("pos"))
+      graft.operators.Isotonic.calibrate(perdoc, "bin", "pos")
+        .select(col("bin"), col("n"), col("n_pos"),
+          pround(col("p_hat"), 6).as("p_hat"),
+          pround(col("p_cal"), 6).as("p_cal"))
+        .orderBy(col("bin"))
+    },
+    Some {
+      val ts = tokensSql("text")
+      s"""WITH pd AS MATERIALIZED (
+        SELECT CAST(least(99, len($ts)) AS INT) AS bin,
+          CASE WHEN len(list_distinct($ts)) < len($ts)
+            THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      b AS MATERIALIZED (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np
+        FROM pd GROUP BY bin),
+      iv AS MATERIALIZED (
+        SELECT j.bin AS j, k.bin AS k,
+          CAST(sum(m.np) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS mean
+        FROM b j JOIN b k ON j.bin <= k.bin
+        JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY j.bin, k.bin),
+      mn AS MATERIALIZED (
+        SELECT i.bin AS bin, v.j AS j, min(v.mean) AS m
+        FROM iv v JOIN b i ON v.j <= i.bin AND v.k >= i.bin
+        GROUP BY i.bin, v.j),
+      cal AS (SELECT bin, max(m) AS p_cal FROM mn GROUP BY bin)
+      SELECT b.bin AS bin, b.n, b.np AS n_pos,
+        ${proundSql("CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE)", 6)}
+          AS p_hat,
+        ${proundSql("c.p_cal", 6)} AS p_cal
+      FROM b JOIN cal c ON c.bin = b.bin
+      ORDER BY bin"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207)
+      q183, q201, q206, q207, q221)
 }
