@@ -1327,8 +1327,115 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  // -- C18: KMV (bottom-k) sketch corpus overlap (operators.Kmv) —
+  //    cross-source vocabulary Jaccard WITHOUT the vocab-level
+  //    self-join: each source reduces to its k smallest distinct
+  //    token hashes; the merged-bottom-k vote estimates Jaccard with
+  //    rsd ≈ 1/√k. Unlike HLL (q40's contract-gated registers), KMV
+  //    sketch CONTENTS are a deterministic function of the input, so
+  //    this oracles bit-exact — integer counts + one IEEE division.
+  //    The row also carries the EXACT pairwise Jaccard (the join the
+  //    sketch replaces at scale) so the estimate's error is in the
+  //    output, measured, per pair. ------------------------------------
+  private val KMV_K = 128
+  private val KMV_W = 3 // shingle width: per-source sets ≫ k, real estimation
+  private val q222 = Q(
+    "q222_kmv_overlap",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      // distinct (source, shingle-hash) universe — shared by the exact
+      // and sketch paths, materialized once. Trigram shingles, not
+      // tokens: the synthetic vocabulary is ~30 shared words, so the
+      // token universe would make every sketch exact and every pair
+      // Jaccard ≈ 1; the shingle universe (~1.3k/source at sf0.01,
+      // pair Jaccard 0.01–0.08) actually exercises the estimator.
+      val u = t.documents
+        .select(col("source"),
+          explode(TextFns.shingles(
+            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+        .select(col("source"), TextFns.rollingHash(col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val n = u.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val sk = graft.operators.Kmv.sketches(u, "source", "h", KMV_K)
+      val est = graft.operators.Kmv.pairJaccard(sk, "source", "h", KMV_K)
+      val inter = u.as("a").join(u.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("key_a"), col("b.source").as("key_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(n.select(col("source").as("key_a"), col("n").as("n_a")),
+          "key_a")
+        .join(n.select(col("source").as("key_b"), col("n").as("n_b")),
+          "key_b")
+        .join(inter, Seq("key_a", "key_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("key_a").as("src_a"), col("key_b").as("src_b"),
+          col("n_a"), col("n_b"), col("n_inter"),
+          pround(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+            .as("jacc_exact"),
+          col("k_eff"), col("n_match"),
+          pround(col("jacc_est"), 6).as("jacc_est"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some {
+      val shs = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), KMV_W)
+      s"""WITH u AS MATERIALIZED (
+        SELECT DISTINCT source, ${TextFns.rollingHashSql("sh")} AS h
+        FROM (SELECT source, unnest($shs) AS sh FROM documents)),
+      n AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM u
+        GROUP BY source),
+      sk AS MATERIALIZED (
+        SELECT source, h FROM (
+          SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+          FROM u) WHERE rk <= $KMV_K),
+      prs AS (SELECT a.source AS key_a, b.source AS key_b
+        FROM n a JOIN n b ON a.source < b.source),
+      inter AS MATERIALIZED (
+        SELECT a.source AS key_a, b.source AS key_b,
+          CAST(count(*) AS BIGINT) AS n_inter
+        FROM u a JOIN u b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source),
+      m AS MATERIALIZED (
+        SELECT key_a, key_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+          SELECT p.key_a, p.key_b, s.h, 1 AS ina, 0 AS inb
+          FROM prs p JOIN sk s ON s.source = p.key_a
+          UNION ALL
+          SELECT p.key_a, p.key_b, s.h, 0, 1
+          FROM prs p JOIN sk s ON s.source = p.key_b)
+        GROUP BY key_a, key_b, h),
+      est AS (
+        SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS k_eff,
+          CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match
+        FROM (SELECT key_a, key_b, ina, inb,
+                row_number() OVER (PARTITION BY key_a, key_b
+                  ORDER BY h) AS rk
+              FROM m)
+        WHERE rk <= $KMV_K
+        GROUP BY key_a, key_b)
+      SELECT e.key_a AS src_a, e.key_b AS src_b, na.n AS n_a,
+        nb.n AS n_b, COALESCE(i.n_inter, 0) AS n_inter,
+        ${proundSql(
+          "CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / " +
+            "CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE)", 6)}
+          AS jacc_exact,
+        e.k_eff, e.n_match,
+        ${proundSql(
+          "CAST(e.n_match AS DOUBLE) / CAST(e.k_eff AS DOUBLE)", 6)}
+          AS jacc_est
+      FROM est e
+      JOIN n na ON na.source = e.key_a
+      JOIN n nb ON nb.source = e.key_b
+      LEFT JOIN inter i ON i.key_a = e.key_a AND i.key_b = e.key_b
+      ORDER BY src_a, src_b"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220)
+      q204, q205, q209, q220, q222)
 }
