@@ -55,6 +55,7 @@ object Bench {
     "q43_dedup_clusters", "q57_dedup_clusters_star",
     "q126_quality_survivors", "q44_window_suite",
     "q45_cube", "q87_grouping_sets", "q88_relative_rank",
+    "q223_zorder_skipping",
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",

@@ -1264,8 +1264,117 @@ object ExtendedRelational {
       FROM scored
       ORDER BY rank_wilson"""))
 
+  // -- X29: Z-ORDER layout + data-skipping effectiveness (operators
+  //    .ZOrder) — the lakehouse clustered-write story, MEASURED: rows
+  //    are range-bucketed into 64 "files" two ways (Morton key of
+  //    (l_partkey, l_suppkey) vs linear l_partkey slabs — pure
+  //    integer-div bucketing, no global sort/window), per-file
+  //    min/max stats computed, and a 2-D box predicate's pruning
+  //    power evaluated against both layouts: files whose stat box
+  //    misses the predicate box are skipped, and the row reports
+  //    files pruned + rows actually scanned per layout. Everything is
+  //    integer arithmetic except the final scan fraction (one IEEE
+  //    division of exact longs). The production write path is
+  //    repartitionByRange(64, zvalue) — the bucketing here models its
+  //    file assignment without paying a bench-time sort. ----------------
+  private val ZO_BITS = 10            // normalized per-dimension bits
+  private val ZO_N = 1 << ZO_BITS     // normalized domain [0, N)
+  private val ZO_FILES = 64
+  private val q223 = Q(
+    "q223_zorder_skipping",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val zo = graft.operators.ZOrder
+      // normalize BOTH dimensions to the same bit width before
+      // interleaving (the standard z-order move): raw l_partkey and
+      // l_suppkey have very different ranges, and interleaving raw
+      // bits would let the wider dimension dominate the key. On the
+      // normalized domain, uniform keys ⇒ near-equal z-range files by
+      // PURE ARITHMETIC — no global sort, no window; the production
+      // write is repartitionByRange(F, z), and this constant-divisor
+      // bucketing models its file assignment.
+      val li = t.lineitem.select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+      val bd = li.agg(max(col("x")).as("mx"), max(col("y")).as("my"))
+      val fb = li.crossJoin(broadcast(bd))
+        .withColumn("xn", expr(s"(x * $ZO_N) div (mx + 1)"))
+        .withColumn("yn", expr(s"(y * $ZO_N) div (my + 1)"))
+        .withColumn("z", zo.zvalue(col("xn"), col("yn"), ZO_BITS))
+      val inBox = expr("x >= mx div 4 AND x <= mx div 2 AND " +
+        "y >= my div 4 AND y <= my div 2")
+      def layout(name: String, bucket: String) = fb
+        .withColumn("b", expr(bucket))
+        .groupBy(col("b"))
+        .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+          min(col("y")).as("mny"), max(col("y")).as("mxy"),
+          count(lit(1)).as("n"),
+          sum(when(inBox, 1L).otherwise(0L)).as("mtch"),
+          min(col("mx")).as("mx"), min(col("my")).as("my"))
+        .withColumn("prunable", expr("mxx < mx div 4 OR mnx > mx div 2 " +
+          "OR mxy < my div 4 OR mny > my div 2"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("prunable"), 1L).otherwise(0L)).as("n_pruned"),
+          sum(col("n")).as("rows_total"),
+          sum(col("mtch")).as("rows_match"),
+          sum(when(col("prunable"), 0L).otherwise(col("n")))
+            .as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_pruned"),
+          col("rows_total"), col("rows_match"), col("rows_scanned"),
+          pround(col("rows_scanned").cast("double") /
+            col("rows_total").cast("double"), 6).as("scan_frac"))
+      layout("linear", s"xn div ${ZO_N / ZO_FILES}")
+        .unionByName(layout("zorder", s"z div ${ZO_N * ZO_N / ZO_FILES}"))
+        .orderBy(col("layout"))
+    },
+    Some {
+      val zsql = graft.operators.ZOrder.zvalueSql("xn", "yn", ZO_BITS)
+      s"""WITH li0 AS MATERIALIZED (
+        SELECT CAST(l_partkey AS BIGINT) AS x,
+          CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem),
+      bd AS MATERIALIZED (
+        SELECT max(x) AS mx, max(y) AS my FROM li0),
+      li AS MATERIALIZED (
+        SELECT x, y, mx, my, $zsql AS z, xn, yn
+        FROM (SELECT x, y, mx, my,
+                (x * $ZO_N) // (mx + 1) AS xn,
+                (y * $ZO_N) // (my + 1) AS yn
+              FROM li0 CROSS JOIN bd)),
+      f AS MATERIALIZED (
+        SELECT layout, b, min(x) AS mnx, max(x) AS mxx, min(y) AS mny,
+          max(y) AS mxy, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN x >= mx // 4 AND x <= mx // 2
+            AND y >= my // 4 AND y <= my // 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS mtch,
+          min(mx) AS mx, min(my) AS my
+        FROM (
+          SELECT 'linear' AS layout, xn // ${ZO_N / ZO_FILES} AS b,
+            x, y, mx, my FROM li
+          UNION ALL
+          SELECT 'zorder', z // ${ZO_N * ZO_N / ZO_FILES}, x, y, mx, my
+          FROM li)
+        GROUP BY layout, b)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN prunable THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pruned,
+        CAST(sum(n) AS BIGINT) AS rows_total,
+        CAST(sum(mtch) AS BIGINT) AS rows_match,
+        CAST(sum(CASE WHEN prunable THEN 0 ELSE n END) AS BIGINT)
+          AS rows_scanned,
+        ${proundSql(
+          "CAST(sum(CASE WHEN prunable THEN 0 ELSE n END) AS DOUBLE) / " +
+            "CAST(sum(n) AS DOUBLE)", 6)} AS scan_frac
+      FROM (SELECT f.*, (mxx < mx // 4 OR mnx > mx // 2 OR
+              mxy < my // 4 OR mny > my // 2) AS prunable
+            FROM f)
+      GROUP BY layout
+      ORDER BY layout"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196)
+      q186, q187, q196, q223)
 }
