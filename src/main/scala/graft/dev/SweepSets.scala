@@ -48,6 +48,7 @@ object SweepSets {
     "q214_nsw_topk" -> "q53's IVF-assign oracle crossjoin (interpreted list-lambda scoring of corpus x nlist) plus the within-cell edge window — same 10x DuckDB infeasibility; engine parity pinned by SimilaritySpec + the sf0.01 strict pass (q53 precedent)",
     "q215_nsw_recall" -> "exact denominator is q27's brute crossjoin CTE AND the full q214 chain is inlined as a subquery — doubly 10x-infeasible in DuckDB; recall is measured at sf<=0.1 (q149 policy)",
     "q216_graph_vs_ivf" -> "shares q215's doubly-infeasible oracle shape (q214's NSW CTE chain + q27's brute exact denominator + the q53 IVF scoring crossjoin, all in one statement); the efficiency matrix is measured at sf<=0.1 (q149 policy)",
+    "q224_multiprobe_lsh" -> "q149's reason (brute exact denominator) plus q33's interpreted list-lambda bucket folds over corpus x NBITS x dims x three probe arms; the curve is measured at sf<=0.1 (q184 precedent)",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")

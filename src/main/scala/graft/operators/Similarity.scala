@@ -94,6 +94,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** All nBits hyperplane projections of a vector, as an array —
+    * shared by the bucket (signs) and the multi-probe margins
+    * (|projection| = distance to the hyperplane, the probe-ordering
+    * signal).
+    */
+  def lshProjections(vec: Column, nBits: Int): Column =
+    array((0 until nBits).map { j =>
+      aggregate(
+        transform(sequence(lit(0L), size(vec).cast("long") - lit(1L)),
+          i => element_at(vec, (i + lit(1L)).cast("int")).cast("double")
+            * planeComponent(lit(j.toLong), i)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Query-directed multi-probe LSH (Lv et al. 2007, single-bit
+    * flips): every candidate the probe set scores, deduped — probe 1
+    * is the query's own bucket, probes 2..nProbe flip the bits with
+    * the SMALLEST |projection| margin (the hyperplanes the query sits
+    * closest to, i.e. the buckets its near neighbors most likely fell
+    * into). [[mpLshTopK]] is the per-query top-k window over exactly
+    * this frame; the frame itself is exposed so the recall curve can
+    * report |scored| as the measured cost per probe count.
+    *
+    * Scale shape: same as [[lshTopK]] — ONE bucket equi-join; the
+    * query side just carries nProbe rows instead of 1, so candidate
+    * work is ≈ nProbe·|corpus|/2^nBits per query WITHOUT adding hash
+    * tables (the alternative recall lever, more tables, multiplies
+    * the stored index instead).
+    */
+  def mpLshScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nBits + 1)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      sqrt(norm2(col(vecCol))).as("cnorm"),
+      lshBucket(col(vecCol), nBits).as("cbucket"))
+    val projs = lshProjections(col(vecCol), nBits)
+    val bucket = lshBucket(col(vecCol), nBits)
+    // bits ranked by |projection| ascending (ties: lower bit first)
+    val margins = array_sort(transform(sequence(lit(0), lit(nBits - 1)),
+      j => struct(abs(element_at(projs, j + 1)).as("m"), j.as("j"))))
+    val pows = typedLit((0 until nBits).map(j => 1L << j))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"), bucket.as("qbucket"),
+        slice(margins, 1, nProbe - 1).as("flips"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(concat(array(col("qbucket")),
+          transform(col("flips"), s => col("qbucket")
+            .bitwiseXOR(element_at(pows, s.getField("j") + 1)))))
+          .as("probe"))
+    // distinct buckets per query ⇒ no duplicate candidates to dedup
+    c.join(broadcast(q),
+        col("probe") === col("cbucket") && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("probe").as("bucket"), col("corpus_id"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cosine"))
+  }
+
+  /** Multi-probe LSH top-k: the per-query top-k window over
+    * [[mpLshScored]]. nProbe = 1 degenerates to [[lshTopK]].
+    */
+  def mpLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nBits: Int, nProbe: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    mpLshScored(corpus, queries, idCol, vecCol, nBits, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** seedMod yielding nlist ≈ √n for a corpus of n vectors — the
     * right IVF sizing rule: assignment costs O(n·nlist) and probing
     * O(n·nprobe/nlist), so nlist = √n balances them. Measured at 10×

@@ -898,6 +898,120 @@ object SimilarityQueries {
       CROSS JOIN nq
       ORDER BY method"""))
 
+  /** All NBITS hyperplane projections as a SQL list — the multi-probe
+    * margin signal (bucketSql takes these folds' signs).
+    */
+  private def projsSql(vecExpr: String): String =
+    (0 until NBITS).map { j =>
+      val plane =
+        s"(CAST((($j + 1) * 2654435761 + i * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)"
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         | list_transform(generate_series(0, CAST(len($vecExpr) AS BIGINT) - 1),
+         |   i -> CAST($vecExpr[CAST(i + 1 AS INT)] AS DOUBLE) * $plane)),
+         | (x, y) -> x + y)""".stripMargin
+    }.mkString("[", ", ", "]")
+
+  // -- V13: MULTI-PROBE LSH recall curve (Similarity.mpLshScored /
+  //    mpLshTopK) — the recall knob the LSH rung lacked next to IVF's
+  //    nprobe (q184): probe the query's own bucket plus the buckets
+  //    reached by flipping the smallest-|projection| bits (Lv et al.
+  //    2007's query-directed probing) — more recall per query WITHOUT
+  //    multiplying stored hash tables. Measured on both axes like
+  //    q216: recall@K against the brute exact baseline AND candidates
+  //    actually scored per probe count. ---------------------------------
+  private val MPL_PROBES = Seq(1, 2, 4)
+  private val q224 = Q(
+    "q224_multiprobe_lsh",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val nTotal = exact.count()
+      val rows = MPL_PROBES.map { np =>
+        val sc = Similarity.mpLshScored(t.embeddings, queries, "vec_id",
+            "embedding", NBITS, np)
+          .localCheckpoint(true)
+        val nScored = sc.count()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        val top = sc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+          .select(col("query_id"), col("corpus_id"))
+        val hits = top.join(exact, Seq("query_id", "corpus_id")).count()
+        (np, nScored, hits, nTotal, hits.toDouble / nTotal.toDouble)
+      }
+      rows.toDF("nprobe", "n_scored", "n_hits", "n_total", "recall")
+        .select(col("nprobe"), col("n_scored"), col("n_hits"),
+          col("n_total"), pround(col("recall"), 6).as("recall"))
+        .orderBy(col("nprobe"))
+    },
+    Some {
+      def probesCte(np: Int) = s"""
+      pr$np AS (
+        SELECT vec_id AS query_id,
+          unnest(list_prepend(bucket,
+            list_transform(list_slice(ms, 1, ${np - 1}),
+              s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS probe
+        FROM srt),
+      sc$np AS MATERIALIZED (
+        SELECT p.query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM pr$np p
+        JOIN v c ON c.bucket = p.probe AND c.vec_id != p.query_id
+        JOIN qv q ON q.vec_id = p.query_id)"""
+      def arm(np: Int) = s"""
+        SELECT $np AS nprobe,
+          (SELECT CAST(count(*) AS BIGINT) FROM sc$np) AS n_scored,
+          (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN (
+            SELECT query_id, corpus_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, corpus_id ASC) AS rk
+                  FROM sc$np)
+            WHERE rk <= $K) m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+            AS n_hits,
+          n_total
+        FROM tot"""
+      s"""WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+          ${bucketSql("embedding")} AS bucket
+        FROM embeddings),
+      qv AS MATERIALIZED (
+        SELECT vec_id, embedding, nrm, bucket,
+          ${projsSql("embedding")} AS pr
+        FROM v WHERE vec_id % $QMOD = 0),
+      srt AS MATERIALIZED (
+        SELECT vec_id, bucket,
+          list_sort(list_transform(generate_series(0, ${NBITS - 1}),
+            j -> struct_pack(m := abs(pr[CAST(j + 1 AS INT)]), j := j)))
+            AS ms
+        FROM qv),
+      ${MPL_PROBES.map(probesCte).mkString(",")},
+      exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                  / (sqrt(${norm2Sql("q.embedding")})
+                     * sqrt(${norm2Sql("c.embedding")})) DESC,
+                c.vec_id ASC) AS rank
+          FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+          JOIN embeddings c ON c.vec_id != q.vec_id)
+        WHERE rank <= $K),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM exact)
+      SELECT nprobe, n_scored, n_hits, n_total,
+        ${proundSql("CAST(n_hits AS DOUBLE) / CAST(n_total AS DOUBLE)", 6)}
+          AS recall
+      FROM (${MPL_PROBES.map(arm).mkString(" UNION ALL ")})
+      ORDER BY nprobe"""
+    })
+
   // -- V12: PCA over the embedding corpus (operators/Pca) — exact
   //    covariance in ONE distributed pass (posexplode → vec_id-keyed
   //    self-join → partial-agg decimal sums), then a DETERMINISTIC
@@ -2933,5 +3047,5 @@ object SimilarityQueries {
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219)
+      q214, q215, q216, q218, q219, q224)
 }

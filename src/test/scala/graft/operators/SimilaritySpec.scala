@@ -127,6 +127,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top.subsetOf(scored.map(t => (t._1, t._3)).toSet))
   }
 
+  test("mpLshScored grows monotonically with nProbe; probe 1 ≡ lshTopK") {
+    val big = (1L to 60L).map(i => (i,
+        Array((i % 7).toFloat + 1f, (i % 5).toFloat - 2f, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") % 10 === 0)
+    def scoredSet(np: Int) =
+      Similarity.mpLshScored(big, queries, "vec_id", "embedding", 8, np)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+        .toSet
+    val s1 = scoredSet(1); val s2 = scoredSet(2); val s4 = scoredSet(4)
+    assert(s1.subsetOf(s2) && s2.subsetOf(s4),
+      "probe sets must nest as nProbe grows")
+    // nProbe = 1 is plain LSH: same top-k as lshTopK
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(shape(Similarity.mpLshTopK(big, queries, "vec_id", "embedding",
+        8, 1, 3)) ===
+      shape(Similarity.lshTopK(big, queries, "vec_id", "embedding", 8, 3)))
+    // full probing (nBits+1 buckets at Hamming ≤ 1) never returns
+    // duplicate candidates
+    val all = Similarity.mpLshScored(big, queries, "vec_id", "embedding",
+        8, 9)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+    assert(all.distinct.length === all.length)
+  }
+
   test("semanticDedup drops within-cell near-dups of lower-id vectors") {
     // seedMod=5 ⇒ centroids are ids 0 and 5 (x-axis, y-axis)
     val corpus = Seq(
