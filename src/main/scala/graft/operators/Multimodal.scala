@@ -428,6 +428,46 @@ object Multimodal {
     }
   }
 
+  val resonatorSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("bin_idx", IntegerType),
+    StructField("coeff", DoubleType),
+    StructField("energy", DoubleType)))
+
+  /** Two-pole resonator bank over each WAV payload — Goertzel's
+    * recurrence s_n = x_n + c·s_{n−1} − s_{n−2} with RATIONAL
+    * coefficients c = 2·cos(ω) (c exact in a double ⇒ no libm, every
+    * step is the same three IEEE ops in both engines, so an oracle
+    * can replay the filter state as a recursive CTE bit-exactly).
+    * Energy per bin is Goertzel's final-state magnitude
+    * s₁² + s₂² − c·s₁·s₂ — band energy near ω, the spectral feature
+    * the amplitude stats (audioFeatures) can't see. Narrow per-row
+    * work, O(len·|coeffs|), decode dispatch shared with
+    * [[audioFeatures]].
+    */
+  def resonatorFeatures(media: DataFrame, coeffs: Seq[Double]): DataFrame = {
+    val enc = Encoders.row(resonatorSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val s = anyWavSamples(r.getAs[Array[Byte]](1))
+          coeffs.zipWithIndex.map { case (c, bi) =>
+            var s1 = 0.0
+            var s2 = 0.0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i) + c * s1 - s2
+              s2 = s1
+              s1 = v
+              i += 1
+            }
+            Row(id, bi, c, s1 * s1 + s2 * s2 - c * s1 * s2)
+          }
+        }
+      }(enc)
+  }
+
   /** Distributed audio feature extraction: per-partition decode of
     * each WAV payload (PCM or IMA-ADPCM — [[anyWavSamples]]) into
     * amplitude statistics — sample count, peak |amplitude|, Σ|s| and

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables.Tpch
 import graft.operators.Multimodal
+import Portable._
 
 /** Multimodal binary-column plumbing exercised end-to-end over real
   * data: documents.text encoded to a binary payload column, then
@@ -169,21 +170,29 @@ object MultimodalQueries {
   // and reports integer-exact amplitude stats (peak, Σ|s|, energy Σs²);
   // the oracle recomputes them from the formula. Sign handling and
   // little-endian decode are load-bearing.
+  /** The q61 synthesized PCM corpus: canonical mono 16-bit WAV per
+    * doc, samples s(i) = (d·31 + 17i) % 2003 − 1001 — shared by q61
+    * (amplitude stats) and q225 (resonator band energies).
+    */
+  private def pcmMedia(t: graft.core.Tables.Tpch)
+      : org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    val sampleHex = (0 until 64).map { i =>
+      val sample = pmod(d * 31 + lit(17 * i), lit(2003)) - lit(1001)
+      le16hex(pmod(sample, lit(65536))) // two's complement 16-bit
+    }
+    val header = lit("52494646" + "A4000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+      "1000" + "64617461" + "80000000")
+    t.documents.select(d.as("media_id"),
+      unhex(concat(header +: sampleHex: _*)).as("content"))
+  }
+
   private val q61 = Q(
     "q61_audio_features",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val d = col("doc_id")
-      val sampleHex = (0 until 64).map { i =>
-        val sample = pmod(d * 31 + lit(17 * i), lit(2003)) - lit(1001)
-        le16hex(pmod(sample, lit(65536))) // two's complement 16-bit
-      }
-      val header = lit("52494646" + "A4000000" + "57415645" + "666D7420" +
-        "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
-        "1000" + "64617461" + "80000000")
-      val media = t.documents.select(d.as("media_id"),
-        unhex(concat(header +: sampleHex: _*)).as("content"))
-      Multimodal.audioFeatures(media).orderBy(col("media_id"))
+      Multimodal.audioFeatures(pcmMedia(t)).orderBy(col("media_id"))
     },
     Some("""SELECT doc_id AS media_id, CAST(64 AS INT) AS n_samples,
       (SELECT CAST(MAX(ABS((doc_id * 31 + 17 * i) % 2003 - 1001)) AS INT)
@@ -1094,6 +1103,46 @@ object MultimodalQueries {
       FROM dec GROUP BY doc_id ORDER BY media_id"""
     })
 
+  // -- q225: resonator-bank spectral features, oracle-gated ------------
+  // Real DSP on the audio lane beyond amplitude stats: Goertzel's
+  // two-pole recurrence s_n = x_n + c·s_{n-1} − s_{n-2} at four
+  // RATIONAL coefficients c = 2cos(ω) ∈ {1.5, 1.0, 0.0, −1.0} (bands
+  // near ω ≈ 0.72, π/3, π/2, 2π/3 of the sample rate; rational c ⇒
+  // no libm, every step the same three IEEE ops both engines). Runs
+  // over q61's synthesized PCM corpus; the oracle replays the filter
+  // state as a recursive CTE and the final-state band energy
+  // s₁² + s₂² − c·s₁·s₂ bit-exactly. A wrong recurrence order, state
+  // shift, or energy formula diverges.
+  private val RES_COEFFS = Seq(1.5, 1.0, 0.0, -1.0)
+  private val q225 = Q(
+    "q225_resonator_bands",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Multimodal.resonatorFeatures(pcmMedia(t), RES_COEFFS)
+        .select(col("media_id"), col("bin_idx"), col("coeff"),
+          pround(col("energy"), 6).as("energy"))
+        .orderBy(col("media_id"), col("bin_idx"))
+    },
+    Some {
+      val cs = RES_COEFFS.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+      val bis = RES_COEFFS.indices.mkString(", ")
+      s"""WITH RECURSIVE res(doc_id, bi, c, j, s1, s2) AS (
+        SELECT d.doc_id, b.bi, b.c, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM documents d CROSS JOIN
+          (SELECT unnest([$bis]) AS bi, unnest([$cs]) AS c) b
+        UNION ALL
+        SELECT doc_id, bi, c, j + 1,
+          CAST((doc_id * 31 + 17 * j) % 2003 - 1001 AS DOUBLE)
+            + c * s1 - s2,
+          s1
+        FROM res WHERE j < 64
+      )
+      SELECT doc_id AS media_id, CAST(bi AS INT) AS bin_idx, c AS coeff,
+        ${proundSql("s1 * s1 + s2 * s2 - c * s1 * s2", 6)} AS energy
+      FROM res WHERE j = 64
+      ORDER BY media_id, bin_idx"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213, q217)
+    q152, q155, q156, q174, q200, q213, q217, q225)
 }

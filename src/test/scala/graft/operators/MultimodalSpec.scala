@@ -147,6 +147,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.g711WavSamples(mu.take(30)).isEmpty)
   }
 
+  test("resonator bank concentrates energy at the matched band") {
+    // x_n = 1000·cos(πn/2): exact integers, pure tone at ω = π/2,
+    // whose matched coefficient is c = 2cos(π/2) = 0
+    val samples = Array.tabulate(64)(n => Seq(1000, 0, -1000, 0)(n % 4))
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val df = Seq((1L, bb.array())).toDF("media_id", "content")
+    val e = Multimodal.resonatorFeatures(df, Seq(0.0, 1.0, -1.0))
+      .collect().map(r => r.getAs[Int]("bin_idx") -> r.getAs[Double]("energy"))
+      .toMap
+    // matched band (c=0 ⇔ ω=π/2) dwarfs the mismatched bands
+    assert(e(0) > 100 * e(1), s"matched ${e(0)} vs ${e(1)}")
+    assert(e(0) > 100 * e(2), s"matched ${e(0)} vs ${e(2)}")
+    // tone magnitude: |Σ x·e^{-iωn}|² = (N/2·A)² = (32·1000)²
+    assert(math.abs(e(0) - 32000.0 * 32000.0) / (32000.0 * 32000.0) < 1e-9)
+  }
+
   test("adpcmStep matches the IMA spec on hand-derived vectors") {
     // from (pred=0, index=0): step=7. nibble 3 (0b0011):
     // diff = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4 → pred 4; index += -1 → 0
