@@ -74,7 +74,7 @@ object Bench {
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",
-    "q221_isotonic_calibration",
+    "q221_isotonic_calibration", "q226_rag_chunks",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",

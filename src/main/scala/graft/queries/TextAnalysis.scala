@@ -1740,8 +1740,87 @@ object TextAnalysis {
       ORDER BY bin"""
     })
 
+  // -- T27: RAG sentence-aligned chunking — the retrieval-corpus prep
+  //    step next to training packing (q64) and CDC chunking (q81):
+  //    sentences never split across chunks; a chunk closes when the
+  //    token budget T fills. Sentence boundaries are TOKENS ending in
+  //    [.!?] (RE2-safe — no lookbehind, so the same regex runs in both
+  //    engines); sentence ids are a prefix count of boundary tokens,
+  //    chunk ids the integer-div of the per-doc cumulative token count
+  //    — all partitioned windows, one shuffle on doc_id. A sentence
+  //    longer than T overflows its chunk rather than splitting (the
+  //    standard RAG chunker contract). The synthetic corpus carries no
+  //    punctuation, so the boundary predicate ALSO fires on a
+  //    deterministic hash-derived subset (~1 in 9 tokens) — the
+  //    pluggable-delimiter seam; on real text the regex arm does the
+  //    work, and the alignment/budget logic under test is identical.
+  private val RAG_T = 20
+  private val q226 = Q(
+    "q226_rag_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val toks = t.documents
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("bnd",
+          (col("tok").rlike("[.!?]$") ||
+            pmod(rollingHash(col("tok")), lit(9L)) === 0L).cast("long"))
+        .withColumn("sent", coalesce(sum(col("bnd")).over(wPos), lit(0L)))
+      val sents = toks.groupBy(col("doc_id"), col("sent"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(rollingHash(col("tok"))).as("hsum"))
+      val wSent = Window.partitionBy(col("doc_id")).orderBy(col("sent"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sents
+        .withColumn("cum_before",
+          coalesce(sum(col("n_toks")).over(wSent), lit(0L)))
+        .withColumn("chunk", expr(s"cum_before div $RAG_T"))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("hsum")).as("hash_sum"))
+        .orderBy(col("doc_id"), col("chunk"))
+    },
+    Some {
+      val ts = tokensSql("text")
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+          CASE WHEN regexp_matches(tok, '[.!?]$$')
+                 OR ${TextFns.rollingHashSql("tok")} % 9 = 0
+               THEN 1 ELSE 0 END AS bnd
+        FROM (SELECT doc_id, unnest($ts) AS tok,
+                generate_subscripts($ts, 1) - 1 AS pos
+              FROM documents)
+        WHERE len(tok) > 0),
+      st AS MATERIALIZED (
+        SELECT doc_id, pos, tok,
+          CAST(COALESCE(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS sent
+        FROM toks),
+      sents AS MATERIALIZED (
+        SELECT doc_id, sent, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(sum(${TextFns.rollingHashSql("tok")}) AS BIGINT) AS hsum
+        FROM st GROUP BY doc_id, sent),
+      ch AS (
+        SELECT doc_id, sent, n_toks, hsum,
+          CAST(COALESCE(sum(n_toks) OVER (PARTITION BY doc_id
+            ORDER BY sent ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) // $RAG_T AS chunk
+        FROM sents)
+      SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_sentences,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(hsum) AS BIGINT) AS hash_sum
+      FROM ch GROUP BY doc_id, chunk
+      ORDER BY doc_id, chunk"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207, q221)
+      q183, q201, q206, q207, q221, q226)
 }
