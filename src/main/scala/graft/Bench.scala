@@ -62,7 +62,7 @@ object Bench {
     "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
     "q209_ngram_diversity", "q214_nsw_topk", "q215_nsw_recall",
     "q216_graph_vs_ivf", "q218_pca_power", "q219_pca_project",
-    "q224_multiprobe_lsh",
+    "q224_multiprobe_lsh", "q227_hnsw_vs_nsw",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
@@ -161,7 +161,10 @@ object Bench {
       "q216_graph_vs_ivf",
       // multi-probe LSH curve: q184's shape with the brute exact
       // denominator; the probe arms scale, the numerator doesn't
-      "q224_multiprobe_lsh")
+      "q224_multiprobe_lsh",
+      // hierarchy-vs-flat walk matrix: q216's shape (brute exact
+      // denominator); both graph arms scale, the numerator doesn't
+      "q227_hnsw_vs_nsw")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

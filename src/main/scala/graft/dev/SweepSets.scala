@@ -49,6 +49,7 @@ object SweepSets {
     "q215_nsw_recall" -> "exact denominator is q27's brute crossjoin CTE AND the full q214 chain is inlined as a subquery — doubly 10x-infeasible in DuckDB; recall is measured at sf<=0.1 (q149 policy)",
     "q216_graph_vs_ivf" -> "shares q215's doubly-infeasible oracle shape (q214's NSW CTE chain + q27's brute exact denominator + the q53 IVF scoring crossjoin, all in one statement); the efficiency matrix is measured at sf<=0.1 (q149 policy)",
     "q224_multiprobe_lsh" -> "q149's reason (brute exact denominator) plus q33's interpreted list-lambda bucket folds over corpus x NBITS x dims x three probe arms; the curve is measured at sf<=0.1 (q184 precedent)",
+    "q227_hnsw_vs_nsw" -> "q216's reason: the full q214 NSW CTE chain (q53's IVF-assign crossjoin) TWICE (flat + hierarchy layers) plus q27's brute exact denominator in one statement; the matrix is measured at sf<=0.1",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")

@@ -428,23 +428,7 @@ object Similarity {
       .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
         col("vnorm"), col("cell"))
       .localCheckpoint(true)
-    val aSrc = assigned.select(col("cell"), col("corpus_id").as("src"),
-      col("nvec").as("svec"), col("vnorm").as("snorm"))
-    val aDst = assigned.select(col("cell"), col("corpus_id").as("dst"),
-      col("nvec").as("dvec"), col("vnorm").as("dnorm"))
-    val we = Window.partitionBy(col("src"))
-      .orderBy(col("ecos").desc, col("dst").asc)
-    val directed = aSrc.join(aDst, Seq("cell"))
-      .filter(col("dst") < col("src"))
-      .select(col("cell"), col("src"), col("dst"),
-        (dot(col("svec"), col("dvec")) / (col("snorm") * col("dnorm")))
-          .as("ecos"))
-      .withColumn("erk", row_number().over(we))
-      .filter(col("erk") <= degree)
-      .select(col("cell"), col("src"), col("dst"))
-    val edges = directed.unionByName(directed.select(col("cell"),
-        col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val edges = nswEdges(assigned, degree)
     val qScored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         sqrt(norm2(col(vecCol))).as("qnorm"))
@@ -491,6 +475,143 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("corpus_id"), col("cosine"))
       .distinct()
       .filter(col("corpus_id") =!= col("query_id"))
+  }
+
+  /** Bounded-degree undirected NSW edges within each cell, over the
+    * given node set: node → its `degree` nearest SMALLER-ID cell
+    * members (the deterministic insert rule), then symmetrized.
+    * Shared by the flat walk ([[nswScored]]) and every [[hnswScored]]
+    * layer (each layer passes its own node subset).
+    */
+  private def nswEdges(assigned: DataFrame, degree: Int): DataFrame = {
+    val aSrc = assigned.select(col("cell"), col("corpus_id").as("src"),
+      col("nvec").as("svec"), col("vnorm").as("snorm"))
+    val aDst = assigned.select(col("cell"), col("corpus_id").as("dst"),
+      col("nvec").as("dvec"), col("vnorm").as("dnorm"))
+    val we = Window.partitionBy(col("src"))
+      .orderBy(col("ecos").desc, col("dst").asc)
+    val directed = aSrc.join(aDst, Seq("cell"))
+      .filter(col("dst") < col("src"))
+      .select(col("cell"), col("src"), col("dst"),
+        (dot(col("svec"), col("dvec")) / (col("snorm") * col("dnorm")))
+          .as("ecos"))
+      .withColumn("erk", row_number().over(we))
+      .filter(col("erk") <= degree)
+      .select(col("cell"), col("src"), col("dst"))
+    directed.unionByName(directed.select(col("cell"),
+        col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** HIERARCHICAL NSW walk (the HNSW layer idea on q214's per-cell
+    * graphs): layer 1 is the deterministic promoted subset
+    * (corpus_id % 2 = 0 — the trailing-bit geometric level rule with
+    * one upper layer), with its OWN bounded-degree graph; the walk
+    * greedily descends layer 1 (beam 1, `upperHops` rounds) from the
+    * lowest-id promoted node of each probed cell, and the best node
+    * it finds — against the cell's default lowest-id entry as
+    * fallback — becomes layer 0's entry for the usual beam walk.
+    * Returns every node either layer scored, deduped, self-free (the
+    * cost frame; top-k via [[hnswTopK]]).
+    *
+    * Scale: the upper layer halves node count per level (geometric),
+    * so its edges add ≤ the level-0 graph's size while cutting the
+    * distance from a fixed entry to the query's neighborhood — the
+    * entry QUALITY knob, orthogonal to beam/hops (walk budget).
+    */
+  def hnswScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
+      hops: Int, upperHops: Int): DataFrame = {
+    require(degree >= 1 && beam >= 1 && hops >= 0 && upperHops >= 0)
+    val m = resolveSeedMod(corpus, seedMod)
+    val seeds = seedCentroids(corpus, idCol, vecCol, m)
+    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
+        col("vnorm"), col("cell"))
+      .localCheckpoint(true)
+    val promoted = assigned.filter(col("corpus_id") % 2 === 0)
+    val edges0 = nswEdges(assigned, degree)
+    val edges1 = nswEdges(promoted, degree)
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        sqrt(norm2(col(vecCol))).as("qnorm"))
+      .crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"),
+        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+          .as("cell_cos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell").asc)
+    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(assigned.select(col("cell"), col("corpus_id"), col("nvec"),
+        col("vnorm")), Seq("cell", "corpus_id"))
+      .select(col("query_id"), col("cell"), col("corpus_id"),
+        (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("vnorm")))
+          .as("cosine"), col("qvec"), col("qnorm"))
+    val wb = Window.partitionBy(col("query_id"), col("cell"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    def walk(start: DataFrame, edges: DataFrame, rounds: Int, width: Int)
+        : (DataFrame, DataFrame) = {
+      var frontier = start.localCheckpoint(true)
+      var visited = frontier
+      for (_ <- 1 to rounds) {
+        val expand = score(frontier
+          .join(edges, frontier("cell") === edges("cell") &&
+            frontier("corpus_id") === edges("src"))
+          .select(frontier("query_id"), frontier("cell"),
+            edges("dst").as("corpus_id"), col("qvec"), col("qnorm")))
+        frontier = frontier.unionByName(expand)
+          .groupBy(col("query_id"), col("cell"), col("corpus_id"))
+          .agg(any_value(col("cosine")).as("cosine"),
+            any_value(col("qvec")).as("qvec"),
+            any_value(col("qnorm")).as("qnorm"))
+          .withColumn("brk", row_number().over(wb))
+          .filter(col("brk") <= width)
+          .drop("brk")
+          .localCheckpoint(true)
+        visited = visited.unionByName(expand)
+      }
+      (visited, frontier)
+    }
+    // layer 1: greedy (beam 1) from each probed cell's lowest-id
+    // promoted node; cells with no promoted node contribute nothing
+    val e1 = promoted.groupBy(col("cell"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    val (upperVis, _) = walk(score(probes.join(e1, Seq("cell"))),
+      edges1, upperHops, 1)
+    // layer 0 entry: the best upper-layer find, against the default
+    // lowest-id entry as the no-promoted-node fallback
+    val e0 = assigned.groupBy(col("cell"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    val defEntry = score(probes.join(e0, Seq("cell")))
+    val entry0 = upperVis.unionByName(defEntry)
+      .groupBy(col("query_id"), col("cell"), col("corpus_id"))
+      .agg(any_value(col("cosine")).as("cosine"),
+        any_value(col("qvec")).as("qvec"),
+        any_value(col("qnorm")).as("qnorm"))
+      .withColumn("brk", row_number().over(wb))
+      .filter(col("brk") <= 1)
+      .drop("brk")
+    val (lowerVis, _) = walk(entry0, edges0, hops, beam)
+    upperVis.unionByName(defEntry).unionByName(lowerVis)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("cosine"))
+      .distinct()
+      .filter(col("corpus_id") =!= col("query_id"))
+  }
+
+  /** Per-query top-k window over [[hnswScored]]. */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
+      hops: Int, upperHops: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    hnswScored(corpus, queries, idCol, vecCol, seedMod, nprobe, degree,
+        beam, hops, upperHops)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Brute-force top-k nearest (cosine) corpus rows per query row.

@@ -797,6 +797,173 @@ object SimilarityQueries {
           AS recall
       FROM hits, nq"""))
 
+  // -- V11d: HNSW hierarchy rung (Similarity.hnswScored) — q214's
+  //    per-cell graph with an UPPER LAYER: the promoted subset
+  //    (vec_id % 2 = 0, the trailing-bit geometric level rule) gets
+  //    its own bounded-degree graph; a greedy beam-1 walk on it picks
+  //    layer 0's entry (default lowest-id entry as fallback), then
+  //    the usual beam walk runs. The hierarchy is the entry-QUALITY
+  //    knob, orthogonal to beam/hops; this row measures it against
+  //    the flat walk on BOTH axes (recall@K, candidates scored) at
+  //    identical layer-0 budget. -----------------------------------------
+  private val HNSW_UP = 2
+
+  /** Oracle CTE fragment extending [[nswCtes]] (which ends in the
+    * flat walk's `vis`): the promoted-layer graph, the greedy upper
+    * walk, the entry pick, the layer-0 walk — ends in
+    * `hvis(query_id, cell, corpus_id, cosine)`, the hierarchy walk's
+    * deduped self-inclusive scored frame.
+    */
+  private lazy val hnswCtes: String = {
+    val upCtes = (1 to HNSW_UP).map { h =>
+      s"""xu$h AS (
+        SELECT f.query_id, f.cell, ed.dst AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM u${h - 1} f
+        JOIN e1 ed ON ed.cell = f.cell AND ed.src = f.corpus_id
+        JOIN v q ON q.vec_id = f.query_id
+        JOIN v c ON c.vec_id = ed.dst),
+      u$h AS (
+        SELECT query_id, cell, corpus_id, cosine FROM (
+          SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
+              ORDER BY cosine DESC, corpus_id ASC) AS rn
+          FROM (SELECT DISTINCT * FROM (
+            SELECT * FROM u${h - 1} UNION ALL SELECT * FROM xu$h)) w)
+        WHERE rn <= 1)"""
+    }.mkString(",\n      ")
+    val lowCtes = (1 to NSW_HOPS).map { h =>
+      s"""y$h AS (
+        SELECT f.query_id, f.cell, ed.dst AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM g${h - 1} f
+        JOIN edges ed ON ed.cell = f.cell AND ed.src = f.corpus_id
+        JOIN v q ON q.vec_id = f.query_id
+        JOIN v c ON c.vec_id = ed.dst),
+      g$h AS (
+        SELECT query_id, cell, corpus_id, cosine FROM (
+          SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
+              ORDER BY cosine DESC, corpus_id ASC) AS rn
+          FROM (SELECT DISTINCT * FROM (
+            SELECT * FROM g${h - 1} UNION ALL SELECT * FROM y$h)) w)
+        WHERE rn <= $NSW_BEAM)"""
+    }.mkString(",\n      ")
+    val upVis = (1 to HNSW_UP).map(h => s"SELECT * FROM xu$h")
+      .mkString("SELECT * FROM u0 UNION ALL ", " UNION ALL ", "")
+    val lowVis = (1 to NSW_HOPS).map(h => s"SELECT * FROM y$h")
+      .mkString("SELECT * FROM g0 UNION ALL ", " UNION ALL ", "")
+    s"""p1 AS (SELECT * FROM m WHERE vec_id % 2 = 0),
+      e1dir AS (
+        SELECT cell, src, dst FROM (
+          SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+            row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY ${dotSql("a.embedding", "b.embedding")}
+                  / (a.nrm * b.nrm) DESC,
+                b.vec_id ASC) AS rn
+          FROM p1 a JOIN p1 b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+        WHERE rn <= $NSW_DEG),
+      e1 AS (
+        SELECT cell, src, dst FROM e1dir
+        UNION ALL SELECT cell, dst AS src, src AS dst FROM e1dir),
+      ent1 AS (SELECT cell, min(vec_id) AS node FROM p1 GROUP BY cell),
+      u0 AS (
+        SELECT p.query_id, p.cell, e.node AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM probe p JOIN ent1 e USING (cell)
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = e.node),
+      $upCtes,
+      g0 AS (
+        SELECT query_id, cell, corpus_id, cosine FROM (
+          SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
+              ORDER BY cosine DESC, corpus_id ASC) AS rn
+          FROM (SELECT DISTINCT * FROM (
+            $upVis UNION ALL SELECT * FROM f0)) w)
+        WHERE rn <= 1),
+      $lowCtes,
+      hvis AS (SELECT DISTINCT query_id, cell, corpus_id, cosine
+        FROM ($upVis UNION ALL SELECT * FROM f0 UNION ALL $lowVis))"""
+  }
+
+  private val q227 = Q(
+    "q227_hnsw_vs_nsw",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val nq = queries.count()
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      def arm(name: String, vis: org.apache.spark.sql.DataFrame) = {
+        val v = vis.localCheckpoint(true)
+        val top = v.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= K)
+          .select(col("query_id"), col("corpus_id"))
+        val hits = top.join(exact, Seq("query_id", "corpus_id")).count()
+        (name, nq, v.count(), hits, hits.toDouble / (K * nq))
+      }
+      Seq(
+        arm("hnsw", Similarity.hnswScored(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS,
+          HNSW_UP)),
+        arm("nsw", Similarity.nswScored(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)))
+        .toDF("method", "n_queries", "n_scored", "n_hits", "recall")
+        .select(col("method"), col("n_queries"), col("n_scored"),
+          col("n_hits"), pround(col("recall"), 6).as("recall"))
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH $nswCtes,
+      $hnswCtes,
+      nq AS (SELECT count(*) AS n
+        FROM embeddings WHERE vec_id % $QMOD = 0),
+      exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                  / (sqrt(${norm2Sql("q.embedding")})
+                     * sqrt(${norm2Sql("c.embedding")})) DESC,
+                c.vec_id ASC) AS rank
+          FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+          JOIN embeddings c ON c.vec_id != q.vec_id)
+        WHERE rank <= $K)
+      SELECT method, CAST(nq.n AS BIGINT) AS n_queries,
+        CAST(n_scored AS BIGINT) AS n_scored,
+        CAST(n_hits AS BIGINT) AS n_hits,
+        ${proundSql(s"CAST(n_hits AS DOUBLE) / ($K * nq.n)", 6)} AS recall
+      FROM (
+        SELECT 'hnsw' AS method,
+          (SELECT count(*) FROM hvis WHERE corpus_id != query_id)
+            AS n_scored,
+          (SELECT count(*) FROM exact e JOIN (
+            SELECT query_id, corpus_id FROM (
+              SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rk
+              FROM hvis WHERE corpus_id != query_id) WHERE rk <= $K) t
+            ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)
+            AS n_hits
+        UNION ALL
+        SELECT 'nsw',
+          (SELECT count(*) FROM vis WHERE corpus_id != query_id),
+          (SELECT count(*) FROM exact e JOIN (
+            SELECT query_id, corpus_id FROM (
+              SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rk
+              FROM vis WHERE corpus_id != query_id) WHERE rk <= $K) t
+            ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id))
+      CROSS JOIN nq
+      ORDER BY method"""))
+
   // -- V11c: GRAPH-vs-IVF efficiency matrix — the two pruned index
   //    families at the SAME frozen cell structure, measured on both
   //    axes at once: recall@K against the brute exact baseline AND
@@ -3047,5 +3214,5 @@ object SimilarityQueries {
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224)
+      q214, q215, q216, q218, q219, q224, q227)
 }

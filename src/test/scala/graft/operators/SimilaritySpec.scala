@@ -127,6 +127,34 @@ class SimilaritySpec extends SparkSpec {
     assert(top.subsetOf(scored.map(t => (t._1, t._3)).toSet))
   }
 
+  test("hnswTopK with a full graph equals ivfTopK; deterministic under repartition") {
+    val big = (1L to 40L).map(i => (i,
+        Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") % 10 === 0)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // degree ≥ cell−1 ⇒ every layer-0 cell is a clique: one hop from
+    // ANY entry scores the whole probed cell, so the hierarchy can't
+    // change the answer — it must equal IVF's candidate set exactly
+    val h = shape(Similarity.hnswTopK(big, queries, "vec_id", "embedding",
+      seedMod = 13, nprobe = 2, degree = 40, beam = 40, hops = 1,
+      upperHops = 2, k = 3))
+    val ivf = shape(Similarity.ivfTopK(big, queries, "vec_id", "embedding",
+      seedMod = 13, nprobe = 2, k = 3))
+    assert(h === ivf)
+    // bounded hierarchy walk: deterministic under repartitioning
+    val a = shape(Similarity.hnswTopK(big.repartition(7), queries,
+      "vec_id", "embedding", 13, 2, 3, 4, 2, 2, 3))
+    val b = shape(Similarity.hnswTopK(big, queries,
+      "vec_id", "embedding", 13, 2, 3, 4, 2, 2, 3))
+    assert(a === b)
+    assert(b.map(_._1).distinct.size === queries.count())
+  }
+
   test("mpLshScored grows monotonically with nProbe; probe 1 ≡ lshTopK") {
     val big = (1L to 60L).map(i => (i,
         Array((i % 7).toFloat + 1f, (i % 5).toFloat - 2f, (i % 3).toFloat)))
