@@ -1434,8 +1434,69 @@ object CorpusQueries {
       ORDER BY src_a, src_b"""
     })
 
+  // -- C19: Count-Min frequency sketch (operators.CountMin) — the
+  //    frequency companion to q222's KMV set sketch: token counts at
+  //    FIXED d×w counter memory instead of vocab-sized state, with
+  //    the CMS one-sided guarantee (estimate ≥ exact, bounded
+  //    overcount) VISIBLE per row — each of q47's top-50 tokens
+  //    carries its exact tf next to the sketch estimate. Everything
+  //    is integer counting, so it oracles bit-exact (q40's HLL needs
+  //    contract flags; CMS doesn't).
+  private val CMS_D = 4
+  private val CMS_W = 256
+  private val CMS_SHW = 3 // trigram shingles: ~16k keys at sf0.01 vs
+                          // d*w = 1024 counters - real collisions, so
+                          // the overcount column actually measures
+  private val q228 = Q(
+    "q228_cms_frequencies",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents
+        .select(explode(TextFns.shingles(
+          TextFns.tokens(lower(col("text"))), CMS_SHW)).as("token"))
+        .select(col("token"), TextFns.rollingHash(col("token")).as("h"))
+        .localCheckpoint(true)
+      val ctrs = graft.operators.CountMin
+        .counters(toks.select(col("h")), "h", CMS_D, CMS_W)
+      val top = toks.groupBy(col("token"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(50)
+      graft.operators.CountMin.estimate(ctrs, top, "h", CMS_D, CMS_W)
+        .select(col("token"), col("tf"), col("cms_est"),
+          (col("cms_est") - col("tf")).as("overcount"))
+        .orderBy(col("tf").desc, col("token").asc)
+    },
+    Some {
+      val ts = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), CMS_SHW)
+      val hs = TextFns.rollingHashSql("token")
+      val rowsUnion = (0 until CMS_D).map { i =>
+        s"SELECT $i AS row, ${graft.operators.CountMin.bucketSql("h", i, CMS_W)} AS bucket FROM toks"
+      }.mkString(" UNION ALL ")
+      val probeUnion = (0 until CMS_D).map { i =>
+        s"SELECT token, tf, $i AS row, ${graft.operators.CountMin.bucketSql("h", i, CMS_W)} AS bucket FROM top"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+        SELECT token, $hs AS h
+        FROM (SELECT unnest($ts) AS token FROM documents)),
+      ctrs AS MATERIALIZED (
+        SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ($rowsUnion) GROUP BY row, bucket),
+      top AS MATERIALIZED (
+        SELECT token, h, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY token, h
+        ORDER BY tf DESC, token ASC LIMIT 50)
+      SELECT p.token, p.tf,
+        CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est,
+        CAST(min(COALESCE(c.cnt, 0)) - p.tf AS BIGINT) AS overcount
+      FROM ($probeUnion) p
+      LEFT JOIN ctrs c ON c.row = p.row AND c.bucket = p.bucket
+      GROUP BY p.token, p.tf
+      ORDER BY p.tf DESC, p.token ASC"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222)
+      q204, q205, q209, q220, q222, q228)
 }
