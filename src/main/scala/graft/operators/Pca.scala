@@ -80,6 +80,17 @@ object Pca {
     val sjk = Array.ofDim[Double](dim, dim)
     sjkRows.foreach(r =>
       sjk(r.getAs[Int]("j"))(r.getAs[Int]("k")) = r.getAs[Double]("s"))
+    eigensolve(n, sj, sjk, dim, nComps, iters)
+  }
+
+  /** Deterministic power iteration with deflation over exact-sum
+    * doubles — shared by [[fit]] and [[fitOuterProduct]]; every
+    * reduction is a sequential ascending fold (the oracle-replay
+    * contract).
+    */
+  private def eigensolve(n: Long, sj: Array[Double],
+      sjk: Array[Array[Double]], dim: Int, nComps: Int, iters: Int)
+      : PcaModel = {
     val nd = n.toDouble
     // covariance: fixed expression tree over the exact-sum doubles
     val cov = Array.tabulate(dim, dim)((j, k) =>
@@ -129,6 +140,68 @@ object Pca {
     }
     PcaModel(n, Array.tabulate(dim)(j => sj(j) / nd), cov, comps, eigs,
       trace)
+  }
+
+  /** The d-scalability variant of [[fit]]: per-partition OUTER-PRODUCT
+    * accumulation instead of the (row, j, k) self-join expansion — the
+    * shuffle carries one d + d² decimal-sum block PER PARTITION
+    * instead of n·d² expanded rows, which is the path for d in the
+    * thousands. Bit-identical to [[fit]] by construction (PcaSpec
+    * pins full-model equality): each per-row term is prounded with
+    * the SAME double ops, decimal-rounded with the same
+    * shortest-repr HALF_UP rule Spark's double→DECIMAL cast uses
+    * (`BigDecimal.valueOf` = shortest repr — the r11 portability
+    * gotcha), summed exactly (order-free), and converted back with
+    * the same `BigDecimal.doubleValue` Spark's decimal→double cast
+    * calls. The eigensolve then runs on identical doubles.
+    */
+  def fitOuterProduct(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nComps: Int, iters: Int): PcaModel = {
+    require(nComps >= 1 && nComps <= dim && iters >= 1)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def pround8(x: Double): Double = math.floor(x * 1.0e8 + 0.5) / 1.0e8
+    def dec8(x: Double): JBD =
+      JBD.valueOf(pround8(x)).setScale(8, RoundingMode.HALF_UP)
+    final class Acc extends Serializable {
+      val sj = Array.fill(dim)(JBD.ZERO)
+      val sjk = Array.fill(dim * dim)(JBD.ZERO)
+      var n = 0L
+      def add(v: Array[Double]): Unit = {
+        var j = 0
+        while (j < dim) {
+          sj(j) = sj(j).add(dec8(v(j)))
+          var k = 0
+          while (k < dim) {
+            sjk(j * dim + k) = sjk(j * dim + k).add(dec8(v(j) * v(k)))
+            k += 1
+          }
+          j += 1
+        }
+        n += 1
+      }
+      def merge(o: Acc): Acc = {
+        var i = 0
+        while (i < dim) { sj(i) = sj(i).add(o.sj(i)); i += 1 }
+        i = 0
+        while (i < dim * dim) { sjk(i) = sjk(i).add(o.sjk(i)); i += 1 }
+        n += o.n
+        this
+      }
+    }
+    val acc = df.select(col(vecCol)).rdd
+      .mapPartitions { it =>
+        val a = new Acc
+        it.foreach { r =>
+          val s = r.getSeq[Float](0)
+          a.add(Array.tabulate(dim)(i => s(i).toDouble))
+        }
+        Iterator.single(a)
+      }
+      .reduce(_ merge _)
+    val sj = acc.sj.map(_.doubleValue)
+    val sjk = Array.tabulate(dim, dim)((j, k) =>
+      acc.sjk(j * dim + k).doubleValue)
+    eigensolve(acc.n, sj, sjk, dim, nComps, iters)
   }
 
   /** Project (center → dot with each fitted component) as a NARROW

@@ -44,6 +44,21 @@ class PcaSpec extends SparkSpec {
       s"λ1 ${m.eigs(0)} vs exact axis-0 variance $varE")
   }
 
+  test("fitOuterProduct is bit-identical to fit (the d-scalability path)") {
+    val df = cloud(200).repartition(7) // multiple partitions: the
+    // partial-accumulator merge order must not matter (decimal sums)
+    val a = Pca.fit(df, "vec_id", "embedding", DIM, 2, 12)
+    val b = Pca.fitOuterProduct(df, "vec_id", "embedding", DIM, 2, 12)
+    assert(a.n === b.n)
+    assert(a.trace === b.trace)
+    assert(a.mean.toSeq === b.mean.toSeq)
+    assert(a.eigs.toSeq === b.eigs.toSeq)
+    for (c <- 0 until 2)
+      assert(a.comps(c).toSeq === b.comps(c).toSeq, s"component $c")
+    for (j <- 0 until DIM)
+      assert(a.cov(j).toSeq === b.cov(j).toSeq, s"cov row $j")
+  }
+
   test("project is a narrow map whose variance matches the eigenvalue") {
     val df = cloud(200)
     val m = Pca.fit(df, "vec_id", "embedding", DIM, 2, 50)
