@@ -1269,8 +1269,10 @@ object SimilarityQueries {
       val sp = s
       import sp.implicits._
       val t = Tpch(s, dir)
-      val m = graft.operators.Pca.fit(t.embeddings, "vec_id", "embedding",
-        PCA_DIM, 2, PCA_ITERS)
+      // the spec-pinned bit-identical outer-product path: one
+      // partition pass instead of the n·d² self-join expansion
+      val m = graft.operators.Pca.fitOuterProduct(t.embeddings, "vec_id",
+        "embedding", PCA_DIM, 2, PCA_ITERS)
       (1 to 2).map { c =>
         val v = m.comps(c - 1)
         (c, m.eigs(c - 1), m.eigs(c - 1) / m.trace,
@@ -1308,8 +1310,10 @@ object SimilarityQueries {
     "q219_pca_project",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val m = graft.operators.Pca.fit(t.embeddings, "vec_id", "embedding",
-        PCA_DIM, 2, PCA_ITERS)
+      // the spec-pinned bit-identical outer-product path: one
+      // partition pass instead of the n·d² self-join expansion
+      val m = graft.operators.Pca.fitOuterProduct(t.embeddings, "vec_id",
+        "embedding", PCA_DIM, 2, PCA_ITERS)
       graft.operators.Pca.project(t.embeddings, "vec_id", "embedding", m)
         .select(col("vec_id"), pround(col("p1"), 6).as("p1"),
           pround(col("p2"), 6).as("p2"))
