@@ -51,6 +51,7 @@ object Bench {
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q222_kmv_overlap", "q228_cms_frequencies",
+    "q230_kmv_cardinality",
     "q41_asof_join", "q42_interval_pairs",
     "q43_dedup_clusters", "q57_dedup_clusters_star",
     "q126_quality_survivors", "q44_window_suite",
@@ -74,7 +75,7 @@ object Bench {
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",
-    "q221_isotonic_calibration", "q226_rag_chunks",
+    "q221_isotonic_calibration", "q229_isotonic_gate", "q226_rag_chunks",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",

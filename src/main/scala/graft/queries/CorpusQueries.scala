@@ -1495,8 +1495,63 @@ object CorpusQueries {
       ORDER BY p.tf DESC, p.token ASC"""
     })
 
+  // -- C20: KMV cardinality estimation — the other thing q222's
+  //    bottom-k sketches buy: per-source distinct-count estimates
+  //    from the k-th minimum hash, est = (k−1)·P / kth (uniform hash
+  //    on [0, P)), exact when the set is smaller than k (sketch = the
+  //    set). One division of exact longs per row; the exact count
+  //    sits next to the estimate so the error is measured, not
+  //    asserted (the q222/q228 sketch-row discipline).
+  private val q230 = Q(
+    "q230_kmv_cardinality",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val u = t.documents
+        .select(col("source"),
+          explode(TextFns.shingles(
+            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+        .select(col("source"), TextFns.rollingHash(col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val n = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      val sk = graft.operators.Kmv.sketches(u, "source", "h", KMV_K)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("sk_n"), max(col("h")).as("kth"))
+      sk.join(n, "source")
+        .select(col("source"), col("n_exact"), col("sk_n"), col("kth"),
+          pround(
+            when(col("sk_n") < KMV_K, col("n_exact").cast("double"))
+              .otherwise(lit((KMV_K - 1).toDouble) *
+                lit(graft.functions.TextFns.P.toDouble) /
+                col("kth").cast("double")), 4).as("est"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val shs = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), KMV_W)
+      s"""WITH u AS MATERIALIZED (
+        SELECT DISTINCT source, ${TextFns.rollingHashSql("sh")} AS h
+        FROM (SELECT source, unnest($shs) AS sh FROM documents)),
+      n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM u
+        GROUP BY source),
+      sk AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS sk_n,
+          CAST(max(h) AS BIGINT) AS kth
+        FROM (SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+              FROM u) WHERE rk <= $KMV_K
+        GROUP BY source)
+      SELECT s.source, n.n_exact, s.sk_n, s.kth,
+        ${proundSql(
+          s"CASE WHEN s.sk_n < $KMV_K THEN CAST(n.n_exact AS DOUBLE) " +
+            s"ELSE CAST(${KMV_K - 1} AS DOUBLE) " +
+            s"* CAST(${graft.functions.TextFns.P} AS DOUBLE) " +
+            "/ CAST(s.kth AS DOUBLE) END", 4)} AS est
+      FROM sk s JOIN n ON n.source = s.source
+      ORDER BY s.source"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222, q228)
+      q204, q205, q209, q220, q222, q228, q230)
 }

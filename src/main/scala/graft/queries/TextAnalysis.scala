@@ -1711,27 +1711,7 @@ object TextAnalysis {
         .orderBy(col("bin"))
     },
     Some {
-      val ts = tokensSql("text")
-      s"""WITH pd AS MATERIALIZED (
-        SELECT CAST(least(99, len($ts)) AS INT) AS bin,
-          CASE WHEN len(list_distinct($ts)) < len($ts)
-            THEN 1 ELSE 0 END AS pos
-        FROM documents),
-      b AS MATERIALIZED (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(pos) AS BIGINT) AS np
-        FROM pd GROUP BY bin),
-      iv AS MATERIALIZED (
-        SELECT j.bin AS j, k.bin AS k,
-          CAST(sum(m.np) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS mean
-        FROM b j JOIN b k ON j.bin <= k.bin
-        JOIN b m ON m.bin BETWEEN j.bin AND k.bin
-        GROUP BY j.bin, k.bin),
-      mn AS MATERIALIZED (
-        SELECT i.bin AS bin, v.j AS j, min(v.mean) AS m
-        FROM iv v JOIN b i ON v.j <= i.bin AND v.k >= i.bin
-        GROUP BY i.bin, v.j),
-      cal AS (SELECT bin, max(m) AS p_cal FROM mn GROUP BY bin)
+      s"""WITH $isoCtes
       SELECT b.bin AS bin, b.n, b.np AS n_pos,
         ${proundSql("CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE)", 6)}
           AS p_hat,
@@ -1754,6 +1734,36 @@ object TextAnalysis {
   //    deterministic hash-derived subset (~1 in 9 tokens) — the
   //    pluggable-delimiter seam; on real text the regex arm does the
   //    work, and the alignment/budget logic under test is identical.
+  /** Oracle CTE fragment (no WITH prefix) replaying q221's isotonic
+    * fit: the per-doc (bin, pos) frame (doc_id carried for apply-side
+    * consumers), grid counts `b`, the minimax interval means, and the
+    * fitted step function `cal(bin, p_cal)`. Shared by q221 (the fit
+    * table) and q229 (the per-doc application).
+    */
+  private lazy val isoCtes: String = {
+    val ts = tokensSql("text")
+    s"""pd AS MATERIALIZED (
+        SELECT doc_id, CAST(least(99, len($ts)) AS INT) AS bin,
+          CASE WHEN len(list_distinct($ts)) < len($ts)
+            THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      b AS MATERIALIZED (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np
+        FROM pd GROUP BY bin),
+      iv AS MATERIALIZED (
+        SELECT j.bin AS j, k.bin AS k,
+          CAST(sum(m.np) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS mean
+        FROM b j JOIN b k ON j.bin <= k.bin
+        JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY j.bin, k.bin),
+      mn AS MATERIALIZED (
+        SELECT i.bin AS bin, v.j AS j, min(v.mean) AS m
+        FROM iv v JOIN b i ON v.j <= i.bin AND v.k >= i.bin
+        GROUP BY i.bin, v.j),
+      cal AS (SELECT bin, max(m) AS p_cal FROM mn GROUP BY bin)"""
+  }
+
   private val RAG_T = 20
   private val q226 = Q(
     "q226_rag_chunks",
@@ -1819,8 +1829,40 @@ object TextAnalysis {
       ORDER BY doc_id, chunk"""
     })
 
+  // -- T28: the APPLY side of q221's isotonic fit — every document
+  //    mapped through the fitted step function as a broadcast join on
+  //    the bin (the operator's written 100 TB contract, made real the
+  //    way fitOuterProduct was for PCA): per-doc calibrated
+  //    probability + a thresholded keep gate. The threshold compares
+  //    the RAW p_cal (one exact-long division, identical both
+  //    engines) so the gate can't flake at the pround grid. ------------
+  private val ISO_KEEP = 0.9
+  private val q229 = Q(
+    "q229_isotonic_gate",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val perdoc = t.documents.select(col("doc_id"),
+        least(lit(99), size(toks)).as("bin"),
+        (size(array_distinct(toks)) < size(toks)).cast("long").as("pos"))
+      val calib = graft.operators.Isotonic
+        .calibrate(perdoc.select(col("bin"), col("pos")), "bin", "pos")
+        .select(col("bin"), col("p_cal"))
+      perdoc.join(broadcast(calib), "bin")
+        .select(col("doc_id"), col("bin"),
+          pround(col("p_cal"), 6).as("p_cal"),
+          (col("p_cal") >= ISO_KEEP).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $isoCtes
+      SELECT p.doc_id, p.bin, ${proundSql("c.p_cal", 6)} AS p_cal,
+        CAST(CASE WHEN c.p_cal >= $ISO_KEEP THEN 1 ELSE 0 END AS INT)
+          AS keep
+      FROM pd p JOIN cal c ON c.bin = p.bin
+      ORDER BY p.doc_id"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207, q221, q226)
+      q183, q201, q206, q207, q221, q226, q229)
 }
