@@ -36,6 +36,15 @@ object CountMin {
   def bucketSql(hExpr: String, i: Int, w: Int): String =
     s"((($hExpr) * ${HashA(i)} + ${HashB(i)}) % 1000003) % $w"
 
+  /** The same bucket function on the JVM (for the streaming twin's
+    * per-row state updates). Inputs are non-negative hashes, so plain
+    * `%` equals the Column path's pmod. StreamCountMinSpec pins the
+    * stream ≡ batch counter equality that makes this claim checked,
+    * not asserted.
+    */
+  def bucketOf(h: Long, i: Int, w: Int): Long =
+    ((h * HashA(i) + HashB(i)) % 1000003L) % w
+
   /** d×w counter table from item rows: output (row, bucket, cnt) —
     * one hash agg with a d·w-bounded key space.
     */
