@@ -79,6 +79,15 @@ object ZipTable {
           var offset = 0L
           var nMembers = 0L
           rows.foreach { r =>
+            // Classic (non-ZIP64) limits: 16-bit member count, 32-bit
+            // offsets. Fail loudly rather than wrap — a wrapped EOCD
+            // count makes the central-directory reader silently drop
+            // the excess members on read-back.
+            require(nMembers < 0xFFFFL,
+              s"zip shard exceeds 65535 members (ZIP64 not supported); " +
+                s"repartition to smaller shards")
+            require(offset <= 0xFFFFFFFFL,
+              s"zip shard exceeds 4 GiB offset $offset (ZIP64 not supported)")
             val name = r.getString(0).getBytes(UTF_8)
             val payload = r.getAs[Array[Byte]](1)
             val crc = new CRC32(); crc.update(payload)

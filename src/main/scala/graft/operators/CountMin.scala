@@ -37,13 +37,15 @@ object CountMin {
     s"((($hExpr) * ${HashA(i)} + ${HashB(i)}) % 1000003) % $w"
 
   /** The same bucket function on the JVM (for the streaming twin's
-    * per-row state updates). Inputs are non-negative hashes, so plain
-    * `%` equals the Column path's pmod. StreamCountMinSpec pins the
-    * stream ≡ batch counter equality that makes this claim checked,
-    * not asserted.
+    * per-row state updates). floorMod on both reductions matches the
+    * Column path's pmod even when `h * HashA(i)` overflows Long and
+    * goes negative (e.g. a masked xxhash64 input ≥ ~9.2e14), so the
+    * stream stays bit-identical to the batch counters on the full
+    * Long domain, not just rollingHash's < 1e9+7 range.
+    * StreamCountMinSpec pins the stream ≡ batch counter equality.
     */
   def bucketOf(h: Long, i: Int, w: Int): Long =
-    ((h * HashA(i) + HashB(i)) % 1000003L) % w
+    Math.floorMod(Math.floorMod(h * HashA(i) + HashB(i), 1000003L), w.toLong)
 
   /** d×w counter table from item rows: output (row, bucket, cnt) —
     * one hash agg with a d·w-bounded key space.

@@ -73,7 +73,10 @@ object Isotonic {
     * be a bounded integer grid; `posCol` a 0/1 long label.
     */
   def calibrate(df: DataFrame, binCol: String, posCol: String): DataFrame = {
-    val agg = df.groupBy(col(binCol).as("bin"))
+    // cast("int") so a LongType bin expression (e.g. an untruncated
+    // long grid) satisfies the "bounded integer grid" contract instead
+    // of throwing ClassCastException at getAs[Int].
+    val agg = df.groupBy(col(binCol).cast("int").as("bin"))
       .agg(count(lit(1)).as("n"), sum(col(posCol)).as("np"))
       .collect()
       .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),

@@ -188,12 +188,14 @@ object Pca {
         this
       }
     }
-    val acc = df.select(col(vecCol)).rdd
+    // Cast to array<double> up front so this entry point accepts the
+    // same inputs as fit() (any numeric array), not just array<float>.
+    val acc = df.select(col(vecCol).cast("array<double>")).rdd
       .mapPartitions { it =>
         val a = new Acc
         it.foreach { r =>
-          val s = r.getSeq[Float](0)
-          a.add(Array.tabulate(dim)(i => s(i).toDouble))
+          val s = r.getSeq[Double](0)
+          a.add(s.toArray)
         }
         Iterator.single(a)
       }

@@ -50,6 +50,19 @@ class ZipSpec extends SparkSpec {
     }
   }
 
+  test("write fails loudly past the classic 65535-member cap (no EOCD wrap)") {
+    val tmp = Files.createTempDirectory("zip_spec_cap").toString
+    val df = spark.range(0x10000L + 1)
+      .select(concat(lit("m"), col("id")).as("member_name"),
+        lit(Array[Byte](1)).as("payload"))
+      .coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      ZipTable.write(df, tmp, deflate = false)
+    }
+    assert(e.getMessage.contains("65535") ||
+      Option(e.getCause).exists(_.getMessage.contains("65535")))
+  }
+
   test("round trip is byte-lossless, stored and deflated, incl. empty members") {
     val rows = Seq(
       ("empty.bin", Array.empty[Byte]),
