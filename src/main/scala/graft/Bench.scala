@@ -167,6 +167,44 @@ object Bench {
       // denominator); both graph arms scale, the numerator doesn't
       "q227_hnsw_vs_nsw")
 
+  /** Box-speed calibration: a fixed, deterministic splitmix64 burn
+    * over a preallocated array, timed single-threaded and at 32
+    * threads. Identical bytecode every round, so the recorded seconds
+    * measure the BOX, not the engine — round 13 proved a "+10% shared-
+    * registry drift" was host slowdown by rerunning round-11 bytecode
+    * (bench/DRIFT_r13.md): with cal_1t/cal_32t in the JSON, that
+    * cross-round normalization is free. Returns (sec1t, sec32t).
+    */
+  private def calibrate(): (Double, Double) = {
+    def burn(iters: Long, seed: Long): Long = {
+      var x = seed; var acc = 0L; var i = 0L
+      while (i < iters) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      acc
+    }
+    val iters = 400000000L // ~1s single-threaded on the reference box
+    burn(iters / 4, 1L) // JIT warm-up, untimed
+    val t1 = System.nanoTime()
+    val s1 = burn(iters, 42L)
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    val sink = new java.util.concurrent.atomic.AtomicLong(s1)
+    val t2 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      val th = new Thread(() => { sink.addAndGet(burn(iters, t.toLong)) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val sec32 = (System.nanoTime() - t2) / 1e9
+    if (sink.get == 0L) System.err.println("[bench] calibration sink zero")
+    (sec1, sec32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val requested = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -362,7 +400,8 @@ object Bench {
           "regression; judge cross-round perf on the committed files")
       s""","committed_ref":"$f","committed_total_sec":${r3(v)},"vs_committed":${r3(ratio)}"""
     }.getOrElse("")
-    val meta = s""""cpu_sec":${r3(totalCpu)},"task_total_sec":${r3(totalTask)},"contended":$contJson,"passes":$passes,"pass_drift":${r3(passDrift)},"ext_cpu":${r3(extCpu)},"untrusted":$untrusted$committedMeta,"sf":"$sfDir""""
+    val (cal1t, cal32t) = calibrate()
+    val meta = s""""cpu_sec":${r3(totalCpu)},"task_total_sec":${r3(totalTask)},"contended":$contJson,"passes":$passes,"pass_drift":${r3(passDrift)},"ext_cpu":${r3(extCpu)},"cal_1t_sec":${r3(cal1t)},"cal_32t_sec":${r3(cal32t)},"untrusted":$untrusted$committedMeta,"sf":"$sfDir""""
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"task_sec":$ts,$meta}"""
     // Persist the full line (all query names, wall + task maps) to a
     // file for the round artifacts...

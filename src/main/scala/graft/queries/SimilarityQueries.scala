@@ -2280,6 +2280,9 @@ object SimilarityQueries {
         // tiny (queries x K) and referenced once per rung plus the
         // n_total agg: checkpoint so the brute scan runs ONCE
         .localCheckpoint(true)
+      // hoisted: the 1-row exact-baseline count is shared by every rung
+      val exactTotal = exact.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(true)
       def rung(name: String, iters: Int) = {
         val cb = Similarity.pqCodebooksKMeans(t.embeddings, "vec_id",
           "embedding", PQ_M, PQKM_K, iters)
@@ -2290,7 +2293,7 @@ object SimilarityQueries {
           .select(col("query_id"), col("corpus_id"))
         exact.join(top, Seq("query_id", "corpus_id"))
           .agg(count(lit(1)).as("n_hits"))
-          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_total"))))
+          .crossJoin(broadcast(exactTotal))
           .select(lit(name).as("method"), col("n_hits"), col("n_total"),
             pround(col("n_hits").cast("double") / col("n_total"), 4)
               .as("recall"))
