@@ -67,7 +67,8 @@ object Bench {
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
-    "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q120_hybrid_rrf",
+    "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q231_opq_rung",
+    "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q202_semdedup",
     "q203_semdedup_overlap", "q210_soft_dedup_weights",
     "q211_semantic_decontamination", "q212_decon_method_overlap",
@@ -165,7 +166,10 @@ object Bench {
       "q224_multiprobe_lsh",
       // hierarchy-vs-flat walk matrix: q216's shape (brute exact
       // denominator); both graph arms scale, the numerator doesn't
-      "q227_hnsw_vs_nsw")
+      "q227_hnsw_vs_nsw",
+      // OPQ selection rung: q159's shape twice (two trained arms, each
+      // a full-ADC probe) against the brute exact denominator
+      "q231_opq_rung")
 
   /** Box-speed calibration: a fixed, deterministic splitmix64 burn
     * over a preallocated array, timed single-threaded and at 32

@@ -50,6 +50,7 @@ object SweepSets {
     "q216_graph_vs_ivf" -> "shares q215's doubly-infeasible oracle shape (q214's NSW CTE chain + q27's brute exact denominator + the q53 IVF scoring crossjoin, all in one statement); the efficiency matrix is measured at sf<=0.1 (q149 policy)",
     "q224_multiprobe_lsh" -> "q149's reason (brute exact denominator) plus q33's interpreted list-lambda bucket folds over corpus x NBITS x dims x three probe arms; the curve is measured at sf<=0.1 (q184 precedent)",
     "q227_hnsw_vs_nsw" -> "q216's reason: the full q214 NSW CTE chain (q53's IVF-assign crossjoin) TWICE (flat + hierarchy layers) plus q27's brute exact denominator in one statement; the matrix is measured at sf<=0.1",
+    "q231_opq_rung" -> "q159's reason twice over: the brute exact crossjoin denominator plus TWO trained-arm chains (k-means + encode + full-ADC, identity and permuted); the selection rung is measured at sf<=0.1 — Sweep10xSpec covers the 10x invariants engine-side",
     "q66_pipeline_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q73_pipeline_airport_mart" -> "reads fixture CSVs, scale-independent by construction",
     "q74_pipeline_route_mart" -> "reads fixture CSVs, scale-independent by construction")

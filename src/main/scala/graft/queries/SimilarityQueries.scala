@@ -2421,6 +2421,244 @@ object SimilarityQueries {
       ORDER BY method"""
     })
 
+  // -- V22b: OPQ rung — parametric optimized product quantization by
+  //    argmin-quantization-error selection over the orthogonal-
+  //    transform family {identity, energy-snake permutation}
+  //    ([[graft.operators.Opq]]). Three rows: the identity arm
+  //    ('pq_kmeans', q159's trained rung verbatim), the permuted arm
+  //    ('opq_snake'), and 'opq_selected' = whichever arm minimizes the
+  //    exact-decimal total quantization error — the literal OPQ
+  //    training objective. recall(opq_selected) ≥ recall(pq_kmeans)
+  //    whenever identity wins selection (always, on this near-isotropic
+  //    corpus: MSE 0.4545 vs 0.4569 per vector at sf0.01 — measured,
+  //    and exactly WHY blind rotation is the wrong default); on
+  //    anisotropic corpora the permutation earns its way in through the
+  //    same argmin. MSE is Σ over (vector, subspace) of the encode-time
+  //    ‖s−c‖² (the pqEncode dot-identity double, bit-identical per row
+  //    cross-engine), accumulated as DECIMAL(28,8)→(38,8) so the
+  //    selection compares exact numbers, not float-summation luck.
+  private val q231 = Q(
+    "q231_opq_rung",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val emb = t.embeddings
+      val queries = emb.filter(col("vec_id") % QMOD === 0)
+      // transform model: d rows of exact-decimal energy → permutation
+      // (bounded driver state, the k-means-centroid discipline)
+      val perm = graft.operators.Opq.energySnakePerm(emb, "embedding", PQ_M)
+      val rot = emb.select(col("vec_id"),
+        graft.operators.Opq.permuteCol(col("embedding"), perm)
+          .as("embedding"))
+      val rotQ = rot.filter(col("vec_id") % QMOD === 0)
+      // exact float top-K on the ORIGINAL vectors: the shared recall
+      // denominator for both arms (a permutation preserves true
+      // cosine exactly; only the quantized approximations differ)
+      val exact = Similarity.topK(emb, queries, "vec_id", "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      val exactTotal = exact.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(true)
+      def arm(name: String, corpus: org.apache.spark.sql.DataFrame,
+          qs: org.apache.spark.sql.DataFrame) = {
+        val cb = Similarity.pqCodebooksKMeans(corpus, "vec_id", "embedding",
+          PQ_M, PQKM_K, PQKM_ITERS)
+        // encode once, read twice (MSE + ADC): checkpoint the n·m code
+        // rows so the scoring scan runs once
+        val enc = Similarity.pqEncode(corpus, "vec_id", "embedding",
+          PQ_M, cb).localCheckpoint(true)
+        val mse = enc.agg(sum(col("sdist").cast("decimal(28,8)"))
+          .as("mse_sum"))
+        val top = Similarity.pqAdcTopK(
+            enc.select(col("vec_id"), col("sub"), col("cw")),
+            qs, "vec_id", "embedding", PQ_M, cb, SQ_K)
+          .select(col("query_id"), col("corpus_id"))
+        exact.join(top, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(exactTotal))
+          .crossJoin(broadcast(mse))
+          .select(lit(name).as("method"), col("n_hits"), col("n_total"),
+            col("mse_sum"))
+      }
+      val idArm = arm("pq_kmeans", emb, queries).localCheckpoint(true)
+      val opArm = arm("opq_snake", rot, rotQ).localCheckpoint(true)
+      val sel = idArm
+        .select(struct(col("n_hits"), col("n_total"), col("mse_sum"))
+          .as("a"))
+        .crossJoin(opArm.select(
+          struct(col("n_hits"), col("n_total"), col("mse_sum")).as("b")))
+        .select(when(col("a.mse_sum") <= col("b.mse_sum"), col("a"))
+          .otherwise(col("b")).as("w"))
+        .select(lit("opq_selected").as("method"),
+          col("w.n_hits").as("n_hits"), col("w.n_total").as("n_total"),
+          col("w.mse_sum").as("mse_sum"))
+      idArm.unionByName(opArm).unionByName(sel)
+        .select(col("method"), col("n_hits"), col("n_total"),
+          pround(col("n_hits").cast("double") / col("n_total"), 4)
+            .as("recall"),
+          pround(col("mse_sum").cast("double"), 6).as("mse"))
+        .orderBy(col("method"))
+    },
+    Some {
+      val sl = SQ_DIMS / PQ_M
+      // per-arm PQ replay: subspace slices → seeded kcent0 → unrolled
+      // Lloyd rounds → encode (carrying the winning sdist) → MSE +
+      // full-ADC top-K (q159's machinery, parameterized by arm prefix
+      // and source vector CTE)
+      def subsSql(p: String, src: String) =
+        s"""${p}subs AS (
+          SELECT vec_id, sub,
+            embedding[(sub * $sl + 1):(sub * $sl + $sl)] AS svec
+          FROM (SELECT vec_id, embedding,
+                  unnest(generate_series(0, ${PQ_M - 1})) AS sub
+                FROM $src))"""
+      def kmeansSql(p: String) = {
+        val init = s"""${p}kcent0 AS (
+          SELECT s.sub, sd.cluster,
+            list_transform(s.svec, x -> CAST(x AS DOUBLE)) AS cvec
+          FROM kseed sd JOIN ${p}subs s USING (vec_id)
+          WHERE sd.cluster < $PQKM_K)"""
+        val iters = (1 to PQKM_ITERS).map { i =>
+          s"""${p}kdist$i AS (
+            SELECT s.vec_id, s.sub, c.cluster,
+              list_reduce(list_prepend(CAST(0 AS DECIMAL(38,8)),
+                list_transform(list_zip(s.svec, c.cvec), pr ->
+                  CAST((CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                     * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))
+                    AS DECIMAL(28,8)))),
+                (a, b) -> CAST(a + b AS DECIMAL(38,8))) AS d2
+            FROM ${p}subs s JOIN ${p}kcent${i - 1} c USING (sub)),
+          ${p}kasg$i AS (
+            SELECT vec_id, sub, cluster FROM (
+              SELECT vec_id, sub, cluster,
+                row_number() OVER (PARTITION BY vec_id, sub
+                  ORDER BY d2, cluster) AS rk
+              FROM ${p}kdist$i) WHERE rk = 1),
+          ${p}kmean$i AS (
+            SELECT a.sub, a.cluster, t.p AS pos,
+              ${proundSql(
+                "CAST(sum(CAST(CAST(s.svec[t.p] AS DOUBLE) AS DECIMAL(28,8)))" +
+                  " AS DOUBLE) / count(*)", 6)} AS mean_v
+            FROM ${p}kasg$i a
+            JOIN ${p}subs s ON s.vec_id = a.vec_id AND s.sub = a.sub
+            CROSS JOIN (SELECT unnest(generate_series(1, $sl)) AS p) t
+            GROUP BY a.sub, a.cluster, t.p),
+          ${p}kcent$i AS (
+            SELECT sub, cluster, list(mean_v ORDER BY pos) AS cvec
+            FROM ${p}kmean$i GROUP BY sub, cluster
+            UNION ALL
+            SELECT pv.sub, pv.cluster, pv.cvec FROM ${p}kcent${i - 1} pv
+            WHERE NOT EXISTS (SELECT 1 FROM ${p}kmean$i m
+              WHERE m.sub = pv.sub AND m.cluster = pv.cluster))"""
+        }.mkString(",\n        ")
+        s"$init,\n        $iters"
+      }
+      def armSql(p: String, method: String) =
+        s"""${p}cw AS (
+          SELECT sub, cluster AS cw, cvec, ${norm2Sql("cvec")} AS cc
+          FROM ${p}kcent$PQKM_ITERS),
+        ${p}enc AS (
+          SELECT vec_id, sub, cw, sdist FROM (
+            SELECT vec_id, sub, cw, sdist, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY sdist ASC, cw ASC) AS rn
+            FROM (
+              SELECT s.vec_id, s.sub, c.cw,
+                ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")}
+                  + c.cc AS sdist
+              FROM ${p}subs s JOIN ${p}cw c USING (sub)))
+          WHERE rn = 1),
+        ${p}mse AS (
+          SELECT sum(CAST(sdist AS DECIMAL(28,8))) AS mse_sum
+          FROM ${p}enc),
+        ${p}adc AS (
+          SELECT s.vec_id AS query_id, s.sub, c.cw,
+            ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+              AS qd
+          FROM ${p}subs s JOIN ${p}cw c USING (sub)
+          WHERE s.vec_id % $QMOD = 0),
+        ${p}top AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, corpus_id ASC)
+              AS rank
+            FROM (
+              SELECT a.query_id, e.vec_id AS corpus_id,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+              FROM ${p}enc e
+              JOIN ${p}adc a ON a.sub = e.sub AND a.cw = e.cw
+              WHERE a.query_id != e.vec_id
+              GROUP BY a.query_id, e.vec_id))
+          WHERE rank <= $SQ_K),
+        ${p}row AS (
+          SELECT '$method' AS method,
+            (SELECT count(*) FROM exactq e JOIN ${p}top m
+              ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+              AS n_hits,
+            (SELECT n_total FROM totq) AS n_total,
+            (SELECT mse_sum FROM ${p}mse) AS mse_sum)"""
+      s"""WITH dimstats AS (
+        SELECT t.p AS dim,
+          sum(CAST(CAST(e.embedding[t.p] AS DOUBLE)
+            * CAST(e.embedding[t.p] AS DOUBLE) AS DECIMAL(28,8))) AS sxx
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(generate_series(1, $SQ_DIMS)) AS p) t
+        GROUP BY t.p),
+      permt AS (
+        SELECT dim,
+          CASE WHEN (r // $PQ_M) % 2 = 0 THEN r % $PQ_M
+               ELSE ${PQ_M - 1} - (r % $PQ_M) END AS sub,
+          r // $PQ_M AS pos
+        FROM (SELECT dim, row_number() OVER (ORDER BY sxx DESC, dim) - 1
+                AS r FROM dimstats)),
+      rotv AS MATERIALIZED (
+        SELECT e.vec_id, list(e.embedding[p.dim] ORDER BY p.sub, p.pos)
+          AS embedding
+        FROM embeddings e CROSS JOIN permt p
+        GROUP BY e.vec_id),
+      kseed AS (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+              vec_id) - 1 AS cluster
+        FROM embeddings),
+      ${subsSql("id", "embeddings")},
+      ${subsSql("op", "rotv")},
+      ${kmeansSql("id")},
+      ${kmeansSql("op")},
+      vq AS (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      scoredq AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+        FROM (SELECT * FROM vq WHERE vec_id % $QMOD = 0) q
+        JOIN vq c ON q.vec_id != c.vec_id),
+      exactq AS MATERIALIZED (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredq)
+        WHERE rank <= $SQ_K),
+      totq AS (SELECT count(*) AS n_total FROM exactq),
+      ${armSql("id", "pq_kmeans")},
+      ${armSql("op", "opq_snake")}
+      SELECT method, n_hits, n_total,
+        ${proundSql("CAST(n_hits AS DOUBLE) / n_total", 4)} AS recall,
+        ${proundSql("CAST(mse_sum AS DOUBLE)", 6)} AS mse
+      FROM (
+        SELECT method, n_hits, n_total, mse_sum FROM idrow
+        UNION ALL
+        SELECT method, n_hits, n_total, mse_sum FROM oprow
+        UNION ALL
+        SELECT 'opq_selected' AS method,
+          CASE WHEN i.mse_sum <= o.mse_sum THEN i.n_hits ELSE o.n_hits END
+            AS n_hits,
+          i.n_total AS n_total,
+          CASE WHEN i.mse_sum <= o.mse_sum THEN i.mse_sum ELSE o.mse_sum END
+            AS mse_sum
+        FROM idrow i, oprow o)
+      ORDER BY method"""
+    })
+
   // -- V23: PQ reconstruction-error profile, raw vs RESIDUAL — the
   //    reconstruction-side answer to what residual encoding buys
   //    (q149 gives the ranking side; q148 is SQ8's version of this):
@@ -3221,5 +3459,5 @@ object SimilarityQueries {
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224, q227)
+      q214, q215, q216, q218, q219, q224, q227, q231)
 }

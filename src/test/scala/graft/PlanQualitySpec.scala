@@ -125,6 +125,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("OPQ rung: final assembly is 1-row broadcasts, nothing quadratic") {
+    // q231's heavy stages (k-means fits, encodes, ADC probes) run
+    // eagerly behind localCheckpoints and carry q100/q101's pins; the
+    // visible final plan must be just the three 1-row arm frames
+    // unioned plus the argmin-MSE cross of two 1-row frames — never a
+    // SortMergeJoin or an unchecked CartesianProduct
+    val p = planOf("q231_opq_rung")
+    assert(count(p, "SortMergeJoin") === 0, s"q231 grew a shuffle join:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"q231 went cartesian:\n$p")
+  }
+
   test("epoch allocation: corpus never shuffles — broadcast totals only") {
     val p = planOf("q99_epoch_allocation")
     // the docs side is read for totals (tiny agg) and for the decision
