@@ -504,34 +504,38 @@ object Similarity {
   }
 
   /** HIERARCHICAL NSW walk (the HNSW layer idea on q214's per-cell
-    * graphs): layer 1 is the deterministic promoted subset
-    * (corpus_id % 2 = 0 — the trailing-bit geometric level rule with
-    * one upper layer), with its OWN bounded-degree graph; the walk
-    * greedily descends layer 1 (beam 1, `upperHops` rounds) from the
-    * lowest-id promoted node of each probed cell, and the best node
-    * it finds — against the cell's default lowest-id entry as
-    * fallback — becomes layer 0's entry for the usual beam walk.
-    * Returns every node either layer scored, deduped, self-free (the
-    * cost frame; top-k via [[hnswTopK]]).
+    * graphs), generalized to `levels` upper layers: layer l holds the
+    * deterministic promoted subset corpus_id % 2^l = 0 (the
+    * trailing-bit geometric level rule — fixed insertion order, so
+    * the whole hierarchy stays oracle-able), each with its OWN
+    * bounded-degree graph. The walk greedily descends from the
+    * topmost layer (beam 1, `upperHops` rounds per layer), starting
+    * at each probed cell's lowest-id member OF THAT LAYER; at every
+    * lower layer the entry is the best node found so far — against
+    * that layer's own lowest-id entry as the empty-above fallback —
+    * and layer 0 runs the usual beam walk. Returns every node ANY
+    * layer scored, deduped, self-free (the cost frame; top-k via
+    * [[hnswTopK]]).
     *
-    * Scale: the upper layer halves node count per level (geometric),
-    * so its edges add ≤ the level-0 graph's size while cutting the
-    * distance from a fixed entry to the query's neighborhood — the
-    * entry QUALITY knob, orthogonal to beam/hops (walk budget).
+    * Scale: each upper layer halves node count (geometric), so the
+    * whole hierarchy's edges sum to ≤ the level-0 graph's size while
+    * log-stepping a fixed entry toward the query's neighborhood — the
+    * entry QUALITY knob, orthogonal to beam/hops (walk budget). q227
+    * measures exactly that trade: the 2-layer arm reaches the 1-layer
+    * arm's recall with strictly fewer scored candidates.
     */
   def hnswScored(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
-      hops: Int, upperHops: Int): DataFrame = {
+      hops: Int, upperHops: Int, levels: Int = 1): DataFrame = {
     require(degree >= 1 && beam >= 1 && hops >= 0 && upperHops >= 0)
+    require(levels >= 1 && levels <= 30, "levels must be in [1, 30]")
     val m = resolveSeedMod(corpus, seedMod)
     val seeds = seedCentroids(corpus, idCol, vecCol, m)
     val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
         col("vnorm"), col("cell"))
       .localCheckpoint(true)
-    val promoted = assigned.filter(col("corpus_id") % 2 === 0)
     val edges0 = nswEdges(assigned, degree)
-    val edges1 = nswEdges(promoted, degree)
     val qScored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         sqrt(norm2(col(vecCol))).as("qnorm"))
@@ -552,6 +556,14 @@ object Similarity {
           .as("cosine"), col("qvec"), col("qnorm"))
     val wb = Window.partitionBy(col("query_id"), col("cell"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
+    def top1(cands: DataFrame): DataFrame = cands
+      .groupBy(col("query_id"), col("cell"), col("corpus_id"))
+      .agg(any_value(col("cosine")).as("cosine"),
+        any_value(col("qvec")).as("qvec"),
+        any_value(col("qnorm")).as("qnorm"))
+      .withColumn("brk", row_number().over(wb))
+      .filter(col("brk") <= 1)
+      .drop("brk")
     def walk(start: DataFrame, edges: DataFrame, rounds: Int, width: Int)
         : (DataFrame, DataFrame) = {
       var frontier = start.localCheckpoint(true)
@@ -575,27 +587,33 @@ object Similarity {
       }
       (visited, frontier)
     }
-    // layer 1: greedy (beam 1) from each probed cell's lowest-id
-    // promoted node; cells with no promoted node contribute nothing
-    val e1 = promoted.groupBy(col("cell"))
-      .agg(min(col("corpus_id")).as("corpus_id"))
-    val (upperVis, _) = walk(score(probes.join(e1, Seq("cell"))),
-      edges1, upperHops, 1)
-    // layer 0 entry: the best upper-layer find, against the default
-    // lowest-id entry as the no-promoted-node fallback
+    // descend levels..1: greedy (beam 1) per layer; layer l's start is
+    // the best node found above, against the layer's own lowest-id
+    // entry as fallback (promoted sets are NESTED — id % 2^(l+1) = 0
+    // implies id % 2^l = 0 — so every carried node has edges below).
+    // Cells empty at a layer contribute nothing there and re-enter at
+    // the first layer that has members.
+    var upperVis: Option[DataFrame] = None
+    for (l <- levels to 1 by -1) {
+      val promo = assigned.filter(col("corpus_id") % lit(1L << l) === 0)
+      val entL = promo.groupBy(col("cell"))
+        .agg(min(col("corpus_id")).as("corpus_id"))
+      val fallback = score(probes.join(entL, Seq("cell")))
+      val start = upperVis match {
+        case None      => fallback
+        case Some(vis) => top1(vis.unionByName(fallback))
+      }
+      val (visL, _) = walk(start, nswEdges(promo, degree), upperHops, 1)
+      upperVis = Some(upperVis.map(_.unionByName(visL)).getOrElse(visL))
+    }
+    // layer 0 entry: the best find from the hierarchy, against the
+    // default lowest-id entry as the no-promoted-node fallback
     val e0 = assigned.groupBy(col("cell"))
       .agg(min(col("corpus_id")).as("corpus_id"))
     val defEntry = score(probes.join(e0, Seq("cell")))
-    val entry0 = upperVis.unionByName(defEntry)
-      .groupBy(col("query_id"), col("cell"), col("corpus_id"))
-      .agg(any_value(col("cosine")).as("cosine"),
-        any_value(col("qvec")).as("qvec"),
-        any_value(col("qnorm")).as("qnorm"))
-      .withColumn("brk", row_number().over(wb))
-      .filter(col("brk") <= 1)
-      .drop("brk")
+    val entry0 = top1(upperVis.get.unionByName(defEntry))
     val (lowerVis, _) = walk(entry0, edges0, hops, beam)
-    upperVis.unionByName(defEntry).unionByName(lowerVis)
+    upperVis.get.unionByName(defEntry).unionByName(lowerVis)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("cosine"))
       .distinct()
       .filter(col("corpus_id") =!= col("query_id"))
@@ -604,12 +622,12 @@ object Similarity {
   /** Per-query top-k window over [[hnswScored]]. */
   def hnswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
-      hops: Int, upperHops: Int, k: Int): DataFrame = {
+      hops: Int, upperHops: Int, k: Int, levels: Int = 1): DataFrame = {
     require(k >= 1)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     hnswScored(corpus, queries, idCol, vecCol, seedMod, nprobe, degree,
-        beam, hops, upperHops)
+        beam, hops, upperHops, levels)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

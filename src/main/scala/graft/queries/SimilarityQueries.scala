@@ -807,85 +807,120 @@ object SimilarityQueries {
   //    the flat walk on BOTH axes (recall@K, candidates scored) at
   //    identical layer-0 budget. -----------------------------------------
   private val HNSW_UP = 2
+  // the 2-layer arm's level-0 beam: measured at BOTH sf0.01 and sf0.1
+  // (dev.HnswProbe grid), levels=2 with a NARROWER level-0 beam
+  // dominates the 1-layer arm on both axes — recall 0.94 vs 0.92 at
+  // 370 vs 403 scored (sf0.01), 0.89 vs 0.885 at 1515 vs 1680
+  // (sf0.1): the log-layered descent buys entry quality that a wider
+  // beam was paying for in scored candidates
+  private val H2_BEAM = 2
+  private val H2_LEVELS = 2
 
-  /** Oracle CTE fragment extending [[nswCtes]] (which ends in the
-    * flat walk's `vis`): the promoted-layer graph, the greedy upper
-    * walk, the entry pick, the layer-0 walk — ends in
-    * `hvis(query_id, cell, corpus_id, cosine)`, the hierarchy walk's
-    * deduped self-inclusive scored frame.
+  /** Oracle CTE builder extending [[nswCtes]] (which ends in the flat
+    * walk's `vis` and exposes the shared v/m/probe/edges/f0): replays
+    * [[Similarity.hnswScored]] at `levels` upper layers — per layer
+    * l = levels..1 the promoted subset (vec_id % 2^l = 0), its
+    * bounded-degree graph, the greedy (width-1) `upHops`-round walk
+    * whose start is the layer's lowest-id entry (top layer) or the
+    * best node found above vs that layer's own entry as fallback
+    * (lower layers) — then the layer-0 entry pick against the default
+    * entry and the usual `lowBeam`-wide `lowHops`-round walk. Ends in
+    * `$visName(query_id, cell, corpus_id, cosine)`, the hierarchy
+    * walk's deduped self-inclusive scored frame. Every generated CTE
+    * is `$pfx`-prefixed so multiple arms splice into one statement.
     */
-  private lazy val hnswCtes: String = {
-    val upCtes = (1 to HNSW_UP).map { h =>
-      s"""xu$h AS (
+  private def hnswLayerCtes(pfx: String, levels: Int, upHops: Int,
+      lowHops: Int, lowBeam: Int, visName: String): String = {
+    def walkCtes(base: String, f0Name: String, edges: String, hops: Int,
+        width: Int): String = (1 to hops).map { h =>
+      val prev = if (h == 1) f0Name else s"${base}f${h - 1}"
+      s"""${base}x$h AS (
         SELECT f.query_id, f.cell, ed.dst AS corpus_id,
           ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
             AS cosine
-        FROM u${h - 1} f
-        JOIN e1 ed ON ed.cell = f.cell AND ed.src = f.corpus_id
+        FROM $prev f
+        JOIN $edges ed ON ed.cell = f.cell AND ed.src = f.corpus_id
         JOIN v q ON q.vec_id = f.query_id
         JOIN v c ON c.vec_id = ed.dst),
-      u$h AS (
+      ${base}f$h AS (
         SELECT query_id, cell, corpus_id, cosine FROM (
           SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
               ORDER BY cosine DESC, corpus_id ASC) AS rn
           FROM (SELECT DISTINCT * FROM (
-            SELECT * FROM u${h - 1} UNION ALL SELECT * FROM xu$h)) w)
-        WHERE rn <= 1)"""
+            SELECT * FROM $prev UNION ALL SELECT * FROM ${base}x$h)) w)
+        WHERE rn <= $width)"""
     }.mkString(",\n      ")
-    val lowCtes = (1 to NSW_HOPS).map { h =>
-      s"""y$h AS (
-        SELECT f.query_id, f.cell, ed.dst AS corpus_id,
-          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
-            AS cosine
-        FROM g${h - 1} f
-        JOIN edges ed ON ed.cell = f.cell AND ed.src = f.corpus_id
-        JOIN v q ON q.vec_id = f.query_id
-        JOIN v c ON c.vec_id = ed.dst),
-      g$h AS (
-        SELECT query_id, cell, corpus_id, cosine FROM (
-          SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
-              ORDER BY cosine DESC, corpus_id ASC) AS rn
-          FROM (SELECT DISTINCT * FROM (
-            SELECT * FROM g${h - 1} UNION ALL SELECT * FROM y$h)) w)
-        WHERE rn <= $NSW_BEAM)"""
+    def walkVis(base: String, f0Name: String, hops: Int): String =
+      (1 to hops).map(h => s"SELECT * FROM ${base}x$h")
+        .mkString(s"SELECT * FROM $f0Name UNION ALL ", " UNION ALL ", "")
+    // accumulate upper-layer CTEs top-down; `aboveVis` is the union of
+    // every strictly-higher layer's visited rows (start + expands)
+    var aboveVis: Option[String] = None
+    val layerCtes = (levels to 1 by -1).map { l =>
+      val lp = s"${pfx}l$l"
+      val promoted =
+        s"""${lp}p AS (SELECT * FROM m WHERE vec_id % ${1L << l} = 0),
+        ${lp}edir AS (
+          SELECT cell, src, dst FROM (
+            SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ${dotSql("a.embedding", "b.embedding")}
+                    / (a.nrm * b.nrm) DESC,
+                  b.vec_id ASC) AS rn
+            FROM ${lp}p a
+            JOIN ${lp}p b ON a.cell = b.cell AND b.vec_id < a.vec_id)
+          WHERE rn <= $NSW_DEG),
+        ${lp}e AS (
+          SELECT cell, src, dst FROM ${lp}edir
+          UNION ALL SELECT cell, dst AS src, src AS dst FROM ${lp}edir),
+        ${lp}ent AS (SELECT cell, min(vec_id) AS node FROM ${lp}p
+          GROUP BY cell),
+        ${lp}fb AS (
+          SELECT p.query_id, p.cell, e.node AS corpus_id,
+            ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+              AS cosine
+          FROM probe p JOIN ${lp}ent e USING (cell)
+          JOIN v q ON q.vec_id = p.query_id
+          JOIN v c ON c.vec_id = e.node)"""
+      val start = aboveVis match {
+        case None => s"""${lp}f0 AS (SELECT * FROM ${lp}fb)"""
+        case Some(av) =>
+          s"""${lp}f0 AS (
+            SELECT query_id, cell, corpus_id, cosine FROM (
+              SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
+                  ORDER BY cosine DESC, corpus_id ASC) AS rn
+              FROM (SELECT DISTINCT * FROM (
+                $av UNION ALL SELECT * FROM ${lp}fb)) w)
+            WHERE rn <= 1)"""
+      }
+      val walk = walkCtes(lp, s"${lp}f0", s"${lp}e", upHops, 1)
+      val thisVis = walkVis(lp, s"${lp}f0", upHops)
+      aboveVis = Some(aboveVis.map(av => s"$av UNION ALL $thisVis")
+        .getOrElse(thisVis))
+      s"$promoted,\n      $start,\n      $walk"
     }.mkString(",\n      ")
-    val upVis = (1 to HNSW_UP).map(h => s"SELECT * FROM xu$h")
-      .mkString("SELECT * FROM u0 UNION ALL ", " UNION ALL ", "")
-    val lowVis = (1 to NSW_HOPS).map(h => s"SELECT * FROM y$h")
-      .mkString("SELECT * FROM g0 UNION ALL ", " UNION ALL ", "")
-    s"""p1 AS (SELECT * FROM m WHERE vec_id % 2 = 0),
-      e1dir AS (
-        SELECT cell, src, dst FROM (
-          SELECT a.cell, a.vec_id AS src, b.vec_id AS dst,
-            row_number() OVER (PARTITION BY a.vec_id
-              ORDER BY ${dotSql("a.embedding", "b.embedding")}
-                  / (a.nrm * b.nrm) DESC,
-                b.vec_id ASC) AS rn
-          FROM p1 a JOIN p1 b ON a.cell = b.cell AND b.vec_id < a.vec_id)
-        WHERE rn <= $NSW_DEG),
-      e1 AS (
-        SELECT cell, src, dst FROM e1dir
-        UNION ALL SELECT cell, dst AS src, src AS dst FROM e1dir),
-      ent1 AS (SELECT cell, min(vec_id) AS node FROM p1 GROUP BY cell),
-      u0 AS (
-        SELECT p.query_id, p.cell, e.node AS corpus_id,
-          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
-            AS cosine
-        FROM probe p JOIN ent1 e USING (cell)
-        JOIN v q ON q.vec_id = p.query_id
-        JOIN v c ON c.vec_id = e.node),
-      $upCtes,
-      g0 AS (
+    val upVis = aboveVis.get
+    val g0 =
+      s"""${pfx}gf0 AS (
         SELECT query_id, cell, corpus_id, cosine FROM (
           SELECT w.*, row_number() OVER (PARTITION BY query_id, cell
               ORDER BY cosine DESC, corpus_id ASC) AS rn
           FROM (SELECT DISTINCT * FROM (
             $upVis UNION ALL SELECT * FROM f0)) w)
-        WHERE rn <= 1),
-      $lowCtes,
-      hvis AS (SELECT DISTINCT query_id, cell, corpus_id, cosine
+        WHERE rn <= 1)"""
+    val lowWalk = walkCtes(s"${pfx}g", s"${pfx}gf0", "edges",
+      lowHops, lowBeam)
+    val lowVis = walkVis(s"${pfx}g", s"${pfx}gf0", lowHops)
+    s"""$layerCtes,
+      $g0,
+      $lowWalk,
+      $visName AS (SELECT DISTINCT query_id, cell, corpus_id, cosine
         FROM ($upVis UNION ALL SELECT * FROM f0 UNION ALL $lowVis))"""
   }
+
+  /** The 1-upper-layer hierarchy fragment (the `hnsw` arm). */
+  private lazy val hnswCtes: String =
+    hnswLayerCtes("h1", 1, HNSW_UP, NSW_HOPS, NSW_BEAM, "hvis")
 
   private val q227 = Q(
     "q227_hnsw_vs_nsw",
@@ -913,6 +948,12 @@ object SimilarityQueries {
         arm("hnsw", Similarity.hnswScored(t.embeddings, queries, "vec_id",
           "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS,
           HNSW_UP)),
+        // the log-layered arm: 2 upper layers, NARROWER level-0 beam —
+        // strictly fewer scored candidates at ≥ the 1-layer recall
+        // (the H2_BEAM measurement note)
+        arm("hnsw2", Similarity.hnswScored(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, H2_BEAM, NSW_HOPS,
+          HNSW_UP, H2_LEVELS)),
         arm("nsw", Similarity.nswScored(t.embeddings, queries, "vec_id",
           "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)))
         .toDF("method", "n_queries", "n_scored", "n_hits", "recall")
@@ -922,6 +963,8 @@ object SimilarityQueries {
     },
     Some(s"""WITH $nswCtes,
       $hnswCtes,
+      ${hnswLayerCtes("h2", H2_LEVELS, HNSW_UP, NSW_HOPS, H2_BEAM,
+        "h2vis")},
       nq AS (SELECT count(*) AS n
         FROM embeddings WHERE vec_id % $QMOD = 0),
       exact AS MATERIALIZED (
@@ -951,6 +994,16 @@ object SimilarityQueries {
               FROM hvis WHERE corpus_id != query_id) WHERE rk <= $K) t
             ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)
             AS n_hits
+        UNION ALL
+        SELECT 'hnsw2',
+          (SELECT count(*) FROM h2vis WHERE corpus_id != query_id),
+          (SELECT count(*) FROM exact e JOIN (
+            SELECT query_id, corpus_id FROM (
+              SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rk
+              FROM h2vis WHERE corpus_id != query_id) WHERE rk <= $K) t
+            ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)
         UNION ALL
         SELECT 'nsw',
           (SELECT count(*) FROM vis WHERE corpus_id != query_id),

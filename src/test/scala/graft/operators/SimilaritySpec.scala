@@ -155,6 +155,41 @@ class SimilaritySpec extends SparkSpec {
     assert(b.map(_._1).distinct.size === queries.count())
   }
 
+  test("multi-layer hnsw: clique layers equal IVF; levels are deterministic and nested-safe") {
+    val big = (1L to 40L).map(i => (i,
+        Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = big.filter(col("vec_id") % 10 === 0)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // clique level-0 graph: no matter how many upper layers steer the
+    // entry, one wide hop scores the whole probed cell — every level
+    // count must give exactly IVF's answer
+    val ivf = shape(Similarity.ivfTopK(big, queries, "vec_id", "embedding",
+      seedMod = 13, nprobe = 2, k = 3))
+    for (lv <- 1 to 3)
+      assert(shape(Similarity.hnswTopK(big, queries, "vec_id", "embedding",
+        seedMod = 13, nprobe = 2, degree = 40, beam = 40, hops = 1,
+        upperHops = 2, k = 3, levels = lv)) === ivf,
+        s"levels=$lv clique walk diverged from IVF")
+    // bounded multi-layer walk: deterministic under repartitioning
+    val a = shape(Similarity.hnswTopK(big.repartition(7), queries,
+      "vec_id", "embedding", 13, 2, 3, 2, 2, 2, 3, levels = 2))
+    val b = shape(Similarity.hnswTopK(big, queries,
+      "vec_id", "embedding", 13, 2, 3, 2, 2, 2, 3, levels = 2))
+    assert(a === b)
+    assert(b.map(_._1).distinct.size === queries.count())
+    // layer-3 promoted set (id % 8 = 0) is sparse here (5 nodes): the
+    // walk must still answer every query via the per-layer fallbacks
+    val c = shape(Similarity.hnswTopK(big, queries,
+      "vec_id", "embedding", 13, 2, 3, 2, 2, 1, 3, levels = 3))
+    assert(c.map(_._1).distinct.size === queries.count(),
+      "sparse upper layers dropped queries — fallback entry broke")
+  }
+
   test("mpLshScored grows monotonically with nProbe; probe 1 ≡ lshTopK") {
     val big = (1L to 60L).map(i => (i,
         Array((i % 7).toFloat + 1f, (i % 5).toFloat - 2f, (i % 3).toFloat)))
