@@ -41,7 +41,7 @@ object Bench {
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q118_jpeg_pixels", "q127_jpeg_progressive", "q119_video_frames",
     "q123_gif_pixels", "q200_mjpeg_frames", "q213_adpcm_audio",
-    "q217_g711_audio", "q225_resonator_bands",
+    "q217_g711_audio", "q225_resonator_bands", "q232_mfcc",
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",

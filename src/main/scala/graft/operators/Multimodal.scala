@@ -468,6 +468,112 @@ object Multimodal {
       }(enc)
   }
 
+  val mfccSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("k", IntegerType),
+    StructField("mfcc", DoubleType)))
+
+  /** DETERMINISTIC natural log for x ≥ 1: 6-step binary range
+    * reduction on exact power-of-two thresholds (every division is by
+    * 2^k — exact in IEEE — and every comparison is exact), then the
+    * fixed-order Horner atanh series ln(m) = 2·t·(1 + t²(1/3 + t²(1/5
+    * + …1/15))) with t = (m−1)/(m+1), m ∈ [1,2). Every operation is a
+    * single two-operand IEEE op in a pinned order, so any engine that
+    * replays the same expression tree (the oracle does, as chained
+    * CTE columns) produces the SAME double — unlike libm ln(), which
+    * is only faithfully rounded and may differ in the last ulp across
+    * implementations (the q48 rationale). |t| ≤ 1/3 makes the
+    * truncation error ≤ t¹⁷/17 ≈ 8e-10 — spectral-feature accuracy,
+    * cross-engine determinism. Domain: [1, 2^64).
+    */
+  private[graft] def lnDet(x: Double): Double = {
+    var m = x
+    var e = 0.0
+    if (m >= 4294967296.0) { m = m / 4294967296.0; e += 32 }
+    if (m >= 65536.0) { m = m / 65536.0; e += 16 }
+    if (m >= 256.0) { m = m / 256.0; e += 8 }
+    if (m >= 16.0) { m = m / 16.0; e += 4 }
+    if (m >= 4.0) { m = m / 4.0; e += 2 }
+    if (m >= 2.0) { m = m / 2.0; e += 1 }
+    val t = (m - 1.0) / (m + 1.0)
+    val t2 = t * t
+    e * 0.6931471805599453 + 2.0 * (t * (1.0 + t2 * (1.0 / 3.0 +
+      t2 * (1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0 +
+        t2 * (1.0 / 11.0 + t2 * (1.0 / 13.0 + t2 * (1.0 / 15.0)))))))))
+  }
+
+  /** The DCT-II basis for [[mfccFeatures]]: cos(π·(2f+1)·k / (2·nf)).
+    * Computed ONCE per plan and interpolated as the same decimal
+    * literals into both the engine columns and the oracle SQL — both
+    * sides parse the identical shortest-roundtrip strings back to the
+    * identical doubles, so the table is a shared constant, not a
+    * cross-libm risk.
+    */
+  private[graft] def dctTable(nCoeffs: Int, nf: Int): Array[Array[Double]] =
+    // StrictMath: fully specified (fdlibm) — the same table on every
+    // JVM, so an oracle JSON dumped by one JVM always matches an
+    // engine run on another
+    Array.tabulate(nCoeffs, nf)((k, f) =>
+      StrictMath.cos(math.Pi * (2 * f + 1) * k / (2.0 * nf)))
+
+  /** MFCC-style cepstral features over each WAV payload — the full
+    * classic chain on the resonator lane: (1) Goertzel band energies
+    * at the given RATIONAL coefficients (ordered by descending c =
+    * ascending ω; pick a low-ω-dense bank for mel-like spacing),
+    * (2) triangular "mel" pooling — filter f pools bands 2f..2f+2
+    * with weights (0.5, 1, 0.5), so |coeffs| must be odd and yields
+    * nf = (|coeffs|−1)/2 filters, (3) log compression via [[lnDet]]
+    * (pooled energy + 1, so the domain is [1, ∞) and silence maps to
+    * 0), (4) DCT-II over the nf log-energies, keeping coefficients
+    * k = 0..nCoeffs−1. One narrow per-row pass, O(len·|coeffs|) like
+    * [[resonatorFeatures]]; every float op is order-pinned so the
+    * whole chain replays bit-exactly in SQL (q232's oracle).
+    */
+  def mfccFeatures(media: DataFrame, coeffs: Seq[Double],
+      nCoeffs: Int): DataFrame = {
+    require(coeffs.length >= 3 && coeffs.length % 2 == 1,
+      s"need an odd number of bands >= 3, got ${coeffs.length}")
+    val nf = (coeffs.length - 1) / 2
+    require(nCoeffs >= 1 && nCoeffs <= nf,
+      s"nCoeffs must be in [1, $nf], got $nCoeffs")
+    val dct = dctTable(nCoeffs, nf)
+    val cArr = coeffs.toArray
+    val enc = Encoders.row(mfccSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val s = anyWavSamples(r.getAs[Array[Byte]](1))
+          val en = new Array[Double](cArr.length)
+          var b = 0
+          while (b < cArr.length) {
+            val c = cArr(b)
+            var s1 = 0.0
+            var s2 = 0.0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i) + c * s1 - s2
+              s2 = s1
+              s1 = v
+              i += 1
+            }
+            en(b) = s1 * s1 + s2 * s2 - c * s1 * s2
+            b += 1
+          }
+          val lnp = Array.tabulate(nf) { f =>
+            lnDet((0.5 * en(2 * f) + en(2 * f + 1)) + 0.5 * en(2 * f + 2)
+              + 1.0)
+          }
+          (0 until nCoeffs).map { k =>
+            var acc = 0.0
+            var f = 0
+            while (f < nf) { acc = acc + lnp(f) * dct(k)(f); f += 1 }
+            Row(id, k, acc)
+          }
+        }
+      }(enc)
+  }
+
   /** Distributed audio feature extraction: per-partition decode of
     * each WAV payload (PCM or IMA-ADPCM — [[anyWavSamples]]) into
     * amplitude statistics — sample count, peak |amplitude|, Σ|s| and

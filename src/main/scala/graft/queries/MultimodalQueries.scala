@@ -1143,6 +1143,96 @@ object MultimodalQueries {
       ORDER BY media_id, bin_idx"""
     })
 
+  // -- q232: MFCC-style cepstral features, oracle-gated ----------------
+  // The full classic chain on q225's resonator lane: 13 RATIONAL
+  // Goertzel coefficients (descending c = ascending ω, denser at low ω
+  // — mel-like spacing), triangular pooling of bands 2f..2f+2 with
+  // weights (0.5, 1, 0.5) into 6 filters, log compression via the
+  // DETERMINISTIC ln (exact power-of-2 range reduction + fixed Horner
+  // atanh series — two-operand IEEE ops in pinned order, no libm; see
+  // Multimodal.lnDet), DCT-II over the 6 log-energies keeping k = 0..3.
+  // The oracle replays every stage: the 13-band recursive-CTE filter
+  // states (q225's shape), the pooling sums, the 6-step ln reduction
+  // as chained CTE columns, the Horner polynomial, and the
+  // order-pinned DCT fold against the SAME literal cosine table the
+  // engine multiplies with (StrictMath-fixed, interpolated as
+  // shortest-roundtrip decimals — both parsers return the identical
+  // doubles). A wrong filter order, pooling weight, reduction step,
+  // series term, or basis row diverges bit-exactly.
+  private val MFCC_COEFFS = Seq(1.95, 1.9, 1.8, 1.65, 1.45, 1.2, 0.9,
+    0.5, 0.0, -0.6, -1.2, -1.8, -1.95)
+  private val MFCC_K = 4
+  private val q232 = Q(
+    "q232_mfcc",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      Multimodal.mfccFeatures(pcmMedia(t), MFCC_COEFFS, MFCC_K)
+        .select(col("media_id"), col("k"),
+          pround(col("mfcc"), 6).as("mfcc"))
+        .orderBy(col("media_id"), col("k"))
+    },
+    Some {
+      val nf = (MFCC_COEFFS.length - 1) / 2
+      val cs = MFCC_COEFFS.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+      val bis = MFCC_COEFFS.indices.mkString(", ")
+      val dct = Multimodal.dctTable(MFCC_K, nf)
+      val dctLit = dct.map(_.map(v => s"CAST($v AS DOUBLE)")
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      // 6-step binary range reduction: each CTE divides by an exact
+      // power of two (no rounding) — identical to Multimodal.lnDet
+      val steps = Seq((4294967296L, 32), (65536L, 16), (256L, 8),
+        (16L, 4), (4L, 2), (2L, 1))
+      val redCtes = steps.zipWithIndex.map { case ((p, add), i) =>
+        s"""red${i + 1} AS (
+          SELECT doc_id, f,
+            CASE WHEN m >= $p THEN m / $p ELSE m END AS m,
+            CASE WHEN m >= $p THEN e + $add ELSE e END AS e
+          FROM red$i)"""
+      }.mkString(",\n      ")
+      s"""WITH RECURSIVE res(doc_id, bi, c, j, s1, s2) AS (
+        SELECT d.doc_id, b.bi, b.c, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM documents d CROSS JOIN
+          (SELECT unnest([$bis]) AS bi, unnest([$cs]) AS c) b
+        UNION ALL
+        SELECT doc_id, bi, c, j + 1,
+          CAST((doc_id * 31 + 17 * j) % 2003 - 1001 AS DOUBLE)
+            + c * s1 - s2,
+          s1
+        FROM res WHERE j < 64
+      ),
+      bande AS (
+        SELECT doc_id, bi, s1 * s1 + s2 * s2 - c * s1 * s2 AS en
+        FROM res WHERE j = 64),
+      red0 AS (
+        SELECT a.doc_id, fx.f,
+          ((0.5 * a.en + b.en) + 0.5 * c2.en) + CAST(1 AS DOUBLE) AS m,
+          CAST(0 AS DOUBLE) AS e
+        FROM (SELECT unnest(generate_series(0, ${nf - 1})) AS f) fx
+        JOIN bande a ON a.bi = 2 * fx.f
+        JOIN bande b ON b.doc_id = a.doc_id AND b.bi = 2 * fx.f + 1
+        JOIN bande c2 ON c2.doc_id = a.doc_id AND c2.bi = 2 * fx.f + 2),
+      $redCtes,
+      tv AS (SELECT doc_id, f, e, (m - 1) / (m + 1) AS t FROM red6),
+      t2v AS (SELECT doc_id, f, e, t, t * t AS t2 FROM tv),
+      lnv AS (
+        SELECT doc_id, f,
+          e * 0.6931471805599453 + 2 * (t * (1 + t2 * (
+            CAST(1 AS DOUBLE) / 3 + t2 * (CAST(1 AS DOUBLE) / 5 + t2 * (
+            CAST(1 AS DOUBLE) / 7 + t2 * (CAST(1 AS DOUBLE) / 9 + t2 * (
+            CAST(1 AS DOUBLE) / 11 + t2 * (CAST(1 AS DOUBLE) / 13 + t2 * (
+            CAST(1 AS DOUBLE) / 15))))))))) AS lnp
+        FROM t2v)
+      SELECT doc_id AS media_id, CAST(k.k AS INT) AS k,
+        ${proundSql(
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(v.lnp * ($dctLit)[k.k + 1][v.f + 1] ORDER BY v.f)),
+            (a, b) -> a + b)""", 6)} AS mfcc
+      FROM lnv v
+      CROSS JOIN (SELECT unnest(generate_series(0, ${MFCC_K - 1})) AS k) k
+      GROUP BY doc_id, k.k
+      ORDER BY media_id, k"""
+    })
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213, q217, q225)
+    q152, q155, q156, q174, q200, q213, q217, q225, q232)
 }

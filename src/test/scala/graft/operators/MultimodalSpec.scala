@@ -171,6 +171,75 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(e(0) - 32000.0 * 32000.0) / (32000.0 * 32000.0) < 1e-9)
   }
 
+  test("lnDet tracks Math.log to < 1e-8 and is exact at powers of two") {
+    // truncation bound: |t| <= 1/3 ⇒ error ~ t^17/17 ≈ 8e-10; the
+    // 1e-8 gate leaves headroom without hiding a broken series term
+    var x = 1.0
+    while (x < 1e18) {
+      for (m <- Seq(1.0, 1.1, 1.37, 1.5, 1.73, 1.9999)) {
+        val v = x * m
+        assert(math.abs(Multimodal.lnDet(v) - math.log(v)) < 1e-8,
+          s"lnDet diverged at $v")
+      }
+      x *= 7.3
+    }
+    assert(Multimodal.lnDet(1.0) === 0.0)
+    // exact at powers of two: reduction leaves m = 1, t = 0
+    for (k <- 0 to 60)
+      assert(Multimodal.lnDet(math.pow(2.0, k)) ===
+        k * 0.6931471805599453, s"2^$k not exact")
+  }
+
+  test("mfccFeatures: k=0 is the plain log-energy sum; silence maps to 0; naive-reference parity") {
+    val samples = Array.tabulate(64)(n => Seq(1000, 0, -1000, 0)(n % 4))
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val silence = {
+      val sb = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      sb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+        .put("WAVE".getBytes("US-ASCII"))
+      sb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      sb.put("data".getBytes("US-ASCII")).putInt(8)
+      (0 until 4).foreach(_ => sb.putShort(0))
+      sb.array()
+    }
+    val coeffs = Seq(1.5, 1.0, 0.5, 0.0, -0.5, -1.0, -1.5)
+    val nf = 3
+    val df = Seq((1L, bb.array()), (2L, silence)).toDF("media_id", "content")
+    val got = Multimodal.mfccFeatures(df, coeffs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // silence: all band energies 0 → pooled 0 → lnDet(1) = 0 → DCT 0
+    for (k <- 0 until 3) assert(got((2L, k)) === 0.0, s"silence k=$k")
+    // naive reference on the tone: independent recomputation through
+    // resonatorFeatures + lnDet + an explicit DCT loop
+    val en = Multimodal.resonatorFeatures(
+        Seq((1L, bb.array())).toDF("media_id", "content"), coeffs)
+      .collect().map(r => r.getAs[Int]("bin_idx") -> r.getAs[Double]("energy"))
+      .toMap
+    val lnp = (0 until nf).map(f =>
+      Multimodal.lnDet((0.5 * en(2 * f) + en(2 * f + 1)) +
+        0.5 * en(2 * f + 2) + 1.0))
+    val dct = Multimodal.dctTable(3, nf)
+    for (k <- 0 until 3) {
+      var acc = 0.0
+      for (f <- 0 until nf) acc = acc + lnp(f) * dct(k)(f)
+      assert(got((1L, k)) === acc, s"tone k=$k diverged from reference")
+    }
+    // k=0 basis row is all ones: the plain log-energy sum
+    assert(dct(0).forall(_ === 1.0))
+    assert(got((1L, 0)) === lnp.sum || math.abs(got((1L, 0)) - lnp.sum) < 1e-12)
+  }
+
   test("adpcmStep matches the IMA spec on hand-derived vectors") {
     // from (pred=0, index=0): step=7. nibble 3 (0b0011):
     // diff = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4 → pred 4; index += -1 → 0
