@@ -37,6 +37,11 @@ object HnswProbe {
       "vec_id", "embedding", SEEDMOD, NPROBE, DEG, BEAM, HOPS))
     eval("hnsw L1 (baseline)", Similarity.hnswScored(t.embeddings, queries,
       "vec_id", "embedding", SEEDMOD, NPROBE, DEG, BEAM, HOPS, UP))
+    eval("ivf nprobe=2", Similarity.ivfTopK(t.embeddings, queries,
+      "vec_id", "embedding", SEEDMOD, NPROBE, K)
+      .select(col("query_id"), col("corpus_id"), col("cosine")))
+    eval("mplsh probes=4", Similarity.mpLshScored(t.embeddings, queries,
+      "vec_id", "embedding", 8, 4))
     for (lv <- Seq(2, 3); up <- Seq(1, 2); beam <- Seq(2, 3, 4);
          hops <- Seq(1, 2)) {
       eval(s"hnsw L$lv up=$up beam=$beam hops=$hops",

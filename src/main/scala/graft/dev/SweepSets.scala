@@ -10,7 +10,12 @@ object SweepSets {
 
   /** Queries whose DuckDB oracle is NOT run at scaled SFs, with why.
     * The ENGINE runs them all fine at scale (see bench_scaled) — these
-    * are oracle-side or construction constraints.
+    * are oracle-side or construction constraints. The graph/brute
+    * family (q214/q215/q216/q224/q227/q231) additionally carries
+    * ENGINE-side 10× verification teeth in graft.Sweep10xSpec: exact
+    * pinned scored-set sizes and hit counts against the engine brute
+    * baseline, repartition determinism, probe nesting, and transform-
+    * model scale invariance — green in every `sbt test`.
     */
   val scaledExclusions: Map[String, String] = Map(
     "q22_jaccard_pairs" -> "intentionally quadratic exact baseline (bench-gated above sf0.1)",
