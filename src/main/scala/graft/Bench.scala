@@ -67,7 +67,7 @@ object Bench {
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
-    "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q231_opq_rung",
+    "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q231_opq_rung", "q233_hilbert_skipping",
     "q120_hybrid_rrf",
     "q75_semantic_dedup", "q90_semantic_dedup_auto", "q202_semdedup",
     "q203_semdedup_overlap", "q210_soft_dedup_weights",

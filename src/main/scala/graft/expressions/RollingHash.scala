@@ -357,6 +357,19 @@ object GraftExtensions {
           lit(children(1), "window width"), lit(children(2), "divisor"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_hilbert takes (x, y, bits literal)")
+        val bits = children(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "hilbert bits must be a literal")
+        }
+        HilbertIndex(children(0), children(1), bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {

