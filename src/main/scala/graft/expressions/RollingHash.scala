@@ -357,6 +357,13 @@ object GraftExtensions {
           lit(children(1), "window width"), lit(children(2), "divisor"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lndet"),
+      new ExpressionInfo(classOf[LnDet].getName, "graft_lndet"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_lndet takes one double argument")
+        LnDet(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hilbert"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
       (children: Seq[Expression]) => {

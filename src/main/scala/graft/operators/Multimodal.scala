@@ -486,21 +486,8 @@ object Multimodal {
     * truncation error ≤ t¹⁷/17 ≈ 8e-10 — spectral-feature accuracy,
     * cross-engine determinism. Domain: [1, 2^64).
     */
-  private[graft] def lnDet(x: Double): Double = {
-    var m = x
-    var e = 0.0
-    if (m >= 4294967296.0) { m = m / 4294967296.0; e += 32 }
-    if (m >= 65536.0) { m = m / 65536.0; e += 16 }
-    if (m >= 256.0) { m = m / 256.0; e += 8 }
-    if (m >= 16.0) { m = m / 16.0; e += 4 }
-    if (m >= 4.0) { m = m / 4.0; e += 2 }
-    if (m >= 2.0) { m = m / 2.0; e += 1 }
-    val t = (m - 1.0) / (m + 1.0)
-    val t2 = t * t
-    e * 0.6931471805599453 + 2.0 * (t * (1.0 + t2 * (1.0 / 3.0 +
-      t2 * (1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0 +
-        t2 * (1.0 / 11.0 + t2 * (1.0 / 13.0 + t2 * (1.0 / 15.0)))))))))
-  }
+  private[graft] def lnDet(x: Double): Double =
+    graft.expressions.LnDet.compute(x)
 
   /** The DCT-II basis for [[mfccFeatures]]: cos(π·(2f+1)·k / (2·nf)).
     * Computed ONCE per plan and interpolated as the same decimal

@@ -53,6 +53,43 @@ object Sampling {
   def slot(key: Column, den: Int): Column = slotWide(key) % lit(den.toLong)
   def slotSql(x: String, den: Int): String = s"(${slotWideSql(x)}) % $den"
 
+  /** Efraimidis–Spirakis weighted reservoir: EXACTLY k rows sampled
+    * WITHOUT replacement with probability proportional to weight —
+    * the fixed-count complement of [[weightedHashSample]]'s Bernoulli
+    * rate. A-ES keys each row by u^(1/w) with u uniform; ranking by
+    * the equivalent −ln(u)/w ascending keeps the same rows without
+    * the pow. Here u is the [[slotWide]] hash (reproducible, engine-
+    * portable) mapped to (0,1], and ln comes from the DETERMINISTIC
+    * graft_lndet (ln(u) = −lnDet(1/u), 1/u ≥ 1 by construction) — so
+    * selection is decided on bit-identical doubles in both engines,
+    * not on libm luck. Zero/negative weights are excluded (their
+    * inclusion probability is 0).
+    *
+    * Scale: the key is a narrow per-row expression; orderBy(k).limit
+    * compiles to TakeOrderedAndProject — per-partition top-k, then a
+    * k-row driver merge. No full sort, no shuffle of the corpus.
+    */
+  private val EsInvNum = (P1 * P2 + 1).toDouble // 999985999950, exact
+  def esKey(key: Column, weight: Column): Column = {
+    val inv = lit(EsInvNum) / (slotWide(key) + lit(1L)).cast("double")
+    call_function("graft_lndet", inv) / weight
+  }
+  /** The inv = 1/u input for the oracle's lnDet CTE chain
+    * ([[graft.queries.Portable.lnDetSqlCtes]]); the key is then
+    * `lnp / w`.
+    */
+  def esInvSql(x: String): String =
+    s"CAST($EsInvNum AS DOUBLE) / ((${slotWideSql(x)}) + 1)"
+
+  def weightedReservoir(df: DataFrame, keyCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    df.filter(weight > lit(0.0))
+      .withColumn("es_key", esKey(col(keyCol), weight))
+      .orderBy(col("es_key").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Keep ~num/den of rows, decided by the key hash. */
   def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame =
     df.filter(slot(col(keyCol), den) < num)

@@ -1530,8 +1530,46 @@ object ExtendedRelational {
       ORDER BY layout, bx.box"""
     })
 
+  // -- X31: Efraimidis–Spirakis weighted reservoir — EXACTLY k docs
+  //    without replacement, inclusion odds ∝ n_chars
+  //    (operators.Sampling.weightedReservoir): rank by −ln(u)/w with
+  //    hash-derived u and the DETERMINISTIC graft_lndet, so the
+  //    selection compares bit-identical doubles in both engines. The
+  //    fixed-count complement of q86's Bernoulli rate (≈k, never
+  //    exactly) and q80's unweighted exact-k. Plan shape:
+  //    TakeOrderedAndProject — per-partition top-k, k-row driver
+  //    merge, no corpus sort. The oracle replays the slotWide hash,
+  //    the 1/u mapping, the lnDet CTE chain, and the same ORDER BY
+  //    LIMIT.
+  private val WR_K = 25
+  private val q234 = Q(
+    "q234_weighted_reservoir",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.weightedReservoir(
+          t.documents.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", col("n_chars").cast("double"), WR_K)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          pround(col("es_key"), 6).as("es_key"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val sampling = graft.operators.Sampling
+      s"""WITH base AS (
+        SELECT doc_id, source, n_chars,
+          ${sampling.esInvSql("doc_id")} AS inv,
+          CAST(n_chars AS DOUBLE) AS w
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+      ${lnDetSqlCtes("es", "base", "doc_id, source, n_chars, w", "inv")}
+      SELECT doc_id, source, n_chars,
+        ${proundSql("lnp / w", 6)} AS es_key
+      FROM (SELECT * FROM eslnv ORDER BY lnp / w ASC, doc_id ASC
+            LIMIT $WR_K)
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233)
+      q186, q187, q196, q223, q233, q234)
 }

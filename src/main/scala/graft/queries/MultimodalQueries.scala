@@ -1178,17 +1178,6 @@ object MultimodalQueries {
       val dct = Multimodal.dctTable(MFCC_K, nf)
       val dctLit = dct.map(_.map(v => s"CAST($v AS DOUBLE)")
         .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-      // 6-step binary range reduction: each CTE divides by an exact
-      // power of two (no rounding) — identical to Multimodal.lnDet
-      val steps = Seq((4294967296L, 32), (65536L, 16), (256L, 8),
-        (16L, 4), (4L, 2), (2L, 1))
-      val redCtes = steps.zipWithIndex.map { case ((p, add), i) =>
-        s"""red${i + 1} AS (
-          SELECT doc_id, f,
-            CASE WHEN m >= $p THEN m / $p ELSE m END AS m,
-            CASE WHEN m >= $p THEN e + $add ELSE e END AS e
-          FROM red$i)"""
-      }.mkString(",\n      ")
       s"""WITH RECURSIVE res(doc_id, bi, c, j, s1, s2) AS (
         SELECT d.doc_id, b.bi, b.c, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
         FROM documents d CROSS JOIN
@@ -1203,25 +1192,14 @@ object MultimodalQueries {
       bande AS (
         SELECT doc_id, bi, s1 * s1 + s2 * s2 - c * s1 * s2 AS en
         FROM res WHERE j = 64),
-      red0 AS (
+      pooled AS (
         SELECT a.doc_id, fx.f,
-          ((0.5 * a.en + b.en) + 0.5 * c2.en) + CAST(1 AS DOUBLE) AS m,
-          CAST(0 AS DOUBLE) AS e
+          ((0.5 * a.en + b.en) + 0.5 * c2.en) + CAST(1 AS DOUBLE) AS px
         FROM (SELECT unnest(generate_series(0, ${nf - 1})) AS f) fx
         JOIN bande a ON a.bi = 2 * fx.f
         JOIN bande b ON b.doc_id = a.doc_id AND b.bi = 2 * fx.f + 1
         JOIN bande c2 ON c2.doc_id = a.doc_id AND c2.bi = 2 * fx.f + 2),
-      $redCtes,
-      tv AS (SELECT doc_id, f, e, (m - 1) / (m + 1) AS t FROM red6),
-      t2v AS (SELECT doc_id, f, e, t, t * t AS t2 FROM tv),
-      lnv AS (
-        SELECT doc_id, f,
-          e * 0.6931471805599453 + 2 * (t * (1 + t2 * (
-            CAST(1 AS DOUBLE) / 3 + t2 * (CAST(1 AS DOUBLE) / 5 + t2 * (
-            CAST(1 AS DOUBLE) / 7 + t2 * (CAST(1 AS DOUBLE) / 9 + t2 * (
-            CAST(1 AS DOUBLE) / 11 + t2 * (CAST(1 AS DOUBLE) / 13 + t2 * (
-            CAST(1 AS DOUBLE) / 15))))))))) AS lnp
-        FROM t2v)
+      ${lnDetSqlCtes("", "pooled", "doc_id, f", "px")}
       SELECT doc_id AS media_id, CAST(k.k AS INT) AS k,
         ${proundSql(
           s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -36,4 +36,40 @@ object Portable {
     val p = math.pow(10, d)
     s"floor(($x) * $p + 0.5) / $p"
   }
+
+  /** Oracle replay of [[graft.expressions.LnDet]] (the deterministic
+    * ln for x ≥ 1): emits the 6 binary range-reduction steps as
+    * chained CTEs plus the Horner atanh-series final, every op the
+    * same two-operand IEEE op the engine executes. Returns the CTE
+    * text (no leading/trailing comma); the final CTE `${pfx}lnv`
+    * carries `$carry` plus `lnp` = lnDet($xExpr). `src` must provide
+    * the carry columns and whatever $xExpr reads.
+    */
+  def lnDetSqlCtes(pfx: String, src: String, carry: String,
+      xExpr: String): String = {
+    val steps = Seq((4294967296L, 32), (65536L, 16), (256L, 8),
+      (16L, 4), (4L, 2), (2L, 1))
+    val redCtes = steps.zipWithIndex.map { case ((p, add), i) =>
+      s"""${pfx}red${i + 1} AS (
+        SELECT $carry,
+          CASE WHEN m >= $p THEN m / $p ELSE m END AS m,
+          CASE WHEN m >= $p THEN e + $add ELSE e END AS e
+        FROM ${pfx}red$i)"""
+    }.mkString(",\n      ")
+    s"""${pfx}red0 AS (
+        SELECT $carry, $xExpr AS m, CAST(0 AS DOUBLE) AS e FROM $src),
+      $redCtes,
+      ${pfx}tv AS (
+        SELECT $carry, e, (m - 1) / (m + 1) AS t FROM ${pfx}red6),
+      ${pfx}t2v AS (
+        SELECT $carry, e, t, t * t AS t2 FROM ${pfx}tv),
+      ${pfx}lnv AS (
+        SELECT $carry,
+          e * 0.6931471805599453 + 2 * (t * (1 + t2 * (
+            CAST(1 AS DOUBLE) / 3 + t2 * (CAST(1 AS DOUBLE) / 5 + t2 * (
+            CAST(1 AS DOUBLE) / 7 + t2 * (CAST(1 AS DOUBLE) / 9 + t2 * (
+            CAST(1 AS DOUBLE) / 11 + t2 * (CAST(1 AS DOUBLE) / 13 + t2 * (
+            CAST(1 AS DOUBLE) / 15))))))))) AS lnp
+        FROM ${pfx}t2v)"""
+  }
 }

@@ -130,6 +130,46 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weightedReservoir: exactly k, naive-reference parity, weight-monotone, zero-weight-free") {
+    val rows = (1L to 300L).map(i => (i, (i % 17 + 1).toDouble))
+    val df = rows.toDF("k", "w")
+    val got = Sampling.weightedReservoir(df, "k", col("w"), 20)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got.size === 20)
+    // independent recomputation: same hash → inv → LnDet.compute → /w,
+    // top-20 by (key, id) in plain Scala
+    def slotWideRef(k: Long): Long = {
+      val h1 = ((k % 2147483647L + 2147483647L) % 2147483647L + 1L) *
+        2654435761L % 1000003L
+      val h2 = ((k % 2147483629L + 2147483629L) % 2147483629L + 1L) *
+        2246822519L % 999983L
+      h1 * 999983L + h2
+    }
+    val want = rows.map { case (k, w) =>
+      val inv = 999985999950.0 / (slotWideRef(k) + 1L).toDouble
+      (graft.expressions.LnDet.compute(inv) / w, k)
+    }.sorted.take(20).map(_._2).toSet
+    assert(got === want, "selection diverged from the naive A-ES reference")
+    // monotone in weight: boosting a non-selected row's weight far
+    // enough pulls it in; boosting an already-selected row keeps it
+    val out = (rows.map(_._1).toSet -- got).head
+    val boosted = rows.map { case (k, w) =>
+      (k, if (k == out) w * 1e9 else w) }.toDF("k", "w")
+    val got2 = Sampling.weightedReservoir(boosted, "k", col("w"), 20)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got2.contains(out), "raising a weight must not hurt inclusion")
+    // zero/negative weights are never sampled
+    val withZero = rows.map { case (k, w) =>
+      (k, if (k <= 250) 0.0 else w) }.toDF("k", "w")
+    val got3 = Sampling.weightedReservoir(withZero, "k", col("w"), 20)
+      .select("k").collect().map(_.getLong(0))
+    assert(got3.forall(_ > 250) && got3.length === 20)
+    // partition invariance
+    val got4 = Sampling.weightedReservoir(df.repartition(13), "k",
+      col("w"), 20).select("k").collect().map(_.getLong(0)).toSet
+    assert(got4 === got)
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
