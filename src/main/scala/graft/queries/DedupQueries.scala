@@ -1592,8 +1592,89 @@ object DedupQueries {
       ORDER BY scheme"""
     })
 
+  // -- D28: WINNOWING fingerprints + fingerprint-sharing pairs
+  //    (operators.Winnow — the MOSS primitive): per doc, each
+  //    w-window of trigram-shingle hashes contributes its rightmost
+  //    MINIMUM; the deduped selections are a ~2/(w+1)-density
+  //    principled subsample of q22's full inverted index with the
+  //    guarantee that any shared run of ≥ w+n−1 tokens shares a
+  //    fingerprint. Pair generation is the index shape of the family:
+  //    distinct (doc, fp) rows, document-frequency-pruned (df ≤
+  //    WIN_DFMAX — q160's maxDf discipline, the 100 TB path: a
+  //    fingerprint in half the corpus identifies boilerplate, not a
+  //    pair), equi-self-joined on fp, scored by n_shared /
+  //    min(|fp_a|, |fp_b|) (containment on the winnowed sets). Top-50
+  //    by shared count. ------------------------------------------------
+  private val WIN_N = 3
+  private val WIN_W = 4
+  private val WIN_DFMAX = 20
+  private val WIN_TOP = 50
+  private val q235 = Q(
+    "q235_winnow_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val fps = graft.operators.Winnow.fingerprints(
+        t.documents, "doc_id", "text", WIN_N, WIN_W)
+      val docFp = fps.select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint(true) // feeds nfp, the df prune, and both join sides
+      val nfp = docFp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val rare = docFp.join(
+        docFp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= WIN_DFMAX),
+        Seq("fp"))
+      val pairs = rare.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(nfp.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("nfp", "nfp_a")), Seq("doc_a"))
+        .join(broadcast(nfp.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("nfp", "nfp_b")), Seq("doc_b"))
+        .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(WIN_TOP)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("nfp_a"), col("nfp_b"),
+          pround(col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b")).cast("double"), 6)
+            .as("score"))
+        .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+    },
+    Some {
+      val win = graft.operators.Winnow
+      s"""WITH sh0 AS MATERIALIZED (
+        SELECT doc_id, ${TextFns.shingleHashesSql("text", WIN_N)} AS sh
+        FROM documents),
+      fp0 AS MATERIALIZED (
+        SELECT doc_id, unnest(${win.fingerprintsSql("sh", WIN_W)}) AS e
+        FROM sh0 WHERE len(sh) >= $WIN_W),
+      docfp AS MATERIALIZED (
+        SELECT DISTINCT doc_id, e & 2147483647 AS fp FROM fp0),
+      nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        FROM docfp GROUP BY doc_id),
+      rare AS MATERIALIZED (
+        SELECT d.doc_id, d.fp FROM docfp d
+        JOIN (SELECT fp FROM docfp GROUP BY fp
+              HAVING count(*) <= $WIN_DFMAX) r USING (fp)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, n_shared, na.nfp AS nfp_a, nb.nfp AS nfp_b,
+        ${proundSql(
+          "CAST(n_shared AS DOUBLE) / CAST(least(na.nfp, nb.nfp) AS DOUBLE)",
+          6)} AS score
+      FROM (SELECT * FROM pairs
+            ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT $WIN_TOP) p
+      JOIN nfp na ON na.doc_id = p.doc_a
+      JOIN nfp nb ON nb.doc_id = p.doc_b
+      ORDER BY n_shared DESC, doc_a ASC, doc_b ASC"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191, q195, q203)
+      q189, q191, q195, q203, q235)
 }
