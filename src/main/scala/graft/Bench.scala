@@ -52,6 +52,7 @@ object Bench {
     "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q222_kmv_overlap", "q228_cms_frequencies",
+    "q236_countsketch_frequencies",
     "q230_kmv_cardinality",
     "q41_asof_join", "q42_interval_pairs",
     "q43_dedup_clusters", "q57_dedup_clusters_star",

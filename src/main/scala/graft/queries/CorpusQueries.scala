@@ -1495,6 +1495,73 @@ object CorpusQueries {
       ORDER BY p.tf DESC, p.token ASC"""
     })
 
+  // -- C19b: COUNT-SKETCH frequencies — q228's corpus through the
+  //    SIGNED sketch (operators.CountSketch): d=5 rows hash each
+  //    trigram shingle to a bucket AND a ±1 sign; estimates are the
+  //    exact integer median of sign·counter across rows. The row to
+  //    read next to q228: CMS only overcounts (bias +εN), Count-
+  //    Sketch is UNBIASED with two-sided error — the signed_err
+  //    column runs both directions where q228's overcount is always
+  //    ≥ 0, and the same probes measure which regime each key falls
+  //    into. Same scale shape (one d·w-bounded hash agg, mergeable by
+  //    addition). ----------------------------------------------------
+  private val CS_D = 5
+  private val q236 = Q(
+    "q236_countsketch_frequencies",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = t.documents
+        .select(explode(TextFns.shingles(
+          TextFns.tokens(lower(col("text"))), CMS_SHW)).as("token"))
+        .select(col("token"), TextFns.rollingHash(col("token")).as("h"))
+        .localCheckpoint(true)
+      val ctrs = graft.operators.CountSketch
+        .counters(toks.select(col("h")), "h", CS_D, CMS_W)
+      val top = toks.groupBy(col("token"), col("h"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(50)
+      graft.operators.CountSketch.estimate(ctrs, top, "h", CS_D, CMS_W)
+        .select(col("token"), col("tf"), col("cs_est"),
+          (col("cs_est") - col("tf")).as("signed_err"))
+        .orderBy(col("tf").desc, col("token").asc)
+    },
+    Some {
+      val cs = graft.operators.CountSketch
+      val ts = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), CMS_SHW)
+      val hs = TextFns.rollingHashSql("token")
+      val rowsUnion = (0 until CS_D).map { i =>
+        s"SELECT $i AS row, ${cs.bucketSql("h", i, CMS_W)} AS bucket, " +
+          s"${cs.signSql("h", i)} AS sgn FROM toks"
+      }.mkString(" UNION ALL ")
+      val probeUnion = (0 until CS_D).map { i =>
+        s"SELECT token, tf, $i AS row, " +
+          s"${cs.bucketSql("h", i, CMS_W)} AS bucket, " +
+          s"${cs.signSql("h", i)} AS sgn FROM top"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+        SELECT token, $hs AS h
+        FROM (SELECT unnest($ts) AS token FROM documents)),
+      ctrs AS MATERIALIZED (
+        SELECT row, bucket, CAST(sum(sgn) AS BIGINT) AS cnt
+        FROM ($rowsUnion) GROUP BY row, bucket),
+      top AS MATERIALIZED (
+        SELECT token, h, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY token, h
+        ORDER BY tf DESC, token ASC LIMIT 50)
+      SELECT token, tf,
+        CAST((list_sort(list(sgn * cnt)))[${(CS_D + 1) / 2}] AS BIGINT)
+          AS cs_est,
+        CAST((list_sort(list(sgn * cnt)))[${(CS_D + 1) / 2}] - tf AS BIGINT)
+          AS signed_err
+      FROM (
+        SELECT p.token, p.tf, p.sgn, COALESCE(c.cnt, 0) AS cnt
+        FROM ($probeUnion) p
+        LEFT JOIN ctrs c ON c.row = p.row AND c.bucket = p.bucket)
+      GROUP BY token, tf
+      ORDER BY tf DESC, token ASC"""
+    })
+
   // -- C20: KMV cardinality estimation — the other thing q222's
   //    bottom-k sketches buy: per-source distinct-count estimates
   //    from the k-th minimum hash, est = (k−1)·P / kth (uniform hash
@@ -1553,5 +1620,5 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222, q228, q230)
+      q204, q205, q209, q220, q222, q228, q230, q236)
 }
