@@ -62,7 +62,8 @@ object Bench {
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
-    "q204_trigram_kn", "q205_lm_agreement", "q208_mrl_recall",
+    "q204_trigram_kn", "q205_lm_agreement", "q237_kn_perplexity",
+    "q238_zipf_fit", "q208_mrl_recall",
     "q209_ngram_diversity", "q214_nsw_topk", "q215_nsw_recall",
     "q216_graph_vs_ivf", "q218_pca_power", "q219_pca_project",
     "q224_multiprobe_lsh", "q227_hnsw_vs_nsw",

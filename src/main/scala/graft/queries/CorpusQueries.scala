@@ -661,11 +661,16 @@ object CorpusQueries {
   //    law: they broadcast), narrow joins, no corpus reshuffle.
   private val KN_D = 0.75
 
-  /** Per-doc KN trigram surprise: (doc_id, source, n_trigrams,
-    * kn_surprise). Shared by q204 (raw score) and q205 (rank
-    * agreement vs the bigram signal).
+  /** Per-(doc, distinct aligned tuple) KN frame: every count table
+    * joined in, with `cnt` (instances of the tuple in the doc) and
+    * `p` (the raw interpolated-KN trigram probability, a fixed
+    * expression tree over integer-derived doubles — bit-identical
+    * cross-engine; p ∈ (0, 1] because each numerator term is one
+    * non-negative summand of the Σ_w3 = c12 total). Shared by
+    * [[docKnSurprise]] (mean inverse p) and q237 (true cross-entropy
+    * via graft_lndet on 1/p).
     */
-  private def docKnSurprise(t: Tpch) = {
+  private def knInstances(t: Tpch) = {
     val h = t.documents.select(col("doc_id"), col("source"),
       TextFns.shingleHashes(lower(col("text")), 3).as("th"),
       TextFns.shingleHashes(lower(col("text")), 2).as("bh"),
@@ -705,28 +710,46 @@ object CorpusQueries {
       .join(broadcast(c1), "u2")
       .join(broadcast(nc), "u3")
       .crossJoin(broadcast(nbt))
+      .withColumn("p", p)
+  }
+
+  /** Per-doc KN trigram surprise: (doc_id, source, n_trigrams,
+    * kn_surprise) — mean INVERSE KN probability (zero logs). Shared
+    * by q204 (raw score) and q205 (rank agreement vs the bigram
+    * signal).
+    */
+  private def docKnSurprise(t: Tpch) =
+    knInstances(t)
       // 8-decimal pround BEFORE the decimal cast: a pround'd double
       // sits on the 1e-8 grid, so Spark's shortest-repr and DuckDB's
       // binary-value double→decimal roundings agree by construction
       // (the q202 lesson)
       .withColumn("wterm", col("cnt").cast(DecimalType(7, 0)) *
-        pround(lit(1.0) / p, 8).cast(DecimalType(28, 8)))
+        pround(lit(1.0) / col("p"), 8).cast(DecimalType(28, 8)))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n_trigrams"),
         pround(sum(col("wterm")).cast("double") / sum(col("cnt")), 4)
           .as("kn_surprise"))
-  }
 
-  /** DuckDB mirror of docKnSurprise, as a parenthesized subquery. */
-  private val docKnSurpriseSql = {
+  /** The per-instance KN probability as SQL (valid inside the
+    * `tri ⋈ count-tables` join of [[knCtesSql]]).
+    */
+  private val knPSql = {
     val pc = "(CAST(nc.ncont AS DOUBLE) / CAST(nbt.nbt AS DOUBLE))"
     val pl = s"""((greatest(CAST(cb.cb AS DOUBLE) - $KN_D, 0.0)
          + $KN_D * CAST(c1.n1p2 AS DOUBLE) * $pc)
         / CAST(c1.c1 AS DOUBLE))"""
-    val p = s"""((greatest(CAST(c3.c3 AS DOUBLE) - $KN_D, 0.0)
+    s"""((greatest(CAST(c3.c3 AS DOUBLE) - $KN_D, 0.0)
          + $KN_D * CAST(c12.n1p12 AS DOUBLE) * $pl)
         / CAST(c12.c12 AS DOUBLE))"""
-    s"""(WITH h AS (
+  }
+
+  /** The shared KN CTE chain (no WITH prefix): aligned trigram
+    * instances + every count table. Consumers join `tri` against
+    * c3/c12/cb/c1/nc/nbt and score with [[knPSql]].
+    */
+  private val knCtesSql =
+    s"""h AS (
         SELECT doc_id, source,
           ${TextFns.shingleHashesSql("lower(text)", 3)} AS th,
           ${TextFns.shingleHashesSql("lower(text)", 2)} AS bh,
@@ -746,10 +769,14 @@ object CorpusQueries {
       c1 AS (SELECT u2, count(*) AS c1, count(DISTINCT b23) AS n1p2
         FROM tri GROUP BY 1),
       nc AS (SELECT u3, count(DISTINCT b23) AS ncont FROM tri GROUP BY 1),
-      nbt AS (SELECT count(DISTINCT b23) AS nbt FROM tri),
+      nbt AS (SELECT count(DISTINCT b23) AS nbt FROM tri)"""
+
+  /** DuckDB mirror of docKnSurprise, as a parenthesized subquery. */
+  private val docKnSurpriseSql =
+    s"""(WITH $knCtesSql,
       terms AS (
         SELECT t.doc_id, t.source,
-          CAST(${proundSql(s"1.0 / $p", 8)} AS DECIMAL(28,8)) AS term
+          CAST(${proundSql(s"1.0 / $knPSql", 8)} AS DECIMAL(28,8)) AS term
         FROM tri t
         JOIN c3 USING (t3) JOIN c12 USING (b12) JOIN cb USING (b23)
         JOIN c1 USING (u2) JOIN nc USING (u3) CROSS JOIN nbt)
@@ -757,7 +784,6 @@ object CorpusQueries {
         ${proundSql("CAST(sum(term) AS DOUBLE) / count(*)", 4)}
           AS kn_surprise
       FROM terms GROUP BY doc_id, source)"""
-  }
 
   private val q204 = Q(
     "q204_trigram_kn",
@@ -772,6 +798,63 @@ object CorpusQueries {
     Some(s"""SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
         kn_surprise
       FROM $docKnSurpriseSql s
+      ORDER BY doc_id"""))
+
+  // -- C7d: TRUE KN cross-entropy + CCNet perplexity gate — the
+  //    industry-standard quality filter (Wenzek et al. 2020) on its
+  //    actual scale: per-doc cross-entropy H = (1/n)·Σ ln(1/p) in
+  //    nats under the q204 interpolated-KN trigram model, computable
+  //    at oracle parity ONLY because ln is graft_lndet (deterministic
+  //    range-reduction + Horner series — the libm-ulp rule kept q204
+  //    on mean-inverse-p; lnDet removes the constraint). 1/p ≥ 1 by
+  //    construction: each interpolated-KN numerator term is one
+  //    non-negative summand of the Σ_w3 = c12 total, so p ≤ 1. The
+  //    gate is q129's per-source tercile (head/middle kept), now on
+  //    the true CE signal. Per-instance lnDet doubles are pround(8)
+  //    → DECIMAL-summed (order-free) → one rounded division — the
+  //    wterm discipline.
+  private val q237 = Q(
+    "q237_kn_perplexity",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ce = knInstances(t)
+        .withColumn("cterm", col("cnt").cast(DecimalType(7, 0)) *
+          pround(call_function("graft_lndet", lit(1.0) / col("p")), 8)
+            .cast(DecimalType(28, 8)))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("cnt")).cast("long").as("n_trigrams"),
+          pround(sum(col("cterm")).cast("double") / sum(col("cnt")), 4)
+            .as("cross_entropy"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cross_entropy"), col("doc_id"))
+      ce.withColumn("tc", ntile(3).over(w))
+        .select(col("doc_id"), col("source"), col("n_trigrams"),
+          col("cross_entropy"),
+          when(col("tc") === 1, "head").when(col("tc") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          (col("tc") <= 2).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $knCtesSql,
+      inst AS (
+        SELECT t.doc_id, t.source, 1.0 / $knPSql AS invp
+        FROM tri t
+        JOIN c3 USING (t3) JOIN c12 USING (b12) JOIN cb USING (b23)
+        JOIN c1 USING (u2) JOIN nc USING (u3) CROSS JOIN nbt),
+      ${lnDetSqlCtes("kn", "inst", "doc_id, source", "invp")},
+      ce AS (
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_trigrams,
+          ${proundSql(
+            s"""CAST(sum(CAST(${proundSql("lnp", 8)} AS DECIMAL(28,8)))
+              AS DOUBLE) / count(*)""", 4)} AS cross_entropy
+        FROM knlnv GROUP BY doc_id, source)
+      SELECT doc_id, source, n_trigrams, cross_entropy,
+        CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+          AS bucket,
+        CAST(CASE WHEN tc <= 2 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM (SELECT ce.*, ntile(3) OVER (PARTITION BY source
+              ORDER BY cross_entropy, doc_id) AS tc
+            FROM ce)
       ORDER BY doc_id"""))
 
   // -- C7c: bigram-vs-KN rank agreement — q150's Spearman discipline
@@ -830,6 +913,88 @@ object CorpusQueries {
   //    self-repetitive source, the q63 signal aggregated to the mart
   //    level). One exploded scan per n, keyed aggs with map-side
   //    combine; ratios are single exactly-rounded divisions.
+  // -- C21: ZIPF fit per source — the corpus-health diagnostic: OLS
+  //    of ln(tf) on ln(rank) over each source's top-50 tokens gives
+  //    the Zipf exponent (slope ≈ −1 for natural text; a flat slope
+  //    flags templated/duplicated corpora, a cliff flags truncation)
+  //    plus R² for how Zipfian the source actually is. Oracle-exact
+  //    ONLY because both logs are graft_lndet (rank ≥ 1, tf ≥ 1 — in
+  //    domain by construction); per-point x, y, x², xy, y² are fixed
+  //    double products pround(8)-bridged into DECIMAL sums
+  //    (order-free), and the closed-form slope/intercept/R² is pure
+  //    two-operand arithmetic on the exact sums. Scale: per-source
+  //    top-50 is a WindowGroupLimit-pruned rank; the regression
+  //    itself is 50 rows/source.
+  private val ZIPF_TOP = 50
+  private val q238 = Q(
+    "q238_zipf_fit",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tf = t.documents
+        .select(col("source"),
+          explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("tf").desc, col("token").asc)
+      val pts = tf.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= ZIPF_TOP)
+        .select(col("source"),
+          call_function("graft_lndet", col("rank").cast("double")).as("x"),
+          call_function("graft_lndet", col("tf").cast("double")).as("y"))
+      def dsum8(c: org.apache.spark.sql.Column) =
+        sum(pround(c, 8).cast(DecimalType(28, 8))).cast("double")
+      val sums = pts.groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum8(col("x")).as("sx"), dsum8(col("y")).as("sy"),
+          dsum8(col("x") * col("x")).as("sxx"),
+          dsum8(col("x") * col("y")).as("sxy"),
+          dsum8(col("y") * col("y")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("source"), col("n").cast("long").as("n_points"),
+          pround(cov / vx, 6).as("slope"),
+          pround((col("sy") - cov / vx * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          pround(cov * cov / (vx * vy), 6).as("r2"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val cov = "(n * sxy - sx * sy)"
+      val vx = "(n * sxx - sx * sx)"
+      val vy = "(n * syy - sy * sy)"
+      s"""WITH tf AS MATERIALIZED (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT source,
+                unnest(${TextFns.tokensSql("lower(text)")}) AS token
+              FROM documents)
+        GROUP BY source, token),
+      ranked AS (
+        SELECT source, tf, CAST(rank AS DOUBLE) AS rank FROM (
+          SELECT source, tf, row_number() OVER (PARTITION BY source
+              ORDER BY tf DESC, token ASC) AS rank
+          FROM tf) WHERE rank <= $ZIPF_TOP),
+      ${lnDetSqlCtes("zr", "ranked", "source, tf", "rank")},
+      pts0 AS (SELECT source, tf, lnp AS x FROM zrlnv),
+      ${lnDetSqlCtes("zf", "pts0", "source, x", "CAST(tf AS DOUBLE)")},
+      pts AS (SELECT source, x, lnp AS y FROM zflnv),
+      sums AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n,
+          ${ds8("x")} AS sx, ${ds8("y")} AS sy,
+          ${ds8("x * x")} AS sxx, ${ds8("x * y")} AS sxy,
+          ${ds8("y * y")} AS syy
+        FROM pts GROUP BY source)
+      SELECT source, CAST(n AS BIGINT) AS n_points,
+        ${proundSql(s"$cov / $vx", 6)} AS slope,
+        ${proundSql(s"(sy - $cov / $vx * sx) / n", 6)} AS intercept,
+        ${proundSql(s"$cov * $cov / ($vx * $vy)", 6)} AS r2
+      FROM sums
+      ORDER BY source"""
+    })
+
   private val q209 = Q(
     "q209_ngram_diversity",
     (s, dir) => {
@@ -1620,5 +1785,5 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222, q228, q230, q236)
+      q204, q205, q209, q220, q222, q228, q230, q236, q237, q238)
 }
