@@ -49,7 +49,7 @@ object Bench {
     "q105_source_divergence", "q106_moments",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",
-    "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q39_neardup_dedup",
+    "q36_semi_anti", "q83_unpivot", "q38_percentiles", "q239_hist_quantiles", "q39_neardup_dedup",
     "q58_salted_join_agg", "q59_incremental_refresh",
     "q40_approx_sketches", "q222_kmv_overlap", "q228_cms_frequencies",
     "q236_countsketch_frequencies",

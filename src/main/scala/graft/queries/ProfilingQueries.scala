@@ -499,5 +499,108 @@ object ProfilingQueries {
       GROUP BY l.l_returnflag
       ORDER BY l.l_returnflag"""))
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106)
+  // -- P9: histogram-sketch quantiles vs exact — the MERGEABLE
+  //    quantile path for 100 TB (a fixed-bin histogram is one
+  //    B-bounded hash agg, shard histograms fold by addition — where
+  //    exact quantiles need a sort) with its error MEASURED against
+  //    the exact interpolated percentiles on the same rows (the
+  //    q228/q230 sketch-row discipline). Binning is integer-exact on
+  //    price cents; the estimator places rank p·(n−1) uniformly
+  //    within its bin; the exact side is Percentiles.groupedExact
+  //    (quantile_cont semantics, strict-proven by q38/q67). The
+  //    64-row histogram is bounded driver state (the centroid
+  //    discipline), so estimation is plain driver arithmetic replayed
+  //    by the oracle's prefix-sum CTE.
+  private val HQ_B = 64
+  private val HQ_PS = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+  private val q239 = Q(
+    "q239_hist_quantiles",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      // floor(x·100 + 0.5): the portable cents conversion — a bare
+      // cast rounds in DuckDB but truncates in Spark (dialect gotcha)
+      val v = t.lineitem
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+          .as("c"))
+        .localCheckpoint(true) // scanned by stats+hist and the exact sort
+      val st = v.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+        count(lit(1)).as("n")).head()
+      val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val hist = v
+        .select(expr(s"((c - $mn) * $HQ_B) div ($mx - $mn + 1)").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val west = (mx - mn + 1).toDouble / HQ_B
+      val cum = hist.scanLeft(0L)(_ + _._2).init // count before each bin
+      val estRows = HQ_PS.map { p =>
+        val pos = p * (n - 1).toDouble
+        val rank = math.floor(pos).toLong + 1 // 1-based
+        val i = hist.indices.find(i => cum(i) + hist(i)._2 >= rank).get
+        val (b, cnt) = hist(i)
+        val est = mn + (b.toDouble + (pos - cum(i).toDouble) / cnt.toDouble) * west
+        (math.round(p * 100).toInt, est)
+      }
+      val sp = s
+      import sp.implicits._
+      val est = estRows.toDF("pct", "hist_est")
+      val names = HQ_PS.map(p => s"p${math.round(p * 100)}")
+      val exactRow = graft.operators.Percentiles.groupedExact(
+        v.withColumn("g", lit(1)), "g", "c", HQ_PS, names)
+      val exact = exactRow.select(explode(array(
+          HQ_PS.zip(names).map { case (p, nm) =>
+            struct(lit(math.round(p * 100).toInt).as("pct"),
+              col(nm).as("exact_v"))
+          }: _*)).as("e"))
+        .select(col("e.pct").as("pct"), col("e.exact_v").as("exact_v"))
+      est.join(broadcast(exact), Seq("pct"))
+        .select(col("pct"), pround(col("exact_v"), 6).as("exact_v"),
+          pround(col("hist_est"), 6).as("hist_est"),
+          pround(abs(col("hist_est") - col("exact_v")), 6).as("abs_err"),
+          pround(abs(col("hist_est") - col("exact_v")) / col("exact_v"), 8)
+            .as("rel_err"))
+        .orderBy(col("pct"))
+    },
+    Some {
+      val exUnion = HQ_PS.map(p =>
+        s"""SELECT ${math.round(p * 100)} AS pct,
+          quantile_cont(CAST(c AS DOUBLE), $p) AS exact_v FROM v""")
+        .mkString(" UNION ALL ")
+      // CAST each p: a bare 0.25 literal is DECIMAL in DuckDB, and a
+      // decimal pos would diverge from the engine's double arithmetic
+      val psList = HQ_PS.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+      s"""WITH v AS MATERIALIZED (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        FROM lineitem),
+      st AS MATERIALIZED (
+        SELECT min(c) AS mn, max(c) AS mx, CAST(count(*) AS BIGINT) AS n
+        FROM v),
+      hist AS MATERIALIZED (
+        SELECT ((c - mn) * $HQ_B) // (mx - mn + 1) AS b,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM v CROSS JOIN st GROUP BY 1),
+      cum AS (
+        SELECT b, cnt, sum(cnt) OVER (ORDER BY b) - cnt AS cb FROM hist),
+      qs AS (SELECT unnest([$psList]) AS p),
+      sel AS (
+        SELECT p, pos, b, cnt, cb FROM (
+          SELECT q.p, q.p * (st.n - 1) AS pos, c2.b, c2.cnt, c2.cb,
+            row_number() OVER (PARTITION BY q.p ORDER BY c2.b) AS rn
+          FROM qs q CROSS JOIN st
+          JOIN cum c2 ON c2.cb + c2.cnt >= floor(q.p * (st.n - 1)) + 1)
+        WHERE rn = 1),
+      est AS (
+        SELECT CAST(round(p * 100) AS INT) AS pct,
+          mn + (b + (pos - cb) / cnt) * (CAST(mx - mn + 1 AS DOUBLE) / $HQ_B)
+            AS hist_est
+        FROM sel CROSS JOIN st),
+      ex AS ($exUnion)
+      SELECT pct, ${proundSql("exact_v", 6)} AS exact_v,
+        ${proundSql("hist_est", 6)} AS hist_est,
+        ${proundSql("abs(hist_est - exact_v)", 6)} AS abs_err,
+        ${proundSql("abs(hist_est - exact_v) / exact_v", 8)} AS rel_err
+      FROM est JOIN ex USING (pct)
+      ORDER BY pct"""
+    })
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239)
 }
