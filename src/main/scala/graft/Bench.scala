@@ -68,7 +68,7 @@ object Bench {
     "q216_graph_vs_ivf", "q218_pca_power", "q219_pca_project",
     "q224_multiprobe_lsh", "q227_hnsw_vs_nsw",
     "q55_stratified_sample", "q86_weighted_sample", "q113_tempered_sample",
-    "q234_weighted_reservoir",
+    "q234_weighted_reservoir", "q240_stratified_reservoir",
     "q100_pq_encode", "q101_pq_adc_topk", "q117_ivf_pq_topk",
     "q125_ivf_pq_filtered", "q153_ivfpq_residual_topk",
     "q158_pq_recon_profile", "q159_pq_kmeans_ladder", "q231_opq_rung", "q233_hilbert_skipping",

@@ -90,6 +90,25 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedReservoir]] per stratum: exactly k rows per stratum
+    * (when the stratum has that many positive-weight rows), inclusion
+    * ∝ weight within each. The window's rank filter is WindowGroupLimit-
+    * pruned (each map partition keeps its local top-k before the
+    * exchange — [[exactPerStratum]]'s shape), so the shuffle carries
+    * O(P·k) rows per stratum.
+    */
+  def weightedReservoirPerStratum(df: DataFrame, keyCol: String,
+      strataCol: String, weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("es_key").asc, col(keyCol).asc)
+    df.filter(weight > lit(0.0))
+      .withColumn("es_key", esKey(col(keyCol), weight))
+      .withColumn("es_rank", row_number().over(w))
+      .filter(col("es_rank") <= k)
+  }
+
   /** Keep ~num/den of rows, decided by the key hash. */
   def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame =
     df.filter(slot(col(keyCol), den) < num)

@@ -1568,8 +1568,43 @@ object ExtendedRelational {
       ORDER BY doc_id"""
     })
 
+  // -- X31b: per-stratum A-ES — q234's exact-k weighted sample, one
+  //    reservoir PER SOURCE (the production form: balanced corpora
+  //    need per-source budgets, not one global pool). Window rank
+  //    per stratum (WindowGroupLimit-pruned, q80's shape); same
+  //    deterministic −ln(u)/w keys, so the oracle re-derives every
+  //    selection with the lnDet chain.
+  private val WRS_K = 5
+  private val q240 = Q(
+    "q240_stratified_reservoir",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Sampling.weightedReservoirPerStratum(
+          t.documents.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "source", col("n_chars").cast("double"), WRS_K)
+        .select(col("source"), col("es_rank"), col("doc_id"),
+          col("n_chars"), pround(col("es_key"), 6).as("es_key"))
+        .orderBy(col("source"), col("es_rank"))
+    },
+    Some {
+      val sampling = graft.operators.Sampling
+      s"""WITH base AS (
+        SELECT doc_id, source, n_chars,
+          ${sampling.esInvSql("doc_id")} AS inv,
+          CAST(n_chars AS DOUBLE) AS w
+        FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+      ${lnDetSqlCtes("es", "base", "doc_id, source, n_chars, w", "inv")}
+      SELECT source, CAST(es_rank AS INT) AS es_rank, doc_id, n_chars,
+        ${proundSql("lnp / w", 6)} AS es_key
+      FROM (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY lnp / w ASC, doc_id ASC) AS es_rank
+            FROM eslnv)
+      WHERE es_rank <= $WRS_K
+      ORDER BY source, es_rank"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234)
+      q186, q187, q196, q223, q233, q234, q240)
 }

@@ -170,6 +170,25 @@ class SamplingSpec extends SparkSpec {
     assert(got4 === got)
   }
 
+  test("weightedReservoirPerStratum: k per stratum, per-stratum A-ES parity, stable") {
+    val rows = (1L to 240L).map(i => (i, s"s${i % 4}", (i % 13 + 1).toDouble))
+    val df = rows.toDF("k", "g", "w")
+    val got = Sampling.weightedReservoirPerStratum(df, "k", "g", col("w"), 7)
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.groupBy(_._1).forall(_._2.length == 7))
+    // each stratum's selection equals the global operator run on just
+    // that stratum (the per-stratum window IS k independent reservoirs)
+    for (g <- Seq("s0", "s1", "s2", "s3")) {
+      val solo = Sampling.weightedReservoir(df.filter(col("g") === g),
+        "k", col("w"), 7).select("k").collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._1 == g).map(_._2).toSet === solo, s"stratum $g")
+    }
+    val again = Sampling.weightedReservoirPerStratum(df.repartition(11),
+        "k", "g", col("w"), 7)
+      .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and key-consistent") {
     val df = keys(3000)
     val split = Sampling.trainEvalSplit(df, "k", evalPerMille = 200)
