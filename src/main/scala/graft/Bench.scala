@@ -46,6 +46,7 @@ object Bench {
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
+    "q241_benford_audit",
     "q105_source_divergence", "q106_moments",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",

@@ -602,5 +602,85 @@ object ProfilingQueries {
       ORDER BY pct"""
     })
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239)
+  // -- P10: BENFORD first-digit audit — the fraud/corruption screen
+  //    every data-quality suite carries: the leading digit of a
+  //    naturally-spread positive measure should follow
+  //    P(d) = log10(1 + 1/d); a flat or spiked distribution flags
+  //    synthetic, truncated, or hand-edited data. Expected
+  //    frequencies are ln-ratio constants computed ONCE via the
+  //    deterministic lnDet (ln(1+1/d)/ln(10) — nine shared literals,
+  //    engine and oracle interpolate the identical doubles); the
+  //    leading digit itself is integer arithmetic (repeated //10);
+  //    χ² contribution per digit is a fixed two-operand expression
+  //    over exact counts. The verdict row: lineitem prices measure
+  //    χ² ≈ small (dgen prices are spread), a deliberately truncated
+  //    column would spike — the statistic is REPORTED per digit so
+  //    the reader sees where the mass sits.
+  private val q241 = Q(
+    "q241_benford_audit",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      // leading digit of cents: 7 conditional //10 steps cover < 10^8
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      def ld(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        var x = c
+        for (_ <- 1 to 7) x = when(x >= 10, floor(x / 10).cast("long"))
+          .otherwise(x)
+        x
+      }
+      val benford = (1 to 9).map(d =>
+        d -> graft.expressions.LnDet.compute(1.0 + 1.0 / d) /
+          graft.expressions.LnDet.compute(10.0))
+      val expLit = map(benford.flatMap { case (d, p) =>
+        Seq(lit(d), lit(p)) }: _*)
+      val counts = t.lineitem
+        .select(ld(cents).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+      val n = counts.agg(sum(col("obs")).as("n"))
+      counts.crossJoin(broadcast(n))
+        .select(col("digit"), col("obs"),
+          (element_at(expLit, col("digit")) * col("n").cast("double"))
+            .as("expected"))
+        .select(col("digit"), col("obs"),
+          pround(col("expected"), 4).as("expected"),
+          pround((col("obs").cast("double") - col("expected"))
+            * (col("obs").cast("double") - col("expected"))
+            / col("expected"), 6).as("chi2_term"))
+        .orderBy(col("digit"))
+    },
+    Some {
+      val benford = (1 to 9).map(d =>
+        d -> graft.expressions.LnDet.compute(1.0 + 1.0 / d) /
+          graft.expressions.LnDet.compute(10.0))
+      val expCase = benford.map { case (d, p) =>
+        s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
+      val ldSteps = (1 to 7).map(_ =>
+        "CASE WHEN x >= 10 THEN x // 10 ELSE x END AS x")
+      val ldChain = ldSteps.foldLeft(
+        """(SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+          AS x FROM lineitem)""") {
+        (acc, step) => s"(SELECT $step FROM $acc t)"
+      }
+      s"""WITH digits AS MATERIALIZED (
+        SELECT CAST(x AS INT) AS digit FROM $ldChain),
+      counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS obs
+        FROM digits GROUP BY digit),
+      n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
+      SELECT digit, obs,
+        ${proundSql("(CASE digit " + expCase + " END) * CAST(n.n AS DOUBLE)",
+          4)} AS expected,
+        ${proundSql(
+          """(CAST(obs AS DOUBLE)
+              - (CASE digit """ + expCase + """ END) * CAST(n.n AS DOUBLE))
+            * (CAST(obs AS DOUBLE)
+              - (CASE digit """ + expCase + """ END) * CAST(n.n AS DOUBLE))
+            / ((CASE digit """ + expCase + """ END) * CAST(n.n AS DOUBLE))""",
+          6)} AS chi2_term
+      FROM counts CROSS JOIN n
+      ORDER BY digit"""
+    })
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
+    q241)
 }
