@@ -1,0 +1,40 @@
+package graft
+
+/** Engine-wide determinism net: a representative query of every major
+  * shape (scan-agg, window top-N, LSH pair-gen, iterative CC, trained
+  * k-means, driver-loop BPE, IVF probe, packing prefix sums, sketches,
+  * ntile layouts, A-ES sampling, SemDeDup) must produce IDENTICAL
+  * rows under a different `spark.sql.shuffle.partitions` — the knob
+  * that changes every exchange's partitioning and so flushes out any
+  * operator whose result depends on partition boundaries (float
+  * accumulation order, arbitrary ties, first-wins merges).
+  * Per-operator specs pin repartition invariance where it matters
+  * most; this lane covers the composed query surface.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val shapes = Seq(
+    "q01_pricing_summary", "q10_topn_per_group", "q21_exact_dedup",
+    "q24_minhash_lsh_pairs", "q43_dedup_clusters", "q53_ann_ivf_topk",
+    "q64_pack_offsets", "q79_bm25_topk", "q102_kmeans_fit",
+    "q107_bpe_merges", "q128_para_dedup", "q202_semdedup",
+    "q222_kmv_overlap", "q228_cms_frequencies", "q233_hilbert_skipping",
+    "q234_weighted_reservoir", "q238_zipf_fit")
+
+  private def snapshot(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("representative query shapes are shuffle-partition invariant") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = shapes.map(n => n -> snapshot(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      for (n <- shapes)
+        assert(snapshot(n) === base(n),
+          s"$n changed under shuffle.partitions=7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
