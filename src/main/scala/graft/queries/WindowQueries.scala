@@ -413,5 +413,93 @@ object WindowQueries {
       WHERE w_days = $AD_W
       ORDER BY event_type, day"""))
 
-  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178)
+  // -- W10: EWMA anomaly — the O(1)-state exponential-decay twin of
+  //    q178's rolling window (infinite memory, no 7-day buffer — the
+  //    form a streaming monitor actually keeps): per event type,
+  //    ewma_t = α·x_t + (1−α)·ewma_{t−1} and the exponentially
+  //    weighted variance v_t = (1−α)(v_{t−1} + α·dev²), α = 0.25
+  //    (exact in binary — every step is pinned two-operand IEEE).
+  //    The flag dev² > λ²·v_{t−1} (λ = 2) compares bit-identical
+  //    doubles, with a 3-observation warmup. The DAILY table is
+  //    |types|·|days| — bounded by the calendar, so the sequential
+  //    fold is driver math over a grid-bounded collect (the
+  //    Isotonic.calibrate discipline), replayed by the oracle as a
+  //    recursive CTE stepping all types in lockstep (q225's shape).
+  private val EW_A = 0.25
+  private val EW_L2 = 4.0
+  private val EW_WARM = 3
+  private val q242 = Q(
+    "q242_ewma_anomaly",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val rows = daily.toSeq.flatMap { case (tp, rs) =>
+        val series = rs.sortBy(_._2)
+        var ewma = 0.0
+        var v = 0.0
+        series.zipWithIndex.map { case ((_, day, n), i) =>
+          val x = n.toDouble
+          val (dev, flag) =
+            if (i == 0) (0.0, 0)
+            else {
+              val d = x - ewma
+              (d, if (i >= EW_WARM && d * d > EW_L2 * v) 1 else 0)
+            }
+          if (i == 0) { ewma = x; v = 0.0 }
+          else {
+            val d = x - ewma
+            val e2 = EW_A * x + (1.0 - EW_A) * ewma
+            v = (1.0 - EW_A) * (v + EW_A * (d * d))
+            ewma = e2
+          }
+          (tp, day, n, ewma, dev, flag)
+        }
+      }
+      rows.toDF("event_type", "day", "n", "ewma_raw", "dev_raw", "is_anomaly")
+        .select(col("event_type"), col("day"), col("n"),
+          pround(col("ewma_raw"), 6).as("ewma"),
+          pround(col("dev_raw"), 6).as("dev"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          row_number() OVER (PARTITION BY event_type ORDER BY
+            epoch_us(ts) // 86400000000) AS seq
+        FROM events GROUP BY 1, 2),
+      rec(event_type, seq, day, n, ewma, v, dev, flag) AS (
+        SELECT event_type, seq, day, n, CAST(n AS DOUBLE),
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), 0
+        FROM daily WHERE seq = 1
+        UNION ALL
+        SELECT d.event_type, d.seq, d.day, d.n,
+          $EW_A * CAST(d.n AS DOUBLE) + ${1.0 - EW_A} * r.ewma,
+          ${1.0 - EW_A} * (r.v + $EW_A
+            * ((CAST(d.n AS DOUBLE) - r.ewma)
+               * (CAST(d.n AS DOUBLE) - r.ewma))),
+          CAST(d.n AS DOUBLE) - r.ewma,
+          CASE WHEN d.seq - 1 >= $EW_WARM
+            AND (CAST(d.n AS DOUBLE) - r.ewma)
+              * (CAST(d.n AS DOUBLE) - r.ewma) > $EW_L2 * r.v
+            THEN 1 ELSE 0 END
+        FROM rec r JOIN daily d
+          ON d.event_type = r.event_type AND d.seq = r.seq + 1
+      )
+      SELECT event_type, day, n,
+        ${proundSql("ewma", 6)} AS ewma,
+        ${proundSql("dev", 6)} AS dev,
+        CAST(flag AS INT) AS is_anomaly
+      FROM rec
+      ORDER BY event_type, day"""))
+
+  val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178,
+    q242)
 }
