@@ -92,6 +92,7 @@ object Bench {
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q122_jsonl_roundtrip", "q130_warc_roundtrip", "q131_orc_roundtrip",
+    "q243_avro_roundtrip",
     "q220_zip_webdataset",
     "q128_para_dedup", "q129_ccnet_buckets",
     "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",

@@ -1140,6 +1140,70 @@ object CorpusQueries {
       GROUP BY source
       ORDER BY source"""))
 
+  /** The interchange-identity oracle shared by every lossless
+    * round-trip row (q131 ORC, q243 Avro): aggregates the UNTOUCHED
+    * parquet sources with the same text rolling-hash and
+    * position-weighted 2^-24 embedding checksums the engine computes
+    * over the round-tripped frames.
+    */
+  private val interchangeChecksumSql =
+    s"""WITH d AS (
+        SELECT 'doc:' || lang AS key, count(*) AS n_rows,
+          CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
+            AS checksum,
+          min(doc_id) AS lo, max(doc_id) AS hi
+        FROM documents GROUP BY lang),
+      v AS (
+        SELECT 'vec:' || label AS key, count(*) AS n_rows,
+          CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1,
+                CAST(len(embedding) AS BIGINT)),
+              i -> i * CAST(floor(CAST(embedding[i] AS DOUBLE)
+                * 16777216.0) AS BIGINT))),
+            (x, y) -> x + y)) AS BIGINT) AS checksum,
+          min(vec_id) AS lo, max(vec_id) AS hi
+        FROM embeddings GROUP BY label)
+      SELECT * FROM d UNION ALL SELECT * FROM v
+      ORDER BY key"""
+
+  // -- C12b: AVRO container interchange (core.AvroTable) — the
+  //    row-oriented sibling of q131: documents AND embeddings written
+  //    as deflate Avro Object Container Files through the avro-java
+  //    API (Spark 4 ships no spark-avro DataSource; avro core is
+  //    already on every Spark classpath) and read back under explicit
+  //    schemas; same identity checksums as q131, so a hash match
+  //    proves the string AND nested-float-array paths are lossless
+  //    through the third interchange format. ------------------------
+  private val q243 = Q(
+    "q243_avro_roundtrip",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_avro_q243").toString
+      val docs = graft.core.AvroTable.roundTrip(t.documents,
+        s"$tmp/documents")
+      val vecs = graft.core.AvroTable.roundTrip(t.embeddings,
+        s"$tmp/embeddings")
+      val dAgg = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(TextFns.rollingHash(col("text"))).as("checksum"),
+          min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .select(concat(lit("doc:"), col("lang")).as("key"),
+          col("n_rows"), col("checksum"), col("lo"), col("hi"))
+      val vecHash = aggregate(
+        transform(col("embedding"), (x, i) =>
+          (i + 1).cast("long") *
+            floor(x.cast("double") * lit(16777216.0)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val vAgg = vecs.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"), sum(vecHash).as("checksum"),
+          min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+        .select(concat(lit("vec:"), col("label")).as("key"),
+          col("n_rows"), col("checksum"), col("lo"), col("hi"))
+      dAgg.unionByName(vAgg).orderBy(col("key"))
+    },
+    Some(interchangeChecksumSql))
+
   // -- C12: ORC columnar interchange (core.OrcTable) — documents AND
   //    embeddings are written as zlib ORC and read back under explicit
   //    schemas; the oracle aggregates the UNTOUCHED parquet sources.
@@ -1175,24 +1239,7 @@ object CorpusQueries {
           col("n_rows"), col("checksum"), col("lo"), col("hi"))
       dAgg.unionByName(vAgg).orderBy(col("key"))
     },
-    Some(s"""WITH d AS (
-        SELECT 'doc:' || lang AS key, count(*) AS n_rows,
-          CAST(sum(${TextFns.rollingHashSql("text")}) AS BIGINT)
-            AS checksum,
-          min(doc_id) AS lo, max(doc_id) AS hi
-        FROM documents GROUP BY lang),
-      v AS (
-        SELECT 'vec:' || label AS key, count(*) AS n_rows,
-          CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(generate_series(1,
-                CAST(len(embedding) AS BIGINT)),
-              i -> i * CAST(floor(CAST(embedding[i] AS DOUBLE)
-                * 16777216.0) AS BIGINT))),
-            (x, y) -> x + y)) AS BIGINT) AS checksum,
-          min(vec_id) AS lo, max(vec_id) AS hi
-        FROM embeddings GROUP BY label)
-      SELECT * FROM d UNION ALL SELECT * FROM v
-      ORDER BY key"""))
+    Some(interchangeChecksumSql))
 
   // -- C13: domain-level reputation stats (UrlFns.hostOf) — the
   //    RefinedWeb-style curation gate that runs at HOST granularity,
@@ -1785,5 +1832,5 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222, q228, q230, q236, q237, q238)
+      q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243)
 }
