@@ -33,7 +33,7 @@ object Bench {
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q112_cross_dedup", "q115_lsh_recall", "q160_containment_pairs",
-    "q235_winnow_pairs",
+    "q235_winnow_pairs", "q244_lsh_tuning",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q114_filtered_ann",
     "q109_hard_negatives",

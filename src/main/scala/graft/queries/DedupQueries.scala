@@ -1673,8 +1673,140 @@ object DedupQueries {
       ORDER BY n_shared DESC, doc_a ASC, doc_b ASC"""
     })
 
+  // -- D29: LSH banding TUNER — pick (bands, rows) for a 64-hash
+  //    MinHash signature by integrating the S-curve
+  //    p(s) = 1 − (1 − s^r)^b against the CORPUS'S OWN empirical
+  //    Jaccard distribution (MMDS §3.4, made data-driven): exact
+  //    trigram-set Jaccard over a deterministic doc sample
+  //    (inverted-index pair gen, never all-pairs), 20-bin histogram,
+  //    expected false-positive mass below τ = 0.5 and false-negative
+  //    mass above it per divisor pair of 64. Every power is a
+  //    FIXED-ORDER multiplication fold (no libm pow), per-bin
+  //    contributions pround(8)→DECIMAL-summed, argmin on the exact
+  //    sums (tie → fewer bands). The histogram is 20 bounded rows —
+  //    driver math (the Isotonic discipline) replayed by the oracle's
+  //    candidate × bin join.
+  private val LT_SMOD = 3
+  private val LT_BINS = 20
+  private val LT_TAU = 0.5
+  private val LT_CANDS = Seq((1, 64), (2, 32), (4, 16), (8, 8), (16, 4),
+    (32, 2), (64, 1))
+  private val q244 = Q(
+    "q244_lsh_tuning",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val docs = t.documents.filter(col("doc_id") % LT_SMOD === 0)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shingleHashes(lower(col("text")), 3))
+            .as("sh"))
+        .localCheckpoint(true)
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      val idx = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+      val inter = idx.select(col("h"), col("doc_id").as("a"))
+        .join(idx.select(col("h"), col("doc_id").as("b")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      val bins = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("n", "na")), Seq("a"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("n", "nb")), Seq("b"))
+        .select((col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
+        .select(least(floor(col("j") * LT_BINS).cast("int"),
+          lit(LT_BINS - 1)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      def powFold(x: Double, n: Int): Double =
+        (1 to n).foldLeft(1.0)((a, _) => a * x)
+      def p8(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(math.floor(x * 1e8 + 0.5) / 1e8)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+      val rows = LT_CANDS.map { case (b, r) =>
+        var fp = java.math.BigDecimal.ZERO
+        var fn = java.math.BigDecimal.ZERO
+        bins.foreach { case (bin, cnt) =>
+          val smid = (bin.toDouble + 0.5) / LT_BINS
+          val p = 1.0 - powFold(1.0 - powFold(smid, r), b)
+          if (smid < LT_TAU) fp = fp.add(p8(cnt.toDouble * p))
+          else fn = fn.add(p8(cnt.toDouble * (1.0 - p)))
+        }
+        // the argmin compares DOUBLE(fp) + DOUBLE(fn) — the same two
+        // casts + one add the oracle's ORDER BY executes
+        (b, r, fp.doubleValue, fn.doubleValue,
+          fp.doubleValue + fn.doubleValue)
+      }
+      val best = rows.minBy { case (b, _, _, _, e) => (e, b) }
+      rows.map { case (b, r, fp, fn, e) =>
+        (b, r, fp, fn, e, if (e == best._5 && b == best._1) 1 else 0)
+      }.toDF("bands", "rows_per_band", "fp_exp", "fn_exp", "err",
+          "selected")
+        .select(col("bands"), col("rows_per_band"),
+          pround(col("fp_exp"), 6).as("fp_exp"),
+          pround(col("fn_exp"), 6).as("fn_exp"),
+          pround(col("err"), 6).as("err"), col("selected"))
+        .orderBy(col("bands"))
+    },
+    Some {
+      val cands = LT_CANDS.map { case (b, r) => s"($b, $r)" }
+        .mkString(", ")
+      def fold(x: String, n: String) =
+        s"""list_reduce(list_prepend(CAST(1 AS DOUBLE),
+          list_transform(generate_series(1, $n), zz -> $x)),
+          (aa, bb) -> aa * bb)"""
+      val smid = s"(CAST(bin AS DOUBLE) + 0.5) / $LT_BINS"
+      val p = s"1 - ${fold(s"1 - ${fold("smid", "r")}", "b")}"
+      s"""WITH docs AS MATERIALIZED (
+        SELECT doc_id,
+          list_distinct(${TextFns.shingleHashesSql("lower(text)", 3)})
+            AS sh
+        FROM documents WHERE doc_id % $LT_SMOD = 0),
+      sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+      idx AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+      inter AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      bins AS MATERIALIZED (
+        SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT least(CAST(floor(
+            (CAST(i.inter AS DOUBLE)
+              / (sa.n + sb.n - i.inter)) * $LT_BINS) AS INT),
+            ${LT_BINS - 1}) AS bin
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.a
+          JOIN sizes sb ON sb.doc_id = i.b)
+        GROUP BY bin),
+      cands(b, r) AS (VALUES $cands),
+      contrib AS (
+        SELECT c.b, c.r, smid, cnt,
+          CAST($p AS DOUBLE) AS p
+        FROM cands c CROSS JOIN
+          (SELECT bin, cnt, $smid AS smid FROM bins) x),
+      sums AS (
+        SELECT b, r,
+          CAST(sum(CASE WHEN smid < $LT_TAU THEN
+            CAST(${proundSql("cnt * p", 8)} AS DECIMAL(28,8))
+            ELSE 0 END) AS DOUBLE) AS fp_exp,
+          CAST(sum(CASE WHEN smid >= $LT_TAU THEN
+            CAST(${proundSql("cnt * (1 - p)", 8)} AS DECIMAL(28,8))
+            ELSE 0 END) AS DOUBLE) AS fn_exp
+        FROM contrib GROUP BY b, r)
+      SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+        ${proundSql("fp_exp", 6)} AS fp_exp,
+        ${proundSql("fn_exp", 6)} AS fn_exp,
+        ${proundSql("fp_exp + fn_exp", 6)} AS err,
+        CAST(CASE WHEN row_number() OVER (
+            ORDER BY fp_exp + fn_exp, b) = 1 THEN 1 ELSE 0 END AS INT)
+          AS selected
+      FROM sums
+      ORDER BY bands"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191, q195, q203, q235)
+      q189, q191, q195, q203, q235, q244)
 }
