@@ -620,14 +620,15 @@ object ProfilingQueries {
     "q241_benford_audit",
     (s, dir) => {
       val t = Tpch(s, dir)
-      // leading digit of cents: 7 conditional //10 steps cover < 10^8
+      // leading digit = first char of the decimal rendering (integers
+      // print identically in both engines). NOT a nested when-chain of
+      // conditional divisions: each when level TRIPLES the expression
+      // tree (condition + both branches repeat the child), and the
+      // 7-level version measured ~3.2 s of pure Catalyst driver time
+      // per run — the q241 lesson on expression-tree blowup.
       val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      def ld(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        var x = c
-        for (_ <- 1 to 7) x = when(x >= 10, floor(x / 10).cast("long"))
-          .otherwise(x)
-        x
-      }
+      def ld(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        substring(c.cast("string"), 1, 1)
       val benford = (1 to 9).map(d =>
         d -> graft.expressions.LnDet.compute(1.0 + 1.0 / d) /
           graft.expressions.LnDet.compute(10.0))
@@ -654,15 +655,10 @@ object ProfilingQueries {
           graft.expressions.LnDet.compute(10.0))
       val expCase = benford.map { case (d, p) =>
         s"WHEN $d THEN CAST($p AS DOUBLE)" }.mkString(" ")
-      val ldSteps = (1 to 7).map(_ =>
-        "CASE WHEN x >= 10 THEN x // 10 ELSE x END AS x")
-      val ldChain = ldSteps.foldLeft(
-        """(SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-          AS x FROM lineitem)""") {
-        (acc, step) => s"(SELECT $step FROM $acc t)"
-      }
       s"""WITH digits AS MATERIALIZED (
-        SELECT CAST(x AS INT) AS digit FROM $ldChain),
+        SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              AS x FROM lineitem)),
       counts AS (
         SELECT digit, CAST(count(*) AS BIGINT) AS obs
         FROM digits GROUP BY digit),
