@@ -677,6 +677,54 @@ object ProfilingQueries {
       ORDER BY digit"""
     })
 
+  // -- P11: k-anonymity / l-diversity release audit
+  //    ([[graft.operators.Privacy]]) — the privacy gate a training-
+  //    data release runs before shipping rows that carry demographic
+  //    quasi-identifiers. Records = orders × customer; QI =
+  //    (nation, market segment, order year) — attributes an adversary
+  //    can cross-reference; sensitive = order priority. Per nation:
+  //    the k the release actually achieves (min class size), the l of
+  //    the sensitive column, and how much record mass sits in classes
+  //    below the k=5 release threshold. Two hash aggregations, no
+  //    driver state — the 100 TB shape is identical.
+  private val ANON_K = 5L
+  private val q245 = Q(
+    "q245_k_anonymity",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val recs = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      graft.operators.Privacy.kAnonymityAudit(recs,
+          Seq("c_nationkey", "c_mktsegment", "o_year"),
+          "o_orderpriority", ANON_K, Seq("c_nationkey"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some(s"""WITH recs AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+          year(o.o_orderdate) AS o_year, o.o_orderpriority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      classes AS (
+        SELECT c_nationkey, c_mktsegment, o_year,
+          CAST(count(*) AS BIGINT) AS class_size,
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS class_l
+        FROM recs GROUP BY 1, 2, 3)
+      SELECT c_nationkey,
+        CAST(sum(class_size) AS BIGINT) AS n_records,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        CAST(min(class_l) AS BIGINT) AS l_diversity,
+        CAST(sum(CASE WHEN class_size < $ANON_K THEN class_size
+          ELSE 0 END) AS BIGINT) AS n_risky_records,
+        ${proundSql(
+          s"""CAST(sum(CASE WHEN class_size < $ANON_K THEN class_size
+            ELSE 0 END) AS DOUBLE) / CAST(sum(class_size) AS DOUBLE)""",
+          6)} AS pct_risky
+      FROM classes
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241)
+    q241, q245)
 }
