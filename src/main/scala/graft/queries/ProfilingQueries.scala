@@ -725,6 +725,71 @@ object ProfilingQueries {
       GROUP BY c_nationkey
       ORDER BY c_nationkey"""))
 
+  // -- P12: exact ROC-AUC scorer audit ([[graft.operators.RocAuc]]) —
+  //    before a quality gate's threshold is trusted, its score must be
+  //    shown to DISCRIMINATE: AUC is the probability a random positive
+  //    outranks a random negative. Two candidate scorers over the
+  //    embeddings corpus (first component, squared norm) are ranked
+  //    against the label<5 class in one scan (explode to long form) +
+  //    the operator's integral Mann-Whitney: every intermediate is a
+  //    BIGINT, one double division at the end, so the audit is
+  //    bit-exact at any scale and any partitioning.
+  private def norm2Sql(v: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       | list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       | (x, y) -> x + y)""".stripMargin
+  private val q246 = Q(
+    "q246_score_auc",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val scored = t.embeddings.select(
+          (col("label") < 5).as("pos"),
+          explode(array(
+            struct(lit("component_1").as("scorer"),
+              element_at(col("embedding"), 1).cast("double").as("score")),
+            struct(lit("squared_norm").as("scorer"),
+              graft.operators.Similarity.norm2(col("embedding"))
+                .as("score")))).as("sc"))
+        .select(col("sc.scorer").as("scorer"), col("sc.score").as("score"),
+          col("pos"))
+      graft.operators.RocAuc.auc(scored, "scorer", "score", "pos")
+        .select(col("scorer"), col("n_pos"), col("n_neg"), col("n_ties"),
+          pround(col("auc"), 6).as("auc"))
+        .orderBy(col("scorer"))
+    },
+    Some(s"""WITH base AS (
+        SELECT label < 5 AS pos,
+          CAST(embedding[1] AS DOUBLE) AS component_1,
+          ${norm2Sql("embedding")} AS squared_norm
+        FROM embeddings),
+      scored AS (
+        SELECT 'component_1' AS scorer, component_1 AS score, pos FROM base
+        UNION ALL
+        SELECT 'squared_norm', squared_norm, pos FROM base),
+      vals AS (
+        SELECT scorer, score AS sv, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+        FROM scored GROUP BY 1, 2),
+      ranked AS (
+        SELECT scorer, c, c_pos,
+          coalesce(sum(c) OVER (PARTITION BY scorer ORDER BY sv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM vals),
+      agg AS (
+        SELECT scorer,
+          CAST(sum(c_pos) AS BIGINT) AS n_pos,
+          CAST(sum(c - c_pos) AS BIGINT) AS n_neg,
+          CAST(sum(CASE WHEN c_pos > 0 AND c_pos < c THEN c ELSE 0 END)
+            AS BIGINT) AS n_ties,
+          CAST(sum(c_pos * (2 * below + c + 1)) AS BIGINT) AS num2
+        FROM ranked GROUP BY scorer)
+      SELECT scorer, n_pos, n_neg, n_ties,
+        ${proundSql(
+          """CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE)""", 6)} AS auc
+      FROM agg
+      ORDER BY scorer"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245)
+    q241, q245, q246)
 }
