@@ -1603,8 +1603,125 @@ object ExtendedRelational {
       ORDER BY source, es_rank"""
     })
 
+  // -- X31: BLOOM-FILTER file skipping ([[graft.operators.BloomSkip]])
+  //    — the point-lookup complement to q223/q233's zone maps: the
+  //    layout key is l_orderkey (range slabs), so every file's
+  //    [min,max] on l_partkey straddles any probe and min/max prunes
+  //    NOTHING; a per-file Bloom over l_partkey prunes by content.
+  //    Measured on both probe classes: keys that exist (pass ⊇ their
+  //    true files — the no-false-negative contract, visible as
+  //    pairs_fp = pass − true ≥ 0) and keys guaranteed absent (every
+  //    pass is a false positive — the pure fp-rate measurement).
+  //    All hashing is fixed-constant BIGINT arithmetic mod 1e9+7, so
+  //    filter contents and every skip decision replay exactly in SQL.
+  private val BF_FILES = 64
+  private val BF_M = 32768
+  private val BF_K = 3
+  private val q247 = Q(
+    "q247_bloom_skipping",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      val bd = li.agg(max(col("l_orderkey")).as("mo"),
+        max(col("l_partkey")).as("mp"))
+      val fileKeys = li.crossJoin(broadcast(bd))
+        .withColumn("f", expr(s"(l_orderkey * $BF_FILES) div (mo + 1)"))
+        .select(col("f"), col("l_partkey"))
+        .distinct()
+      val fbits = graft.operators.BloomSkip.fileBits(
+        fileKeys, "f", "l_partkey", BF_M, BF_K)
+      val present = li.select(col("l_partkey").as("probe")).distinct()
+        .filter(col("probe") % 83 === 7)
+        .withColumn("cls", lit("present"))
+      val absent = bd
+        .select(explode(sequence(col("mp") + 1, col("mp") + 24)).as("probe"))
+        .withColumn("cls", lit("absent"))
+      val probes = present.unionByName(absent)
+      val pass = graft.operators.BloomSkip.probePass(
+        fbits, probes, BF_M, BF_K)
+      val aggP = probes.groupBy(col("cls")).agg(count(lit(1)).as("n_probes"))
+      val aggPass = pass.groupBy(col("cls")).agg(count(lit(1)).as("pairs_pass"))
+      val aggTrue = probes
+        .join(fileKeys, probes("probe") === fileKeys("l_partkey"))
+        .groupBy(col("cls")).agg(count(lit(1)).as("pairs_true"))
+      val nf = fileKeys.agg(countDistinct(col("f")).as("n_files"))
+      aggP.join(aggPass, Seq("cls"), "left").join(aggTrue, Seq("cls"), "left")
+        .crossJoin(broadcast(nf))
+        .select(col("cls"), col("n_probes"), col("n_files"),
+          (col("n_probes") * col("n_files")).as("pairs_total"),
+          coalesce(col("pairs_pass"), lit(0L)).as("pairs_pass"),
+          coalesce(col("pairs_true"), lit(0L)).as("pairs_true"))
+        .withColumn("pairs_fp", col("pairs_pass") - col("pairs_true"))
+        .withColumn("skip_frac", pround(lit(1.0)
+          - col("pairs_pass").cast("double")
+            / col("pairs_total").cast("double"), 6))
+        .withColumn("fp_rate", pround(col("pairs_fp").cast("double")
+          / (col("pairs_total") - col("pairs_true")).cast("double"), 6))
+        .orderBy(col("cls"))
+    },
+    Some {
+      val P = 1000000007L
+      def h1(x: String) = s"((($x % $P) * 2654435761) % $P) % $BF_M"
+      def h2(x: String) =
+        s"((($x % $P) * 40503 + 2147483647) % $P) % ${BF_M - 1} + 1"
+      s"""WITH bd AS MATERIALIZED (
+        SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem),
+      filekeys AS MATERIALIZED (
+        SELECT DISTINCT (l_orderkey * $BF_FILES) // (mo + 1) AS f, l_partkey
+        FROM lineitem CROSS JOIN bd),
+      fbits AS MATERIALIZED (
+        SELECT DISTINCT f, (h1 + i * h2) % $BF_M AS bit
+        FROM (SELECT f, ${h1("l_partkey")} AS h1, ${h2("l_partkey")} AS h2
+              FROM filekeys)
+        CROSS JOIN (SELECT unnest(generate_series(0, ${BF_K - 1})) AS i) t),
+      probes AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS probe, 'present' AS cls
+        FROM lineitem WHERE l_partkey % 83 = 7
+        UNION ALL
+        SELECT unnest(generate_series(mp + 1, mp + 24)) AS probe, 'absent'
+        FROM bd),
+      pbl AS (
+        SELECT cls, probe,
+          list_distinct(list_transform(generate_series(0, ${BF_K - 1}),
+            i -> (${h1("probe")} + i * (${h2("probe")})) % $BF_M)) AS bl
+        FROM probes),
+      pbits AS (
+        SELECT cls, probe, len(bl) AS nb, unnest(bl) AS bit FROM pbl),
+      pass AS (
+        SELECT cls, probe, f
+        FROM pbits pb JOIN fbits fb USING (bit)
+        GROUP BY cls, probe, f, nb
+        HAVING count(*) = nb),
+      aggp AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_probes
+        FROM probes GROUP BY cls),
+      aggpass AS (SELECT cls, CAST(count(*) AS BIGINT) AS pairs_pass
+        FROM pass GROUP BY cls),
+      aggtrue AS (SELECT cls, CAST(count(*) AS BIGINT) AS pairs_true
+        FROM probes p JOIN filekeys fk ON p.probe = fk.l_partkey
+        GROUP BY cls),
+      nf AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_files
+        FROM filekeys)
+      SELECT cls, n_probes, n_files,
+        n_probes * n_files AS pairs_total,
+        coalesce(pairs_pass, 0) AS pairs_pass,
+        coalesce(pairs_true, 0) AS pairs_true,
+        coalesce(pairs_pass, 0) - coalesce(pairs_true, 0) AS pairs_fp,
+        ${proundSql(
+          """1.0 - CAST(coalesce(pairs_pass, 0) AS DOUBLE)
+             / CAST(n_probes * n_files AS DOUBLE)""", 6)} AS skip_frac,
+        ${proundSql(
+          """CAST(coalesce(pairs_pass, 0) - coalesce(pairs_true, 0) AS DOUBLE)
+             / CAST(n_probes * n_files - coalesce(pairs_true, 0) AS DOUBLE)""",
+          6)} AS fp_rate
+      FROM aggp
+      LEFT JOIN aggpass USING (cls)
+      LEFT JOIN aggtrue USING (cls)
+      CROSS JOIN nf
+      ORDER BY cls"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234, q240)
+      q186, q187, q196, q223, q233, q234, q240, q247)
 }
