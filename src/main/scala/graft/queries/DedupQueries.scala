@@ -1805,8 +1805,105 @@ object DedupQueries {
       ORDER BY bands"""
     })
 
+  // -- D30: Fellegi-Sunter record linkage ([[graft.operators
+  //    .RecordLinkage]]) — probabilistic entity resolution between two
+  //    keyless registries (here: the even- and odd-id halves of the
+  //    corpus, blocked on (lang, token-count slab) — an equi-join,
+  //    never all-pairs). Three compared fields, each pure integer
+  //    arithmetic: char-length proximity, first-8-token fingerprint
+  //    equality (rolling hash), and token-set Jaccard ≥ 1/2 via the
+  //    integral identity 3·|A∩B| ≥ |A|+|B|. Scores are exact BIGINT
+  //    micro-log-odds (StrictMath.log literals shared with the
+  //    oracle); the match / possible / nonmatch bands are the two-
+  //    threshold FS decision rule. Per-lang report with the average
+  //    score recovered by one final double division.
+  private val RL_FIELDS = Seq(
+    graft.operators.RecordLinkage.FieldWeights("f_len", m = 0.95, u = 0.10),
+    graft.operators.RecordLinkage.FieldWeights("f_prefix", m = 0.80, u = 0.01),
+    graft.operators.RecordLinkage.FieldWeights("f_jacc", m = 0.90, u = 0.02))
+  private val RL_UP = 4000000L   // ≥ +4.0 log-odds → match
+  private val RL_LO = -3000000L  // ≤ −3.0 log-odds → nonmatch
+  private val q248 = Q(
+    "q248_record_linkage",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = TextFns.tokens(col("text"))
+      val side = t.documents.select(
+          col("doc_id"), col("lang"),
+          length(col("text")).as("llen"),
+          TextFns.rollingHash(concat_ws(" ", slice(toks, 1, 8))).as("pfp"),
+          array_distinct(TextFns.shingleHashes(col("text"), 1)).as("hset"),
+          expr("size(split(trim(text), '\\\\s+')) div 20").as("blk"))
+      val pairs = side.filter(col("doc_id") % 2 === 0).as("a")
+        .join(side.filter(col("doc_id") % 2 === 1).as("b"),
+          col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk"))
+        .select(col("a.lang").as("lang"),
+          (abs(col("a.llen") - col("b.llen")) <= 10).as("f_len"),
+          (col("a.pfp") === col("b.pfp")).as("f_prefix"),
+          (lit(3) * size(array_intersect(col("a.hset"), col("b.hset")))
+            >= size(col("a.hset")) + size(col("b.hset"))).as("f_jacc"))
+      val scored = graft.operators.RecordLinkage.classify(
+        graft.operators.RecordLinkage.score(pairs, RL_FIELDS), RL_UP, RL_LO)
+      scored.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum((col("decision") === "match").cast("long")).as("n_match"),
+          sum((col("decision") === "possible").cast("long")).as("n_possible"),
+          sum((col("decision") === "nonmatch").cast("long")).as("n_nonmatch"),
+          sum(col("score6")).as("sum6"),
+          max(col("score6")).as("max6"))
+        .select(col("lang"), col("n_pairs"), col("n_match"),
+          col("n_possible"), col("n_nonmatch"),
+          pround(col("sum6").cast("double") / lit(1e6)
+            / col("n_pairs").cast("double"), 6).as("avg_score"),
+          pround(col("max6").cast("double") / lit(1e6), 6).as("max_score"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val scoreSql = graft.operators.RecordLinkage.scoreSql(RL_FIELDS)
+      s"""WITH side AS MATERIALIZED (
+        SELECT doc_id, lang, len(text) AS llen,
+          ${TextFns.rollingHashSql(
+            s"array_to_string(list_slice(${TextFns.tokensSql("text")}, 1, 8), ' ')")}
+            AS pfp,
+          list_distinct(${shingleHashesSql("text", 1)}) AS hset,
+          len(${TextFns.tokensSql("text")}) // 20 AS blk
+        FROM documents),
+      pairs AS (
+        SELECT a.lang,
+          abs(a.llen - b.llen) <= 10 AS f_len,
+          a.pfp = b.pfp AS f_prefix,
+          3 * len(list_intersect(a.hset, b.hset))
+            >= len(a.hset) + len(b.hset) AS f_jacc
+        FROM side a JOIN side b
+          ON a.lang = b.lang AND a.blk = b.blk
+          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      scored AS (
+        SELECT lang, $scoreSql AS score6,
+          CASE WHEN $scoreSql >= $RL_UP THEN 'match'
+               WHEN $scoreSql <= $RL_LO THEN 'nonmatch'
+               ELSE 'possible' END AS decision
+        FROM pairs)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_match,
+        CAST(sum(CASE WHEN decision = 'possible' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_possible,
+        CAST(sum(CASE WHEN decision = 'nonmatch' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nonmatch,
+        ${proundSql(
+          """CAST(sum(score6) AS DOUBLE) / 1000000.0
+             / CAST(count(*) AS DOUBLE)""", 6)} AS avg_score,
+        ${proundSql("CAST(max(score6) AS DOUBLE) / 1000000.0", 6)}
+          AS max_score
+      FROM scored
+      GROUP BY lang
+      ORDER BY lang"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191, q195, q203, q235, q244)
+      q189, q191, q195, q203, q235, q244, q248)
 }
