@@ -33,7 +33,7 @@ object Bench {
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q112_cross_dedup", "q115_lsh_recall", "q160_containment_pairs",
-    "q235_winnow_pairs", "q244_lsh_tuning",
+    "q235_winnow_pairs", "q244_lsh_tuning", "q248_record_linkage",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q114_filtered_ann",
     "q109_hard_negatives",
@@ -46,7 +46,7 @@ object Bench {
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
-    "q241_benford_audit",
+    "q241_benford_audit", "q245_k_anonymity", "q246_score_auc",
     "q105_source_divergence", "q106_moments",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",
@@ -59,7 +59,7 @@ object Bench {
     "q43_dedup_clusters", "q57_dedup_clusters_star",
     "q126_quality_survivors", "q44_window_suite",
     "q45_cube", "q87_grouping_sets", "q88_relative_rank",
-    "q223_zorder_skipping",
+    "q223_zorder_skipping", "q247_bloom_skipping",
     "q46_sessions", "q70_gap_fill_locf", "q47_vocab_topk", "q48_tfidf_topterms",
     "q49_label_centroids", "q50_edit_distance_pairs", "q51_histogram",
     "q52_ngram_positions", "q53_ann_ivf_topk", "q54_bigram_surprise",
@@ -88,7 +88,8 @@ object Bench {
     "q96_duplicated_spans", "q97_dup_span_stats",
     "q98_corpus_shuffle", "q99_epoch_allocation", "q116_token_budget",
     "q121_dsir_selection",
-    "q102_kmeans_fit", "q103_ngram_novelty", "q104_quality_logit",
+    "q102_kmeans_fit", "q249_dbscan_grid", "q103_ngram_novelty",
+    "q104_quality_logit",
     "q66_pipeline_mart",
     "q73_pipeline_airport_mart", "q74_pipeline_route_mart",
     "q122_jsonl_roundtrip", "q130_warc_roundtrip", "q131_orc_roundtrip",

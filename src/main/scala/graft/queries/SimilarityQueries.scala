@@ -3527,9 +3527,99 @@ object SimilarityQueries {
       GROUP BY method, nq.n
       ORDER BY method"""))
 
+  // -- V23: grid-bucketed DBSCAN ([[graft.operators.GridDbscan]]) —
+  //    the density-based, noise-aware clusterer k-means can't be: a
+  //    curation pass that must SEPARATE outliers (label = noise)
+  //    instead of absorbing them into the nearest centroid. Runs on
+  //    the 2-D embedding projection; candidate pairs come from the
+  //    eps-grid 3×3 equi-join (never all-pairs), cores by neighbor
+  //    count, clusters by large-star CC over core-core edges, borders
+  //    attached min-label. Every distance is the same fixed IEEE
+  //    expression in both engines, so labels are bit-exact. Noise is
+  //    reported as cluster −1. Sweep note: the ENGINE scales (bucketed
+  //    join + O(log n) CC); the DuckDB oracle's recursive closure is
+  //    quadratic per cluster — q43's documented exclusion class.
+  private val DB_EPS = 0.02
+  private val DB_MINPTS = 4
+  private val q249 = Q(
+    "q249_dbscan_grid",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pts = t.embeddings.select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val lab = graft.operators.GridDbscan.label(pts, DB_EPS, DB_MINPTS)
+        .localCheckpoint(true)
+      val clusters = lab.groupBy(col("component").as("cluster_id"))
+        .agg(
+          sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+          count(lit(1)).as("n_points"))
+      val noise = pts.agg(count(lit(1)).as("np"))
+        .crossJoin(broadcast(lab.agg(count(lit(1)).as("nl"))))
+        .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+          lit(0L).as("n_border"), (col("np") - col("nl")).as("n_points"))
+      clusters.unionByName(noise).orderBy(col("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE pts AS MATERIALIZED (
+        SELECT vec_id AS id,
+          CAST(embedding[1] AS DOUBLE) AS x,
+          CAST(embedding[2] AS DOUBLE) AS y,
+          CAST(floor(CAST(embedding[1] AS DOUBLE) / CAST($DB_EPS AS DOUBLE))
+            AS BIGINT) AS cx,
+          CAST(floor(CAST(embedding[2] AS DOUBLE) / CAST($DB_EPS AS DOUBLE))
+            AS BIGINT) AS cy
+        FROM embeddings),
+      near AS MATERIALIZED (
+        SELECT a.id AS i, b.id AS j
+        FROM pts a JOIN pts b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         AND a.id != b.id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           <= CAST(${DB_EPS * DB_EPS} AS DOUBLE)),
+      core AS MATERIALIZED (
+        SELECT i AS id FROM (SELECT i, count(*) AS c FROM near GROUP BY i)
+        WHERE c + 1 >= $DB_MINPTS),
+      edges AS MATERIALIZED (
+        SELECT i AS a, j AS b FROM near
+        WHERE i IN (SELECT id FROM core) AND j IN (SELECT id FROM core)),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (
+        SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+      corelab AS MATERIALIZED (
+        SELECT c.id AS node, coalesce(m.component, c.id) AS component
+        FROM core c LEFT JOIN comp m ON c.id = m.node),
+      border AS (
+        SELECT n.i AS node, min(cl.component) AS component
+        FROM near n JOIN corelab cl ON n.j = cl.node
+        WHERE n.i NOT IN (SELECT id FROM core)
+        GROUP BY n.i),
+      labeled AS MATERIALIZED (
+        SELECT node, component, 'core' AS role FROM corelab
+        UNION ALL
+        SELECT node, component, 'border' FROM border),
+      clusters AS (
+        SELECT component AS cluster_id,
+          CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_core,
+          CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_border,
+          CAST(count(*) AS BIGINT) AS n_points
+        FROM labeled GROUP BY component)
+      SELECT cluster_id, n_core, n_border, n_points FROM clusters
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        CAST((SELECT count(*) FROM pts) - (SELECT count(*) FROM labeled)
+          AS BIGINT)
+      ORDER BY cluster_id"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224, q227, q231)
+      q214, q215, q216, q218, q219, q224, q227, q231, q249)
 }

@@ -127,6 +127,31 @@ class Sweep10xSpec extends SparkSpec {
       "nsw visited set changed under repartitioning")
   }
 
+  test("q249 DBSCAN at 10x: labels partition the corpus; replica twins co-cluster") {
+    // q249's constants (SimilarityQueries.DB_EPS/DB_MINPTS). The 10x
+    // replication puts 10 twins at every position, so every point has
+    // >= 9 zero-distance neighbors and minPts=4 is trivially met:
+    // EVERY point must come out core (no border, no noise), and twins
+    // must share a component (distance 0 edges).
+    val pts = corpus.select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val lab = graft.operators.GridDbscan.label(pts, 0.02, 4)
+      .localCheckpoint(true)
+    val n = corpus.count()
+    assert(lab.count() === n, "labels must cover every point (all core)")
+    assert(lab.filter(col("role") =!= "core").count() === 0L)
+    // twins co-cluster: component is invariant under vec_id % 1e9
+    val perPos = lab.withColumn("base", col("node") % 1000000000L)
+      .groupBy(col("base")).agg(countDistinct(col("component")).as("nc"))
+    assert(perPos.filter(col("nc") > 1).count() === 0L,
+      "replica twins split across clusters")
+    // determinism of the full labeling under repartitioning
+    val again = graft.operators.GridDbscan.label(pts.repartition(7), 0.02, 4)
+    assert(lab.exceptAll(again).count() === 0L
+      && again.exceptAll(lab).count() === 0L)
+  }
+
   test("q231's transform model is scale-invariant: 10x perm equals sf0.1 perm") {
     // 10 verbatim replicas multiply every per-dim decimal energy by
     // exactly 10 — the ranking, and so the snake permutation, must
