@@ -1829,8 +1829,133 @@ object CorpusQueries {
       ORDER BY s.source"""
     })
 
+  // -- C14: MUTUAL INFORMATION between quality signals — before two
+  //    heuristics both gate a corpus, measure whether they carry the
+  //    SAME information: MI (and the symmetric uncertainty
+  //    2·MI/(H_a+H_b)) between the decile-binned type-token ratio and
+  //    stopword ratio, per lang. Joint cells are one hash agg
+  //    (≤ 100 cells/lang), marginals derive from the cells, and every
+  //    log is graft_lndet on an exact-integer ratio — pointwise MI of
+  //    either sign handled as sign·lnDet(max/min) — with pround(8)→
+  //    DECIMAL cell sums so the double accumulation is order-free.
+  //    Complements q85 (χ²: dependent or not) and q150 (Spearman:
+  //    monotone direction) with HOW MANY NATS the signals share.
+  private val q250 = Q(
+    "q250_signal_mi",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = TextFns.tokens(col("text"))
+      val nTok = size(toks)
+      val binned = t.documents
+        .select(col("lang"),
+          (size(array_distinct(toks)).cast("double")
+            / nTok.cast("double")).as("dr"),
+          (TextFns.markerCount(toks, TextAnalysis.stopwords).cast("double")
+            / nTok.cast("double")).as("sr"))
+        .select(col("lang"),
+          least(floor(col("dr") * 10).cast("bigint"), lit(9L)).as("a"),
+          least(floor(col("sr") * 10).cast("bigint"), lit(9L)).as("b"))
+      val cells = binned.groupBy(col("lang"), col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val na = cells.groupBy(col("lang"), col("a")).agg(sum(col("c")).as("ca"))
+      val nb = cells.groupBy(col("lang"), col("b")).agg(sum(col("c")).as("cb"))
+      val nn = cells.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      def ds8(c: org.apache.spark.sql.Column) =
+        sum(pround(c, 8).cast(DecimalType(28, 8))).cast("double")
+      val ln = (x: org.apache.spark.sql.Column) =>
+        call_function("graft_lndet", x)
+      val mi = cells.join(na, Seq("lang", "a")).join(nb, Seq("lang", "b"))
+        .join(nn, Seq("lang"))
+        .withColumn("num", col("c") * col("n"))
+        .withColumn("den", col("ca") * col("cb"))
+        .select(col("lang"),
+          (col("c").cast("double") / col("n").cast("double")
+            * when(col("num") >= col("den"), 1.0).otherwise(-1.0)
+            * ln(greatest(col("num"), col("den")).cast("double")
+              / least(col("num"), col("den")).cast("double"))).as("term"))
+        .groupBy(col("lang")).agg(ds8(col("term")).as("mi"))
+      def hOf(marg: org.apache.spark.sql.DataFrame, cnt: String, as: String) =
+        marg.join(nn, Seq("lang"))
+          .select(col("lang"),
+            (col(cnt).cast("double") / col("n").cast("double")
+              * ln(col("n").cast("double") / col(cnt).cast("double")))
+              .as("term"))
+          .groupBy(col("lang")).agg(ds8(col("term")).as(as))
+      mi.join(hOf(na, "ca", "h_a"), Seq("lang"))
+        .join(hOf(nb, "cb", "h_b"), Seq("lang"))
+        .join(nn, Seq("lang"))
+        .select(col("lang"), col("n").as("n_docs"),
+          pround(col("h_a"), 6).as("h_a"),
+          pround(col("h_b"), 6).as("h_b"),
+          pround(col("mi"), 6).as("mi_nats"),
+          pround(lit(2.0) * col("mi") / (col("h_a") + col("h_b")), 6)
+            .as("su"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val toksSql = TextFns.tokensSql("text")
+      val stopSql = TextFns.markerCountSql(toksSql, TextAnalysis.stopwords)
+      s"""WITH binned AS MATERIALIZED (
+        SELECT lang,
+          least(CAST(floor(CAST(len(list_distinct($toksSql)) AS DOUBLE)
+            / CAST(len($toksSql) AS DOUBLE) * 10) AS BIGINT), 9) AS a,
+          least(CAST(floor(CAST($stopSql AS DOUBLE)
+            / CAST(len($toksSql) AS DOUBLE) * 10) AS BIGINT), 9) AS b
+        FROM documents),
+      cells AS MATERIALIZED (
+        SELECT lang, a, b, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2, 3),
+      na AS (SELECT lang, a, CAST(sum(c) AS BIGINT) AS ca
+        FROM cells GROUP BY 1, 2),
+      nb AS (SELECT lang, b, CAST(sum(c) AS BIGINT) AS cb
+        FROM cells GROUP BY 1, 2),
+      nn AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+      j AS (
+        SELECT cells.lang AS lang, c, n,
+          CASE WHEN c * n >= ca * cb THEN 1.0 ELSE -1.0 END AS sgn,
+          CAST(greatest(c * n, ca * cb) AS DOUBLE)
+            / CAST(least(c * n, ca * cb) AS DOUBLE) AS xr
+        FROM cells JOIN na USING (lang, a) JOIN nb USING (lang, b)
+          JOIN nn USING (lang)),
+      ${lnDetSqlCtes("mi", "j", "lang, c, n, sgn", "xr")},
+      misum AS (
+        SELECT lang, ${ds8(
+          "CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * sgn * lnp")} AS mi
+        FROM milnv GROUP BY lang),
+      ja AS (
+        SELECT na.lang AS lang, ca AS cm, n,
+          CAST(n AS DOUBLE) / CAST(ca AS DOUBLE) AS xr
+        FROM na JOIN nn USING (lang)),
+      ${lnDetSqlCtes("ha", "ja", "lang, cm, n", "xr")},
+      hasum AS (
+        SELECT lang, ${ds8(
+          "CAST(cm AS DOUBLE) / CAST(n AS DOUBLE) * lnp")} AS h_a
+        FROM halnv GROUP BY lang),
+      jb AS (
+        SELECT nb.lang AS lang, cb AS cm, n,
+          CAST(n AS DOUBLE) / CAST(cb AS DOUBLE) AS xr
+        FROM nb JOIN nn USING (lang)),
+      ${lnDetSqlCtes("hb", "jb", "lang, cm, n", "xr")},
+      hbsum AS (
+        SELECT lang, ${ds8(
+          "CAST(cm AS DOUBLE) / CAST(n AS DOUBLE) * lnp")} AS h_b
+        FROM hblnv GROUP BY lang)
+      SELECT lang, n AS n_docs,
+        ${proundSql("h_a", 6)} AS h_a,
+        ${proundSql("h_b", 6)} AS h_b,
+        ${proundSql("mi", 6)} AS mi_nats,
+        ${proundSql("2.0 * mi / (h_a + h_b)", 6)} AS su
+      FROM misum JOIN hasum USING (lang) JOIN hbsum USING (lang)
+        JOIN nn USING (lang)
+      ORDER BY lang"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
-      q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243)
+      q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
+      q250)
 }
