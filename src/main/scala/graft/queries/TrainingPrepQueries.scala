@@ -1152,7 +1152,80 @@ object TrainingPrepQueries {
         (SELECT count(*) FROM sem x JOIN ngram y
           ON x.corpus_id = y.doc_id) AS n_both"""))
 
+  // -- T23: RENDEZVOUS sharding ([[graft.operators.Rendezvous]]) — the
+  //    consistent assignment rule behind resizable shard maps: key →
+  //    argmax_s w(key, s). The defining HRW guarantee is MEASURED, not
+  //    assumed: re-assigning the corpus at 17 shards vs 16 shows n_in
+  //    concentrated ENTIRELY on the new shard (n_in = 0 for every
+  //    existing shard — keys never move between survivors) and per-
+  //    shard churn_out ≈ 1/17, vs the ~16/17 a mod-S remap would cost.
+  //    Pure BIGINT weight arithmetic; per-key argmax over S candidate
+  //    rows, WindowGroupLimit-pruned.
+  private val q251 = Q(
+    "q251_rendezvous_shards",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val docs = t.documents.select(col("doc_id"))
+      val a16 = graft.operators.Rendezvous.assign(docs, "doc_id", 16)
+        .withColumnRenamed("shard", "s16")
+      val a17 = graft.operators.Rendezvous.assign(docs, "doc_id", 17)
+        .withColumnRenamed("shard", "s17")
+      val j = a16.join(a17, Seq("doc_id")).localCheckpoint(true)
+      val shards = s.range(0, 17).select(col("id").cast("int").as("shard"))
+      j.crossJoin(broadcast(shards))
+        .groupBy(col("shard"))
+        .agg(
+          sum(when(col("s16") === col("shard"), 1L).otherwise(0L)).as("n16"),
+          sum(when(col("s17") === col("shard"), 1L).otherwise(0L)).as("n17"),
+          sum(when(col("s17") === col("shard")
+            && col("s16") =!= col("shard"), 1L).otherwise(0L)).as("n_in"),
+          sum(when(col("s16") === col("shard")
+            && col("s17") =!= col("shard"), 1L).otherwise(0L)).as("n_out"))
+        .withColumn("churn_out", when(col("n16") > 0,
+          pround(col("n_out").cast("double") / col("n16").cast("double"), 6)))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val P = 1000000007L
+      // mirrors Rendezvous.weight: combine, then the square mix
+      def wSql(k: String) =
+        s"""(((($k % $P) * 2654435761 % $P + s * 97003 + 11) % $P)
+           * ((($k % $P) * 2654435761 % $P + s * 97003 + 11) % $P)
+           % $P * 40503
+           + ((($k % $P) * 2654435761 % $P + s * 97003 + 11) % $P)) % $P"""
+      def assignSql(n: Int, as: String) =
+        s"""SELECT doc_id, s AS $as FROM (
+          SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+              ORDER BY w DESC, s ASC) AS rn
+          FROM (SELECT doc_id, s, ${wSql("doc_id")} AS w
+                FROM documents CROSS JOIN
+                  (SELECT unnest(generate_series(0, ${n - 1})) AS s) t))
+        WHERE rn = 1"""
+      s"""WITH a16 AS MATERIALIZED (${assignSql(16, "s16")}),
+      a17 AS MATERIALIZED (${assignSql(17, "s17")}),
+      j AS (SELECT s16, s17 FROM a16 JOIN a17 USING (doc_id)),
+      sh AS (SELECT unnest(generate_series(0, 16)) AS shard),
+      agg AS (
+        SELECT shard,
+          CAST(sum(CASE WHEN s16 = shard THEN 1 ELSE 0 END) AS BIGINT)
+            AS n16,
+          CAST(sum(CASE WHEN s17 = shard THEN 1 ELSE 0 END) AS BIGINT)
+            AS n17,
+          CAST(sum(CASE WHEN s17 = shard AND s16 != shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in,
+          CAST(sum(CASE WHEN s16 = shard AND s17 != shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out
+        FROM sh CROSS JOIN j
+        GROUP BY shard)
+      SELECT shard, n16, n17, n_in, n_out,
+        CASE WHEN n16 > 0 THEN ${proundSql(
+          "CAST(n_out AS DOUBLE) / CAST(n16 AS DOUBLE)", 6)} END
+          AS churn_out
+      FROM agg
+      ORDER BY shard"""
+    })
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188, q198, q199, q212)
+      q121, q162, q172, q173, q179, q188, q198, q199, q212, q251)
 }
