@@ -1225,7 +1225,74 @@ object TrainingPrepQueries {
       ORDER BY shard"""
     })
 
+  // -- T24: GREEDY MAX-COVERAGE selection ([[graft.operators.SetCover]])
+  //    — the (1−1/e) submodular picker for "choose k docs that
+  //    together cover the most distinct trigram shingles" (eval-suite
+  //    construction, seed sets, coresets). k=8 driver rounds (q107's
+  //    bounded-loop discipline), each one anti-join keyed on the
+  //    shingle hash + a 1-row argmax collect; the covered set stays
+  //    distributed. Oracle = the 8 rounds UNROLLED as materialized
+  //    CTEs (winner → covered → anti-joined incidence), the q107
+  //    replay pattern; marginal gains, cumulative coverage, and the
+  //    fraction of the pool's distinct-shingle universe per round.
+  private val SC_K = 8
+  private val q252 = Q(
+    "q252_set_cover",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val inc = t.documents.filter(col("lang") === "en")
+        .select(col("doc_id").as("id"),
+          explode(array_distinct(TextFns.shingleHashes(col("text"), 3)))
+            .as("h"))
+      val rounds = graft.operators.SetCover.greedy(s, inc, SC_K)
+      val total = inc.agg(countDistinct(col("h")).as("tot"))
+      rounds
+        .withColumn("cum_covered", sum(col("gain")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("round"))))
+        .crossJoin(broadcast(total))
+        .select(col("round"), col("id").as("doc_id"), col("gain"),
+          col("cum_covered"),
+          pround(col("cum_covered").cast("double")
+            / col("tot").cast("double"), 6).as("coverage_frac"))
+        .orderBy(col("round"))
+    },
+    Some {
+      val roundCtes = (2 to SC_K).map { r =>
+        s"""f$r AS MATERIALIZED (
+          SELECT i.id, i.h FROM inc i
+          WHERE NOT EXISTS (SELECT 1 FROM cov${r - 1} c WHERE c.h = i.h)),
+        w$r AS MATERIALIZED (
+          SELECT id, CAST(count(*) AS BIGINT) AS gain
+          FROM f$r GROUP BY id ORDER BY gain DESC, id ASC LIMIT 1),
+        cov$r AS MATERIALIZED (
+          SELECT h FROM cov${r - 1}
+          UNION
+          SELECT h FROM f$r WHERE id = (SELECT id FROM w$r))"""
+      }.mkString(",\n      ")
+      val unionPicks = (1 to SC_K).map(r =>
+        s"SELECT $r AS round, id, gain FROM w$r").mkString("\n        UNION ALL ")
+      s"""WITH inc AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, h
+        FROM (SELECT doc_id, unnest(${shingleHashesSql("text", 3)}) AS h
+              FROM documents WHERE lang = 'en')),
+      tot AS (SELECT count(DISTINCT h) AS tot FROM inc),
+      w1 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS gain
+        FROM inc GROUP BY id ORDER BY gain DESC, id ASC LIMIT 1),
+      cov1 AS MATERIALIZED (
+        SELECT DISTINCT h FROM inc WHERE id = (SELECT id FROM w1)),
+      $roundCtes,
+      picks AS ($unionPicks)
+      SELECT round, id AS doc_id, gain,
+        CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS cum_covered,
+        ${proundSql(
+          """CAST(CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS DOUBLE)
+             / CAST(tot AS DOUBLE)""", 6)} AS coverage_frac
+      FROM picks CROSS JOIN tot
+      ORDER BY round"""
+    })
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188, q198, q199, q212, q251)
+      q121, q162, q172, q173, q179, q188, q198, q199, q212, q251, q252)
 }
