@@ -790,6 +790,93 @@ object ProfilingQueries {
       FROM agg
       ORDER BY scorer"""))
 
+  // -- P13: THEIL-SEN robust trend — the median-of-pairwise-slopes
+  //    estimator (29% breakdown point: a third of the days can be
+  //    corrupted before the trend moves) next to the OLS slope it
+  //    robustifies, per event type over daily counts. Every slope is
+  //    one double division of exact integers (day diffs × count
+  //    diffs), the median is an order-statistic pick (row_number) —
+  //    no accumulation anywhere, so the estimate is bit-exact. Pair
+  //    count is |days|²/2 per type — days, not rows, so the self-join
+  //    is over an aggregate bounded by the calendar at any corpus
+  //    size.
+  private val q253 = Q(
+    "q253_theil_sen",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val p = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type")
+            && col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.day").as("ad"), col("b.day").as("bd"),
+          ((col("b.n") - col("a.n")).cast("double")
+            / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+      val m = p.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+      val rk = p.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("slope").asc, col("ad").asc, col("bd").asc)))
+      val med = rk.join(m, Seq("event_type"))
+        .filter(col("rk") === expr("(m + 1) div 2")
+          || col("rk") === expr("m div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg((sum(col("slope")) / count(lit(1))).as("ts_slope"),
+          min(col("m")).as("n_pairs"))
+      val ols = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sx"), sum(col("n")).as("sy"),
+          sum(col("day") * col("day")).as("sxx"),
+          sum(col("day") * col("n")).as("sxy"))
+        .select(col("event_type"), col("n_days"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("ols_slope"))
+      ols.join(med, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          pround(col("ts_slope"), 6).as("ts_slope"),
+          pround(col("ols_slope"), 6).as("ols_slope"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      p AS MATERIALIZED (
+        SELECT a.event_type, a.day AS ad, b.day AS bd,
+          CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+            AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+        FROM p GROUP BY 1),
+      rk AS (
+        SELECT event_type, slope, row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY slope ASC, ad ASC, bd ASC) AS rk
+        FROM p),
+      med AS (
+        SELECT rk.event_type AS event_type,
+          sum(slope) / count(*) AS ts_slope,
+          min(m) AS n_pairs
+        FROM rk JOIN m USING (event_type)
+        WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1
+        GROUP BY 1),
+      ols AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(count(*) * sum(day * n) - sum(day) * sum(n) AS DOUBLE)
+            / CAST(count(*) * sum(day * day) - sum(day) * sum(day)
+              AS DOUBLE) AS ols_slope
+        FROM daily GROUP BY 1)
+      SELECT event_type, n_days, n_pairs,
+        ${proundSql("ts_slope", 6)} AS ts_slope,
+        ${proundSql("ols_slope", 6)} AS ols_slope
+      FROM ols JOIN med USING (event_type)
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246)
+    q241, q245, q246, q253)
 }
