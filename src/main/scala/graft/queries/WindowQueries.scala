@@ -500,6 +500,87 @@ object WindowQueries {
       FROM rec
       ORDER BY event_type, day"""))
 
+  // -- W11: CUSUM change-point detection — the sequential test that
+  //    catches small SUSTAINED shifts q178/q242's per-point outlier
+  //    flags miss: S⁺ accumulates every excess over μ+k and resets at
+  //    0, so a drift of k/day alarms after ~h/k days while i.i.d.
+  //    noise keeps S⁺ pinned near 0 (Page 1954). μ = first-7-day
+  //    reference mean; k = μ/8 (an exact binary halving chain — no
+  //    rounding divergence); h = μ. Two-sided: S⁻ tracks sustained
+  //    DROPS. Same exactness discipline as q242: the daily table is
+  //    calendar-bounded, the fold is driver math over a grid-bounded
+  //    collect, the oracle replays it as a lockstep recursive CTE.
+  private val CU_REF = 7
+  private val q254 = Q(
+    "q254_cusum_changepoint",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val rows = daily.toSeq.flatMap { case (tp, rs) =>
+        val series = rs.sortBy(_._2)
+        val refN = math.min(CU_REF, series.length)
+        val mu = series.take(refN).map(_._3).sum.toDouble / refN
+        val k = mu / 8.0
+        val h = mu
+        var sUp = 0.0
+        var sDn = 0.0
+        series.map { case (_, day, n) =>
+          val x = n.toDouble
+          sUp = math.max(0.0, sUp + (x - mu - k))
+          sDn = math.max(0.0, sDn + (mu - x - k))
+          (tp, day, n, sUp, sDn,
+            if (sUp > h) 1 else 0, if (sDn > h) 1 else 0)
+        }
+      }
+      rows.toDF("event_type", "day", "n", "s_up_raw", "s_dn_raw",
+          "alarm_up", "alarm_dn")
+        .select(col("event_type"), col("day"), col("n"),
+          pround(col("s_up_raw"), 6).as("s_up"),
+          pround(col("s_dn_raw"), 6).as("s_dn"),
+          col("alarm_up").cast("int").as("alarm_up"),
+          col("alarm_dn").cast("int").as("alarm_dn"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          row_number() OVER (PARTITION BY event_type ORDER BY
+            epoch_us(ts) // 86400000000) AS seq
+        FROM events GROUP BY 1, 2),
+      mu AS (
+        SELECT event_type, CAST(sum(n) AS DOUBLE) / count(*) AS mu
+        FROM daily WHERE seq <= $CU_REF GROUP BY 1),
+      d2 AS MATERIALIZED (
+        SELECT d.event_type, d.seq, d.day, d.n, m.mu, m.mu / 8.0 AS k
+        FROM daily d JOIN mu m USING (event_type)),
+      rec(event_type, seq, day, n, mu, k, s_up, s_dn) AS (
+        SELECT event_type, seq, day, n, mu, k,
+          greatest(CAST(0 AS DOUBLE), CAST(n AS DOUBLE) - mu - k),
+          greatest(CAST(0 AS DOUBLE), mu - CAST(n AS DOUBLE) - k)
+        FROM d2 WHERE seq = 1
+        UNION ALL
+        SELECT d.event_type, d.seq, d.day, d.n, d.mu, d.k,
+          greatest(CAST(0 AS DOUBLE),
+            r.s_up + (CAST(d.n AS DOUBLE) - d.mu - d.k)),
+          greatest(CAST(0 AS DOUBLE),
+            r.s_dn + (d.mu - CAST(d.n AS DOUBLE) - d.k))
+        FROM rec r JOIN d2 d
+          ON d.event_type = r.event_type AND d.seq = r.seq + 1)
+      SELECT event_type, day, n,
+        ${proundSql("s_up", 6)} AS s_up,
+        ${proundSql("s_dn", 6)} AS s_dn,
+        CAST(CASE WHEN s_up > mu THEN 1 ELSE 0 END AS INT) AS alarm_up,
+        CAST(CASE WHEN s_dn > mu THEN 1 ELSE 0 END AS INT) AS alarm_dn
+      FROM rec
+      ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178,
-    q242)
+    q242, q254)
 }
