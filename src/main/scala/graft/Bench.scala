@@ -101,7 +101,7 @@ object Bench {
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
-    "q147_event_transitions", "q148_sq8_error_profile", "q149_ann_fidelity",
+    "q147_event_transitions", "q255_adamic_adar", "q148_sq8_error_profile", "q149_ann_fidelity",
     "q150_signal_spearman", "q151_dup_source_matrix",
     "q152_image_neardup",
     "q157_tokenizer_source_stats",

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables.Tpch
 import Portable._
 
@@ -1720,8 +1721,82 @@ object ExtendedRelational {
       ORDER BY cls"""
     })
 
+  // -- X32: ADAMIC-ADAR link prediction — q146's co-occurrence ranked
+  //    by the INFORMATIVENESS of the shared users instead of raw lift:
+  //    AA(i,j) = Σ_{u ∈ U(i)∩U(j)} 1/ln(deg(u)) — a user who touches
+  //    everything contributes ~nothing, a 2-item user is maximal
+  //    evidence (Adamic & Adar 2003). Every ln is graft_lndet (deg ≥ 2
+  //    for any common neighbor, so the argument is ≥ 2 — always in
+  //    lnDet's domain), per-user weights pround(8)→DECIMAL-summed so
+  //    the pair score is order-free; top-5 per item by the exact
+  //    rounded score. Shape: the same user-keyed self-join as q146
+  //    (pairs bounded by Σ deg(u)², with the deg≥2 filter pruning the
+  //    singleton mass), one hash agg, one windowed top-k.
+  private val AA_K = 5
+  private val q255 = Q(
+    "q255_adamic_adar",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+      val deg = ui.groupBy(col("user_id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2)
+      val uiw = ui.join(deg, Seq("user_id"))
+        .withColumn("w", lit(1.0).cast("double")
+          / call_function("graft_lndet", col("d").cast("double")))
+      val pairs = uiw.as("a").join(uiw.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(pround(col("a.w"), 8).cast(DecimalType(28, 8)))
+            .cast("double").as("aa"))
+      val sym = pairs.unionByName(pairs.select(col("i2").as("i1"),
+        col("i1").as("i2"), col("n_common"), col("aa")))
+      val w = Window.partitionBy(col("i1"))
+        .orderBy(col("aa").desc, col("i2").asc)
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= AA_K)
+        .select(col("i1").as("item"), col("rank"),
+          col("i2").as("neighbor"), col("n_common"),
+          pround(col("aa"), 6).as("aa"))
+        .orderBy(col("item"), col("rank"))
+    },
+    Some(s"""WITH ui AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      deg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS d
+        FROM ui GROUP BY 1 HAVING count(*) >= 2),
+      ${Portable.lnDetSqlCtes("ad", "deg", "user_id", "CAST(d AS DOUBLE)")},
+      uw AS MATERIALIZED (
+        SELECT user_id, CAST(1 AS DOUBLE) / lnp AS w FROM adlnv),
+      pairs AS MATERIALIZED (
+        SELECT a.item AS i1, b.item AS i2,
+          CAST(count(*) AS BIGINT) AS n_common,
+          CAST(sum(CAST(${proundSql("u.w", 8)} AS DECIMAL(28,8)))
+            AS DOUBLE) AS aa
+        FROM ui a
+        JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        JOIN uw u ON u.user_id = a.user_id
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT i1, i2, n_common, aa FROM pairs
+        UNION ALL
+        SELECT i2, i1, n_common, aa FROM pairs)
+      SELECT i1 AS item, rank, i2 AS neighbor, n_common,
+        ${proundSql("aa", 6)} AS aa
+      FROM (SELECT *, row_number() OVER (PARTITION BY i1
+              ORDER BY aa DESC, i2 ASC) AS rank
+            FROM sym)
+      WHERE rank <= $AA_K
+      ORDER BY item, rank"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234, q240, q247)
+      q186, q187, q196, q223, q233, q234, q240, q247, q255)
 }
