@@ -96,7 +96,7 @@ object Bench {
     "q243_avro_roundtrip",
     "q220_zip_webdataset",
     "q128_para_dedup", "q129_ccnet_buckets",
-    "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank",
+    "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank", "q256_personalized_pagerank",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",

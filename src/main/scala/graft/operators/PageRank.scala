@@ -70,6 +70,58 @@ object PageRank {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** PERSONALIZED PageRank: the teleport mass returns to the SEED set
+    * instead of spreading uniformly — rank becomes "proximity to the
+    * topic" (topic-sensitive PageRank, Haveliwala 2002), the score
+    * recsys and focused-crawl curation rank against. Same integer
+    * exactness contract as [[run]]:
+    *
+    *   r₀(v)    = scale·[v ∈ S]
+    *   rₜ₊₁(v) = [v ∈ S]·((scale·(den−num)) div den)
+    *             + (num · Σ_{u→v} (rₜ(u) div outdeg(u))) div den
+    *
+    * Non-seed sinks still leak (dropped-dangling convention). `seeds`
+    * is a 1-column frame of node ids; seed rows not present in the
+    * edge set are ignored.
+    */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, scale: Long = 1000000L,
+      num: Long = 85L, den: Long = 100L): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(scale % den == 0, s"scale=$scale must be divisible by den=$den")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val sd = seeds.toDF("seed").select(col("seed").cast("long")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(sd, col("node") === col("seed"), "left")
+      .select(col("node"), col("seed").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    val eo = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        "src")
+      .localCheckpoint(true)
+    val base = (scale / den) * (den - num)
+    var ranks = nodes
+      .select(col("node"), col("is_seed"),
+        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val sums = eo.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($num * coalesce(cs, CAST(0 AS BIGINT))) div $den"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("is_seed"), col("r").as("rank_scaled"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * the determinized variant) over an UNDIRECTED edge list — the
     * community-detection member of the graph-analytics family (q43/q57

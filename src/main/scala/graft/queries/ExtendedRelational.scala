@@ -1795,8 +1795,78 @@ object ExtendedRelational {
       WHERE rank <= $AA_K
       ORDER BY item, rank"""))
 
+  // -- X33: PERSONALIZED PageRank ([[graft.operators.PageRank
+  //    .personalized]]) — topic-sensitive centrality on the bipartite
+  //    user↔item random-walk graph (items offset by 1e9 so the two id
+  //    spaces can't collide): teleport mass returns to the PURCHASED-
+  //    item seed set, so rank = proximity to purchase intent, the
+  //    focused-crawl/recsys counterpart of q133's global centrality.
+  //    Same integer-exact iteration contract (scaled-millionths `div`
+  //    arithmetic — bit-identical at any partitioning); top-50 by
+  //    exact integer rank.
+  private val q256 = Q(
+    "q256_personalized_pagerank",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id").as("u"),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+          + 1000000000L).as("i"))
+      val edges = ui.select(col("u").as("src"), col("i").as("dst"))
+        .unionByName(ui.select(col("i").as("src"), col("u").as("dst")))
+      val seeds = t.events.filter(col("event_type") === "purchase")
+        .select((regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+          + 1000000000L).as("seed"))
+        .distinct()
+      graft.operators.PageRank.personalized(edges, "src", "dst", seeds,
+          PR_ITERS)
+        .orderBy(col("rank_scaled").desc, col("node").asc)
+        .limit(50)
+    },
+    Some {
+      def iterSql(prev: String, cur: String) =
+        s"""$cur AS (
+        SELECT n.node, n.is_seed,
+          CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+            + (85 * coalesce(s.cs, CAST(0 AS BIGINT))) // 100
+            AS BIGINT) AS r
+        FROM ns n LEFT JOIN (
+          SELECT e.dst AS node,
+            CAST(sum(r.r // e.outdeg) AS BIGINT) AS cs
+          FROM eo e JOIN $prev r ON r.node = e.src
+          GROUP BY e.dst) s ON n.node = s.node)"""
+      val iters = (1 to PR_ITERS)
+        .map(i => iterSql(if (i == 1) "r0" else s"it${i - 1}", s"it$i"))
+        .mkString(",\n      ")
+      s"""WITH ui AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) + 1000000000
+            AS i
+        FROM events),
+      e AS (SELECT u AS src, i AS dst FROM ui UNION SELECT i, u FROM ui),
+      seeds AS (
+        SELECT DISTINCT CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+          + 1000000000 AS seed
+        FROM events WHERE event_type = 'purchase'),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      ns AS (
+        SELECT n.node, s.seed IS NOT NULL AS is_seed
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.seed),
+      eo AS (
+        SELECT e.src, e.dst, od.outdeg
+        FROM e JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY src) od
+          ON e.src = od.src),
+      r0 AS (
+        SELECT node, is_seed,
+          CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS r
+        FROM ns),
+      $iters
+      SELECT node, is_seed, r AS rank_scaled FROM it$PR_ITERS
+      ORDER BY rank_scaled DESC, node ASC
+      LIMIT 50"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234, q240, q247, q255)
+      q186, q187, q196, q223, q233, q234, q240, q247, q255, q256)
 }

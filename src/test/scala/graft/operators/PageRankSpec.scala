@@ -45,4 +45,38 @@ class PageRankSpec extends SparkSpec {
       .orderBy("node").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  private def pprOf(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int)
+      : Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), iters)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("rank_scaled")).toMap
+
+  test("personalized: teleport returns to the seed; far nodes get 0") {
+    // chain 1→2→3→4, seed {1}: after 1 iter only 1 (teleport) and 2
+    // (one hop from the seed's initial mass) hold rank
+    val r1 = pprOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L), 1)
+    assert(r1(1L) === 150000L)
+    assert(r1(2L) === 850000L)
+    assert(r1(3L) === 0L && r1(4L) === 0L)
+    // iter 2: mass reaches 3 = (85 · 850000) div 100; 2 gets the
+    // seed's retained 150000 forwarded: (85·150000) div 100 = 127500
+    val r2 = pprOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L), 2)
+    assert(r2(3L) === 722500L)
+    assert(r2(2L) === 127500L)
+  }
+
+  test("personalized with ALL nodes as seeds equals uniform PageRank") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L))
+    val uni = ranksOf(edges, 3)
+    val ppr = pprOf(edges, Seq(1L, 2L, 3L), 3)
+    assert(uni === ppr)
+  }
+
+  test("personalized: unknown seed ids are ignored, empty seed set all-zero") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    val r = pprOf(edges, Seq(99L), 2)
+    assert(r.values.forall(_ == 0L))
+  }
 }
