@@ -1902,8 +1902,83 @@ object DedupQueries {
       ORDER BY lang"""
     })
 
+  // -- D31: WEIGHTED Jaccard — the multiset dedup score SET Jaccard
+  //    under-reads on templated text: J_w = Σ min(cᵢ) / Σ max(cᵢ) over
+  //    per-token COUNTS (Σ max = n₁+n₂−Σ min, so one shared-token
+  //    min-sum suffices), reported NEXT TO set Jaccard so the rows
+  //    where they disagree (repetition-heavy near-dups) are visible.
+  //    Pair generation is the blocked inverted index: token-level
+  //    self-join keyed on (lang, length slab, token hash) — q248's
+  //    blocking discipline, never all-pairs; everything is exact
+  //    integer until the two final divisions.
+  private val WJ_K = 50
+  private val q257 = Q(
+    "q257_weighted_jaccard",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toksAll = TextFns.shingleHashes(col("text"), 1)
+      val base = t.documents.select(col("doc_id"), col("lang"),
+          explode(toksAll).as("h"),
+          size(toksAll).cast("bigint").as("n"),
+          size(array_distinct(toksAll)).cast("bigint").as("nd"))
+        .withColumn("blk", expr("n div 20"))
+      val tc = base.groupBy(col("doc_id"), col("lang"), col("blk"),
+          col("n"), col("nd"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = tc.as("a").join(tc.as("b"),
+          col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
+            && col("a.h") === col("b.h")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.n").as("n1"), col("b.n").as("n2"),
+          col("a.nd").as("nd1"), col("b.nd").as("nd2"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("min_sum"),
+          count(lit(1)).as("inter"))
+      pairs.select(col("d1"), col("d2"), col("n1"), col("n2"),
+          col("min_sum"),
+          pround(col("min_sum").cast("double")
+            / (col("n1") + col("n2") - col("min_sum")).cast("double"), 6)
+            .as("wjacc"),
+          pround(col("inter").cast("double")
+            / (col("nd1") + col("nd2") - col("inter")).cast("double"), 6)
+            .as("jacc"))
+        .orderBy(col("wjacc").desc, col("d1").asc, col("d2").asc)
+        .limit(WJ_K)
+    },
+    Some {
+      val hs = shingleHashesSql("text", 1)
+      s"""WITH tc AS MATERIALIZED (
+        SELECT doc_id, lang, n, nd, n // 20 AS blk, h,
+          CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, lang,
+                CAST(len($hs) AS BIGINT) AS n,
+                CAST(len(list_distinct($hs)) AS BIGINT) AS nd,
+                unnest($hs) AS h
+              FROM documents)
+        GROUP BY ALL),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+          a.nd AS nd1, b.nd AS nd2,
+          CAST(sum(least(a.c, b.c)) AS BIGINT) AS min_sum,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM tc a JOIN tc b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.h = b.h
+          AND a.doc_id < b.doc_id
+        GROUP BY ALL)
+      SELECT d1, d2, n1, n2, min_sum,
+        ${proundSql(
+          "CAST(min_sum AS DOUBLE) / CAST(n1 + n2 - min_sum AS DOUBLE)",
+          6)} AS wjacc,
+        ${proundSql(
+          "CAST(inter AS DOUBLE) / CAST(nd1 + nd2 - inter AS DOUBLE)",
+          6)} AS jacc
+      FROM pairs
+      ORDER BY wjacc DESC, d1 ASC, d2 ASC
+      LIMIT $WJ_K"""
+    })
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q39, q43, q57, q96, q97, q112, q115,
       q126, q128, q134, q140, q151, q160, q167, q168, q170, q171, q175,
-      q189, q191, q195, q203, q235, q244, q248)
+      q189, q191, q195, q203, q235, q244, q248, q257)
 }

@@ -484,6 +484,36 @@ class PlanQualitySpec extends SparkSpec {
       "q163 must scan documents exactly twice (one per leg)")
   }
 
+  test("round-13b queries keep their scale shapes") {
+    // q247: filter build + probe are equi-joins on the bit position;
+    // the only 1-row fanouts are the broadcast bounds/aggregates
+    val p247 = planOf("q247_bloom_skipping")
+    assert(count(p247, "CartesianProduct") === 0, "q247 went quadratic")
+    assert(count(p247, "SortMergeJoin") === 0, "q247 grew a shuffle join")
+    // q248/q257: pair generation is the blocked equi-join — never
+    // all-pairs
+    for (q <- Seq("q248_record_linkage", "q257_weighted_jaccard")) {
+      val p = planOf(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")
+    }
+    // q249: DBSCAN candidates come from the 3x3 cell equi-join
+    val p249 = planOf("q249_dbscan_grid")
+    assert(count(p249, "CartesianProduct") === 0, "q249 went quadratic")
+    assert(count(p249, "BroadcastNestedLoopJoin") <= 1,
+      "q249 grew beyond its single 1-row noise fanout")
+    // q255: AA pairs ride the user-keyed inverted join
+    val p255 = planOf("q255_adamic_adar")
+    assert(count(p255, "CartesianProduct") === 0, "q255 went quadratic")
+    // q245/q246: pure aggregation pipelines — no join beyond the
+    // documented broadcasts, no shuffle join
+    for (q <- Seq("q245_k_anonymity", "q246_score_auc")) {
+      val p = planOf(q)
+      assert(count(p, "SortMergeJoin") === 0, s"$q grew a shuffle join")
+      assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
+    }
+  }
+
   test("no undocumented unpartitioned Window in any oracle query plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     // every entry here is a window over a bounded-tiny intermediate:
@@ -520,7 +550,10 @@ class PlanQualitySpec extends SparkSpec {
       // repartitionByRange's equal-row file assignment (the one range
       // exchange every clustered WRITE pays); the production path is
       // the write-side repartitionByRange, not a read-side sort
-      "q233_hilbert_skipping")
+      "q233_hilbert_skipping",
+      // q252: cumulative coverage over the ≤ k greedy picks (k = 8
+      // driver-loop rows — the q64 bounded-intermediate class)
+      "q252_set_cover")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
