@@ -33,7 +33,7 @@ object Bench {
     "q69_pii_redaction", "q71_heavy_hitters", "q72_stop_shingles", "q21_exact_dedup",
     "q22_jaccard_pairs", "q23_minhash_sig", "q24_minhash_lsh_pairs",
     "q112_cross_dedup", "q115_lsh_recall", "q160_containment_pairs",
-    "q235_winnow_pairs", "q244_lsh_tuning", "q248_record_linkage",
+    "q235_winnow_pairs", "q244_lsh_tuning", "q248_record_linkage", "q257_weighted_jaccard",
     "q25_simhash_pairs", "q26_cosine_neardup", "q27_ann_topk",
     "q114_filtered_ann",
     "q109_hard_negatives",
@@ -42,7 +42,7 @@ object Bench {
     "q60_media_resize", "q61_audio_features", "q89_png_pixels",
     "q118_jpeg_pixels", "q127_jpeg_progressive", "q119_video_frames",
     "q123_gif_pixels", "q200_mjpeg_frames", "q213_adpcm_audio",
-    "q217_g711_audio", "q225_resonator_bands", "q232_mfcc",
+    "q217_g711_audio", "q225_resonator_bands", "q232_mfcc", "q258_tiff_pixels",
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",

@@ -1211,6 +1211,52 @@ object MultimodalQueries {
       ORDER BY media_id, k"""
     })
 
+  // -- M19: baseline TIFF decode ([[graft.operators.Tiff]]) — the
+  //    archival-format member of the codec lane (PNG q89 / JPEG q118 /
+  //    GIF q123 / BMP q56): 8-bit gray AND RGB, multi-strip, both
+  //    Compression=1 and PackBits=32773 exercised by id parity, both
+  //    byte orders on read. Deterministic synthetic pixels
+  //    p(i) = (id + 11·i) mod 256 mean the oracle PREDICTS the decoded
+  //    first/last/byte-sum arithmetically — a wrong strip boundary,
+  //    PackBits run, or IFD offset shifts the exact sum.
+  private val TW = 8
+  private val TH = 6
+  private val q258 = Q(
+    "q258_tiff_pixels",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      val mediaEnc = Encoders.row(Multimodal.mediaSchema)
+      val media = graft.core.Scan.fanOut(t.documents.select(col("doc_id")))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val d = r.getLong(0)
+            val c = if (d % 2 == 0) 3 else 1
+            val px = Array.tabulate(TW * TH * c)(i =>
+              ((d + 11L * i) % 256).toByte)
+            val bytes = graft.operators.Tiff.encode(
+              graft.operators.Tiff.TiffImage(TW, TH, c, px),
+              rowsPerStrip = 3, packBits = d % 3 == 0)
+            Row(d, bytes, "image/tiff")
+          }
+        }(mediaEnc)
+      graft.operators.Tiff.tiffFeatures(media).orderBy(col("media_id"))
+    },
+    Some(s"""SELECT doc_id AS media_id,
+      CAST($TW AS INT) AS width, CAST($TH AS INT) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+      CAST(doc_id % 256 AS INT) AS p_first,
+      CAST((doc_id + 11 * ($TW * $TH
+        * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) - 1)) % 256 AS INT)
+        AS p_last,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(0, $TW * $TH
+          * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) - 1),
+          i -> (doc_id + 11 * i) % 256)),
+        (a, b) -> a + b) AS BIGINT) AS psum
+    FROM documents
+    ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213, q217, q225, q232)
+    q152, q155, q156, q174, q200, q213, q217, q225, q232, q258)
 }

@@ -58,6 +58,9 @@ class CodecFuzzSpec extends SparkSpec {
         for (j <- 0 until n) bb.put(((j * 13 + 7) % 256).toByte)
         bb.array()
       }, b => Multimodal.anyWavSamples(b)),
+      ("tiff", Tiff.encode(Tiff.TiffImage(5, 4, 3,
+        Array.tabulate(60)(i => (i * 37 % 256).toByte)), 2, packBits = true),
+        b => Tiff.decode(b)),
       ("header", png, b => Multimodal.decodeHeader(b)))
   }
 
