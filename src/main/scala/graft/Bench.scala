@@ -81,7 +81,7 @@ object Bench {
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",
-    "q221_isotonic_calibration", "q229_isotonic_gate", "q226_rag_chunks",
+    "q221_isotonic_calibration", "q229_isotonic_gate", "q260_ece_calibration", "q226_rag_chunks",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
@@ -101,8 +101,8 @@ object Bench {
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q143_collocations",
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
-    "q147_event_transitions", "q255_adamic_adar", "q148_sq8_error_profile", "q149_ann_fidelity",
-    "q150_signal_spearman", "q151_dup_source_matrix",
+    "q147_event_transitions", "q255_adamic_adar", "q259_apriori_funnel", "q148_sq8_error_profile", "q149_ann_fidelity",
+    "q150_signal_spearman", "q261_kendall_tau", "q151_dup_source_matrix",
     "q152_image_neardup",
     "q157_tokenizer_source_stats",
     "q161_lpa_communities", "q162_bucket_batching", "q163_dataset_card",
@@ -113,14 +113,14 @@ object Bench {
     "q170_contamination_spans", "q171_span_scrub",
     "q172_waterfill_mixture", "q173_apportion_eval", "q174_mp4_metadata",
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
-    "q178_rolling_anomaly", "q242_ewma_anomaly", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa",
+    "q178_rolling_anomaly", "q242_ewma_anomaly", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
     "q197_embedding_drift", "q198_flatten_resample",
     "q199_pack_boundary_stats",
     "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
-    "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q186_kcore",
+    "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q262_ari_agreement", "q186_kcore",
     "q187_cuped_experiment",
     "q67_percentiles_rankselect")
 

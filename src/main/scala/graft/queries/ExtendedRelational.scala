@@ -1865,8 +1865,125 @@ object ExtendedRelational {
       LIMIT 50"""
     })
 
+  // -- X34: APRIORI frequent-itemset funnel — support-thresholded
+  //    itemset mining with the candidate-pruning LADDER measured per
+  //    level (the property that makes Apriori viable at scale: level
+  //    k+1's candidates come only from level k's survivors, and
+  //    triples additionally need ALL THREE member pairs frequent —
+  //    the triangle prune). Relative threshold (30% of basket count)
+  //    so the itemsets are scale-invariant under replication. On this
+  //    dense synthetic corpus the funnel reads 100 items → 167
+  //    frequent pairs → 135 triangle-pruned candidates → 0 frequent
+  //    triples (random 49%-density baskets: triple probability
+  //    0.49³ ≈ 0.12 < 0.30) — the prune narrative in one 3-row table.
+  private val AP_PCT = 30L
+  private val q259 = Q(
+    "q259_apriori_funnel",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+        .localCheckpoint(true)
+      val msDf = ui.agg(countDistinct(col("user_id")).as("nu"))
+        .select(expr(s"($AP_PCT * nu) div 100").as("ms"))
+        .localCheckpoint(true)
+      val l1all = ui.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+        .localCheckpoint(true)
+      val l1 = l1all.crossJoin(broadcast(msDf))
+        .filter(col("sup") >= col("ms")).select(col("item"))
+        .localCheckpoint(true)
+      val l2all = ui.join(l1, Seq("item")).as("a")
+        .join(ui.join(l1, Seq("item")).as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i"), col("b.item").as("j"))
+        .agg(count(lit(1)).as("sup"))
+        .localCheckpoint(true)
+      val l2 = l2all.crossJoin(broadcast(msDf))
+        .filter(col("sup") >= col("ms"))
+        .select(col("i"), col("j"))
+        .localCheckpoint(true)
+      val c3 = l2.as("p1").join(l2.as("p2"),
+          col("p1.i") === col("p2.i") && col("p1.j") < col("p2.j"))
+        .select(col("p1.i").as("i"), col("p1.j").as("j"),
+          col("p2.j").as("k"))
+        .join(l2.select(col("i").as("j"), col("j").as("k")),
+          Seq("j", "k"), "left_semi")
+        .localCheckpoint(true)
+      val l3all = c3
+        .join(ui.select(col("user_id"), col("item").as("i")), Seq("i"))
+        .join(ui.select(col("user_id"), col("item").as("j")),
+          Seq("user_id", "j"))
+        .join(ui.select(col("user_id"), col("item").as("k")),
+          Seq("user_id", "k"))
+        .groupBy(col("i"), col("j"), col("k"))
+        .agg(count(lit(1)).as("sup"))
+      def lvlRow(lvl: Int, all: org.apache.spark.sql.DataFrame) = {
+        val nc = all.agg(count(lit(1)).as("n_candidates"))
+        val fr = all.crossJoin(broadcast(msDf))
+          .filter(col("sup") >= col("ms"))
+          .agg(count(lit(1)).as("n_frequent"), max(col("sup")).as("max_support"))
+        nc.crossJoin(fr).crossJoin(broadcast(msDf))
+          .select(lit(lvl).as("lvl"), col("n_candidates"),
+            col("n_frequent"), col("max_support"),
+            col("ms").as("min_support"))
+      }
+      lvlRow(1, l1all).unionByName(lvlRow(2, l2all))
+        .unionByName(lvlRow(3, l3all))
+        .orderBy(col("lvl"))
+    },
+    Some(s"""WITH ui AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events),
+      ms AS (SELECT ($AP_PCT * count(DISTINCT user_id)) // 100 AS ms
+        FROM ui),
+      l1all AS MATERIALIZED (
+        SELECT item, CAST(count(*) AS BIGINT) AS sup FROM ui GROUP BY 1),
+      l1 AS (SELECT item FROM l1all WHERE sup >= (SELECT ms FROM ms)),
+      l2all AS MATERIALIZED (
+        SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS sup
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        WHERE a.item IN (SELECT item FROM l1)
+          AND b.item IN (SELECT item FROM l1)
+        GROUP BY 1, 2),
+      l2 AS (SELECT i, j FROM l2all WHERE sup >= (SELECT ms FROM ms)),
+      c3 AS MATERIALIZED (
+        SELECT p1.i, p1.j, p2.j AS k
+        FROM l2 p1 JOIN l2 p2 ON p1.i = p2.i AND p1.j < p2.j
+        WHERE EXISTS (SELECT 1 FROM l2 px WHERE px.i = p1.j AND px.j = p2.j)),
+      l3all AS MATERIALIZED (
+        SELECT c.i, c.j, c.k, CAST(count(*) AS BIGINT) AS sup
+        FROM c3 c
+        JOIN ui u1 ON u1.item = c.i
+        JOIN ui u2 ON u2.item = c.j AND u2.user_id = u1.user_id
+        JOIN ui u3 ON u3.item = c.k AND u3.user_id = u1.user_id
+        GROUP BY 1, 2, 3)
+      SELECT 1 AS lvl,
+        (SELECT CAST(count(*) AS BIGINT) FROM l1all) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT) FROM l1all
+          WHERE sup >= (SELECT ms FROM ms)) AS n_frequent,
+        (SELECT max(sup) FROM l1all
+          WHERE sup >= (SELECT ms FROM ms)) AS max_support,
+        (SELECT CAST(ms AS BIGINT) FROM ms) AS min_support
+      UNION ALL
+      SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM l2all),
+        (SELECT CAST(count(*) AS BIGINT) FROM l2all
+          WHERE sup >= (SELECT ms FROM ms)),
+        (SELECT max(sup) FROM l2all WHERE sup >= (SELECT ms FROM ms)),
+        (SELECT CAST(ms AS BIGINT) FROM ms)
+      UNION ALL
+      SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM l3all),
+        (SELECT CAST(count(*) AS BIGINT) FROM l3all
+          WHERE sup >= (SELECT ms FROM ms)),
+        (SELECT max(sup) FROM l3all WHERE sup >= (SELECT ms FROM ms)),
+        (SELECT CAST(ms AS BIGINT) FROM ms)
+      ORDER BY lvl"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234, q240, q247, q255, q256)
+      q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259)
 }

@@ -3617,9 +3617,86 @@ object SimilarityQueries {
           AS BIGINT)
       ORDER BY cluster_id"""))
 
+  // -- V24: ADJUSTED RAND INDEX — the chance-corrected agreement
+  //    between a cheap geometric partition (equal-width bins of the
+  //    first embedding component, min/max broadcast — no global sort)
+  //    and the reference labels: ARI = (Σij C(nij,2) − E)/(max − E)
+  //    with E = ΣC(ai,2)·ΣC(bj,2)/C(n,2) — every term an exact
+  //    integer binomial, two double divisions at the end. The
+  //    clustering-metrology closer: q102 fits clusters, q135 balances
+  //    them, q185 flags outliers; q262 SCORES a partition against
+  //    ground truth. Near-zero ARI here is the honest reading — a
+  //    single coordinate of a synthetic isotropic embedding carries
+  //    almost no label signal.
+  private val ARI_BINS = 10
+  private val q262 = Q(
+    "q262_ari_agreement",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val pts = t.embeddings.select(col("vec_id"), col("label"),
+        element_at(col("embedding"), 1).cast("double").as("x"))
+      val bounds = pts.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val binned = pts.crossJoin(broadcast(bounds))
+        .select(col("label"),
+          least(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+            * ARI_BINS).cast("long"), lit(ARI_BINS - 1L)).as("cl"))
+      val cont = binned.groupBy(col("cl"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true)
+      // integer binomial: n(n−1) is even, so the double division is
+      // exact and the long cast restores the BIGINT the oracle sums
+      def c2(c: org.apache.spark.sql.Column) =
+        (c * (c - 1) / 2).cast("long")
+      val sumIdx = cont.agg(sum(c2(col("nij"))).as("s_idx"))
+      val sumA = cont.groupBy(col("cl")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(c2(col("ai"))).as("s_a"))
+      val sumB = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(c2(col("bj"))).as("s_b"))
+      val nTot = cont.agg(sum(col("nij")).as("n"))
+      sumIdx.crossJoin(sumA).crossJoin(sumB).crossJoin(nTot)
+        .select(col("n"), col("s_idx"), col("s_a"), col("s_b"),
+          pround((col("s_idx").cast("double")
+            - col("s_a").cast("double") * col("s_b").cast("double")
+              / c2(col("n")).cast("double"))
+            / ((col("s_a") + col("s_b")).cast("double") / 2.0
+              - col("s_a").cast("double") * col("s_b").cast("double")
+                / c2(col("n")).cast("double")), 6).as("ari"))
+    },
+    Some(s"""WITH pts AS (
+        SELECT label, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings),
+      bounds AS (SELECT min(x) AS mn, max(x) AS mx FROM pts),
+      binned AS (
+        SELECT label,
+          least(CAST(floor((x - mn) / (mx - mn) * $ARI_BINS) AS BIGINT),
+            ${ARI_BINS - 1}) AS cl
+        FROM pts CROSS JOIN bounds),
+      cont AS MATERIALIZED (
+        SELECT cl, label, CAST(count(*) AS BIGINT) AS nij
+        FROM binned GROUP BY 1, 2),
+      parts AS (
+        SELECT
+          (SELECT CAST(sum(nij * (nij - 1) / 2) AS BIGINT) FROM cont)
+            AS s_idx,
+          (SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) FROM
+            (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY cl))
+            AS s_a,
+          (SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) FROM
+            (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cont
+             GROUP BY label)) AS s_b,
+          (SELECT CAST(sum(nij) AS BIGINT) FROM cont) AS n)
+      SELECT n, s_idx, s_a, s_b,
+        ${proundSql(
+          """(CAST(s_idx AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n * (n - 1) / 2 AS DOUBLE))
+            / (CAST(s_a + s_b AS DOUBLE) / 2.0
+              - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n * (n - 1) / 2 AS DOUBLE))""", 6)} AS ari
+      FROM parts"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224, q227, q231, q249)
+      q214, q215, q216, q218, q219, q224, q227, q231, q249, q262)
 }

@@ -1861,8 +1861,240 @@ object TextAnalysis {
       FROM pd p JOIN cal c ON c.bin = p.bin
       ORDER BY p.doc_id"""))
 
+  // -- T29: EXPECTED CALIBRATION ERROR — the reliability diagram as
+  //    data, completing the gate-metrology triad (q246 AUC: does the
+  //    score DISCRIMINATE; q221 isotonic: FIX the calibration; q260:
+  //    MEASURE the miscalibration): predicted probability = token-
+  //    count bin/99 (the q221 score), event = "doc has a repeated
+  //    token", 10 equal-width confidence bins; per bin the exact-
+  //    integer confidence Σbin/(99·n) vs accuracy n_pos/n, and the
+  //    TOTAL row (pbin = −1) carries ECE = Σ(n/N)·|acc−conf| with the
+  //    10 bin terms pround(8)→DECIMAL-summed. One scan, two hash aggs.
+  private val q260 = Q(
+    "q260_ece_calibration",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val perdoc = t.documents.select(
+          least(lit(99), size(toks)).cast("long").as("bin"),
+          (size(array_distinct(toks)) < size(toks)).cast("long").as("pos"))
+        .withColumn("pbin",
+          least(expr("(bin * 10) div 99"), lit(9L)).cast("int"))
+      val bins = perdoc.groupBy(col("pbin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("bin")).as("sbin"))
+        .localCheckpoint(true)
+      val confRaw = col("sbin").cast("double") /
+        (lit(99.0) * col("n").cast("double"))
+      val accRaw = col("n_pos").cast("double") / col("n").cast("double")
+      val per = bins.select(col("pbin"), col("n"), col("n_pos"),
+        pround(confRaw, 6).as("conf"),
+        pround(accRaw, 6).as("acc"),
+        pround(abs(accRaw - confRaw), 6).as("gap"))
+      val nTot = bins.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("pp"))
+      val total = bins.crossJoin(broadcast(nTot))
+        .select((col("n").cast("double") / col("nn").cast("double")
+            * abs(accRaw - confRaw)).as("term"),
+          col("nn"), col("pp"))
+        .groupBy(col("nn"), col("pp"))
+        .agg(sum(pround(col("term"), 8)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+          .cast("double").as("ece"))
+        .select(lit(-1).as("pbin"), col("nn").as("n"), col("pp").as("n_pos"),
+          lit(null).cast("double").as("conf"),
+          lit(null).cast("double").as("acc"),
+          pround(col("ece"), 6).as("gap"))
+      per.unionByName(total).orderBy(col("pbin"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      val conf = "CAST(sbin AS DOUBLE) / (99.0 * CAST(n AS DOUBLE))"
+      val acc = "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)"
+      s"""WITH perdoc AS (
+        SELECT least(99, len($toksSql)) AS bin,
+          CASE WHEN len(list_distinct($toksSql)) < len($toksSql)
+            THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      bins AS MATERIALIZED (
+        SELECT CAST(least((bin * 10) // 99, 9) AS INT) AS pbin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          CAST(sum(bin) AS BIGINT) AS sbin
+        FROM perdoc GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        CAST(sum(n_pos) AS BIGINT) AS pp FROM bins)
+      SELECT pbin, n, n_pos,
+        ${proundSql(conf, 6)} AS conf,
+        ${proundSql(acc, 6)} AS acc,
+        ${proundSql(s"abs(($acc) - ($conf))", 6)} AS gap
+      FROM bins
+      UNION ALL
+      SELECT -1, nn, pp, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        ${proundSql(
+          s"""CAST(sum(CAST(${proundSql(
+            s"""CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+               * abs(($acc) - ($conf))""", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE)""", 6)}
+      FROM bins CROSS JOIN tot
+      GROUP BY nn, pp
+      ORDER BY pbin"""
+    })
+
+  // -- T30: KENDALL τ-b — the exact pair-concordance rank statistic
+  //    next to q150's Spearman: every quantity is an INTEGER pair
+  //    count (concordant, discordant, x-ties, y-ties), the denominator
+  //    √((n₀−n₁)(n₀−n₂)) is one IEEE sqrt of exact integers, so τ-b
+  //    carries none of rank-formula approximation under ties that
+  //    Spearman's 6Σd² shortcut does. Signals: token count vs
+  //    stopword count per doc, grouped by lang, on the 20% id sample
+  //    (the q115 audit-sample policy — pair count stays O((n/5)²)
+  //    per group at any scale).
+  private val q261 = Q(
+    "q261_kendall_tau",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val d = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"), col("doc_id"),
+          size(toks).cast("long").as("x"),
+          markerCount(toks, stopwords).cast("long").as("y"))
+      val p = d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.lang").as("lang"),
+          ((col("a.x") - col("b.x")) * (col("a.y") - col("b.y")))
+            .as("prod"),
+          (col("a.x") === col("b.x")).cast("long").as("tx"),
+          (col("a.y") === col("b.y")).cast("long").as("ty"))
+      p.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("prod") > 0).cast("long")).as("concordant"),
+          sum((col("prod") < 0).cast("long")).as("discordant"),
+          sum(col("tx")).as("ties_x"),
+          sum(col("ty")).as("ties_y"),
+          sum(col("tx") * col("ty")).as("ties_xy"))
+        .select(col("lang"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"), col("ties_xy"),
+          pround((col("concordant") - col("discordant")).cast("double")
+            / sqrt((col("n_pairs") - col("ties_x")).cast("double")
+              * (col("n_pairs") - col("ties_y")).cast("double")), 6)
+            .as("tau_b"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      s"""WITH d AS MATERIALIZED (
+        SELECT lang, doc_id,
+          CAST(len($toksSql) AS BIGINT) AS x,
+          CAST(${markerCountSql(toksSql, stopwords)} AS BIGINT) AS y
+        FROM documents WHERE doc_id % 5 = 0),
+      p AS (
+        SELECT a.lang,
+          (a.x - b.x) * (a.y - b.y) AS prod,
+          CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+          CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS concordant,
+        CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS discordant,
+        CAST(sum(tx) AS BIGINT) AS ties_x,
+        CAST(sum(ty) AS BIGINT) AS ties_y,
+        CAST(sum(tx * ty) AS BIGINT) AS ties_xy,
+        ${proundSql(
+          """CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+               - sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sqrt(CAST(count(*) - sum(tx) AS DOUBLE)
+               * CAST(count(*) - sum(ty) AS DOUBLE))""", 6)} AS tau_b
+      FROM p
+      GROUP BY lang
+      ORDER BY lang"""
+    })
+
+  // -- T31: McNEMAR paired-gate test — when a new quality gate is
+  //    proposed to replace the incumbent, accuracy deltas on the SAME
+  //    documents are paired data: only the discordant cells carry
+  //    evidence. b = passes-A-only, c = passes-B-only, statistic
+  //    (b−c)²/(b+c) ~ χ²₁ under "the gates disagree symmetrically".
+  //    Gate A = q18's 5-flag score ≥ 3/5 (the flag sum compared as an
+  //    INTEGER, no float threshold); gate B = a Gopher-lite pair of
+  //    integer conditions. One scan, one hash agg, every cell exact.
+  private val q263 = Q(
+    "q263_mcnemar_gates",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      val stopCnt = markerCount(toks, stopwords)
+      val flags =
+        when(length(col("text")).between(50, 1000), 1).otherwise(0) +
+        when(nTok >= 20, 1).otherwise(0) +
+        when(stopCnt * 5 <= nTok * 2, 1).otherwise(0) +
+        when(size(array_distinct(toks)) * 10 >= nTok * 3, 1).otherwise(0) +
+        when(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          * 20 <= length(col("text")), 1).otherwise(0)
+      val gated = t.documents.select(col("lang"),
+        (flags >= 3).as("a"),
+        (nTok >= 15 && stopCnt >= 2).as("b"))
+      gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("a") && col("b")).cast("long")).as("both_pass"),
+          sum((!col("a") && !col("b")).cast("long")).as("both_fail"),
+          sum((col("a") && !col("b")).cast("long")).as("only_a"),
+          sum((!col("a") && col("b")).cast("long")).as("only_b"))
+        .withColumn("mcnemar",
+          when(col("only_a") + col("only_b") > 0,
+            pround((col("only_a") - col("only_b")).cast("double")
+              * (col("only_a") - col("only_b")).cast("double")
+              / (col("only_a") + col("only_b")).cast("double"), 6)))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      val nTok = s"len($toksSql)"
+      val stopCnt = markerCountSql(toksSql, stopwords)
+      val flags = s"""
+        (CASE WHEN len(text) BETWEEN 50 AND 1000 THEN 1 ELSE 0 END) +
+        (CASE WHEN $nTok >= 20 THEN 1 ELSE 0 END) +
+        (CASE WHEN ($stopCnt) * 5 <= $nTok * 2 THEN 1 ELSE 0 END) +
+        (CASE WHEN len(list_distinct($toksSql)) * 10 >= $nTok * 3
+          THEN 1 ELSE 0 END) +
+        (CASE WHEN len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+          * 20 <= len(text) THEN 1 ELSE 0 END)"""
+      s"""WITH gated AS (
+        SELECT lang, ($flags) >= 3 AS a,
+          $nTok >= 15 AND ($stopCnt) >= 2 AS b
+        FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS both_pass,
+        CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS both_fail,
+        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS only_a,
+        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS only_b,
+        CASE WHEN sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+            + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0
+          THEN ${proundSql(
+            """CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE)
+              * CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE)""",
+            6)} END AS mcnemar
+      FROM gated
+      GROUP BY lang
+      ORDER BY lang"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207, q221, q226, q229)
+      q183, q201, q206, q207, q221, q226, q229, q260, q261, q263)
 }
