@@ -1982,8 +1982,83 @@ object ExtendedRelational {
         (SELECT CAST(ms AS BIGINT) FROM ms)
       ORDER BY lvl"""))
 
+  // -- X35: KAPLAN-MEIER survival — the product-limit churn curve
+  //    with RIGHT CENSORING done correctly (q142's retention matrix
+  //    treats every user as fully observed; users still active at the
+  //    observation edge must not count as churned): duration = active
+  //    lifespan in days, churned iff last activity ≥ 5 days before
+  //    the corpus edge, S(t) = Π_{t'≤t} (1 − d/n) over the ≤31
+  //    distinct durations. The duration table is calendar-bounded, so
+  //    the sequential product is driver math (q242's discipline) and
+  //    the oracle replays it as a lockstep recursive CTE. Engine-side
+  //    Spark work is one user-keyed agg + one 31-row collect.
+  private val KM_CUT = 5L
+  private val q264 = Q(
+    "q264_kaplan_meier",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val ud = t.eventsUs
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      val edge = ud.agg(max(col("ld")).as("dmax"))
+      val agg = ud.crossJoin(broadcast(edge))
+        .select((col("ld") - col("fd") + 1).as("t"),
+          (col("ld") <= col("dmax") - KM_CUT).cast("long").as("churn"))
+        .groupBy(col("t"))
+        .agg(sum(col("churn")).as("d"),
+          sum(lit(1L) - col("churn")).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val total = agg.map(x => x._2 + x._3).sum
+      var atRisk = total
+      var surv = 1.0
+      val rows = agg.map { case (tt, d, c) =>
+        surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+        val row = (tt, atRisk, d, c, surv)
+        atRisk -= (d + c)
+        row
+      }
+      rows.toSeq.toDF("t", "n_risk", "n_events", "n_censored", "surv_raw")
+        .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+          pround(col("surv_raw"), 6).as("surv"))
+        .orderBy(col("t"))
+    },
+    Some(s"""WITH RECURSIVE ud AS (
+        SELECT user_id, min(day) AS fd, max(day) AS ld
+        FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events)
+        GROUP BY user_id),
+      edge AS (SELECT max(ld) AS dmax FROM ud),
+      agg AS MATERIALIZED (
+        SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+          CAST(sum(1 - churn) AS BIGINT) AS c,
+          row_number() OVER (ORDER BY t) AS seq
+        FROM (SELECT ld - fd + 1 AS t,
+                CASE WHEN ld <= dmax - $KM_CUT THEN 1 ELSE 0 END AS churn
+              FROM ud CROSS JOIN edge)
+        GROUP BY t),
+      tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM agg),
+      rec(seq, t, n_risk, d, c, surv) AS (
+        SELECT a.seq, a.t, tot.n, a.d, a.c,
+          1.0 - CAST(a.d AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        FROM agg a CROSS JOIN tot WHERE a.seq = 1
+        UNION ALL
+        SELECT a.seq, a.t, r.n_risk - r.d - r.c, a.d, a.c,
+          r.surv * (1.0 - CAST(a.d AS DOUBLE)
+            / CAST(r.n_risk - r.d - r.c AS DOUBLE))
+        FROM rec r JOIN agg a ON a.seq = r.seq + 1)
+      SELECT t, n_risk, d AS n_events, c AS n_censored,
+        ${proundSql("surv", 6)} AS surv
+      FROM rec
+      ORDER BY t"""))
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
-      q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259)
+      q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
+      q264)
 }
