@@ -1986,13 +1986,15 @@ object ExtendedRelational {
   //    with RIGHT CENSORING done correctly (q142's retention matrix
   //    treats every user as fully observed; users still active at the
   //    observation edge must not count as churned): duration = active
-  //    lifespan in days, churned iff last activity ≥ 5 days before
-  //    the corpus edge, S(t) = Π_{t'≤t} (1 − d/n) over the ≤31
+  //    lifespan in days, churned iff last activity strictly before the final
+  //    corpus day (the synthetic stream is dense — 89% of users touch
+  //    the last day, so this is the cut where churned and censored
+  //    both exist), S(t) = Π_{t'≤t} (1 − d/n) over the ≤31
   //    distinct durations. The duration table is calendar-bounded, so
   //    the sequential product is driver math (q242's discipline) and
   //    the oracle replays it as a lockstep recursive CTE. Engine-side
   //    Spark work is one user-keyed agg + one 31-row collect.
-  private val KM_CUT = 5L
+  private val KM_CUT = 1L
   private val q264 = Q(
     "q264_kaplan_meier",
     (s, dir) => {
