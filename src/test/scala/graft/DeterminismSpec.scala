@@ -21,7 +21,11 @@ class DeterminismSpec extends SparkSpec {
     "q64_pack_offsets", "q79_bm25_topk", "q102_kmeans_fit",
     "q107_bpe_merges", "q128_para_dedup", "q202_semdedup",
     "q222_kmv_overlap", "q228_cms_frequencies", "q233_hilbert_skipping",
-    "q234_weighted_reservoir", "q238_zipf_fit")
+    "q234_weighted_reservoir", "q238_zipf_fit",
+    // round-13b shapes: bloom bit joins, grid-DBSCAN CC, HRW argmax,
+    // greedy set-cover driver loop, blocked multiset pairs, exact AUC
+    "q246_score_auc", "q247_bloom_skipping", "q249_dbscan_grid",
+    "q251_rendezvous_shards", "q252_set_cover", "q257_weighted_jaccard")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()

@@ -475,4 +475,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rendezvous: monotone under chained shard additions on random keys") {
+    import graft.operators.Rendezvous
+    forAll(Gen.listOfN(60, Gen.chooseNum(0L, 1000000L)), n = 6) { keys =>
+      whenever(keys.nonEmpty) {
+        val df = keys.distinct.toDF("k")
+        val chain = (4 to 7).map(nS =>
+          nS -> Rendezvous.assign(df, "k", nS)
+            .select("k", "shard").collect()
+            .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+        chain.sliding(2).foreach { case Seq((na, a), (nb, b)) =>
+          a.keys.foreach { k =>
+            assert(a(k) == b(k) || b(k) == nb - 1,
+              s"key $k moved between OLD shards at $na->$nb")
+          }
+        }
+      }
+    }
+  }
+
+  test("bloom skip: never a false negative on random key/file layouts") {
+    import graft.operators.BloomSkip
+    val g = Gen.listOfN(80, Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 5000L)))
+    forAll(g, n = 5) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("f", "key")
+        val fb = BloomSkip.fileBits(df, "f", "key", 128, 3)
+        val probes = rows.map(_._2).distinct.toDF("probe")
+        val pass = BloomSkip.probePass(fb, probes, 128, 3)
+          .select("probe", "f").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        rows.foreach { case (f, k) =>
+          assert(pass.contains((k, f)), s"false negative: key $k file $f")
+        }
+      }
+    }
+  }
+
+  test("set cover: greedy gains are non-increasing and sum to covered mass") {
+    import graft.operators.SetCover
+    val g = Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 12L),
+      Gen.chooseNum(0, 30).map(i => s"f$i")))
+    forAll(g, n = 5) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "h")
+        val picks = SetCover.greedy(spark, df, 6)
+          .collect().map(r => r.getLong(2))
+        picks.sliding(2).foreach {
+          case Array(a, b) => assert(a >= b, "greedy gain increased")
+          case _ => ()
+        }
+        val universe = rows.map(_._2).distinct.size
+        assert(picks.sum <= universe)
+      }
+    }
+  }
 }
