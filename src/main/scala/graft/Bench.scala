@@ -119,7 +119,7 @@ object Bench {
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
     "q197_embedding_drift", "q198_flatten_resample",
     "q199_pack_boundary_stats",
-    "q181_ivf_bin_topk", "q182_mmr_topk", "q183_perceptron_gate",
+    "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q262_ari_agreement", "q186_kcore",
     "q187_cuped_experiment",
     "q67_percentiles_rankselect")
@@ -176,7 +176,10 @@ object Bench {
       "q227_hnsw_vs_nsw",
       // OPQ selection rung: q159's shape twice (two trained arms, each
       // a full-ADC probe) against the brute exact denominator
-      "q231_opq_rung")
+      "q231_opq_rung",
+      // cascade recall rows share q27's brute exact denominator; the
+      // cascade stages themselves are cell-pruned and survivor-bounded
+      "q265_rerank_cascade")
 
   /** Box-speed calibration: a fixed, deterministic splitmix64 burn
     * over a preallocated array, timed single-threaded and at 32

@@ -3694,9 +3694,209 @@ object SimilarityQueries {
                 / CAST(n * (n - 1) / 2 AS DOUBLE))""", 6)} AS ari
       FROM parts"""))
 
+  // -- V25: RERANK CASCADE — the production retrieval composition the
+  //    single-rung queries measure in isolation: IVF-pruned BINARY
+  //    hamming generates C1=30 candidates/query (cheapest scan, cell-
+  //    pruned), SQ8 integer dot reranks them to C2=10, exact float
+  //    cosine finishes the top-5. Three rows measure the ladder: the
+  //    binary stage's own top-5 recall (what you'd get stopping
+  //    there), the SQ8-cascade top-5, and the full-cascade top-5 —
+  //    each with the exact candidate count that stage scored, so the
+  //    cost/recall trade of ADDING a refinement stage is the row
+  //    delta. Scale shape: stage 1 is q181's broadcast-probe cell
+  //    join; stages 2-3 are equi-joins on the ≤ C1·|queries| survivor
+  //    set — refinement cost is bounded by the cascade widths, never
+  //    the corpus.
+  private val CAS_C1 = 30
+  private val CAS_C2 = 10
+  private val q265 = Q(
+    "q265_rerank_cascade",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val emb = t.embeddings
+      val queries = emb.filter(col("vec_id") % QMOD === 0)
+      val exact = Similarity.topK(emb, queries, "vec_id", "embedding", SQ_K)
+        .select(col("query_id"), col("corpus_id"))
+        .localCheckpoint(true)
+      val exactTotal = exact.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(true)
+      val s1 = Similarity.ivfBinTopK(emb, queries, "vec_id", "embedding",
+          SQ_DIMS, SEEDMOD, NPROBE, CAS_C1)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .localCheckpoint(true)
+      val scales = Similarity.sqScales(emb, "embedding")
+      val codes = Similarity.sqEncode(emb, "vec_id", "embedding", scales)
+        .localCheckpoint(true)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("iscore").desc, col("corpus_id").asc)
+      val s2 = s1
+        .join(codes.select(col("vec_id").as("query_id"),
+          col("sq_code").as("qq")), Seq("query_id"))
+        .join(codes.select(col("vec_id").as("corpus_id"),
+          col("sq_code").as("cq")), Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          Similarity.idot(col("cq"), col("qq")).as("iscore"))
+        .withColumn("r2", row_number().over(w2))
+        .filter(col("r2") <= CAS_C2)
+        .localCheckpoint(true)
+      val vn = emb.select(col("vec_id"), col("embedding"),
+        sqrt(Similarity.norm2(col("embedding"))).as("nrm"))
+      val w3 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      val s3 = s2.select(col("query_id"), col("corpus_id"))
+        .join(vn.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("nrm").as("qn")), Seq("query_id"))
+        .join(vn.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("cv"), col("nrm").as("cn")), Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("cosine"))
+        .withColumn("r3", row_number().over(w3))
+        .filter(col("r3") <= SQ_K)
+      def stageRow(name: String, picks: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame) = {
+        val hits = picks.join(exact, Seq("query_id", "corpus_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        val nk = kept.agg(count(lit(1)).as("n_kept"))
+        hits.crossJoin(broadcast(exactTotal)).crossJoin(broadcast(nk))
+          .select(lit(name).as("stage"), col("n_kept"), col("n_hits"),
+            col("n_total"),
+            pround(col("n_hits").cast("double") / col("n_total"), 4)
+              .as("recall"))
+      }
+      stageRow("s1_binary",
+          s1.filter(col("rank") <= SQ_K)
+            .select(col("query_id"), col("corpus_id")), s1)
+        .unionByName(stageRow("s2_sq8",
+          s2.filter(col("r2") <= SQ_K)
+            .select(col("query_id"), col("corpus_id")), s2))
+        .unionByName(stageRow("s3_exact",
+          s3.select(col("query_id"), col("corpus_id")), s3))
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec,
+          nrm AS snrm
+        FROM v WHERE vec_id % $SEEDMOD = 0),
+      assign AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+          SELECT v.vec_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")}
+                / (v.nrm * s.snrm) DESC, s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s) WHERE rn = 1),
+      probe AS (
+        SELECT query_id, cell FROM (
+          SELECT v.vec_id AS query_id, s.cell,
+            row_number() OVER (PARTITION BY v.vec_id
+              ORDER BY ${dotSql("v.embedding", "s.svec")}
+                / (v.nrm * s.snrm) DESC, s.cell ASC) AS rn
+          FROM v CROSS JOIN seeds s WHERE v.vec_id % $QMOD = 0)
+        WHERE rn <= $NPROBE),
+      benc AS MATERIALIZED (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS b
+        FROM embeddings),
+      s1 AS MATERIALIZED (
+        SELECT query_id, corpus_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming ASC, corpus_id ASC) AS rank
+          FROM (
+            SELECT p.query_id, a.vec_id AS corpus_id,
+              CAST(list_reduce(list_prepend(0,
+                list_transform(list_zip(qe.b, ce.b),
+                  pr -> CASE WHEN pr[1] != pr[2] THEN 1 ELSE 0 END)),
+                (x, y) -> x + y) AS BIGINT) AS hamming
+            FROM probe p
+            JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+            JOIN benc qe ON qe.vec_id = p.query_id
+            JOIN benc ce ON ce.vec_id = a.vec_id))
+        WHERE rank <= $CAS_C1),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS sv
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(sv ORDER BY pos) AS sc FROM scales),
+      enc8 AS MATERIALIZED (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      s2 AS MATERIALIZED (
+        SELECT query_id, corpus_id, r2 FROM (
+          SELECT s1.query_id, s1.corpus_id,
+            row_number() OVER (PARTITION BY s1.query_id
+              ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_zip(cq.q, qq.q),
+                  pr -> pr[1] * pr[2])), (x, y) -> x + y) DESC,
+                s1.corpus_id ASC) AS r2
+          FROM s1
+          JOIN enc8 qq ON qq.vec_id = s1.query_id
+          JOIN enc8 cq ON cq.vec_id = s1.corpus_id)
+        WHERE r2 <= $CAS_C2),
+      s3 AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+          SELECT s2.query_id, s2.corpus_id,
+            row_number() OVER (PARTITION BY s2.query_id
+              ORDER BY ${dotSql("qv.embedding", "cv.embedding")}
+                / (qv.nrm * cv.nrm) DESC, s2.corpus_id ASC) AS r3
+          FROM s2
+          JOIN v qv ON qv.vec_id = s2.query_id
+          JOIN v cv ON cv.vec_id = s2.corpus_id)
+        WHERE r3 <= $SQ_K),
+      exact AS MATERIALIZED (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+          FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+          JOIN v c ON q.vec_id != c.vec_id)
+        WHERE rank <= $SQ_K),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM exact)
+      SELECT 's1_binary' AS stage,
+        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_kept,
+        (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN exact
+          USING (query_id, corpus_id) WHERE rank <= $SQ_K) AS n_hits,
+        tot.n_total,
+        ${proundSql(
+          s"""CAST((SELECT count(*) FROM s1 JOIN exact
+             USING (query_id, corpus_id) WHERE rank <= $SQ_K) AS DOUBLE)
+             / CAST(tot.n_total AS DOUBLE)""", 4)} AS recall
+      FROM tot
+      UNION ALL
+      SELECT 's2_sq8',
+        (SELECT CAST(count(*) AS BIGINT) FROM s2),
+        (SELECT CAST(count(*) AS BIGINT) FROM s2 JOIN exact
+          USING (query_id, corpus_id) WHERE r2 <= $SQ_K),
+        tot.n_total,
+        ${proundSql(
+          s"""CAST((SELECT count(*) FROM s2 JOIN exact
+             USING (query_id, corpus_id) WHERE r2 <= $SQ_K) AS DOUBLE)
+             / CAST(tot.n_total AS DOUBLE)""", 4)}
+      FROM tot
+      UNION ALL
+      SELECT 's3_exact',
+        (SELECT CAST(count(*) AS BIGINT) FROM s3),
+        (SELECT CAST(count(*) AS BIGINT) FROM s3 JOIN exact
+          USING (query_id, corpus_id)),
+        tot.n_total,
+        ${proundSql(
+          s"""CAST((SELECT count(*) FROM s3 JOIN exact
+             USING (query_id, corpus_id)) AS DOUBLE)
+             / CAST(tot.n_total AS DOUBLE)""", 4)}
+      FROM tot
+      ORDER BY stage"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224, q227, q231, q249, q262)
+      q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265)
 }
