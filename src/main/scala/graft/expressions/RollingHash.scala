@@ -364,6 +364,13 @@ object GraftExtensions {
         LnDet(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_expdet"),
+      new ExpressionInfo(classOf[ExpDet].getName, "graft_expdet"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_expdet takes one double argument")
+        ExpDet(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hilbert"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
       (children: Seq[Expression]) => {

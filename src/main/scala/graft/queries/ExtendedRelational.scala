@@ -2058,9 +2058,108 @@ object ExtendedRelational {
       FROM rec
       ORDER BY t"""))
 
+  // -- X38: logistic-regression gate ([[graft.operators.Logistic]]) —
+  //    the calibrated linear classifier trained INSIDE the engine by
+  //    full-batch gradient descent. The synthetic tables carry no
+  //    cross-column structure (measured: all pairwise corr ≈ 0), so
+  //    the target is a constructed NONLINEAR boundary — is
+  //    l_quantity·l_extendedprice above 1e6 — while the model only
+  //    sees the linear pieces (quantity, price, bias): GD must learn
+  //    the best linear approximation of a hyperbola, giving a real
+  //    monotone learning curve (0.50 → 0.83 by iteration 10 at
+  //    sf0.01) rather than a canned threshold. Sigmoids ride
+  //    graft_expdet (deterministic exp), gradient sums the
+  //    pround8/DECIMAL(28,8) order-free discipline, and the oracle
+  //    unrolls all 11 passes as CTE chains replaying the identical
+  //    IEEE ops — weights and accuracies match bit-exactly.
+  private val LOGIT_LR = 2.0
+  private val LOGIT_T = 10
+  private val q268 = Q(
+    "q268_logit_gate",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val feats = t.lineitem.select(
+          when(col("l_quantity") * col("l_extendedprice") > 1000000.0, 1.0)
+            .otherwise(0.0).as("y"),
+          lit(1.0).as("x0"),
+          (col("l_quantity").cast("double") / lit(50)).as("x1"),
+          (col("l_extendedprice").cast("double") / lit(100000)).as("x2"))
+        .localCheckpoint(true)
+      val hist = graft.operators.Logistic.fitBatch(
+        feats, Seq("x0", "x1", "x2"), "y", LOGIT_LR, LOGIT_T)
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      import s.implicits._
+      hist.map(it => (it.iter, it.n, it.nCorrect,
+          p6(it.nCorrect.toDouble / it.n.toDouble),
+          p6(it.w(0)), p6(it.w(1)), p6(it.w(2))))
+        .toDF("iter", "n", "n_correct", "acc", "w0", "w1", "w2")
+        .orderBy(col("iter"))
+    },
+    Some {
+      val iterCtes = (0 to LOGIT_T).map { i =>
+        val gradCte =
+          s"""g$i AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(sum(CAST(${proundSql("(s - y) * x0", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+          CAST(sum(CAST(${proundSql("(s - y) * x1", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g1,
+          CAST(sum(CAST(${proundSql("(s - y) * x2", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g2
+        FROM sg$i)"""
+        val updCte = if (i < LOGIT_T)
+          s""",
+      w${i + 1} AS MATERIALIZED (
+        SELECT w0 - $LOGIT_LR * (g0 / n) AS w0,
+          w1 - $LOGIT_LR * (g1 / n) AS w1,
+          w2 - $LOGIT_LR * (g2 / n) AS w2
+        FROM w$i CROSS JOIN g$i)"""
+        else ""
+        s"""z$i AS (
+        SELECT y, x0, x1, x2, (x0 * w0 + x1 * w1) + x2 * w2 AS z
+        FROM feats CROSS JOIN w$i),
+      zc$i AS (
+        SELECT y, x0, x1, x2, z,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM z$i),
+      ${expDetSqlCtes(s"e$i", s"zc$i", "y, x0, x1, x2, z", "-zc")},
+      sg$i AS (
+        SELECT y, x0, x1, x2, z,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS s
+        FROM e${i}expv),
+      $gradCte,
+      r$i AS (
+        SELECT $i AS iter, n, n_correct, w0, w1, w2
+        FROM g$i CROSS JOIN w$i)$updCte"""
+      }.mkString(",\n      ")
+      val unionRows = (0 to LOGIT_T).map(i => s"SELECT * FROM r$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN l_quantity * l_extendedprice > 1000000
+            THEN 1.0 ELSE 0.0 END AS y,
+          CAST(1 AS DOUBLE) AS x0,
+          CAST(l_quantity AS DOUBLE) / 50 AS x1,
+          CAST(l_extendedprice AS DOUBLE) / 100000 AS x2
+        FROM lineitem),
+      w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+        CAST(0 AS DOUBLE) AS w2),
+      $iterCtes,
+      rows_all AS ($unionRows)
+      SELECT iter, n, n_correct,
+        ${proundSql("CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+          AS acc,
+        ${proundSql("w0", 6)} AS w0,
+        ${proundSql("w1", 6)} AS w1,
+        ${proundSql("w2", 6)} AS w2
+      FROM rows_all
+      ORDER BY iter"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264)
+      q264, q268)
 }

@@ -45,6 +45,52 @@ object Portable {
     * carries `$carry` plus `lnp` = lnDet($xExpr). `src` must provide
     * the carry columns and whatever $xExpr reads.
     */
+  /** Oracle replay of [[graft.expressions.ExpDet]] (deterministic exp,
+    * domain |x| ≤ 43): k = floor(x/ln2 + 0.5), 12-term Horner on the
+    * reduced r, then the six exact binary scale steps — every op the
+    * same two-operand IEEE op the engine executes. Returns CTE text;
+    * the final CTE `${pfx}expv` carries `$carry` plus `expv` =
+    * expDet($xExpr). `src` must provide the carry columns and whatever
+    * $xExpr reads.
+    */
+  def expDetSqlCtes(pfx: String, src: String, carry: String,
+      xExpr: String): String = {
+    val steps = Seq((4294967296.0, 32), (65536.0, 16), (256.0, 8),
+      (16.0, 4), (4.0, 2), (2.0, 1))
+    val scCtes = steps.zipWithIndex.map { case ((m, sub), i) =>
+      s"""${pfx}sc${i + 1} AS (
+        SELECT $carry, p, neg,
+          CASE WHEN ka >= $sub THEN sc * $m ELSE sc END AS sc,
+          CASE WHEN ka >= $sub THEN ka - $sub ELSE ka END AS ka
+        FROM ${pfx}sc$i)"""
+    }.mkString(",\n      ")
+    s"""${pfx}kr AS (
+        SELECT $carry, floor(($xExpr) / ${graft.expressions.ExpDet.LN2}
+            + 0.5) AS k,
+          ($xExpr) - floor(($xExpr) / ${graft.expressions.ExpDet.LN2}
+            + 0.5) * ${graft.expressions.ExpDet.LN2} AS r
+        FROM $src),
+      ${pfx}hp AS (
+        SELECT $carry, k,
+          1 + r * (1 + r * (CAST(1 AS DOUBLE) / 2 + r * (
+            CAST(1 AS DOUBLE) / 6 + r * (CAST(1 AS DOUBLE) / 24 + r * (
+            CAST(1 AS DOUBLE) / 120 + r * (CAST(1 AS DOUBLE) / 720 + r * (
+            CAST(1 AS DOUBLE) / 5040 + r * (CAST(1 AS DOUBLE) / 40320 + r * (
+            CAST(1 AS DOUBLE) / 362880 + r * (CAST(1 AS DOUBLE) / 3628800
+            + r * (CAST(1 AS DOUBLE) / 39916800))))))))))) AS p
+        FROM ${pfx}kr),
+      ${pfx}sc0 AS (
+        SELECT $carry, p, k < 0 AS neg,
+          CAST(1 AS DOUBLE) AS sc,
+          least(CASE WHEN k < 0 THEN -k ELSE k END, 63.0) AS ka
+        FROM ${pfx}hp),
+      $scCtes,
+      ${pfx}expv AS (
+        SELECT $carry,
+          CASE WHEN neg THEN p / sc ELSE p * sc END AS expv
+        FROM ${pfx}sc6)"""
+  }
+
   def lnDetSqlCtes(pfx: String, src: String, carry: String,
       xExpr: String): String = {
     val steps = Seq((4294967296L, 32), (65536L, 16), (256L, 8),

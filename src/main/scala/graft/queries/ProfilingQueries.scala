@@ -877,6 +877,83 @@ object ProfilingQueries {
       FROM ols JOIN med USING (event_type)
       ORDER BY event_type"""))
 
+  // -- P14: t-closeness release audit ([[graft.operators.Privacy
+  //    .tClosenessAudit]]) — completes the release-privacy triad next
+  //    to q245's k-anonymity/l-diversity: a class can pass both and
+  //    still leak through its sensitive-value DISTRIBUTION. Ordered
+  //    EMD over the 5 ordinal o_orderpriority values, exact BIGINT
+  //    numerator (|C_i·N − G_i·s| sums), one double division per
+  //    class; the violation gate is the scale-free noise-normalized
+  //    deviation emd·√class_size > 0.5 so the audit keeps meaning
+  //    (and both gate branches stay live) from sf0.001 through the
+  //    10× sweep. Same QI tuple as q245 so the two audits read as one
+  //    report family.
+  private val TCLOSE_C = 0.5
+  private val q267 = Q(
+    "q267_t_closeness",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val recs = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      graft.operators.Privacy.tClosenessAudit(recs,
+          Seq("c_nationkey", "c_mktsegment", "o_year"),
+          "o_orderpriority", TCLOSE_C, Seq("c_nationkey"),
+          normalized = true)
+        .orderBy(col("c_nationkey"))
+    },
+    Some(s"""WITH recs AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+          year(o.o_orderdate) AS o_year, o.o_orderpriority AS sv
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS MATERIALIZED (
+        SELECT c_nationkey, c_mktsegment, o_year, sv,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM recs GROUP BY 1, 2, 3, 4),
+      gd AS MATERIALIZED (
+        SELECT sv, CAST(sum(gcnt) OVER (ORDER BY sv) AS BIGINT) AS gcum
+        FROM (SELECT sv, count(*) AS gcnt FROM recs GROUP BY 1)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM recs),
+      mrow AS (SELECT CAST(count(*) AS BIGINT) AS m_vals FROM gd),
+      classes AS (
+        SELECT c_nationkey, c_mktsegment, o_year,
+          CAST(sum(cnt) AS BIGINT) AS class_size
+        FROM cells GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT cl.*, g.sv, COALESCE(ce.cnt, 0) AS cnt
+        FROM classes cl CROSS JOIN (SELECT sv FROM gd) g
+        LEFT JOIN cells ce
+          USING (c_nationkey, c_mktsegment, o_year, sv)),
+      cum AS (
+        SELECT *, CAST(sum(cnt) OVER (
+            PARTITION BY c_nationkey, c_mktsegment, o_year
+            ORDER BY sv) AS BIGINT) AS ccum
+        FROM grid),
+      emd AS (
+        SELECT c_nationkey, class_size,
+          CAST(sum(abs(ccum * n_total - gcum * class_size)) AS DOUBLE)
+            / (CAST(class_size AS DOUBLE) * n_total * (m_vals - 1)) AS emd
+        FROM cum JOIN gd USING (sv) CROSS JOIN tot CROSS JOIN mrow
+        GROUP BY c_nationkey, c_mktsegment, o_year, class_size,
+          n_total, m_vals)
+      SELECT c_nationkey,
+        CAST(sum(class_size) AS BIGINT) AS n_records,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        ${proundSql("max(emd)", 6)} AS t_max,
+        CAST(sum(CASE WHEN emd * sqrt(CAST(class_size AS DOUBLE))
+          > $TCLOSE_C THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        CAST(sum(CASE WHEN emd * sqrt(CAST(class_size AS DOUBLE))
+          > $TCLOSE_C THEN class_size ELSE 0 END) AS BIGINT)
+          AS n_exposed_records,
+        ${proundSql(
+          s"""CAST(sum(CASE WHEN emd * sqrt(CAST(class_size AS DOUBLE))
+            > $TCLOSE_C THEN class_size ELSE 0 END) AS DOUBLE)
+            / CAST(sum(class_size) AS DOUBLE)""", 6)} AS pct_exposed
+      FROM emd
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246, q253)
+    q241, q245, q246, q253, q267)
 }

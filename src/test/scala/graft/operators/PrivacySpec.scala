@@ -63,6 +63,64 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  // t-closeness grid: adds a homogeneous-s2 class so EMDs spread.
+  // N=8, s1=5, s2=3; global cums: s1->5, s2->8. Hand EMDs (m=2):
+  //   (A,x) size 3, cums (2,3): |2·8−5·3| + 0 = 1  -> 1/24  ≈ 0.0417
+  //   (A,y) size 1, cums (1,1): |1·8−5·1| + 0 = 3  -> 3/8   = 0.375
+  //   (B,x) size 2, cums (2,2): |2·8−5·2| + 0 = 6  -> 6/16  = 0.375
+  //   (B,y) size 2, cums (0,2): |0−5·2|   + 0 = 10 -> 10/16 = 0.625
+  private def tRows = rows.union(Seq(
+    ("B", "y", "s2"), ("B", "y", "s2")).toDF("region", "segment", "sensitive"))
+
+  test("tClosenessAudit: hand-computed ordered EMD per class, raw gate") {
+    val got = Privacy.tClosenessAudit(tRows, Seq("region", "segment"),
+        "sensitive", t = 0.5, reportCols = Seq("region"))
+      .orderBy("region").collect()
+    val a = got(0)
+    assert(a.getString(0) === "A")
+    assert(a.getLong(1) === 4L)      // n_records
+    assert(a.getLong(2) === 2L)      // n_classes
+    assert(a.getDouble(3) === 0.375) // t_max
+    assert(a.getLong(4) === 0L)      // n_violating at raw t=0.5
+    val b = got(1)
+    assert(b.getString(0) === "B")
+    assert(b.getLong(1) === 4L && b.getLong(2) === 2L)
+    assert(b.getDouble(3) === 0.625)
+    assert(b.getLong(4) === 1L)      // only (B,y) exceeds 0.5
+    assert(b.getLong(5) === 2L)      // its 2 records exposed
+    assert(b.getDouble(6) === 0.5)
+  }
+
+  test("tClosenessAudit: normalized gate scales by sqrt(class size)") {
+    // stats: (A,x) 0.0417·√3≈0.072, (A,y) 0.375, (B,x) 0.375·√2≈0.530,
+    // (B,y) 0.625·√2≈0.884 — only (B,y) exceeds 0.7.
+    val got = Privacy.tClosenessAudit(tRows, Seq("region", "segment"),
+        "sensitive", t = 0.7, reportCols = Seq("region"), normalized = true)
+      .orderBy("region").collect()
+    assert(got(0).getLong(4) === 0L)
+    assert(got(1).getLong(4) === 1L && got(1).getLong(5) === 2L)
+  }
+
+  test("tClosenessAudit: a class matching the global mix has EMD 0") {
+    // one QI class only -> its distribution IS the global one
+    val uni = Seq(("A", "x", "s1"), ("A", "x", "s2"), ("A", "x", "s1"))
+      .toDF("region", "segment", "sensitive")
+    val got = Privacy.tClosenessAudit(uni, Seq("region", "segment"),
+      "sensitive", 0.1, Seq("region")).head()
+    assert(got.getDouble(3) === 0.0 && got.getLong(4) === 0L)
+  }
+
+  test("tClosenessAudit shuffle-partition invariance") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap = Privacy.tClosenessAudit(tRows, Seq("region", "segment"),
+      "sensitive", 0.5, Seq("region")).collect().map(_.toString).sorted.toSeq
+    val base = snap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(snap === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("shuffle-partition invariance") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def snap = Privacy.kAnonymityAudit(rows, Seq("region", "segment"),
