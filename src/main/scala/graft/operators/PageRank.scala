@@ -223,4 +223,66 @@ object PageRank {
     }
     degrees(e)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the OTHER classic
+    * link-centrality next to [[run]]: PageRank scores a page by the
+    * rank of who links TO it; HITS separates the two roles, scoring
+    * hubs (good linkers) and authorities (good link targets) by
+    * mutual reinforcement:
+    *   a(v) ← Σ_{u→v} h(u),   h(u) ← Σ_{u→v} a(v)
+    * On the curation side this is the directory-page vs content-page
+    * split a crawl ranker wants where PageRank conflates the roles.
+    *
+    * Exactness: textbook HITS L2-normalizes each half-step — a sqrt
+    * per iteration, so floats and libm. This implementation
+    * normalizes by the MAXIMUM (L∞) instead: the power iteration
+    * converges to the same principal-eigenvector direction, and every
+    * step stays scaled-integer — sums, one max, one exact `div` —
+    * bit-identical across engines/partitionings with zero rounding
+    * discipline (the [[run]] contract; after each normalization the
+    * top hub/authority sits exactly at `scale`).
+    *
+    * Overflow headroom: contributions ≤ indeg_max·scale and the
+    * normalize step multiplies by scale — int64 holds through
+    * indeg_max·scale² ≈ 9e18, i.e. indeg_max ~ 9e6 at the default
+    * millionths scale; raise/lower `scale` to trade resolution.
+    *
+    * Scale shape: per iteration two edge joins + two node-keyed
+    * map-side-combined sums + two 1-row max aggs broadcast back —
+    * O(edges) shuffle, O(nodes) state, flat lineage via the
+    * PageRank/CC localCheckpoint discipline.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(scale).as("r"))
+      .localCheckpoint(true)
+    var auth = hub
+    def half(scores: DataFrame, inCol: String, outCol: String): DataFrame = {
+      val sums = e.join(scores, col(inCol) === col("node"))
+        .select(col(outCol).as("tn"), col("r"))
+        .groupBy(col("tn")).agg(sum(col("r")).as("v"))
+      val raw = nodes.join(sums, col("node") === col("tn"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+      val mx = raw.agg(max(col("v")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"(v * $scale) div mx").as("r"))
+        .localCheckpoint(true)
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, "src", "dst")
+      hub = half(auth, "dst", "src")
+    }
+    hub.select(col("node"), col("r").as("hub_scaled"))
+      .join(auth.select(col("node"), col("r").as("auth_scaled")), "node")
+  }
 }

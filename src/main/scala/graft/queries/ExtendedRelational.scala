@@ -2157,9 +2157,59 @@ object ExtendedRelational {
       ORDER BY iter"""
     })
 
+  // -- X39: HITS hubs & authorities ([[graft.operators.PageRank
+  //    .hits]]) — the role-splitting link centrality next to q133's
+  //    PageRank and q256's personalized variant, on the SAME
+  //    events-derived graph so the three read as one ranking family.
+  //    L∞ (max) normalization replaces the textbook L2 so every
+  //    iteration is scaled-integer exact: sums, one max, one `div` —
+  //    the oracle unrolls all three iterations in BIGINT and matches
+  //    bit-for-bit; the top hub/authority sits exactly at 1e6 after
+  //    each normalization.
+  private val HITS_ITERS = 3
+  private val q269 = Q(
+    "q269_hits",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val edges = t.events.select(col("user_id").as("src"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("dst"))
+      graft.operators.PageRank.hits(edges, "src", "dst", HITS_ITERS)
+        .orderBy(col("node"))
+    },
+    Some {
+      def halfSql(scores: String, inCol: String, outCol: String,
+          pfx: String) =
+        s"""${pfx}p AS (
+        SELECT n.node, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+        FROM nodes n LEFT JOIN (
+          SELECT e.$outCol AS tn, CAST(sum(r.r) AS BIGINT) AS v
+          FROM e JOIN $scores r ON r.node = e.$inCol
+          GROUP BY e.$outCol) s ON n.node = s.tn),
+      ${pfx}mx AS (SELECT max(v) AS mx FROM ${pfx}p),
+      $pfx AS (
+        SELECT node, CAST((v * 1000000) // mx AS BIGINT) AS r
+        FROM ${pfx}p CROSS JOIN ${pfx}mx)"""
+      val iters = (1 to HITS_ITERS).map { i =>
+        halfSql(if (i == 1) "h0" else s"h${i - 1}", "src", "dst", s"a$i") +
+          ",\n      " + halfSql(s"a$i", "dst", "src", s"h$i")
+      }.mkString(",\n      ")
+      s"""WITH e AS (
+        SELECT DISTINCT user_id AS src,
+          CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS dst
+        FROM events),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      $iters
+      SELECT n.node, h.r AS hub_scaled, a.r AS auth_scaled
+      FROM nodes n
+      JOIN h$HITS_ITERS h ON n.node = h.node
+      JOIN a$HITS_ITERS a ON n.node = a.node
+      ORDER BY n.node"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268)
+      q264, q268, q269)
 }

@@ -79,4 +79,47 @@ class PageRankSpec extends SparkSpec {
     val r = pprOf(edges, Seq(99L), 2)
     assert(r.values.forall(_ == 0L))
   }
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val got = PageRank.hits(edges.toDF("s", "d"), "s", "d", iters)
+      .collect()
+    (got.map(r => r.getAs[Long]("node") -> r.getAs[Long]("hub_scaled")).toMap,
+      got.map(r => r.getAs[Long]("node") -> r.getAs[Long]("auth_scaled")).toMap)
+  }
+
+  test("hits: hand-computed star graph, two iterations") {
+    // 1→10, 2→10, 3→10, 1→20 — 10 is the strong authority, 1 the
+    // strong hub (it also links the weak authority 20).
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L))
+    val (h1, a1) = hitsOf(edges, 1)
+    assert(a1(10L) === 1000000L)            // top authority at scale
+    assert(a1(20L) === 333333L)             // (S·S) div 3S
+    assert(Seq(1L, 2L, 3L).forall(a1(_) == 0L))
+    assert(h1(1L) === 1000000L)             // top hub at scale
+    assert(h1(2L) === 750000L && h1(3L) === 750000L)
+    val (h2, a2) = hitsOf(edges, 2)
+    assert(a2(10L) === 1000000L && a2(20L) === 400000L)
+    assert(h2(1L) === 1000000L)
+    assert(h2(2L) === 714285L && h2(3L) === 714285L)
+    assert(h2(10L) === 0L && h2(20L) === 0L)
+  }
+
+  test("hits: normalization pins the max of each role to scale") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val (h, a) = hitsOf(edges, 4)
+    assert(h.values.max === 1000000L && a.values.max === 1000000L)
+  }
+
+  test("hits: shuffle-partition invariance (integer exactness)") {
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (4L, 20L))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap = PageRank.hits(edges.toDF("s", "d"), "s", "d", 3)
+      .collect().map(_.toString).sorted.toSeq
+    val base = snap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      assert(snap === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
