@@ -581,6 +581,119 @@ object WindowQueries {
       FROM rec
       ORDER BY event_type, day"""))
 
+  // -- W12: Holt-Winters additive forecast — the SEASONAL member of
+  //    the monitor family (q178 rolling window, q242 EWMA, q254
+  //    CUSUM): daily event counts carry weekly structure that a
+  //    single-level smoother reads as noise; triple exponential
+  //    smoothing tracks level + trend + a 7-slot seasonal vector, so
+  //    the one-step-ahead forecast l+b+s_{t−7} is what an on-call
+  //    monitor should alarm against. α=0.25, β=0.125, γ=0.25 — all
+  //    exact binary, every step pinned two-operand IEEE. Init: level
+  //    = first-week mean, trend = 0, season_i = x_i − level. The
+  //    recursive state CARRIES the seasonal vector (c1..c7, rotated
+  //    one slot per step) — the lockstep recursive-CTE oracle
+  //    (q242's discipline) replays the identical fold; the Spark
+  //    side is driver math over the calendar-bounded daily grid.
+  private val HW_A = 0.25
+  private val HW_B = 0.125
+  private val HW_G = 0.25
+  private val HW_M = 7
+  private val q270 = Q(
+    "q270_holt_winters",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val rows = daily.toSeq.flatMap { case (tp, rs) =>
+        val series = rs.sortBy(_._2)
+        if (series.length <= HW_M) Seq.empty
+        else {
+          val l0 = series.take(HW_M).map(_._3).sum.toDouble / HW_M
+          var l = l0
+          var b = 0.0
+          var seas = series.take(HW_M)
+            .map { case (_, _, n) => n.toDouble - l0 }.toVector
+          series.drop(HW_M).map { case (_, day, n) =>
+            val x = n.toDouble
+            val c1 = seas.head
+            val f = (l + b) + c1
+            val lnew = HW_A * (x - c1) + (1.0 - HW_A) * (l + b)
+            val bnew = HW_B * (lnew - l) + (1.0 - HW_B) * b
+            val snew = HW_G * (x - lnew) + (1.0 - HW_G) * c1
+            seas = seas.tail :+ snew
+            l = lnew
+            b = bnew
+            (tp, day, n, f, x - f, lnew, bnew)
+          }
+        }
+      }
+      rows.toDF("event_type", "day", "n", "f_raw", "r_raw", "l_raw", "b_raw")
+        .select(col("event_type"), col("day"), col("n"),
+          pround(col("f_raw"), 6).as("forecast"),
+          pround(col("r_raw"), 6).as("resid"),
+          pround(col("l_raw"), 6).as("level"),
+          pround(col("b_raw"), 6).as("trend"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some {
+      val cs = (1 to HW_M).map(i => s"c$i").mkString(", ")
+      val initCs = (1 to HW_M).map(i =>
+        s"max(CASE WHEN seq = $i THEN CAST(n AS DOUBLE) END) - l0 AS c$i")
+        .mkString(",\n          ")
+      val rot = (2 to HW_M).map(i => s"r.c$i").mkString(", ")
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n,
+          row_number() OVER (PARTITION BY event_type ORDER BY
+            epoch_us(ts) // 86400000000) AS seq
+        FROM events GROUP BY 1, 2),
+      lvl0 AS (
+        SELECT event_type,
+          CAST(sum(CASE WHEN seq <= $HW_M THEN n END) AS DOUBLE) / $HW_M
+            AS l0
+        FROM daily GROUP BY event_type),
+      init AS (
+        SELECT d.event_type, l0,
+          $initCs
+        FROM daily d JOIN lvl0 USING (event_type)
+        GROUP BY d.event_type, l0),
+      rec(event_type, seq, day, n, l, b, $cs, f, resid) AS (
+        SELECT i.event_type, CAST($HW_M AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), l0, CAST(0 AS DOUBLE), $cs,
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM init i
+        UNION ALL
+        SELECT d.event_type, d.seq, d.day, d.n,
+          $HW_A * (CAST(d.n AS DOUBLE) - r.c1)
+            + ${1.0 - HW_A} * (r.l + r.b),
+          $HW_B * (($HW_A * (CAST(d.n AS DOUBLE) - r.c1)
+            + ${1.0 - HW_A} * (r.l + r.b)) - r.l) + ${1.0 - HW_B} * r.b,
+          $rot,
+          $HW_G * (CAST(d.n AS DOUBLE)
+            - ($HW_A * (CAST(d.n AS DOUBLE) - r.c1)
+               + ${1.0 - HW_A} * (r.l + r.b)))
+            + ${1.0 - HW_G} * r.c1,
+          (r.l + r.b) + r.c1,
+          CAST(d.n AS DOUBLE) - ((r.l + r.b) + r.c1)
+        FROM rec r JOIN daily d
+          ON d.event_type = r.event_type AND d.seq = r.seq + 1
+      )
+      SELECT event_type, day, n,
+        ${proundSql("f", 6)} AS forecast,
+        ${proundSql("resid", 6)} AS resid,
+        ${proundSql("l", 6)} AS level,
+        ${proundSql("b", 6)} AS trend
+      FROM rec
+      WHERE seq > $HW_M
+      ORDER BY event_type, day"""
+    })
+
   val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178,
-    q242, q254)
+    q242, q254, q270)
 }

@@ -25,7 +25,11 @@ class DeterminismSpec extends SparkSpec {
     // round-13b shapes: bloom bit joins, grid-DBSCAN CC, HRW argmax,
     // greedy set-cover driver loop, blocked multiset pairs, exact AUC
     "q246_score_auc", "q247_bloom_skipping", "q249_dbscan_grid",
-    "q251_rendezvous_shards", "q252_set_cover", "q257_weighted_jaccard")
+    "q251_rendezvous_shards", "q252_set_cover", "q257_weighted_jaccard",
+    // round-13c shapes: EMD grid audit, GD with expdet sigmoids,
+    // integer HITS power iteration, seasonal-vector driver fold
+    "q267_t_closeness", "q268_logit_gate", "q269_hits",
+    "q270_holt_winters")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
