@@ -2093,8 +2093,149 @@ object TextAnalysis {
       ORDER BY lang"""
     })
 
+  // -- T32: PLATT vs ISOTONIC calibration — the parametric rung next
+  //    to q221's PAV step fit, on a score/label pair with REAL
+  //    calibration structure (positive rate falls 1.0 → 0.26 → 0
+  //    across token-count bins for the distinct-ratio > 0.55 label;
+  //    q221's repeats-a-token label is 99% positive and only its
+  //    short-doc tail moves). Platt = logistic on the centered bin
+  //    feature (bin−32)/32 (exact binary ops), trained by
+  //    Logistic.fitBatch — sigmoids on graft_expdet, so the fitted
+  //    (a0, a1) replay bit-exactly through the q268-style unrolled
+  //    oracle; isotonic reuses the minimax closed form on the
+  //    REVERSED score (PAV fits increasing curves; this one falls).
+  //    Output is the per-bin reliability table: empirical rate vs
+  //    both fits plus each fit's per-bin mean Brier — the measured
+  //    smooth-parametric vs stepwise-nonparametric trade (sf0.01
+  //    totals: Platt 0.043, isotonic 0.036, base 0.224).
+  private val PLT_TAU = 0.55
+  private val PLT_LR = 8.0
+  private val PLT_T = 16
+  private val q271 = Q(
+    "q271_platt_calibration",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val nt = size(toks)
+      val perdoc = t.documents.select(
+          least(lit(99), nt).cast("int").as("bin"),
+          ((size(array_distinct(toks)).cast("double") / nt.cast("double"))
+            > PLT_TAU).cast("long").as("pos"))
+        .localCheckpoint(true)
+      val iso = graft.operators.Isotonic.calibrate(
+          perdoc.select((lit(99) - col("bin")).as("bin"), col("pos")),
+          "bin", "pos")
+        .select((lit(99) - col("bin")).as("bin"), col("p_cal"))
+      val feats = perdoc.select(col("pos").cast("double").as("y"),
+        lit(1.0).as("x0"),
+        ((col("bin").cast("double") - lit(32.0)) / lit(32.0)).as("x1"))
+      val hist = graft.operators.Logistic.fitBatch(
+        feats, Seq("x0", "x1"), "y", PLT_LR, PLT_T)
+      val a = hist.last.w
+      val bins = perdoc.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val z = lit(a(0)) + ((col("bin").cast("double") - lit(32.0))
+        / lit(32.0)) * lit(a(1))
+      val zc = when(z > 30.0, 30.0).when(z < -30.0, -30.0).otherwise(z)
+      def brier(p: org.apache.spark.sql.Column) =
+        p * p - lit(2.0) * p * col("ph") + col("ph")
+      bins.join(iso, Seq("bin"))
+        .withColumn("ph",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("p_platt",
+          lit(1.0) / (lit(1.0) + call_function("graft_expdet", -zc)))
+        .select(col("bin"), col("n"), col("n_pos"),
+          pround(col("ph"), 6).as("p_hat"),
+          pround(col("p_cal"), 6).as("p_iso"),
+          pround(col("p_platt"), 6).as("p_platt"),
+          pround(brier(col("p_cal")), 6).as("brier_iso"),
+          pround(brier(col("p_platt")), 6).as("brier_platt"))
+        .orderBy(col("bin"))
+    },
+    Some {
+      val ts2 = tokensSql("text")
+      // logistic iterations (q268's unroll, 2 features) over pd
+      val gdIters = (0 until PLT_T).map { i =>
+        s"""z$i AS (
+        SELECT y, x0, x1, (x0 * w0 + x1 * w1) AS z
+        FROM pfeats CROSS JOIN pw$i),
+      zc$i AS (
+        SELECT y, x0, x1, z,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM z$i),
+      ${expDetSqlCtes(s"pe$i", s"zc$i", "y, x0, x1, z", "-zc")},
+      sg$i AS (
+        SELECT y, x0, x1,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS s
+        FROM pe${i}expv),
+      pg$i AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(${proundSql("(s - y) * x0", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+          CAST(sum(CAST(${proundSql("(s - y) * x1", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g1
+        FROM sg$i),
+      pw${i + 1} AS MATERIALIZED (
+        SELECT w0 - $PLT_LR * (g0 / n) AS w0,
+          w1 - $PLT_LR * (g1 / n) AS w1
+        FROM pw$i CROSS JOIN pg$i)"""
+      }.mkString(",\n      ")
+      s"""WITH pd AS MATERIALIZED (
+        SELECT CAST(least(99, len($ts2)) AS INT) AS bin,
+          CASE WHEN CAST(len(list_distinct($ts2)) AS DOUBLE)
+            / len($ts2) > $PLT_TAU THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      b AS MATERIALIZED (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np
+        FROM pd GROUP BY bin),
+      rb AS MATERIALIZED (SELECT 99 - bin AS rbin, n, np FROM b),
+      iv AS MATERIALIZED (
+        SELECT j.rbin AS j, k.rbin AS k,
+          CAST(sum(m.np) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS mean
+        FROM rb j JOIN rb k ON j.rbin <= k.rbin
+        JOIN rb m ON m.rbin BETWEEN j.rbin AND k.rbin
+        GROUP BY j.rbin, k.rbin),
+      mn AS MATERIALIZED (
+        SELECT i.rbin AS rbin, v.j AS j, min(v.mean) AS m
+        FROM iv v JOIN rb i ON v.j <= i.rbin AND v.k >= i.rbin
+        GROUP BY i.rbin, v.j),
+      cal AS (SELECT 99 - rbin AS bin, max(m) AS p_cal
+        FROM mn GROUP BY rbin),
+      pfeats AS MATERIALIZED (
+        SELECT CAST(pos AS DOUBLE) AS y, CAST(1 AS DOUBLE) AS x0,
+          (CAST(bin AS DOUBLE) - 32.0) / 32.0 AS x1
+        FROM pd),
+      pw0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
+      $gdIters,
+      bz AS (
+        SELECT b.bin, b.n, b.np, c.p_cal,
+          CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE) AS ph,
+          w0 + (CAST(b.bin AS DOUBLE) - 32.0) / 32.0 * w1 AS z
+        FROM b JOIN cal c ON c.bin = b.bin CROSS JOIN pw$PLT_T),
+      bzc AS (
+        SELECT bin, n, np, p_cal, ph,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM bz),
+      ${expDetSqlCtes("ba", "bzc", "bin, n, np, p_cal, ph", "-zc")},
+      fin AS (
+        SELECT bin, n, np, p_cal, ph,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS p_platt
+        FROM baexpv)
+      SELECT bin, n, np AS n_pos,
+        ${proundSql("ph", 6)} AS p_hat,
+        ${proundSql("p_cal", 6)} AS p_iso,
+        ${proundSql("p_platt", 6)} AS p_platt,
+        ${proundSql("p_cal * p_cal - 2.0 * p_cal * ph + ph", 6)}
+          AS brier_iso,
+        ${proundSql("p_platt * p_platt - 2.0 * p_platt * ph + ph", 6)}
+          AS brier_platt
+      FROM fin
+      ORDER BY bin"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207, q221, q226, q229, q260, q261, q263)
+      q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271)
 }
