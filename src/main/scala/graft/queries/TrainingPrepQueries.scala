@@ -1292,7 +1292,140 @@ object TrainingPrepQueries {
       ORDER BY round"""
     })
 
+  // -- T25: DoReMi-style group-DRO mixture reweighting — the ITERATED
+  //    member of the mixture family (q76 samples a GIVEN mixture, q172
+  //    water-fills budgets, q121 scores docs once): DoReMi (Xie et al.
+  //    2023) instead LEARNS domain weights by multiplicative-weights
+  //    ascent on EXCESS loss, w_d ∝ w_d·exp(η·(loss_d − Σ w·loss)) —
+  //    the group-DRO minimax game where mass flows to domains the
+  //    current mixture underserves. Loss here is the per-source
+  //    bits-per-token under the corpus unigram model (lnDet-exact),
+  //    the standard LM-loss proxy. All sums ride the pround8/DECIMAL
+  //    order-free discipline; exp is graft_expdet; the 20-domain MW
+  //    loop is bounded driver state, mirrored by unrolled 20-row CTE
+  //    rounds. η = 8 (exact binary) scaled to the synthetic corpus's
+  //    homogeneity — sources differ by ~0.013 bits, and the dynamics
+  //    still separate weights 0.039–0.065 from uniform 0.05 in 5
+  //    rounds (visible, convergent, not degenerate).
+  //
+  //    Scale shape: token→hash is in-scan; the unigram model is one
+  //    vocab-keyed shuffle; the per-(source,vocab) term table joins on
+  //    the vocab key (no corpus-sized broadcast); the MW loop never
+  //    sees more than |domains| rows.
+  private val MW_ETA = 8.0
+  private val MW_T = 5
+  private val LN2D = 0.6931471805599453
+  private val q272 = Q(
+    "q272_doremi_mixture",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val occ = t.documents
+        .select(col("source"),
+          explode(TextFns.shingleHashes(col("text"), 1)).as("h"))
+        .localCheckpoint(true)
+      val cnts = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val tot = occ.agg(count(lit(1)).as("n"))
+      val bits = cnts.crossJoin(broadcast(tot))
+        .select(col("h"),
+          (call_function("graft_lndet",
+            col("n").cast("double") / col("cnt").cast("double"))
+            / lit(LN2D)).as("b"))
+      val dh = occ.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val losses = dh.join(bits, Seq("h"))
+        .groupBy(col("source"))
+        .agg(
+          sum(pround(col("c").cast("double") * col("b"), 8)
+            .cast(DecimalType(28, 8))).cast("double").as("lossnum"),
+          sum(col("c")).as("n_toks"))
+        .select(col("source"),
+          (col("lossnum") / col("n_toks").cast("double")).as("lossv"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._1)
+      val d = losses.length
+      def s8(xs: Seq[Double]): Double =
+        xs.map(x => math.floor(x * 1e8 + 0.5).toLong).sum.toDouble / 1e8
+      var w: Seq[Double] = Seq.fill(d)(1.0 / d)
+      val hist = Seq.newBuilder[(Int, String, Double, Double)]
+      losses.zip(w).foreach { case ((src, l), wi) =>
+        hist += ((0, src, l, wi))
+      }
+      for (t0 <- 1 to MW_T) {
+        val lbar = s8(losses.zip(w).map { case ((_, l), wi) => wi * l })
+        val u = losses.zip(w).map { case ((_, l), wi) =>
+          wi * graft.expressions.ExpDet.compute(MW_ETA * (l - lbar))
+        }
+        val z = s8(u)
+        w = u.map(_ / z)
+        losses.zip(w).foreach { case ((src, l), wi) =>
+          hist += ((t0, src, l, wi))
+        }
+      }
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      hist.result()
+        .map { case (r, src, l, wi) => (r, src, p6(l), p6(wi)) }
+        .toDF("round", "source", "loss_bits", "w")
+        .orderBy(col("round"), col("source"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val mwRounds = (1 to MW_T).map { i =>
+        s"""lb$i AS MATERIALIZED (
+        SELECT ${ds8("w * lossv")} AS lbar FROM mw${i - 1}),
+      ex$i AS (
+        SELECT source, lossv, w, lossv - lbar AS ex
+        FROM mw${i - 1} CROSS JOIN lb$i),
+      ${expDetSqlCtes(s"me$i", s"ex$i", "source, lossv, w",
+          s"$MW_ETA * (ex)")},
+      u$i AS MATERIALIZED (
+        SELECT source, lossv, w * expv AS u FROM me${i}expv),
+      z$i AS (SELECT ${ds8("u")} AS z FROM u$i),
+      mw$i AS MATERIALIZED (
+        SELECT source, lossv, u / z AS w FROM u$i CROSS JOIN z$i)"""
+      }.mkString(",\n      ")
+      val unionRows = (0 to MW_T).map(i =>
+        s"SELECT $i AS round, source, lossv, w FROM mw$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH occ AS MATERIALIZED (
+        SELECT source, unnest(${shingleHashesSql("text", 1)}) AS h
+        FROM documents),
+      cnts AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY h),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM occ),
+      cx AS (
+        SELECT h, CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE) AS xr
+        FROM cnts CROSS JOIN tot),
+      ${Portable.lnDetSqlCtes("ub", "cx", "h", "xr")},
+      bits AS MATERIALIZED (
+        SELECT h, lnp / $LN2D AS b FROM ublnv),
+      dh AS MATERIALIZED (
+        SELECT source, h, CAST(count(*) AS BIGINT) AS c
+        FROM occ GROUP BY 1, 2),
+      losses AS MATERIALIZED (
+        SELECT source,
+          ${ds8("CAST(c AS DOUBLE) * b")}
+            / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS lossv
+        FROM dh JOIN bits USING (h) GROUP BY source),
+      dcount AS (SELECT CAST(count(*) AS BIGINT) AS d FROM losses),
+      mw0 AS MATERIALIZED (
+        SELECT source, lossv, CAST(1 AS DOUBLE) / d AS w
+        FROM losses CROSS JOIN dcount),
+      $mwRounds,
+      rows_all AS ($unionRows)
+      SELECT round, source,
+        ${proundSql("lossv", 6)} AS loss_bits,
+        ${proundSql("w", 6)} AS w
+      FROM rows_all
+      ORDER BY round, source"""
+    })
+
   val all: Seq[Q] =
     Seq(q62, q63, q64, q65, q68, q81, q91, q93, q94, q98, q99, q103, q116,
-      q121, q162, q172, q173, q179, q188, q198, q199, q212, q251, q252)
+      q121, q162, q172, q173, q179, q188, q198, q199, q212, q251, q252,
+      q272)
 }
