@@ -954,6 +954,167 @@ object ProfilingQueries {
       GROUP BY c_nationkey
       ORDER BY c_nationkey"""))
 
+  // -- P15: autocorrelation audit — the metrology UNDER the monitor
+  //    family's assumptions: q270's Holt-Winters pins m=7 weekly
+  //    seasonality and q242/q254 assume short-memory residuals; the
+  //    ACF measures whether the daily series actually carries those
+  //    structures. Exact arithmetic: with S = Σx over the n days, the
+  //    lag-k autocorrelation Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+  //    rescales to ALL-INTEGER sums Σ(n·x_t−S)(n·x_{t+k}−S) over
+  //    Σ(n·x_t−S)² (the n² cancels) — one double division per lag,
+  //    bit-exact at any partitioning. The ±2/√n white-noise band is
+  //    emitted alongside (sqrt is correctly-rounded IEEE) so the
+  //    audit row reads as significant/not per lag. Small-data note:
+  //    the lag-k numerator runs over n−k aligned pairs, the plain
+  //    Box-Jenkins estimator.
+  private val ACF_MAXLAG = 10
+  private val q273 = Q(
+    "q273_acf_audit",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("sn"))
+      val cent = daily.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("nd"),
+          (col("nd") * col("n") - col("sn")).as("c"))
+        .localCheckpoint(true)
+      val lags = lagSpine(s)
+      val den = cent.groupBy(col("event_type"))
+        .agg(sum(col("c") * col("c")).as("den"), min(col("nd")).as("nd"))
+      val num = cent.as("a")
+        .crossJoin(broadcast(lags))
+        .join(cent.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") === col("a.day") + col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.c") * col("b.c")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      num.join(broadcast(den), Seq("event_type"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          pround(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"),
+          pround(lit(2.0) / sqrt(col("nd").cast("double")), 6).as("band"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some(s"""WITH daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          CAST(sum(n) AS BIGINT) AS sn
+        FROM daily GROUP BY event_type),
+      cent AS MATERIALIZED (
+        SELECT d.event_type, d.day, s.nd, d.n * s.nd - s.sn AS c
+        FROM daily d JOIN stats s USING (event_type)),
+      den AS (
+        SELECT event_type, CAST(sum(c * c) AS BIGINT) AS den,
+          min(nd) AS nd
+        FROM cent GROUP BY event_type),
+      num AS (
+        SELECT a.event_type, l.lag,
+          CAST(sum(a.c * b.c) AS BIGINT) AS num,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cent a
+        CROSS JOIN (SELECT unnest(generate_series(1, $ACF_MAXLAG)) AS lag) l
+        JOIN cent b ON b.event_type = a.event_type
+          AND b.day = a.day + l.lag
+        GROUP BY a.event_type, l.lag)
+      SELECT event_type, lag, n_pairs,
+        ${proundSql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} AS acf,
+        ${proundSql("2.0 / sqrt(CAST(nd AS DOUBLE))", 6)} AS band
+      FROM num JOIN den USING (event_type)
+      ORDER BY event_type, lag"""))
+
+  private def lagSpine(s: SparkSession) =
+    s.range(1, ACF_MAXLAG + 1).select(col("id").cast("long").as("lag"))
+
+  // -- P16: Poisson-bootstrap confidence intervals — THE bootstrap
+  //    that scales: classic multinomial resampling needs coordinated
+  //    draws across the whole dataset (impossible in one pass at
+  //    100 TB); the Poisson bootstrap gives each (row, resample) an
+  //    i.i.d. Poisson(1) weight, so all B resamples ride ONE narrow
+  //    pass + one keyed aggregation. Weights come from the slotWide
+  //    hash of (row_key, b) compared against PRECOMPUTED integer
+  //    inverse-CDF thresholds (floor(cum_k·slotRange), interpolated
+  //    as the same literals into both engines) — zero runtime libm,
+  //    bit-exact everywhere. Per (returnflag, resample): effective n
+  //    and the resampled mean of l_extendedprice via the exact
+  //    DECIMAL(18,4) money-sum discipline; the unresampled point
+  //    estimate rides alongside so the 32-resample spread reads as a
+  //    CI directly.
+  private val BOOT_B = 32L
+  // Poisson(1) CDF at k = 0..6 (fixed literals; tail mass -> w = 7)
+  private val POIS_CUM = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+  private val POIS_T: Seq[Long] = POIS_CUM.map(c =>
+    math.floor(c * graft.operators.Sampling.slotRange).toLong)
+  private val q274 = Q(
+    "q274_poisson_bootstrap",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val base = t.lineitem.select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("x"),
+        (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("rk"))
+      val hv = graft.operators.Sampling.slotWide(
+        col("rk") * lit(BOOT_B) + col("b"))
+      val w = POIS_T.zipWithIndex
+        .foldLeft(org.apache.spark.sql.functions.when(lit(false), 0L)) {
+          case (acc, (tk, k)) => acc.when(hv < tk, k.toLong)
+        }.otherwise(7L)
+      val res = base
+        .select(col("flag"), col("x"), col("rk"),
+          explode(sequence(lit(0L), lit(BOOT_B - 1))).as("b"))
+        .withColumn("w", w)
+        .groupBy(col("flag"), col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum((col("x") * col("w")).cast(DecimalType(18, 4)))
+            .cast("double").as("sx"))
+      val pt = base.groupBy(col("flag"))
+        .agg(dsum(col("x")).as("sxf"), count(lit(1)).as("nf"))
+      res.join(broadcast(pt), Seq("flag"))
+        .select(col("flag").as("l_returnflag"), col("b"), col("n_eff"),
+          pround(col("sx") / col("n_eff").cast("double"), 4).as("mean_b"),
+          pround(col("sxf") / col("nf").cast("double"), 4).as("mean_full"))
+        .orderBy(col("l_returnflag"), col("b"))
+    },
+    Some {
+      val caseW = POIS_T.zipWithIndex
+        .map { case (tk, k) => s"WHEN hv < $tk THEN $k" }
+        .mkString(" ")
+      s"""WITH base AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+          l_orderkey * 8 + l_linenumber AS rk
+        FROM lineitem),
+      ex AS (
+        SELECT flag, x, bb.b AS b,
+          ${graft.operators.Sampling.slotWideSql(s"rk * $BOOT_B + bb.b")}
+            AS hv
+        FROM base CROSS JOIN
+          (SELECT unnest(generate_series(0, ${BOOT_B - 1})) AS b) bb),
+      wts AS (
+        SELECT flag, x, b, CASE $caseW ELSE 7 END AS w FROM ex),
+      res AS (
+        SELECT flag, b, CAST(sum(w) AS BIGINT) AS n_eff,
+          CAST(sum(CAST(x * w AS DECIMAL(18,4))) AS DOUBLE) AS sx
+        FROM wts GROUP BY 1, 2),
+      pt AS (
+        SELECT flag, ${dsumSql("x")} AS sxf,
+          CAST(count(*) AS BIGINT) AS nf
+        FROM base GROUP BY 1)
+      SELECT flag AS l_returnflag, b, n_eff,
+        ${proundSql("sx / CAST(n_eff AS DOUBLE)", 4)} AS mean_b,
+        ${proundSql("sxf / CAST(nf AS DOUBLE)", 4)} AS mean_full
+      FROM res JOIN pt USING (flag)
+      ORDER BY l_returnflag, b"""
+    })
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246, q253, q267)
+    q241, q245, q246, q253, q267, q273, q274)
 }
