@@ -46,7 +46,8 @@ object Bench {
     "q156_image_dedup_clusters",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
-    "q241_benford_audit", "q245_k_anonymity", "q246_score_auc",
+    "q241_benford_audit", "q245_k_anonymity", "q267_t_closeness",
+    "q274_poisson_bootstrap", "q246_score_auc",
     "q105_source_divergence", "q106_moments", "q250_signal_mi",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",
@@ -81,7 +82,7 @@ object Bench {
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",
-    "q221_isotonic_calibration", "q229_isotonic_gate", "q260_ece_calibration", "q226_rag_chunks",
+    "q221_isotonic_calibration", "q229_isotonic_gate", "q271_platt_calibration", "q260_ece_calibration", "q226_rag_chunks",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
@@ -96,7 +97,7 @@ object Bench {
     "q243_avro_roundtrip",
     "q220_zip_webdataset",
     "q128_para_dedup", "q129_ccnet_buckets",
-    "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank", "q256_personalized_pagerank",
+    "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank", "q256_personalized_pagerank", "q269_hits",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
     "q141_quality_ensemble", "q142_cohort_retention", "q264_kaplan_meier", "q143_collocations",
@@ -111,15 +112,15 @@ object Bench {
     "q165_ann_ndcg", "q166_feature_hashing",
     "q167_dedup_roi", "q168_minhash_estimate", "q169_decayed_popularity",
     "q170_contamination_spans", "q171_span_scrub",
-    "q172_waterfill_mixture", "q173_apportion_eval", "q174_mp4_metadata",
+    "q172_waterfill_mixture", "q272_doremi_mixture", "q173_apportion_eval", "q174_mp4_metadata",
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
-    "q178_rolling_anomaly", "q242_ewma_anomaly", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
+    "q178_rolling_anomaly", "q242_ewma_anomaly", "q270_holt_winters", "q273_acf_audit", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
     "q197_embedding_drift", "q198_flatten_resample",
     "q199_pack_boundary_stats",
-    "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate",
+    "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate", "q268_logit_gate",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q262_ari_agreement", "q186_kcore",
     "q187_cuped_experiment",
     "q67_percentiles_rankselect")
