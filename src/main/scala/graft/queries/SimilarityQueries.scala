@@ -3894,9 +3894,169 @@ object SimilarityQueries {
       FROM tot
       ORDER BY stage"""))
 
+  // -- V46: RESIDUAL vector quantization (RVQ) — the staged FULL-
+  //    VECTOR quantizer family next to PQ's subspace split (q100/
+  //    q159) and the scalar ladder (q132/q176): stage s fits a
+  //    k-codeword Lloyd codebook to the RESIDUAL left by stages < s,
+  //    so code budget buys monotone distortion decay (the neural-
+  //    codec / RAQ index shape). Both stage codebooks are
+  //    KMeans.fitCentroidArrays (exact-decimal argmin, 6-decimal
+  //    means — the q102 replay discipline), assignments ride
+  //    KMeans.assign's bit-portable double fold, residuals are plain
+  //    v − c in double, and per-stage MSE is the pround8/DECIMAL
+  //    order-free mean of the per-vector fold. The oracle replays
+  //    BOTH Lloyd fits (q102's CTE block, parameterized and
+  //    instantiated twice), both argmin assignments, and the
+  //    residual join — a wrong seed order, tie-break, mean rounding,
+  //    or fold order in either stage diverges. sf0.01 ladder:
+  //    1.0 → 0.9406 → 0.8956 (unit-norm vectors; k=16 ⇒ 4 bits/
+  //    stage, so RVQ buys ~10% MSE at 8 bits/vector on this corpus).
+  //
+  //    Scale shape: training cost is rounds × one corpus pass per
+  //    stage (bounded k·d driver model); encoding is a narrow map
+  //    against broadcast codebook literals; nothing quadratic — RVQ
+  //    stays in the bench headline at any sf.
+  private val RVQ_K = 16
+  private val RVQ_ITERS = 2
+  private val q275 = Q(
+    "q275_rvq_ladder",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val emb = t.embeddings
+      val km = graft.operators.KMeans
+      val cb1 = km.fitCentroidArrays(emb, "vec_id", "embedding",
+        RVQ_K, RVQ_ITERS)
+      val a1 = km.assign(emb, "vec_id", "embedding", cb1)
+        .localCheckpoint(true)
+      val cLit1 = array(cb1.map(c => array(c.map(lit(_)): _*)): _*)
+      val resid = emb.join(a1.select(col("vec_id"), col("cluster")),
+          Seq("vec_id"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), element_at(cLit1, col("cluster") + 1),
+            (a, b) => a.cast("double") - b).as("rvec"))
+        .localCheckpoint(true)
+      val cb2 = km.fitCentroidArrays(resid, "vec_id", "rvec",
+        RVQ_K, RVQ_ITERS)
+      val a2 = km.assign(resid, "vec_id", "rvec", cb2)
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      def mseRow(stage: Int, df: org.apache.spark.sql.DataFrame,
+          d: org.apache.spark.sql.Column) =
+        df.agg((sum(p8d(d)).cast("double") / count(lit(1))).as("m"),
+            count(lit(1)).as("n"))
+          .select(lit(stage).as("stage"), col("n").as("n_vecs"),
+            lit(stage * 4).as("code_bits"), pround(col("m"), 6).as("mse"))
+      mseRow(0, emb.select(Similarity.norm2(col("embedding")).as("d")),
+          col("d"))
+        .unionByName(mseRow(1, a1, col("d2c")))
+        .unionByName(mseRow(2, a2, col("d2c")))
+        .orderBy(col("stage"))
+    },
+    Some {
+      // q102's Lloyd block, parameterized: seed by the shared id
+      // hash, then `rounds` assignment-and-mean rounds over the
+      // long-form `src` (vec_id, pos, v); final model = ${p}cent$R.
+      def lloyd(p: String, src: String, rounds: Int) = {
+        val iters = (1 to rounds).map { i =>
+          s"""${p}dist$i AS (
+          SELECT e.vec_id, c.cluster,
+            sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+          FROM $src e JOIN ${p}cent${i - 1} c USING (pos)
+          GROUP BY e.vec_id, c.cluster),
+        ${p}asg$i AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cluster) AS rk
+            FROM ${p}dist$i) WHERE rk = 1),
+        ${p}mean$i AS (
+          SELECT a.cluster, e.pos,
+            ${proundSql(
+              "CAST(sum(CAST(e.v AS DECIMAL(28,8))) AS DOUBLE) / count(*)",
+              6)} AS mean_v
+          FROM ${p}asg$i a JOIN $src e USING (vec_id)
+          GROUP BY a.cluster, e.pos),
+        ${p}cent$i AS (
+          SELECT cluster, pos, mean_v AS c FROM ${p}mean$i
+          UNION ALL
+          SELECT q.cluster, q.pos, q.c FROM ${p}cent${i - 1} q
+          WHERE q.cluster NOT IN (SELECT cluster FROM ${p}mean$i))"""
+        }.mkString(",\n      ")
+        s"""${p}seed AS (
+        SELECT vec_id, row_number() OVER (
+            ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007,
+              vec_id) - 1 AS cluster
+        FROM (SELECT DISTINCT vec_id FROM $src)),
+      ${p}cent0 AS (
+        SELECT s.cluster, e.pos, e.v AS c
+        FROM ${p}seed s JOIN $src e USING (vec_id)
+        WHERE s.cluster < $RVQ_K),
+      $iters"""
+      }
+      // final argmin assignment + the bit-portable double fold d2c
+      def assign(p: String, src: String, cent: String) =
+        s"""${p}adist AS (
+        SELECT e.vec_id, c.cluster,
+          sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(28,8))) AS d2
+        FROM $src e JOIN $cent c USING (pos)
+        GROUP BY e.vec_id, c.cluster),
+      ${p}fasg AS (
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cluster) AS rk
+          FROM ${p}adist) WHERE rk = 1),
+      ${p}d2 AS (
+        SELECT e.vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list((e.v - c.c) * (e.v - c.c) ORDER BY e.pos)),
+          (x, y) -> x + y) AS d2c
+        FROM $src e
+        JOIN ${p}fasg a ON a.vec_id = e.vec_id
+        JOIN $cent c ON c.cluster = a.cluster AND c.pos = e.pos
+        GROUP BY e.vec_id)"""
+      val ds8p = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      s"""WITH ev AS MATERIALIZED (
+        SELECT vec_id, pos, CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE)
+          AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${KM_DIMS - 1}))
+          AS pos)),
+      ${lloyd("s1", "ev", RVQ_ITERS)},
+      ${assign("s1", "ev", s"s1cent$RVQ_ITERS")},
+      ev2 AS MATERIALIZED (
+        SELECT e.vec_id, e.pos, e.v - c.c AS v
+        FROM ev e
+        JOIN s1fasg a ON a.vec_id = e.vec_id
+        JOIN s1cent$RVQ_ITERS c ON c.cluster = a.cluster
+          AND c.pos = e.pos),
+      ${lloyd("s2", "ev2", RVQ_ITERS)},
+      ${assign("s2", "ev2", s"s2cent$RVQ_ITERS")},
+      v0 AS (
+        SELECT vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(v * v ORDER BY pos)), (x, y) -> x + y) AS d
+        FROM ev GROUP BY vec_id),
+      m0 AS (SELECT ${ds8p("d")} / count(*) AS m, count(*) AS n FROM v0),
+      m1 AS (SELECT ${ds8p("d2c")} / count(*) AS m, count(*) AS n
+        FROM s1d2),
+      m2 AS (SELECT ${ds8p("d2c")} / count(*) AS m, count(*) AS n
+        FROM s2d2)
+      SELECT 0 AS stage, n AS n_vecs, 0 AS code_bits,
+        ${proundSql("m", 6)} AS mse FROM m0
+      UNION ALL
+      SELECT 1, n, 4, ${proundSql("m", 6)} FROM m1
+      UNION ALL
+      SELECT 2, n, 8, ${proundSql("m", 6)} FROM m2
+      ORDER BY stage"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
-      q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265)
+      q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265,
+      q275)
 }
