@@ -82,7 +82,7 @@ object Bench {
     "q77_winsorized_stats", "q82_winsorized_rankselect",
     "q78_scd2_history", "q79_bm25_topk", "q80_exact_stratum_sample",
     "q91_bloom_decontamination", "q92_robust_stats",
-    "q221_isotonic_calibration", "q229_isotonic_gate", "q271_platt_calibration", "q260_ece_calibration", "q226_rag_chunks",
+    "q221_isotonic_calibration", "q229_isotonic_gate", "q271_platt_calibration", "q276_conformal_band", "q260_ece_calibration", "q226_rag_chunks",
     "q62_decontamination", "q63_repetition_stats",
     "q64_pack_offsets", "q65_quantize_stats", "q68_pack_segments",
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
@@ -120,7 +120,7 @@ object Bench {
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
     "q197_embedding_drift", "q198_flatten_resample",
     "q199_pack_boundary_stats",
-    "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate", "q268_logit_gate",
+    "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate", "q268_logit_gate", "q277_feature_shapley",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q262_ari_agreement", "q186_kcore",
     "q187_cuped_experiment",
     "q67_percentiles_rankselect")

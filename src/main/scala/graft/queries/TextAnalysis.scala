@@ -2234,8 +2234,264 @@ object TextAnalysis {
       ORDER BY bin"""
     })
 
+  // -- T33: SPLIT-CONFORMAL prediction bands — distribution-free
+  //    uncertainty for an engine-fit predictor, the guarantee layer
+  //    the calibration family (q221/q229/q271) gives probabilities
+  //    but not intervals for: fit on the calibration half
+  //    (doc_id % 2 = 0), take q̂ = the ⌈0.9·(n+1)⌉-th smallest
+  //    absolute residual (an EXACT order statistic — rank-select, no
+  //    quantile interpolation), and the band pred ± q̂ covers ≥ 90%
+  //    of held-out rows by the exchangeability argument alone — no
+  //    model or noise assumption. Group-conditional: everything runs
+  //    per lang, so each language gets its own guarantee (the form a
+  //    curation gate actually needs). Predictor = per-lang OLS of
+  //    n_chars on token count (integer sums, q253's exact algebra);
+  //    the measured coverage column sits next to the nominal 0.9.
+  //    One aggregation + one window rank-select + two broadcast
+  //    joins — nothing collects, everything bounded by |langs|.
+  private val CONF_NUM = 9   // 1−α = 9/10
+  private val CONF_DEN = 10
+  private val q276 = Q(
+    "q276_conformal_band",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val perdoc = t.documents.select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("x"),
+          col("n_chars").as("y"))
+        .localCheckpoint(true)
+      val cal = perdoc.filter(col("doc_id") % 2 === 0)
+      val test = perdoc.filter(col("doc_id") % 2 =!= 0)
+      val fit = cal.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_cal"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n_cal"),
+          ((col("n_cal") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_cal") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("b"),
+          col("sx"), col("sy"))
+        .select(col("lang"), col("n_cal"), col("b"),
+          ((col("sy").cast("double") - col("b") * col("sx").cast("double"))
+            / col("n_cal").cast("double")).as("a"))
+        .localCheckpoint(true)
+      def residual = abs(col("y").cast("double")
+        - (col("a") + col("b") * col("x").cast("double")))
+      val res = cal.join(broadcast(fit), Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("n_cal"),
+          residual.as("r"))
+      val rk = res.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("r").asc, col("doc_id").asc)))
+      val qhat = rk
+        .filter(col("rk") === least(
+          expr(s"($CONF_NUM * (n_cal + 1) + $CONF_NUM) div $CONF_DEN"),
+          col("n_cal")))
+        .select(col("lang"), col("r").as("q_hat"))
+      val cov = test.join(broadcast(fit), Seq("lang"))
+        .join(broadcast(qhat), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test"),
+          sum((residual <= col("q_hat")).cast("long")).as("n_cov"))
+      fit.join(qhat, Seq("lang")).join(cov, Seq("lang"))
+        .select(col("lang"), col("n_cal"), col("n_test"),
+          pround(col("b"), 6).as("slope"),
+          pround(col("a"), 6).as("intercept"),
+          pround(col("q_hat"), 6).as("q_hat"),
+          pround(col("n_cov").cast("double") / col("n_test").cast("double"),
+            6).as("coverage"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val ts2 = tokensSql("text")
+      s"""WITH perdoc AS MATERIALIZED (
+        SELECT doc_id, lang, CAST(len($ts2) AS BIGINT) AS x,
+          n_chars AS y
+        FROM documents),
+      cal AS (SELECT * FROM perdoc WHERE doc_id % 2 = 0),
+      tst AS (SELECT * FROM perdoc WHERE doc_id % 2 <> 0),
+      sums AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM cal GROUP BY lang),
+      fit AS MATERIALIZED (
+        SELECT lang, n_cal, b,
+          (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+            / CAST(n_cal AS DOUBLE) AS a
+        FROM (
+          SELECT lang, n_cal, sx, sy,
+            CAST(n_cal * sxy - sx * sy AS DOUBLE)
+              / CAST(n_cal * sxx - sx * sx AS DOUBLE) AS b
+          FROM sums)),
+      res AS (
+        SELECT c.lang, c.doc_id, f.n_cal,
+          abs(CAST(c.y AS DOUBLE)
+            - (f.a + f.b * CAST(c.x AS DOUBLE))) AS r
+        FROM cal c JOIN fit f USING (lang)),
+      rk AS (
+        SELECT lang, n_cal, r, row_number() OVER (
+            PARTITION BY lang ORDER BY r ASC, doc_id ASC) AS rk
+        FROM res),
+      qhat AS MATERIALIZED (
+        SELECT lang, r AS q_hat FROM rk
+        WHERE rk = least(
+          ($CONF_NUM * (n_cal + 1) + $CONF_NUM) // $CONF_DEN, n_cal)),
+      cov AS (
+        SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN abs(CAST(t.y AS DOUBLE)
+              - (f.a + f.b * CAST(t.x AS DOUBLE))) <= q.q_hat
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        FROM tst t JOIN fit f USING (lang) JOIN qhat q USING (lang)
+        GROUP BY t.lang)
+      SELECT lang, n_cal, n_test,
+        ${proundSql("b", 6)} AS slope,
+        ${proundSql("a", 6)} AS intercept,
+        ${proundSql("q_hat", 6)} AS q_hat,
+        ${proundSql("CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE)", 6)}
+          AS coverage
+      FROM fit JOIN qhat USING (lang) JOIN cov USING (lang)
+      ORDER BY lang"""
+    })
+
+  // -- T34: exact feature SHAPLEY values for the perceptron gate —
+  //    data-centric model audit: which input signal actually buys the
+  //    gate its accuracy? With d = 3 candidate features the Shapley
+  //    sum is EXACT (all 2³ subsets retrained, no sampling): value
+  //    v(S) = pocketed accuracy (best round of PT_ROUNDS) of the
+  //    integer perceptron trained on S ∪ {bias} — q183's
+  //    zero-float trainer, so every subset model, every pocket max,
+  //    and every Shapley numerator is int64; the single division by
+  //    6n happens once per feature. φ_j = [2(c_j − c_∅) +
+  //    (c_ja − c_a) + (c_jb − c_b) + 2(c_full − c_full∖j)] / 6n.
+  //    The oracle unrolls all 8 subset trainings (q183's CTE block,
+  //    margin restricted to the subset's features) and replays the
+  //    same integer max/differences. Next to it the query reports
+  //    v_solo and leave-one-out so redundancy between features
+  //    (x1 tokens / x2 distinct / x3 summed length are correlated)
+  //    is visible: Shapley splits shared credit, LOO hides it.
+  private val SH_ROUNDS = 5
+  private val SH_THR = 306
+  private val SH_BIAS = 256
+  private val q277 = Q(
+    "q277_feature_shapley",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val feats = t.documents.select(
+          when(col("n_chars") > SH_THR, 1L).otherwise(-1L).as("y"),
+          lit(SH_BIAS.toLong).as("x0"),
+          size(toks).cast("long").as("x1"),
+          size(array_distinct(toks)).cast("long").as("x2"),
+          aggregate(toks, lit(0L), (a, tk) => a + length(tk)).as("x3"))
+        .localCheckpoint(true)
+      def best(sub: Seq[Int]): (Long, Long) = {
+        val hist = graft.operators.Perceptron.fitBatch(
+          feats, "x0" +: sub.map(j => s"x$j"), "y", SH_ROUNDS)
+        (hist.map(r => r.n - r.nErr).max, hist.head.n)
+      }
+      val subsets = Seq(Seq(), Seq(1), Seq(2), Seq(3), Seq(1, 2),
+        Seq(1, 3), Seq(2, 3), Seq(1, 2, 3))
+      val fits = subsets.map(sub => sub.mkString -> best(sub)).toMap
+      val c = fits.map { case (k, v) => k -> v._1 }
+      val n = fits("")._2 // constant across subsets (same frame)
+      def phi(j: Int): Double = {
+        val others = Seq(1, 2, 3).filterNot(_ == j)
+        val Seq(a, b) = others
+        val num = 2L * (c(s"$j") - c("")) +
+          (c(Seq(j, a).sorted.mkString) - c(s"$a")) +
+          (c(Seq(j, b).sorted.mkString) - c(s"$b")) +
+          2L * (c("123") - c(others.mkString))
+        num.toDouble / (6L * n).toDouble
+      }
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      Seq(1, 2, 3).map { j =>
+        val others = Seq(1, 2, 3).filterNot(_ == j).mkString
+        (s"x$j", p6(phi(j)),
+          p6(c(s"$j").toDouble / n.toDouble),
+          p6((c("123") - c(others)).toDouble / n.toDouble),
+          p6(c("123").toDouble / n.toDouble))
+      }.toDF("feature", "phi", "v_solo", "loo_gain", "v_full")
+        .orderBy(col("feature"))
+    },
+    Some {
+      val toksSql2 = tokensSql("text")
+      val sumLen = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform($toksSql2, tk -> CAST(len(tk) AS BIGINT))),
+        | (a, b) -> a + b)""".stripMargin
+      val subsets = Seq(Seq(), Seq(1), Seq(2), Seq(3), Seq(1, 2),
+        Seq(1, 3), Seq(2, 3), Seq(1, 2, 3))
+      def cname(sub: Seq[Int]) = if (sub.isEmpty) "c0" else
+        s"c${sub.mkString}"
+      val blocks = subsets.map { sub =>
+        val ws = 0 +: sub
+        val p = if (sub.isEmpty) "s0" else s"s${sub.mkString}"
+        val rounds = (1 to SH_ROUNDS).map { t0 =>
+          val margin = ws.map(j => s"pw$j * x$j").mkString(" + ")
+          s"""${p}r$t0 AS (
+          SELECT CAST(sum(bad) AS BIGINT) AS n_err, count(*) AS n,
+            ${ws.map(j =>
+              s"min(pw$j) + CAST(sum(bad * y * x$j) AS BIGINT) AS w$j")
+              .mkString(",\n            ")}
+          FROM (
+            SELECT f.*, ${ws.map(j => s"p.w$j AS pw$j").mkString(", ")},
+              CASE WHEN y * ($margin) <= 0 THEN 1 ELSE 0 END AS bad
+            FROM feats f CROSS JOIN ${p}r${t0 - 1} p))"""
+        }.mkString(",\n        ")
+        val unionBest = (1 to SH_ROUNDS)
+          .map(t0 => s"SELECT n - n_err AS cc, n FROM ${p}r$t0")
+          .mkString(" UNION ALL ")
+        s"""${p}r0 AS (SELECT ${ws.map(j => s"CAST(0 AS BIGINT) AS w$j")
+            .mkString(", ")}),
+        $rounds,
+        ${p}best AS (SELECT max(cc) AS ${cname(sub)},
+          min(n) AS n_${p} FROM ($unionBest))"""
+      }.mkString(",\n        ")
+      val crossAll = subsets.map(sub =>
+        if (sub.isEmpty) "s0best" else s"s${sub.mkString}best")
+        .mkString(" CROSS JOIN ")
+      def phiSql(j: Int) = {
+        val others = Seq(1, 2, 3).filterNot(_ == j)
+        val Seq(a, b) = others
+        s"""CAST(2 * (c$j - c0) + (c${Seq(j, a).sorted.mkString} - c$a)
+          + (c${Seq(j, b).sorted.mkString} - c$b)
+          + 2 * (c123 - c${others.mkString}) AS DOUBLE)
+          / CAST(6 * n_s0 AS DOUBLE)"""
+      }
+      def rowSql(j: Int) = {
+        val others = Seq(1, 2, 3).filterNot(_ == j).mkString
+        s"""SELECT 'x$j' AS feature,
+          ${proundSql(phiSql(j), 6)} AS phi,
+          ${proundSql(s"CAST(c$j AS DOUBLE) / CAST(n_s0 AS DOUBLE)", 6)}
+            AS v_solo,
+          ${proundSql(
+            s"CAST(c123 - c$others AS DOUBLE) / CAST(n_s0 AS DOUBLE)", 6)}
+            AS loo_gain,
+          ${proundSql(s"CAST(c123 AS DOUBLE) / CAST(n_s0 AS DOUBLE)", 6)}
+            AS v_full
+        FROM allbest"""
+      }
+      s"""WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN n_chars > $SH_THR THEN 1 ELSE -1 END AS y,
+          CAST($SH_BIAS AS BIGINT) AS x0,
+          CAST(len($toksSql2) AS BIGINT) AS x1,
+          CAST(len(list_distinct($toksSql2)) AS BIGINT) AS x2,
+          CAST($sumLen AS BIGINT) AS x3
+        FROM documents),
+        $blocks,
+        allbest AS (SELECT * FROM $crossAll)
+      ${Seq(1, 2, 3).map(rowSql).mkString("\n      UNION ALL\n      ")}
+      ORDER BY feature"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
-      q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271)
+      q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
+      q276, q277)
 }

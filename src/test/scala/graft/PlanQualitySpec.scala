@@ -553,7 +553,11 @@ class PlanQualitySpec extends SparkSpec {
       "q233_hilbert_skipping",
       // q252: cumulative coverage over the ≤ k greedy picks (k = 8
       // driver-loop rows — the q64 bounded-intermediate class)
-      "q252_set_cover")
+      "q252_set_cover",
+      // q267: the GLOBAL sensitive-value CDF — a cumulative sum over
+      // the m-row value domain (m = |sensitive enum| ≤ a handful;
+      // the per-class windows partition by QI and are not global)
+      "q267_t_closeness")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
