@@ -2078,7 +2078,11 @@ object ExtendedRelational {
     "q268_logit_gate",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val feats = t.lineitem.select(
+      // fanOut BEFORE the checkpoint: the GD loop re-aggregates this
+      // frame 11 times, and a 3-split local file would pin every pass
+      // to 3 tasks (q274's lesson — the checkpoint freezes whatever
+      // partitioning it's given)
+      val feats = graft.core.Scan.fanOut(t.lineitem).select(
           when(col("l_quantity") * col("l_extendedprice") > 1000000.0, 1.0)
             .otherwise(0.0).as("y"),
           lit(1.0).as("x0"),

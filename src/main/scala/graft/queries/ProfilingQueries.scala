@@ -1059,9 +1059,14 @@ object ProfilingQueries {
     "q274_poisson_bootstrap",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val base = t.lineitem.select(col("l_returnflag").as("flag"),
-        col("l_extendedprice").as("x"),
-        (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("rk"))
+      // 32 slotWide evaluations per input row is the compute-heavy-
+      // narrow shape fanOut exists for (q84's lesson): restore scan
+      // splits so the B-fold explode parallelizes past the file's
+      // row-group count (measured 9.9s on 3 tasks -> sub-second wide).
+      val base = graft.core.Scan.fanOut(t.lineitem)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("x"),
+          (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("rk"))
       val hv = graft.operators.Sampling.slotWide(
         col("rk") * lit(BOOT_B) + col("b"))
       val w = POIS_T.zipWithIndex
