@@ -47,7 +47,7 @@ object Bench {
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
     "q241_benford_audit", "q245_k_anonymity", "q267_t_closeness",
-    "q274_poisson_bootstrap", "q246_score_auc",
+    "q274_poisson_bootstrap", "q246_score_auc", "q278_average_precision",
     "q105_source_divergence", "q106_moments", "q250_signal_mi",
     "q32_json_extract", "q33_ann_lsh_topk", "q34_rollup", "q35_setops",
     "q37_pivot",

@@ -1120,6 +1120,78 @@ object ProfilingQueries {
       ORDER BY l_returnflag, b"""
     })
 
+  // -- P17: average precision (PR-AUC) ([[graft.operators.RocAuc
+  //    .averagePrecision]]) — q246's imbalance-aware sibling: ROC-AUC
+  //    weighs errors by the NEGATIVE class, so on a rare positive
+  //    slice it can sit near 1.0 while precision is garbage; AP is
+  //    the metric that moves. Same scorers as q246 plus a RARE-class
+  //    arm (label = 0, ~10% prevalence) so the two metrics visibly
+  //    disagree in one report. Step-wise threshold AP (the sklearn
+  //    definition — well-defined under ties), every block term one
+  //    double division of BIGINT products, pround8/DECIMAL order-free
+  //    accumulation.
+  private val q278 = Q(
+    "q278_average_precision",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val scored = t.embeddings.select(
+          col("label"),
+          explode(array(
+            struct(lit("bal_component_1").as("scorer"),
+              element_at(col("embedding"), 1).cast("double").as("score"),
+              (col("label") < 5).as("pos")),
+            struct(lit("rare_component_1").as("scorer"),
+              element_at(col("embedding"), 1).cast("double").as("score"),
+              (col("label") === 0).as("pos")))).as("sc"))
+        .select(col("sc.scorer").as("scorer"), col("sc.score").as("score"),
+          col("sc.pos").as("pos"))
+      graft.operators.RocAuc.averagePrecision(scored, "scorer", "score",
+          "pos")
+        .select(col("scorer"), col("n_pos"), col("n_neg"),
+          col("n_thresholds"),
+          pround(col("prevalence"), 6).as("prevalence"),
+          pround(col("ap"), 6).as("ap"))
+        .orderBy(col("scorer"))
+    },
+    Some(s"""WITH base AS (
+        SELECT label, CAST(embedding[1] AS DOUBLE) AS score
+        FROM embeddings),
+      scored AS (
+        SELECT 'bal_component_1' AS scorer, score, label < 5 AS pos
+        FROM base
+        UNION ALL
+        SELECT 'rare_component_1', score, label = 0 FROM base),
+      vals AS (
+        SELECT scorer, score AS sv, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+        FROM scored GROUP BY 1, 2),
+      cum AS (
+        SELECT scorer, c, c_pos,
+          CAST(sum(c) OVER w AS BIGINT) AS cn,
+          CAST(sum(c_pos) OVER w AS BIGINT) AS tp,
+          CAST(sum(c_pos) OVER (PARTITION BY scorer) AS BIGINT)
+            AS npos_all
+        FROM vals
+        WINDOW w AS (PARTITION BY scorer ORDER BY sv DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      agg AS (
+        SELECT scorer,
+          CAST(sum(c_pos) AS BIGINT) AS n_pos,
+          CAST(sum(c - c_pos) AS BIGINT) AS n_neg,
+          CAST(count(*) AS BIGINT) AS n_thresholds,
+          CAST(sum(CAST(${proundSql(
+            """CAST(c_pos * tp AS DOUBLE)
+               / CAST(npos_all * cn AS DOUBLE)""", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS ap_raw
+        FROM cum GROUP BY scorer)
+      SELECT scorer, n_pos, n_neg, n_thresholds,
+        ${proundSql(
+          "CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)", 6)}
+          AS prevalence,
+        CASE WHEN n_pos > 0 THEN ${proundSql("ap_raw", 6)} END AS ap
+      FROM agg
+      ORDER BY scorer"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246, q253, q267, q273, q274)
+    q241, q245, q246, q253, q267, q273, q274, q278)
 }
