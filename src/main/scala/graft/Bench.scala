@@ -43,7 +43,7 @@ object Bench {
     "q118_jpeg_pixels", "q127_jpeg_progressive", "q119_video_frames",
     "q123_gif_pixels", "q200_mjpeg_frames", "q213_adpcm_audio",
     "q217_g711_audio", "q225_resonator_bands", "q232_mfcc", "q258_tiff_pixels",
-    "q156_image_dedup_clusters",
+    "q156_image_dedup_clusters", "q279_ssim_pairs",
     "q30_summary_stats",
     "q31_null_dup_profile", "q84_correlation_matrix", "q85_chi2_association",
     "q241_benford_audit", "q245_k_anonymity", "q267_t_closeness",

@@ -1257,6 +1257,125 @@ object MultimodalQueries {
     FROM documents
     ORDER BY media_id"""))
 
+  // -- M20: SSIM image-similarity metrology — the PERCEPTUAL distance
+  //    next to q152's pHash bit distance: pHash answers "same image?",
+  //    SSIM answers "how degraded?" — the metric an image-dedup
+  //    pipeline reports when it keeps one of a near-dup pair. Global
+  //    (single-window) SSIM on the R plane between each doc_id % 10
+  //    image and its d+2 sibling (same parity ⇒ same channel count):
+  //    both sides ride the REAL PNG encode → decode round trip (mixed
+  //    per-row filters, the q89 codec path), reduce to five INTEGER
+  //    moment sums in the decode pass, and evaluate the SSIM formula
+  //    as identical pinned double ops (column expressions here, the
+  //    same text in the oracle — the oracle derives the sums from the
+  //    closed-form pixel model, so a codec bug, a filter-undo bug, or
+  //    a moment error all break parity). C1/C2 are the standard
+  //    (0.01·255)², (0.03·255)² literals.
+  private val SSIM_C1 = 6.5025
+  private val SSIM_C2 = 58.5225
+  private val q279 = Q(
+    "q279_ssim_pairs",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val sumSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("n_px", LongType),
+        StructField("sx", LongType), StructField("sy", LongType),
+        StructField("sxx", LongType), StructField("syy", LongType),
+        StructField("sxy", LongType)))
+      val sums = graft.core.Scan.fanOut(
+          t.documents.select(col("doc_id")).filter(col("doc_id") % 10 === 0))
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater()
+          val inflater = new java.util.zip.Inflater()
+          def pngOf(d: Long): Array[Byte] = {
+            val c = if (d % 2 == 0) 3 else 4
+            val px = new Array[Byte](PW * PH * c)
+            var y = 0
+            while (y < PH) {
+              var x = 0
+              while (x < PW) {
+                val i = (y * PW + x) * c
+                px(i) = ((d + 7 * x + 13 * y) % 256).toByte
+                px(i + 1) = ((3 * d + 5 * x + y) % 256).toByte
+                px(i + 2) = ((d + x * y) % 256).toByte
+                if (c == 4) px(i + 3) = ((d + x + y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Multimodal.pngEncode(Multimodal.PngImage(PW, PH, c, px),
+              yy => ((d + yy) % 5).toInt, deflater)
+          }
+          rows.map { r =>
+            val d = r.getLong(0)
+            val a = Multimodal.pngDecode(pngOf(d), inflater)
+            val b = Multimodal.pngDecode(pngOf(d + 2), inflater)
+            var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L
+            var sxy = 0L
+            var i = 0
+            val n = PW * PH
+            while (i < n) {
+              val pa = a.pixels(i * a.channels) & 0xff
+              val pb = b.pixels(i * b.channels) & 0xff
+              sx += pa; sy += pb
+              sxx += pa.toLong * pa; syy += pb.toLong * pb
+              sxy += pa.toLong * pb
+              i += 1
+            }
+            Row(d, n.toLong, sx, sy, sxx, syy, sxy)
+          }
+        }(Encoders.row(sumSchema))
+      val nD = col("n_px").cast("double")
+      val mx = col("sx").cast("double") / nD
+      val my = col("sy").cast("double") / nD
+      val vx = col("sxx").cast("double") / nD - mx * mx
+      val vy = col("syy").cast("double") / nD - my * my
+      val cv = col("sxy").cast("double") / nD - mx * my
+      sums.select(col("media_id"), col("n_px"),
+          pround(mx, 4).as("mean_a"), pround(my, 4).as("mean_b"),
+          pround((lit(2.0) * mx * my + lit(SSIM_C1))
+            * (lit(2.0) * cv + lit(SSIM_C2))
+            / ((mx * mx + my * my + lit(SSIM_C1))
+              * (vx + vy + lit(SSIM_C2))), 6).as("ssim"))
+        .orderBy(col("media_id"))
+    },
+    Some(s"""WITH px AS (
+        SELECT d.doc_id AS media_id,
+          CAST((d.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS BIGINT) AS r1,
+          CAST((d.doc_id + 2 + 7 * xs.x + 13 * ys.y) % 256 AS BIGINT)
+            AS r2
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        CROSS JOIN (SELECT unnest(generate_series(0, ${PW - 1})) AS x) xs
+        CROSS JOIN (SELECT unnest(generate_series(0, ${PH - 1})) AS y) ys),
+      sums AS (
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_px,
+          CAST(sum(r1) AS BIGINT) AS sx, CAST(sum(r2) AS BIGINT) AS sy,
+          CAST(sum(r1 * r1) AS BIGINT) AS sxx,
+          CAST(sum(r2 * r2) AS BIGINT) AS syy,
+          CAST(sum(r1 * r2) AS BIGINT) AS sxy
+        FROM px GROUP BY media_id),
+      m AS (
+        SELECT media_id, n_px,
+          CAST(sx AS DOUBLE) / CAST(n_px AS DOUBLE) AS mx,
+          CAST(sy AS DOUBLE) / CAST(n_px AS DOUBLE) AS my,
+          CAST(sxx AS DOUBLE) / CAST(n_px AS DOUBLE) AS exx,
+          CAST(syy AS DOUBLE) / CAST(n_px AS DOUBLE) AS eyy,
+          CAST(sxy AS DOUBLE) / CAST(n_px AS DOUBLE) AS exy
+        FROM sums)
+      SELECT media_id, n_px,
+        ${proundSql("mx", 4)} AS mean_a,
+        ${proundSql("my", 4)} AS mean_b,
+        ${proundSql(
+          s"""(2.0 * mx * my + $SSIM_C1) * (2.0 * (exy - mx * my)
+             + $SSIM_C2) / ((mx * mx + my * my + $SSIM_C1)
+             * ((exx - mx * mx) + (eyy - my * my) + $SSIM_C2))""", 6)}
+          AS ssim
+      FROM m
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213, q217, q225, q232, q258)
+    q152, q155, q156, q174, q200, q213, q217, q225, q232, q258, q279)
 }
