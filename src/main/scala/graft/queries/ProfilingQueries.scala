@@ -1192,6 +1192,86 @@ object ProfilingQueries {
       FROM agg
       ORDER BY scorer"""))
 
+  // -- P18: Mann-Kendall trend test — the NONPARAMETRIC significance
+  //    rung under q253's Theil-Sen slope (Theil-Sen says how steep;
+  //    Mann-Kendall says whether a monotone trend exists at all,
+  //    robust to outliers and any monotone transform): S = Σ_{i<j}
+  //    sign(x_j − x_i) over the daily series, variance with the
+  //    standard tie correction Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+  //    /18, Z = (S ∓ 1)/√Var. Everything is INTEGER until the single
+  //    division + IEEE sqrt of the Z statistic; the pair join runs
+  //    over the calendar-bounded daily aggregate (q253's shape), so
+  //    cost is days², not events².
+  private val q280 = Q(
+    "q280_mann_kendall",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val sStat = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type")
+            && col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.n") - col("a.n")).cast("long")).as("s"))
+      val ties = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("tcnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days_distinct"),
+          sum(col("tcnt")).as("nd"),
+          sum(col("tcnt") * (col("tcnt") - 1)
+            * (lit(2L) * col("tcnt") + 5)).as("tie_sum"))
+      val z = sStat.join(ties, Seq("event_type"))
+        .withColumn("var18",
+          col("nd") * (col("nd") - 1) * (lit(2L) * col("nd") + 5)
+            - col("tie_sum"))
+        .withColumn("z",
+          when(col("var18") > 0,
+            (col("s") - signum(col("s")).cast("long")).cast("double")
+              / sqrt(col("var18").cast("double") / lit(18.0))))
+      z.select(col("event_type"), col("nd").as("n_days"), col("s"),
+          col("var18"),
+          pround(col("z"), 6).as("z"),
+          when(abs(col("z")) > 1.959964, 1).otherwise(0)
+            .as("has_trend_95"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      sstat AS (
+        SELECT a.event_type,
+          CAST(sum(CASE WHEN b.n > a.n THEN 1
+            WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type),
+      ties AS (
+        SELECT event_type,
+          CAST(sum(tcnt) AS BIGINT) AS nd,
+          CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT)
+            AS tie_sum
+        FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS tcnt
+              FROM daily GROUP BY 1, 2)
+        GROUP BY event_type),
+      zt AS (
+        SELECT s.event_type, ties.nd, s.s,
+          ties.nd * (ties.nd - 1) * (2 * ties.nd + 5) - tie_sum AS var18
+        FROM sstat s JOIN ties USING (event_type))
+      SELECT event_type, nd AS n_days, s, var18,
+        CASE WHEN var18 > 0 THEN ${proundSql(
+          """CAST(s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+             ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0)""", 6)} END AS z,
+        CASE WHEN abs(CASE WHEN var18 > 0
+            THEN (CAST(s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+              ELSE 0 END AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+            END) > 1.959964 THEN 1 ELSE 0 END AS has_trend_95
+      FROM zt
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246, q253, q267, q273, q274, q278)
+    q241, q245, q246, q253, q267, q273, q274, q278, q280)
 }
