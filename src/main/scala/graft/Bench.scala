@@ -114,7 +114,7 @@ object Bench {
     "q170_contamination_spans", "q171_span_scrub",
     "q172_waterfill_mixture", "q272_doremi_mixture", "q173_apportion_eval", "q174_mp4_metadata",
     "q175_jaccard_prefix", "q176_binary_ann", "q177_tar_webdataset",
-    "q178_rolling_anomaly", "q242_ewma_anomaly", "q270_holt_winters", "q273_acf_audit", "q280_mann_kendall", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
+    "q178_rolling_anomaly", "q242_ewma_anomaly", "q270_holt_winters", "q281_stl_strength", "q273_acf_audit", "q280_mann_kendall", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
     "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",

@@ -694,6 +694,105 @@ object WindowQueries {
       ORDER BY event_type, day"""
     })
 
+  // -- W13: decomposition STRENGTH metrics — the one-number summary
+  //    over q270's decomposition and q273's ACF: split each daily
+  //    series into trend (centered 7-day moving average, integer sum
+  //    / 7), seasonal (per-weekday mean of the detrended values), and
+  //    remainder, then report Hyndman's
+  //      F_trend    = max(0, 1 − Var(R)/Var(T+R))
+  //      F_seasonal = max(0, 1 − Var(R)/Var(S+R))
+  //    — the feature-ization of "does this series have structure
+  //    worth a seasonal monitor". Edge days without a full 7-day
+  //    window drop (the standard centered-MA contract). Every mean /
+  //    variance accumulates with the pround8/DECIMAL order-free sums;
+  //    each variance is (Σx² − (Σx)²/n)/n in pinned double order.
+  private val q281 = Q(
+    "q281_stl_strength",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val daily = t.eventsUs
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("tsum", sum(col("n")).over(w7))
+        .filter(col("cnt7") === 7)
+        .select(col("event_type"), col("day"),
+          col("n").cast("double").as("x"),
+          (col("n").cast("double")
+            - col("tsum").cast("double") / lit(7.0)).as("d"),
+          pmod(col("day"), lit(7L)).as("wd"))
+        .localCheckpoint(true)
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val sw = det.groupBy(col("event_type"), col("wd"))
+        .agg((sum(p8d(col("d"))).cast("double")
+          / count(lit(1)).cast("double")).as("s_w"))
+      val full = det.join(sw, Seq("event_type", "wd"))
+        .select(col("event_type"),
+          (col("d") - col("s_w")).as("r"),
+          col("d"), (col("x") - col("s_w")).as("q"))
+      def varOf(c: String) =
+        ((sum(p8d(col(c) * col(c))).cast("double")
+          - sum(p8d(col(c))).cast("double")
+            * sum(p8d(col(c))).cast("double")
+            / count(lit(1)).cast("double"))
+          / count(lit(1)).cast("double"))
+      full.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_used"),
+          varOf("r").as("var_r"), varOf("d").as("var_d"),
+          varOf("q").as("var_q"))
+        .select(col("event_type"), col("n_used"),
+          pround(greatest(lit(0.0),
+            lit(1.0) - col("var_r") / col("var_q")), 6).as("f_trend"),
+          pround(greatest(lit(0.0),
+            lit(1.0) - col("var_r") / col("var_d")), 6).as("f_seasonal"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      def varSql(c: String) =
+        s"""((${ds8(s"$c * $c")} - ${ds8(c)} * ${ds8(c)}
+           / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE))"""
+      s"""WITH daily AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      det AS MATERIALIZED (
+        SELECT event_type, day, CAST(n AS DOUBLE) AS x,
+          CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) / 7.0 AS d,
+          day % 7 AS wd
+        FROM (
+          SELECT event_type, day, n,
+            count(*) OVER w7 AS cnt7,
+            CAST(sum(n) OVER w7 AS BIGINT) AS tsum
+          FROM daily
+          WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        WHERE cnt7 = 7),
+      sw AS MATERIALIZED (
+        SELECT event_type, wd,
+          ${ds8("d")} / CAST(count(*) AS DOUBLE) AS s_w
+        FROM det GROUP BY 1, 2),
+      full0 AS (
+        SELECT d.event_type, d.d - s.s_w AS r, d.d AS d,
+          d.x - s.s_w AS q
+        FROM det d JOIN sw s USING (event_type, wd))
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_used,
+        ${proundSql(s"greatest(0.0, 1.0 - ${varSql("r")} / ${varSql("q")})",
+          6)} AS f_trend,
+        ${proundSql(s"greatest(0.0, 1.0 - ${varSql("r")} / ${varSql("d")})",
+          6)} AS f_seasonal
+      FROM full0
+      GROUP BY event_type
+      ORDER BY event_type"""
+    })
+
   val all: Seq[Q] = Seq(q44, q45, q46, q70, q78, q87, q88, q147, q178,
-    q242, q254, q270)
+    q242, q254, q270, q281)
 }
