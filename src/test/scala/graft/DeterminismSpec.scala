@@ -29,7 +29,11 @@ class DeterminismSpec extends SparkSpec {
     // round-13c shapes: EMD grid audit, GD with expdet sigmoids,
     // integer HITS power iteration, seasonal-vector driver fold
     "q267_t_closeness", "q268_logit_gate", "q269_hits",
-    "q270_holt_winters")
+    "q270_holt_winters",
+    // round-13d shapes: Poisson-bootstrap hash weights, two-stage
+    // RVQ Lloyd, threshold-stepped AP, MK pair signs, STL windows
+    "q274_poisson_bootstrap", "q275_rvq_ladder",
+    "q278_average_precision", "q280_mann_kendall", "q281_stl_strength")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()

@@ -63,4 +63,46 @@ class RocAucSpec extends SparkSpec {
       assert(snap === base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("averagePrecision: perfect, inverted, and hand-computed tied rankings") {
+    // perfect separation: AP = 1
+    val perfect = Seq(("g", 3.0, true), ("g", 2.0, true), ("g", 1.0, false))
+      .toDF("g", "score", "pos")
+    val rp = RocAuc.averagePrecision(perfect, "g", "score", "pos").head
+    assert(rp.getAs[Double]("ap") === 1.0)
+    // all positives ranked last: AP = the known harmonic-ish value
+    //   thresholds desc: (1, FP), (0.5, TP): term = (1/1)·(1/2) = 0.5
+    val inv = Seq(("g", 1.0, false), ("g", 0.5, true))
+      .toDF("g", "score", "pos")
+    val ri = RocAuc.averagePrecision(inv, "g", "score", "pos").head
+    assert(ri.getAs[Double]("ap") === 0.5)
+    // tied block: scores (2: 1 pos + 1 neg), (1: 1 pos)
+    //   t=2: ΔTP=1, TP=1, N=2 → (1/2)·(1/2)=0.25
+    //   t=1: ΔTP=1, TP=2, N=3 → (1/2)·(2/3)=0.333333...
+    //   AP = 0.25 + 1/3 (both terms pround8-quantized)
+    val tied = Seq(("g", 2.0, true), ("g", 2.0, false), ("g", 1.0, true))
+      .toDF("g", "score", "pos")
+    val rt = RocAuc.averagePrecision(tied, "g", "score", "pos").head
+    assert(math.abs(rt.getAs[Double]("ap") - (0.25 + 1.0 / 3.0)) < 1e-7)
+    assert(rt.getAs[Long]("n_thresholds") === 2L)
+    assert(rt.getAs[Double]("prevalence") === 2.0 / 3.0)
+  }
+
+  test("averagePrecision: no positives reports NULL ap; invariance") {
+    import org.apache.spark.sql.functions.col
+    val none = Seq(("g", 1.0, false), ("g", 2.0, false))
+      .toDF("g", "score", "pos")
+    assert(RocAuc.averagePrecision(none, "g", "score", "pos")
+      .head.isNullAt(5))
+    val rows = (1 to 200).map(i =>
+      ("g" + (i % 3), (i * 37 % 41).toDouble, i % 41 % 2 == 0))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap = RocAuc.averagePrecision(rows.toDF("g", "score", "pos"),
+      "g", "score", "pos").collect().map(_.toString).sorted.toSeq
+    val base = snap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      assert(snap === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
