@@ -88,7 +88,7 @@ object Bench {
     "q81_chunk_spans", "q93_cdc_chunks", "q94_cdc_dedup_stats",
     "q96_duplicated_spans", "q97_dup_span_stats",
     "q98_corpus_shuffle", "q99_epoch_allocation", "q116_token_budget",
-    "q121_dsir_selection", "q252_set_cover",
+    "q121_dsir_selection", "q252_set_cover", "q283_herding_coreset",
     "q102_kmeans_fit", "q249_dbscan_grid", "q103_ngram_novelty",
     "q104_quality_logit",
     "q66_pipeline_mart",

