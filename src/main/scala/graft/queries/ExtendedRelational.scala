@@ -2343,9 +2343,119 @@ object ExtendedRelational {
       ORDER BY l_returnflag"""
     })
 
+  // -- X41: GROUP-SEQUENTIAL A/B monitoring (O'Brien-Fleming) — the
+  //    peeking-correct experimentation rung next to q187's CUPED: an
+  //    experimenter who checks a fixed-α z-test weekly inflates false
+  //    positives ~4×; the OBF spending boundaries (hard literals for
+  //    K = 4 looks — conservative early, ≈ the fixed test at the end)
+  //    are what a sequential monitor compares against. Arms come from
+  //    the slotWide user-hash split (deterministic, balanced); the
+  //    metric is user-level purchase conversion among users SEEN by
+  //    each look; every count is integer, the two-proportion z is
+  //    pinned divisions + one IEEE sqrt. On a null split (same
+  //    population both arms) no look should cross — the emitted
+  //    `crossed` column is the sanity audit.
+  private val AB_LOOKS = 4
+  private val AB_BOUNDS = Seq(4.332634, 2.963131, 2.359044, 2.014090)
+  private val q284 = Q(
+    "q284_sequential_ab",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ev = t.eventsUs
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("purch"))
+        .localCheckpoint(true)
+      val minDay = ev.agg(min(col("day"))).head.getLong(0)
+      val looks = (1 to AB_LOOKS).map(w =>
+        (w, minDay + 7L * w, AB_BOUNDS(w - 1)))
+      val sp = s
+      import sp.implicits._
+      val lookDf = looks.toDF("look", "cutoff", "boundary")
+      // user-level metric that never saturates: is the user's
+      // purchase SHARE above the 1/5 uniform rate so far — an
+      // integer comparison (5·purchases > events)
+      val perUserLook = ev.crossJoin(broadcast(lookDf))
+        .filter(col("day") < col("cutoff"))
+        .groupBy(col("user_id"), col("look"), col("boundary"))
+        .agg(count(lit(1)).as("tot"), sum(col("purch")).as("pc"))
+        .withColumn("arm",
+          pmod(graft.operators.Sampling.slotWide(col("user_id")), lit(2L)))
+        .withColumn("conv",
+          (lit(5L) * col("pc") > col("tot")).cast("long"))
+      val counts = perUserLook
+        .groupBy(col("look"), col("boundary"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val p2 = col("c2").cast("double") / col("n2").cast("double")
+      val pp = (col("c1") + col("c2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / col("n1").cast("double")
+          + lit(1.0) / col("n2").cast("double")))
+      val zg = when((col("c1") + col("c2")) > 0
+        && (col("c1") + col("c2")) < (col("n1") + col("n2")), z)
+      counts
+        .select(col("look"), col("n1"), col("c1"), col("n2"), col("c2"),
+          pround(zg, 6).as("z"),
+          pround(col("boundary"), 6).as("boundary"),
+          coalesce((abs(zg) > col("boundary")).cast("int"), lit(0))
+            .as("crossed"))
+        .orderBy(col("look"))
+    },
+    Some {
+      val boundsVals = AB_BOUNDS.zipWithIndex
+        .map { case (b, i) => s"(${i + 1}, $b)" }.mkString(", ")
+      s"""WITH ev AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        FROM events),
+      m0 AS (SELECT min(day) AS d0 FROM ev),
+      looks(look, boundary) AS (VALUES $boundsVals),
+      pul AS MATERIALIZED (
+        SELECT e.user_id, l.look, l.boundary,
+          CAST(count(*) AS BIGINT) AS tot,
+          CAST(sum(purch) AS BIGINT) AS pc,
+          (${graft.operators.Sampling.slotWideSql("e.user_id")}) % 2
+            AS arm
+        FROM ev e CROSS JOIN m0 CROSS JOIN looks l
+        WHERE e.day < d0 + 7 * l.look
+        GROUP BY e.user_id, l.look, l.boundary),
+      counts AS (
+        SELECT look, boundary,
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN arm = 0 AND 5 * pc > tot
+            THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN arm = 1 AND 5 * pc > tot
+            THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM pul
+        GROUP BY look, boundary),
+      zt AS (
+        SELECT look, boundary, n1, c1, n2, c2,
+          CASE WHEN c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+            (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            / sqrt(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+              * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+          END AS z
+        FROM counts)
+      SELECT look, n1, c1, n2, c2,
+        ${proundSql("z", 6)} AS z,
+        ${proundSql("boundary", 6)} AS boundary,
+        CAST(coalesce(CASE WHEN abs(z) > boundary THEN 1 ELSE 0 END, 0)
+          AS INT) AS crossed
+      FROM zt
+      ORDER BY look"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282)
+      q264, q268, q269, q282, q284)
 }
