@@ -2453,9 +2453,144 @@ object ExtendedRelational {
       ORDER BY look"""
     })
 
+  // -- X42: IPW causal effect estimation — the OBSERVATIONAL rung of
+  //    the experimentation family (q187 adjusts a randomized test,
+  //    q284 monitors one; this one corrects a NON-randomized
+  //    comparison): treatment is CONSTRUCTED to depend on quantity
+  //    (plus hash noise, propensity ∈ [0.4, 0.9] — common support by
+  //    design) and the outcome also depends on quantity plus a true
+  //    effect of 0.3, so the naive arm difference is biased
+  //    (measured 0.397 at sf0.01); a logistic propensity
+  //    (Logistic.fitBatch — graft_expdet sigmoids, unrolled-GD
+  //    oracle) feeds the Hajek inverse-propensity estimator, which
+  //    pulls the estimate back toward truth (0.32 at 16 GD steps).
+  //    The three numbers sit in one row: naive, IPW, truth — the
+  //    confounding-correction audit. All sums ride pround8/DECIMAL;
+  //    the IPW ratios are pinned divisions.
+  private val IPW_LR = 8.0
+  private val IPW_T = 16
+  private val q285 = Q(
+    "q285_ipw_ate",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val u = pmod(graft.operators.Sampling.slotWide(
+        col("l_orderkey") * lit(8L) + col("l_linenumber")), lit(500L))
+      val feats = graft.core.Scan.fanOut(t.lineitem).select(
+          when(lit(5.0) * col("l_quantity") + u.cast("double") > 300.0,
+            1.0).otherwise(0.0).as("t"),
+          lit(1.0).as("x0"),
+          (col("l_quantity").cast("double") / lit(50)).as("x1"),
+          ((col("l_extendedprice").cast("double") / lit(100000))
+            + lit(0.01) * col("l_quantity").cast("double")).as("y_base"))
+        .withColumn("y", col("y_base") + lit(0.3) * col("t"))
+        .localCheckpoint(true)
+      val hist = graft.operators.Logistic.fitBatch(
+        feats, Seq("x0", "x1"), "t", IPW_LR, IPW_T)
+      val Seq(w0, w1) = hist.last.w
+      val z = col("x0") * lit(w0) + col("x1") * lit(w1)
+      val zc = when(z > 30.0, 30.0).when(z < -30.0, -30.0).otherwise(z)
+      val e = lit(1.0) / (lit(1.0) + call_function("graft_expdet", -zc))
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val d8 = (c: org.apache.spark.sql.Column) =>
+        sum(p8d(c)).cast("double")
+      feats
+        .agg(count(lit(1)).as("n"),
+          sum(col("t").cast("long")).as("n_treated"),
+          d8(col("t") * col("y")).as("sy1"),
+          d8((lit(1.0) - col("t")) * col("y")).as("sy0"),
+          d8(col("t") * col("y") / e).as("s1n"),
+          d8(col("t") / e).as("s1d"),
+          d8((lit(1.0) - col("t")) * col("y") / (lit(1.0) - e)).as("s0n"),
+          d8((lit(1.0) - col("t")) / (lit(1.0) - e)).as("s0d"))
+        .select(col("n"), col("n_treated"),
+          pround(lit(w0), 6).as("w0"), pround(lit(w1), 6).as("w1"),
+          pround(col("sy1") / col("n_treated").cast("double")
+            - col("sy0") / (col("n") - col("n_treated")).cast("double"),
+            6).as("naive_diff"),
+          pround(col("s1n") / col("s1d") - col("s0n") / col("s0d"), 6)
+            .as("ipw_ate"),
+          lit(0.3).as("true_effect"))
+    },
+    Some {
+      val gdIters = (0 until IPW_T).map { i =>
+        s"""z$i AS (
+        SELECT t, x0, x1, y, (x0 * w0 + x1 * w1) AS z
+        FROM feats CROSS JOIN iw$i),
+      zc$i AS (
+        SELECT t, x0, x1, y,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM z$i),
+      ${expDetSqlCtes(s"ie$i", s"zc$i", "t, x0, x1, y", "-zc")},
+      sg$i AS (
+        SELECT t, x0, x1, y,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS s
+        FROM ie${i}expv),
+      ig$i AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(${proundSql("(s - t) * x0", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+          CAST(sum(CAST(${proundSql("(s - t) * x1", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g1
+        FROM sg$i),
+      iw${i + 1} AS MATERIALIZED (
+        SELECT w0 - $IPW_LR * (g0 / n) AS w0,
+          w1 - $IPW_LR * (g1 / n) AS w1
+        FROM iw$i CROSS JOIN ig$i)"""
+      }.mkString(",\n      ")
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      s"""WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN 5.0 * l_quantity
+            + CAST((${graft.operators.Sampling.slotWideSql(
+              "l_orderkey * 8 + l_linenumber")}) % 500 AS DOUBLE) > 300.0
+            THEN 1.0 ELSE 0.0 END AS t,
+          CAST(1 AS DOUBLE) AS x0,
+          CAST(l_quantity AS DOUBLE) / 50 AS x1,
+          (CAST(l_extendedprice AS DOUBLE) / 100000
+            + 0.01 * CAST(l_quantity AS DOUBLE)) AS y_base
+        FROM lineitem),
+      featsy AS MATERIALIZED (
+        SELECT t, x0, x1, y_base + 0.3 * t AS y FROM feats),
+      iw0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
+      ${gdIters.replace("FROM feats CROSS JOIN", "FROM featsy CROSS JOIN")},
+      fz AS (
+        SELECT t, y, (x0 * w0 + x1 * w1) AS z
+        FROM featsy CROSS JOIN iw$IPW_T),
+      fzc AS (
+        SELECT t, y,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM fz),
+      ${expDetSqlCtes("fe", "fzc", "t, y", "-zc")},
+      fse AS (
+        SELECT t, y,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS e
+        FROM feexpv),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(t AS BIGINT)) AS BIGINT) AS n_treated,
+          ${ds8("t * y")} AS sy1,
+          ${ds8("(1.0 - t) * y")} AS sy0,
+          ${ds8("t * y / e")} AS s1n,
+          ${ds8("t / e")} AS s1d,
+          ${ds8("(1.0 - t) * y / (1.0 - e)")} AS s0n,
+          ${ds8("(1.0 - t) / (1.0 - e)")} AS s0d
+        FROM fse)
+      SELECT n, n_treated,
+        (SELECT ${proundSql("w0", 6)} FROM iw$IPW_T) AS w0,
+        (SELECT ${proundSql("w1", 6)} FROM iw$IPW_T) AS w1,
+        ${proundSql(
+          """sy1 / CAST(n_treated AS DOUBLE)
+             - sy0 / CAST(n - n_treated AS DOUBLE)""", 6)} AS naive_diff,
+        ${proundSql("s1n / s1d - s0n / s0d", 6)} AS ipw_ate,
+        0.3 AS true_effect
+      FROM agg"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284)
+      q264, q268, q269, q282, q284, q285)
 }
