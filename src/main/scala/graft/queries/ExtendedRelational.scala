@@ -2588,9 +2588,133 @@ object ExtendedRelational {
       FROM agg"""
     })
 
+  // -- X43: regression discontinuity (sharp RD) — the cutoff-rule
+  //    rung of the causal family: treatment switches deterministically
+  //    at quantity ≥ 25 (a sharp eligibility rule), the outcome also
+  //    TRENDS in quantity (slope 0.01), so the naive above/below
+  //    difference is wildly biased (≈ 0.55 for a true effect of 0.3);
+  //    local-linear fits on [CUT−H, CUT) and [CUT, CUT+H] predict the
+  //    outcome AT the cutoff from each side, and their gap recovers
+  //    the effect exactly in expectation. OLS is the exact
+  //    integer-sum closed form (q276's algebra) on centered running
+  //    variable q − 25 — no GD, no libm; naive/RD/truth in one row.
+  private val RD_CUT = 25.0
+  private val RD_H = 10.0
+  private val q286 = Q(
+    "q286_regression_discontinuity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val feats = t.lineitem.select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_quantity").cast("long").as("qi"),
+          ((col("l_quantity").cast("double") - lit(RD_CUT)))
+            .as("qc"),
+          ((col("l_extendedprice").cast("double") / lit(100000))
+            + lit(0.01) * col("l_quantity").cast("double")
+            + lit(0.3) * when(col("l_quantity") >= RD_CUT, 1.0)
+              .otherwise(0.0)).as("y"))
+        .localCheckpoint(true)
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val d8 = (c: org.apache.spark.sql.Column) =>
+        sum(p8d(c)).cast("double")
+      def sideFit(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n"), sum(col("qi")).as("sqi"),
+            d8(col("y")).as("sy"), d8(col("qc") * col("y")).as("sxy"),
+            sum(col("qi") * col("qi")).as("sqq"))
+          .select(lit(name).as("side"), col("n"),
+            // centered integer sums: Σqc = Σqi − 25n (exact), and
+            // Σqc² = Σqi² − 50Σqi + 625n (exact BIGINT)
+            (col("sqi") - lit(25L) * col("n")).as("sx"),
+            (col("sqq") - lit(50L) * col("sqi")
+              + lit(625L) * col("n")).as("sxx"),
+            col("sy"), col("sxy"))
+          .select(col("side"), col("n"),
+            // slope b = (nΣxy − ΣxΣy)/(nΣxx − Σx²); intercept at the
+            // cutoff a = (Σy − bΣx)/n (x already centered at CUT)
+            ((col("n").cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("b"),
+            col("sy"), col("sx"))
+          .select(col("side"), col("n"), col("b"),
+            ((col("sy") - col("b") * col("sx").cast("double"))
+              / col("n").cast("double")).as("a"))
+      val lo = sideFit(feats.filter(col("q") >= RD_CUT - RD_H
+        && col("q") < RD_CUT), "lo")
+      val hi = sideFit(feats.filter(col("q") >= RD_CUT
+        && col("q") < RD_CUT + RD_H), "hi")
+      val naive = feats.agg(
+        (d8(when(col("q") >= RD_CUT, col("y")))
+          / sum(when(col("q") >= RD_CUT, 1L).otherwise(0L))
+            .cast("double")
+          - d8(when(col("q") < RD_CUT, col("y")))
+          / sum(when(col("q") < RD_CUT, 1L).otherwise(0L))
+            .cast("double")).as("naive_diff"))
+      lo.select(col("n").as("n_lo"), col("a").as("a_lo"),
+          col("b").as("b_lo"))
+        .crossJoin(hi.select(col("n").as("n_hi"), col("a").as("a_hi"),
+          col("b").as("b_hi")))
+        .crossJoin(naive)
+        .select(col("n_lo"), col("n_hi"),
+          pround(col("b_lo"), 6).as("slope_lo"),
+          pround(col("b_hi"), 6).as("slope_hi"),
+          pround(col("naive_diff"), 6).as("naive_diff"),
+          pround(col("a_hi") - col("a_lo"), 6).as("rd_effect"),
+          lit(0.3).as("true_effect"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      def sideSql(name: String, cond: String) =
+        s"""$name AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(qi) - 25 * count(*) AS BIGINT) AS sx,
+          CAST(sum(qi * qi) - 50 * sum(qi) + 625 * count(*) AS BIGINT)
+            AS sxx,
+          ${ds8("y")} AS sy,
+          ${ds8("qc * y")} AS sxy
+        FROM feats WHERE $cond),
+      ${name}f AS (
+        SELECT n, b, (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+          AS a
+        FROM (
+          SELECT n, sx, sy,
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+          FROM $name))"""
+      s"""WITH feats AS MATERIALIZED (
+        SELECT CAST(l_quantity AS DOUBLE) AS q,
+          CAST(l_quantity AS BIGINT) AS qi,
+          CAST(l_quantity AS DOUBLE) - $RD_CUT AS qc,
+          (CAST(l_extendedprice AS DOUBLE) / 100000
+            + 0.01 * CAST(l_quantity AS DOUBLE)
+            + 0.3 * CASE WHEN l_quantity >= $RD_CUT THEN 1.0
+              ELSE 0.0 END) AS y
+        FROM lineitem),
+      ${sideSql("lo", s"q >= ${RD_CUT - RD_H} AND q < $RD_CUT")},
+      ${sideSql("hi", s"q >= $RD_CUT AND q < ${RD_CUT + RD_H}")},
+      naive AS (
+        SELECT ${ds8(s"CASE WHEN q >= $RD_CUT THEN y END")}
+            / CAST(sum(CASE WHEN q >= $RD_CUT THEN 1 ELSE 0 END)
+              AS DOUBLE)
+          - ${ds8(s"CASE WHEN q < $RD_CUT THEN y END")}
+            / CAST(sum(CASE WHEN q < $RD_CUT THEN 1 ELSE 0 END)
+              AS DOUBLE) AS naive_diff
+        FROM feats)
+      SELECT lof.n AS n_lo, hif.n AS n_hi,
+        ${proundSql("lof.b", 6)} AS slope_lo,
+        ${proundSql("hif.b", 6)} AS slope_hi,
+        ${proundSql("naive_diff", 6)} AS naive_diff,
+        ${proundSql("hif.a - lof.a", 6)} AS rd_effect,
+        0.3 AS true_effect
+      FROM lof CROSS JOIN hif CROSS JOIN naive"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284, q285)
+      q264, q268, q269, q282, q284, q285, q286)
 }
