@@ -2712,9 +2712,110 @@ object ExtendedRelational {
       FROM lof CROSS JOIN hif CROSS JOIN naive"""
     })
 
+  // -- X44: difference-in-differences — the panel rung completing the
+  //    causal quartet (q187 CUPED, q284 sequential, q285 IPW, q286
+  //    RD): two periods × two hash groups over per-user purchase
+  //    shares, with a group gap (0.1), a common time trend (0.05),
+  //    and a treatment effect (0.2) planted on (treated, post). The
+  //    post-only comparison measures gap+effect (0.3-ish), the
+  //    treated pre/post measures trend+effect (0.25-ish); DiD cancels
+  //    both nuisances and recovers ≈ 0.2. Four cell means via the
+  //    pround8/DECIMAL order-free sums; one subtraction chain in
+  //    pinned order.
+  private val q287 = Q(
+    "q287_diff_in_diff",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val ev = t.eventsUs
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+          (col("event_type") === "purchase").cast("long").as("purch"))
+      val minDay = ev.agg(min(col("day"))).head.getLong(0)
+      val cells = ev
+        .withColumn("p", (col("day") >= minDay + 15L).cast("long"))
+        .groupBy(col("user_id"), col("p"))
+        .agg(count(lit(1)).as("tot"), sum(col("purch")).as("pc"))
+        .select(col("p"),
+          pmod(graft.operators.Sampling.slotWide(col("user_id")), lit(2L))
+            .as("g"),
+          (col("pc").cast("double") / col("tot").cast("double")).as("share"))
+        .withColumn("y", col("share")
+          + lit(0.1) * col("g").cast("double")
+          + lit(0.05) * col("p").cast("double")
+          + lit(0.2) * (col("g") * col("p")).cast("double"))
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val m = cells.groupBy(col("g"), col("p"))
+        .agg((sum(p8d(col("y"))).cast("double")
+          / count(lit(1)).cast("double")).as("m"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getLong(3))).toMap
+      val sp = s
+      import sp.implicits._
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      val (m00, m01, m10, m11) =
+        (m((0L, 0L))._1, m((0L, 1L))._1, m((1L, 0L))._1, m((1L, 1L))._1)
+      Seq((m.values.map(_._2).sum,
+        p6(m00), p6(m01), p6(m10), p6(m11),
+        p6(m11 - m01), p6(m11 - m10),
+        p6((m11 - m10) - (m01 - m00)), 0.2))
+        .toDF("n_cells_total", "m_ctrl_pre", "m_ctrl_post",
+          "m_treat_pre", "m_treat_post", "naive_post", "naive_prepost",
+          "did", "true_effect")
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      s"""WITH ev AS MATERIALIZED (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+        FROM events),
+      m0 AS (SELECT min(day) AS d0 FROM ev),
+      up AS MATERIALIZED (
+        SELECT user_id,
+          CASE WHEN day >= d0 + 15 THEN 1 ELSE 0 END AS p,
+          CAST(count(*) AS BIGINT) AS tot,
+          CAST(sum(purch) AS BIGINT) AS pc
+        FROM ev CROSS JOIN m0
+        GROUP BY user_id, CASE WHEN day >= d0 + 15 THEN 1 ELSE 0 END),
+      cells AS (
+        SELECT p,
+          (${graft.operators.Sampling.slotWideSql("user_id")}) % 2 AS g,
+          CAST(pc AS DOUBLE) / CAST(tot AS DOUBLE)
+            + 0.1 * CAST((${graft.operators.Sampling.slotWideSql(
+              "user_id")}) % 2 AS DOUBLE)
+            + 0.05 * CAST(p AS DOUBLE)
+            + 0.2 * CAST(((${graft.operators.Sampling.slotWideSql(
+              "user_id")}) % 2) * p AS DOUBLE) AS y
+        FROM up),
+      cm AS (
+        SELECT g, p, ${ds8("y")} / CAST(count(*) AS DOUBLE) AS m,
+          CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY g, p),
+      wide AS (
+        SELECT
+          CAST(sum(n) AS BIGINT) AS n_cells_total,
+          max(CASE WHEN g = 0 AND p = 0 THEN m END) AS m00,
+          max(CASE WHEN g = 0 AND p = 1 THEN m END) AS m01,
+          max(CASE WHEN g = 1 AND p = 0 THEN m END) AS m10,
+          max(CASE WHEN g = 1 AND p = 1 THEN m END) AS m11
+        FROM cm)
+      SELECT n_cells_total,
+        ${proundSql("m00", 6)} AS m_ctrl_pre,
+        ${proundSql("m01", 6)} AS m_ctrl_post,
+        ${proundSql("m10", 6)} AS m_treat_pre,
+        ${proundSql("m11", 6)} AS m_treat_post,
+        ${proundSql("m11 - m01", 6)} AS naive_post,
+        ${proundSql("m11 - m10", 6)} AS naive_prepost,
+        ${proundSql("(m11 - m10) - (m01 - m00)", 6)} AS did,
+        0.2 AS true_effect
+      FROM wide"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284, q285, q286)
+      q264, q268, q269, q282, q284, q285, q286, q287)
 }
