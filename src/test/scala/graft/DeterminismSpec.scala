@@ -33,7 +33,12 @@ class DeterminismSpec extends SparkSpec {
     // round-13d shapes: Poisson-bootstrap hash weights, two-stage
     // RVQ Lloyd, threshold-stepped AP, MK pair signs, STL windows
     "q274_poisson_bootstrap", "q275_rvq_ladder",
-    "q278_average_precision", "q280_mann_kendall", "q281_stl_strength")
+    "q278_average_precision", "q280_mann_kendall", "q281_stl_strength",
+    // round-13e shapes: pinball GD, herding argmax loop, OBF looks,
+    // IPW scoring pass, centered-OLS sides, DiD cell means
+    "q282_quantile_regression", "q283_herding_coreset",
+    "q284_sequential_ab", "q285_ipw_ate",
+    "q286_regression_discontinuity", "q287_diff_in_diff")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
