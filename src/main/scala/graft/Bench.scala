@@ -100,7 +100,7 @@ object Bench {
     "q132_sq8_topk", "q136_ivf_sq8_topk", "q133_pagerank", "q256_personalized_pagerank", "q269_hits",
     "q134_url_dedup", "q135_cluster_balanced", "q137_domain_stats",
     "q138_corpus_diff", "q139_curation_funnel", "q140_simhash_recall",
-    "q141_quality_ensemble", "q142_cohort_retention", "q264_kaplan_meier", "q143_collocations",
+    "q141_quality_ensemble", "q142_cohort_retention", "q264_kaplan_meier", "q288_logrank", "q143_collocations",
     "q144_event_funnel", "q145_triangle_count", "q146_item_neighbors",
     "q147_event_transitions", "q255_adamic_adar", "q259_apriori_funnel", "q148_sq8_error_profile", "q149_ann_fidelity",
     "q150_signal_spearman", "q261_kendall_tau", "q151_dup_source_matrix",

@@ -2813,9 +2813,147 @@ object ExtendedRelational {
       FROM wide"""
     })
 
+  // -- X45: LOG-RANK test — the hypothesis-test companion to q264's
+  //    Kaplan-Meier curve (KM describes one arm's survival; log-rank
+  //    asks whether two arms' survival DIFFERS, censoring-aware): at
+  //    each event time, observed group-1 events vs the hypergeometric
+  //    expectation d·n1/n and variance; χ² = (O1−E1)²/V. Arms come
+  //    from the null hash split, so the audit is that the test
+  //    correctly does NOT reject (χ² < 3.84) — the q284 null-split
+  //    discipline. At-risk counts ride a dense (time × group) grid
+  //    (≤ 31 distinct durations — calendar-bounded) with per-group
+  //    suffix-sum windows; E/V terms are pinned per-time doubles
+  //    accumulated with the pround8/DECIMAL order-free sum; O1 is
+  //    pure integer.
+  private val q288 = Q(
+    "q288_logrank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val ud = t.eventsUs
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      val edge = ud.agg(max(col("ld")).as("dmax"))
+      val durs = ud.crossJoin(broadcast(edge))
+        .select((col("ld") - col("fd") + 1).as("t"),
+          (col("ld") <= col("dmax") - KM_CUT).cast("long").as("ev"),
+          pmod(graft.operators.Sampling.slotWide(col("user_id")), lit(2L))
+            .as("g"))
+        .localCheckpoint(true)
+      val gt = durs.groupBy(col("g"), col("t"))
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+      val grid = durs.select(col("t")).distinct()
+        .crossJoin(durs.select(col("g")).distinct())
+      val dense = grid.join(gt, Seq("g", "t"), "left")
+        .select(col("g"), col("t"),
+          coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("m"), lit(0L)).as("m"))
+      val wRisk = Window.partitionBy(col("g")).orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atRisk = dense.withColumn("nr", sum(col("m")).over(wRisk))
+      val byTime = atRisk.groupBy(col("t"))
+        .agg(sum(col("d")).as("dt"),
+          sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
+          sum(col("nr")).as("nt"),
+          sum(when(col("g") === 1, col("nr")).otherwise(0L)).as("n1"))
+        .filter(col("dt") >= 1)
+      val frac = col("n1").cast("double") / col("nt").cast("double")
+      val eterm = col("dt").cast("double") * frac
+      val vterm = when(col("nt") > 1,
+        col("dt").cast("double") * frac * (lit(1.0) - frac)
+          * (col("nt") - col("dt")).cast("double")
+          / (col("nt") - 1).cast("double")).otherwise(0.0)
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      byTime.agg(
+          sum(col("d1")).as("o1"),
+          sum(p8d(eterm)).cast("double").as("e1"),
+          sum(p8d(vterm)).cast("double").as("v"))
+        .crossJoin(broadcast(durs.groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(when(col("g") === 0, col("cnt"))).as("n_ctrl"),
+            sum(when(col("g") === 1, col("cnt"))).as("n_treat"))))
+        .select(col("n_ctrl"), col("n_treat"), col("o1"),
+          pround(col("e1"), 6).as("e1"),
+          pround(col("v"), 6).as("v"),
+          pround((col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1")) / col("v"), 6)
+            .as("chi2"),
+          ((col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1")) / col("v")
+            > 3.841459).cast("int").as("reject_95"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      s"""WITH ud AS (
+        SELECT user_id, min(day) AS fd, max(day) AS ld
+        FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events)
+        GROUP BY user_id),
+      edge AS (SELECT max(ld) AS dmax FROM ud),
+      durs AS MATERIALIZED (
+        SELECT ld - fd + 1 AS t,
+          CASE WHEN ld <= dmax - $KM_CUT THEN 1 ELSE 0 END AS ev,
+          (${graft.operators.Sampling.slotWideSql("user_id")}) % 2 AS g
+        FROM ud CROSS JOIN edge),
+      gt AS (
+        SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+          CAST(count(*) AS BIGINT) AS m
+        FROM durs GROUP BY g, t),
+      dense AS (
+        SELECT gr.g, gr.t, coalesce(gt.d, 0) AS d, coalesce(gt.m, 0) AS m
+        FROM (SELECT DISTINCT d1.t, d2.g
+              FROM durs d1 CROSS JOIN durs d2) gr
+        LEFT JOIN gt ON gt.g = gr.g AND gt.t = gr.t),
+      atrisk AS (
+        SELECT g, t, d, CAST(sum(m) OVER (PARTITION BY g ORDER BY t DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS nr
+        FROM dense),
+      bytime AS (
+        SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+          CAST(sum(CASE WHEN g = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+          CAST(sum(nr) AS BIGINT) AS nt,
+          CAST(sum(CASE WHEN g = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1
+        FROM atrisk GROUP BY t),
+      terms AS (
+        SELECT d1,
+          CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+            AS eterm,
+          CASE WHEN nt > 1 THEN
+            CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+              * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+              * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)
+            ELSE 0.0 END AS vterm
+        FROM bytime WHERE dt >= 1),
+      agg AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+          ${ds8("eterm")} AS e1, ${ds8("vterm")} AS v
+        FROM terms),
+      sizes AS (
+        SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ctrl,
+          CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_treat
+        FROM durs)
+      SELECT n_ctrl, n_treat, o1,
+        ${proundSql("e1", 6)} AS e1,
+        ${proundSql("v", 6)} AS v,
+        ${proundSql(
+          "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v",
+          6)} AS chi2,
+        CAST(CASE WHEN (CAST(o1 AS DOUBLE) - e1)
+            * (CAST(o1 AS DOUBLE) - e1) / v > 3.841459
+          THEN 1 ELSE 0 END AS INT) AS reject_95
+      FROM agg CROSS JOIN sizes"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284, q285, q286, q287)
+      q264, q268, q269, q282, q284, q285, q286, q287, q288)
 }
