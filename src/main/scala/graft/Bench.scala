@@ -117,7 +117,7 @@ object Bench {
     "q178_rolling_anomaly", "q242_ewma_anomaly", "q270_holt_winters", "q281_stl_strength", "q273_acf_audit", "q280_mann_kendall", "q253_theil_sen", "q254_cusum_changepoint", "q179_shard_manifest", "q251_rendezvous_shards", "q180_gate_kappa", "q263_mcnemar_gates",
     "q188_mlm_mask_plan", "q189_boilerplate_filter", "q190_crawl_schedule",
     "q191_dedup_method_matrix", "q192_vocab_growth", "q193_ann_mrr",
-    "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking",
+    "q194_source_gini", "q195_leakfree_split", "q196_wilson_ranking", "q289_btl_arena",
     "q197_embedding_drift", "q198_flatten_resample",
     "q199_pack_boundary_stats",
     "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate", "q268_logit_gate", "q277_feature_shapley", "q282_quantile_regression",

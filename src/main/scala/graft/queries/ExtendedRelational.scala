@@ -2951,9 +2951,171 @@ object ExtendedRelational {
       FROM agg CROSS JOIN sizes"""
     })
 
+  // -- X46: BRADLEY-TERRY arena ranking — the pairwise-preference fit
+  //    behind LLM-eval leaderboards (chatbot-arena style): 8 "models"
+  //    with planted strengths θ_i = 0.4·i, battles generated per
+  //    lineitem row from slotWide hashes (pair pick + outcome drawn
+  //    against precomputed integer win thresholds
+  //    floor(σ(θ_a−θ_b)·slotRange) — the q274 inverse-CDF trick, zero
+  //    runtime randomness), then the BTL strengths recovered by
+  //    full-batch GD on the pairwise logistic likelihood (graft_expdet
+  //    sigmoids, strengths folded as when-chain literals, gradients
+  //    the pround8/DECIMAL order-free sums; pairwise gradients are
+  //    antisymmetric so Σs stays 0 — identified without pinning).
+  //    Output carries fitted vs true-centered strengths side by side:
+  //    the full planted ORDERING must be recovered (it is, fitted
+  //    [−1.31 … 1.31] vs true [−1.4 … 1.4] at sf0.01).
+  private val BTL_K = 8
+  private val BTL_LR = 4.0
+  private val BTL_T = 16
+  private val BTL_THETA = (0 until BTL_K).map(i => 0.4 * i)
+  private val BTL_THR: IndexedSeq[IndexedSeq[Long]] =
+    (0 until BTL_K).map(a => (0 until BTL_K).map { b =>
+      if (a == b) 0L
+      else math.floor(graft.expressions.ExpDet.sigmoid(
+        BTL_THETA(a) - BTL_THETA(b)) * 999985999949.0).toLong
+    })
+  private val q289 = Q(
+    "q289_btl_arena",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val sw = (c: org.apache.spark.sql.Column) =>
+        graft.operators.Sampling.slotWide(c)
+      val thrLit = array(BTL_THR.map(row =>
+        array(row.map(lit(_)): _*)): _*)
+      val rk = col("l_orderkey") * lit(8L) + col("l_linenumber")
+      val battles = graft.core.Scan.fanOut(t.lineitem)
+        .select(
+          pmod(sw(rk * lit(3L) + lit(1L)), lit(BTL_K.toLong)).as("a"),
+          pmod(sw(rk * lit(3L) + lit(2L)), lit((BTL_K - 1).toLong))
+            .as("b7"),
+          sw(rk * lit(3L) + lit(3L)).as("u"))
+        .withColumn("b",
+          col("b7") + (col("b7") >= col("a")).cast("long"))
+        .withColumn("win",
+          (col("u") < element_at(element_at(thrLit,
+            col("a").cast("int") + 1), col("b").cast("int") + 1))
+            .cast("double"))
+        .select(col("a"), col("b"), col("win"))
+        .localCheckpoint(true)
+      val n = battles.count()
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      var st = Array.fill(BTL_K)(0.0)
+      for (_ <- 1 to BTL_T) {
+        def sOf(c: org.apache.spark.sql.Column) =
+          (1 until BTL_K).foldLeft(
+            when(c === 0L, st(0))) { (acc, i) =>
+            acc.when(c === i.toLong, st(i))
+          }.otherwise(0.0)
+        val z = sOf(col("a")) - sOf(col("b"))
+        val zc = when(z > 30.0, 30.0).when(z < -30.0, -30.0).otherwise(z)
+        val p = lit(1.0) / (lit(1.0) + call_function("graft_expdet", -zc))
+        val aggs = (0 until BTL_K).map { i =>
+          sum(p8d((p - col("win"))
+            * (when(col("a") === i.toLong, 1.0)
+              .when(col("b") === i.toLong, -1.0).otherwise(0.0))))
+            .cast("double").as(s"g$i")
+        }
+        val row = battles.agg(aggs.head, aggs.tail: _*).head()
+        st = Array.tabulate(BTL_K)(i =>
+          st(i) - BTL_LR * (row.getDouble(i) / n.toDouble))
+      }
+      val winStats = battles.select(explode(array(
+          struct(col("a").as("item"), col("win").as("w")),
+          struct(col("b").as("item"), (lit(1.0) - col("win")).as("w"))))
+          .as("x"))
+        .select(col("x.item").as("item"), col("x.w").as("w"))
+        .groupBy(col("item"))
+        .agg(count(lit(1)).as("n_battles"),
+          sum(col("w").cast("long")).as("n_wins"))
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      val fitted = (0 until BTL_K)
+        .map(i => (i.toLong, p6(st(i)), p6(BTL_THETA(i) - 1.4)))
+        .toDF("item", "strength", "true_centered")
+      winStats.join(fitted, Seq("item"))
+        .select(col("item"), col("n_battles"), col("n_wins"),
+          col("strength"), col("true_centered"))
+        .orderBy(col("item"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val thrSql = "[" + BTL_THR.map(row =>
+        "[" + row.mkString(", ") + "]").mkString(", ") + "]"
+      def sOfSql(c: String) = "CASE " + (0 until BTL_K)
+        .map(i => s"WHEN $c = $i THEN s$i").mkString(" ") + " ELSE 0.0 END"
+      val iters = (1 to BTL_T).map { t0 =>
+        val gcols = (0 until BTL_K).map { i =>
+          ds8(s"""(p - win) * (CASE WHEN a = $i THEN 1.0
+            WHEN b = $i THEN -1.0 ELSE 0.0 END)""") + s" AS g$i"
+        }.mkString(",\n          ")
+        val supd = (0 until BTL_K).map(i =>
+          s"s$i - $BTL_LR * (g$i / n) AS s$i").mkString(", ")
+        s"""z$t0 AS (
+        SELECT a, b, win,
+          (${sOfSql("a")}) - (${sOfSql("b")}) AS z
+        FROM battles CROSS JOIN bs${t0 - 1}),
+      zc$t0 AS (
+        SELECT a, b, win,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM z$t0),
+      ${expDetSqlCtes(s"be$t0", s"zc$t0", "a, b, win", "-zc")},
+      sp$t0 AS (
+        SELECT a, b, win,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS p
+        FROM be${t0}expv),
+      bg$t0 AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          $gcols
+        FROM sp$t0),
+      bs$t0 AS MATERIALIZED (
+        SELECT $supd FROM bs${t0 - 1} CROSS JOIN bg$t0)"""
+      }.mkString(",\n      ")
+      val s0cols = (0 until BTL_K).map(i =>
+        s"CAST(0 AS DOUBLE) AS s$i").mkString(", ")
+      val outRows = (0 until BTL_K).map { i =>
+        s"""SELECT $i AS item, ${proundSql(s"s$i", 6)} AS strength,
+          ${proundSql(s"CAST(${(BTL_THETA(i) - 1.4).toString} AS DOUBLE)", 6)} AS true_centered
+        FROM bs$BTL_T"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH battles AS MATERIALIZED (
+        SELECT a, b7 + CASE WHEN b7 >= a THEN 1 ELSE 0 END AS b,
+          CASE WHEN u < ($thrSql)[CAST(a AS INT) + 1]
+              [CAST(b7 + CASE WHEN b7 >= a THEN 1 ELSE 0 END AS INT) + 1]
+            THEN 1.0 ELSE 0.0 END AS win
+        FROM (
+          SELECT
+            (${graft.operators.Sampling.slotWideSql(
+              "(l_orderkey * 8 + l_linenumber) * 3 + 1")}) % $BTL_K AS a,
+            (${graft.operators.Sampling.slotWideSql(
+              "(l_orderkey * 8 + l_linenumber) * 3 + 2")})
+              % ${BTL_K - 1} AS b7,
+            (${graft.operators.Sampling.slotWideSql(
+              "(l_orderkey * 8 + l_linenumber) * 3 + 3")}) AS u
+          FROM lineitem)),
+      bs0 AS (SELECT $s0cols),
+      $iters,
+      ws AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_battles,
+          CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS n_wins
+        FROM (
+          SELECT a AS item, win AS w FROM battles
+          UNION ALL
+          SELECT b, 1.0 - win FROM battles)
+        GROUP BY item),
+      fitted AS ($outRows)
+      SELECT w.item, w.n_battles, w.n_wins, f.strength, f.true_centered
+      FROM ws w JOIN fitted f USING (item)
+      ORDER BY w.item"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284, q285, q286, q287, q288)
+      q264, q268, q269, q282, q284, q285, q286, q287, q288, q289)
 }
