@@ -54,12 +54,19 @@ object BloomSkip {
   def probePass(fBits: DataFrame, probes: DataFrame,
       mBits: Int, k: Int): DataFrame = {
     val carry = probes.columns.map(col).toSeq
+    // Per-row probe id BEFORE the explode: duplicate probe rows
+    // (identical carry values) must each match independently — without
+    // it their exploded bits merge in the groupBy and nm = 2·nb never
+    // equals nb, silently dropping BOTH copies (a false negative).
+    // The id is ephemeral (grouping only, dropped from the output), so
+    // its partition-dependence never reaches a result.
     val pb = probes
+      .withColumn("__pid", monotonically_increasing_id())
       .withColumn("pbits", array_distinct(bits(col("probe"), mBits, k)))
-      .select(carry :+ size(col("pbits")).as("nb")
+      .select(carry :+ col("__pid") :+ size(col("pbits")).as("nb")
         :+ explode(col("pbits")).as("bit"): _*)
     pb.join(fBits, Seq("bit"))
-      .groupBy(carry :+ col("f") :+ col("nb"): _*)
+      .groupBy(carry :+ col("__pid") :+ col("f") :+ col("nb"): _*)
       .agg(count(lit(1)).as("nm"))
       .filter(col("nm") === col("nb"))
       .select(carry :+ col("f"): _*)

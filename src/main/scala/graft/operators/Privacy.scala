@@ -133,9 +133,15 @@ object Privacy {
         :+ col("m_vals")): _*)
       .agg(sum(abs(col("ccum") * col("n_total")
         - col("gcum") * col("class_size"))).as("emd_num"))
-      .withColumn("emd", col("emd_num").cast("double")
-        / (col("class_size") * col("n_total")
-          * (col("m_vals") - lit(1L))).cast("double"))
+      .withColumn("emd",
+        // m = 1 distinct sensitive value ⇒ EMD is trivially 0 (P = Q
+        // always); the raw formula would divide by (m-1) = 0 and emit
+        // NaN, which Spark orders ABOVE every threshold — flagging
+        // every class as violating, the opposite of correct.
+        when(col("m_vals") <= 1L, lit(0.0))
+          .otherwise(col("emd_num").cast("double")
+            / (col("class_size") * col("n_total")
+              * (col("m_vals") - lit(1L))).cast("double")))
     val p = 1e6
     val stat =
       if (normalized) col("emd") * sqrt(col("class_size").cast("double"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rendezvous (highest-random-weight) sharding — the consistent
@@ -16,10 +15,12 @@ import org.apache.spark.sql.functions._
   * assignment is a pure function of (key, shard id), reproducible in
   * ANSI SQL, partition-independent, and stable across runs.
   *
-  * Shape at scale: explode keys × S candidate shards (narrow, no
-  * shuffle — S is the shard count, a small constant), pick the argmax
-  * per key with a window over the S rows. The WindowGroupLimit
-  * optimizer prunes to the winner per key before any wide exchange.
+  * Shape at scale: per-row argmax over an S-element struct array
+  * (S is the shard count, a small constant) — fully narrow, zero
+  * shuffle, and safe for NON-UNIQUE keys: every input row is
+  * assigned independently (duplicate keys get the same shard, and
+  * no row is dropped), unlike a window-over-key argmax which would
+  * collapse duplicates to one row.
   */
 object Rendezvous {
 
@@ -42,13 +43,11 @@ object Rendezvous {
     * smallest shard id, deterministically. */
   def assign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1)
-    val exploded = df
-      .withColumn("shard", explode(array((0 until nShards).map(lit): _*)))
-      .withColumn("w", weight(col(keyCol), col("shard")))
-    val win = Window.partitionBy(col(keyCol))
-      .orderBy(col("w").desc, col("shard").asc)
-    exploded.withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .drop("w", "rn")
+    // struct compares field-by-field: max w first, then max(-shard) =
+    // smallest shard id on ties — exactly (w desc, shard asc).
+    val cands = array((0 until nShards).map { s0 =>
+      struct(weight(col(keyCol), lit(s0)).as("w"), lit(-s0).as("ns"))
+    }: _*)
+    df.withColumn("shard", (-array_max(cands).getField("ns")).cast("int"))
   }
 }

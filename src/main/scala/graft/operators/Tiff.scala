@@ -189,7 +189,7 @@ object Tiff {
     val n = u16(ifd)
     // tag -> (type, count, valueOffsetPos)
     var width = -1L; var height = -1L; var comp = 1L; var spp = 1L
-    var rps = Long.MaxValue; var bpsOk = true
+    var rps = Long.MaxValue; var bpsOk = true; var photo = -1L
     var soType = 0; var soCount = 0L; var soPos = 0
     var scType = 0; var scCount = 0L; var scPos = 0
     var e = 0
@@ -223,13 +223,21 @@ object Tiff {
           }
         case T_STRIP_OFFSETS => soType = typ; soCount = count; soPos = vpos
         case T_STRIP_COUNTS => scType = typ; scCount = count; scPos = vpos
-        case _ => () // photometric et al. don't affect the pixel bytes
+        case T_PHOTOMETRIC => photo = inlineVal
+        case _ => () // remaining tags don't affect the pixel bytes
       }
       e += 1
     }
     if (width <= 0 || height <= 0 || width > MAX_DIM || height > MAX_DIM)
       return null
     if (spp != 1 && spp != 3) return null
+    // Only min-is-black gray (1) and RGB (2) have the raw-sample
+    // semantics this decoder emits; a WhiteIsZero (0) or palette (3)
+    // file would decode to a semantically inverted/wrong image, so it
+    // must loud-skip to null, never return wrong pixels. The tag is
+    // required by the spec and photometric must agree with spp.
+    if (spp == 1 && photo != 1L) return null
+    if (spp == 3 && photo != 2L) return null
     if (!bpsOk) return null
     if (comp != 1 && comp != 32773) return null
     if (width * height * spp > MAX_PIXELS) return null

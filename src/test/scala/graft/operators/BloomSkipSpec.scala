@@ -35,6 +35,17 @@ class BloomSkipSpec extends SparkSpec {
     assert(nPass < 60, s"fp pairs $nPass out of 120 — hash is broken")
   }
 
+  test("duplicate probe rows each pass — no merged-bit false negative") {
+    val fb = BloomSkip.fileBits(data, "f", "key", M, K)
+    // the same probe value TWICE (identical carry columns): without a
+    // per-row probe id the exploded bits merge, nm = 2·nb ≠ nb, and
+    // BOTH copies silently vanish — a false negative.
+    val dup = Seq(42L, 42L).toDF("probe")
+    val pass = BloomSkip.probePass(fb, dup, M, K)
+      .filter(col("f") === 0L).count()
+    assert(pass === 2L, s"expected both duplicate probes to pass, got $pass")
+  }
+
   test("filter contents bounded by mBits and partition invariant") {
     val fb = BloomSkip.fileBits(data, "f", "key", M, K)
     val perFile = fb.groupBy("f").count().as[(Long, Long)].collect().toMap

@@ -110,6 +110,22 @@ class PrivacySpec extends SparkSpec {
     assert(got.getDouble(3) === 0.0 && got.getLong(4) === 0L)
   }
 
+  test("tClosenessAudit: single-valued sensitive domain is EMD 0, not NaN") {
+    // m_vals = 1 makes the raw formula 0/0 = NaN, and NaN orders above
+    // every t — flagging every class as violating. The correct answer
+    // is EMD = 0 (P = Q trivially when there is one value).
+    val mono = Seq(("A", "x", "s1"), ("A", "y", "s1"), ("B", "x", "s1"))
+      .toDF("region", "segment", "sensitive")
+    val got = Privacy.tClosenessAudit(mono, Seq("region", "segment"),
+        "sensitive", t = 0.001, reportCols = Seq("region"))
+      .orderBy("region").collect()
+    got.foreach { r =>
+      assert(!r.getDouble(3).isNaN, "t_max is NaN")
+      assert(r.getDouble(3) === 0.0)
+      assert(r.getLong(4) === 0L, "single-valued domain flagged violating")
+    }
+  }
+
   test("tClosenessAudit shuffle-partition invariance") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def snap = Privacy.tClosenessAudit(tRows, Seq("region", "segment"),

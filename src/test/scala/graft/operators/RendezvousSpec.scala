@@ -30,6 +30,18 @@ class RendezvousSpec extends SparkSpec {
     assert(counts.values.forall(c => c > 40 && c < 375), counts.toString)
   }
 
+  test("duplicate keys: every input row is assigned, none dropped") {
+    // 4 copies of each of 50 keys — a window-over-key argmax would
+    // collapse each key's copies to a single output row.
+    val dup = (0 until 200).map(i => ((i % 50).toLong, i)).toDF("k", "pay")
+    val out = Rendezvous.assign(dup, "k", 8)
+      .select("k", "pay", "shard").as[(Long, Int, Int)].collect()
+    assert(out.length === 200, s"rows dropped: ${200 - out.length}")
+    assert(out.map(r => (r._1, r._2)).toSet.size === 200)
+    // copies of the same key land on the same shard
+    assert(out.groupBy(_._1).values.forall(_.map(_._3).distinct.length == 1))
+  }
+
   test("monotone resize: adding a shard only moves keys INTO it") {
     val at5 = Rendezvous.assign(keys(800), "k", 5)
       .select("k", "shard").as[(Long, Int)].collect().toMap

@@ -57,13 +57,14 @@ class TiffSpec extends SparkSpec {
     w8('M'); w8('M'); w16(42); w32(12) // IFD at 12
     out.write(px); w16(0)              // pixels at 8-9, pad 10-11
     // IFD at 12
-    w16(7)
+    w16(8)
     def e(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
       w16(tag); w16(typ); w32(cnt)
       if (typ == 3) { w16(v); w16(0) } else w32(v)
     }
     e(256, 4, 1, 2); e(257, 4, 1, 1); e(258, 3, 1, 8)
-    e(259, 3, 1, 1); e(273, 4, 1, 8); e(277, 3, 1, 1); e(279, 4, 1, 2)
+    e(259, 3, 1, 1); e(262, 3, 1, 1)
+    e(273, 4, 1, 8); e(277, 3, 1, 1); e(279, 4, 1, 2)
     w32(0)
     val got = Tiff.decode(out.toByteArray)
     assert(got != null && got.width === 2 && got.height === 1)
@@ -96,6 +97,24 @@ class TiffSpec extends SparkSpec {
       }
     }
     assert(Tiff.decode(bomb) == null)
+    // WhiteIsZero (photometric 0): samples mean the INVERSE of what
+    // this decoder emits — must loud-skip to null, never return a
+    // semantically inverted image.
+    val wiz = good.clone()
+    for (k <- 0 until n) {
+      val o = ifd + 2 + k * 12
+      if (((wiz(o) & 0xff) | ((wiz(o + 1) & 0xff) << 8)) == 262)
+        wiz(o + 8) = 0
+    }
+    assert(Tiff.decode(wiz) == null, "WhiteIsZero decoded instead of null")
+    // palette (3) likewise
+    val pal = good.clone()
+    for (k <- 0 until n) {
+      val o = ifd + 2 + k * 12
+      if (((pal(o) & 0xff) | ((pal(o + 1) & 0xff) << 8)) == 262)
+        pal(o + 8) = 3
+    }
+    assert(Tiff.decode(pal) == null, "palette decoded instead of null")
   }
 
   test("tiffFeatures: exact first/last/sum over a DataFrame of media rows") {
