@@ -248,6 +248,52 @@ object Dedup {
     (full, pref)
   }
 
+  /** Weighted-Jaccard pair generation + exact scoring with a CAPPED
+    * posting list — the stop-token discipline that keeps the token
+    * inverted-index self-join from going quadratic in document
+    * frequency. Input `tc` is the per-(doc, token) multiset layout
+    *   (doc_id, lang, blk, n, nd, h, c)
+    * where n/nd are the doc's total/distinct token counts, blk its
+    * length slab, and c the token's in-doc count.
+    *
+    * A token with document frequency D inside one (lang, blk) block
+    * contributes D² rows to a naive self-join — a stop token in a
+    * natural-language corpus makes that the first thing to fall over
+    * at 100×. Here each (lang, blk, h) posting list is truncated to
+    * its first `capDf` docs (doc_id order — deterministic, SQL-
+    * replicable) for pair GENERATION only, bounding the join at
+    * vocab · capDf² pairs regardless of corpus size. Scoring then
+    * re-joins the FULL per-doc count table for the surviving
+    * candidate pairs, so min_sum (Σ min(c₁,c₂)) and inter are EXACT
+    * over all tokens — the cap can only prune which pairs are
+    * examined, never distort a reported score.
+    *
+    * Output: (d1, d2, n1, n2, nd1, nd2, min_sum, inter).
+    */
+  def weightedJaccardPairs(tc: DataFrame, capDf: Int): DataFrame = {
+    require(capDf >= 2, "capDf < 2 can generate no pairs")
+    val gen = tc
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("lang"), col("blk"), col("h"))
+          .orderBy(col("doc_id").asc)))
+      .filter(col("prn") <= capDf)
+    val cand = gen.as("a").join(gen.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
+          && col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        col("a.nd").as("nd1"), col("b.nd").as("nd2"))
+      .distinct()
+    val ta = tc.select(col("doc_id").as("d1"), col("h"), col("c").as("c1"))
+    val tb = tc.select(col("doc_id").as("d2"), col("h"), col("c").as("c2"))
+    cand.join(ta, Seq("d1")).join(tb, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"),
+        col("nd1"), col("nd2"))
+      .agg(sum(least(col("c1"), col("c2"))).as("min_sum"),
+        count(lit(1)).as("inter"))
+  }
+
   /** MinHash parameters: K hashes split into `bands` bands of `rows`.
     * Hash family j: h_j(s) = (a_j·s + b_j) mod P with arithmetic
     * generators (portable to the SQL oracle).

@@ -1907,11 +1907,16 @@ object DedupQueries {
   //    per-token COUNTS (Σ max = n₁+n₂−Σ min, so one shared-token
   //    min-sum suffices), reported NEXT TO set Jaccard so the rows
   //    where they disagree (repetition-heavy near-dups) are visible.
-  //    Pair generation is the blocked inverted index: token-level
-  //    self-join keyed on (lang, length slab, token hash) — q248's
-  //    blocking discipline, never all-pairs; everything is exact
-  //    integer until the two final divisions.
+  //    Pair generation is the blocked inverted index with CAPPED
+  //    posting lists ([[graft.operators.Dedup.weightedJaccardPairs]]):
+  //    a stop token with block document frequency D would contribute
+  //    D² join rows, so each (lang, slab, token) posting list is
+  //    truncated to its first WJ_CAP docs for generation — bounding
+  //    the join at vocab·WJ_CAP² regardless of corpus size — while
+  //    scoring re-joins the FULL count table for candidates, keeping
+  //    every reported score exact integer until the final divisions.
   private val WJ_K = 50
+  private val WJ_CAP = 64
   private val q257 = Q(
     "q257_weighted_jaccard",
     (s, dir) => {
@@ -1925,15 +1930,7 @@ object DedupQueries {
       val tc = base.groupBy(col("doc_id"), col("lang"), col("blk"),
           col("n"), col("nd"), col("h"))
         .agg(count(lit(1)).as("c"))
-      val pairs = tc.as("a").join(tc.as("b"),
-          col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk")
-            && col("a.h") === col("b.h")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.n").as("n1"), col("b.n").as("n2"),
-          col("a.nd").as("nd1"), col("b.nd").as("nd2"))
-        .agg(sum(least(col("a.c"), col("b.c"))).as("min_sum"),
-          count(lit(1)).as("inter"))
+      val pairs = graft.operators.Dedup.weightedJaccardPairs(tc, WJ_CAP)
       pairs.select(col("d1"), col("d2"), col("n1"), col("n2"),
           col("min_sum"),
           pround(col("min_sum").cast("double")
@@ -1956,14 +1953,26 @@ object DedupQueries {
                 unnest($hs) AS h
               FROM documents)
         GROUP BY ALL),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
-          a.nd AS nd1, b.nd AS nd2,
-          CAST(sum(least(a.c, b.c)) AS BIGINT) AS min_sum,
-          CAST(count(*) AS BIGINT) AS inter
-        FROM tc a JOIN tc b
+      gen AS (
+        SELECT * FROM (
+          SELECT doc_id, lang, blk, n, nd, h,
+            row_number() OVER (PARTITION BY lang, blk, h
+              ORDER BY doc_id ASC) AS prn
+          FROM tc)
+        WHERE prn <= $WJ_CAP),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+          a.n AS n1, b.n AS n2, a.nd AS nd1, b.nd AS nd2
+        FROM gen a JOIN gen b
           ON a.lang = b.lang AND a.blk = b.blk AND a.h = b.h
-          AND a.doc_id < b.doc_id
+          AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT d1, d2, n1, n2, nd1, nd2,
+          CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS min_sum,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM cand
+        JOIN tc ta ON ta.doc_id = cand.d1
+        JOIN tc tb ON tb.doc_id = cand.d2 AND tb.h = ta.h
         GROUP BY ALL)
       SELECT d1, d2, n1, n2, min_sum,
         ${proundSql(

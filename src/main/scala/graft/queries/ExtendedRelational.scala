@@ -2965,6 +2965,17 @@ object ExtendedRelational {
   //    Output carries fitted vs true-centered strengths side by side:
   //    the full planted ORDERING must be recovered (it is, fitted
   //    [−1.31 … 1.31] vs true [−1.4 … 1.4] at sf0.01).
+  //
+  //    Scale shape: the battle space has only K·(K−1)·2 = 112 distinct
+  //    (a, b, win) cells, so ONE map-side-combined groupBy pass
+  //    collapses the corpus to 112 counted cells and every GD
+  //    iteration then folds driver-side with the SAME math the
+  //    distributed aggregate would run: per-cell gradient contribution
+  //    = round8((p−win)·sign) as DECIMAL(28,8) × cell count — exactly
+  //    the decimal sum of identical per-row terms (decimal arithmetic
+  //    is associative), with graft_expdet replayed by its bit-twin
+  //    ExpDet.compute. 16 iterations × 8 sums over 112 cells is
+  //    driver-trivial; the cluster does exactly one pass at any SF.
   private val BTL_K = 8
   private val BTL_LR = 4.0
   private val BTL_T = 16
@@ -2978,7 +2989,6 @@ object ExtendedRelational {
   private val q289 = Q(
     "q289_btl_arena",
     (s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
       val sp = s
       import sp.implicits._
       val t = Tpch(s, dir)
@@ -3000,45 +3010,51 @@ object ExtendedRelational {
             col("a").cast("int") + 1), col("b").cast("int") + 1))
             .cast("double"))
         .select(col("a"), col("b"), col("win"))
-        .localCheckpoint(true)
-      val n = battles.count()
-      val p8d = (c: org.apache.spark.sql.Column) =>
-        pround(c, 8).cast(DecimalType(28, 8))
+      // ONE distributed pass: collapse to the 112 distinct battle
+      // cells (map-side combine does nearly all the work)
+      val cells = battles.groupBy(col("a"), col("b"), col("win"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getDouble(2), r.getLong(3)))
+      val n = cells.map(_._4).sum
+      // Driver-side GD — bit-identical to the distributed decimal
+      // aggregate: per-cell term round8((p−win)·sign) enters as
+      // java BigDecimal at scale 8 HALF_UP (Spark's double→decimal
+      // cast), × count (exact), summed (exact), then one toDouble
+      // (Spark's decimal→double cast).
+      def round8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+      def dec8(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(8, java.math.RoundingMode.HALF_UP)
       var st = Array.fill(BTL_K)(0.0)
       for (_ <- 1 to BTL_T) {
-        def sOf(c: org.apache.spark.sql.Column) =
-          (1 until BTL_K).foldLeft(
-            when(c === 0L, st(0))) { (acc, i) =>
-            acc.when(c === i.toLong, st(i))
-          }.otherwise(0.0)
-        val z = sOf(col("a")) - sOf(col("b"))
-        val zc = when(z > 30.0, 30.0).when(z < -30.0, -30.0).otherwise(z)
-        val p = lit(1.0) / (lit(1.0) + call_function("graft_expdet", -zc))
-        val aggs = (0 until BTL_K).map { i =>
-          sum(p8d((p - col("win"))
-            * (when(col("a") === i.toLong, 1.0)
-              .when(col("b") === i.toLong, -1.0).otherwise(0.0))))
-            .cast("double").as(s"g$i")
+        val gs = Array.fill(BTL_K)(java.math.BigDecimal.ZERO)
+        cells.foreach { case (a, b, win, cnt) =>
+          val z = st(a) - st(b)
+          val zc = if (z > 30.0) 30.0 else if (z < -30.0) -30.0 else z
+          val p = 1.0 / (1.0 + graft.expressions.ExpDet.compute(-zc))
+          val cntD = java.math.BigDecimal.valueOf(cnt)
+          gs(a) = gs(a).add(
+            dec8(round8((p - win) * 1.0)).multiply(cntD))
+          gs(b) = gs(b).add(
+            dec8(round8((p - win) * -1.0)).multiply(cntD))
         }
-        val row = battles.agg(aggs.head, aggs.tail: _*).head()
         st = Array.tabulate(BTL_K)(i =>
-          st(i) - BTL_LR * (row.getDouble(i) / n.toDouble))
+          st(i) - BTL_LR * (gs(i).doubleValue / n.toDouble))
       }
-      val winStats = battles.select(explode(array(
-          struct(col("a").as("item"), col("win").as("w")),
-          struct(col("b").as("item"), (lit(1.0) - col("win")).as("w"))))
-          .as("x"))
-        .select(col("x.item").as("item"), col("x.w").as("w"))
-        .groupBy(col("item"))
-        .agg(count(lit(1)).as("n_battles"),
-          sum(col("w").cast("long")).as("n_wins"))
+      // win stats from the same 112 cells — no second corpus pass
+      val nb = Array.fill(BTL_K)(0L)
+      val nw = Array.fill(BTL_K)(0L)
+      cells.foreach { case (a, b, win, cnt) =>
+        nb(a) += cnt; nb(b) += cnt
+        nw(a) += win.toLong * cnt; nw(b) += (1L - win.toLong) * cnt
+      }
       val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
-      val fitted = (0 until BTL_K)
-        .map(i => (i.toLong, p6(st(i)), p6(BTL_THETA(i) - 1.4)))
-        .toDF("item", "strength", "true_centered")
-      winStats.join(fitted, Seq("item"))
-        .select(col("item"), col("n_battles"), col("n_wins"),
-          col("strength"), col("true_centered"))
+      (0 until BTL_K)
+        .map(i => (i.toLong, nb(i), nw(i), p6(st(i)),
+          p6(BTL_THETA(i) - 1.4)))
+        .toDF("item", "n_battles", "n_wins", "strength", "true_centered")
         .orderBy(col("item"))
     },
     Some {

@@ -497,6 +497,14 @@ class PlanQualitySpec extends SparkSpec {
       assert(count(p, "CartesianProduct") === 0, s"$q went quadratic")
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q went quadratic")
     }
+    // q257: the pair-gen join reads CAPPED posting lists — the
+    // row_number<=cap prune must compile to a WindowGroupLimit so a
+    // stop token's D² blowup is cut before the self-join, and the
+    // prn<=cap filter itself must be present
+    val p257 = planOf("q257_weighted_jaccard")
+    assert(count(p257, "WindowGroupLimit") >= 1,
+      "q257 lost its posting-list cap (WindowGroupLimit)")
+    assert(count(p257, "prn") >= 1, "q257 lost the prn<=cap filter")
     // q249: DBSCAN candidates come from the 3x3 cell equi-join
     val p249 = planOf("q249_dbscan_grid")
     assert(count(p249, "CartesianProduct") === 0, "q249 went quadratic")

@@ -472,4 +472,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8,
       maxDf = 2).collect().length === 1)
   }
+
+  test("weightedJaccardPairs: universal stop token stays bounded, scores exact") {
+    // Adversarial corpus: ONE token in EVERY doc (df = 300). A naive
+    // posting self-join emits C(300,2) = 44,850 pairs from that token
+    // alone; the capped posting list bounds generation at C(cap,2).
+    val nDocs = 300
+    val tc = (0 until nDocs).flatMap { i =>
+      Seq((i.toLong, "en", 0L, 3L, 2L, 999L, 2L),   // stop token, count 2
+        (i.toLong, "en", 0L, 3L, 2L, 10000L + i, 1L)) // unique token
+    }.toDF("doc_id", "lang", "blk", "n", "nd", "h", "c")
+    val got = Dedup.weightedJaccardPairs(tc, capDf = 8).collect()
+    assert(got.length === 8 * 7 / 2,
+      s"expected C(8,2)=28 bounded pairs, got ${got.length}")
+    // scoring stays EXACT over all tokens for surviving candidates:
+    // shared tokens = {999} with min(2,2)=2
+    got.foreach { r =>
+      assert(r.getAs[Long]("min_sum") === 2L)
+      assert(r.getAs[Long]("inter") === 1L)
+    }
+    // and docs beyond the first cap postings never appear
+    assert(got.forall(r => r.getAs[Long]("d1") < 8 && r.getAs[Long]("d2") < 8))
+  }
+
+  test("weightedJaccardPairs: rare-token pairs unaffected by the cap") {
+    // two docs sharing a rare token AND the stop token — the pair is
+    // generated via the rare token even when both sit past the cap
+    // window of the stop token's posting list, and min_sum counts BOTH
+    val tc = ((0 until 20).flatMap { i =>
+      Seq((i.toLong, "en", 0L, 4L, 3L, 999L, 1L),
+        (i.toLong, "en", 0L, 4L, 3L, 5000L + i, 1L))
+    } ++ Seq( // docs 100, 101: past cap=4 on token 999's posting list
+      (100L, "en", 0L, 4L, 3L, 999L, 1L), (100L, "en", 0L, 4L, 3L, 777L, 3L),
+      (101L, "en", 0L, 4L, 3L, 999L, 1L), (101L, "en", 0L, 4L, 3L, 777L, 3L)))
+      .toDF("doc_id", "lang", "blk", "n", "nd", "h", "c")
+    val got = Dedup.weightedJaccardPairs(tc, capDf = 4)
+      .filter(col("d1") === 100L && col("d2") === 101L).collect()
+    assert(got.length === 1, "rare-token pair was lost")
+    assert(got.head.getAs[Long]("min_sum") === 4L) // min(3,3) + min(1,1)
+    assert(got.head.getAs[Long]("inter") === 2L)
+  }
 }
