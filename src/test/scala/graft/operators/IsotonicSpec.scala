@@ -71,4 +71,18 @@ class IsotonicSpec extends SparkSpec {
     assert(raw(3) < raw(2), "fixture must contain a violation")
     assert(cal(3) >= cal(2))
   }
+
+  test("calibrate accepts a LongType bin column (regression lane)") {
+    // regression lane: without the cast("int") in calibrate, a LONG
+    // bin grid (e.g. an untruncated `div` expression) threw
+    // ClassCastException at getAs[Int] on collect
+    val df = Seq.tabulate(200) { i =>
+      (i.toLong % 4L, if (i % 10 < 2 * (i % 4)) 1L else 0L)
+    }.toDF("bin", "pos")
+    val got = Isotonic.calibrate(df, "bin", "pos").orderBy("bin").collect()
+    assert(got.map(_.getAs[Int]("bin")).toSeq === Seq(0, 1, 2, 3))
+    assert(got.map(_.getAs[Long]("n")).sum === 200L)
+    val cal = got.map(_.getAs[Double]("p_cal")).toSeq
+    assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
+  }
 }

@@ -59,6 +59,23 @@ class PcaSpec extends SparkSpec {
       assert(a.cov(j).toSeq === b.cov(j).toSeq, s"cov row $j")
   }
 
+  test("fitOuterProduct accepts array<double> input like fit does") {
+    // regression lane: the RDD path read getSeq[Double] off the raw
+    // column — without the up-front array<double> cast an
+    // array<float> caller worked but an array<double> caller's twin,
+    // a DOUBLE-typed frame, must also work, matching fit() exactly
+    import org.apache.spark.sql.functions.col
+    val df = cloud(150)
+    val dd = df.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val a = Pca.fit(dd, "vec_id", "embedding", DIM, 2, 12)
+    val b = Pca.fitOuterProduct(dd, "vec_id", "embedding", DIM, 2, 12)
+    assert(a.n === b.n)
+    assert(a.eigs.toSeq === b.eigs.toSeq)
+    for (j <- 0 until DIM)
+      assert(a.cov(j).toSeq === b.cov(j).toSeq, s"cov row $j")
+  }
+
   test("project is a narrow map whose variance matches the eigenvalue") {
     val df = cloud(200)
     val m = Pca.fit(df, "vec_id", "embedding", DIM, 2, 50)
