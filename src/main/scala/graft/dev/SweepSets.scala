@@ -55,6 +55,7 @@ object SweepSets {
     "q216_graph_vs_ivf" -> "shares q215's doubly-infeasible oracle shape (q214's NSW CTE chain + q27's brute exact denominator + the q53 IVF scoring crossjoin, all in one statement); the efficiency matrix is measured at sf<=0.1 (q149 policy)",
     "q224_multiprobe_lsh" -> "q149's reason (brute exact denominator) plus q33's interpreted list-lambda bucket folds over corpus x NBITS x dims x three probe arms; the curve is measured at sf<=0.1 (q184 precedent)",
     "q227_hnsw_vs_nsw" -> "q216's reason: the full q214 NSW CTE chain (q53's IVF-assign crossjoin) TWICE (flat + hierarchy layers) plus q27's brute exact denominator in one statement; the matrix is measured at sf<=0.1",
+    "q290_ann_frontier" -> "q216's reason compounded: ONE statement splices q27's brute exact denominator, the full q214 NSW chain, the q53 IVF scoring crossjoin, AND q149's SQ8/PQ/binary full-scan CTEs; the frontier is measured at sf<=0.1 (q149 policy) — its integer dominance relation is scale-independent arithmetic over the arm counts",
     "q265_rerank_cascade" -> "q149's reason: the recall denominator is q27's brute crossjoin CTE plus q181's IVF-assign crossjoin for stage 1; the cascade is measured at sf<=0.1 where the exact baseline is computable",
     "q231_opq_rung" -> "q159's reason twice over: the brute exact crossjoin denominator plus TWO trained-arm chains (k-means + encode + full-ADC, identity and permuted); the selection rung is measured at sf<=0.1 — Sweep10xSpec covers the 10x invariants engine-side",
     "q249_dbscan_grid" -> "q43's recursive-CTE reason: the oracle's transitive closure is quadratic per cluster, and 10x replication (10 zero-distance twins per position) densifies every cluster past closure feasibility; the ENGINE side (grid equi-join + large-star CC) runs at 10x with invariants pinned in Sweep10xSpec",

@@ -4158,10 +4158,246 @@ object SimilarityQueries {
       ORDER BY round"""
     })
 
+  // -- V30: ANN RECALL-vs-COST PARETO FRONTIER — the index families
+  //    measured separately by q149 (compression recall), q216 (pruner
+  //    efficiency), and q224 (probe curve) on ONE shared exact top-K,
+  //    each arm scored on all three axes an index chooser trades:
+  //      recall@K          (n_hits against the shared float exact)
+  //      n_scored          (candidates the arm actually scores)
+  //      bytes_per_vec     (bytes of the representation its scan
+  //                         touches, derived from the arm constants:
+  //                         float32 = 4·64; SQ8 = 1·64; PQ = PQ_M
+  //                         codes; binary = 64/8; NSW adds 2·DEG
+  //                         8-byte edge ids to its float vectors)
+  //    plus the Pareto verdict itself: an arm is ON the frontier iff
+  //    no other arm is ≥ on recall AND ≤ on both costs with at least
+  //    one strict — the actual decision surface for "which index do I
+  //    build at 100 TB". Dominance compares the INTEGER n_hits (same
+  //    K·nq denominator), so the frontier is exact, not
+  //    float-rounding-dependent. Full-scan arms (brute/sq8/pq/bin)
+  //    score nq·(n−1) candidates by construction; pruned arms (ivf,
+  //    nsw) report their measured candidate counts (q216's rule).
+  private val q290 = Q(
+    "q290_ann_frontier",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val t = Tpch(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
+      val nq = queries.count()
+      val nC = t.embeddings.count()
+      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+          "embedding", K)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+      val nTotal = exact.count()
+      val fullScan = nq * (nC - 1)
+      // full-scan arms
+      val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
+        "embedding", K)
+      val cb = Similarity.pqCodebooks(t.embeddings, "vec_id",
+        "embedding", PQ_M, seedMod = 0)
+      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+        PQ_M, cb)
+      val pq = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
+        PQ_M, cb, K)
+      val bin = Similarity.binTopK(t.embeddings, queries, "vec_id",
+        "embedding", SQ_DIMS, K)
+      // pruned arms: measured candidate counts (q216's cost rule)
+      val ivfAll = Similarity.ivfTopK(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, Int.MaxValue)
+        .localCheckpoint(true)
+      val nswVis = Similarity.nswScored(t.embeddings, queries, "vec_id",
+          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)
+        .localCheckpoint(true)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("corpus_id").asc)
+      val nswTop = nswVis.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= K)
+      // ONE job for all five arm-hit counts: tag + union the tiny
+      // (query, corpus) top-K frames, join the checkpointed exact
+      // once, count per method — instead of five sequential actions
+      def tag(name: String, m: org.apache.spark.sql.DataFrame) =
+        m.select(lit(name).as("method"), col("query_id"),
+          col("corpus_id"))
+      val hitCounts = tag("sq8", sq)
+        .unionByName(tag("pq_adc", pq))
+        .unionByName(tag("bin", bin))
+        .unionByName(tag("ivf", ivfAll.filter(col("rank") <= K)))
+        .unionByName(tag("nsw", nswTop))
+        .join(exact, Seq("query_id", "corpus_id"))
+        .groupBy(col("method")).agg(count(lit(1)).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      // (method, n_scored, bytes_per_vec, n_hits)
+      val arms: Seq[(String, Long, Long, Long)] = Seq(
+        ("brute", fullScan, 4L * SQ_DIMS, nTotal),
+        ("sq8", fullScan, SQ_DIMS.toLong, hitCounts("sq8")),
+        ("pq_adc", fullScan, PQ_M.toLong, hitCounts("pq_adc")),
+        ("bin", fullScan, SQ_DIMS.toLong / 8, hitCounts("bin")),
+        ("ivf", ivfAll.count(), 4L * SQ_DIMS, hitCounts("ivf")),
+        ("nsw", nswVis.count(), 4L * SQ_DIMS + 8L * 2 * NSW_DEG,
+          hitCounts("nsw")))
+      def dominated(a: (String, Long, Long, Long)) = arms.exists { b =>
+        b._4 >= a._4 && b._2 <= a._2 && b._3 <= a._3 &&
+          (b._4 > a._4 || b._2 < a._2 || b._3 < a._3)
+      }
+      val p6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      arms.map { a =>
+        (a._1, nq, a._2, a._3, a._4, nTotal,
+          p6(a._4.toDouble / nTotal.toDouble),
+          if (dominated(a)) 0 else 1)
+      }.toDF("method", "n_queries", "n_scored", "bytes_per_vec",
+          "n_hits", "n_total", "recall", "pareto")
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH $nswCtes,
+      ivf_scored AS (
+        SELECT p.query_id, a.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM probe p
+        JOIN assign a ON p.cell = a.cell AND a.vec_id != p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id),
+      ivf_top AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rk
+          FROM ivf_scored) WHERE rk <= $K),
+      nsw_sc AS (
+        SELECT query_id, corpus_id, cosine FROM vis
+        WHERE corpus_id != query_id),
+      nsw_top AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rk
+          FROM nsw_sc) WHERE rk <= $K),
+      scoredx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+            AS cosine
+        FROM (SELECT * FROM v WHERE vec_id % $QMOD = 0) q
+        JOIN v c ON q.vec_id != c.vec_id),
+      exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scoredx)
+        WHERE rank <= $K),
+      dims AS (SELECT unnest(generate_series(1, $SQ_DIMS)) AS pos),
+      scales AS (
+        SELECT pos, max(abs(CAST(embedding[pos] AS DOUBLE))) AS s
+        FROM embeddings CROSS JOIN dims GROUP BY pos),
+      sarr AS (SELECT list(s ORDER BY pos) AS sc FROM scales),
+      enc8 AS (
+        SELECT vec_id, list_transform(generate_series(1, $SQ_DIMS),
+          i -> CASE WHEN sc[i] = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                 / sc[i] + 0.5) AS BIGINT) END) AS q
+        FROM embeddings CROSS JOIN sarr),
+      scored8 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip(q.q, c.q), pr -> pr[1] * pr[2])),
+            (x, y) -> x + y) AS iscore
+        FROM (SELECT * FROM enc8 WHERE vec_id % $QMOD = 0) q
+        JOIN enc8 c ON q.vec_id != c.vec_id),
+      sq8 AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY iscore DESC, corpus_id ASC) AS rank
+              FROM scored8)
+        WHERE rank <= $K),
+      $pqBaseSql,
+      adc AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cw,
+          ${norm2Sql("s.svec")} - 2 * ${dotSql("s.svec", "c.cvec")} + c.cc
+            AS qd
+        FROM subs s JOIN codebook c USING (sub)
+        WHERE s.vec_id % $QMOD = 0),
+      dists AS (
+        SELECT a.query_id, e.vec_id AS corpus_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(a.qd ORDER BY a.sub)), (x, y) -> x + y) AS adist
+        FROM enc e JOIN adc a ON e.sub = a.sub AND e.cw = a.cw
+        WHERE a.query_id != e.vec_id
+        GROUP BY a.query_id, e.vec_id),
+      pqm AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, corpus_id ASC) AS rank FROM dists)
+        WHERE rank <= $K),
+      binh AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          list_reduce(list_prepend(0,
+            list_transform(generate_series(1, $SQ_DIMS),
+              i -> CASE WHEN (q.embedding[i] > 0) != (c.embedding[i] > 0)
+                   THEN 1 ELSE 0 END)), (x, y) -> x + y) AS hamming
+        FROM (SELECT * FROM embeddings WHERE vec_id % $QMOD = 0) q
+        JOIN embeddings c ON q.vec_id != c.vec_id),
+      binm AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, corpus_id ASC) AS rank FROM binh)
+        WHERE rank <= $K),
+      nqc AS (SELECT CAST(count(*) AS BIGINT) AS n
+        FROM embeddings WHERE vec_id % $QMOD = 0),
+      ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM exact),
+      fullscan AS (
+        SELECT nqc.n * (ncorp.n - 1) AS n_scored
+        FROM nqc CROSS JOIN ncorp),
+      arms AS (
+        SELECT 'brute' AS method,
+          (SELECT n_scored FROM fullscan) AS n_scored,
+          CAST(${4 * 64} AS BIGINT) AS bytes_per_vec,
+          (SELECT n_total FROM tot) AS n_hits
+        UNION ALL
+        SELECT 'sq8', (SELECT n_scored FROM fullscan),
+          CAST($SQ_DIMS AS BIGINT),
+          (SELECT count(*) FROM exact e JOIN sq8 m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+        UNION ALL
+        SELECT 'pq_adc', (SELECT n_scored FROM fullscan),
+          CAST($PQ_M AS BIGINT),
+          (SELECT count(*) FROM exact e JOIN pqm m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+        UNION ALL
+        SELECT 'bin', (SELECT n_scored FROM fullscan),
+          CAST(${SQ_DIMS / 8} AS BIGINT),
+          (SELECT count(*) FROM exact e JOIN binm m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+        UNION ALL
+        SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM ivf_scored),
+          CAST(${4 * 64} AS BIGINT),
+          (SELECT count(*) FROM exact e JOIN ivf_top m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
+        UNION ALL
+        SELECT 'nsw', (SELECT CAST(count(*) AS BIGINT) FROM nsw_sc),
+          CAST(${4 * 64 + 8 * 2 * NSW_DEG} AS BIGINT),
+          (SELECT count(*) FROM exact e JOIN nsw_top m
+            ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id))
+      SELECT a.method, nqc.n AS n_queries, a.n_scored, a.bytes_per_vec,
+        CAST(a.n_hits AS BIGINT) AS n_hits, tot.n_total,
+        ${proundSql("CAST(a.n_hits AS DOUBLE) / CAST(tot.n_total AS DOUBLE)", 6)}
+          AS recall,
+        CAST(CASE WHEN EXISTS (
+          SELECT 1 FROM arms b
+          WHERE b.n_hits >= a.n_hits AND b.n_scored <= a.n_scored
+            AND b.bytes_per_vec <= a.bytes_per_vec
+            AND (b.n_hits > a.n_hits OR b.n_scored < a.n_scored
+              OR b.bytes_per_vec < a.bytes_per_vec))
+          THEN 0 ELSE 1 END AS INT) AS pareto
+      FROM arms a CROSS JOIN nqc CROSS JOIN tot
+      ORDER BY a.method"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
       q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265,
-      q275, q283)
+      q275, q283, q290)
 }
