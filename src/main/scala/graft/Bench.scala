@@ -18,7 +18,7 @@ object Bench {
     * end-to-end pipeline marts — so a regression in ANY operator
     * family shows up in BENCH, not just in CORRECTNESS.
     */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q01_pricing_summary", "q02_conditional_agg", "q03_kpi_ratios",
     "q04_star_broadcast",
     "q05_region_year_revenue", "q06_left_join_cast_key",

@@ -1829,6 +1829,152 @@ object CorpusQueries {
       ORDER BY s.source"""
     })
 
+  // -- C21: HYPERLOGLOG cardinality ([[graft.operators.Hll]]) — the
+  //    register sketch next to q230's order-statistic KMV, measured on
+  //    the SAME per-source shingle universe so the two estimators'
+  //    errors are directly comparable: 256 max-rho registers
+  //    (~256 bytes vs KMV's k·8), harmonic mean accumulated as the
+  //    EXACT integer Σ 2^(31−M_j), linear-counting small-range branch
+  //    through graft_lndet. The exact count sits next to the estimate
+  //    (the q222/q230 sketch-row discipline) — rel_err is measured,
+  //    not asserted.
+  private val q291 = Q(
+    "q291_hll_cardinality",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val u = t.documents
+        .select(col("source"),
+          explode(TextFns.shingles(
+            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+        .select(col("source"),
+          graft.operators.Sampling.slotWide(
+            TextFns.rollingHash(col("sh"))).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val n = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      val regs = graft.operators.Hll.registers(u, "source", "h")
+      val est = graft.operators.Hll.estimate(regs, "source")
+      est.join(n, "source")
+        .select(col("source"), col("n_exact"), col("m_present"),
+          col("v_zero"), col("s_scaled"),
+          pround(col("est"), 4).as("est"),
+          pround((col("est") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double"), 6).as("rel_err"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val shs = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), KMV_W)
+      val hll = graft.operators.Hll
+      s"""WITH u AS MATERIALIZED (
+        SELECT DISTINCT source,
+          (${graft.operators.Sampling.slotWideSql(
+            TextFns.rollingHashSql("sh"))}) AS h
+        FROM (SELECT source, unnest($shs) AS sh FROM documents)),
+      regs AS (
+        SELECT source, h % ${hll.M} AS bucket,
+          max(least(bit_count(((h // ${hll.M}) & -(h // ${hll.M})) - 1)
+            + 1, ${hll.RHO_CAP})) AS r
+        FROM u GROUP BY source, h % ${hll.M}),
+      agg AS (
+        SELECT source,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(${hll.RHO_CAP} - r AS INT))
+            AS BIGINT) AS s_present,
+          CAST(count(*) AS BIGINT) AS m_present
+        FROM regs GROUP BY source),
+      fullr AS (
+        SELECT source, m_present,
+          ${hll.M} - m_present AS v_zero,
+          s_present + (${hll.M} - m_present) * 2147483648 AS s_scaled
+        FROM agg),
+      ${graft.queries.Portable.lnDetSqlCtes("lc", "fullr",
+        "source, m_present, v_zero, s_scaled",
+        s"CAST(${hll.M} AS DOUBLE) / CAST(GREATEST(v_zero, 1) AS DOUBLE)")},
+      est AS (
+        SELECT source, m_present, v_zero, s_scaled,
+          CASE WHEN ${hll.NUM} / CAST(s_scaled AS DOUBLE)
+              <= ${hll.LC_THRESHOLD} AND v_zero > 0
+            THEN CAST(${hll.M} AS DOUBLE) * lnp
+            ELSE ${hll.NUM} / CAST(s_scaled AS DOUBLE) END AS est
+        FROM lclnv),
+      n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM u
+        GROUP BY source)
+      SELECT e.source, n.n_exact, e.m_present,
+        CAST(e.v_zero AS BIGINT) AS v_zero,
+        CAST(e.s_scaled AS BIGINT) AS s_scaled,
+        ${proundSql("e.est", 4)} AS est,
+        ${proundSql(
+          "(e.est - CAST(n.n_exact AS DOUBLE)) / CAST(n.n_exact AS DOUBLE)",
+          6)} AS rel_err
+      FROM est e JOIN n ON n.source = e.source
+      ORDER BY e.source"""
+    })
+
+  // -- C22: AMS F₂ SKETCH (Alon–Matias–Szegedy 1996) — the second
+  //    frequency moment Σ f_t² ("self-join size" / repetition mass of
+  //    the token stream) estimated from five ±1-sign accumulators,
+  //    the third sketch family next to counters (CMS/CountSketch) and
+  //    cardinality (KMV/HLL): each estimator keeps ONE long
+  //    Z_i = Σ_occurrences σ_i(h) (the q236 CountSketch sign family,
+  //    so the hashing is already engine-portable), E[Z²] = F₂, and
+  //    the median of the five Z² is the estimate. Everything is
+  //    exact BIGINT end to end — the only double is the final
+  //    relative-error division. Exact F₂ sits next to the estimate
+  //    (the sketch-row discipline).
+  private val q292 = Q(
+    "q292_ams_f2",
+    (s, dir) => {
+      val cs = graft.operators.CountSketch
+      val t = Tpch(s, dir)
+      val toks = t.documents
+        .select(col("lang"), explode(TextFns.tokens(lower(col("text"))))
+          .as("token"))
+        .select(col("lang"), TextFns.rollingHash(col("token")).as("h"))
+        .localCheckpoint(true)
+      val zAggs = count(lit(1)).as("n_tokens") +:
+        (0 until 5).map(i => sum(expr(cs.signSql("h", i))).as(s"z$i"))
+      val zs = toks.groupBy(col("lang")).agg(zAggs.head, zAggs.tail: _*)
+      val f2 = toks.groupBy(col("lang"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      val estArr = array((0 until 5).map(i =>
+        col(s"z$i") * col(s"z$i")): _*)
+      zs.join(f2, "lang")
+        .select(col("lang"), col("n_tokens"), col("f2_exact"),
+          element_at(array_sort(estArr), 3).as("f2_est"))
+        .withColumn("rel_err",
+          pround((col("f2_est") - col("f2_exact")).cast("double")
+            / col("f2_exact").cast("double"), 6))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val cs = graft.operators.CountSketch
+      val ts = TextFns.tokensSql("lower(text)")
+      val hs = TextFns.rollingHashSql("token")
+      val zCols = (0 until 5).map(i =>
+        s"CAST(sum(${cs.signSql("h", i)}) AS BIGINT) AS z$i")
+        .mkString(", ")
+      val ests = (0 until 5).map(i => s"z$i * z$i").mkString(", ")
+      s"""WITH toks AS MATERIALIZED (
+        SELECT lang, $hs AS h
+        FROM (SELECT lang, unnest($ts) AS token FROM documents)),
+      zs AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens, $zCols
+        FROM toks GROUP BY lang),
+      f2 AS (
+        SELECT lang, CAST(sum(c * c) AS BIGINT) AS f2_exact
+        FROM (SELECT lang, h, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY lang, h)
+        GROUP BY lang)
+      SELECT z.lang, z.n_tokens, f.f2_exact,
+        CAST(list_sort([$ests])[3] AS BIGINT) AS f2_est,
+        ${proundSql(
+          """CAST(list_sort([""" + ests + """])[3] - f.f2_exact AS DOUBLE)
+             / CAST(f.f2_exact AS DOUBLE)""", 6)} AS rel_err
+      FROM zs z JOIN f2 f ON f.lang = z.lang
+      ORDER BY z.lang"""
+    })
+
   // -- C14: MUTUAL INFORMATION between quality signals — before two
   //    heuristics both gate a corpus, measure whether they carry the
   //    SAME information: MI (and the symmetric uncertainty
@@ -1957,5 +2103,5 @@ object CorpusQueries {
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250)
+      q250, q291, q292)
 }

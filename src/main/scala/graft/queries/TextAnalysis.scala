@@ -2489,9 +2489,138 @@ object TextAnalysis {
       ORDER BY feature"""
     })
 
+  // -- T33: MULTINOMIAL NAIVE BAYES language classifier — the trained
+  //    probabilistic sibling of q19's heuristic lang-ID, the simplest
+  //    model a curation stack actually fits in-engine: token counts
+  //    per (lang, token) with Laplace α=1, log-priors from label
+  //    frequencies, scored log-space. Every log is graft_lndet on an
+  //    EXACT integer ratio (all likelihoods < 1, so ln = −lnDet of
+  //    the flipped ratio — q250's sign discipline); per-(doc, lang)
+  //    token-score sums are pround8→DECIMAL (order-free); argmax ties
+  //    break to lang ascending. Output: the train confusion matrix.
+  //    Shape at scale: the model is (vocab × L) rows keyed by token
+  //    hash — the score join is a hash join on (lang, h), docs never
+  //    shuffle more than their distinct-token rows, and the L-way
+  //    fanout is a 5-row broadcast.
+  private val q293 = Q(
+    "q293_naive_bayes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val ln = (x: org.apache.spark.sql.Column) =>
+        call_function("graft_lndet", x)
+      def ds8(c: org.apache.spark.sql.Column) =
+        sum(pround(c, 8).cast(DecimalType(28, 8))).cast("double")
+      val toks = t.documents
+        .select(col("doc_id"), col("lang"),
+          explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .select(col("doc_id"), col("lang"),
+          TextFns.rollingHash(col("token")).as("h"))
+        .localCheckpoint(true)
+      val clh = toks.groupBy(col("lang"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tl = clh.groupBy(col("lang")).agg(sum(col("c")).as("tcount"))
+      val vocab = clh.select(countDistinct(col("h")).as("v"))
+      val dl = t.documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("d_l"))
+      val dTot = t.documents.agg(count(lit(1)).as("d_all"))
+      val lm = tl.join(dl, "lang").crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(dTot))
+        .select(col("lang").as("l"), col("tcount"), col("v"),
+          (-ln((col("tcount") + col("v")).cast("double"))).as("miss"),
+          (-ln(col("d_all").cast("double") / col("d_l").cast("double")))
+            .as("prior"))
+        .localCheckpoint(true) // L rows
+      val ll = clh.join(lm, col("lang") === col("l"))
+        .select(col("l"), col("h"),
+          (-ln((col("tcount") + col("v")).cast("double")
+            / (col("c") + lit(1L)).cast("double"))).as("llh"))
+      val dt = toks.groupBy(col("doc_id"), col("lang"), col("h"))
+        .agg(count(lit(1)).as("m"))
+      val scored = dt
+        .crossJoin(broadcast(lm.select(col("l"), col("miss"), col("prior"))))
+        .join(ll, Seq("l", "h"), "left")
+        .select(col("doc_id"), col("lang"), col("l"), col("prior"),
+          (col("m").cast("double") * coalesce(col("llh"), col("miss")))
+            .as("term"))
+        .groupBy(col("doc_id"), col("lang"), col("l"), col("prior"))
+        .agg(ds8(col("term")).as("tscore"))
+        .withColumn("score", col("prior") + col("tscore"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("l").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("lang_true"), col("l").as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_true"), col("lang_pred"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val toksSql = TextFns.tokensSql("lower(text)")
+      val hs = TextFns.rollingHashSql("token")
+      s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang, $hs AS h
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS token
+              FROM documents)),
+      clh AS MATERIALIZED (
+        SELECT lang, h, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, h),
+      lm0 AS (
+        SELECT tl.lang, tl.tcount, v.v, dl.d_l, dt.d_all
+        FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS tcount
+              FROM clh GROUP BY lang) tl
+        JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+              FROM documents GROUP BY lang) dl ON dl.lang = tl.lang
+        CROSS JOIN (SELECT CAST(count(DISTINCT h) AS BIGINT) AS v
+          FROM clh) v
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS d_all
+          FROM documents) dt),
+      ${Portable.lnDetSqlCtes("ms", "lm0",
+        "lang, tcount, v, d_l, d_all",
+        "CAST(tcount + v AS DOUBLE)")},
+      msv AS (
+        SELECT lang, tcount, v, d_l, d_all, lnp AS msp FROM mslnv),
+      ${Portable.lnDetSqlCtes("pr", "msv",
+        "lang, tcount, v, msp",
+        "CAST(d_all AS DOUBLE) / CAST(d_l AS DOUBLE)")},
+      lm AS MATERIALIZED (
+        SELECT lang AS l, tcount, v, -msp AS miss, -lnp AS prior
+        FROM prlnv),
+      llsrc AS (
+        SELECT clh.lang AS l, clh.h, clh.c, lm.tcount, lm.v
+        FROM clh JOIN lm ON lm.l = clh.lang),
+      ${Portable.lnDetSqlCtes("ll", "llsrc", "l, h",
+        "CAST(tcount + v AS DOUBLE) / CAST(c + 1 AS DOUBLE)")},
+      ll AS MATERIALIZED (SELECT l, h, -lnp AS llh FROM lllnv),
+      dtm AS (
+        SELECT doc_id, lang, h, CAST(count(*) AS BIGINT) AS m
+        FROM toks GROUP BY doc_id, lang, h),
+      sc AS (
+        SELECT g.doc_id, g.lang, g.l, g.prior,
+          g.prior + ${ds8(
+            "CAST(g.m AS DOUBLE) * COALESCE(ll.llh, g.miss)")} AS score
+        FROM (SELECT dtm.*, lm.l, lm.miss, lm.prior
+              FROM dtm CROSS JOIN lm) g
+        LEFT JOIN ll ON ll.l = g.l AND ll.h = g.h
+        GROUP BY g.doc_id, g.lang, g.l, g.prior),
+      pred AS (
+        SELECT doc_id, lang, l FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, l ASC) AS rn
+          FROM sc) WHERE rn = 1)
+      SELECT lang AS lang_true, l AS lang_pred,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred
+      GROUP BY lang, l
+      ORDER BY lang_true, lang_pred"""
+    })
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277)
+      q276, q277, q293)
 }

@@ -38,7 +38,11 @@ class DeterminismSpec extends SparkSpec {
     // IPW scoring pass, centered-OLS sides, DiD cell means
     "q282_quantile_regression", "q283_herding_coreset",
     "q284_sequential_ab", "q285_ipw_ate",
-    "q286_regression_discontinuity", "q287_diff_in_diff")
+    "q286_regression_discontinuity", "q287_diff_in_diff",
+    // round-14 shapes: register-max HLL, ±1-sign AMS accumulators,
+    // log-space NB argmax, multi-arm Pareto counts
+    "q291_hll_cardinality", "q292_ams_f2", "q293_naive_bayes",
+    "q290_ann_frontier")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
