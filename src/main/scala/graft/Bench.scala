@@ -123,6 +123,10 @@ object Bench {
     "q181_ivf_bin_topk", "q265_rerank_cascade", "q182_mmr_topk", "q183_perceptron_gate", "q268_logit_gate", "q277_feature_shapley", "q282_quantile_regression",
     "q184_ivf_nprobe_curve", "q185_embedding_outliers", "q262_ari_agreement", "q186_kcore",
     "q187_cuped_experiment", "q284_sequential_ab", "q285_ipw_ate", "q286_regression_discontinuity", "q287_diff_in_diff",
+    "q290_ann_frontier", "q291_hll_cardinality", "q292_ams_f2",
+    "q293_naive_bayes", "q294_gini_stump", "q295_cochran_armitage",
+    "q296_bh_fdr", "q297_good_turing", "q298_brier_decomposition",
+    "q299_propensity_blocks",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -1975,6 +1975,75 @@ object CorpusQueries {
       ORDER BY z.lang"""
     })
 
+  // -- C23: GOOD-TURING unseen-mass estimate — the LM-smoothing
+  //    number q237's Kneser-Ney perplexity presupposes, measured
+  //    directly: per lang, the frequency-of-frequencies table N_r
+  //    gives the Turing estimate of UNSEEN probability mass
+  //    p₀ = N₁/N and the discounted counts r* = (r+1)·N_{r+1}/N_r —
+  //    the "how much of this corpus slice's token distribution is
+  //    still unobserved" dial a sampling curriculum reads. Everything
+  //    is exact integer counting until the final divisions; empty
+  //    N_r rungs emit null, never a fake zero.
+  private val q297 = Q(
+    "q297_good_turing",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val cnt = t.documents
+        .select(col("lang"), explode(TextFns.tokens(lower(col("text"))))
+          .as("token"))
+        .select(col("lang"), TextFns.rollingHash(col("token")).as("h"))
+        .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val fof = cnt.groupBy(col("lang"), col("c"))
+        .agg(count(lit(1)).as("nr"))
+      def nAt(r: Int) = sum(when(col("c") === r, col("nr"))
+        .otherwise(0L)).as(s"n$r")
+      val agg = fof.groupBy(col("lang"))
+        .agg(sum(col("c") * col("nr")).as("n_tokens"),
+          sum(col("nr")).as("vocab"), nAt(1), nAt(2), nAt(3))
+      def rStar(r: Int) =
+        when(col(s"n$r") > 0,
+          pround(lit((r + 1).toDouble) * col(s"n${r + 1}").cast("double")
+            / col(s"n$r").cast("double"), 6))
+      agg.select(col("lang"), col("n_tokens"), col("vocab"),
+          col("n1"), col("n2"), col("n3"),
+          pround(col("n1").cast("double") / col("n_tokens").cast("double"),
+            6).as("p_unseen"),
+          rStar(1).as("r_star_1"), rStar(2).as("r_star_2"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val ts = TextFns.tokensSql("lower(text)")
+      val hs = TextFns.rollingHashSql("token")
+      def nAt(r: Int) =
+        s"CAST(sum(CASE WHEN c = $r THEN nr ELSE 0 END) AS BIGINT) AS n$r"
+      def rStar(r: Int) =
+        s"""CASE WHEN n$r > 0 THEN ${proundSql(
+          s"${r + 1}.0 * CAST(n${r + 1} AS DOUBLE) / CAST(n$r AS DOUBLE)",
+          6)} END"""
+      s"""WITH cnt AS MATERIALIZED (
+        SELECT lang, h, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang, $hs AS h
+              FROM (SELECT lang, unnest($ts) AS token FROM documents))
+        GROUP BY lang, h),
+      fof AS (
+        SELECT lang, c, CAST(count(*) AS BIGINT) AS nr
+        FROM cnt GROUP BY lang, c),
+      agg AS (
+        SELECT lang, CAST(sum(c * nr) AS BIGINT) AS n_tokens,
+          CAST(sum(nr) AS BIGINT) AS vocab,
+          ${nAt(1)}, ${nAt(2)}, ${nAt(3)}
+        FROM fof GROUP BY lang)
+      SELECT lang, n_tokens, vocab, n1, n2, n3,
+        ${proundSql(
+          "CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)}
+          AS p_unseen,
+        ${rStar(1)} AS r_star_1,
+        ${rStar(2)} AS r_star_2
+      FROM agg
+      ORDER BY lang"""
+    })
+
   // -- C14: MUTUAL INFORMATION between quality signals — before two
   //    heuristics both gate a corpus, measure whether they carry the
   //    SAME information: MI (and the symmetric uncertainty
@@ -2103,5 +2172,5 @@ object CorpusQueries {
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292)
+      q250, q291, q292, q297)
 }

@@ -3129,9 +3129,529 @@ object ExtendedRelational {
       ORDER BY w.item"""
     })
 
+  // -- X50: PROPENSITY SUBCLASSIFICATION (blocking, Cochran 1968) —
+  //    the third way to spend a propensity score, next to q285's IPW
+  //    (same confounded scenario, same logistic fit, same planted
+  //    0.3 effect): stratify e(x) into 5 fixed bins, take the
+  //    treated-minus-control mean INSIDE each bin (confounding is
+  //    ~constant within a thin propensity slice), and weight the
+  //    per-bin contrasts by bin mass over the bins where BOTH arms
+  //    appear. Where IPW reweights rows (variance blows up as
+  //    e → 0/1), blocking trims to the overlap region by
+  //    construction — the estimator a reviewer asks for when
+  //    weights are extreme. Per-bin y-sums are pround8→DECIMAL
+  //    (order-free); the bin grid is fixed [0,1)/5, not quantiles,
+  //    so bin membership is a pure function of the fitted e.
+  private val q299 = Q(
+    "q299_propensity_blocks",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      val u = pmod(graft.operators.Sampling.slotWide(
+        col("l_orderkey") * lit(8L) + col("l_linenumber")), lit(500L))
+      val feats = graft.core.Scan.fanOut(t.lineitem).select(
+          when(lit(5.0) * col("l_quantity") + u.cast("double") > 300.0,
+            1.0).otherwise(0.0).as("t"),
+          lit(1.0).as("x0"),
+          (col("l_quantity").cast("double") / lit(50)).as("x1"),
+          ((col("l_extendedprice").cast("double") / lit(100000))
+            + lit(0.01) * col("l_quantity").cast("double")).as("y_base"))
+        .withColumn("y", col("y_base") + lit(0.3) * col("t"))
+        .localCheckpoint(true)
+      val hist = graft.operators.Logistic.fitBatch(
+        feats, Seq("x0", "x1"), "t", IPW_LR, IPW_T)
+      val Seq(w0, w1) = hist.last.w
+      val z = col("x0") * lit(w0) + col("x1") * lit(w1)
+      val zc = when(z > 30.0, 30.0).when(z < -30.0, -30.0).otherwise(z)
+      val e = lit(1.0) / (lit(1.0) + call_function("graft_expdet", -zc))
+      val p8d = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(28, 8))
+      val d8 = (c: org.apache.spark.sql.Column) =>
+        sum(p8d(c)).cast("double")
+      val cells = feats
+        .withColumn("ebin", least(floor(e * lit(5.0)), lit(4.0))
+          .cast("long"))
+        .groupBy(col("ebin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t").cast("long")).as("nt"),
+          d8(col("t") * col("y")).as("sy1"),
+          d8((lit(1.0) - col("t")) * col("y")).as("sy0"))
+        .localCheckpoint(true)
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val ybar1 = col("sy1") / d(col("nt"))
+      val ybar0 = col("sy0") / d(col("n") - col("nt"))
+      val bate = ybar1 - ybar0
+      val per = cells.select(col("ebin").cast("int").as("ebin"),
+        col("n"), col("nt").as("n_treated"),
+        when(col("nt") > 0, pround(ybar1, 6)).as("ybar_t"),
+        when(col("n") > col("nt"), pround(ybar0, 6)).as("ybar_c"),
+        when(col("nt") > 0 && col("nt") < col("n"), pround(bate, 6))
+          .as("block_ate"))
+      val used = cells.filter(col("nt") > 0 && col("nt") < col("n"))
+      val summary = used
+        .select(col("n"), col("nt"), (d(col("n")) * bate).as("term"))
+        .agg(sum(col("n")).as("nu"), sum(col("nt")).as("ntu"),
+          d8(col("term")).as("sterm"))
+        .select(lit(-1).as("ebin"), col("nu").as("n"),
+          col("ntu").as("n_treated"),
+          lit(null).cast("double").as("ybar_t"),
+          lit(null).cast("double").as("ybar_c"),
+          pround(col("sterm") / d(col("nu")), 6).as("block_ate"))
+      per.unionByName(summary).orderBy(col("ebin"))
+    },
+    Some {
+      val gdIters = (0 until IPW_T).map { i =>
+        s"""z$i AS (
+        SELECT t, x0, x1, y, (x0 * w0 + x1 * w1) AS z
+        FROM feats CROSS JOIN iw$i),
+      zc$i AS (
+        SELECT t, x0, x1, y,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM z$i),
+      ${expDetSqlCtes(s"ie$i", s"zc$i", "t, x0, x1, y", "-zc")},
+      sg$i AS (
+        SELECT t, x0, x1, y,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS s
+        FROM ie${i}expv),
+      ig$i AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(${proundSql("(s - t) * x0", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g0,
+          CAST(sum(CAST(${proundSql("(s - t) * x1", 8)}
+            AS DECIMAL(28,8))) AS DOUBLE) AS g1
+        FROM sg$i),
+      iw${i + 1} AS MATERIALIZED (
+        SELECT w0 - $IPW_LR * (g0 / n) AS w0,
+          w1 - $IPW_LR * (g1 / n) AS w1
+        FROM iw$i CROSS JOIN ig$i)"""
+      }.mkString(",\n      ")
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      s"""WITH feats AS MATERIALIZED (
+        SELECT CASE WHEN 5.0 * l_quantity
+            + CAST((${graft.operators.Sampling.slotWideSql(
+              "l_orderkey * 8 + l_linenumber")}) % 500 AS DOUBLE) > 300.0
+          THEN 1.0 ELSE 0.0 END AS t,
+          CAST(1 AS DOUBLE) AS x0,
+          CAST(l_quantity AS DOUBLE) / 50 AS x1,
+          (CAST(l_extendedprice AS DOUBLE) / 100000
+            + 0.01 * CAST(l_quantity AS DOUBLE))
+            + 0.3 * CASE WHEN 5.0 * l_quantity
+              + CAST((${graft.operators.Sampling.slotWideSql(
+                "l_orderkey * 8 + l_linenumber")}) % 500 AS DOUBLE)
+              > 300.0 THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+      iw0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1),
+      $gdIters,
+      ze AS (
+        SELECT t, y, (x0 * w0 + x1 * w1) AS z
+        FROM feats CROSS JOIN iw$IPW_T),
+      zce AS (
+        SELECT t, y,
+          CASE WHEN z > 30 THEN 30 WHEN z < -30 THEN -30 ELSE z END AS zc
+        FROM ze),
+      ${expDetSqlCtes("fe", "zce", "t, y", "-zc")},
+      scoredp AS (
+        SELECT t, y,
+          CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + expv) AS e
+        FROM feexpv),
+      cells AS MATERIALIZED (
+        SELECT CAST(least(floor(e * 5.0), 4.0) AS BIGINT) AS ebin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(t AS BIGINT)) AS BIGINT) AS nt,
+          ${ds8("t * y")} AS sy1,
+          ${ds8("(1.0 - t) * y")} AS sy0
+        FROM scoredp GROUP BY 1),
+      per AS (
+        SELECT CAST(ebin AS INT) AS ebin, n, nt AS n_treated,
+          CASE WHEN nt > 0 THEN ${proundSql(
+            "sy1 / CAST(nt AS DOUBLE)", 6)} END AS ybar_t,
+          CASE WHEN n > nt THEN ${proundSql(
+            "sy0 / CAST(n - nt AS DOUBLE)", 6)} END AS ybar_c,
+          CASE WHEN nt > 0 AND nt < n THEN ${proundSql(
+            """sy1 / CAST(nt AS DOUBLE)
+               - sy0 / CAST(n - nt AS DOUBLE)""", 6)} END AS block_ate
+        FROM cells),
+      summ AS (
+        SELECT -1 AS ebin, CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(nt) AS BIGINT) AS n_treated,
+          CAST(NULL AS DOUBLE) AS ybar_t,
+          CAST(NULL AS DOUBLE) AS ybar_c,
+          ${proundSql(
+            ds8("""CAST(n AS DOUBLE) * (sy1 / CAST(nt AS DOUBLE)
+              - sy0 / CAST(n - nt AS DOUBLE))""") +
+              " / CAST(sum(n) AS DOUBLE)", 6)} AS block_ate
+        FROM cells WHERE nt > 0 AND nt < n)
+      SELECT * FROM per
+      UNION ALL SELECT * FROM summ
+      ORDER BY ebin"""
+    })
+
+  // -- X47: GINI DECISION STUMP — the simplest trainable split rule,
+  //    fitted exactly: four bounded-grid features of lineitem
+  //    (quantity, discount¢, tax¢, linenumber) against the
+  //    returnflag='R' label; for every (feature, threshold) the
+  //    left/right class masses come from ONE pass of per-value counts
+  //    + a per-feature cumulative window (≤ grid-size rows), and the
+  //    weighted Gini impurity (n² − pos² − neg²)/n per side is
+  //    computed from exact integers with one pinned float program.
+  //    Argmin ties break (threshold asc); the global winner is the
+  //    orderBy-limit-1 row, not a float reduce. Train accuracy of the
+  //    majority-vote stump is EXACT integer arithmetic.
+  //    Shape at scale: the corpus pass is a map-side-combined count
+  //    per (feature, value) — ≤ Σ grid sizes (~120) rows leave the
+  //    scan no matter the row count; everything after is driver-tiny.
+  private val q294 = Q(
+    "q294_gini_stump",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val feats = t.lineitem.select(
+        explode(array(
+          struct(lit(1).as("feature"),
+            col("l_quantity").cast("double").cast("long").as("v")),
+          struct(lit(2).as("feature"),
+            floor(col("l_discount").cast("double") * 100.0)
+              .cast("long").as("v")),
+          struct(lit(3).as("feature"),
+            floor(col("l_tax").cast("double") * 100.0)
+              .cast("long").as("v")),
+          struct(lit(4).as("feature"),
+            col("l_linenumber").cast("long").as("v")))).as("fv"),
+        (col("l_returnflag") === "R").cast("long").as("pos"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"),
+          col("pos"))
+      val cells = feats.groupBy(col("feature"), col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        .localCheckpoint(true)
+      val wc = Window.partitionBy(col("feature")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tots = cells.groupBy(col("feature"))
+        .agg(sum(col("n")).as("nt"), sum(col("np")).as("pt"))
+      val cum = cells
+        .withColumn("nl", sum(col("n")).over(wc))
+        .withColumn("pl", sum(col("np")).over(wc))
+        .join(tots, "feature")
+        .filter(col("nl") < col("nt")) // right side must be nonempty
+        .withColumn("gl_", col("nl") - col("pl"))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("pr_", col("pt") - col("pl"))
+        .withColumn("gr_", col("nr") - col("pr_"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val gini =
+        (d(col("nl")) * d(col("nl")) - d(col("pl")) * d(col("pl"))
+          - d(col("gl_")) * d(col("gl_"))) / d(col("nl")) +
+        (d(col("nr")) * d(col("nr")) - d(col("pr_")) * d(col("pr_"))
+          - d(col("gr_")) * d(col("gr_"))) / d(col("nr"))
+      val scoredSt = cum.withColumn("g8", pround(gini, 8))
+      val wf = Window.partitionBy(col("feature"))
+        .orderBy(col("g8").asc, col("v").asc)
+      val winners = scoredSt.withColumn("rn", row_number().over(wf))
+        .filter(col("rn") === 1)
+        .localCheckpoint(true)
+      val best = winners
+        .orderBy(col("g8").asc, col("feature").asc).limit(1)
+        .select(col("feature").as("bf"))
+      winners.crossJoin(broadcast(best))
+        .select(col("feature"), col("v").as("threshold"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          col("nr").as("n_right"), col("pr_").as("pos_right"),
+          pround(gini / d(col("nt")), 6).as("gini"),
+          pround((greatest(col("pl"), col("gl_"))
+            + greatest(col("pr_"), col("gr_"))).cast("double")
+            / d(col("nt")), 6).as("train_acc"),
+          (col("feature") === col("bf")).cast("int").as("is_best"))
+        .orderBy(col("feature"))
+    },
+    Some(s"""WITH src AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+          CAST(floor(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT)
+            AS disc,
+          CAST(floor(CAST(l_tax AS DOUBLE) * 100.0) AS BIGINT) AS tax,
+          CAST(l_linenumber AS BIGINT) AS ln_,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+      feats AS (
+        SELECT 1 AS feature, q AS v, pos FROM src
+        UNION ALL SELECT 2, disc, pos FROM src
+        UNION ALL SELECT 3, tax, pos FROM src
+        UNION ALL SELECT 4, ln_, pos FROM src),
+      cells AS MATERIALIZED (
+        SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np
+        FROM feats GROUP BY feature, v),
+      tots AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nt,
+        CAST(sum(np) AS BIGINT) AS pt FROM cells GROUP BY feature),
+      cum AS (
+        SELECT c.feature, c.v,
+          CAST(sum(c.n) OVER (PARTITION BY c.feature ORDER BY c.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS nl,
+          CAST(sum(c.np) OVER (PARTITION BY c.feature ORDER BY c.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS pl,
+          t.nt, t.pt
+        FROM cells c JOIN tots t ON t.feature = c.feature),
+      sides AS (
+        SELECT feature, v, nl, pl, nl - pl AS gl_, nt - nl AS nr,
+          pt - pl AS pr_, (nt - nl) - (pt - pl) AS gr_, nt, pt
+        FROM cum WHERE nl < nt),
+      scored AS (
+        SELECT *,
+          (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)
+            - CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+            - CAST(gl_ AS DOUBLE) * CAST(gl_ AS DOUBLE))
+            / CAST(nl AS DOUBLE)
+          + (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+            - CAST(pr_ AS DOUBLE) * CAST(pr_ AS DOUBLE)
+            - CAST(gr_ AS DOUBLE) * CAST(gr_ AS DOUBLE))
+            / CAST(nr AS DOUBLE) AS g
+        FROM sides),
+      winners AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT *, ${proundSql("g", 8)} AS g8,
+            row_number() OVER (PARTITION BY feature
+              ORDER BY ${proundSql("g", 8)} ASC, v ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      best AS (SELECT feature AS bf FROM winners
+        ORDER BY g8 ASC, feature ASC LIMIT 1)
+      SELECT w.feature, w.v AS threshold, w.nl AS n_left,
+        w.pl AS pos_left, w.nr AS n_right, w.pr_ AS pos_right,
+        ${proundSql("w.g / CAST(w.nt AS DOUBLE)", 6)} AS gini,
+        ${proundSql(
+          """CAST(GREATEST(w.pl, w.gl_) + GREATEST(w.pr_, w.gr_)
+             AS DOUBLE) / CAST(w.nt AS DOUBLE)""", 6)} AS train_acc,
+        CAST(CASE WHEN w.feature = b.bf THEN 1 ELSE 0 END AS INT)
+          AS is_best
+      FROM winners w CROSS JOIN best b
+      ORDER BY w.feature"""))
+
+  // -- X48: COCHRAN-ARMITAGE TREND TEST — the dose-response rung of
+  //    the test battery: χ² (q85) asks "associated at all", CA asks
+  //    "does the positive rate move MONOTONICALLY with an ordered
+  //    exposure" — one df spent on the trend, so it sees what the
+  //    omnibus test dilutes. Doses are quantity decades (0..4),
+  //    outcome returnflag='R'. The statistic is computed from five
+  //    exact integer sums (N, X, Σw·n, Σw²·n, Σw·x) with one pinned
+  //    float program: T = Sx − X·S1/N, Var = X(N−X)/N² ·
+  //    (S2 − S1²/N), Z = T/√Var. Gate at χ²₁(0.95).
+  private val q295 = Q(
+    "q295_cochran_armitage",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val g = t.lineitem.select(
+        least(floor(col("l_quantity").cast("double") / 10.0)
+          .cast("long"), lit(4L)).as("dose"),
+        (col("l_returnflag") === "R").cast("long").as("x"))
+      val cells = g.groupBy(col("dose"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("xs"))
+        .localCheckpoint(true)
+      val agg2 = cells.agg(
+        sum(col("n")).as("nn"), sum(col("xs")).as("xx"),
+        sum(col("dose") * col("n")).as("s1"),
+        sum(col("dose") * col("dose") * col("n")).as("s2"),
+        sum(col("dose") * col("xs")).as("sx"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val tStat = d(col("sx")) - d(col("xx")) * d(col("s1")) / d(col("nn"))
+      val varr = (d(col("xx")) * d(col("nn") - col("xx")) /
+        (d(col("nn")) * d(col("nn")))) *
+        (d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("nn")))
+      val stat = agg2.select(col("nn"), col("xx"),
+        col("s1"), col("s2"), col("sx"),
+        pround(tStat / sqrt(varr), 6).as("z"),
+        pround(tStat * tStat / varr, 6).as("z2"),
+        (tStat * tStat / varr > lit(3.841459)).cast("int").as("reject_95"))
+      cells.crossJoin(broadcast(stat))
+        .select(col("dose"), col("n"), col("xs").as("x"),
+          pround(col("xs").cast("double") / col("n").cast("double"), 6)
+            .as("rate"),
+          col("nn").as("n_total"), col("xx").as("x_total"),
+          col("z"), col("z2"), col("reject_95"))
+        .orderBy(col("dose"))
+    },
+    Some {
+      val tS = "CAST(sx AS DOUBLE) - CAST(xx AS DOUBLE) " +
+        "* CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)"
+      val vS = "CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE) " +
+        "/ (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) " +
+        "* (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+        "* CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+      s"""WITH g AS (
+        SELECT least(CAST(floor(CAST(l_quantity AS DOUBLE) / 10.0)
+            AS BIGINT), 4) AS dose,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x
+        FROM lineitem),
+      cells AS MATERIALIZED (
+        SELECT dose, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS xs
+        FROM g GROUP BY dose),
+      agg2 AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+          CAST(sum(xs) AS BIGINT) AS xx,
+          CAST(sum(dose * n) AS BIGINT) AS s1,
+          CAST(sum(dose * dose * n) AS BIGINT) AS s2,
+          CAST(sum(dose * xs) AS BIGINT) AS sx
+        FROM cells),
+      stat AS (
+        SELECT nn, xx, s1, s2, sx,
+          ${proundSql(s"($tS) / sqrt($vS)", 6)} AS z,
+          ${proundSql(s"($tS) * ($tS) / ($vS)", 6)} AS z2,
+          CAST(CASE WHEN ($tS) * ($tS) / ($vS) > 3.841459
+            THEN 1 ELSE 0 END AS INT) AS reject_95
+        FROM agg2)
+      SELECT c.dose, c.n, c.xs AS x,
+        ${proundSql("CAST(c.xs AS DOUBLE) / CAST(c.n AS DOUBLE)", 6)}
+          AS rate,
+        s.nn AS n_total, s.xx AS x_total, s.z, s.z2, s.reject_95
+      FROM cells c CROSS JOIN stat s
+      ORDER BY c.dose"""
+    })
+
+  // -- X49: BENJAMINI-HOCHBERG FDR over a metric battery — what an
+  //    experimentation platform actually does after q284's single
+  //    test: 25 simultaneous A/B hypotheses (per-metric two-proportion
+  //    z), five with PLANTED lift (the q289 inverse-CDF construction —
+  //    outcomes drawn against precomputed integer thresholds, zero
+  //    runtime randomness), the rest true nulls; BH step-up at
+  //    q = 0.05 orders the p-values and rejects the largest prefix
+  //    with p_(i) ≤ q·i/K — FDR control where Bonferroni would burn
+  //    power. p-values come from a DETERMINISTIC normal tail:
+  //    2(1−Φ(z)) = erfc(|z|/√2) via Abramowitz-Stegun 7.1.26
+  //    (|err| < 1.5e-7 — far below any BH decision margin here), its
+  //    exp through graft_expdet with the x² argument clamped at 43
+  //    (saturated tail ⇒ p ≈ 0 exactly when it matters least) — every
+  //    op an IEEE two-operand op the oracle replays.
+  private val BH_K = 25
+  private val BH_RATE: IndexedSeq[IndexedSeq[Long]] =
+    (0 until BH_K).map { m =>
+      IndexedSeq(0, 1).map { arm =>
+        val r = 0.30 + (if (arm == 1 && m < 5) 0.05 else 0.0)
+        math.floor(r * 999985999949.0).toLong
+      }
+    }
+  private val q296 = Q(
+    "q296_bh_fdr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val sw = (c: org.apache.spark.sql.Column) =>
+        graft.operators.Sampling.slotWide(c)
+      val thrLit = array(BH_RATE.map(row =>
+        array(row.map(lit(_)): _*)): _*)
+      val rk = col("l_orderkey") * lit(8L) + col("l_linenumber")
+      val rows = graft.core.Scan.fanOut(t.lineitem)
+        .select(pmod(col("l_partkey"), lit(BH_K.toLong)).as("metric"),
+          pmod(sw(rk * lit(2L) + lit(1L)), lit(2L)).as("arm"),
+          sw(rk * lit(2L) + lit(2L)).as("u"))
+        .withColumn("conv",
+          (col("u") < element_at(element_at(thrLit,
+            col("metric").cast("int") + 1), col("arm").cast("int") + 1))
+            .cast("long"))
+      val counts = rows.groupBy(col("metric"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"))
+        .localCheckpoint(true)
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val p0 = d(col("x0")) / d(col("n0"))
+      val p1 = d(col("x1")) / d(col("n1"))
+      val pp = d(col("x0") + col("x1")) / d(col("n0") + col("n1"))
+      val z = (p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n1"))))
+      val x = abs(z) * lit(0.7071067811865476)
+      val x2c = least(x * x, lit(43.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736)
+        + tt * (lit(1.421413741) + tt * (lit(-1.453152027)
+          + tt * lit(1.061405429)))))
+      val pval = poly * call_function("graft_expdet", -x2c)
+      val scoredM = counts.select(col("metric"), col("n0"), col("x0"),
+        col("n1"), col("x1"),
+        pround(z, 6).as("z"), pround(pval, 8).as("pval"))
+      // 25 bounded rows: BH rank + step-up cutoff
+      val wr = Window.orderBy(col("pval").asc, col("metric").asc)
+      val ranked = scoredM.withColumn("rk", row_number().over(wr))
+        .withColumn("ind",
+          when(col("pval") <= lit(0.05) * col("rk").cast("double")
+            / lit(BH_K.toDouble), col("rk")).otherwise(lit(0)))
+        .localCheckpoint(true)
+      val kmax = ranked.agg(max(col("ind")).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("metric"), col("n0"), col("x0"), col("n1"),
+          col("x1"), col("z"), col("pval"), col("rk"),
+          (col("rk") <= col("kmax")).cast("int").as("rejected"),
+          (col("metric") < 5).cast("int").as("planted"))
+        .orderBy(col("metric"))
+    },
+    Some {
+      val thrSql = "[" + BH_RATE.map(row =>
+        "[" + row.mkString(", ") + "]").mkString(", ") + "]"
+      val zS = """(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / sqrt(CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+          * (1.0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))"""
+      s"""WITH rows_ AS (
+        SELECT l_partkey % $BH_K AS metric,
+          (${graft.operators.Sampling.slotWideSql(
+            "(l_orderkey * 8 + l_linenumber) * 2 + 1")}) % 2 AS arm,
+          (${graft.operators.Sampling.slotWideSql(
+            "(l_orderkey * 8 + l_linenumber) * 2 + 2")}) AS u
+        FROM lineitem),
+      conv AS (
+        SELECT metric, arm,
+          CASE WHEN u < ($thrSql)[CAST(metric AS INT) + 1]
+            [CAST(arm AS INT) + 1] THEN 1 ELSE 0 END AS conv
+        FROM rows_),
+      counts AS MATERIALIZED (
+        SELECT metric,
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+            AS x0,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+            AS x1
+        FROM conv GROUP BY metric),
+      zc AS (
+        SELECT metric, n0, x0, n1, x1, $zS AS z,
+          abs($zS) * 0.7071067811865476 AS xv
+        FROM counts),
+      tc AS (
+        SELECT *, least(xv * xv, 43.0) AS x2c,
+          1.0 / (1.0 + 0.3275911 * xv) AS tt
+        FROM zc),
+      ${graft.queries.Portable.expDetSqlCtes("er", "tc",
+        "metric, n0, x0, n1, x1, z, tt", "-x2c")},
+      pv AS MATERIALIZED (
+        SELECT metric, n0, x0, n1, x1, ${proundSql("z", 6)} AS z,
+          ${proundSql(
+            """tt * (0.254829592 + tt * (-0.284496736
+               + tt * (1.421413741 + tt * (-1.453152027
+                 + tt * 1.061405429)))) * expv""", 8)} AS pval
+        FROM erexpv),
+      ranked AS MATERIALIZED (
+        SELECT *, row_number() OVER (ORDER BY pval ASC, metric ASC)
+          AS rk
+        FROM pv),
+      km AS (
+        SELECT max(CASE WHEN pval <= 0.05 * CAST(rk AS DOUBLE) / $BH_K.0
+          THEN rk ELSE 0 END) AS kmax
+        FROM ranked)
+      SELECT r.metric, r.n0, r.x0, r.n1, r.x1, r.z, r.pval, r.rk,
+        CAST(CASE WHEN r.rk <= k.kmax THEN 1 ELSE 0 END AS INT)
+          AS rejected,
+        CAST(CASE WHEN r.metric < 5 THEN 1 ELSE 0 END AS INT)
+          AS planted
+      FROM ranked r CROSS JOIN km k
+      ORDER BY r.metric"""
+    })
+
   val all: Seq[Q] =
     Seq(q34, q35, q36, q37, q38, q41, q42, q55, q58, q59, q67, q76, q77,
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
-      q264, q268, q269, q282, q284, q285, q286, q287, q288, q289)
+      q264, q268, q269, q282, q284, q285, q286, q287, q288, q289,
+      q294, q295, q296, q299)
 }

@@ -2489,6 +2489,108 @@ object TextAnalysis {
       ORDER BY feature"""
     })
 
+  // -- T34: BRIER SCORE MURPHY DECOMPOSITION — the other half of
+  //    q260's calibration story: ECE measures miscalibration alone;
+  //    the Brier score BS = (1/N)Σ(p−o)² splits EXACTLY (forecasts
+  //    are bin-constant midpoints, so Murphy's identity holds) into
+  //    RELIABILITY (miscalibration, want 0) − RESOLUTION (how much
+  //    the bins separate outcomes, want big) + UNCERTAINTY (the
+  //    irreducible ō(1−ō)). The decomposition gap is carried in the
+  //    output as the identity's measured float residual. BS itself
+  //    is exact-integer: (p−o) = (2b+1−20o)/20, so Σ(2b+1−20o)² is a
+  //    BIGINT; per-bin reliability numerators likewise; the only
+  //    float sums are the 10-bin ds8 folds.
+  private val q298 = Q(
+    "q298_brier_decomposition",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      def ds8(c: org.apache.spark.sql.Column) =
+        sum(pround(c, 8).cast(DecimalType(28, 8))).cast("double")
+      val toks = tokens(col("text"))
+      val perdoc = t.documents.select(
+          least(lit(99), size(toks)).cast("long").as("bin"),
+          (size(array_distinct(toks)) < size(toks)).cast("long").as("pos"))
+        .withColumn("pbin",
+          least(expr("(bin * 10) div 99"), lit(9L)))
+        .withColumn("e", lit(2L) * col("pbin") + lit(1L)
+          - lit(20L) * col("pos"))
+      val bins = perdoc.groupBy(col("pbin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"),
+          sum(col("e") * col("e")).as("se2"))
+        .localCheckpoint(true)
+      val tot = bins.agg(sum(col("n")).as("nn"), sum(col("np")).as("pp"),
+        sum(col("se2")).as("sbs"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val relNum = ((lit(2L) * col("pbin") + lit(1L)) * col("n")
+        - lit(20L) * col("np"))
+      val withTot = bins.crossJoin(broadcast(tot))
+      val obar = d(col("pp")) / d(col("nn"))
+      val dev = d(col("np")) / d(col("n")) - obar
+      val parts = withTot
+        .select(col("nn"), col("pp"), col("sbs"),
+          (d(relNum * relNum) / (lit(400.0) * d(col("n")))).as("relterm"),
+          (d(col("n")) * dev * dev).as("resterm"))
+        .groupBy(col("nn"), col("pp"), col("sbs"))
+        .agg(ds8(col("relterm")).as("srel"), ds8(col("resterm")).as("sres"))
+      val bs = d(col("sbs")) / (lit(400.0) * d(col("nn")))
+      val rel = col("srel") / d(col("nn"))
+      val res = col("sres") / d(col("nn"))
+      val unc = obar * (lit(1.0) - obar)
+      parts.select(col("nn").as("n_docs"), col("pp").as("n_pos"),
+        pround(bs, 6).as("brier"),
+        pround(rel, 6).as("reliability"),
+        pround(res, 6).as("resolution"),
+        pround(unc, 6).as("uncertainty"),
+        pround(bs - (rel - res + unc), 8).as("decomp_gap"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val toksSql = TextFns.tokensSql("text")
+      val bs = "CAST(sbs AS DOUBLE) / (400.0 * CAST(nn AS DOUBLE))"
+      val rel = "srel / CAST(nn AS DOUBLE)"
+      val res = "sres / CAST(nn AS DOUBLE)"
+      val unc = """CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)
+        * (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))"""
+      s"""WITH perdoc AS (
+        SELECT pbin, pos, 2 * pbin + 1 - 20 * pos AS e FROM (
+          SELECT least((least(99, len($toksSql)) * 10) // 99, 9) AS pbin,
+            CASE WHEN len(list_distinct($toksSql)) < len($toksSql)
+              THEN 1 ELSE 0 END AS pos
+          FROM documents)),
+      bins AS MATERIALIZED (
+        SELECT pbin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS np,
+          CAST(sum(e * e) AS BIGINT) AS se2
+        FROM perdoc GROUP BY pbin),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        CAST(sum(np) AS BIGINT) AS pp,
+        CAST(sum(se2) AS BIGINT) AS sbs FROM bins),
+      parts AS (
+        SELECT nn, pp, sbs,
+          ${ds8(
+            """CAST(((2 * pbin + 1) * n - 20 * np)
+               * ((2 * pbin + 1) * n - 20 * np) AS DOUBLE)
+               / (400.0 * CAST(n AS DOUBLE))""")} AS srel,
+          ${ds8(
+            """CAST(n AS DOUBLE)
+               * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE))""")} AS sres
+        FROM bins CROSS JOIN tot
+        GROUP BY nn, pp, sbs)
+      SELECT nn AS n_docs, pp AS n_pos,
+        ${proundSql(bs, 6)} AS brier,
+        ${proundSql(rel, 6)} AS reliability,
+        ${proundSql(res, 6)} AS resolution,
+        ${proundSql(unc, 6)} AS uncertainty,
+        ${proundSql(s"($bs) - (($rel) - ($res) + ($unc))", 8)}
+          AS decomp_gap
+      FROM parts"""
+    })
+
   // -- T33: MULTINOMIAL NAIVE BAYES language classifier — the trained
   //    probabilistic sibling of q19's heuristic lang-ID, the simplest
   //    model a curation stack actually fits in-engine: token counts
@@ -2622,5 +2724,5 @@ object TextAnalysis {
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277, q293)
+      q276, q277, q293, q298)
 }

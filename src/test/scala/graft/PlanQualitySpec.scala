@@ -565,7 +565,11 @@ class PlanQualitySpec extends SparkSpec {
       // q267: the GLOBAL sensitive-value CDF — a cumulative sum over
       // the m-row value domain (m = |sensitive enum| ≤ a handful;
       // the per-class windows partition by QI and are not global)
-      "q267_t_closeness")
+      "q267_t_closeness",
+      // q296: the BH rank over the K = 25 per-metric p-value rows —
+      // the hypothesis battery is a bounded dimension (q252's
+      // bounded-intermediate class), not the event stream
+      "q296_bh_fdr")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
