@@ -126,7 +126,8 @@ object Bench {
     "q290_ann_frontier", "q291_hll_cardinality", "q292_ams_f2",
     "q293_naive_bayes", "q294_gini_stump", "q295_cochran_armitage",
     "q296_bh_fdr", "q297_good_turing", "q298_brier_decomposition",
-    "q299_propensity_blocks",
+    "q299_propensity_blocks", "q300_hll_overlap", "q301_mann_whitney",
+    "q302_permutation_test",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -42,6 +42,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // runtime bloom-filter pushdown for selective joins
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // The generated-class cache defaults to 100 entries; the ~290-
+      // query registry emits ~9,700 codegen units per full pass, so a
+      // long-lived session (the bench's pass 2, any interactive reuse)
+      // recompiles EVERYTHING — measured in bench/DRIFT_r14.md:
+      // 9,768 janino compiles and 191 s of background JIT in pass 2
+      // with zero cross-pass reuse. 16k entries fits a full registry
+      // pass (metaspace cost ~hundreds of MB against a 128 GiB JVM)
+      // and makes repeated plans compile once per JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       // managed-table warehouse (bucketed tables) out of the repo tree
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

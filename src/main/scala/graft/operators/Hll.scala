@@ -58,8 +58,14 @@ object Hll {
     * correction: linear counting m·ln(m/V) when E_raw ≤ 2.5m and
     * zero registers exist.
     */
-  def estimate(regs: DataFrame, keyCol: String): DataFrame = {
-    val agg = regs.groupBy(col(keyCol))
+  def estimate(regs: DataFrame, keyCol: String): DataFrame =
+    estimateKeys(regs, Seq(keyCol))
+
+  /** [[estimate]] with a composite key (e.g. a source PAIR whose
+    * registers were max-merged for a union estimate).
+    */
+  def estimateKeys(regs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(keyCols.map(col): _*)
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${RHO_CAP} - r AS INT))"))
           .as("s_present"),
@@ -70,9 +76,9 @@ object Hll {
     val eRaw = lit(NUM) / col("s_scaled").cast("double")
     val lc = lit(M.toDouble) * call_function("graft_lndet",
       lit(M.toDouble) / greatest(col("v_zero"), lit(1L)).cast("double"))
-    agg.select(col(keyCol), col("m_present"), col("v_zero"),
+    agg.select(keyCols.map(col) ++ Seq(col("m_present"), col("v_zero"),
       col("s_scaled"),
       when(eRaw <= lit(LC_THRESHOLD) && col("v_zero") > 0, lc)
-        .otherwise(eRaw).as("est"))
+        .otherwise(eRaw).as("est")): _*)
   }
 }

@@ -2044,6 +2044,149 @@ object CorpusQueries {
       ORDER BY lang"""
     })
 
+  // -- C24: HLL OVERLAP — what register sketches buy that q230's KMV
+  //    needs stored hashes for: per-LANG-pair intersection and Jaccard
+  //    by inclusion-exclusion over MERGED registers (union registers =
+  //    per-bucket max, an order-free fold — the mergeability that
+  //    makes HLL the cross-shard cardinality plumbing at 100 TB: ship
+  //    256 bytes per shard, never re-scan). est_inter = est_a + est_b
+  //    − est_union can be slightly negative on thin overlaps — it is
+  //    reported as measured, next to the exact truth (sketch-row
+  //    discipline).
+  private val q300 = Q(
+    "q300_hll_overlap",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val hll = graft.operators.Hll
+      val u = t.documents
+        .select(col("lang"),
+          explode(TextFns.shingles(
+            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+        .select(col("lang"),
+          graft.operators.Sampling.slotWide(
+            TextFns.rollingHash(col("sh"))).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val regs = hll.registers(u, "lang", "h").localCheckpoint(true)
+      val est1 = hll.estimate(regs, "lang")
+        .select(col("lang"), col("est"))
+      val n1 = u.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val langs = u.select(col("lang")).distinct()
+      val pairsL = langs.as("a").join(langs.as("b"),
+          col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("la"), col("b.lang").as("lb"))
+      val uregs = pairsL.join(regs.withColumnRenamed("lang", "la"), Seq("la"))
+        .select(col("la"), col("lb"), col("bucket"), col("r"))
+        .unionByName(
+          pairsL.join(regs.withColumnRenamed("lang", "lb"), Seq("lb"))
+            .select(col("la"), col("lb"), col("bucket"), col("r")))
+        .groupBy(col("la"), col("lb"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val estU = hll.estimateKeys(uregs, Seq("la", "lb"))
+        .select(col("la"), col("lb"), col("est").as("est_union"))
+      val inter = u.as("a").join(u.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("la"), col("b.lang").as("lb"))
+        .agg(count(lit(1)).as("inter_exact"))
+      pairsL
+        .join(n1.select(col("lang").as("la"), col("n").as("n_a")), Seq("la"))
+        .join(n1.select(col("lang").as("lb"), col("n").as("n_b")), Seq("lb"))
+        .join(inter, Seq("la", "lb"), "left")
+        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+        .join(est1.select(col("lang").as("la"), col("est").as("est_a")),
+          Seq("la"))
+        .join(est1.select(col("lang").as("lb"), col("est").as("est_b")),
+          Seq("lb"))
+        .join(estU, Seq("la", "lb"))
+        .withColumn("union_exact",
+          col("n_a") + col("n_b") - col("inter_exact"))
+        .withColumn("est_inter",
+          col("est_a") + col("est_b") - col("est_union"))
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+          col("inter_exact"), col("union_exact"),
+          pround(col("est_inter"), 4).as("est_inter"),
+          pround(col("inter_exact").cast("double")
+            / col("union_exact").cast("double"), 6).as("jacc_exact"),
+          pround(col("est_inter") / col("est_union"), 6).as("jacc_hll"))
+        .orderBy(col("la"), col("lb"))
+    },
+    Some {
+      val shs = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), KMV_W)
+      val hll = graft.operators.Hll
+      // the q291 estimate chain, parameterized by key columns
+      def estChain(pfx: String, regsCte: String, keys: String) =
+        s"""${pfx}agg AS (
+        SELECT $keys,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(${hll.RHO_CAP} - r AS INT))
+            AS BIGINT) AS s_present,
+          CAST(count(*) AS BIGINT) AS m_present
+        FROM $regsCte GROUP BY $keys),
+      ${pfx}full AS (
+        SELECT $keys, m_present,
+          ${hll.M} - m_present AS v_zero,
+          s_present + (${hll.M} - m_present) * 2147483648 AS s_scaled
+        FROM ${pfx}agg),
+      ${graft.queries.Portable.lnDetSqlCtes(s"${pfx}lc", s"${pfx}full",
+        s"$keys, s_scaled, v_zero",
+        s"CAST(${hll.M} AS DOUBLE) / CAST(GREATEST(v_zero, 1) AS DOUBLE)")},
+      ${pfx}est AS (
+        SELECT $keys,
+          CASE WHEN ${hll.NUM} / CAST(s_scaled AS DOUBLE)
+              <= ${hll.LC_THRESHOLD} AND v_zero > 0
+            THEN CAST(${hll.M} AS DOUBLE) * lnp
+            ELSE ${hll.NUM} / CAST(s_scaled AS DOUBLE) END AS est
+        FROM ${pfx}lclnv)"""
+      s"""WITH u AS MATERIALIZED (
+        SELECT DISTINCT lang,
+          (${graft.operators.Sampling.slotWideSql(
+            TextFns.rollingHashSql("sh"))}) AS h
+        FROM (SELECT lang, unnest($shs) AS sh FROM documents)),
+      regs AS MATERIALIZED (
+        SELECT lang, h % ${hll.M} AS bucket,
+          max(least(bit_count(((h // ${hll.M}) & -(h // ${hll.M})) - 1)
+            + 1, ${hll.RHO_CAP})) AS r
+        FROM u GROUP BY lang, h % ${hll.M}),
+      ${estChain("e1", "regs", "lang")},
+      pairsl AS (
+        SELECT a.lang AS la, b.lang AS lb
+        FROM (SELECT DISTINCT lang FROM u) a
+        JOIN (SELECT DISTINCT lang FROM u) b ON a.lang < b.lang),
+      uregs AS (
+        SELECT la, lb, bucket, max(r) AS r FROM (
+          SELECT p.la, p.lb, g.bucket, g.r
+          FROM pairsl p JOIN regs g ON g.lang = p.la
+          UNION ALL
+          SELECT p.la, p.lb, g.bucket, g.r
+          FROM pairsl p JOIN regs g ON g.lang = p.lb)
+        GROUP BY la, lb, bucket),
+      ${estChain("e2", "uregs", "la, lb")},
+      n1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM u
+        GROUP BY lang),
+      inter AS (
+        SELECT a.lang AS la, b.lang AS lb,
+          CAST(count(*) AS BIGINT) AS inter_exact
+        FROM u a JOIN u b ON a.h = b.h AND a.lang < b.lang
+        GROUP BY a.lang, b.lang)
+      SELECT p.la, p.lb, na.n AS n_a, nb.n AS n_b,
+        COALESCE(i.inter_exact, 0) AS inter_exact,
+        na.n + nb.n - COALESCE(i.inter_exact, 0) AS union_exact,
+        ${proundSql("ea.est + eb.est - eu.est", 4)} AS est_inter,
+        ${proundSql(
+          """CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+             / CAST(na.n + nb.n - COALESCE(i.inter_exact, 0) AS DOUBLE)""",
+          6)} AS jacc_exact,
+        ${proundSql("(ea.est + eb.est - eu.est) / eu.est", 6)}
+          AS jacc_hll
+      FROM pairsl p
+      JOIN n1 na ON na.lang = p.la
+      JOIN n1 nb ON nb.lang = p.lb
+      LEFT JOIN inter i ON i.la = p.la AND i.lb = p.lb
+      JOIN e1est ea ON ea.lang = p.la
+      JOIN e1est eb ON eb.lang = p.lb
+      JOIN e2est eu ON eu.la = p.la AND eu.lb = p.lb
+      ORDER BY p.la, p.lb"""
+    })
+
   // -- C14: MUTUAL INFORMATION between quality signals — before two
   //    heuristics both gate a corpus, measure whether they carry the
   //    SAME information: MI (and the symmetric uncertainty
@@ -2172,5 +2315,5 @@ object CorpusQueries {
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292, q297)
+      q250, q291, q292, q297, q300)
 }

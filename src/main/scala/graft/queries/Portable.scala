@@ -118,4 +118,43 @@ object Portable {
             CAST(1 AS DOUBLE) / 15))))))))) AS lnp
         FROM ${pfx}t2v)"""
   }
+
+  /** Deterministic two-sided normal p-value 2(1−Φ(|z|)) = erfc(|z|/√2)
+    * via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7), its exp through
+    * graft_expdet with the x² argument clamped at 43 (saturated tail ⇒
+    * p ≈ 0 exactly where the error is irrelevant). Every op is an IEEE
+    * two-operand op [[pTwoSidedSqlCtes]] replays verbatim — the
+    * engine's reusable p-value primitive (first used inline by q296).
+    */
+  def pTwoSided(z: Column): Column = {
+    val x = abs(z) * lit(0.7071067811865476)
+    val x2c = least(x * x, lit(43.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736)
+      + tt * (lit(1.421413741) + tt * (lit(-1.453152027)
+        + tt * lit(1.061405429)))))
+    poly * call_function("graft_expdet", -x2c)
+  }
+
+  /** Oracle replay of [[pTwoSided]]: CTE text whose final CTE
+    * `${pfx}pv` carries `$carry` plus `${pfx}p` = pTwoSided($zExpr).
+    * `src` must provide the carry columns and whatever $zExpr reads.
+    */
+  def pTwoSidedSqlCtes(pfx: String, src: String, carry: String,
+      zExpr: String): String =
+    s"""${pfx}x AS (
+        SELECT $carry, abs($zExpr) * 0.7071067811865476 AS ${pfx}xv
+        FROM $src),
+      ${pfx}t AS (
+        SELECT *, least(${pfx}xv * ${pfx}xv, 43.0) AS ${pfx}x2c,
+          1.0 / (1.0 + 0.3275911 * ${pfx}xv) AS ${pfx}tt
+        FROM ${pfx}x),
+      ${expDetSqlCtes(s"${pfx}e", s"${pfx}t", s"$carry, ${pfx}tt",
+        s"-${pfx}x2c")},
+      ${pfx}pv AS (
+        SELECT $carry,
+          ${pfx}tt * (0.254829592 + ${pfx}tt * (-0.284496736
+            + ${pfx}tt * (1.421413741 + ${pfx}tt * (-1.453152027
+              + ${pfx}tt * 1.061405429)))) * expv AS ${pfx}p
+        FROM ${pfx}eexpv)"""
 }

@@ -2489,6 +2489,187 @@ object TextAnalysis {
       ORDER BY feature"""
     })
 
+  // -- T35: MANN-WHITNEY U — the distribution-free two-sample test
+  //    the battery lacked (q261's Kendall is paired-rank correlation;
+  //    this compares two GROUPS without normality assumptions): does
+  //    the per-doc token count differ between the two slotWide hash
+  //    arms (a true null — the audit is the test correctly not
+  //    rejecting). Ranks with midrank ties are computed in 2× units
+  //    (rank2 = 2·cnt_less + cnt_eq + 1 per distinct value), so R₁,
+  //    U, and the tie-corrected variance numerators are EXACT
+  //    integers; z gets one pinned float program and the p-value
+  //    comes from [[Portable.pTwoSided]] — the deterministic normal
+  //    tail. Shape at scale: per-(value, arm) counts are one
+  //    map-side-combined pass over a bounded grid; everything after
+  //    is grid-sized.
+  private val q301 = Q(
+    "q301_mann_whitney",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val d0 = t.documents.select(
+        least(lit(199), size(toks)).cast("long").as("v"),
+        pmod(graft.operators.Sampling.slotWide(col("doc_id")), lit(2L))
+          .as("arm"))
+      val cells = d0.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint(true)
+      // unpartitioned window over the BOUNDED value grid (≤ 200 rows
+      // — allowlisted in PlanQualitySpec)
+      val cum = cells
+        .withColumn("less", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("less") + col("cnt") + lit(1L))
+      val agg = cum.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("c1")).as("n1"),
+        sum(col("c1") * col("rank2")).as("r1x2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val n2c = col("n") - col("n1")
+      // U = R1 − n1(n1+1)/2, in 2× units then halved exactly
+      val u2 = col("r1x2") - col("n1") * (col("n1") + 1L)
+      val mu2 = col("n1") * n2c // 2·mean(U)
+      val varU = (d(col("n1")) * d(n2c) / 12.0) * ((d(col("n")) + 1.0)
+        - d(col("tie3")) / (d(col("n")) * (d(col("n")) - 1.0)))
+      val z = (d(u2) - d(mu2)) / (lit(2.0) * sqrt(varU))
+      val stats = agg.select(col("n"), col("n1"), n2c.as("n2"),
+        (d(u2) / lit(2.0)).cast("long").as("u"), col("tie3"),
+        pround(z, 6).as("z"),
+        pround(Portable.pTwoSided(z), 8).as("pval"))
+      stats.withColumn("reject_95",
+        (col("pval") < lit(0.05)).cast("int"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      val n2s = "(n - n1)"
+      val u2s = "(r1x2 - n1 * (n1 + 1))"
+      val varS = s"""(CAST(n1 AS DOUBLE) * CAST($n2s AS DOUBLE) / 12.0)
+        * ((CAST(n AS DOUBLE) + 1.0)
+          - CAST(tie3 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+      val zS = s"""(CAST($u2s AS DOUBLE) - CAST(n1 * $n2s AS DOUBLE))
+        / (2.0 * sqrt($varS))"""
+      s"""WITH d0 AS (
+        SELECT least(199, len($toksSql)) AS v,
+          (${graft.operators.Sampling.slotWideSql("doc_id")}) % 2 AS arm
+        FROM documents),
+      cells AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM d0 GROUP BY v),
+      cum AS (
+        SELECT *, 2 * COALESCE(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + cnt + 1 AS rank2
+        FROM cells),
+      agg2 AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c1 * rank2) AS BIGINT) AS r1x2,
+          CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        FROM cum),
+      ${Portable.pTwoSidedSqlCtes("mw", "agg2",
+        "n, n1, r1x2, tie3", zS)}
+      SELECT n, n1, $n2s AS n2, $u2s // 2 AS u, tie3,
+        ${proundSql(zS, 6)} AS z,
+        ${proundSql("mwp", 8)} AS pval,
+        CAST(CASE WHEN ${proundSql("mwp", 8)} < 0.05
+          THEN 1 ELSE 0 END AS INT) AS reject_95
+      FROM mwpv"""
+    })
+
+  // -- T36: HASH-PERMUTATION TEST — exact distribution-free inference
+  //    with ZERO runtime randomness: the observed statistic (mean
+  //    token-count gap between English and non-English docs) is
+  //    compared against 31 deterministic relabelings (arm_i =
+  //    slotWide(doc_id·64+i) mod 2 — each a valid draw from the null
+  //    because the hash is independent of the text), and
+  //    p = (1 + #{|stat_i| ≥ |stat_obs|}) / 32. All 31 permutation
+  //    sums ride ONE corpus pass (64 conditional integer aggregates,
+  //    map-side combined); every statistic is a pinned float program
+  //    over exact BIGINTs. The q289/q296 inverse-CDF discipline
+  //    applied to resampling inference.
+  private val PERM_K = 31
+  private val q302 = Q(
+    "q302_permutation_test",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val sw = (c: org.apache.spark.sql.Column) =>
+        graft.operators.Sampling.slotWide(c)
+      val base = t.documents.select(
+        size(toks).cast("long").as("m"),
+        (col("lang") === "en").cast("long").as("g"),
+        col("doc_id"))
+      val aggs =
+        Seq(sum(col("m")).as("sm"), count(lit(1)).as("n"),
+          sum(col("g") * col("m")).as("s_obs"),
+          sum(col("g")).as("n_obs")) ++
+        (1 to PERM_K).flatMap { i =>
+          val arm = pmod(sw(col("doc_id") * lit(64L) + lit(i.toLong)),
+            lit(2L))
+          Seq(sum(when(arm === 1, col("m")).otherwise(0L)).as(s"s$i"),
+            sum(when(arm === 1, 1L).otherwise(0L)).as(s"k$i"))
+        }
+      val row = base.agg(aggs.head, aggs.tail: _*)
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def gap(sc: org.apache.spark.sql.Column,
+          nc: org.apache.spark.sql.Column) =
+        d(sc) / d(nc) - d(col("sm") - sc) / d(col("n") - nc)
+      val obs = gap(col("s_obs"), col("n_obs"))
+      val nGe = (1 to PERM_K).map { i =>
+        (abs(gap(col(s"s$i"), col(s"k$i"))) >= abs(obs))
+          .cast("long")
+      }.reduce(_ + _)
+      row.select(col("n"), col("n_obs").as("n_group"),
+        pround(obs, 6).as("stat_obs"),
+        nGe.as("n_extreme"),
+        pround((lit(1L) + nGe).cast("double")
+          / lit((PERM_K + 1).toDouble), 6).as("p_perm"))
+    },
+    Some {
+      val armS = (i: Int) => s"(${graft.operators.Sampling.slotWideSql(
+        s"doc_id * 64 + $i")}) % 2"
+      val permAggs = (1 to PERM_K).map { i =>
+        s"""CAST(sum(CASE WHEN ${armS(i)} = 1 THEN m ELSE 0 END)
+             AS BIGINT) AS s$i,
+           CAST(sum(CASE WHEN ${armS(i)} = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS k$i"""
+      }.mkString(",\n          ")
+      def gapS(sc: String, nc: String) =
+        s"""(CAST($sc AS DOUBLE) / CAST($nc AS DOUBLE)
+          - CAST(sm - $sc AS DOUBLE) / CAST(n - $nc AS DOUBLE))"""
+      val obsS = gapS("s_obs", "n_obs")
+      val nGeS = (1 to PERM_K).map { i =>
+        s"""CASE WHEN abs(${gapS(s"s$i", s"k$i")}) >= abs($obsS)
+          THEN 1 ELSE 0 END"""
+      }.mkString(" + ")
+      val toksSql = TextFns.tokensSql("text")
+      s"""WITH base AS (
+        SELECT CAST(len($toksSql) AS BIGINT) AS m,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+          doc_id
+        FROM documents),
+      agg AS MATERIALIZED (
+        SELECT CAST(sum(m) AS BIGINT) AS sm,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(g * m) AS BIGINT) AS s_obs,
+          CAST(sum(g) AS BIGINT) AS n_obs,
+          $permAggs
+        FROM base)
+      SELECT n, n_obs AS n_group,
+        ${proundSql(obsS, 6)} AS stat_obs,
+        CAST(($nGeS) AS BIGINT) AS n_extreme,
+        ${proundSql(
+          s"CAST(1 + ($nGeS) AS DOUBLE) / ${(PERM_K + 1).toDouble}",
+          6)} AS p_perm
+      FROM agg"""
+    })
+
   // -- T34: BRIER SCORE MURPHY DECOMPOSITION — the other half of
   //    q260's calibration story: ECE measures miscalibration alone;
   //    the Brier score BS = (1/N)Σ(p−o)² splits EXACTLY (forecasts
@@ -2724,5 +2905,5 @@ object TextAnalysis {
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277, q293, q298)
+      q276, q277, q293, q298, q301, q302)
 }

@@ -42,7 +42,11 @@ class DeterminismSpec extends SparkSpec {
     // round-14 shapes: register-max HLL, ±1-sign AMS accumulators,
     // log-space NB argmax, multi-arm Pareto counts
     "q291_hll_cardinality", "q292_ams_f2", "q293_naive_bayes",
-    "q290_ann_frontier")
+    "q290_ann_frontier",
+    // round-14b shapes: register union-merge, midrank grid window,
+    // 64-aggregate permutation pass, stump impurity argmin, BH rank
+    "q300_hll_overlap", "q301_mann_whitney", "q302_permutation_test",
+    "q294_gini_stump", "q296_bh_fdr")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()

@@ -569,7 +569,10 @@ class PlanQualitySpec extends SparkSpec {
       // q296: the BH rank over the K = 25 per-metric p-value rows —
       // the hypothesis battery is a bounded dimension (q252's
       // bounded-intermediate class), not the event stream
-      "q296_bh_fdr")
+      "q296_bh_fdr",
+      // q301: midrank prefix-sum over the ≤ 200-row token-count value
+      // grid (input already aggregated — the q64 bucket-prefix class)
+      "q301_mann_whitney")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if !allowed.contains(name)) {
