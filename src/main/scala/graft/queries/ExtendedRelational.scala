@@ -3129,6 +3129,76 @@ object ExtendedRelational {
       ORDER BY w.item"""
     })
 
+  // -- X51: DEGREE ASSORTATIVITY — the graph-family rung after
+  //    PageRank/HITS/triangles/Adamic-Adar: do high-degree users
+  //    attach to high-degree items, or is the bipartite interaction
+  //    graph disassortative (the hub-vs-niche shape that decides
+  //    whether degree-based sampling skews a training corpus)?
+  //    Pearson r of (user degree, item degree) across the distinct
+  //    user-item edges: the five moment sums are exact BIGINTs from
+  //    one degree-join pass; r is one pinned float program over them.
+  private val q305 = Q(
+    "q305_degree_assortativity",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val ui = t.events.select(col("user_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+        .distinct()
+        .localCheckpoint(true)
+      val du = ui.groupBy(col("user_id")).agg(count(lit(1)).as("du"))
+      val di = ui.groupBy(col("item")).agg(count(lit(1)).as("di"))
+      val edges = ui.join(du, Seq("user_id")).join(di, Seq("item"))
+      val agg = edges.agg(
+        count(lit(1)).as("m"),
+        sum(col("du")).as("sx"), sum(col("di")).as("sy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("di") * col("di")).as("syy"),
+        sum(col("du") * col("di")).as("sxy"))
+      val nu = ui.select(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("item")).as("n_items"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val num = d(col("m")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val denx = d(col("m")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val deny = d(col("m")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      agg.crossJoin(broadcast(nu))
+        .select(col("m").as("m_edges"), col("n_users"), col("n_items"),
+          col("sx"), col("sy"), col("sxy"),
+          pround(num / (sqrt(denx) * sqrt(deny)), 6).as("assortativity"))
+    },
+    Some {
+      val num = """(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"""
+      val denx = """(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+      val deny = """(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"""
+      s"""WITH ui AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+          CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+        FROM events),
+      du AS (SELECT user_id, CAST(count(*) AS BIGINT) AS du FROM ui
+        GROUP BY user_id),
+      di AS (SELECT item, CAST(count(*) AS BIGINT) AS di FROM ui
+        GROUP BY item),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+          CAST(sum(du.du) AS BIGINT) AS sx,
+          CAST(sum(di.di) AS BIGINT) AS sy,
+          CAST(sum(du.du * du.du) AS BIGINT) AS sxx,
+          CAST(sum(di.di * di.di) AS BIGINT) AS syy,
+          CAST(sum(du.du * di.di) AS BIGINT) AS sxy
+        FROM ui JOIN du ON du.user_id = ui.user_id
+        JOIN di ON di.item = ui.item),
+      nu AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(count(DISTINCT item) AS BIGINT) AS n_items
+        FROM ui)
+      SELECT m AS m_edges, n_users, n_items, sx, sy, sxy,
+        ${proundSql(s"$num / (sqrt($denx) * sqrt($deny))", 6)}
+          AS assortativity
+      FROM agg CROSS JOIN nu"""
+    })
+
   // -- X50: PROPENSITY SUBCLASSIFICATION (blocking, Cochran 1968) —
   //    the third way to spend a propensity score, next to q285's IPW
   //    (same confounded scenario, same logistic fit, same planted
@@ -3653,5 +3723,5 @@ object ExtendedRelational {
       q80, q82, q83, q86, q113, q133, q142, q144, q145, q146, q161, q169,
       q186, q187, q196, q223, q233, q234, q240, q247, q255, q256, q259,
       q264, q268, q269, q282, q284, q285, q286, q287, q288, q289,
-      q294, q295, q296, q299)
+      q294, q295, q296, q299, q305)
 }

@@ -2582,6 +2582,185 @@ object TextAnalysis {
       FROM mwpv"""
     })
 
+  // -- T37: WELCH'S t-TEST — the unequal-variance two-sample mean
+  //    test next to q301's rank test (Mann-Whitney asks "same
+  //    distribution"; Welch asks "same MEAN" without assuming equal
+  //    variances — the default a careful analyst reaches for):
+  //    English vs non-English per-doc token counts. The six
+  //    sufficient statistics (n, Σx, Σx²) per group are exact
+  //    BIGINTs; t, the Welch-Satterthwaite df, and the p-value
+  //    ([[Portable.pTwoSided]] — normal tail, df here is in the
+  //    hundreds so the z-approximation is exact to the rounding we
+  //    report) are one pinned float program.
+  private val q303 = Q(
+    "q303_welch_ttest",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val base = t.documents.select(
+        size(toks).cast("long").as("m"),
+        (col("lang") === "en").cast("long").as("g"))
+      val agg = base.agg(
+        sum(col("g")).as("n1"),
+        sum(col("g") * col("m")).as("s1"),
+        sum(col("g") * col("m") * col("m")).as("q1"),
+        sum(lit(1L) - col("g")).as("n0"),
+        sum((lit(1L) - col("g")) * col("m")).as("s0"),
+        sum((lit(1L) - col("g")) * col("m") * col("m")).as("q0"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def vOf(q: String, sc: String, n: String) =
+        ((d(col(q)) - d(col(sc)) * d(col(sc)) / d(col(n)))
+          / (d(col(n)) - 1.0))
+      val v1 = vOf("q1", "s1", "n1"); val v0 = vOf("q0", "s0", "n0")
+      val se1 = v1 / d(col("n1")); val se0 = v0 / d(col("n0"))
+      val tStat = (d(col("s1")) / d(col("n1"))
+        - d(col("s0")) / d(col("n0"))) / sqrt(se1 + se0)
+      val df = ((se1 + se0) * (se1 + se0)
+        / (se1 * se1 / (d(col("n1")) - 1.0)
+          + se0 * se0 / (d(col("n0")) - 1.0)))
+      agg.select(col("n1"), col("n0"),
+          pround(d(col("s1")) / d(col("n1")), 6).as("mean_en"),
+          pround(d(col("s0")) / d(col("n0")), 6).as("mean_other"),
+          pround(v1, 6).as("var_en"), pround(v0, 6).as("var_other"),
+          pround(tStat, 6).as("t"),
+          pround(df, 4).as("df_welch"),
+          pround(Portable.pTwoSided(tStat), 8).as("pval"))
+        .withColumn("reject_95", (col("pval") < lit(0.05)).cast("int"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      def vOf(q: String, sc: String, n: String) =
+        s"""((CAST($q AS DOUBLE) - CAST($sc AS DOUBLE)
+          * CAST($sc AS DOUBLE) / CAST($n AS DOUBLE))
+          / (CAST($n AS DOUBLE) - 1.0))"""
+      val se1 = s"(${vOf("q1", "s1", "n1")} / CAST(n1 AS DOUBLE))"
+      val se0 = s"(${vOf("q0", "s0", "n0")} / CAST(n0 AS DOUBLE))"
+      val tS = s"""((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / sqrt($se1 + $se0))"""
+      val dfS = s"""(($se1 + $se0) * ($se1 + $se0)
+        / ($se1 * $se1 / (CAST(n1 AS DOUBLE) - 1.0)
+          + $se0 * $se0 / (CAST(n0 AS DOUBLE) - 1.0)))"""
+      s"""WITH base AS (
+        SELECT CAST(len($toksSql) AS BIGINT) AS m,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents),
+      agg AS MATERIALIZED (
+        SELECT CAST(sum(g) AS BIGINT) AS n1,
+          CAST(sum(g * m) AS BIGINT) AS s1,
+          CAST(sum(g * m * m) AS BIGINT) AS q1,
+          CAST(sum(1 - g) AS BIGINT) AS n0,
+          CAST(sum((1 - g) * m) AS BIGINT) AS s0,
+          CAST(sum((1 - g) * m * m) AS BIGINT) AS q0
+        FROM base),
+      ${Portable.pTwoSidedSqlCtes("wt", "agg",
+        "n1, s1, q1, n0, s0, q0", tS)}
+      SELECT n1, n0,
+        ${proundSql("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 6)}
+          AS mean_en,
+        ${proundSql("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)", 6)}
+          AS mean_other,
+        ${proundSql(vOf("q1", "s1", "n1"), 6)} AS var_en,
+        ${proundSql(vOf("q0", "s0", "n0"), 6)} AS var_other,
+        ${proundSql(tS, 6)} AS t,
+        ${proundSql(dfS, 4)} AS df_welch,
+        ${proundSql("wtp", 8)} AS pval,
+        CAST(CASE WHEN ${proundSql("wtp", 8)} < 0.05
+          THEN 1 ELSE 0 END AS INT) AS reject_95
+      FROM wtpv"""
+    })
+
+  // -- T38: JACKKNIFE STANDARD ERROR — the resampling variance
+  //    estimate that needs NO randomness at all: delete-one-SOURCE
+  //    jackknife of the corpus mean token count (the grouped
+  //    delete-a-block variant that respects clustering — docs within
+  //    a source correlate, so the naive iid SE understates). Each
+  //    leave-one-out estimate θ̂₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) is a pinned float
+  //    ratio of exact integer totals; the 20-term squared-deviation
+  //    sum rides the pround8→DECIMAL fold. The se_ratio column IS the
+  //    finding: how much the clustered SE exceeds the iid one.
+  private val q304 = Q(
+    "q304_jackknife_se",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tpch(s, dir)
+      def ds8(c: org.apache.spark.sql.Column) =
+        sum(pround(c, 8).cast(DecimalType(28, 8))).cast("double")
+      val toks = tokens(col("text"))
+      val perSrc = t.documents
+        .select(col("source"), size(toks).cast("long").as("m"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_i"), sum(col("m")).as("s_i"),
+          sum(col("m") * col("m")).as("q_i"))
+        .localCheckpoint(true)
+      val tot = perSrc.agg(count(lit(1)).as("g"), sum(col("n_i")).as("nn"),
+        sum(col("s_i")).as("ss"), sum(col("q_i")).as("qq"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val wt = perSrc.crossJoin(broadcast(tot))
+      val thI = (d(col("ss") - col("s_i"))) / (d(col("nn") - col("n_i")))
+      val thBarDf = wt.groupBy(col("g"), col("nn"), col("ss"), col("qq"))
+        .agg(ds8(thI).as("sth"))
+      val withBar = wt.join(broadcast(thBarDf),
+        Seq("g", "nn", "ss", "qq"))
+        .withColumn("dev", thI - col("sth") / d(col("g")))
+      val parts = withBar
+        .groupBy(col("g"), col("nn"), col("ss"), col("qq"))
+        .agg(ds8(col("dev") * col("dev")).as("sdev2"))
+      val theta = d(col("ss")) / d(col("nn"))
+      val seJack = sqrt((d(col("g")) - 1.0) / d(col("g"))
+        * col("sdev2"))
+      val varIid = (d(col("qq")) - d(col("ss")) * d(col("ss"))
+        / d(col("nn"))) / (d(col("nn")) - 1.0)
+      val seIid = sqrt(varIid / d(col("nn")))
+      parts.select(col("g").as("n_sources"), col("nn").as("n_docs"),
+        pround(theta, 6).as("theta"),
+        pround(seJack, 8).as("se_jackknife"),
+        pround(seIid, 8).as("se_iid"),
+        pround(seJack / seIid, 4).as("se_ratio"))
+    },
+    Some {
+      val ds8 = (x: String) =>
+        s"CAST(sum(CAST(${proundSql(x, 8)} AS DECIMAL(28,8))) AS DOUBLE)"
+      val toksSql = TextFns.tokensSql("text")
+      val thI = """(CAST(ss - s_i AS DOUBLE) / CAST(nn - n_i AS DOUBLE))"""
+      val seJ = """sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+        * sdev2)"""
+      val varIid = """((CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE)
+        * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        / (CAST(nn AS DOUBLE) - 1.0))"""
+      val seI = s"sqrt($varIid / CAST(nn AS DOUBLE))"
+      s"""WITH persrc AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+          CAST(sum(m) AS BIGINT) AS s_i,
+          CAST(sum(m * m) AS BIGINT) AS q_i
+        FROM (SELECT source, CAST(len($toksSql) AS BIGINT) AS m
+              FROM documents)
+        GROUP BY source),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS g,
+          CAST(sum(n_i) AS BIGINT) AS nn,
+          CAST(sum(s_i) AS BIGINT) AS ss,
+          CAST(sum(q_i) AS BIGINT) AS qq
+        FROM persrc),
+      thbar AS (
+        SELECT g, nn, ss, qq, ${ds8(thI)} AS sth
+        FROM persrc CROSS JOIN tot
+        GROUP BY g, nn, ss, qq),
+      parts AS (
+        SELECT g, nn, ss, qq,
+          ${ds8(s"($thI - sth / CAST(g AS DOUBLE)) " +
+            s"* ($thI - sth / CAST(g AS DOUBLE))")} AS sdev2
+        FROM persrc CROSS JOIN tot JOIN thbar USING (g, nn, ss, qq)
+        GROUP BY g, nn, ss, qq)
+      SELECT g AS n_sources, nn AS n_docs,
+        ${proundSql("CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)", 6)}
+          AS theta,
+        ${proundSql(seJ, 8)} AS se_jackknife,
+        ${proundSql(seI, 8)} AS se_iid,
+        ${proundSql(s"$seJ / $seI", 4)} AS se_ratio
+      FROM parts"""
+    })
+
   // -- T36: HASH-PERMUTATION TEST — exact distribution-free inference
   //    with ZERO runtime randomness: the observed statistic (mean
   //    token-count gap between English and non-English docs) is
@@ -2905,5 +3084,5 @@ object TextAnalysis {
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277, q293, q298, q301, q302)
+      q276, q277, q293, q298, q301, q302, q303, q304)
 }

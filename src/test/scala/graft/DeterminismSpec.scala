@@ -46,7 +46,9 @@ class DeterminismSpec extends SparkSpec {
     // round-14b shapes: register union-merge, midrank grid window,
     // 64-aggregate permutation pass, stump impurity argmin, BH rank
     "q300_hll_overlap", "q301_mann_whitney", "q302_permutation_test",
-    "q294_gini_stump", "q296_bh_fdr")
+    "q294_gini_stump", "q296_bh_fdr",
+    // round-14c shapes: delete-a-block ds8 fold, degree-join moments
+    "q304_jackknife_se", "q305_degree_assortativity")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
