@@ -74,4 +74,67 @@ object Logistic {
     }
     out.result()
   }
+
+  /** [[fitBatch]] for feature frames whose (xCols, y) tuple lives on a
+    * BOUNDED grid (a caller contract, enforced by `maxCells`): ONE
+    * map-side-combined groupBy collapses the corpus to counted cells,
+    * and every GD iteration then folds driver-side with the SAME math
+    * the distributed aggregate runs — per-cell gradient term
+    * round8((σ(z)−y)·x_j) entered as BigDecimal scale-8 HALF_UP
+    * (Spark's double→DECIMAL(28,8) cast) × cell count, summed exactly
+    * (decimal addition is associative, and all rows of a cell carry
+    * the identical term). Returns BIT-IDENTICAL history to
+    * [[fitBatch]] (LogisticSpec pins it) with iters+1 jobs → 1 job:
+    * the q289 bounded-cell-key fold as a reusable fitter.
+    */
+  def fitBatchGrouped(features: DataFrame, xCols: Seq[String],
+      yCol: String, lr: Double, iters: Int,
+      maxCells: Int = 100000): Seq[Iter] = {
+    require(iters >= 1 && xCols.nonEmpty)
+    val cells = features
+      .groupBy((xCols :+ yCol).map(col(_).cast("double")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map { r =>
+        (xCols.indices.map(r.getDouble).toArray,
+          r.getDouble(xCols.length), r.getLong(xCols.length + 1))
+      }
+    require(cells.length <= maxCells,
+      s"${cells.length} cells — feature grid is not bounded; use fitBatch")
+    val n = cells.map(_._3).sum
+    def round8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+    def dec8(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+    var w = Seq.fill(xCols.length)(0.0)
+    val out = Seq.newBuilder[Iter]
+    for (t <- 0 to iters) {
+      val gs = Array.fill(xCols.length)(java.math.BigDecimal.ZERO)
+      var nCorrect = 0L
+      cells.foreach { case (xs, y, cnt) =>
+        // the exact fitBatch float program: left-associated z, ±30
+        // clamp, ExpDet sigmoid, per-feature round8 term
+        var z = xs(0) * w.head
+        var j = 1
+        while (j < xs.length) { z = z + xs(j) * w(j); j += 1 }
+        val zc = if (z > 30.0) 30.0 else if (z < -30.0) -30.0 else z
+        val sV = 1.0 / (1.0 + graft.expressions.ExpDet.compute(-zc))
+        if ((z >= 0.0) == (y == 1.0)) nCorrect += cnt
+        val cntD = java.math.BigDecimal.valueOf(cnt)
+        j = 0
+        while (j < xs.length) {
+          gs(j) = gs(j).add(dec8(round8((sV - y) * xs(j))).multiply(cntD))
+          j += 1
+        }
+      }
+      out += Iter(t, n, nCorrect, w)
+      if (t < iters) {
+        val nD = n.toDouble
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj - lr * (gs(j).doubleValue / nD)
+        }
+      }
+    }
+    out.result()
+  }
 }

@@ -2485,7 +2485,10 @@ object ExtendedRelational {
             + lit(0.01) * col("l_quantity").cast("double")).as("y_base"))
         .withColumn("y", col("y_base") + lit(0.3) * col("t"))
         .localCheckpoint(true)
-      val hist = graft.operators.Logistic.fitBatch(
+      // (x0, x1, t) lives on a 100-cell grid: the grouped fitter
+      // folds the 16 GD passes into ONE cell job (bit-identical —
+      // LogisticSpec pins fitBatchGrouped ≡ fitBatch)
+      val hist = graft.operators.Logistic.fitBatchGrouped(
         feats, Seq("x0", "x1"), "t", IPW_LR, IPW_T)
       val Seq(w0, w1) = hist.last.w
       val z = col("x0") * lit(w0) + col("x1") * lit(w1)
@@ -3228,7 +3231,10 @@ object ExtendedRelational {
             + lit(0.01) * col("l_quantity").cast("double")).as("y_base"))
         .withColumn("y", col("y_base") + lit(0.3) * col("t"))
         .localCheckpoint(true)
-      val hist = graft.operators.Logistic.fitBatch(
+      // (x0, x1, t) lives on a 100-cell grid: the grouped fitter
+      // folds the 16 GD passes into ONE cell job (bit-identical —
+      // LogisticSpec pins fitBatchGrouped ≡ fitBatch)
+      val hist = graft.operators.Logistic.fitBatchGrouped(
         feats, Seq("x0", "x1"), "t", IPW_LR, IPW_T)
       val Seq(w0, w1) = hist.last.w
       val z = col("x0") * lit(w0) + col("x1") * lit(w1)

@@ -54,4 +54,32 @@ class LogisticSpec extends SparkSpec {
       Logistic.fitBatch(feats, Nil, "y", 1.0, 3)
     }
   }
+
+  test("fitBatchGrouped is bit-identical to fitBatch on a bounded grid") {
+    // duplicate-heavy bounded grid: every (x, y) cell carries many
+    // rows, so the cell fold exercises the cnt-multiplication path
+    val g = (0 until 400).map { i =>
+      val x1 = (i % 10).toDouble / 10.0
+      val y = if ((i % 10) >= 4) 1.0 else 0.0
+      (y, 1.0, x1)
+    }.toDF("y", "x0", "x1").repartition(7)
+    val a = Logistic.fitBatch(g, Seq("x0", "x1"), "y", 2.0, 8)
+    val b = Logistic.fitBatchGrouped(g, Seq("x0", "x1"), "y", 2.0, 8)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, yy) =>
+      assert(x.iter === yy.iter)
+      assert(x.n === yy.n)
+      assert(x.nCorrect === yy.nCorrect, s"iter ${x.iter}")
+      assert(x.w === yy.w, s"iter ${x.iter}: ${x.w} vs ${yy.w}")
+    }
+  }
+
+  test("fitBatchGrouped refuses an unbounded grid") {
+    val cont = (1 to 500).map(i => (i.toDouble / 500.0, 1.0, i * 0.001))
+      .toDF("y", "x0", "x1")
+    intercept[IllegalArgumentException] {
+      Logistic.fitBatchGrouped(cont, Seq("x0", "x1"), "y", 1.0, 2,
+        maxCells = 100)
+    }
+  }
 }
