@@ -128,7 +128,7 @@ object Bench {
     "q296_bh_fdr", "q297_good_turing", "q298_brier_decomposition",
     "q299_propensity_blocks", "q300_hll_overlap", "q301_mann_whitney",
     "q302_permutation_test", "q303_welch_ttest", "q304_jackknife_se",
-    "q305_degree_assortativity",
+    "q305_degree_assortativity", "q306_median_ci", "q307_capture_recapture",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

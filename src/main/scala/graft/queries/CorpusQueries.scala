@@ -2187,6 +2187,78 @@ object CorpusQueries {
       ORDER BY p.la, p.lb"""
     })
 
+  // -- C25: CAPTURE-RECAPTURE (Lincoln-Petersen / Chapman) — the
+  //    ecology estimator a dedup pipeline reuses to answer "how big is
+  //    the population we HAVEN'T fully scanned": two deterministic
+  //    20% hash captures of the per-lang shingle population, overlap
+  //    m ⇒ N̂ = n₁n₂/m (and Chapman's bias-corrected
+  //    (n₁+1)(n₂+1)/(m+1) − 1). The true N sits alongside, so the
+  //    estimator's bias is measured, not asserted. Everything is
+  //    exact integer conditional counting until the two final
+  //    divisions.
+  private val q307 = Q(
+    "q307_capture_recapture",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val sw = (c: org.apache.spark.sql.Column) =>
+        graft.operators.Sampling.slotWide(c)
+      val u = t.documents
+        .select(col("lang"),
+          explode(TextFns.shingles(
+            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+        .select(col("lang"), TextFns.rollingHash(col("sh")).as("h"))
+        .distinct()
+        .withColumn("c1", (pmod(sw(col("h") * lit(2L) + lit(1L)),
+          lit(5L)) === 0L).cast("long"))
+        .withColumn("c2", (pmod(sw(col("h") * lit(2L) + lit(2L)),
+          lit(5L)) === 0L).cast("long"))
+      val agg = u.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_true"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("c2")).as("m"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val lp = d(col("n1")) * d(col("n2")) / d(col("m"))
+      val ch = ((d(col("n1")) + 1.0) * (d(col("n2")) + 1.0)
+        / (d(col("m")) + 1.0) - 1.0)
+      agg.select(col("lang"), col("n_true"), col("n1"), col("n2"),
+          col("m"),
+          pround(lp, 4).as("lp_est"),
+          pround(ch, 4).as("chapman_est"),
+          pround((ch - d(col("n_true"))) / d(col("n_true")), 6)
+            .as("rel_err_chapman"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val shs = TextFns.shinglesSql(TextFns.tokensSql("lower(text)"), KMV_W)
+      val c1 = s"CASE WHEN (${graft.operators.Sampling.slotWideSql(
+        "h * 2 + 1")}) % 5 = 0 THEN 1 ELSE 0 END"
+      val c2 = s"CASE WHEN (${graft.operators.Sampling.slotWideSql(
+        "h * 2 + 2")}) % 5 = 0 THEN 1 ELSE 0 END"
+      val lp = """CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        / CAST(m AS DOUBLE)"""
+      val ch = """(CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+        / (CAST(m AS DOUBLE) + 1.0) - 1.0"""
+      s"""WITH u AS (
+        SELECT DISTINCT lang, ${TextFns.rollingHashSql("sh")} AS h
+        FROM (SELECT lang, unnest($shs) AS sh FROM documents)),
+      marks AS (
+        SELECT lang, $c1 AS c1, $c2 AS c2 FROM u),
+      agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+          CAST(sum(c1) AS BIGINT) AS n1,
+          CAST(sum(c2) AS BIGINT) AS n2,
+          CAST(sum(c1 * c2) AS BIGINT) AS m
+        FROM marks GROUP BY lang)
+      SELECT lang, n_true, n1, n2, m,
+        ${proundSql(lp, 4)} AS lp_est,
+        ${proundSql(ch, 4)} AS chapman_est,
+        ${proundSql(
+          s"(($ch) - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE)",
+          6)} AS rel_err_chapman
+      FROM agg
+      ORDER BY lang"""
+    })
+
   // -- C14: MUTUAL INFORMATION between quality signals — before two
   //    heuristics both gate a corpus, measure whether they carry the
   //    SAME information: MI (and the symmetric uncertainty
@@ -2315,5 +2387,5 @@ object CorpusQueries {
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292, q297, q300)
+      q250, q291, q292, q297, q300, q307)
 }

@@ -2849,6 +2849,93 @@ object TextAnalysis {
       FROM agg"""
     })
 
+  // -- T39: NONPARAMETRIC MEDIAN CI — the order-statistic confidence
+  //    interval that needs no distribution at all (binomial ranks,
+  //    normal-approximated): per lang, the token-count median with the
+  //    95% CI [x₍ₗ₎, x₍ᵤ₎] where l = ⌊n/2 − 0.98√n⌋+1 and
+  //    u = ⌈n/2 + 0.98√n⌉ (0.98 = 1.96/2 — the binomial(n, ½) SD).
+  //    Rank selection rides the per-lang cumulative window over the
+  //    BOUNDED value grid; sqrt/floor/ceil are the same IEEE ops both
+  //    engines run. Complements q38/q67 (point percentiles) with the
+  //    uncertainty a release report actually needs.
+  private val q306 = Q(
+    "q306_median_ci",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val toks = tokens(col("text"))
+      val cells = t.documents
+        .select(col("lang"), size(toks).cast("long").as("v"))
+        .groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val wc = Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.withColumn("cum", sum(col("cnt")).over(wc))
+      val nper = cells.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val ranks = nper.select(col("lang"), col("n"),
+        greatest(lit(1L), (floor(d(col("n")) / 2.0
+          - lit(0.98) * sqrt(d(col("n")))) + lit(1.0)).cast("long"))
+          .as("r_lo"),
+        ((col("n") + 1L) / lit(2L)).cast("long").as("r_m1"),
+        ((col("n") + 2L) / lit(2L)).cast("long").as("r_m2"),
+        least(col("n"), ceil(d(col("n")) / 2.0
+          + lit(0.98) * sqrt(d(col("n")))).cast("long")).as("r_hi"))
+      def valAt(rCol: String, as: String) =
+        cum.join(ranks.select(col("lang"), col(rCol).as("__r")), "lang")
+          .filter(col("cum") >= col("__r"))
+          .groupBy(col("lang")).agg(min(col("v")).as(as))
+      ranks
+        .join(valAt("r_lo", "ci_lo"), "lang")
+        .join(valAt("r_m1", "m1"), "lang")
+        .join(valAt("r_m2", "m2"), "lang")
+        .join(valAt("r_hi", "ci_hi"), "lang")
+        .select(col("lang"), col("n"), col("r_lo"), col("r_hi"),
+          pround((d(col("m1")) + d(col("m2"))) / 2.0, 1).as("median"),
+          col("ci_lo"), col("ci_hi"),
+          (col("ci_hi") - col("ci_lo")).as("ci_width"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val toksSql = TextFns.tokensSql("text")
+      def valAt(r: String, as: String) =
+        s"""(SELECT lang, CAST(min(v) AS BIGINT) AS $as
+          FROM cum JOIN ranks USING (lang)
+          WHERE cum >= $r GROUP BY lang)"""
+      s"""WITH cells AS MATERIALIZED (
+        SELECT lang, CAST(len($toksSql) AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang, v),
+      cum AS (
+        SELECT lang, v, CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM cells),
+      ranks AS MATERIALIZED (
+        SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+          GREATEST(1, CAST(floor(CAST(sum(cnt) AS DOUBLE) / 2.0
+            - 0.98 * sqrt(CAST(sum(cnt) AS DOUBLE))) + 1.0 AS BIGINT))
+            AS r_lo,
+          (CAST(sum(cnt) AS BIGINT) + 1) // 2 AS r_m1,
+          (CAST(sum(cnt) AS BIGINT) + 2) // 2 AS r_m2,
+          LEAST(CAST(sum(cnt) AS BIGINT),
+            CAST(ceil(CAST(sum(cnt) AS DOUBLE) / 2.0
+              + 0.98 * sqrt(CAST(sum(cnt) AS DOUBLE))) AS BIGINT))
+            AS r_hi
+        FROM cells GROUP BY lang)
+      SELECT r.lang, r.n, r.r_lo, r.r_hi,
+        ${proundSql(
+          "(CAST(m1.m1 AS DOUBLE) + CAST(m2.m2 AS DOUBLE)) / 2.0", 1)}
+          AS median,
+        lo.ci_lo, hi.ci_hi, hi.ci_hi - lo.ci_lo AS ci_width
+      FROM ranks r
+      JOIN ${valAt("r_lo", "ci_lo")} lo USING (lang)
+      JOIN ${valAt("r_m1", "m1")} m1 USING (lang)
+      JOIN ${valAt("r_m2", "m2")} m2 USING (lang)
+      JOIN ${valAt("r_hi", "ci_hi")} hi USING (lang)
+      ORDER BY r.lang"""
+    })
+
   // -- T34: BRIER SCORE MURPHY DECOMPOSITION — the other half of
   //    q260's calibration story: ECE measures miscalibration alone;
   //    the Brier score BS = (1/N)Σ(p−o)² splits EXACTLY (forecasts
@@ -3084,5 +3171,5 @@ object TextAnalysis {
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277, q293, q298, q301, q302, q303, q304)
+      q276, q277, q293, q298, q301, q302, q303, q304, q306)
 }
