@@ -152,6 +152,44 @@ class Sweep10xSpec extends SparkSpec {
       && again.exceptAll(lab).count() === 0L)
   }
 
+  test("q290's frontier at 10x: arm set, brute anchor, and dominance hold") {
+    // the frontier query itself runs engine-side at 10× (its
+    // EXCLUSION is the composed DuckDB oracle, not the plan)
+    val rows = SparkEntry.queries("q290_ann_frontier")(spark, dst)
+      .collect()
+      .map(r => (r.getAs[String]("method"), r.getAs[Long]("n_scored"),
+        r.getAs[Long]("bytes_per_vec"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("n_total"), r.getAs[Int]("pareto")))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("bin", "brute", "ivf", "nsw", "pq_adc", "sq8"))
+    val brute = rows.find(_._1 == "brute").get
+    assert(brute._4 === brute._5, "brute recall must anchor at 1.0")
+    // on the 10× replica corpus every query's top-K are its exact
+    // duplicates, so IVF also reaches recall 1.0 at a fraction of the
+    // scan — and brute is then CORRECTLY dominated (same hits, fewer
+    // candidates, same bytes): the frontier moves with the data
+    val ivf = rows.find(_._1 == "ivf").get
+    assert(ivf._4 === ivf._5, "ivf loses duplicates at 10x")
+    assert(brute._6 === 0,
+      "brute should be dominated by full-recall ivf on the replica corpus")
+    assert(ivf._6 === 1, "full-recall ivf must sit on the frontier")
+    // the emitted pareto flags must equal the dominance relation
+    // recomputed here from the emitted integers
+    def dominated(a: (String, Long, Long, Long, Long, Int)) =
+      rows.exists(b => b._4 >= a._4 && b._2 <= a._2 && b._3 <= a._3 &&
+        (b._4 > a._4 || b._2 < a._2 || b._3 < a._3))
+    rows.foreach { a =>
+      assert(a._6 === (if (dominated(a)) 0 else 1),
+        s"pareto flag inconsistent for ${a._1}")
+    }
+    // pruned arms must actually prune at 10×: fewer candidates than
+    // the full scan
+    val fullScan = rows.find(_._1 == "brute").get._2
+    for (m <- Seq("ivf", "nsw"))
+      assert(rows.find(_._1 == m).get._2 < fullScan / 10,
+        s"$m stopped pruning at 10x")
+  }
+
   test("q231's transform model is scale-invariant: 10x perm equals sf0.1 perm") {
     // 10 verbatim replicas multiply every per-dim decimal energy by
     // exactly 10 — the ranking, and so the snake permutation, must
