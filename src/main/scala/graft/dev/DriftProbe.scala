@@ -113,7 +113,9 @@ object DriftProbe {
     // top pass2/pass1 per-query regressions
     val p1 = passes(0)._2.toMap
     val p2 = passes(1)._2.toMap
-    val regress = names.filter(n => p1(n) > 0.3)
+    // p2 > 0 excludes pass-2 failures (recorded as wall = -1.0) so a
+    // failed query never shows up as a bogus negative ratio
+    val regress = names.filter(n => p1(n) > 0.3 && p2(n) > 0)
       .map(n => (n, p1(n), p2(n), p2(n) / p1(n)))
       .sortBy(-_._4).take(15)
     System.err.println("[drift] top pass2/pass1 regressions (p1 > 0.3s):")

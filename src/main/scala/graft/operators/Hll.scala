@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
 object Hll {
 
   val M = 256
+  private val LOG2_M = java.lang.Integer.numberOfTrailingZeros(M)
   val RHO_CAP = 31
   val ALPHA: Double = 0.7213 / (1.0 + 1.079 / 256.0)
   /** α·m²·2^31 — the numerator of the raw estimate, one shared
@@ -43,15 +44,20 @@ object Hll {
   /** Per-(key, bucket) max-rho registers: ≤ m rows per key. `hashCol`
     * must be non-negative (slotWide-domain).
     */
-  def registers(df: DataFrame, keyCol: String, hashCol: String): DataFrame =
+  def registers(df: DataFrame, keyCol: String, hashCol: String): DataFrame = {
+    // Column ops, not an expr() splice, so hashCol may be any column
+    // name (backtick-needing ones included). hashCol is non-negative
+    // (slotWide-domain), so h >>> log2(M) == h div M exactly.
+    val w = shiftrightunsigned(col(hashCol), LOG2_M)
+    val rho = least(
+      bit_count(w.bitwiseAND(lit(0L) - w) - lit(1L)).cast("int") + lit(1),
+      lit(RHO_CAP))
     df.select(col(keyCol),
         (col(hashCol) % lit(M.toLong)).as("bucket"),
-        least(
-          expr(s"bit_count((($hashCol div $M) & -($hashCol div $M)) - 1)")
-            .cast("int") + lit(1),
-          lit(RHO_CAP)).as("rho"))
+        rho.as("rho"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
 
   /** Estimate per key from a [[registers]] frame: (key, m_present,
     * v_zero, s_scaled, est). est applies the standard small-range

@@ -91,16 +91,21 @@ object Logistic {
       yCol: String, lr: Double, iters: Int,
       maxCells: Int = 100000): Seq[Iter] = {
     require(iters >= 1 && xCols.nonEmpty)
+    // limit(maxCells+1) bounds the driver materialization BEFORE the
+    // contract check: an unbounded grid surfaces as the intended
+    // IllegalArgumentException, never a driver OOM. A result shorter
+    // than the limit is already the full cell set.
     val cells = features
       .groupBy((xCols :+ yCol).map(col(_).cast("double")): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .limit(maxCells + 1)
       .collect()
       .map { r =>
         (xCols.indices.map(r.getDouble).toArray,
           r.getDouble(xCols.length), r.getLong(xCols.length + 1))
       }
     require(cells.length <= maxCells,
-      s"${cells.length} cells — feature grid is not bounded; use fitBatch")
+      s"> $maxCells cells — feature grid is not bounded; use fitBatch")
     val n = cells.map(_._3).sum
     def round8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
     def dec8(x: Double): java.math.BigDecimal =

@@ -2222,7 +2222,7 @@ object CorpusQueries {
         / (d(col("m")) + 1.0) - 1.0)
       agg.select(col("lang"), col("n_true"), col("n1"), col("n2"),
           col("m"),
-          pround(lp, 4).as("lp_est"),
+          when(col("m") > 0, pround(lp, 4)).as("lp_est"),
           pround(ch, 4).as("chapman_est"),
           pround((ch - d(col("n_true"))) / d(col("n_true")), 6)
             .as("rel_err_chapman"))
@@ -2250,7 +2250,7 @@ object CorpusQueries {
           CAST(sum(c1 * c2) AS BIGINT) AS m
         FROM marks GROUP BY lang)
       SELECT lang, n_true, n1, n2, m,
-        ${proundSql(lp, 4)} AS lp_est,
+        CASE WHEN m > 0 THEN ${proundSql(lp, 4)} END AS lp_est,
         ${proundSql(ch, 4)} AS chapman_est,
         ${proundSql(
           s"(($ch) - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE)",

@@ -4353,7 +4353,7 @@ object SimilarityQueries {
       arms AS (
         SELECT 'brute' AS method,
           (SELECT n_scored FROM fullscan) AS n_scored,
-          CAST(${4 * 64} AS BIGINT) AS bytes_per_vec,
+          CAST(${4 * SQ_DIMS} AS BIGINT) AS bytes_per_vec,
           (SELECT n_total FROM tot) AS n_hits
         UNION ALL
         SELECT 'sq8', (SELECT n_scored FROM fullscan),
@@ -4372,12 +4372,12 @@ object SimilarityQueries {
             ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
         UNION ALL
         SELECT 'ivf', (SELECT CAST(count(*) AS BIGINT) FROM ivf_scored),
-          CAST(${4 * 64} AS BIGINT),
+          CAST(${4 * SQ_DIMS} AS BIGINT),
           (SELECT count(*) FROM exact e JOIN ivf_top m
             ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id)
         UNION ALL
         SELECT 'nsw', (SELECT CAST(count(*) AS BIGINT) FROM nsw_sc),
-          CAST(${4 * 64 + 8 * 2 * NSW_DEG} AS BIGINT),
+          CAST(${4 * SQ_DIMS + 8 * 2 * NSW_DEG} AS BIGINT),
           (SELECT count(*) FROM exact e JOIN nsw_top m
             ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id))
       SELECT a.method, nqc.n AS n_queries, a.n_scored, a.bytes_per_vec,
