@@ -204,10 +204,16 @@ object KMeans {
     * decimal argmin and 6-decimal means are per-subspace either way),
     * but the JOB count drops from m·(1 + iters) sequential driver
     * round-trips to 1 + iters: each round explodes (vector, sub),
-    * scores against the m×k nested centroid LITERAL, and hash-aggs
-    * per (sub, cluster, dim) — one corpus pass for all subspaces.
-    * That is the 100 TB shape: driver round-trips, not per-row work,
-    * are what serial per-subspace training multiplies.
+    * scores against the m·k-row BROADCAST centroid table, and
+    * hash-aggs per (sub, cluster, dim) — one corpus pass for all
+    * subspaces. That is the 100 TB shape: driver round-trips, not
+    * per-row work, are what serial per-subspace training multiplies.
+    * (The centroids ride as a broadcast TABLE, not a literal tree:
+    * an m·k·subLen literal nest inlined k ways compiled a ~10⁵-node
+    * plan per round — at m=16/k=32 the driver spent ~5 s/round in
+    * analysis+codegen while tasks were idle. Same decimal program
+    * per candidate, so results are bit-identical; ties still break
+    * to the lowest codeword id via the (−d², −j) struct argmax.)
     *
     * @return centroids indexed [sub][codeword][dim-within-subspace]
     */
@@ -239,34 +245,42 @@ object KMeans {
     // on real multi-file datasets (Scan.fanOut's partition guard), and
     // the groupBy below is partition-invariant (exact decimal sums)
     val fanned = graft.core.Scan.fanOut(src)
+    val spark = vecs.sparkSession
+    import spark.implicits._
     for (_ <- 1 to iters) {
       val next = Array.tabulate(m, k)((sub, j) => cents(sub)(j).clone())
-      val cLit = array(cents.map(subCents =>
-        array(subCents.map(c => array(c.map(lit(_)): _*)): _*)): _*)
-      def subDist(sv: Column, sub: Column, j: Int): Column =
-        aggregate(
-          zip_with(sv,
-            element_at(element_at(cLit, sub + 1), j + 1),
-            (a, b) => {
-              val d = a.cast("double") - b
-              (d * d).cast(DecimalType(28, 8))
-            }),
-          lit(0L).cast(DecimalType(38, 8)),
-          (acc, x) => (acc + x).cast(DecimalType(38, 8)))
+      // centroids as a broadcast TABLE (m·k rows), never a literal
+      // nest: the plan stays O(1) in k, the assignment is the
+      // pqEncode shape — explode (vector, sub), broadcast-join the
+      // candidates, map-side-combined argmin per (vector, sub)
+      val centDf = (for (sub <- 0 until m; j <- 0 until k)
+        yield (sub, j, cents(sub)(j).toSeq)).toDF("sub", "__j", "__cv")
+      val d2 = aggregate(
+        zip_with(col("__sv"), col("__cv"),
+          (a, b) => {
+            val d = a.cast("double") - b.cast("double")
+            (d * d).cast(DecimalType(28, 8))
+          }),
+        lit(0L).cast(DecimalType(38, 8)),
+        (acc, x) => (acc + x).cast(DecimalType(38, 8)))
       val stats = fanned
-        .select(col(vecCol).as("__v"),
+        .select(col(idCol).as("__rid"), col(vecCol).as("__v"))
+        .select(col("__rid"), col("__v"),
           explode(sequence(lit(0), lit(m - 1))).as("sub"))
-        .select(col("sub"),
+        .select(col("__rid"), col("sub"),
           slice(col("__v"), col("sub") * lit(subLen) + lit(1),
             lit(subLen)).as("__sv"))
-        .select(col("sub"), col("__sv"),
-          array((0 until k)
-            .map(j => subDist(col("__sv"), col("sub"), j)): _*)
-            .as("__d"))
-        .select(col("sub"),
-          (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
-            .cast("int").as("cluster"),
-          posexplode(col("__sv")).as(Seq("pos", "v")))
+        .join(broadcast(centDf), Seq("sub"))
+        .select(col("__rid"), col("sub"), col("__sv"), col("__j"),
+          d2.as("__d2"))
+        // argmax of (−d², −j) = the lowest-d² candidate, ties to the
+        // lowest codeword id — exactly array_position(min) on the old
+        // literal array; j is unique per group so the argmax is total
+        .groupBy(col("__rid"), col("sub"))
+        .agg(max_by(struct(col("__j"), col("__sv")),
+          struct(negate(col("__d2")), -col("__j"))).as("__best"))
+        .select(col("sub"), col("__best.__j").as("cluster"),
+          posexplode(col("__best.__sv")).as(Seq("pos", "v")))
         .groupBy(col("sub"), col("cluster"), col("pos"))
         .agg(pround(sum(col("v").cast("double").cast(DecimalType(28, 8)))
           .cast("double") / count(lit(1)), 6).as("mean_v"))

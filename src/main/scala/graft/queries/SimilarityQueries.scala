@@ -2493,6 +2493,8 @@ object SimilarityQueries {
   private val q231 = Q(
     "q231_opq_rung",
     (s, dir) => {
+      val sp = s
+      import sp.implicits._
       val t = Tpch(s, dir)
       val emb = t.embeddings
       val queries = emb.filter(col("vec_id") % QMOD === 0)
@@ -2530,13 +2532,20 @@ object SimilarityQueries {
       val cbId = cbBoth.filter(col("sub") < PQ_M)
       val cbOp = cbBoth.filter(col("sub") >= PQ_M)
         .withColumn("sub", (col("sub") - PQ_M).cast("int"))
-      def arm(name: String, corpus: org.apache.spark.sql.DataFrame,
+      // ONE encode dataflow for BOTH arms, same trick as training:
+      // encoding the concatenated vectors at 2m subspaces yields
+      // bit-identical per-(vec, sub) code rows (subLen = 2d/2m = d/m,
+      // so slices 0..m-1 ARE the identity arm and m..2m-1 the permuted
+      // arm; each (vec, sub) max_by group is untouched by the union) —
+      // one corpus scan + one checkpoint instead of two of each.
+      val encBoth = Similarity.pqEncode(both, "vec_id", "embedding",
+        2 * PQ_M, cbBoth).localCheckpoint(true)
+      val encId = encBoth.filter(col("sub") < PQ_M)
+      val encOp = encBoth.filter(col("sub") >= PQ_M)
+        .withColumn("sub", (col("sub") - PQ_M).cast("int"))
+      def arm(name: String, enc: org.apache.spark.sql.DataFrame,
           qs: org.apache.spark.sql.DataFrame,
           cb: org.apache.spark.sql.DataFrame) = {
-        // encode once, read twice (MSE + ADC): checkpoint the n·m code
-        // rows so the scoring scan runs once
-        val enc = Similarity.pqEncode(corpus, "vec_id", "embedding",
-          PQ_M, cb).localCheckpoint(true)
         val mse = enc.agg(sum(col("sdist").cast("decimal(28,8)"))
           .as("mse_sum"))
         val top = Similarity.pqAdcTopK(
@@ -2550,24 +2559,29 @@ object SimilarityQueries {
           .select(lit(name).as("method"), col("n_hits"), col("n_total"),
             col("mse_sum"))
       }
-      val idArm = arm("pq_kmeans", emb, queries, cbId)
-        .localCheckpoint(true)
-      val opArm = arm("opq_snake", rot, rotQ, cbOp).localCheckpoint(true)
-      val sel = idArm
-        .select(struct(col("n_hits"), col("n_total"), col("mse_sum"))
-          .as("a"))
-        .crossJoin(opArm.select(
-          struct(col("n_hits"), col("n_total"), col("mse_sum")).as("b")))
-        .select(when(col("a.mse_sum") <= col("b.mse_sum"), col("a"))
-          .otherwise(col("b")).as("w"))
-        .select(lit("opq_selected").as("method"),
-          col("w.n_hits").as("n_hits"), col("w.n_total").as("n_total"),
-          col("w.mse_sum").as("mse_sum"))
-      idArm.unionByName(opArm).unionByName(sel)
-        .select(col("method"), col("n_hits"), col("n_total"),
-          pround(col("n_hits").cast("double") / col("n_total"), 4)
-            .as("recall"),
-          pround(col("mse_sum").cast("double"), 6).as("mse"))
+      // both arms evaluate in ONE action (their stage trees share the
+      // checkpointed encBoth/exact and run concurrently); the argmin
+      // selection is then a 2-row driver fold — the bounded-cell
+      // discipline — replacing two arm checkpoints, a cross-join, and
+      // a 3-way distributed union. Driver math replays the Spark
+      // program exactly: decimal compareTo for the argmin (`<=` on
+      // DECIMAL(38,8)), BigDecimal.doubleValue for the decimal→double
+      // cast, floor(x·10^d + 0.5)/10^d for pround.
+      val armRows = arm("pq_kmeans", encId, queries, cbId)
+        .unionByName(arm("opq_snake", encOp, rotQ, cbOp))
+        .collect()
+      val byName = armRows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+      val (aH, aT, aM) = byName("pq_kmeans")
+      val (bH, bT, bM) = byName("opq_snake")
+      val sel = if (aM.compareTo(bM) <= 0) (aH, aT, aM) else (bH, bT, bM)
+      def pr(x: Double, d: Double) = math.floor(x * d + 0.5) / d
+      Seq(("pq_kmeans", aH, aT, aM), ("opq_snake", bH, bT, bM),
+          ("opq_selected", sel._1, sel._2, sel._3))
+        .map { case (nm, h, tt, ms) =>
+          (nm, h, tt, pr(h.toDouble / tt.toDouble, 1e4),
+            pr(ms.doubleValue, 1e6)) }
+        .toDF("method", "n_hits", "n_total", "recall", "mse")
         .orderBy(col("method"))
     },
     Some {
