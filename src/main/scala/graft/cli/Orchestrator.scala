@@ -178,6 +178,25 @@ object Orchestrator {
       require(graft.pipeline.DedupIndexPipeline.validateImageIndex(
         spark, indexDir), "image dedup index invariants violated")))
 
+  /** Audio-lane dedup DAG — [[imageDedupDag]] with the Haitsma–Kalker
+    * fingerprinter; folds into the same index dir under its own
+    * marker log.
+    */
+  def audioDedupDag(spark: org.apache.spark.sql.SparkSession,
+      watchDir: String, indexDir: String, coeffs: Seq[Double],
+      frameLen: Int, hop: Int, maxHamming: Int,
+      maxBucket: Int = 10000, bandBits: Int = 16): Seq[TaskDef] = Seq(
+    TaskDef("audio_dedup_fold", Nil, () => {
+      graft.pipeline.DedupIndexPipeline.foldNewAudioFiles(
+        spark, indexDir, watchDir, coeffs, frameLen, hop, maxHamming,
+        maxBucket, bandBits)
+      ()
+    }),
+    TaskDef("audio_dedup_validate", Seq("audio_dedup_fold"), () =>
+      require(graft.pipeline.DedupIndexPipeline.validateAudioIndex(
+        spark, indexDir, coeffs, frameLen, hop),
+        "audio dedup index invariants violated")))
+
   /** Embedding-corpus ANN-index DAG: fold newly landed vector files
     * through the stored-ANN-index pipeline (bootstrap build → frozen-
     * model O(delta) append-encode → growth-triggered retrain as a new

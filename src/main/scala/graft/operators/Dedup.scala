@@ -905,6 +905,27 @@ object Dedup {
       Multimodal.phashFeatures(media).filter(col("phash").isNotNull),
       "media_id", "phash", maxHamming, maxBucket, bandBits)
 
+  /** Audio near-duplicate pairs — the AUDIO member of the dedup matrix
+    * (exact/near × batch/stream × text/image/audio): 64-bit
+    * Haitsma–Kalker fingerprint per payload
+    * ([[Multimodal.audioFingerprints]]: framed Goertzel bank →
+    * sign-of-energy-delta bits), then the SAME banded hamming join as
+    * text SimHash and image pHash. Undecodable/too-short payloads
+    * drop out (null afp). Scale shape is inherited from
+    * [[fingerprintPairs]]: fingerprinting is row-local scan work,
+    * pair generation shuffles 64-bit words on (band_idx, band_val),
+    * hot buckets (silence / boilerplate jingles collapse to one
+    * fingerprint) are capped whole-bucket — deterministic, so an
+    * oracle replays the cap with a HAVING count ≤ cap.
+    */
+  def audioNearDupPairs(media: DataFrame, coeffs: Seq[Double],
+      frameLen: Int, hop: Int, maxHamming: Int,
+      maxBucket: Int = 10000, bandBits: Int = 16): DataFrame =
+    fingerprintPairs(
+      Multimodal.audioFingerprints(media, coeffs, frameLen, hop)
+        .filter(col("afp").isNotNull),
+      "media_id", "afp", maxHamming, maxBucket, bandBits)
+
   /** SimHash banding recall audit — the MEASURED counterpart of the
     * pigeonhole guarantee [[simhashPairs]] relies on (the SimHash
     * sibling of q115's MinHash-LSH audit): per hamming distance up to

@@ -468,6 +468,83 @@ object Multimodal {
       }(enc)
   }
 
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("afp", LongType)))
+
+  /** Haitsma–Kalker audio fingerprint (ISMIR 2002 "A Highly Robust
+    * Audio Fingerprinting System" shape) over each WAV payload: frame
+    * the samples (`frameLen` window, `hop` stride), run the
+    * [[resonatorFeatures]] Goertzel bank per frame (same RATIONAL-c
+    * three-IEEE-op recurrence, so an oracle replays every state), and
+    * emit the classic sign-of-energy-delta bit per (frame, band)
+    * pair: bit(f,b) = 1 iff (E(f,b) − E(f,b+1)) − (E(f−1,b) −
+    * E(f−1,b+1)) > 0 — a band-edge derivative in frequency AND time,
+    * which is what makes HK fingerprints robust to gain/DC shifts
+    * (both cancel in the double difference). Bits pack frame-major
+    * into ONE 64-bit word (bit (f−1)·(B−1)+b), the unit the banded
+    * hamming join ([[Dedup.fingerprintPairs]]) dedups on — pick
+    * coeffs/frameLen/hop so (nFrames−1)·(B−1) = 64 and every band of
+    * the join carries real bits. Per-row narrow work,
+    * O(len·|coeffs|); undecodable or too-short payloads yield a null
+    * afp (dropped by the dedup lane like null phash).
+    */
+  def audioFingerprints(media: DataFrame, coeffs: Seq[Double],
+      frameLen: Int, hop: Int): DataFrame = {
+    require(coeffs.length >= 2, "need >= 2 bands for energy deltas")
+    require(frameLen >= 2 && hop >= 1)
+    val nb = coeffs.length
+    val cArr = coeffs.toArray
+    val enc = Encoders.row(audioFpSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val s = anyWavSamples(r.getAs[Array[Byte]](1))
+          if (s.length < frameLen + hop) Row(id, 0, null)
+          else {
+            val nF = (s.length - frameLen) / hop + 1
+            val e = Array.ofDim[Double](nF, nb)
+            var f = 0
+            while (f < nF) {
+              var b = 0
+              while (b < nb) {
+                val c = cArr(b)
+                var s1 = 0.0
+                var s2 = 0.0
+                var j = 0
+                while (j < frameLen) {
+                  val v = s(f * hop + j) + c * s1 - s2
+                  s2 = s1
+                  s1 = v
+                  j += 1
+                }
+                e(f)(b) = s1 * s1 + s2 * s2 - c * s1 * s2
+                b += 1
+              }
+              f += 1
+            }
+            var fpv = 0L
+            var bit = 0
+            f = 1
+            while (f < nF && bit < 64) {
+              var b = 0
+              while (b < nb - 1 && bit < 64) {
+                val d = (e(f)(b) - e(f)(b + 1)) -
+                  (e(f - 1)(b) - e(f - 1)(b + 1))
+                if (d > 0) fpv |= 1L << bit
+                bit += 1
+                b += 1
+              }
+              f += 1
+            }
+            Row(id, nF, fpv)
+          }
+        }
+      }(enc)
+  }
+
   val mfccSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("k", IntegerType),

@@ -55,6 +55,9 @@ object DedupIndexPipeline {
   private def fpsDir(ix: String) = s"$ix/fps"
   private def mediaDir(ix: String) = s"$ix/media"
   private def imageVerdictsDir(ix: String) = s"$ix/image_verdicts"
+  private def audioFpsDir(ix: String) = s"$ix/audio_fps"
+  private def audioMediaDir(ix: String) = s"$ix/audio_media"
+  private def audioVerdictsDir(ix: String) = s"$ix/audio_verdicts"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
@@ -177,8 +180,28 @@ object DedupIndexPipeline {
     */
   def foldNewMediaFiles(spark: SparkSession, indexDir: String,
       watchDir: String, maxHamming: Int, maxBucket: Int = 10000,
-      bandBits: Int = 16): Seq[FoldResult] = {
-    val logDir = new Path(s"$indexDir/_folded_media")
+      bandBits: Int = 16): Seq[FoldResult] =
+    foldNewFpFiles(spark, indexDir, watchDir, "_folded_media",
+      (batch, src) => foldImageBatch(spark, indexDir, batch, src,
+        maxHamming, maxBucket, bandBits))
+
+  /** The AUDIO lane's [[foldNewMediaFiles]]: fold every
+    * not-yet-processed `*.parquet` media file from `watchDir` into the
+    * audio lane (Haitsma–Kalker fingerprints, own `_folded_audio`
+    * marker log, own `audio_fps`/`audio_media`/`audio_verdicts` dirs).
+    */
+  def foldNewAudioFiles(spark: SparkSession, indexDir: String,
+      watchDir: String, coeffs: Seq[Double], frameLen: Int, hop: Int,
+      maxHamming: Int, maxBucket: Int = 10000,
+      bandBits: Int = 16): Seq[FoldResult] =
+    foldNewFpFiles(spark, indexDir, watchDir, "_folded_audio",
+      (batch, src) => foldAudioBatch(spark, indexDir, batch, src,
+        coeffs, frameLen, hop, maxHamming, maxBucket, bandBits))
+
+  private def foldNewFpFiles(spark: SparkSession, indexDir: String,
+      watchDir: String, markerLog: String,
+      fold: (DataFrame, String) => FoldResult): Seq[FoldResult] = {
+    val logDir = new Path(s"$indexDir/$markerLog")
     val watch = new Path(watchDir)
     val fs = watch.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -187,10 +210,8 @@ object DedupIndexPipeline {
       .sortBy(_.getName)
     files.filterNot(f => fs.exists(new Path(logDir, f.getName)))
       .map { f =>
-        val r = foldImageBatch(spark, indexDir,
-          spark.read.parquet(f.toString)
-            .select(col("media_id"), col("content")),
-          f.getName, maxHamming, maxBucket, bandBits)
+        val r = fold(spark.read.parquet(f.toString)
+          .select(col("media_id"), col("content")), f.getName)
         fs.create(new Path(logDir, f.getName), false).close()
         r
       }
@@ -207,14 +228,45 @@ object DedupIndexPipeline {
       batch: DataFrame, srcFile: String, maxHamming: Int,
       maxBucket: Int, bandBits: Int): FoldResult = {
     import graft.operators.Multimodal
+    foldFpBatch(spark, batch, srcFile,
+      b => Multimodal.phashFeatures(b)
+        .select(col("media_id"), col("phash")),
+      "phash", fpsDir(indexDir), mediaDir(indexDir),
+      imageVerdictsDir(indexDir), maxHamming, maxBucket, bandBits)
+  }
+
+  /** One audio batch through the fold — the image fold with the
+    * Haitsma–Kalker fingerprinter
+    * ([[graft.operators.Multimodal.audioFingerprints]]); too-short or
+    * undecodable payloads (null afp) always keep.
+    */
+  def foldAudioBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame, srcFile: String, coeffs: Seq[Double],
+      frameLen: Int, hop: Int, maxHamming: Int,
+      maxBucket: Int, bandBits: Int): FoldResult = {
+    import graft.operators.Multimodal
+    foldFpBatch(spark, batch, srcFile,
+      b => Multimodal.audioFingerprints(b, coeffs, frameLen, hop)
+        .select(col("media_id"), col("afp")),
+      "afp", audioFpsDir(indexDir), audioMediaDir(indexDir),
+      audioVerdictsDir(indexDir), maxHamming, maxBucket, bandBits)
+  }
+
+  /** The shared 64-bit-fingerprint fold (image pHash / audio HK):
+    * fingerprint once, in-batch drop, cross-corpus probe against the
+    * stored fingerprints, O(delta) appends. Null fingerprints have no
+    * signature and always keep.
+    */
+  private def foldFpBatch(spark: SparkSession, batch: DataFrame,
+      srcFile: String, fingerprint: DataFrame => DataFrame,
+      fpCol: String, fpsD: String, mediaD: String, verdictsD: String,
+      maxHamming: Int, maxBucket: Int, bandBits: Int): FoldResult = {
     // fingerprint once; reused by in-batch pairs, the cross probe,
     // and the fps append
-    val fps = Multimodal.phashFeatures(
-        batch.select(col("media_id"), col("content")))
-      .select(col("media_id"), col("phash"))
+    val fps = fingerprint(batch.select(col("media_id"), col("content")))
       .localCheckpoint(true)
-    val sig = fps.filter(col("phash").isNotNull)
-    val inPairs = Dedup.fingerprintPairs(sig, "media_id", "phash",
+    val sig = fps.filter(col(fpCol).isNotNull)
+    val inPairs = Dedup.fingerprintPairs(sig, "media_id", fpCol,
       maxHamming, maxBucket, bandBits)
     val bestIn = bestMatch(
       inPairs.select(col("d2").as("media_id"), col("d1").as("dup_of"),
@@ -225,10 +277,10 @@ object DedupIndexPipeline {
     val afterInSig = sig.join(bestIn.select("media_id"), Seq("media_id"),
       "left_anti")
     val bestCross =
-      if (exists(spark, fpsDir(indexDir)))
+      if (exists(spark, fpsD))
         bestMatch(Dedup.crossFingerprintDups(
-          Forget.readAppendDir(spark, fpsDir(indexDir)), afterInSig,
-          "media_id", "phash", maxHamming, maxBucket, bandBits)
+          Forget.readAppendDir(spark, fpsD), afterInSig,
+          "media_id", fpCol, maxHamming, maxBucket, bandBits)
           .select(col("bid").as("media_id"), col("cid").as("dup_of"),
             col("hamming")),
           "media_id", _("hamming").asc)
@@ -240,8 +292,8 @@ object DedupIndexPipeline {
       .localCheckpoint(true)
     afterInSig.join(bestCross.select("media_id"), Seq("media_id"),
         "left_anti")
-      .write.mode("append").parquet(fpsDir(indexDir))
-    survivors.write.mode("append").parquet(mediaDir(indexDir))
+      .write.mode("append").parquet(fpsD)
+    survivors.write.mode("append").parquet(mediaD)
     val verdicts = batch.select(col("media_id"))
       .join(bestIn.withColumn("dup_scope", lit("batch")),
         Seq("media_id"), "left")
@@ -254,9 +306,24 @@ object DedupIndexPipeline {
           when(col("c_dup_of").isNotNull, lit("corpus"))).as("dup_scope"),
         coalesce(col("dup_of"), col("c_dup_of")).as("dup_of"),
         coalesce(col("hamming"), col("c_hamming")).as("hamming"))
-    verdicts.write.mode("append").parquet(imageVerdictsDir(indexDir))
+    verdicts.write.mode("append").parquet(verdictsD)
     val kept = survivors.count()
     FoldResult(srcFile, kept, batch.count() - kept)
+  }
+
+  /** Audio-lane invariants — [[validateImageIndex]] for the HK lane. */
+  def validateAudioIndex(spark: SparkSession, indexDir: String,
+      coeffs: Seq[Double], frameLen: Int, hop: Int): Boolean = {
+    import graft.operators.Multimodal
+    val media = Forget.readAppendDir(spark, audioMediaDir(indexDir))
+    val fps = Forget.readAppendDir(spark, audioFpsDir(indexDir))
+    val nFps = fps.count()
+    fps.select("media_id").distinct().count() == nFps &&
+      media.select("media_id").distinct().count() == media.count() &&
+      fps.join(media, Seq("media_id"), "left_anti").isEmpty &&
+      Multimodal.audioFingerprints(media, coeffs, frameLen, hop)
+        .filter(col("afp").isNotNull)
+        .join(fps, Seq("media_id"), "left_anti").isEmpty
   }
 
   /** Image-lane invariants: fingerprint ids are unique, every

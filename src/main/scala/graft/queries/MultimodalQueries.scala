@@ -1211,6 +1211,128 @@ object MultimodalQueries {
       ORDER BY media_id, k"""
     })
 
+  // -- q308: Haitsma–Kalker audio near-dup pairs — the AUDIO member
+  //    of the dedup matrix ([[graft.operators.Dedup.audioNearDupPairs]]
+  //    over [[Multimodal.audioFingerprints]]): framed Goertzel bank
+  //    (9 rational-c bands, 16-sample frames, hop 6 → 9 frames) →
+  //    sign-of-energy-delta bit per (frame, band-edge) → exactly
+  //    8·8 = 64 bits frame-major (every 16-bit band of the hamming
+  //    join carries real bits — a short fp would zero a band and turn
+  //    it into one corpus-wide bucket), then q152's banded hamming
+  //    join at ≤ 3 with the cap SMALL (64) so the whole-bucket drop
+  //    policy is exercised live and REPLAYED by the oracle (HAVING
+  //    count(*) <= cap — capBuckets drops whole buckets, so the cap
+  //    is deterministic SQL, not engine luck). The audio corpus is a
+  //    closed-form WAV synth with planted structure: class
+  //    k = doc_id div 8 picks offset AND slope (spectra differ across
+  //    classes), variant v = doc_id mod 8 adds a v-scaled one-sample
+  //    spike (t = 40) — within a class the hamming spread is 0..~9,
+  //    so the ≤ 3 cutoff genuinely separates (measured at sf0.01:
+  //    1613 pairs pre-cap, incl. 38 cross-class). The oracle replays
+  //    the filter states as a recursive CTE (q225's shape, per
+  //    frame), the bits as energy-difference comparisons, the band
+  //    values as bit·2^i sums, and the hamming as a bit-level join —
+  //    no 64-bit packing, so DuckDB's checked `<<` never overflows
+  //    at bit 63.
+  private val AHK_COEFFS =
+    Seq(1.9, 1.5, 1.0, 0.5, 0.0, -0.5, -1.0, -1.5, -1.9)
+  private val AHK_FRAME = 16
+  private val AHK_HOP = 6
+  private val AHK_HAM = 3
+  private val AHK_CAP = 64
+
+  /** Near-dup audio corpus: 64 16-bit PCM samples per doc,
+    * x_t = (k·53 + (17 + 3·(k mod 29))·t) mod 2003 − 1001
+    *       + 8·v·[t = 40],  k = doc div 8, v = doc mod 8.
+    */
+  private def hkMedia(t: graft.core.Tables.Tpch)
+      : org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    val k = shiftrightunsigned(d, 3)
+    val v = d.bitwiseAND(lit(7L))
+    val slope = lit(17L) + pmod(k, lit(29L)) * lit(3L)
+    val sampleHex = (0 until 64).map { ti =>
+      val base = pmod(k * lit(53L) + slope * lit(ti.toLong), lit(2003L)) -
+        lit(1001L)
+      val sample = if (ti == 40) base + v * lit(8L) else base
+      le16hex(pmod(sample, lit(65536L)))
+    }
+    val header = lit("52494646" + "A4000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" + "0200" +
+      "1000" + "64617461" + "80000000")
+    t.documents.select(d.as("media_id"),
+      unhex(concat(header +: sampleHex: _*)).as("content"))
+  }
+
+  private val q308 = Q(
+    "q308_audio_neardup",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      graft.operators.Dedup.audioNearDupPairs(hkMedia(t), AHK_COEFFS,
+          AHK_FRAME, AHK_HOP, AHK_HAM, maxBucket = AHK_CAP)
+        .orderBy(col("d1"), col("d2"))
+    },
+    Some {
+      val bis = AHK_COEFFS.indices.mkString(", ")
+      val cs = AHK_COEFFS.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+      val nf = (64 - AHK_FRAME) / AHK_HOP + 1
+      s"""WITH RECURSIVE res(doc_id, f, bi, c, j, s1, s2) AS (
+        SELECT d.doc_id, fr.f, b.bi, b.c, 0,
+          CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, ${nf - 1})) AS f) fr
+        CROSS JOIN (SELECT unnest([$bis]) AS bi, unnest([$cs]) AS c) b
+        UNION ALL
+        SELECT doc_id, f, bi, c, j + 1,
+          CAST(((doc_id // 8) * 53
+              + (17 + 3 * ((doc_id // 8) % 29)) * (f * $AHK_HOP + j))
+              % 2003 - 1001
+            + CASE WHEN f * $AHK_HOP + j = 40
+                THEN 8 * (doc_id % 8) ELSE 0 END AS DOUBLE)
+            + c * s1 - s2,
+          s1
+        FROM res WHERE j < $AHK_FRAME
+      ),
+      en AS (
+        SELECT doc_id, f, bi, s1 * s1 + s2 * s2 - c * s1 * s2 AS en
+        FROM res WHERE j = $AHK_FRAME),
+      bits AS (
+        SELECT e1.doc_id, (e1.f - 1) * 8 + e1.bi AS bit_idx,
+          CASE WHEN (e1.en - e2.en) - (e3.en - e4.en) > 0
+            THEN 1 ELSE 0 END AS bit
+        FROM en e1
+        JOIN en e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f
+          AND e2.bi = e1.bi + 1
+        JOIN en e3 ON e3.doc_id = e1.doc_id AND e3.f = e1.f - 1
+          AND e3.bi = e1.bi
+        JOIN en e4 ON e4.doc_id = e1.doc_id AND e4.f = e1.f - 1
+          AND e4.bi = e1.bi + 1
+        WHERE e1.f >= 1 AND e1.bi < 8),
+      bvals AS (
+        SELECT doc_id, bit_idx // 16 AS band_idx,
+          sum(bit * (1::BIGINT << (bit_idx % 16))) AS band_val
+        FROM bits GROUP BY doc_id, bit_idx // 16),
+      ok AS (
+        SELECT band_idx, band_val FROM bvals
+        GROUP BY band_idx, band_val HAVING count(*) <= $AHK_CAP),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bvals a
+        JOIN ok o ON o.band_idx = a.band_idx AND o.band_val = a.band_val
+        JOIN bvals b ON b.band_idx = a.band_idx
+          AND b.band_val = a.band_val AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.d1, c.d2,
+          CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS INT)
+            AS hamming
+        FROM cand c
+        JOIN bits x ON x.doc_id = c.d1
+        JOIN bits y ON y.doc_id = c.d2 AND y.bit_idx = x.bit_idx
+        GROUP BY c.d1, c.d2)
+      SELECT d1, d2, hamming FROM ham WHERE hamming <= $AHK_HAM
+      ORDER BY d1, d2"""
+    })
+
   // -- M19: baseline TIFF decode ([[graft.operators.Tiff]]) — the
   //    archival-format member of the codec lane (PNG q89 / JPEG q118 /
   //    GIF q123 / BMP q56): 8-bit gray AND RGB, multi-strip, both
@@ -1377,5 +1499,6 @@ object MultimodalQueries {
       ORDER BY media_id"""))
 
   val all: Seq[Q] = Seq(q29, q56, q60, q61, q89, q118, q119, q123, q127,
-    q152, q155, q156, q174, q200, q213, q217, q225, q232, q258, q279)
+    q152, q155, q156, q174, q200, q213, q217, q225, q232, q258, q279,
+    q308)
 }

@@ -274,6 +274,88 @@ class OrchestratorSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ix/media").count() === before)
   }
 
+  test("audio dedup lane: two-batch fold, stored fingerprints == full recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val COEFFS = Seq(1.9, 1.5, 1.0, 0.5, 0.0, -0.5, -1.0, -1.5, -1.9)
+    val (frame, hop) = (16, 6)
+    val tmp = Files.createTempDirectory("audio_dedup_dag")
+    val watch = Files.createDirectories(tmp.resolve("media")).toString
+    val ix = tmp.resolve("index").toString
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
+      val out = new Array[Byte](44 + 2 * n)
+      def put(o: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(out, o)
+      def le32(o: Int, x: Int): Unit = {
+        out(o) = x.toByte; out(o + 1) = (x >> 8).toByte
+        out(o + 2) = (x >> 16).toByte; out(o + 3) = (x >> 24).toByte
+      }
+      def le16(o: Int, x: Int): Unit = {
+        out(o) = x.toByte; out(o + 1) = (x >> 8).toByte
+      }
+      put(0, "RIFF"); le32(4, 36 + 2 * n); put(8, "WAVE"); put(12, "fmt ")
+      le32(16, 16); le16(20, 1); le16(22, 1); le32(24, 8000)
+      le32(28, 16000); le16(32, 2); le16(34, 16)
+      put(36, "data"); le32(40, 2 * n)
+      samples.indices.foreach(i => le16(44 + 2 * i, samples(i) & 0xFFFF))
+      out
+    }
+    def hkWav(k: Long): Array[Byte] =
+      wav(Array.tabulate(64)(t =>
+        ((k * 53 + (17 + 3 * (k % 29)) * t) % 2003 - 1001).toInt))
+    // three clips from distinct classes; A reappears as an in-batch
+    // dup (2) and a cross-batch dup (4)
+    val clipA = hkWav(0L)
+    val clipB = hkWav(5L)
+    val clipC = hkWav(11L)
+    // precondition: fixtures pairwise far apart
+    locally {
+      val hs = Multimodal.audioFingerprints(
+          Seq((101L, clipA), (102L, clipB), (103L, clipC))
+            .toDF("media_id", "content"), COEFFS, frame, hop)
+        .collect().map(_.getAs[Long]("afp"))
+      for (i <- 0 until 3; j <- (i + 1) until 3)
+        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 3,
+          s"fixtures $i/$j too close for maxHamming=3")
+    }
+    def statuses() = runDag(audioDedupDag(spark, watch, ix, COEFFS,
+      frame, hop, maxHamming = 3)).map(r => r.name -> r.status).toMap
+
+    Seq((1L, clipA), (2L, clipA), (3L, clipB))
+      .toDF("media_id", "content").write.parquet(s"$watch/b1.parquet")
+    assert(statuses() === Map("audio_dedup_fold" -> Succeeded,
+      "audio_dedup_validate" -> Succeeded))
+    Seq((4L, clipA), (5L, clipC))
+      .toDF("media_id", "content").write.parquet(s"$watch/b2.parquet")
+    assert(statuses() === Map("audio_dedup_fold" -> Succeeded,
+      "audio_dedup_validate" -> Succeeded))
+
+    val media = spark.read.parquet(s"$ix/audio_media")
+    assert(media.select("media_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 5L))
+    // appended fingerprints bit-identical to a from-scratch recompute
+    def fpSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("afp"))).toSet
+    assert(fpSet(spark.read.parquet(s"$ix/audio_fps"))
+      === fpSet(Multimodal.audioFingerprints(media, COEFFS, frame, hop)
+        .select(col("media_id"), col("afp"))))
+    // verdicts carry scope + best match
+    val v = spark.read.parquet(s"$ix/audio_verdicts")
+      .select("media_id", "keep", "dup_scope", "dup_of", "hamming")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[String]("dup_scope"),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(v(2L) === ((0, "batch", 1L, 0)))
+    assert(v(4L) === ((0, "corpus", 1L, 0)))
+    assert(v(1L)._1 === 1 && v(3L)._1 === 1 && v(5L)._1 === 1)
+    // re-run is a no-op (marker log)
+    assert(statuses()("audio_dedup_fold") === Succeeded)
+    assert(spark.read.parquet(s"$ix/audio_media").count() === 3L)
+  }
+
   test("ANN DAG: bootstrap build, frozen append, growth retrain == recompute") {
     import org.apache.spark.sql.functions.col
     import graft.core.VersionedTable
