@@ -370,7 +370,15 @@ object Bench {
     // SH_ROUNDS tiny aggregate jobs) — measured idle r14a: wall 1.76 s
     // vs Σtask 0.56 s with ext_cpu 0.001 and zero other flags; the
     // 3× ratio is scheduling, the q107 class.
-    val driverLoop = Set("q107_bpe_merges", "q277_feature_shapley")
+    // q66/q73/q74 run the full flights-pipeline lineage over KB-scale
+    // CSV fixtures: CSV ingest + an 11-stage dim/fact/mart DAG of
+    // tiny jobs whose wall is driver scheduling, not executor work —
+    // measured on a near-idle box (r15, ext_cpu 0.001): q66 wall
+    // 1.35 s vs Σtask 0.26 s (5.2×). Same class as q107: real
+    // contention still surfaces via ext_cpu and pass-drift.
+    val driverLoop = Set("q107_bpe_merges", "q277_feature_shapley",
+      "q66_pipeline_mart", "q73_pipeline_airport_mart",
+      "q74_pipeline_route_mart")
     val contended = results.collect {
       case (n, t) if t.wall > 1.0 && t.wall > 3.0 * t.task &&
         !driverLoop.contains(n) => n

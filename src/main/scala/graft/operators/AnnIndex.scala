@@ -97,6 +97,49 @@ object AnnIndex {
       .write.mode("append").parquet(cellsPath(dir))
   }
 
+  /** Cell-occupancy statistics from per-cell counts — the shared stat
+    * program of [[occupancyStats]] and q309's drift trajectory. Input:
+    * `(byCols..., cnt)` — one row per (group, cell) with its occupancy;
+    * output per group: `n_cells_used, n_vecs, max_occ, mean_occ,
+    * imbalance` where imbalance = max_occ·n_cells_used/n_vecs (the
+    * max/mean occupancy ratio — 1.0 for perfectly balanced cells).
+    * Integer aggregates; the two doubles divide in a pinned order so
+    * an oracle replays them exactly.
+    */
+  def occupancyStatsFromCounts(counts: DataFrame,
+      byCols: Seq[String]): DataFrame = {
+    val g =
+      if (byCols.isEmpty) counts.groupBy()
+      else counts.groupBy(byCols.map(col): _*)
+    g.agg(count(lit(1)).as("n_cells_used"),
+        sum(col("cnt")).as("n_vecs"),
+        max(col("cnt")).as("max_occ"))
+      .select(byCols.map(col) ++ Seq(col("n_cells_used"), col("n_vecs"),
+        col("max_occ"),
+        (col("n_vecs").cast("double") / col("n_cells_used"))
+          .as("mean_occ"),
+        (col("max_occ").cast("double") * col("n_cells_used") /
+          col("n_vecs")).as("imbalance")): _*)
+  }
+
+  /** One-row occupancy stats over a `(id, cell)` assignment table. */
+  def occupancyStats(cells: DataFrame,
+      cellCol: String = "cell"): DataFrame =
+    occupancyStatsFromCounts(
+      cells.groupBy(col(cellCol)).agg(count(lit(1)).as("cnt")), Nil)
+
+  /** The drift-alarm signal of the STORED index: max/mean cell
+    * occupancy of `cells/`. A frozen-model index serving a drifting
+    * corpus (new source, embedding-model version change) piles new
+    * vectors into few cells — probe cost grows with the hottest cell,
+    * so occupancy imbalance IS the "re-centroid now" signal. One scan
+    * of the (id, cell) table + a 1-row driver read.
+    */
+  def cellImbalance(spark: SparkSession, dir: String): Double = {
+    val st = occupancyStats(spark.read.parquet(cellsPath(dir))).head()
+    st.getDouble(st.fieldIndex("imbalance"))
+  }
+
   /** IVF-PQ top-k served entirely from the stored artifacts — no
     * corpus-vector access at query time (the compressed-index
     * promise: queries touch the model tables + codes only).

@@ -34,6 +34,13 @@ import graft.operators.AnnIndex
   *     changes; with √n auto-sizing the cell count tracks corpus
   *     growth, keeping per-cell candidate work flat).
   *
+  *  5. DRIFT TRIGGER: independently of growth, when the stored cells
+  *     table's max/mean occupancy passes `maxImbalance`
+  *     ([[AnnIndex.cellImbalance]]) — a frozen model serving a
+  *     drifted corpus piles the delta into few cells, and probe cost
+  *     follows the hottest cell — the fold commits a new generation
+  *     immediately (`retrain_drift`).
+  *
   * Steady-state ingest is therefore O(delta) END TO END, and retrains
   * are explicit, versioned, amortized events — never a per-batch
   * surprise. The rows-at-last-build watermark lives in a zero-byte
@@ -82,8 +89,10 @@ object AnnIndexPipeline {
   def foldNewVecFiles(spark: SparkSession, indexDir: String,
       watchDir: String, idCol: String, vecCol: String, m: Int,
       pqSeedMod: Int = 0, ivfSeedMod: Int = 0,
-      retrainGrowth: Double = 2.0): Seq[FoldResult] = {
+      retrainGrowth: Double = 2.0,
+      maxImbalance: Double = Double.PositiveInfinity): Seq[FoldResult] = {
     require(retrainGrowth > 1.0, "retrainGrowth must exceed 1")
+    require(maxImbalance > 1.0, "maxImbalance must exceed 1 (balanced)")
     val logDir = new Path(s"$indexDir/_folded_files")
     val fs = hfs(spark, indexDir)
     fs.mkdirs(logDir)
@@ -114,7 +123,18 @@ object AnnIndexPipeline {
             "retrain"
           case Some(_) =>
             AnnIndex.appendEncode(batch, idCol, vecCol, m, indexDir)
-            "append"
+            // DRIFT TRIGGER: growth is not the only reason to
+            // re-centroid — a frozen model serving a drifted corpus
+            // (new source, embedding-model version change) piles the
+            // delta into few cells; when max/mean occupancy passes
+            // maxImbalance, commit a new generation now
+            if (maxImbalance.isFinite &&
+                AnnIndex.cellImbalance(spark, indexDir) > maxImbalance) {
+              AnnIndex.build(all, idCol, vecCol, m, pqSeedMod, ivfSeedMod,
+                indexDir)
+              recordBuild(spark, indexDir, nAll)
+              "retrain_drift"
+            } else "append"
         }
       fs.create(new Path(logDir, f.getName), false).close()
       FoldResult(f.getName, nBatch, action)

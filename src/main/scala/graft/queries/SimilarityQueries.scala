@@ -4408,10 +4408,118 @@ object SimilarityQueries {
       FROM arms a CROSS JOIN nqc CROSS JOIN tot
       ORDER BY a.method"""))
 
+  // -- V24: IVF cell-occupancy DRIFT trajectory — the maintenance
+  //    signal [[graft.pipeline.AnnIndexPipeline]]'s drift trigger
+  //    watches ([[graft.operators.AnnIndex.cellImbalance]]), measured
+  //    over a simulated five-epoch ingest: epochs 0–2 are the original
+  //    corpus (vec_id mod 5), epochs 3–4 simulate an embedding-model
+  //    VERSION CHANGE (coordinate-1 bias +2.0f — exactly the
+  //    systematic drift a frozen IVF model cannot absorb). Centroids
+  //    are the epoch-0 seed model, FROZEN; per epoch the cumulative
+  //    occupancy stats (n_cells_used, n_vecs, max_occ, mean_occ,
+  //    imbalance = max·cells/n_vecs) show the drift: imbalance sits
+  //    ~1.6–1.8 through epoch 2, then climbs past the 1.9 alarm line
+  //    at epochs 3–4 (1.95, 2.36 at sf0.01) — the alarm column flips
+  //    exactly where the pipeline would re-centroid. All counts are
+  //    exact integers; the two divisions and the float bias are
+  //    order-pinned (FLOAT + FLOAT then the usual double folds), so
+  //    the oracle replays the trajectory bit-exactly.
+  private val DRIFT_SHIFT = 2.0f
+  private val DRIFT_TH = 1.9
+  private val q309 = Q(
+    "q309_ivf_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(s, dir)
+      val emb = t.embeddings.select(col("vec_id"),
+        pmod(col("vec_id"), lit(5L)).as("e"),
+        when(pmod(col("vec_id"), lit(5L)) >= 3,
+          concat(
+            array(element_at(col("embedding"), 1) + lit(DRIFT_SHIFT)),
+            slice(col("embedding"), 2, SQ_DIMS - 1)))
+          .otherwise(col("embedding")).as("embedding"))
+      val seeds = Similarity.seedCentroids(
+        emb.filter(col("e") === 0), "vec_id", "embedding", SEEDMOD)
+      // e is a function of vec_id — recompute instead of joining back
+      val assigned = Similarity
+        .ivfAssign(emb, "vec_id", "embedding", seeds)
+        .select(col("vec_id"), col("cell"),
+          pmod(col("vec_id"), lit(5L)).as("e"))
+      val occ = assigned.groupBy(col("cell"), col("e"))
+        .agg(count(lit(1)).as("cnt"))
+      // dense (cell × epoch) grid → cumulative occupancy per epoch
+      val grid = occ.select(col("cell")).distinct()
+        .crossJoin(
+          s.range(0, 5).select(col("id").as("e")))
+        .join(occ, Seq("cell", "e"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val cum = grid.withColumn("cnt",
+          sum(col("cnt")).over(
+            Window.partitionBy(col("cell")).orderBy(col("e"))))
+        .filter(col("cnt") > 0)
+        .select(col("e"), col("cnt"))
+      graft.operators.AnnIndex.occupancyStatsFromCounts(cum, Seq("e"))
+        .select(col("e").cast("int").as("epoch"),
+          col("n_cells_used"), col("n_vecs"), col("max_occ"),
+          pround(col("mean_occ"), 6).as("mean_occ"),
+          pround(col("imbalance"), 6).as("imbalance"),
+          (col("imbalance") > DRIFT_TH).cast("int").as("alarm"))
+        .orderBy(col("epoch"))
+    },
+    Some(s"""WITH v0 AS (
+        SELECT vec_id, vec_id % 5 AS e,
+          CASE WHEN vec_id % 5 >= 3 THEN
+            list_prepend(
+              CAST(embedding[1] + CAST($DRIFT_SHIFT AS FLOAT) AS FLOAT),
+              embedding[2:])
+          ELSE embedding END AS embedding
+        FROM embeddings),
+      v AS (
+        SELECT vec_id, e, embedding,
+          sqrt(${norm2Sql("embedding")}) AS nrm
+        FROM v0),
+      seeds AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS svec,
+          nrm AS snrm
+        FROM v WHERE e = 0 AND vec_id % $SEEDMOD = 0),
+      assign AS (
+        SELECT vec_id, e, cell FROM (
+          SELECT m.vec_id, m.e, s.cell,
+            row_number() OVER (PARTITION BY m.vec_id
+              ORDER BY ${dotSql("m.embedding", "s.svec")}
+                / (m.nrm * s.snrm) DESC, s.cell ASC) AS rn
+          FROM v m CROSS JOIN seeds s) WHERE rn = 1),
+      occ AS (
+        SELECT cell, e, count(*) AS cnt FROM assign GROUP BY cell, e),
+      grid AS (
+        SELECT c.cell, ep.e, coalesce(o.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT cell FROM occ) c
+        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS e) ep
+        LEFT JOIN occ o ON o.cell = c.cell AND o.e = ep.e),
+      cum AS (
+        SELECT cell, e,
+          sum(cnt) OVER (PARTITION BY cell ORDER BY e) AS cnt
+        FROM grid),
+      st AS (
+        SELECT e, CAST(count(*) AS BIGINT) AS n_cells_used,
+          CAST(sum(cnt) AS BIGINT) AS n_vecs,
+          CAST(max(cnt) AS BIGINT) AS max_occ
+        FROM cum WHERE cnt > 0 GROUP BY e)
+      SELECT CAST(e AS INT) AS epoch, n_cells_used, n_vecs, max_occ,
+        ${proundSql(
+          "CAST(n_vecs AS DOUBLE) / n_cells_used", 6)} AS mean_occ,
+        ${proundSql(
+          "CAST(max_occ AS DOUBLE) * n_cells_used / n_vecs",
+          6)} AS imbalance,
+        CASE WHEN CAST(max_occ AS DOUBLE) * n_cells_used / n_vecs
+          > $DRIFT_TH THEN 1 ELSE 0 END AS alarm
+      FROM st
+      ORDER BY epoch"""))
+
   val all: Seq[Q] =
     Seq(q26, q27, q28, q33, q53, q75, q90, q100, q101, q102, q108, q109,
       q114, q117, q120, q125, q132, q135, q136, q148, q149, q153, q158,
       q159, q165, q176, q181, q182, q184, q193, q202, q208, q210, q211,
       q214, q215, q216, q218, q219, q224, q227, q231, q249, q262, q265,
-      q275, q283, q290)
+      q275, q283, q290, q309)
 }

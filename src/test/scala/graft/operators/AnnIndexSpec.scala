@@ -82,6 +82,65 @@ class AnnIndexSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, s"$dir/centroids") === Seq(1))
   }
 
+  test("occupancy stats: exact counts and the pinned imbalance program") {
+    // 3 cells with occupancies 6, 3, 1 → max 6, mean 10/3,
+    // imbalance = 6·3/10 = 1.8 exactly
+    val cells = ((0 until 6).map(i => (i.toLong, 10L)) ++
+      (6 until 9).map(i => (i.toLong, 20L)) :+ (9L, 30L))
+      .toDF("vec_id", "cell")
+    val st = AnnIndex.occupancyStats(cells).head()
+    assert(st.getAs[Long]("n_cells_used") === 3L)
+    assert(st.getAs[Long]("n_vecs") === 10L)
+    assert(st.getAs[Long]("max_occ") === 6L)
+    assert(st.getAs[Double]("mean_occ") === 10.0 / 3)
+    assert(st.getAs[Double]("imbalance") === 6.0 * 3 / 10)
+  }
+
+  test("drift trigger: skewed batch re-centroids, retrain == from-scratch build") {
+    import graft.pipeline.AnnIndexPipeline
+    val tmp = java.nio.file.Files.createTempDirectory("ann_drift")
+    val watch = java.nio.file.Files
+      .createDirectories(tmp.resolve("watch")).toString
+    val ix = tmp.resolve("index").toString
+    def fold() = AnnIndexPipeline.foldNewVecFiles(spark, ix, watch,
+      "vec_id", "embedding", m, pqSeedMod = 20, ivfSeedMod = 20,
+      retrainGrowth = 10.0, maxImbalance = 3.0)
+
+    mkCorpus(0 until 200).write.parquet(s"$watch/b1.parquet")
+    assert(fold().map(_.action) === Seq("build"))
+
+    // a balanced delta appends without re-centroiding
+    mkCorpus(200 until 220).write.parquet(s"$watch/b2.parquet")
+    assert(fold().map(_.action) === Seq("append"))
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1))
+
+    // a DRIFTED delta (one dominant direction + jitter — the
+    // embedding-model-version-change shape) piles into one cell;
+    // growth is far from 10× but imbalance passes 3.0 → retrain_drift
+    val skewed = (220 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        if (d == 0) 10f else (i % 7) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    skewed.write.parquet(s"$watch/b3.parquet")
+    assert(fold().map(_.action) === Seq("retrain_drift"))
+    assert(VersionedTable.versions(spark, s"$ix/codebooks") === Seq(1, 2))
+
+    // the drift-triggered generation is bit-identical to a
+    // from-scratch build over the same grown corpus
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("ann_drift_ref").toString
+    val grown = spark.read.parquet(s"$ix/vectors")
+    AnnIndex.build(grown, "vec_id", "embedding", m,
+      pqSeedMod = 20, ivfSeedMod = 20, dir2)
+    def cellSet(d: String) = spark.read.parquet(s"$d/cells").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def codeSet(d: String) = spark.read.parquet(s"$d/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Long]("cw"), r.getAs[Double]("sdist"))).toSet
+    assert(cellSet(ix) === cellSet(dir2))
+    assert(codeSet(ix) === codeSet(dir2))
+  }
+
   test("rebuild commits a new model generation; old generation stays readable") {
     val dir = java.nio.file.Files.createTempDirectory("ann_index_gen").toString
     AnnIndex.build(mkCorpus(0 until 100), "vec_id", "embedding", m,
