@@ -129,7 +129,8 @@ object Bench {
     "q299_propensity_blocks", "q300_hll_overlap", "q301_mann_whitney",
     "q302_permutation_test", "q303_welch_ttest", "q304_jackknife_se",
     "q305_degree_assortativity", "q306_median_ci", "q307_capture_recapture",
-    "q308_audio_neardup", "q309_ivf_drift",
+    "q308_audio_neardup", "q309_ivf_drift", "q310_hdr_quantiles",
+    "q311_blocklist",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -2383,9 +2383,57 @@ object CorpusQueries {
       ORDER BY lang"""
     })
 
+  // -- BLOCKLIST multi-pattern scan (Aho–Corasick) — the badwords /
+  //    canary-phrase curation gate: every occurrence of every dict
+  //    phrase in ONE O(chars) pass per doc (vs one corpus scan per
+  //    pattern). The dict deliberately includes a self-bordered
+  //    phrase ("table table"), whose overlapping occurrences a
+  //    replace-based count silently drops — the oracle enumerates
+  //    candidate start positions directly, so the overlap semantics
+  //    are pinned, and pos_sum makes the oracle sensitive to every
+  //    individual match POSITION, not just counts.
+  private val BL_PATS = Seq("spark", "fast table", "table table",
+    "batch batch", "data query", "slow filter", "window window",
+    "the line sort")
+  private val q311 = Q(
+    "q311_blocklist",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val m = graft.operators.AhoCorasick.matches(
+        t.documents, "doc_id", "text", BL_PATS)
+      m.groupBy(col("pat"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("pos").cast("long")).as("pos_sum"))
+        .orderBy(col("pat"))
+    },
+    Some {
+      val vals = BL_PATS.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pat)),
+        pos AS (SELECT g.i FROM generate_series(1, 4096) g(i)),
+        m AS (
+          -- generate_series takes only constants in DuckDB (no lateral
+          -- column bound); 4096 safely covers max doc length (577,
+          -- payloads identical at every SF), and the inequality join
+          -- prunes the rest
+          SELECT d.doc_id, p.pat, pos.i AS pos
+          FROM documents d
+          CROSS JOIN pats p
+          JOIN pos ON pos.i + length(p.pat) - 1 <= length(d.text)
+          WHERE substr(d.text, CAST(pos.i AS INT), length(p.pat)) = p.pat)
+        SELECT pat, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_occ,
+          min(doc_id) AS first_doc,
+          CAST(sum(pos) AS BIGINT) AS pos_sum
+        FROM m
+        GROUP BY pat
+        ORDER BY pat"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292, q297, q300, q307)
+      q250, q291, q292, q297, q300, q307, q311)
 }

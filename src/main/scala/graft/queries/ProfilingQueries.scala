@@ -1272,6 +1272,114 @@ object ProfilingQueries {
       FROM zt
       ORDER BY event_type"""))
 
+  // -- P11: HDR log-bucket quantile sketch — the MERGEABLE,
+  //    ONE-PASS quantile path (vs q239's range-fitted bins, which
+  //    need a min/max pre-scan and give no relative-error bound on
+  //    heavy tails). Token counts per doc are Zipf-shaped — exactly
+  //    the distribution where uniform bins waste resolution. The
+  //    corpus row-set is computed by MERGING the per-source sketches
+  //    (count addition per bucket, never a rescan) — the shard-fold
+  //    property a 100 TB quantile needs. Everything is integer
+  //    (floorLog2 via unpadded bin(), shifts, integer-rational
+  //    ranks), so the oracle replays bit-for-bit; the audit invariant
+  //    `exact ∈ [est_low, est_low+width)` is exact by construction
+  //    (the selected bucket CONTAINS the rank), reported as a boolean.
+  private val HDR_B = 5 // sub-bucket bits → relative error ≤ 2^-5
+  private val HDR_PS = Seq((50, 1L, 2L), (90, 9L, 10L), (99, 99L, 100L))
+  private val q310 = Q(
+    "q310_hdr_quantiles",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val H = graft.operators.HdrSketch
+      val base = t.documents.select(col("source"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+            .as("v"))
+        .localCheckpoint(true) // scanned by the sketch AND the audit
+      val perSrc = H.sketch(base, Seq("source"), "v", HDR_B)
+      val global = H.merge(
+        perSrc.withColumn("source", lit("__all__")), Seq("source"))
+      val est = H.quantiles(perSrc.union(global), Seq("source"),
+        HDR_PS, HDR_B)
+      // exact lower quantile by rank selection — the audit side
+      val g = base.select(col("source").as("gsrc"), col("v"))
+        .union(base.select(lit("__all__").as("gsrc"), col("v")))
+      val ranked = g
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("gsrc")).orderBy(col("v"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("gsrc"))))
+      val exact = HDR_PS.map { case (pct, num, den) =>
+        ranked.filter(col("rn") ===
+            call_function("div", lit(num) * (col("n") - 1), lit(den)) + 1)
+          .select(col("gsrc").as("source"), lit(pct).as("pct"),
+            col("v").as("exact_disc"))
+      }.reduce(_ union _)
+      est.join(exact, Seq("source", "pct"))
+        .select(col("source"), col("pct"), col("n"), col("n_buckets"),
+          col("est_low"), col("width"), col("exact_disc"),
+          (col("exact_disc") >= col("est_low") &&
+            col("exact_disc") < col("est_low") + col("width"))
+            .as("in_bucket"))
+        .orderBy(col("source"), col("pct"))
+    },
+    Some(s"""WITH base AS MATERIALIZED (
+        SELECT source,
+          CAST(len(${graft.functions.TextFns.tokensSql("text")}) AS BIGINT)
+            AS v
+        FROM documents),
+      b2 AS MATERIALIZED (
+        SELECT source AS gsrc, v FROM base
+        UNION ALL SELECT '__all__', v FROM base),
+      bkt AS (
+        SELECT gsrc, shift * ${1L << HDR_B} + (v >> shift) AS idx
+        FROM (SELECT gsrc, v,
+            GREATEST(CAST(0 AS BIGINT),
+              CAST(length(bin(v)) - 1 - $HDR_B AS BIGINT)) AS shift
+          FROM b2)),
+      sk AS MATERIALIZED (
+        SELECT gsrc, idx, CAST(count(*) AS BIGINT) AS cnt
+        FROM bkt GROUP BY 1, 2),
+      cum AS (
+        SELECT gsrc, idx,
+          CAST(sum(cnt) OVER (PARTITION BY gsrc ORDER BY idx) AS BIGINT)
+            AS cum,
+          CAST(sum(cnt) OVER (PARTITION BY gsrc) AS BIGINT) AS n,
+          CAST(count(*) OVER (PARTITION BY gsrc) AS BIGINT) AS n_buckets
+        FROM sk),
+      qs AS (SELECT * FROM (VALUES (50, CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+          (90, CAST(9 AS BIGINT), CAST(10 AS BIGINT)),
+          (99, CAST(99 AS BIGINT), CAST(100 AS BIGINT)))
+        AS t(pct, num, den)),
+      sel AS (
+        SELECT gsrc AS source, pct, min(idx) AS sel_idx, min(n) AS n,
+          min(n_buckets) AS n_buckets
+        FROM cum JOIN qs ON cum.cum >= (qs.num * (cum.n - 1)) // qs.den + 1
+        GROUP BY 1, 2),
+      est AS (
+        SELECT source, pct, n, n_buckets,
+          (sel_idx - GREATEST(CAST(0 AS BIGINT),
+             sel_idx // ${1L << HDR_B} - 1) * ${1L << HDR_B})
+            << GREATEST(CAST(0 AS BIGINT), sel_idx // ${1L << HDR_B} - 1)
+            AS est_low,
+          CAST(1 AS BIGINT) << GREATEST(CAST(0 AS BIGINT),
+            sel_idx // ${1L << HDR_B} - 1) AS width
+        FROM sel),
+      ranked AS (
+        SELECT gsrc, v,
+          CAST(row_number() OVER (PARTITION BY gsrc ORDER BY v) AS BIGINT)
+            AS rn,
+          CAST(count(*) OVER (PARTITION BY gsrc) AS BIGINT) AS n
+        FROM b2),
+      ex AS (
+        SELECT gsrc AS source, pct, v AS exact_disc
+        FROM ranked JOIN qs ON ranked.rn = (qs.num * (ranked.n - 1)) // qs.den + 1)
+      SELECT est.source, est.pct, est.n, est.n_buckets, est.est_low,
+        est.width, ex.exact_disc,
+        ex.exact_disc >= est.est_low
+          AND ex.exact_disc < est.est_low + est.width AS in_bucket
+      FROM est JOIN ex ON est.source = ex.source AND est.pct = ex.pct
+      ORDER BY est.source, est.pct"""))
+
   val all: Seq[Q] = Seq(q30, q31, q32, q40, q84, q85, q92, q106, q239,
-    q241, q245, q246, q253, q267, q273, q274, q278, q280)
+    q241, q245, q246, q253, q267, q273, q274, q278, q280, q310)
 }
