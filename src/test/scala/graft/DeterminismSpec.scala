@@ -48,7 +48,10 @@ class DeterminismSpec extends SparkSpec {
     "q300_hll_overlap", "q301_mann_whitney", "q302_permutation_test",
     "q294_gini_stump", "q296_bh_fdr",
     // round-14c shapes: delete-a-block ds8 fold, degree-join moments
-    "q304_jackknife_se", "q305_degree_assortativity")
+    "q304_jackknife_se", "q305_degree_assortativity",
+    // round-15 shapes: banded audio hamming, log-bucket rank select,
+    // automaton match emission order
+    "q308_audio_neardup", "q310_hdr_quantiles", "q311_blocklist")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
