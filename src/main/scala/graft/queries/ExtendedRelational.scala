@@ -1375,7 +1375,8 @@ object ExtendedRelational {
     })
 
   // -- X30: HILBERT layout vs z-order vs linear — q223's harness
-  //    upgraded to EQUAL-ROW files (ntile over the layout key — the
+  //    upgraded to EQUAL-ROW files (exact global rank over the layout
+  //    key via the q64 two-phase prefix, then ntile arithmetic — the
   //    file assignment repartitionByRange actually produces; q223's
   //    equal-ADDRESS slabs make z-order and Hilbert collapse to the
   //    identical 8×8 quadrant tiling whenever rows/file is a power of
@@ -1424,12 +1425,34 @@ object ExtendedRelational {
           col("y") >= col("y0") && col("y") <= col("y1"))
         .groupBy(col("box")).agg(count(lit(1)).as("rows_match"))
       def layout(name: String, key: org.apache.spark.sql.Column) = {
-        // equal-row files: the documented global-sort window — it IS
-        // the measurement (repartitionByRange's file assignment);
-        // 1 window over the measurement frame, bench-scale only
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(key, col("x"), col("y"))
-        val stats = fb.withColumn("b", ntile(ZO_FILES).over(w))
+        // equal-row files via the q64 two-phase global rank (was a
+        // single global ntile window — one task sorting the whole
+        // table, flagged super-linear at 10× in bench_scaled_r15:
+        // 40.2 s, 14.7× the 1× wall). Phase 1: row_number PARTITIONED
+        // BY the layout address (parallel; ties among identical rows
+        // interchangeable as before). Phase 2: exclusive prefix over
+        // the per-address counts — bounded by the ADDRESS DOMAIN
+        // (≤ 2^(2·ZO_BITS) = 1M rows structurally, data-independent),
+        // broadcast back. The ntile bucket is then arithmetic on the
+        // exact global rank: first n mod F buckets take ⌈n/F⌉ rows —
+        // bit-identical file assignment, no global sort anywhere.
+        val W = org.apache.spark.sql.expressions.Window
+        val loc = fb.withColumn("k", key)
+          .withColumn("lrn", row_number().over(
+            W.partitionBy(col("k")).orderBy(col("x"), col("y"))))
+        val bases = loc.groupBy(col("k")).agg(count(lit(1)).as("kc"))
+          .withColumn("base", coalesce(
+            sum(col("kc")).over(W.orderBy(col("k"))) - col("kc"), lit(0L)))
+          .withColumn("nt", sum(col("kc")).over(W.partitionBy(lit(1))))
+          .select(col("k"), col("base"), col("nt"))
+        val nq = call_function("div", col("nt"), lit(ZO_FILES.toLong))
+        val nr = col("nt") % ZO_FILES
+        val rn = col("base") + col("lrn")
+        val cut = nr * (nq + 1)
+        val b = when(rn <= cut, call_function("div", rn - 1, nq + 1))
+          .otherwise(nr + call_function("div", rn - cut - 1, nq))
+        val stats = loc.join(broadcast(bases), Seq("k"))
+          .withColumn("b", b)
           .groupBy(col("b"))
           .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
             min(col("y")).as("mny"), max(col("y")).as("mxy"),

@@ -554,10 +554,9 @@ class PlanQualitySpec extends SparkSpec {
       // q207: q154's pack pipeline under the unigram tokenizer — the
       // same q64 bucket-total prefix window
       "q207_unigram_pack_ids",
-      // q233: the ntile windows ARE the measurement — they model
-      // repartitionByRange's equal-row file assignment (the one range
-      // exchange every clustered WRITE pays); the production path is
-      // the write-side repartitionByRange, not a read-side sort
+      // q233: the per-ADDRESS-count exclusive prefix (≤ 2^(2·ZO_BITS)
+      // rows structurally — the q64 bucket-total class; the row-data
+      // rank is partitioned by address since r15's two-phase rewrite)
       "q233_hilbert_skipping",
       // q252: cumulative coverage over the ≤ k greedy picks (k = 8
       // driver-loop rows — the q64 bounded-intermediate class)
