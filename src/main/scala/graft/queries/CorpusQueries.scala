@@ -2431,9 +2431,70 @@ object CorpusQueries {
         ORDER BY pat"""
     })
 
+  // -- BLOCKLIST SCRUB COVERAGE — q311's matches composed into the
+  //    release stat a scrub pass reports: a character is masked iff
+  //    covered by ANY match span (overlaps union, not concatenate —
+  //    the span-coverage semantics q171 uses for contamination);
+  //    per source: docs hit, chars masked, masked fraction. The span
+  //    union is an explode→distinct on (doc, char) — exact, and at
+  //    scale linear in MATCHED chars (sparse), not corpus chars.
+  private val q312 = Q(
+    "q312_blocklist_scrub",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val m = graft.operators.AhoCorasick.matches(
+        t.documents, "doc_id", "text", BL_PATS)
+      val covered = m
+        .select(col("doc_id"), explode(sequence(col("pos"),
+          col("pos") + length(col("pat")) - 1)).as("cpos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("masked"))
+      t.documents.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("nc"))
+        .join(covered, Seq("doc_id"), "left")
+        .withColumn("mk", coalesce(col("masked"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("mk") > 0).cast("long")).as("docs_hit"),
+          sum(col("nc")).as("chars_total"),
+          sum(col("mk")).as("chars_masked"),
+          pround(sum(col("mk")).cast("double") /
+            sum(col("nc")).cast("double"), 6).as("masked_frac"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val vals = BL_PATS.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pat)),
+        pos AS (SELECT g.i FROM generate_series(1, 4096) g(i)),
+        m AS (
+          SELECT d.doc_id, p.pat, pos.i AS mpos
+          FROM documents d
+          CROSS JOIN pats p
+          JOIN pos ON pos.i + length(p.pat) - 1 <= length(d.text)
+          WHERE substr(d.text, CAST(pos.i AS INT), length(p.pat)) = p.pat),
+        cov AS (
+          SELECT DISTINCT m.doc_id, p2.i AS cpos
+          FROM m JOIN pos p2
+            ON p2.i >= m.mpos AND p2.i < m.mpos + length(m.pat)),
+        perdoc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS masked
+          FROM cov GROUP BY doc_id)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN coalesce(pd.masked, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_hit,
+          CAST(sum(length(d.text)) AS BIGINT) AS chars_total,
+          CAST(sum(coalesce(pd.masked, 0)) AS BIGINT) AS chars_masked,
+          ${proundSql(
+            "CAST(sum(coalesce(pd.masked, 0)) AS DOUBLE) / " +
+              "CAST(sum(length(d.text)) AS DOUBLE)", 6)} AS masked_frac
+        FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+        GROUP BY d.source
+        ORDER BY d.source"""
+    })
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292, q297, q300, q307, q311)
+      q250, q291, q292, q297, q300, q307, q311, q312)
 }
