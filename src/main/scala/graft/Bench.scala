@@ -130,7 +130,7 @@ object Bench {
     "q302_permutation_test", "q303_welch_ttest", "q304_jackknife_se",
     "q305_degree_assortativity", "q306_median_ci", "q307_capture_recapture",
     "q308_audio_neardup", "q309_ivf_drift", "q310_hdr_quantiles",
-    "q311_blocklist", "q312_blocklist_scrub",
+    "q311_blocklist", "q312_blocklist_scrub", "q313_otsu_gate",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

@@ -87,6 +87,11 @@ object AhoCorasick {
 
   /** All occurrences of every pattern in `textCol`, one row per match.
     * Null/empty text matches nothing. O(chars + matches) per row.
+    * Positions are 1-based UTF-16 code-unit offsets — identical to
+    * codepoint offsets for BMP-only text (the oracle's `substr`
+    * counts codepoints, so supplementary-plane corpora would need a
+    * codepoint-walking variant; the dict phrases themselves match
+    * either way since matching is exact char equality).
     */
   def matches(df: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String]): DataFrame = {

@@ -3167,9 +3167,113 @@ object TextAnalysis {
       ORDER BY lang_true, lang_pred"""
     })
 
+  // -- OTSU AUTO-THRESHOLD quality gate (Otsu 1979) — pick the
+  //    quality-score cut that MAXIMIZES between-class variance over
+  //    the score histogram, per lang: the data-driven alternative to
+  //    q111/q229's hand-set gate thresholds. Signal: type-token
+  //    ratio binned to 64 integer levels (floor(ttr·64), clamp 63 —
+  //    the binning double program is two exact-long divisions, so
+  //    both engines place every doc in the same bin). All Otsu
+  //    arithmetic rides the BOUNDED 64-bin histogram (prefix windows
+  //    partitioned by lang over ≤ 64 rows — never the doc stream);
+  //    var_b = w0·w1·(μ0−μ1)² with the multiply order pinned, argmax
+  //    tie-broken by the lower bin. At 100 TB this is one hash-agg
+  //    to the histogram plus constant work per lang.
+  private val q313 = Q(
+    "q313_otsu_gate",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = TextFns.tokens(col("text"))
+      val base = t.documents.select(col("lang"),
+          size(toks).cast("long").as("n"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        .filter(col("n") > 0)
+        .withColumn("bin", least(
+          floor(col("nd").cast("double") / col("n").cast("double") * 64)
+            .cast("long"), lit(63L)))
+      val hist = base.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val pw = W.partitionBy(col("lang")).orderBy(col("bin"))
+      val tot = W.partitionBy(col("lang"))
+      val cand = hist
+        .withColumn("w0", sum(col("c")).over(pw))
+        .withColumn("s0", sum(col("c") * col("bin")).over(pw))
+        .withColumn("wt", sum(col("c")).over(tot))
+        .withColumn("st", sum(col("c") * col("bin")).over(tot))
+        .filter(col("w0") > 0 && col("wt") - col("w0") > 0)
+        .withColumn("mu0",
+          col("s0").cast("double") / col("w0").cast("double"))
+        .withColumn("mu1", (col("st") - col("s0")).cast("double") /
+          (col("wt") - col("w0")).cast("double"))
+        .withColumn("var_b", col("w0").cast("double") *
+          (col("wt") - col("w0")).cast("double") *
+          ((col("mu0") - col("mu1")) * (col("mu0") - col("mu1"))))
+      cand
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("lang"))
+            .orderBy(col("var_b").desc, col("bin"))))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("bin").as("t_opt"),
+          col("w0").as("n_below"), (col("wt") - col("w0")).as("n_above"),
+          pround(col("var_b"), 4).as("var_between"),
+          pround(col("mu0"), 6).as("mu_below"),
+          pround(col("mu1"), 6).as("mu_above"),
+          pround((col("wt") - col("w0")).cast("double") /
+            col("wt").cast("double"), 6).as("kept_frac"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH base AS MATERIALIZED (
+        SELECT lang,
+          CAST(len(${TextFns.tokensSql("text")}) AS BIGINT) AS n,
+          CAST(len(list_distinct(${TextFns.tokensSql("text")})) AS BIGINT)
+            AS nd
+        FROM documents),
+      binned AS (
+        SELECT lang, LEAST(CAST(floor(
+            CAST(nd AS DOUBLE) / CAST(n AS DOUBLE) * 64) AS BIGINT),
+          63) AS bin
+        FROM base WHERE n > 0),
+      hist AS MATERIALIZED (
+        SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2),
+      cand AS (
+        SELECT lang, bin,
+          CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT)
+            AS w0,
+          CAST(sum(c * bin) OVER (PARTITION BY lang ORDER BY bin)
+            AS BIGINT) AS s0,
+          CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS wt,
+          CAST(sum(c * bin) OVER (PARTITION BY lang) AS BIGINT) AS st
+        FROM hist),
+      scored AS (
+        SELECT lang, bin, w0, wt,
+          CAST(s0 AS DOUBLE) / CAST(w0 AS DOUBLE) AS mu0,
+          CAST(st - s0 AS DOUBLE) / CAST(wt - w0 AS DOUBLE) AS mu1,
+          CAST(w0 AS DOUBLE) * CAST(wt - w0 AS DOUBLE) *
+            ((CAST(s0 AS DOUBLE) / CAST(w0 AS DOUBLE)
+              - CAST(st - s0 AS DOUBLE) / CAST(wt - w0 AS DOUBLE))
+             * (CAST(s0 AS DOUBLE) / CAST(w0 AS DOUBLE)
+              - CAST(st - s0 AS DOUBLE) / CAST(wt - w0 AS DOUBLE)))
+            AS var_b
+        FROM cand WHERE w0 > 0 AND wt - w0 > 0),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY var_b DESC, bin) AS rk
+        FROM scored)
+      SELECT lang, bin AS t_opt, w0 AS n_below,
+        wt - w0 AS n_above,
+        ${proundSql("var_b", 4)} AS var_between,
+        ${proundSql("mu0", 6)} AS mu_below,
+        ${proundSql("mu1", 6)} AS mu_above,
+        ${proundSql("CAST(wt - w0 AS DOUBLE) / CAST(wt AS DOUBLE)", 6)}
+          AS kept_frac
+      FROM best WHERE rk = 1
+      ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(q17, q18, q19, q20, q69, q71, q72, q79, q95, q104, q107,
       q110, q111, q124, q139, q141, q150, q154, q157, q163, q164, q180,
       q183, q201, q206, q207, q221, q226, q229, q260, q261, q263, q271,
-      q276, q277, q293, q298, q301, q302, q303, q304, q306)
+      q276, q277, q293, q298, q301, q302, q303, q304, q306, q313)
 }

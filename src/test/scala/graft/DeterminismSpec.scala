@@ -51,7 +51,8 @@ class DeterminismSpec extends SparkSpec {
     "q304_jackknife_se", "q305_degree_assortativity",
     // round-15 shapes: banded audio hamming, log-bucket rank select,
     // automaton match emission order
-    "q308_audio_neardup", "q310_hdr_quantiles", "q311_blocklist")
+    "q308_audio_neardup", "q310_hdr_quantiles", "q311_blocklist",
+    "q313_otsu_gate")
 
   private def snapshot(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect()
