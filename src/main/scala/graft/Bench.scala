@@ -131,6 +131,7 @@ object Bench {
     "q305_degree_assortativity", "q306_median_ci", "q307_capture_recapture",
     "q308_audio_neardup", "q309_ivf_drift", "q310_hdr_quantiles",
     "q311_blocklist", "q312_blocklist_scrub", "q313_otsu_gate",
+    "q314_psi_drift",
     "q67_percentiles_rankselect")
 
   /** Exact quadratic baselines: correct, oracle-gated, and the right

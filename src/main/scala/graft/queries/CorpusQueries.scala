@@ -2492,9 +2492,124 @@ object CorpusQueries {
         ORDER BY d.source"""
     })
 
+  // -- PSI DRIFT MONITOR — population stability index between two
+  //    corpus snapshots per source (the standard production drift
+  //    dial: PSI < 0.1 stable, > 0.2 drifted), over the HDR log
+  //    buckets of doc token counts (q310's data-independent binning —
+  //    two snapshot histograms are comparable WITHOUT a shared
+  //    min/max pass, exactly why HDR is the monitoring bucketing).
+  //    Laplace-smoothed (c+1)/(n+B); ln(p1/p2) rides graft_lndet on
+  //    the EXACT integer cross-ratio (c1+1)(n2+B)/((c2+1)(n1+B)),
+  //    flipped to ≥ 1 with a sign — so the float program is pinned.
+  //    Per-bin terms round to DECIMAL(28,10) before the per-source
+  //    sum (order-free — the q289 decimal-fold discipline). All
+  //    windows ride the bounded bucket table, never the doc stream.
+  //    Snapshot split: doc_id parity (a deterministic stand-in for
+  //    old/new ingest batches; ScaleUp's even stride preserves it).
+  private val q314 = Q(
+    "q314_psi_drift",
+    (s, dir) => {
+      val t = Tpch(s, dir)
+      val W = org.apache.spark.sql.expressions.Window
+      val H = graft.operators.HdrSketch
+      val base = t.documents.select(col("source"),
+          (col("doc_id") % 2).cast("int").as("snap"),
+          H.bucketIdx(
+            size(TextFns.tokens(col("text"))).cast("long"), 5).as("bin"))
+      val hist = base.groupBy(col("source"), col("bin"), col("snap"))
+        .agg(count(lit(1)).as("c"))
+      val h1 = hist.filter(col("snap") === 0)
+        .select(col("source"), col("bin"), col("c").as("c1"))
+      val h2 = hist.filter(col("snap") === 1)
+        .select(col("source"), col("bin"), col("c").as("c2"))
+      val joined = h1.join(h2, Seq("source", "bin"), "full_outer")
+        .select(col("source"), col("bin"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val tot = W.partitionBy(col("source"))
+      val terms = joined
+        .withColumn("n1", sum(col("c1")).over(tot))
+        .withColumn("n2", sum(col("c2")).over(tot))
+        .withColumn("nb", count(lit(1)).over(tot))
+        .withColumn("a", (col("c1") + 1) * (col("n2") + col("nb")))
+        .withColumn("b", (col("c2") + 1) * (col("n1") + col("nb")))
+        .withColumn("p1", (col("c1") + 1).cast("double") /
+          (col("n1") + col("nb")).cast("double"))
+      val terms2 = terms
+        .withColumn("p2", (col("c2") + 1).cast("double") /
+          (col("n2") + col("nb")).cast("double"))
+        .withColumn("sgn", when(col("a") >= col("b"), lit(1.0))
+          .otherwise(lit(-1.0)))
+        .withColumn("ratio",
+          greatest(col("a"), col("b")).cast("double") /
+            least(col("a"), col("b")).cast("double"))
+        .withColumn("term", pround(
+          (col("p1") - col("p2")) * col("sgn") *
+            call_function("graft_lndet", col("ratio")), 10)
+          .cast(DecimalType(28, 10)))
+      terms2.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          any_value(col("n1")).as("n_old"),
+          any_value(col("n2")).as("n_new"),
+          pround(sum(col("term")).cast("double"), 8).as("psi"))
+        .withColumn("drifted", col("psi") > 0.2)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH base AS MATERIALIZED (
+        SELECT source, CAST(doc_id % 2 AS INT) AS snap,
+          shift * 32 + (v >> shift) AS bin
+        FROM (SELECT source, doc_id, v,
+            GREATEST(CAST(0 AS BIGINT),
+              CAST(length(bin(v)) - 1 - 5 AS BIGINT)) AS shift
+          FROM (SELECT source, doc_id,
+              CAST(len(${TextFns.tokensSql("text")}) AS BIGINT) AS v
+            FROM documents))),
+      hist AS MATERIALIZED (
+        SELECT source, bin, snap, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3),
+      joined AS (
+        SELECT coalesce(a.source, b.source) AS source,
+          coalesce(a.bin, b.bin) AS bin,
+          coalesce(a.c, 0) AS c1, coalesce(b.c, 0) AS c2
+        FROM (SELECT source, bin, c FROM hist WHERE snap = 0) a
+        FULL OUTER JOIN (SELECT source, bin, c FROM hist WHERE snap = 1) b
+          ON a.source = b.source AND a.bin = b.bin),
+      tt AS (
+        SELECT source, bin, c1, c2,
+          CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n1,
+          CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS n2,
+          CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nb
+        FROM joined),
+      pre AS (
+        SELECT source, n1, n2,
+          CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE) AS p1,
+          CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE) AS p2,
+          CASE WHEN (c1 + 1) * (n2 + nb) >= (c2 + 1) * (n1 + nb)
+            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn,
+          CAST(GREATEST((c1 + 1) * (n2 + nb), (c2 + 1) * (n1 + nb))
+              AS DOUBLE)
+            / CAST(LEAST((c1 + 1) * (n2 + nb), (c2 + 1) * (n1 + nb))
+              AS DOUBLE) AS ratio
+        FROM tt),
+      ${Portable.lnDetSqlCtes("psi", "pre",
+        "source, n1, n2, p1, p2, sgn", "ratio")}
+      SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+        min(n1) AS n_old, min(n2) AS n_new,
+        ${proundSql(
+          "CAST(sum(CAST(" +
+            proundSql("(p1 - p2) * sgn * lnp", 10) +
+            " AS DECIMAL(28,10))) AS DOUBLE)", 8)} AS psi,
+        ${proundSql(
+          "CAST(sum(CAST(" +
+            proundSql("(p1 - p2) * sgn * lnp", 10) +
+            " AS DECIMAL(28,10))) AS DOUBLE)", 8)} > 0.2 AS drifted
+      FROM psilnv
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(q47, q48, q49, q50, q51, q52, q54, q105, q122, q129, q130, q131,
       q137, q138, q143, q166, q177, q185, q190, q192, q194, q197,
       q204, q205, q209, q220, q222, q228, q230, q236, q237, q238, q243,
-      q250, q291, q292, q297, q300, q307, q311, q312)
+      q250, q291, q292, q297, q300, q307, q311, q312, q314)
 }
