@@ -37,8 +37,12 @@ object AhoCorasick {
     require(patterns.forall(_.nonEmpty), "empty pattern")
     require(patterns.distinct.size == patterns.size, "duplicate patterns")
 
-    private val next = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
-    private val out = mutable.ArrayBuffer(List.empty[Int])
+    // construction scratch — @transient: the task closure ships only
+    // the flattened nextArr/failArr/emits the scan loop reads, not
+    // the boxed trie builder state (dead after the constructor)
+    @transient private val next =
+      mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+    @transient private val out = mutable.ArrayBuffer(List.empty[Int])
     patterns.zipWithIndex.foreach { case (p, pi) =>
       var s = 0
       p.foreach { ch =>
@@ -50,7 +54,7 @@ object AhoCorasick {
       }
       out(s) = pi :: out(s)
     }
-    private val fail = Array.fill(next.size)(0)
+    @transient private val fail = Array.fill(next.size)(0)
     val emits: Array[Array[Int]] = {
       val em = Array.fill(next.size)(List.empty[Int])
       val q = mutable.Queue.empty[Int]

@@ -68,9 +68,11 @@ object HdrSketch {
       .groupBy(groupCols.map(col) :+ col("idx"): _*)
       .agg(count(lit(1)).as("cnt"))
 
-  /** Merge sketches that share the bucketing: add counts per bucket.
-    * `regroup` renames/collapses group columns first (e.g. all
-    * sources → one corpus row-set) — the shard-fold path.
+  /** Merge sketches that share the bucketing: add counts per bucket —
+    * the shard-fold path. To collapse groups (e.g. all sources → one
+    * corpus row-set), pre-rename the group columns on the input
+    * (q310 does `withColumn("source", lit("__all__"))`) before
+    * merging.
     */
   def merge(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
     sketch.groupBy(groupCols.map(col) :+ col("idx"): _*)

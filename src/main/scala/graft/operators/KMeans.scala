@@ -264,7 +264,13 @@ object KMeans {
         lit(0L).cast(DecimalType(38, 8)),
         (acc, x) => (acc + x).cast(DecimalType(38, 8)))
       val stats = fanned
-        .select(col(idCol).as("__rid"), col(vecCol).as("__v"))
+        // per-ROW group key: monotonically_increasing_id, NOT idCol —
+        // duplicate or null ids must not merge rows into one
+        // assignment (the key's VALUE never reaches a result: each
+        // row argmins alone, then sums are over the same row multiset
+        // whatever the key labels, so determinism is untouched)
+        .select(monotonically_increasing_id().as("__rid"),
+          col(vecCol).as("__v"))
         .select(col("__rid"), col("__v"),
           explode(sequence(lit(0), lit(m - 1))).as("sub"))
         .select(col("__rid"), col("sub"),

@@ -490,11 +490,59 @@ object Multimodal {
     * O(len·|coeffs|); undecodable or too-short payloads yield a null
     * afp (dropped by the dedup lane like null phash).
     */
+  /** The HK bit walk itself — the ONE implementation both the batch
+    * lane above and [[graft.streaming.StreamAudioNearDup]] run, so
+    * stream ≡ batch is structural, not just spec-pinned. None when
+    * the clip is too short to frame.
+    */
+  private[graft] def hkFingerprint(s: Array[Int], cArr: Array[Double],
+      frameLen: Int, hop: Int): Option[(Int, Long)] = {
+    if (s.length < frameLen + hop) None
+    else {
+      val nb = cArr.length
+      val nF = (s.length - frameLen) / hop + 1
+      val e = Array.ofDim[Double](nF, nb)
+      var f = 0
+      while (f < nF) {
+        var b = 0
+        while (b < nb) {
+          val c = cArr(b)
+          var s1 = 0.0
+          var s2 = 0.0
+          var j = 0
+          while (j < frameLen) {
+            val v = s(f * hop + j) + c * s1 - s2
+            s2 = s1
+            s1 = v
+            j += 1
+          }
+          e(f)(b) = s1 * s1 + s2 * s2 - c * s1 * s2
+          b += 1
+        }
+        f += 1
+      }
+      var fpv = 0L
+      var bit = 0
+      f = 1
+      while (f < nF && bit < 64) {
+        var b = 0
+        while (b < nb - 1 && bit < 64) {
+          val d = (e(f)(b) - e(f)(b + 1)) -
+            (e(f - 1)(b) - e(f - 1)(b + 1))
+          if (d > 0) fpv |= 1L << bit
+          bit += 1
+          b += 1
+        }
+        f += 1
+      }
+      Some((nF, fpv))
+    }
+  }
+
   def audioFingerprints(media: DataFrame, coeffs: Seq[Double],
       frameLen: Int, hop: Int): DataFrame = {
     require(coeffs.length >= 2, "need >= 2 bands for energy deltas")
     require(frameLen >= 2 && hop >= 1)
-    val nb = coeffs.length
     val cArr = coeffs.toArray
     val enc = Encoders.row(audioFpSchema)
     media.select(col("media_id"), col("content"))
@@ -502,44 +550,9 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val s = anyWavSamples(r.getAs[Array[Byte]](1))
-          if (s.length < frameLen + hop) Row(id, 0, null)
-          else {
-            val nF = (s.length - frameLen) / hop + 1
-            val e = Array.ofDim[Double](nF, nb)
-            var f = 0
-            while (f < nF) {
-              var b = 0
-              while (b < nb) {
-                val c = cArr(b)
-                var s1 = 0.0
-                var s2 = 0.0
-                var j = 0
-                while (j < frameLen) {
-                  val v = s(f * hop + j) + c * s1 - s2
-                  s2 = s1
-                  s1 = v
-                  j += 1
-                }
-                e(f)(b) = s1 * s1 + s2 * s2 - c * s1 * s2
-                b += 1
-              }
-              f += 1
-            }
-            var fpv = 0L
-            var bit = 0
-            f = 1
-            while (f < nF && bit < 64) {
-              var b = 0
-              while (b < nb - 1 && bit < 64) {
-                val d = (e(f)(b) - e(f)(b + 1)) -
-                  (e(f - 1)(b) - e(f - 1)(b + 1))
-                if (d > 0) fpv |= 1L << bit
-                bit += 1
-                b += 1
-              }
-              f += 1
-            }
-            Row(id, nF, fpv)
+          hkFingerprint(s, cArr, frameLen, hop) match {
+            case None            => Row(id, 0, null)
+            case Some((nF, fpv)) => Row(id, nF, fpv)
           }
         }
       }(enc)

@@ -311,36 +311,39 @@ object DedupIndexPipeline {
     FoldResult(srcFile, kept, batch.count() - kept)
   }
 
-  /** Audio-lane invariants — [[validateImageIndex]] for the HK lane. */
-  def validateAudioIndex(spark: SparkSession, indexDir: String,
-      coeffs: Seq[Double], frameLen: Int, hop: Int): Boolean = {
-    import graft.operators.Multimodal
-    val media = Forget.readAppendDir(spark, audioMediaDir(indexDir))
-    val fps = Forget.readAppendDir(spark, audioFpsDir(indexDir))
+  /** Shared fingerprint-lane invariants (image pHash / audio HK):
+    * fingerprint ids are unique, every fingerprint row has its media
+    * row, and every DECODABLE kept payload carries a fingerprint
+    * (`fingerprint` recomputes them; `fpCol` is its non-null gate).
+    */
+  private def validateFpIndex(spark: SparkSession, mediaD: String,
+      fpsD: String, fpCol: String,
+      fingerprint: DataFrame => DataFrame): Boolean = {
+    val media = Forget.readAppendDir(spark, mediaD)
+    val fps = Forget.readAppendDir(spark, fpsD)
     val nFps = fps.count()
     fps.select("media_id").distinct().count() == nFps &&
       media.select("media_id").distinct().count() == media.count() &&
       fps.join(media, Seq("media_id"), "left_anti").isEmpty &&
-      Multimodal.audioFingerprints(media, coeffs, frameLen, hop)
-        .filter(col("afp").isNotNull)
+      fingerprint(media).filter(col(fpCol).isNotNull)
         .join(fps, Seq("media_id"), "left_anti").isEmpty
   }
+
+  /** Audio-lane invariants — [[validateImageIndex]] for the HK lane. */
+  def validateAudioIndex(spark: SparkSession, indexDir: String,
+      coeffs: Seq[Double], frameLen: Int, hop: Int): Boolean =
+    validateFpIndex(spark, audioMediaDir(indexDir),
+      audioFpsDir(indexDir), "afp",
+      m => graft.operators.Multimodal
+        .audioFingerprints(m, coeffs, frameLen, hop))
 
   /** Image-lane invariants: fingerprint ids are unique, every
     * fingerprint row has its media row, and every DECODABLE kept
     * payload carries a fingerprint.
     */
-  def validateImageIndex(spark: SparkSession, indexDir: String): Boolean = {
-    import graft.operators.Multimodal
-    val media = Forget.readAppendDir(spark, mediaDir(indexDir))
-    val fps = Forget.readAppendDir(spark, fpsDir(indexDir))
-    val nFps = fps.count()
-    fps.select("media_id").distinct().count() == nFps &&
-      media.select("media_id").distinct().count() == media.count() &&
-      fps.join(media, Seq("media_id"), "left_anti").isEmpty &&
-      Multimodal.phashFeatures(media).filter(col("phash").isNotNull)
-        .join(fps, Seq("media_id"), "left_anti").isEmpty
-  }
+  def validateImageIndex(spark: SparkSession, indexDir: String): Boolean =
+    validateFpIndex(spark, mediaDir(indexDir), fpsDir(indexDir),
+      "phash", graft.operators.Multimodal.phashFeatures)
 
   /** Index invariants a standing DAG validates after each fold:
     * every kept corpus doc with a signature has exactly `p.bands`

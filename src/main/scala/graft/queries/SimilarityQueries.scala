@@ -2574,6 +2574,13 @@ object SimilarityQueries {
         ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
       val (aH, aT, aM) = byName("pq_kmeans")
       val (bH, bT, bM) = byName("opq_snake")
+      // loud contract (the Tiff/domain-cap discipline): a null
+      // mse_sum (sum over an EMPTY encode frame) or zero exact total
+      // means the corpus is too small for the rung — fail with the
+      // cause, never NPE in compareTo / divide into NaN
+      require(aM != null && bM != null && aT > 0 && bT > 0,
+        s"q231: empty encode/exact frame (mse pq=$aM opq=$bM, " +
+          s"totals $aT/$bT) — corpus too small for the OPQ rung")
       val sel = if (aM.compareTo(bM) <= 0) (aH, aT, aM) else (bH, bT, bM)
       def pr(x: Double, d: Double) = math.floor(x * d + 0.5) / d
       Seq(("pq_kmeans", aH, aT, aM), ("opq_snake", bH, bT, bM),

@@ -53,53 +53,18 @@ object StreamAudioNearDup {
     val spark = media.sparkSession
     import spark.implicits._
     val delayMs = delaySeconds * 1000L
-    val nb = coeffs.length
     val cArr = coeffs.toArray
 
     val hashed = media.select(col(idCol), col(tsCol), col(contentCol))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val s = Multimodal.anyWavSamples(r.getAs[Array[Byte]](2))
-          if (s.length < frameLen + hop) Iterator.empty
-          else {
-            // the exact bit walk of Multimodal.audioFingerprints —
-            // StreamAudioNearDupSpec pins stream ≡ batch per payload
-            val nF = (s.length - frameLen) / hop + 1
-            val e = Array.ofDim[Double](nF, nb)
-            var f = 0
-            while (f < nF) {
-              var b = 0
-              while (b < nb) {
-                val c = cArr(b)
-                var s1 = 0.0
-                var s2 = 0.0
-                var j = 0
-                while (j < frameLen) {
-                  val v = s(f * hop + j) + c * s1 - s2
-                  s2 = s1
-                  s1 = v
-                  j += 1
-                }
-                e(f)(b) = s1 * s1 + s2 * s2 - c * s1 * s2
-                b += 1
-              }
-              f += 1
-            }
-            var fpv = 0L
-            var bit = 0
-            f = 1
-            while (f < nF && bit < 64) {
-              var b = 0
-              while (b < nb - 1 && bit < 64) {
-                val d = (e(f)(b) - e(f)(b + 1)) -
-                  (e(f - 1)(b) - e(f - 1)(b + 1))
-                if (d > 0) fpv |= 1L << bit
-                bit += 1
-                b += 1
-              }
-              f += 1
-            }
-            Iterator(Row(r.getLong(0), r.getTimestamp(1), fpv))
+          // the SAME bit walk as the batch lane — shared kernel, so
+          // stream ≡ batch is structural; the spec pins it anyway
+          Multimodal.hkFingerprint(s, cArr, frameLen, hop) match {
+            case None           => Iterator.empty
+            case Some((_, fpv)) =>
+              Iterator(Row(r.getLong(0), r.getTimestamp(1), fpv))
           }
         }
       }(Encoders.row(hashedSchema))
