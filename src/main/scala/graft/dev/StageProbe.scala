@@ -6,26 +6,31 @@ import scala.collection.mutable
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local(appName = "stageprobe")
-    val stages = mutable.Map[Int, (String, Long, Int)]()
+    val stages = mutable.Map[Int, (String, Long, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = si.taskMetrics.executorRunTime
-        stages(si.stageId) = (si.name.take(60), ms, si.numTasks)
+        val sw = si.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val sr = si.taskMetrics.shuffleReadMetrics.totalBytesRead
+        stages(si.stageId) = (si.name.take(60), ms, si.numTasks, sw, sr)
       }
     })
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args(0)
-    // warm
-    graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    stages.clear()
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    println(f"WALL $wall%.2f s")
-    stages.toSeq.sortBy(_._1).foreach { case (id, (n, ms, nt)) =>
-      println(f"stage $id%3d tasks=$nt%3d run=${ms/1000.0}%8.2f s  $n")
+    for (name <- args) {
+      // warm
+      graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      stages.clear()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(s"===== $name =====")
+      println(f"WALL $wall%.2f s")
+      stages.toSeq.sortBy(_._1).foreach { case (id, (n, ms, nt, sw, sr)) =>
+        println(f"stage $id%3d tasks=$nt%3d run=${ms/1000.0}%8.2f s " +
+          f"swrite=${sw/1e6}%8.1f MB sread=${sr/1e6}%8.1f MB  $n")
+      }
     }
     spark.stop()
   }

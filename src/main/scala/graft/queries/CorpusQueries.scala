@@ -1561,11 +1561,14 @@ object CorpusQueries {
       // token universe would make every sketch exact and every pair
       // Jaccard ≈ 1; the shingle universe (~1.3k/source at sf0.01,
       // pair Jaccard 0.01–0.08) actually exercises the estimator.
-      val u = t.documents
+      // native tokenize+shingle+hash (graft_shingle_hashes ≡ the
+      // rollingHash-of-shingles HOF chain, property-tested) on a
+      // fanned-out scan: the single-file bench table otherwise runs
+      // this whole explode+hash pass on ONE task (guide §2.5/§4 —
+      // measured 3.65 s serial at sf0.1)
+      val u = graft.core.Scan.fanOut(t.documents)
         .select(col("source"),
-          explode(TextFns.shingles(
-            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
-        .select(col("source"), TextFns.rollingHash(col("sh")).as("h"))
+          explode(TextFns.shingleHashes(lower(col("text")), KMV_W)).as("h"))
         .distinct()
         .localCheckpoint(true)
       val n = u.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -1663,9 +1666,13 @@ object CorpusQueries {
     "q228_cms_frequencies",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val toks = t.documents
-        .select(explode(TextFns.shingles(
-          TextFns.tokens(lower(col("text"))), CMS_SHW)).as("token"))
+      // graft_shingles (native ShingleStrings ≡ shingles∘tokens,
+      // property-tested) + fanOut: the string-emitting twin of the
+      // q222 rewrite — this query's output needs the token STRINGS,
+      // so only the interpreted per-position lambda is replaced
+      val toks = graft.core.Scan.fanOut(t.documents)
+        .select(explode(TextFns.shinglesNative(
+          lower(col("text")), CMS_SHW)).as("token"))
         .select(col("token"), TextFns.rollingHash(col("token")).as("h"))
         .localCheckpoint(true)
       val ctrs = graft.operators.CountMin
@@ -1722,9 +1729,10 @@ object CorpusQueries {
     "q236_countsketch_frequencies",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val toks = t.documents
-        .select(explode(TextFns.shingles(
-          TextFns.tokens(lower(col("text"))), CMS_SHW)).as("token"))
+      // same native-shingle + fanOut rewrite as q228 (strings needed)
+      val toks = graft.core.Scan.fanOut(t.documents)
+        .select(explode(TextFns.shinglesNative(
+          lower(col("text")), CMS_SHW)).as("token"))
         .select(col("token"), TextFns.rollingHash(col("token")).as("h"))
         .localCheckpoint(true)
       val ctrs = graft.operators.CountSketch
@@ -1785,11 +1793,10 @@ object CorpusQueries {
     "q230_kmv_cardinality",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val u = t.documents
+      // native shingle hashes + fanOut (the q222 rewrite)
+      val u = graft.core.Scan.fanOut(t.documents)
         .select(col("source"),
-          explode(TextFns.shingles(
-            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
-        .select(col("source"), TextFns.rollingHash(col("sh")).as("h"))
+          explode(TextFns.shingleHashes(lower(col("text")), KMV_W)).as("h"))
         .distinct()
         .localCheckpoint(true)
       val n = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
@@ -1842,13 +1849,12 @@ object CorpusQueries {
     "q291_hll_cardinality",
     (s, dir) => {
       val t = Tpch(s, dir)
-      val u = t.documents
+      // native shingle hashes + fanOut (the q222 rewrite)
+      val u = graft.core.Scan.fanOut(t.documents)
         .select(col("source"),
-          explode(TextFns.shingles(
-            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+          explode(TextFns.shingleHashes(lower(col("text")), KMV_W)).as("h0"))
         .select(col("source"),
-          graft.operators.Sampling.slotWide(
-            TextFns.rollingHash(col("sh"))).as("h"))
+          graft.operators.Sampling.slotWide(col("h0")).as("h"))
         .distinct()
         .localCheckpoint(true)
       val n = u.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
@@ -2058,13 +2064,12 @@ object CorpusQueries {
     (s, dir) => {
       val t = Tpch(s, dir)
       val hll = graft.operators.Hll
-      val u = t.documents
+      // native shingle hashes + fanOut (the q222 rewrite)
+      val u = graft.core.Scan.fanOut(t.documents)
         .select(col("lang"),
-          explode(TextFns.shingles(
-            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
+          explode(TextFns.shingleHashes(lower(col("text")), KMV_W)).as("h0"))
         .select(col("lang"),
-          graft.operators.Sampling.slotWide(
-            TextFns.rollingHash(col("sh"))).as("h"))
+          graft.operators.Sampling.slotWide(col("h0")).as("h"))
         .distinct()
         .localCheckpoint(true)
       val regs = hll.registers(u, "lang", "h").localCheckpoint(true)
@@ -2202,11 +2207,10 @@ object CorpusQueries {
       val t = Tpch(s, dir)
       val sw = (c: org.apache.spark.sql.Column) =>
         graft.operators.Sampling.slotWide(c)
-      val u = t.documents
+      // native shingle hashes + fanOut (the q222 rewrite)
+      val u = graft.core.Scan.fanOut(t.documents)
         .select(col("lang"),
-          explode(TextFns.shingles(
-            TextFns.tokens(lower(col("text"))), KMV_W)).as("sh"))
-        .select(col("lang"), TextFns.rollingHash(col("sh")).as("h"))
+          explode(TextFns.shingleHashes(lower(col("text")), KMV_W)).as("h"))
         .distinct()
         .withColumn("c1", (pmod(sw(col("h") * lit(2L) + lit(1L)),
           lit(5L)) === 0L).cast("long"))
