@@ -2268,24 +2268,46 @@ object ExtendedRelational {
         .localCheckpoint(true)
       val flags = feats.select(col("flag")).distinct()
         .collect().map(_.getString(0)).sorted
-      val p8d = (c: org.apache.spark.sql.Column) =>
-        pround(c, 8).cast(DecimalType(28, 8))
+      // the per-row gradient (1{pred ≥ y} − τ)·x_j depends on the row
+      // only through (flag, x1, ind): x0 is the constant 1 and x1 has
+      // |distinct l_quantity| values, so the 8-decimal addend is
+      // IDENTICAL for every row of a (flag, x1, ind) group. Count the
+      // groups first (narrow double compare per row, map-side-combined
+      // to ≤ |flags|·|quantities|·2 cells), then fold count × addend
+      // in exact decimal: a decimal sum of equal values IS count ×
+      // value, so g0/g1 match the old per-row decimal sums bit-for-bit
+      // while the per-row decimal casts (16 × 2 per row) disappear.
+      // Weights ride a 3-row broadcast table instead of per-iteration
+      // when-chain literals, so all QR_T iteration plans are
+      // structurally identical and compile once (codegen cache). The
+      // loop reads a 3-column checkpoint at defaultParallelism/4
+      // partitions: each pass's per-task work is trivial, so task
+      // count (scheduling), not data, set the old iteration cost.
+      val nLoop = math.max(1, s.sparkContext.defaultParallelism / 4)
+      val featsLoop = feats.select(col("flag"), col("x1"), col("y"))
+        .coalesce(nLoop).localCheckpoint(true)
+      val p8g = (c: org.apache.spark.sql.Column) =>
+        pround(c, 8).cast(DecimalType(18, 8))
       var w: Map[String, (Double, Double)] =
         flags.map(_ -> (0.0, 0.0)).toMap
       for (_ <- 1 to QR_T) {
-        def wlit(pick: ((Double, Double)) => Double) =
-          flags.tail.foldLeft(
-            when(col("flag") === flags.head, pick(w(flags.head)))) {
-            (acc, f) => acc.when(col("flag") === f, pick(w(f)))
-          }.otherwise(0.0)
-        val pred = col("x0") * wlit(_._1) + col("x1") * wlit(_._2)
+        val wDf = flags.toSeq.map(f => (f, w(f)._1, w(f)._2))
+          .toDF("flag", "w0c", "w1c")
+        // x0 ≡ 1.0, and 1.0 · w0 == w0 in IEEE doubles, so dropping
+        // the x0 term keeps pred bit-identical
+        val pred = col("w0c") + col("x1") * col("w1c")
         val ind = when(pred >= col("y"), 1.0).otherwise(0.0)
-        val grads = feats.groupBy(col("flag"))
-          .agg(count(lit(1)).as("n"),
-            sum(p8d((ind - lit(QR_TAU)) * col("x0"))).cast("double")
-              .as("g0"),
-            sum(p8d((ind - lit(QR_TAU)) * col("x1"))).cast("double")
-              .as("g1"))
+        val grads = featsLoop.join(broadcast(wDf), Seq("flag"))
+          .groupBy(col("flag"), col("x1"), ind.as("ind"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("flag"))
+          .agg(sum(col("cnt")).as("n"),
+            sum(col("cnt").cast(DecimalType(12, 0))
+              * p8g((col("ind") - lit(QR_TAU)) * lit(1.0)))
+              .cast("double").as("g0"),
+            sum(col("cnt").cast(DecimalType(12, 0))
+              * p8g((col("ind") - lit(QR_TAU)) * col("x1")))
+              .cast("double").as("g1"))
           .collect()
         w = grads.map { r =>
           val f = r.getString(0)
