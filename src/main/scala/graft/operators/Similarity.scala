@@ -420,6 +420,23 @@ object Similarity {
       vecCol: String, seedMod: Int, nprobe: Int, degree: Int, beam: Int,
       hops: Int): DataFrame = {
     require(degree >= 1 && beam >= 1 && hops >= 0)
+    val sc = walkScaffold(corpus, queries, idCol, vecCol, seedMod, nprobe)
+    nswScoredOn(sc, levelEdges(sc, degree, 0), beam, hops)
+  }
+
+  /** The walk inputs every NSW/HNSW arm shares: the checkpointed
+    * cell-assigned corpus and the per-query probed cells. Extracted so
+    * multi-arm queries (q227's hnsw/hnsw2/nsw matrix) build the
+    * assignment, the probe ranking, and each layer's edge graph ONCE
+    * instead of once per arm — the same shared-scaffold discipline as
+    * q290's single exact top-K.
+    */
+  private[graft] final case class WalkScaffold(assigned: DataFrame,
+      probes: DataFrame)
+
+  private[graft] def walkScaffold(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, seedMod: Int, nprobe: Int)
+      : WalkScaffold = {
     val m = resolveSeedMod(corpus, seedMod)
     val seeds = seedCentroids(corpus, idCol, vecCol, m)
     // reused by both edge endpoints, the entry picks, and every hop's
@@ -428,7 +445,6 @@ object Similarity {
       .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
         col("vnorm"), col("cell"))
       .localCheckpoint(true)
-    val edges = nswEdges(assigned, degree)
     val qScored = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         sqrt(norm2(col(vecCol))).as("qnorm"))
@@ -441,6 +457,26 @@ object Similarity {
     val probes = qScored.withColumn("cell_rank", row_number().over(wq))
       .filter(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    WalkScaffold(assigned, probes)
+  }
+
+  /** Layer `level`'s bounded-degree graph over the scaffold's corpus:
+    * level 0 is the full node set, level l ≥ 1 the promoted subset
+    * corpus_id % 2^l = 0 (the trailing-bit rule [[hnswScored]]
+    * documents). Eagerly checkpointed by [[nswEdges]] — build each
+    * level once and share across arms.
+    */
+  private[graft] def levelEdges(sc: WalkScaffold, degree: Int,
+      level: Int): DataFrame = {
+    require(level >= 0 && level <= 30)
+    val nodes = if (level == 0) sc.assigned
+      else sc.assigned.filter(col("corpus_id") % lit(1L << level) === 0)
+    nswEdges(nodes, degree)
+  }
+
+  private[graft] def nswScoredOn(sc: WalkScaffold, edges: DataFrame,
+      beam: Int, hops: Int): DataFrame = {
+    val assigned = sc.assigned
     val entries = assigned.groupBy(col("cell"))
       .agg(min(col("corpus_id")).as("corpus_id"))
     def score(nodes: DataFrame): DataFrame = nodes
@@ -449,7 +485,7 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("corpus_id"),
         (dot(col("qvec"), col("nvec")) / (col("qnorm") * col("vnorm")))
           .as("cosine"), col("qvec"), col("qnorm"))
-    var frontier = score(probes.join(entries, Seq("cell")))
+    var frontier = score(sc.probes.join(entries, Seq("cell")))
       .localCheckpoint(true)
     var visited = frontier
     val wb = Window.partitionBy(col("query_id"), col("cell"))
@@ -529,25 +565,16 @@ object Similarity {
       hops: Int, upperHops: Int, levels: Int = 1): DataFrame = {
     require(degree >= 1 && beam >= 1 && hops >= 0 && upperHops >= 0)
     require(levels >= 1 && levels <= 30, "levels must be in [1, 30]")
-    val m = resolveSeedMod(corpus, seedMod)
-    val seeds = seedCentroids(corpus, idCol, vecCol, m)
-    val assigned = ivfAssign(corpus, idCol, vecCol, seeds)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("nvec"),
-        col("vnorm"), col("cell"))
-      .localCheckpoint(true)
-    val edges0 = nswEdges(assigned, degree)
-    val qScored = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        sqrt(norm2(col(vecCol))).as("qnorm"))
-      .crossJoin(broadcast(seeds))
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"),
-        (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-          .as("cell_cos"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_cos").desc, col("cell").asc)
-    val probes = qScored.withColumn("cell_rank", row_number().over(wq))
-      .filter(col("cell_rank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    val sc = walkScaffold(corpus, queries, idCol, vecCol, seedMod, nprobe)
+    hnswScoredOn(sc, levelEdges(sc, degree, 0),
+      l => levelEdges(sc, degree, l), beam, hops, upperHops, levels)
+  }
+
+  private[graft] def hnswScoredOn(sc: WalkScaffold, edges0: DataFrame,
+      edgesAt: Int => DataFrame, beam: Int, hops: Int, upperHops: Int,
+      levels: Int): DataFrame = {
+    val assigned = sc.assigned
+    val probes = sc.probes
     def score(nodes: DataFrame): DataFrame = nodes
       .join(assigned.select(col("cell"), col("corpus_id"), col("nvec"),
         col("vnorm")), Seq("cell", "corpus_id"))
@@ -603,7 +630,7 @@ object Similarity {
         case None      => fallback
         case Some(vis) => top1(vis.unionByName(fallback))
       }
-      val (visL, _) = walk(start, nswEdges(promo, degree), upperHops, 1)
+      val (visL, _) = walk(start, edgesAt(l), upperHops, 1)
       upperVis = Some(upperVis.map(_.unionByName(visL)).getOrElse(visL))
     }
     // layer 0 entry: the best find from the hierarchy, against the

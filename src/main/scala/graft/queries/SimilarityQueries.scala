@@ -944,18 +944,36 @@ object SimilarityQueries {
         val hits = top.join(exact, Seq("query_id", "corpus_id")).count()
         (name, nq, v.count(), hits, hits.toDouble / (K * nq))
       }
-      Seq(
-        arm("hnsw", Similarity.hnswScored(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS,
-          HNSW_UP)),
+      // one shared scaffold for all three arms: the cell assignment,
+      // probe ranking, and each layer's edge graph are identical
+      // deterministic structures, previously rebuilt per arm (the
+      // level-0 graph three times, the l=1 graph twice). Arms then run
+      // CONCURRENTLY — each is a chain of tiny checkpoint jobs whose
+      // cost is driver/scheduling latency, so overlapping them
+      // back-fills the idle executors (guide §2.6).
+      val sc = Similarity.walkScaffold(t.embeddings, queries, "vec_id",
+        "embedding", SEEDMOD, NPROBE)
+      val edges0 = Similarity.levelEdges(sc, NSW_DEG, 0)
+      val edgesL = (1 to H2_LEVELS)
+        .map(l => l -> Similarity.levelEdges(sc, NSW_DEG, l)).toMap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      val armsF = Seq(
+        Future(arm("hnsw", Similarity.hnswScoredOn(sc, edges0, edgesL,
+          NSW_BEAM, NSW_HOPS, HNSW_UP, 1))),
         // the log-layered arm: 2 upper layers, NARROWER level-0 beam —
         // strictly fewer scored candidates at ≥ the 1-layer recall
         // (the H2_BEAM measurement note)
-        arm("hnsw2", Similarity.hnswScored(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, NSW_DEG, H2_BEAM, NSW_HOPS,
-          HNSW_UP, H2_LEVELS)),
-        arm("nsw", Similarity.nswScored(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)))
+        Future(arm("hnsw2", Similarity.hnswScoredOn(sc, edges0, edgesL,
+          H2_BEAM, NSW_HOPS, HNSW_UP, H2_LEVELS))),
+        Future(arm("nsw", Similarity.nswScoredOn(sc, edges0,
+          NSW_BEAM, NSW_HOPS))))
+      val arms = try Await.result(Future.sequence(armsF),
+        scala.concurrent.duration.Duration(20, "min"))
+      finally pool.shutdown()
+      arms
         .toDF("method", "n_queries", "n_scored", "n_hits", "recall")
         .select(col("method"), col("n_queries"), col("n_scored"),
           col("n_hits"), pround(col("recall"), 6).as("recall"))
