@@ -4225,29 +4225,53 @@ object SimilarityQueries {
       val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
       val nq = queries.count()
       val nC = t.embeddings.count()
-      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
-          "embedding", K)
-        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
-      val nTotal = exact.count()
       val fullScan = nq * (nC - 1)
+      // independent arm builds overlap (guide §2.6): the brute exact
+      // top-K is the compute-heavy job that fills the executors, while
+      // the nsw walk and the codebook training are chains of tiny
+      // driver-latency-bound jobs — running them concurrently
+      // back-fills the idle cores. Each future yields the same
+      // deterministic frame it did serially.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val exactF = Future {
+        val e = Similarity.topK(t.embeddings, queries, "vec_id",
+            "embedding", K)
+          .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
+        (e, e.count())
+      }
       // full-scan arms
-      val sq = Similarity.sqTopK(t.embeddings, queries, "vec_id",
-        "embedding", K)
-      val cb = Similarity.pqCodebooks(t.embeddings, "vec_id",
-        "embedding", PQ_M, seedMod = 0)
-      val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
-        PQ_M, cb)
-      val pq = Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
-        PQ_M, cb, K)
-      val bin = Similarity.binTopK(t.embeddings, queries, "vec_id",
-        "embedding", SQ_DIMS, K)
+      val sqF = Future(Similarity.sqTopK(t.embeddings, queries, "vec_id",
+        "embedding", K))
+      val pqF = Future {
+        val cb = Similarity.pqCodebooks(t.embeddings, "vec_id",
+          "embedding", PQ_M, seedMod = 0)
+        val enc = Similarity.pqEncode(t.embeddings, "vec_id", "embedding",
+          PQ_M, cb)
+        Similarity.pqAdcTopK(enc, queries, "vec_id", "embedding",
+          PQ_M, cb, K)
+      }
+      val binF = Future(Similarity.binTopK(t.embeddings, queries,
+        "vec_id", "embedding", SQ_DIMS, K))
       // pruned arms: measured candidate counts (q216's cost rule)
-      val ivfAll = Similarity.ivfTopK(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, Int.MaxValue)
-        .localCheckpoint(true)
-      val nswVis = Similarity.nswScored(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)
-        .localCheckpoint(true)
+      val ivfF = Future(Similarity.ivfTopK(t.embeddings, queries,
+          "vec_id", "embedding", SEEDMOD, NPROBE, Int.MaxValue)
+        .localCheckpoint(true))
+      val nswF = Future(Similarity.nswScored(t.embeddings, queries,
+          "vec_id", "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM,
+          NSW_HOPS)
+        .localCheckpoint(true))
+      val ((exact, nTotal), sq, pq, bin, ivfAll, nswVis) =
+        try (Await.result(exactF, Duration(20, "min")),
+          Await.result(sqF, Duration(20, "min")),
+          Await.result(pqF, Duration(20, "min")),
+          Await.result(binF, Duration(20, "min")),
+          Await.result(ivfF, Duration(20, "min")),
+          Await.result(nswF, Duration(20, "min")))
+        finally pool.shutdown()
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("corpus_id").asc)
