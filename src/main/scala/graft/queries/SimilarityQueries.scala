@@ -1052,22 +1052,36 @@ object SimilarityQueries {
       val t = Tpch(s, dir)
       val queries = t.embeddings.filter(col("vec_id") % QMOD === 0)
       val nq = queries.count()
-      val exact = Similarity.topK(t.embeddings, queries, "vec_id",
+      // the three builds are independent — overlap them (guide §2.6):
+      // the brute exact fills the executors while the nsw walk's tiny
+      // checkpoint-job chain pays only driver latency (the q290 shape)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val exactF = Future(Similarity.topK(t.embeddings, queries, "vec_id",
           "embedding", K)
-        .select(col("query_id"), col("corpus_id")).localCheckpoint(true)
-      val nswVis = Similarity.nswScored(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM, NSW_HOPS)
-        .localCheckpoint(true)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint(true))
+      val nswF = Future(Similarity.nswScored(t.embeddings, queries,
+          "vec_id", "embedding", SEEDMOD, NPROBE, NSW_DEG, NSW_BEAM,
+          NSW_HOPS)
+        .localCheckpoint(true))
+      // k beyond any cell size keeps EVERY scored candidate — the IVF
+      // arm's measured cost is this frame's row count
+      val ivfF = Future(Similarity.ivfTopK(t.embeddings, queries,
+          "vec_id", "embedding", SEEDMOD, NPROBE, Int.MaxValue)
+        .localCheckpoint(true))
+      val (exact, nswVis, ivfAll) =
+        try (Await.result(exactF, Duration(20, "min")),
+          Await.result(nswF, Duration(20, "min")),
+          Await.result(ivfF, Duration(20, "min")))
+        finally pool.shutdown()
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("corpus_id").asc)
       val nswTop = nswVis.withColumn("rk", row_number().over(wr))
         .filter(col("rk") <= K).select(col("query_id"), col("corpus_id"))
-      // k beyond any cell size keeps EVERY scored candidate — the IVF
-      // arm's measured cost is this frame's row count
-      val ivfAll = Similarity.ivfTopK(t.embeddings, queries, "vec_id",
-          "embedding", SEEDMOD, NPROBE, Int.MaxValue)
-        .localCheckpoint(true)
       val ivfTop = ivfAll.filter(col("rank") <= K)
         .select(col("query_id"), col("corpus_id"))
       def arm(name: String, nScored: Long, top: org.apache.spark.sql.DataFrame) = {
