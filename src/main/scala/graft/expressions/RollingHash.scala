@@ -397,5 +397,20 @@ object GraftExtensions {
         require(children.size == 2, "graft_idot takes two array arguments")
         IntDotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dist2q8"),
+      new ExpressionInfo(classOf[Dist2Decimal].getName, "graft_dist2q8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_dist2q8 takes two array arguments")
+        Dist2Decimal(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dist2"),
+      new ExpressionInfo(classOf[Dist2Double].getName, "graft_dist2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dist2 takes two array arguments")
+        Dist2Double(children(0), children(1))
+      }))
   }
 }

@@ -50,16 +50,13 @@ object KMeans {
 
   /** Exact decimal squared-L2 between a vector column and a constant
     * centroid: Σ DECIMAL(28,8)((aᵢ−cᵢ)²), decimal-summed (order-free).
+    * Native kernel (expressions.Dist2Decimal) — bit-identical to the
+    * aggregate∘zip_with chain it replaces, one primitive loop per row
+    * instead of interpreted per-element lambdas + Decimal allocations.
     */
   private def dist2(vec: Column, centroid: Array[Double]): Column = {
     val carr = array(centroid.map(lit(_)): _*)
-    aggregate(
-      zip_with(vec, carr, (a, b) => {
-        val d = a.cast("double") - b
-        (d * d).cast(DecimalType(28, 8))
-      }),
-      lit(0L).cast(DecimalType(38, 8)),
-      (acc, x) => (acc + x).cast(DecimalType(38, 8)))
+    call_function("graft_dist2q8", vec, carr)
   }
 
   /** All k exact-decimal distances for a row's vector, as one array
@@ -160,13 +157,8 @@ object KMeans {
         (array_position(col("__d"), array_min(col("__d"))) - lit(1L))
           .cast("int").as("cluster"))
       .select(col(idCol), col("cluster"),
-        aggregate(
-          zip_with(col(vecCol), element_at(cLit, col("cluster") + 1),
-            (a, b) => {
-              val d = a.cast("double") - b
-              d * d
-            }),
-          lit(0.0), (acc, x) => acc + x).as("d2c"))
+        call_function("graft_dist2",
+          col(vecCol), element_at(cLit, col("cluster") + 1)).as("d2c"))
   }
 
   def fit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -255,14 +247,7 @@ object KMeans {
       // candidates, map-side-combined argmin per (vector, sub)
       val centDf = (for (sub <- 0 until m; j <- 0 until k)
         yield (sub, j, cents(sub)(j).toSeq)).toDF("sub", "__j", "__cv")
-      val d2 = aggregate(
-        zip_with(col("__sv"), col("__cv"),
-          (a, b) => {
-            val d = a.cast("double") - b.cast("double")
-            (d * d).cast(DecimalType(28, 8))
-          }),
-        lit(0L).cast(DecimalType(38, 8)),
-        (acc, x) => (acc + x).cast(DecimalType(38, 8)))
+      val d2 = call_function("graft_dist2q8", col("__sv"), col("__cv"))
       val stats = fanned
         // per-ROW group key: monotonically_increasing_id, NOT idCol —
         // duplicate or null ids must not merge rows into one
